@@ -1,13 +1,184 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 is exposed as a named query
+  * over the TESTDATA.md parquet tables, with an equivalent DuckDB oracle SQL
+  * (same output column names — the driver's compare sorts columns by name
+  * before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Star-schema join + exact-sum aggregation (SURVEY §2.3 J1/J2, §2.4). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q02RevenueByNation(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator cluster from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary"    -> Relational.q01PricingSummary _,
+    "q02_revenue_by_nation"  -> Relational.q02RevenueByNation _,
+    "q03_anti_join"          -> Relational.q03CustomersWithoutOrders _,
+    "q04_semi_join"          -> Relational.q04OrdersWithBigLineitem _,
+    "q05_first_per_group"    -> Relational.q05LatestOrderPerCustomer _,
+    "q06_dense_id"           -> Relational.q06DenseIdCustomers _,
+    "q07_event_span"         -> Relational.q07EventSpanPerUser _,
+    "q08_conditional_agg"    -> Relational.q08EventTypeStats _,
+    "q09_safe_cast"          -> Relational.q09SafeCastProps _,
+    "q10_case_mapping"       -> Relational.q10CaseMapping _,
+    "q11_topn"               -> Relational.q11TopUsersByEvents _,
+    "q12_percentiles"        -> Relational.q12QuantityPercentiles _,
+    "q13_distinct"           -> Relational.q13DistinctOrderDims _,
+    "q14_staged_mapping"     -> Relational.q14StagedMapping _,
+    "q15_orphan_report"      -> Relational.q15OrphanReport _,
+    "q16_numeric_split"      -> Relational.q16NumericSplit _,
+    "q17_two_hop"            -> Relational.q17TwoHopTraversal _,
+  )
+
+  /** DuckDB-dialect oracle for each query (same column names/aliases). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  ROUND(AVG(l_quantity), 4) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey  = o_orderkey
+        |JOIN customer ON o_custkey   = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q03_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')""".stripMargin,
+
+    "q04_semi_join" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)""".stripMargin,
+
+    "q05_first_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t WHERE rn = 1""".stripMargin,
+
+    "q06_dense_id" ->
+      """SELECT c_custkey, c_name,
+        |       row_number() OVER (ORDER BY c_custkey) AS person_id
+        |FROM customer""".stripMargin,
+
+    "q07_event_span" ->
+      """SELECT user_id, MIN(start_ts) AS period_start,
+        |       MAX(COALESCE(end_ts, start_ts)) AS period_end
+        |FROM (SELECT user_id, ts AS start_ts, ts AS end_ts FROM events
+        |      WHERE event_type = 'purchase'
+        |      UNION ALL
+        |      SELECT user_id, ts, ts FROM events WHERE event_type = 'error') t
+        |GROUP BY user_id""".stripMargin,
+
+    "q08_conditional_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+        |  COUNT(CASE WHEN value IS NULL THEN 1 END) AS n_null_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value) AS avg_value
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q09_safe_cast" ->
+      """SELECT event_id,
+        |  CASE WHEN regexp_matches(k_str, '^[-]?[0-9]+$')
+        |       THEN CAST(k_str AS INTEGER) END AS k_int,
+        |  regexp_matches(k_str, '^[0-9]+(\.[0-9]+)?$') AS k_is_numeric,
+        |  CASE WHEN regexp_matches(date_str, '^[0-9]{4}-[0-9]{2}-[0-9]{2}')
+        |       THEN CAST(substr(date_str, 1, 10) AS DATE) END AS event_date,
+        |  CASE WHEN event_type IN ('signup','purchase','click')
+        |       THEN event_type END AS event_type_enum
+        |FROM (SELECT event_id, event_type,
+        |             regexp_extract(props, '[0-9]+', 0) AS k_str,
+        |             strftime(ts, '%Y-%m-%d') AS date_str FROM events) t""".stripMargin,
+
+    "q10_case_mapping" ->
+      """SELECT type_concept_id, COUNT(*) AS n FROM (
+        |  SELECT CASE event_type WHEN 'purchase' THEN 9201
+        |                         WHEN 'signup' THEN 9202
+        |                         WHEN 'click' THEN 9203
+        |                         ELSE 0 END AS type_concept_id
+        |  FROM events) t GROUP BY type_concept_id""".stripMargin,
+
+    "q11_topn" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY user_id
+        |ORDER BY n_events DESC, user_id ASC LIMIT 10""".stripMargin,
+
+    "q12_percentiles" ->
+      """SELECT l_returnflag,
+        |  ROUND(MIN(l_quantity), 4) AS q_min,
+        |  ROUND(quantile_cont(l_quantity, 0.10), 4) AS q_p10,
+        |  ROUND(quantile_cont(l_quantity, 0.25), 4) AS q_p25,
+        |  ROUND(quantile_cont(l_quantity, 0.50), 4) AS q_median,
+        |  ROUND(quantile_cont(l_quantity, 0.75), 4) AS q_p75,
+        |  ROUND(quantile_cont(l_quantity, 0.90), 4) AS q_p90,
+        |  ROUND(MAX(l_quantity), 4) AS q_max
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q13_distinct" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+
+    "q14_staged_mapping" ->
+      """SELECT event_type, mapped_concept_id, COUNT(*) AS n FROM (
+        |  SELECT e.event_type,
+        |         CAST(COALESCE(s1.concept_id, s2.concept_id, 0) AS BIGINT) AS mapped_concept_id
+        |  FROM events e
+        |  LEFT JOIN (VALUES ('purchase', 100), ('refund', 101)) s1(event_type, concept_id)
+        |         ON e.event_type = s1.event_type
+        |  LEFT JOIN (VALUES ('signup', 200), ('error', 201)) s2(event_type, concept_id)
+        |         ON e.event_type = s2.event_type) t
+        |GROUP BY event_type, mapped_concept_id""".stripMargin,
+
+    "q15_orphan_report" ->
+      """SELECT 'lineitem_orphans' AS check_name,
+        |  (SELECT COUNT(*) FROM lineitem
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS orphan_count
+        |UNION ALL
+        |SELECT 'orders_orphans',
+        |  (SELECT COUNT(*) FROM orders
+        |   WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))""".stripMargin,
+
+    "q16_numeric_split" ->
+      """SELECT branch, COUNT(*) AS n FROM (
+        |  SELECT CASE WHEN regexp_matches(payload, '^[-]?[0-9]+([.][0-9]+)?([eE][-+]?[0-9]+)?$')
+        |              THEN 'measurement' ELSE 'observation' END AS branch
+        |  FROM (SELECT CASE WHEN event_type = 'purchase' THEN CAST(value AS VARCHAR)
+        |                    ELSE 'code-' || event_type END AS payload FROM events) p
+        |  WHERE payload IS NOT NULL) t
+        |GROUP BY branch""".stripMargin,
+
+    "q17_two_hop" ->
+      """SELECT r_name, COUNT(DISTINCT n_nationkey) AS n_nations,
+        |       COUNT(*) AS n_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+  )
 }

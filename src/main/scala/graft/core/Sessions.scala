@@ -1,0 +1,24 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Standard SparkSession factory: UTC, AQE on, shuffle partitions sized to
+  * the local core count (not the 200 default), nanos-as-long so the ns-
+  * timestamped events table is readable (see [[Tables.events]]). The same
+  * settings are what a cluster deploy would set via spark-submit confs. */
+object Sessions {
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors): SparkSession = {
+    val s = builder(s"local[$cores]", cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

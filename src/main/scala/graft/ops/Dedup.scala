@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dedup / idempotence operators (SURVEY.md §2.3 J3/J4/J6, §2.7 M1).
+  *
+  * The reference achieves idempotent re-runs with `NOT IN (subquery)` /
+  * `NOT EXISTS` anti-patterns (enhanced_synthea_to_omop.py:775,1122-1127)
+  * and first-row-per-group with Postgres `DISTINCT ON`
+  * (enhanced_synthea_to_omop.py:786-811). Spark-first re-expression:
+  * left_anti joins and row_number windows. All of these shuffle on their
+  * key — at 100 TB the key choice IS the partitioning, so callers pass
+  * explicit keys and nothing ever collects to the driver.
+  */
+object Dedup {
+
+  /** J6/W1: Postgres `DISTINCT ON (part) ... ORDER BY part, ord` — keep the
+    * first row per group under a *deterministic* order. Where the reference
+    * omits ORDER BY (populate_visit_map_v2.sql:10, arbitrary row), callers
+    * must pick a tiebreak; this API makes the order mandatory (SURVEY.md
+    * §7.4 risk 2). */
+  def firstRowPerGroup(df: DataFrame, partitionBy: Seq[Column],
+                       orderBy: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** J3/J4/M1: idempotent append — rows of `incoming` whose `keys` don't
+    * already exist in `existing`, with within-batch duplicates dropped
+    * (set-based anti join can't see them the way Postgres row-at-a-time
+    * inserts do — SURVEY.md §7.4 risk 8). `left_anti` matches the
+    * reference's `NOT IN` exactly because the keys are non-null there
+    * (risk 3; asserted in DedupSpec). */
+  def antiAppend(incoming: DataFrame, existing: DataFrame,
+                 keys: Seq[String]): DataFrame = {
+    val existingKeys = existing.select(keys.map(col): _*)
+    incoming
+      .dropDuplicates(keys)
+      .join(existingKeys, keys, "left_anti")
+  }
+
+  /** Exact duplicate detection by content hash — groupBy-count on a stable
+    * digest of the chosen columns. Map-side partial aggregation makes this
+    * one shuffle of (hash, count) pairs regardless of row width. */
+  def exactDupGroups(df: DataFrame, cols: Seq[Column]): DataFrame =
+    df.groupBy(md5(concat_ws("", cols: _*)).as("content_hash"))
+      .agg(count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+
+  /** Exact dedup keeping one deterministic representative per content group. */
+  def exactDedup(df: DataFrame, hashCols: Seq[Column],
+                 tiebreak: Column): DataFrame =
+    firstRowPerGroup(
+      df.withColumn("__h", md5(concat_ws("", hashCols: _*))),
+      Seq(col("__h")), Seq(tiebreak)
+    ).drop("__h")
+}

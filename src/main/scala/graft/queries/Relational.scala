@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+import graft.ops.{ConceptMap, Dedup, DenseId, SafeCast, Sweep}
+
+/** Relational operator suite over the driver test tables (TESTDATA.md).
+  *
+  * Each query exercises one row-cluster of SURVEY.md §2's operator inventory
+  * and has a DuckDB oracle in [[graft.SparkEntry.oracleSql]]. Aggregates over
+  * doubles are rounded in BOTH engines so FP summation order can't flip the
+  * hash compare.
+  *
+  * Scale notes are inline per query: every plan here is shuffle-minimal —
+  * small dims broadcast, aggregations partial-agg map-side, filters reach the
+  * parquet scan (checked via .explain in RelationalSpec).
+  */
+object Relational {
+
+  /** Order-independent double sum: per-row cast to DECIMAL(18,4) (bit-exact
+    * same value in any engine), exact decimal accumulation (immune to FP
+    * summation order across partitions), cast back to double. This is what
+    * makes sums hash-match the DuckDB oracle without rounding tricks, and at
+    * scale it's a deterministic alternative to plain double sums. */
+  private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+
+  /** A1-A4 grouped aggregation (reference's count/min/max/conditional aggs,
+    * e.g. enhanced_synthea_to_omop.py:2167-2203). TPC-H Q1 shape: one scan,
+    * map-side partial agg, tiny shuffle (|groups| rows per partition). */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  /** J1/J2 star join: fact⋈orders⋈customer⋈nation⋈region with the dims
+    * broadcast (maps/lookups in the reference are exactly this shape,
+    * enhanced_synthea_to_omop.py:853-854). At 100 TB: lineitem⋈orders is the
+    * only real shuffle; customer/nation/region broadcast. */
+  def q02RevenueByNation(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o  = Tables.orders(s, dir)
+    val c  = Tables.customer(s, dir)
+    val n  = Tables.nation(s, dir)
+    val r  = Tables.region(s, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+             .as("revenue"),
+           count(lit(1)).as("n_items"))
+  }
+
+  /** J3 anti join (reference `NOT IN (subquery)` idempotence guard,
+    * enhanced_synthea_to_omop.py:775). left_anti is exact here because the
+    * keys are non-null (SURVEY.md §7.4 risk 3). The filter on the right side
+    * is pushed below the join build. */
+  def q03CustomersWithoutOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir)
+              .filter(col("o_orderpriority") === "1-URGENT")
+              .select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+
+  /** J5 semi join (reference `IN (subquery)` LOINC restriction,
+    * populate_concept_map_v2_batched.sql:155-161). */
+  def q04OrdersWithBigLineitem(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir).filter(col("l_quantity") >= 49)
+              .select(col("l_orderkey")),
+            col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+
+  /** J6/W1 first-row-per-group (Postgres DISTINCT ON,
+    * enhanced_synthea_to_omop.py:786-811): latest order per customer,
+    * deterministic tiebreak on smallest orderkey. One shuffle on the
+    * partition key; no global sort. */
+  def q05LatestOrderPerCustomer(s: SparkSession, dir: String): DataFrame =
+    Dedup.firstRowPerGroup(
+      Tables.orders(s, dir),
+      Seq(col("o_custkey")),
+      Seq(col("o_orderdate").desc, col("o_orderkey").asc))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+
+  /** W2 deterministic dense-id assignment (Postgres sequences,
+    * enhanced_synthea_to_omop.py:770-777) via the scalable per-partition
+    * offset path — no single-partition global window. */
+  def q06DenseIdCustomers(s: SparkSession, dir: String): DataFrame =
+    DenseId.withDenseIdScalable(
+      Tables.customer(s, dir).select(col("c_custkey"), col("c_name")),
+      Seq(col("c_custkey")), "person_id")
+
+  /** U1+A2 union sweep → span per key (observation_period,
+    * create_observation_period_v2.sql:10-45): min/max event time per user
+    * over a 2-way UNION ALL of per-domain projections. Union is shuffle-free;
+    * the groupBy carries one row per (user, map-partition). */
+  def q07EventSpanPerUser(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val a = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("start_ts"), col("ts").as("end_ts"))
+    val b = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("start_ts"), col("ts").as("end_ts"))
+    Sweep.spanPerKey(Sweep.unionSweep(Seq(a, b)), "user_id",
+                     "start_ts", "end_ts")
+  }
+
+  /** A4/A5 conditional aggregation (`SUM(CASE WHEN …)`, `FILTER (WHERE …)`,
+    * enhanced_synthea_to_omop.py:2418-2453). */
+  def q08EventTypeStats(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value") > 100, 1).otherwise(0)).as("n_big"),
+        count(when(col("value").isNull, 1)).as("n_null_value"),
+        dsum(col("value")).as("sum_value"),
+        (dsum(col("value")) / count(col("value"))).as("avg_value"))
+
+  /** P1-P4 regex-guarded safe casts (the typing layer,
+    * synthea-typedtables-transformation.sql:33-61): extract the numeric
+    * payload out of the props JSON-ish string, guard-cast it, guard-cast a
+    * date rendered as string. Pure codegen'd when/rlike/cast — no UDFs. */
+  def q09SafeCastProps(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.events(s, dir)
+      .withColumn("k_str", regexp_extract(col("props"), "[0-9]+", 0))
+      .withColumn("date_str", date_format(col("ts"), "yyyy-MM-dd"))
+    raw.select(
+      col("event_id"),
+      SafeCast.safeInt(col("k_str")).as("k_int"),
+      SafeCast.isNumericString(col("k_str")).as("k_is_numeric"),
+      SafeCast.safeDate(col("date_str")).as("event_date"),
+      SafeCast.enumCast(col("event_type"),
+        Seq("signup", "purchase", "click")).as("event_type_enum"))
+  }
+
+  /** P10 CASE code mapping (encounter class → visit concept,
+    * transform_visit_occurrence_v2.sql:29-40) + P8 COALESCE-to-0. */
+  def q10CaseMapping(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        when(col("event_type") === "purchase", 9201)
+          .when(col("event_type") === "signup", 9202)
+          .when(col("event_type") === "click", 9203)
+          .otherwise(0).as("type_concept_id"))
+      .groupBy(col("type_concept_id"))
+      .agg(count(lit(1)).as("n"))
+
+  /** W4 top-N (achilles top-concept displays,
+    * query_achilles_results.sh:182-226): TakeOrderedAndProject — no global
+    * sort materialization. */
+  def q11TopUsersByEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           dsum(col("value")).as("total_value"))
+      .orderBy(col("n_events").desc, col("user_id").asc)
+      .limit(10)
+
+  /** A9 exact percentile distributions (Achilles analysis 211,
+    * query_achilles_results.sh:228-230). Exact `percentile` (linear
+    * interpolation — same definition as DuckDB quantile_cont) for oracle
+    * parity; at 100 TB swap to percentile_approx or t-digest. */
+  def q12QuantityPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(min(col("l_quantity")), 4).as("q_min"),
+        round(expr("percentile(l_quantity, 0.10)"), 4).as("q_p10"),
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("q_p25"),
+        round(expr("percentile(l_quantity, 0.50)"), 4).as("q_median"),
+        round(expr("percentile(l_quantity, 0.75)"), 4).as("q_p75"),
+        round(expr("percentile(l_quantity, 0.90)"), 4).as("q_p90"),
+        round(max(col("l_quantity")), 4).as("q_max"))
+
+  /** A7 DISTINCT projection (populate_visit_map_v2.sql:9-14). */
+  def q13DistinctOrderDims(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderstatus"), col("o_orderpriority")).distinct()
+
+  /** J9/M2 staged update-join concept mapping
+    * (etl_pipeline/etl_concept_mapping.py:136-180): two literal lookup
+    * stages applied in order, unmapped → 0. Stage lookups broadcast. */
+  def q14StagedMapping(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stage1 = Seq(("purchase", 100L), ("refund", 101L))
+      .toDF("event_type", "concept_id")
+    val stage2 = Seq(("signup", 200L), ("error", 201L))
+      .toDF("event_type", "concept_id")
+    ConceptMap.stagedMapping(
+      Tables.events(s, dir).select(col("event_id"), col("event_type")),
+      Seq((stage1, Seq("event_type"), "concept_id"),
+          (stage2, Seq("event_type"), "concept_id")),
+      "mapped_concept_id")
+      .groupBy(col("event_type"), col("mapped_concept_id"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** J10 orphan / referential-integrity check
+    * (etl_pipeline/etl_validation.py:236-246): child keys missing from the
+    * parent, per child table, stacked U2-style into one report. */
+  def q15OrphanReport(s: SparkSession, dir: String): DataFrame = {
+    val orphanLi = Tables.lineitem(s, dir).select(col("l_orderkey").as("k"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey").as("k")),
+            Seq("k"), "left_anti").count()
+    val orphanOrd = Tables.orders(s, dir).select(col("o_custkey").as("k"))
+      .join(Tables.customer(s, dir).select(col("c_custkey").as("k")),
+            Seq("k"), "left_anti").count()
+    import s.implicits._
+    Seq(("lineitem_orphans", orphanLi), ("orders_orphans", orphanOrd))
+      .toDF("check_name", "orphan_count")
+  }
+
+  /** M5 measurement/observation two-phase split
+    * (transfer_non_numeric_to_observation.sql:51-120): route rows by the
+    * numeric-string detector into two branches off one parent DF — pure
+    * filtered projections, no mutation — then stack branch counts. */
+  def q16NumericSplit(s: SparkSession, dir: String): DataFrame = {
+    val parent = Tables.events(s, dir)
+      .withColumn("payload",
+        when(col("event_type") === "purchase", col("value").cast(StringType))
+          .otherwise(concat(lit("code-"), col("event_type"))))
+    val isNum = SafeCast.isSignedNumericString(col("payload"))
+    val meas = parent.filter(isNum)
+      .select(lit("measurement").as("branch"), col("event_id"))
+    val obs = parent.filter(!isNum)
+      .select(lit("observation").as("branch"), col("event_id"))
+    meas.unionByName(obs).groupBy(col("branch"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** J7/J8 two-hop "Maps to" vocabulary traversal
+    * (etl_pipeline/etl_concept_mapping.py:153-165), emulated on the star
+    * schema: customer --(nation as relationship)--> region as the standard
+    * target; counts per hop target. Same join topology: big⋈small⋈small. */
+  def q17TwoHopTraversal(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+            col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(countDistinct(col("n_nationkey")).as("n_nations"),
+           count(lit(1)).as("n_customers"))
+}

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class DedupSpec extends SparkSpecBase {
+
+  test("firstRowPerGroup keeps exactly the deterministic first row") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 2, "x"), ("a", 1, "y"), ("b", 5, "z"), ("b", 5, "w")
+    ).toDF("k", "ord", "payload")
+    val got = Dedup.firstRowPerGroup(df, Seq(col("k")),
+      Seq(col("ord").asc, col("payload").asc))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getString(2)))
+    assert(got.toSeq == Seq(("a", "y"), ("b", "w")))
+  }
+
+  test("antiAppend drops already-present keys AND within-batch duplicates") {
+    import spark.implicits._
+    val existing = Seq(("k1", 1L)).toDF("key", "id")
+    val incoming = Seq("k1", "k2", "k2", "k3").toDF("key")
+    val got = Dedup.antiAppend(incoming, existing, Seq("key"))
+      .orderBy("key").as[String].collect()
+    assert(got.toSeq == Seq("k2", "k3"))
+  }
+
+  test("left_anti equals NOT IN only for non-null keys (documented risk 3)") {
+    import spark.implicits._
+    val left = Seq(Option("a"), Option("b"), None).toDF("key")
+    val right = Seq(Option("a"), None).toDF("key")
+    // left_anti keeps 'b' AND the null row; SQL NOT IN would return zero
+    // rows when the subquery contains a NULL. Keys in the engine's id maps
+    // are non-null, where the two coincide.
+    val anti = left.join(right, Seq("key"), "left_anti").count()
+    assert(anti == 2)
+    left.createOrReplaceTempView("dedup_spec_l")
+    right.createOrReplaceTempView("dedup_spec_r")
+    val notIn = spark.sql(
+      "SELECT count(*) FROM dedup_spec_l " +
+        "WHERE key NOT IN (SELECT key FROM dedup_spec_r)").head().getLong(0)
+    assert(notIn == 0)
+  }
+
+  test("exactDedup keeps one deterministic representative per content") {
+    import spark.implicits._
+    val df = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("id", "text")
+    val got = Dedup.exactDedup(df, Seq(col("text")), col("id").asc)
+      .orderBy("id").as[(Long, String)].collect()
+    assert(got.toSeq == Seq((1L, "same"), (3L, "other")))
+  }
+}

@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class DenseIdSpec extends SparkSpecBase {
+
+  test("scalable path produces identical ids to the global window") {
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_name"))
+    val viaWindow = DenseId.withDenseIdWindow(
+      cust, Seq(col("c_custkey")), "id")
+      .select(col("c_custkey"), col("id").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaScalable = DenseId.withDenseIdScalable(
+      cust, Seq(col("c_custkey")), "id", numPartitions = 7)
+      .select("c_custkey", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaWindow == viaScalable)
+  }
+
+  test("ids are dense, unique, and offset applies") {
+    import spark.implicits._
+    val df = Seq("c", "a", "b").toDF("k")
+    val got = DenseId.withDenseIdScalable(df, Seq(col("k")), "id", offset = 10)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 11L, "b" -> 12L, "c" -> 13L))
+  }
+
+  test("extendIdMap is idempotent and first-writer-wins") {
+    import spark.implicits._
+    val existing = Seq(("u1", 1L), ("u2", 2L)).toDF("src", "id")
+    val incoming = Seq("u2", "u3", "u3", "u4").toDF("src")
+    val round1 = DenseId.extendIdMap(existing, incoming, "src", "id")
+    val got = round1.as[(String, Long)].collect().toMap
+    assert(got == Map("u1" -> 1L, "u2" -> 2L, "u3" -> 3L, "u4" -> 4L))
+    // re-running with the same incoming changes nothing
+    val round2 = DenseId.extendIdMap(round1, incoming, "src", "id")
+    assert(round2.as[(String, Long)].collect().toMap == got)
+  }
+}

@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Local approximation of the driver's correctness gate.
+
+Usage: python3 tools/check.py [sfDir] [outDir]
+Reads outDir/<name>/ parquet (written by graft.Verify) and oracle_sql.json,
+runs each oracle in DuckDB over views named after the parquet tables in
+sfDir, and compares: schema (column names), row count, and a hash of all
+values after sorting columns by name and sorting rows.
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sf}/*.parquet"):
+    name = os.path.basename(p).replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    # normalize for compare: timestamps → iso strings, floats → repr
+    for c in df.columns:
+        df[c] = df[c].map(lambda v: repr(v))
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+fails = 0
+for name, sql in sorted(oracle.items()):
+    spark_dir = f"{out}/{name}"
+    if not os.path.isdir(spark_dir):
+        print(f"FAIL {name}: no spark output"); fails += 1; continue
+    try:
+        expected = con.execute(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error {e}"); fails += 1; continue
+    got = con.execute(
+        f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").df()
+    if sorted(got.columns) != sorted(expected.columns):
+        print(f"FAIL {name}: cols spark={sorted(got.columns)} oracle={sorted(expected.columns)}")
+        fails += 1; continue
+    if len(got) != len(expected):
+        print(f"FAIL {name}: rows spark={len(got)} oracle={len(expected)}")
+        fails += 1; continue
+    a, b = canon(got), canon(expected)
+    if not a.equals(b):
+        diff = (a != b).any(axis=1)
+        print(f"FAIL {name}: value mismatch on {int(diff.sum())}/{len(a)} rows")
+        mism = a[diff].head(3).to_string(), b[diff].head(3).to_string()
+        print("  spark :", mism[0].replace("\n", "\n          "))
+        print("  oracle:", mism[1].replace("\n", "\n          "))
+        fails += 1; continue
+    print(f"PASS {name} ({len(got)} rows)")
+
+print(f"\n{len(oracle) - fails}/{len(oracle)} passed")
+sys.exit(1 if fails else 0)
