@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.Relational
+import graft.queries.{Relational, TextOracles, TextQueries, VectorOracles, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -37,10 +37,28 @@ object SparkEntry {
     "q15_orphan_report"      -> Relational.q15OrphanReport _,
     "q16_numeric_split"      -> Relational.q16NumericSplit _,
     "q17_two_hop"            -> Relational.q17TwoHopTraversal _,
+    // training-data text pipeline (documents table)
+    "q20_exact_dup_stats"    -> TextQueries.qExactDupStats _,
+    "q21_exact_dedup"        -> TextQueries.qExactDedup _,
+    "q22_token_counts"       -> TextQueries.qTokenCounts _,
+    "q23_quality_score"      -> TextQueries.qQualityScore _,
+    "q24_lang_id"            -> TextQueries.qLangId _,
+    "q25_fingerprint"        -> TextQueries.qFingerprint _,
+    "q26_minhash_sig"        -> TextQueries.qMinhashSig _,
+    "q27_lsh_candidates"     -> TextQueries.qLshCandidates _,
+    "q28_neardup_verified"   -> TextQueries.qNearDupVerified _,
+    "q29_simhash"            -> TextQueries.qSimhash _,
+    "q30_jaccard_window"     -> TextQueries.qNgramJaccardWindow _,
+    // similarity search (embeddings table)
+    "q31_ann_bruteforce"     -> VectorQueries.qAnnBruteforce _,
+    "q32_srp_buckets"        -> VectorQueries.qSrpBuckets _,
+    "q33_embed_neardup"      -> VectorQueries.qEmbedNearDup _,
+    "q34_label_centroids"    -> VectorQueries.qLabelCentroids _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    TextOracles.oracles ++ VectorOracles.oracles ++ Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

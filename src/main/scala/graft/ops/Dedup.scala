@@ -29,6 +29,15 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Top-N per group under a deterministic order; keeps the rank in `__rn`
+    * (caller renames or drops). Same shuffle shape as firstRowPerGroup. */
+  def firstRowPerGroupN(df: DataFrame, partitionBy: Seq[Column],
+                        orderBy: Seq[Column], n: Int): DataFrame = {
+    val w = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+  }
+
   /** J3/J4/M1: idempotent append — rows of `incoming` whose `keys` don't
     * already exist in `existing`, with within-batch duplicates dropped
     * (set-based anti join can't see them the way Postgres row-at-a-time

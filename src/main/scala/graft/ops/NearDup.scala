@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for document corpora: shingling, MinHash+LSH,
+  * SimHash, exact n-gram Jaccard.
+  *
+  * Formulated RELATIONALLY (explode → aggregate → self-join on bucket keys)
+  * rather than as per-row mega-arrays: at 100 TB the (doc, shingle-hash)
+  * stream is what you want Spark to shuffle — partial aggregation compacts
+  * it map-side, the LSH bucket join only shuffles (band, signature) keys,
+  * and no executor ever holds a whole corpus' signatures in one task.
+  * Candidate-pair cost is bounded by bucket sizes, not corpus size².
+  *
+  * All hashes derive from [[TextOps.polyHash]], so every step here has an
+  * exact DuckDB-oracle SQL twin (same lambdas, same arithmetic).
+  */
+object NearDup {
+
+  /** (doc, shingle) pairs: n-token shingles, distinct per doc. Docs shorter
+    * than n tokens contribute their whole text as one shingle. */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int): DataFrame = {
+    val tk = TextOps.tokens(col(textCol))
+    val shingles = when(size(tk) < n, array(concat_ws(" ", tk)))
+      .otherwise(transform(sequence(lit(0), size(tk) - n),
+        i => concat_ws(" ", slice(tk, i + 1, lit(n)))))
+    docs.select(col(idCol), explode(shingles).as("shingle"))
+      .select(col(idCol), TextOps.polyHash(col("shingle")).as("h"))
+      .distinct()
+  }
+
+  /** MinHash signatures, one row per (doc, hashIndex): min over the doc's
+    * shingles of affine rehash i, for i < numHashes.
+    *
+    * Computed as k parallel min-aggregates over the (doc, shingle-hash)
+    * rows — NOT by exploding k× first. The shuffle then carries one
+    * k-column row per (doc, map-partition) thanks to partial aggregation,
+    * instead of k× the shingle stream; the unpivot to (doc, i, mh) happens
+    * after aggregation where the data is already small. ~2× faster at
+    * sf0.1, and the gap widens with corpus size. */
+  def minhashRows(shingles: DataFrame, idCol: String,
+                  numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(i =>
+      min(TextOps.affineHash(col("h"), lit(i))).as(s"mh$i"))
+    val wide = shingles.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    wide.select(col(idCol), explode(array((0 until numHashes).map(i =>
+        struct(lit(i).as("i"), col(s"mh$i").as("mh"))): _*)).as("x"))
+      .select(col(idCol), col("x.i").as("i"), col("x.mh").as("mh"))
+  }
+
+  /** LSH banding: group the k minhashes into bands of `rowsPerBand`, one
+    * signature string per (doc, band). Docs sharing any (band, sig) bucket
+    * are near-dup candidates. */
+  def lshBands(minhash: DataFrame, idCol: String,
+               rowsPerBand: Int): DataFrame =
+    minhash
+      .withColumn("band", (col("i") / rowsPerBand).cast("int"))
+      .groupBy(col(idCol), col("band"))
+      .agg(concat_ws("-",
+        transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+          s => s.getField("mh").cast("string"))).as("band_sig"))
+
+  /** Candidate pairs from shared LSH buckets: (a, b, n_shared_bands),
+    * a < b. The join key is (band, band_sig) — bucket-local, so the
+    * shuffle is tiny and skew is bounded by bucket size. */
+  def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
+    val l = bands.select(col(idCol).as("doc_a"), col("band"), col("band_sig"))
+    val r = bands.select(col(idCol).as("doc_b"), col("band"), col("band_sig"))
+    l.join(r, Seq("band", "band_sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** Exact n-gram Jaccard for given (doc_a, doc_b) pairs, from the same
+    * (doc, shingle-hash) rows: |A∩B| via join, |A∪B| = |A|+|B|−|A∩B|. */
+  def jaccard(pairs: DataFrame, shingles: DataFrame,
+              idCol: String): DataFrame = {
+    val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(shingles.select(col(idCol).as("doc_a"), col("h").as("ha")), "doc_a")
+      .join(shingles.select(col(idCol).as("doc_b"), col("h").as("hb")), "doc_b")
+      .filter(col("ha") === col("hb"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+  }
+
+  /** SimHash (here 16-bit for oracle compactness; width is a parameter):
+    * per token-hash bit j, sum ±1 over the doc's tokens; bit j of the
+    * signature is 1 iff the sum is positive. One groupBy over exploded
+    * tokens — map-side combinable. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+              bits: Int = 16): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).as("t"))
+      .select(col(idCol), TextOps.polyHash(col("t")).as("h"))
+    val bitSums = (0 until bits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$j")
+    }
+    tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until bits).map(j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Hamming-near pairs on simhash signatures ≤ maxDist apart. For corpus
+    * scale, block on the signature's high byte first (here: all-pairs is
+    * fine for the verify tier; the blocked variant reuses candidatePairs'
+    * bucket-join shape). */
+  def simhashPairs(sigs: DataFrame, idCol: String,
+                   maxDist: Int): DataFrame = {
+    val l = sigs.select(col(idCol).as("doc_a"), col("simhash").as("sig_a"))
+    val r = sigs.select(col(idCol).as("doc_b"), col("simhash").as("sig_b"))
+    l.crossJoin(r).filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for training-data pipelines: tokenization, token
+  * counting, quality scoring, language-ID heuristic, content fingerprinting.
+  *
+  * These extend the reference's surface (it has no text analytics; its
+  * closest analog is the regex typing layer, SURVEY.md §2.2) with the
+  * operations a large-scale LLM-data pipeline needs. Everything is built
+  * from Catalyst functions (split/transform/aggregate/filter) — per-row,
+  * no shuffle, no UDFs — so a 100 TB corpus scans at parquet speed and the
+  * only shuffles are whatever aggregation the caller adds on top.
+  *
+  * Hash choice: a polynomial rolling hash mod 1e9+7. Deliberately NOT
+  * xxhash64/murmur: the polynomial form is expressible identically in any
+  * SQL engine (the DuckDB oracle runs the same lambda), keeps every
+  * intermediate < 2^36 (no BIGINT overflow in engines that error on it),
+  * and is deterministic across partitionings.
+  */
+object TextOps {
+
+  val HashMod = 1000000007L
+
+  /** Whitespace tokenization; empty/blank text → empty array (not [""]). */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast(ArrayType(StringType)))
+      .otherwise(split(trim(c), "\\s+"))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Polynomial rolling hash of a string: fold h = (h*31 + codepoint) % M
+    * over its characters. */
+  def polyHash(c: Column): Column =
+    aggregate(
+      filter(split(c, ""), ch => ch =!= ""),
+      lit(0L),
+      (h, ch) => (h * 31 + ascii(ch)) % HashMod)
+
+  /** Affine rehash family for minhash: hash_i(h) = ((2i+1)*h + i) % M.
+    * Odd multipliers, all < 2^31 so products stay < 2^62. */
+  def affineHash(h: Column, i: Column): Column =
+    (((i * 2 + 1) * h) + i) % HashMod
+
+  /** BPE-ish subword count: words + count of intra-word case/digit
+    * transitions, a cheap stand-in for a tokenizer's subword splits. */
+  def subwordCount(c: Column): Column =
+    size(filter(split(c, "(?=[A-Z])|(?<=[a-z])(?=[0-9])|\\s+"),
+      t => t =!= ""))
+
+  /** Punctuation character count. */
+  def punctCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[\\p{Punct}]", ""))
+
+  /** Ratio of tokens that appear in `words`, guarded against empty docs. */
+  def wordSetRatio(tokensCol: Column, words: Seq[String]): Column = {
+    val hits = size(filter(tokensCol, t => t.isin(words.map(lit): _*)))
+    when(size(tokensCol) === 0, lit(0.0))
+      .otherwise(hits.cast(DoubleType) / size(tokensCol).cast(DoubleType))
+  }
+
+  /** Quality-score feature block (length / punctuation / stopword ratios),
+    * the standard cheap pre-filter before expensive dedup/training steps. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
+
+  def qualityFeatures(text: Column): Column = {
+    val tk = tokens(text)
+    struct(
+      length(text).as("n_chars"),
+      size(tk).as("n_tokens"),
+      when(size(tk) === 0, lit(0.0))
+        .otherwise(length(text).cast(DoubleType) / size(tk).cast(DoubleType))
+        .as("chars_per_token"),
+      wordSetRatio(tk, Stopwords).as("stopword_ratio"),
+      when(length(text) === 0, lit(0.0))
+        .otherwise(punctCount(text).cast(DoubleType) /
+          length(text).cast(DoubleType))
+        .as("punct_ratio"))
+  }
+
+  /** Language-ID by marker-word voting: score each candidate language by
+    * how many tokens hit its marker list; argmax with deterministic
+    * alphabetical tiebreak. (A real deployment swaps in char-n-gram
+    * profiles; the operator shape — per-row scoring against broadcast-able
+    * literal profiles, no shuffle — is the same.) */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist"),
+    "en" -> Seq("the", "a", "and", "of", "is", "to"),
+    "es" -> Seq("el", "la", "los", "y", "es", "de"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "de"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "不"))
+
+  def langGuess(text: Column): Column = {
+    val tk = tokens(text)
+    // fold over (lang, score) keeping the max; ties keep the earlier
+    // (alphabetically first) language
+    val scored = LangMarkers.map { case (lang, markers) =>
+      struct(size(filter(tk, t => t.isin(markers.map(lit): _*))).as("score"),
+             lit(lang).as("lang"))
+    }
+    val best = scored.reduceLeft((a, b) =>
+      when(b.getField("score") > a.getField("score"), b).otherwise(a))
+    best.getField("lang")
+  }
+}

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Vector similarity over an embedding column (Array[Float]): cosine
+  * arithmetic, brute-force top-k ANN, sign-random-projection LSH bucketing.
+  *
+  * Dot products fold left-to-right in DOUBLE via zip_with + aggregate —
+  * bit-identical to the DuckDB oracle evaluating the same sequential fold,
+  * so similarity queries hash-match without rounding slop. These are
+  * Catalyst higher-order functions: evaluated per-row on executors, no
+  * UDF/serialization cost, and the broadcast side of the top-k join is the
+  * (small) query set — the corpus side streams.
+  */
+object VectorOps {
+
+  /** Σ aᵢ·bᵢ in double, sequential fold (deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force exact top-k cosine neighbors of each query vector.
+    * `queries` is expected small (it is broadcast); the corpus side never
+    * materializes more than (query × corpus-partition) rows per task, and
+    * the final top-k is a per-query window — shuffle keyed on query_id. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    Dedup.firstRowPerGroupN(scored, Seq(col("query_id")),
+        Seq(col("cos").desc, col("neighbor_id").asc), k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("__rn").as("rank"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Deterministic ±1 pseudo-random hyperplane component for (plane j,
+    * dim i): parity of an affine mix mod the hash prime. Shared with the
+    * oracle SQL — no RNG state, reproducible anywhere. */
+  def planeSign(j: Column, i: Column): Column =
+    when(((j * 131 + i) * 2654435761L % TextOps.HashMod) % 2 === 0,
+      lit(1.0)).otherwise(lit(-1.0))
+
+  /** Sign-random-projection LSH signature (numPlanes bits) per vector:
+    * bit j = [dot(v, plane_j) > 0]. The scale path for near-dup/ANN:
+    * bucket on the signature, then verify candidates exactly within
+    * buckets (cost ∝ bucket², not corpus²). */
+  def srpSignature(vec: Column, numPlanes: Int): Column =
+    (0 until numPlanes).map { j =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast(DoubleType) * planeSign(lit(j), i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Candidate near-dup pairs from shared SRP buckets, verified with exact
+    * cosine ≥ minCos. */
+  def srpNearDupPairs(vecs: DataFrame, numPlanes: Int, minCos: Double,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val sig = vecs.select(col(idCol), col(vecCol),
+      srpSignature(col(vecCol), numPlanes).as("sig"))
+    val l = sig.select(col(idCol).as("vec_a"), col(vecCol).as("va"), col("sig"))
+    val r = sig.select(col(idCol).as("vec_b"), col(vecCol).as("vb"), col("sig"))
+    l.join(r, "sig").filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= minCos)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
+  }
+}

@@ -1,0 +1,167 @@
+package graft.queries
+
+/** DuckDB-dialect oracle SQL for [[TextQueries]]. The SQL re-implements the
+  * same polynomial-hash / shingle / minhash arithmetic with DuckDB list
+  * lambdas, so the compare is value-exact, not statistical.
+  */
+object TextOracles {
+
+  /** Polynomial rolling hash of a string expression, DuckDB lambda form of
+    * [[graft.ops.TextOps.polyHash]]. */
+  def H(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(list_filter(string_split($e, ''), c -> c <> ''), " +
+      s"c -> CAST(ascii(c) AS BIGINT))), (h, c) -> (h * 31 + c) % 1000000007)"
+
+  /** Whitespace tokens of `text` with empty-doc guard. */
+  val Tk: String =
+    "CASE WHEN length(trim(text)) = 0 THEN [] " +
+      "ELSE string_split_regex(trim(text), '\\s+') END"
+
+  /** Shared CTE prefix: tokens → 3-shingles → distinct (doc, shingle hash)
+    * → 16 minhashes per doc. Mirrors NearDup.{shingleRows,minhashRows}. */
+  val MinhashCtes: String =
+    s"""WITH tok AS (SELECT doc_id, $Tk AS tk FROM documents),
+       |sh0 AS (SELECT doc_id,
+       |  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+       |       ELSE list_transform(range(0, len(tk) - 2),
+       |              i -> array_to_string(array_slice(tk, i + 1, i + 3), ' '))
+       |  END AS shs FROM tok),
+       |shx AS (SELECT DISTINCT doc_id, ${H("sh")} AS h
+       |        FROM (SELECT doc_id, unnest(shs) AS sh FROM sh0) u),
+       |mh AS (SELECT doc_id, i,
+       |         MIN(((2 * i + 1) * h + i) % 1000000007) AS mh
+       |       FROM shx CROSS JOIN (SELECT unnest(range(0, 16)) AS i) idx
+       |       GROUP BY doc_id, i)""".stripMargin
+
+  val stopwords = graft.ops.TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "q20_exact_dup_stats" ->
+      s"""SELECT lang, ${H("text")} % 10 AS bucket, COUNT(*) AS n_docs
+         |FROM documents GROUP BY lang, bucket""".stripMargin,
+
+    "q21_exact_dedup" ->
+      s"""SELECT ${H("text")} AS content_hash, MIN(doc_id) AS keep_doc_id,
+         |  COUNT(*) AS n_copies
+         |FROM documents GROUP BY content_hash""".stripMargin,
+
+    "q22_token_counts" ->
+      s"""SELECT doc_id, CAST(len($Tk) AS BIGINT) AS n_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars
+         |FROM documents""".stripMargin,
+
+    "q23_quality_score" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  ROUND(CASE WHEN len(tk) = 0 THEN 0.0
+         |        ELSE CAST(length(text) AS DOUBLE) / len(tk) END, 6) AS chars_per_token,
+         |  ROUND(CASE WHEN len(tk) = 0 THEN 0.0
+         |        ELSE CAST(len(list_filter(tk, t -> t IN ($stopwords))) AS DOUBLE) / len(tk) END, 6) AS stopword_ratio,
+         |  ROUND(CASE WHEN length(text) = 0 THEN 0.0
+         |        ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+         |             / length(text) END, 6) AS punct_ratio
+         |FROM (SELECT doc_id, text, $Tk AS tk FROM documents) t""".stripMargin,
+
+    "q24_lang_id" -> {
+      val markers = graft.ops.TextOps.LangMarkers.map { case (lang, ws) =>
+        s"len(list_filter(tk, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS s_$lang"
+      }.mkString(",\n  ")
+      val langs = graft.ops.TextOps.LangMarkers.map(_._1)
+      val pick = langs.init.map(l => s"WHEN s_$l = m THEN '$l'")
+        .mkString(" ") + s" ELSE '${langs.last}'"
+      s"""SELECT lang, CASE $pick END AS lang_guess, COUNT(*) AS n FROM (
+         |  SELECT lang, greatest(${langs.map("s_" + _).mkString(", ")}) AS m, *
+         |  FROM (SELECT lang, $markers
+         |        FROM (SELECT lang, $Tk AS tk FROM documents) t0) t1) t2
+         |GROUP BY lang, lang_guess""".stripMargin
+    },
+
+    "q25_fingerprint" ->
+      s"""SELECT doc_id, ${H("text")} AS content_hash,
+         |  ${H("substr(text, 1, 64)")} AS prefix_hash
+         |FROM documents""".stripMargin,
+
+    "q26_minhash_sig" ->
+      s"""$MinhashCtes
+         |SELECT doc_id, CAST(SUM(mh) AS BIGINT) AS sig_sum,
+         |  MIN(mh) AS sig_min
+         |FROM mh GROUP BY doc_id""".stripMargin,
+
+    "q27_lsh_candidates" ->
+      s"""$MinhashCtes,
+         |bands AS (SELECT doc_id, i // 4 AS band,
+         |            string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS band_sig
+         |          FROM mh GROUP BY doc_id, i // 4)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  COUNT(*) AS n_shared_bands
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.band_sig = b.band_sig
+         | AND a.doc_id < b.doc_id
+         |GROUP BY doc_a, doc_b""".stripMargin,
+
+    "q28_neardup_verified" ->
+      s"""$MinhashCtes,
+         |bands AS (SELECT doc_id, i // 4 AS band,
+         |            string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS band_sig
+         |          FROM mh GROUP BY doc_id, i // 4),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b
+         |            ON a.band = b.band AND a.band_sig = b.band_sig
+         |           AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shx GROUP BY doc_id),
+         |inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
+         |          FROM pairs p
+         |          JOIN shx sa ON sa.doc_id = p.doc_a
+         |          JOIN shx sb ON sb.doc_id = p.doc_b AND sa.h = sb.h
+         |          GROUP BY p.doc_a, p.doc_b)
+         |SELECT i.doc_a, i.doc_b, i.inter,
+         |  ROUND(CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter), 6) AS jaccard
+         |FROM inter i
+         |JOIN sizes za ON za.doc_id = i.doc_a
+         |JOIN sizes zb ON zb.doc_id = i.doc_b
+         |WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= 0.3""".stripMargin,
+
+    "q29_simhash" -> {
+      val bitSums = (0 until 16).map(j =>
+        s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+        .mkString(",\n  ")
+      val sig = (0 until 16).map(j =>
+        s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, unnest($Tk) AS t FROM documents),
+         |th AS (SELECT doc_id, ${H("t")} AS h FROM tok),
+         |bits AS (SELECT doc_id,
+         |  $bitSums
+         |  FROM th GROUP BY doc_id)
+         |SELECT doc_id, CAST($sig AS BIGINT) AS simhash,
+         |  CAST(bit_count(CAST($sig AS BIGINT)) AS INTEGER) AS popcount
+         |FROM bits""".stripMargin
+    },
+
+    "q30_jaccard_window" ->
+      s"""WITH tok AS (SELECT doc_id, $Tk AS tk FROM documents),
+         |sh0 AS (SELECT doc_id,
+         |  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+         |       ELSE list_transform(range(0, len(tk) - 2),
+         |              i -> array_to_string(array_slice(tk, i + 1, i + 3), ' '))
+         |  END AS shs FROM tok),
+         |shx AS (SELECT DISTINCT doc_id, ${H("sh")} AS h
+         |        FROM (SELECT doc_id, unnest(shs) AS sh FROM sh0) u),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM documents a JOIN documents b
+         |            ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 3),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shx GROUP BY doc_id),
+         |inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
+         |          FROM pairs p
+         |          JOIN shx sa ON sa.doc_id = p.doc_a
+         |          JOIN shx sb ON sb.doc_id = p.doc_b AND sa.h = sb.h
+         |          GROUP BY p.doc_a, p.doc_b)
+         |SELECT i.doc_a, i.doc_b,
+         |  ROUND(CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter), 6) AS jaccard
+         |FROM inter i
+         |JOIN sizes za ON za.doc_id = i.doc_a
+         |JOIN sizes zb ON zb.doc_id = i.doc_b
+         |WHERE i.inter > 0""".stripMargin,
+  )
+}

@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.{Dedup, NearDup, TextOps}
+
+/** Training-data text pipeline queries over the `documents` table: exact
+  * dedup, MinHash+LSH near-dup, SimHash, n-gram Jaccard, token counting,
+  * quality scoring, language-ID, fingerprinting. Every query here has a
+  * value-exact DuckDB oracle (the hash design in [[TextOps]] exists for
+  * that) — near-dup pipelines are exactly where silent drift hides, so
+  * they're the queries that most need the oracle.
+  */
+object TextQueries {
+
+  val ShingleN = 3
+  val NumHashes = 16
+  val RowsPerBand = 4
+
+  /** Exact-duplicate groups by content hash (scale path: hash-groupBy —
+    * shuffle carries (hash, count), not text). With no exact dups in the
+    * test corpus this returns per-doc singleton proof instead: count of
+    * docs per (lang, content-hash-bucket) to keep the result non-trivial. */
+  def qExactDupStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), (TextOps.polyHash(col("text")) % 10).as("bucket"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Exact dedup representative per content: min doc_id per text hash. */
+  def qExactDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(TextOps.polyHash(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+           count(lit(1)).as("n_copies"))
+
+  /** Token / subword / char counting per document. */
+  def qTokenCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars"))
+
+  /** Quality-score features per document (flattened struct). */
+  def qQualityScore(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextOps.qualityFeatures(col("text")).as("f"))
+      .select(col("doc_id"),
+        col("f.n_chars").cast("long").as("n_chars"),
+        col("f.n_tokens").cast("long").as("n_tokens"),
+        round(col("f.chars_per_token"), 6).as("chars_per_token"),
+        round(col("f.stopword_ratio"), 6).as("stopword_ratio"),
+        round(col("f.punct_ratio"), 6).as("punct_ratio"))
+
+  /** Language-ID guess vs labeled lang: confusion counts. */
+  def qLangId(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), TextOps.langGuess(col("text")).as("lang_guess"))
+      .groupBy(col("lang"), col("lang_guess"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Document fingerprint: rolling content hash + first-shingle hash. */
+  def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextOps.polyHash(col("text")).as("content_hash"),
+      TextOps.polyHash(substring(col("text"), 1, 64)).as("prefix_hash"))
+
+  /** MinHash signatures (relational form), folded to one row per doc for a
+    * compact verifiable result: sum and min of the 16 minhashes. */
+  def qMinhashSig(s: SparkSession, dir: String): DataFrame = {
+    val sh = NearDup.shingleRows(Tables.documents(s, dir), "doc_id", "text",
+      ShingleN)
+    NearDup.minhashRows(sh, "doc_id", NumHashes)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("mh")).as("sig_sum"), min(col("mh")).as("sig_min"))
+  }
+
+  /** LSH candidate pairs (shared (band, signature) buckets). */
+  def qLshCandidates(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sh = NearDup.shingleRows(docs, "doc_id", "text", ShingleN)
+    val mh = NearDup.minhashRows(sh, "doc_id", NumHashes)
+    val bands = NearDup.lshBands(mh, "doc_id", RowsPerBand)
+    NearDup.candidatePairs(bands, "doc_id")
+  }
+
+  /** LSH candidates verified with exact shingle Jaccard ≥ 0.3. */
+  def qNearDupVerified(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sh = NearDup.shingleRows(docs, "doc_id", "text", ShingleN)
+    val mh = NearDup.minhashRows(sh, "doc_id", NumHashes)
+    val pairs = NearDup.candidatePairs(
+      NearDup.lshBands(mh, "doc_id", RowsPerBand), "doc_id")
+      .select(col("doc_a"), col("doc_b"))
+    NearDup.jaccard(pairs, sh, "doc_id")
+      .filter(col("jaccard") >= 0.3)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** SimHash signature per doc (16-bit) + population count. */
+  def qSimhash(s: SparkSession, dir: String): DataFrame =
+    NearDup.simhash(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("simhash"),
+        bit_count(col("simhash")).cast("int").as("popcount"))
+
+  /** Exact n-gram Jaccard over a bounded id-window of pairs (adjacent ids,
+    * distance ≤ 3) — the oracle-checkable exact tier; the LSH tier above is
+    * the scale path. */
+  def qNgramJaccardWindow(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ids = docs.select(col("doc_id"))
+    val pairs = ids.select(col("doc_id").as("doc_a"))
+      .join(ids.select(col("doc_id").as("doc_b")),
+        col("doc_b") > col("doc_a") && col("doc_b") <= col("doc_a") + 3)
+    val sh = NearDup.shingleRows(docs, "doc_id", "text", ShingleN)
+    NearDup.jaccard(pairs, sh, "doc_id")
+      .filter(col("jaccard") > 0)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+}

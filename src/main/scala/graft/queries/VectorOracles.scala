@@ -1,0 +1,76 @@
+package graft.queries
+
+/** DuckDB-dialect oracle SQL for [[VectorQueries]]. Dot products are the
+  * same sequential double fold as the Spark side, so values are
+  * bit-identical — no tolerance compare needed.
+  */
+object VectorOracles {
+
+  /** Sequential-fold dot product of two list columns (double). */
+  def dot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(1, len($a) + 1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
+
+  def cos(a: String, b: String): String =
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+
+  /** ±1 pseudo-random hyperplane component; i here is the 1-based DuckDB
+    * list index, so the dimension index is (i-1) — matching planeSign's
+    * 0-based i. */
+  def planeSign(j: Int, i: String): String =
+    s"(CASE WHEN (($j * 131 + ($i - 1)) * 2654435761 % 1000000007) % 2 = 0 " +
+      s"THEN 1.0 ELSE -1.0 END)"
+
+  def srpSig(vec: String, planes: Int): String = {
+    val terms = (0 until planes).map { j =>
+      val proj = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(1, len($vec) + 1), " +
+        s"i -> CAST($vec[i] AS DOUBLE) * ${planeSign(j, "i")})), (x, y) -> x + y)"
+      s"(CASE WHEN $proj > 0 THEN ${1L << j} ELSE 0 END)"
+    }
+    s"CAST(${terms.mkString(" + ")} AS BIGINT)"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q31_ann_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id < ${VectorQueries.NumQueryVecs}),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |scored AS (SELECT query_id, neighbor_id, ${cos("qv", "cv")} AS cos
+         |           FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |        CAST(row_number() OVER (PARTITION BY query_id
+         |               ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+         |      FROM scored)
+         |SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS cos_sim
+         |FROM r WHERE rank <= ${VectorQueries.TopK}""".stripMargin,
+
+    "q32_srp_buckets" ->
+      s"""SELECT ${srpSig("embedding", VectorQueries.SrpPlanes)} AS sig,
+         |  COUNT(*) AS n_vecs
+         |FROM embeddings GROUP BY sig""".stripMargin,
+
+    "q33_embed_neardup" ->
+      s"""WITH s AS (SELECT vec_id, embedding,
+         |             ${srpSig("embedding", VectorQueries.SrpPlanes)} AS sig
+         |           FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ROUND(${cos("a.embedding", "b.embedding")}, 6) AS cos_sim
+         |FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
+         |WHERE ${cos("a.embedding", "b.embedding")} >= 0.2""".stripMargin,
+
+    "q34_label_centroids" ->
+      s"""WITH e AS (SELECT label, embedding AS emb,
+         |             unnest(range(1, len(embedding) + 1)) AS i
+         |           FROM embeddings),
+         |c AS (SELECT label, i,
+         |        CAST(SUM(CAST(emb[i] AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS c
+         |      FROM e GROUP BY label, i),
+         |cent AS (SELECT label, list(c ORDER BY i) AS centroid
+         |         FROM c GROUP BY label),
+         |base AS (SELECT centroid AS bc FROM cent WHERE label = 0)
+         |SELECT label, ROUND(${cos("centroid", "bc")}, 6) AS cos_to_label0
+         |FROM cent CROSS JOIN base""".stripMargin,
+  )
+}

@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.VectorOps
+
+/** Similarity-search queries over the `embeddings` table. Brute-force
+  * cosine is the exact baseline (and the oracle anchor); SRP-LSH bucketing
+  * is the 100 TB path — candidates from shared buckets, exact verify within
+  * bucket. Dot products fold sequentially in double, so values (not just
+  * rounded forms) match the DuckDB oracle.
+  */
+object VectorQueries {
+
+  val NumQueryVecs = 20
+  val TopK = 5
+  val SrpPlanes = 12
+
+  /** Brute-force exact top-k cosine neighbors for the first N vec ids. */
+  def qAnnBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    VectorOps.bruteForceTopK(
+      emb.filter(col("vec_id") < NumQueryVecs), emb, TopK)
+  }
+
+  /** SRP-LSH bucket histogram: how the corpus distributes over signature
+    * buckets (the candidate-generation structure, inspectable). */
+  def qSrpBuckets(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(VectorOps.srpSignature(col("embedding"), SrpPlanes).as("sig"))
+      .groupBy(col("sig"))
+      .agg(count(lit(1)).as("n_vecs"))
+
+  /** Embedding near-dup pairs: SRP bucket candidates verified at cos ≥ 0.2
+    * (synthetic corpus has no true near-dups; threshold set to exercise
+    * the verify path with a non-empty result). */
+  def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
+    VectorOps.srpNearDupPairs(Tables.embeddings(s, dir), SrpPlanes, 0.2)
+
+  /** Centroid similarity per label: mean vector per label, then cosine of
+    * each label centroid against label 0's centroid — grouped vector
+    * aggregation (the building block for IVF coarse quantization). */
+  def qLabelCentroids(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    // mean via exact decimal sum / count — partition-order-independent,
+    // unlike avg(double) whose partial sums reorder across shuffles
+    val byPos = emb.select(col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("v").cast("decimal(28,10)")).cast("double") /
+        count(lit(1))).as("c"))
+    val centroids = byPos.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("centroid"))
+    val base = centroids.filter(col("label") === 0)
+      .select(col("centroid").as("base_centroid"))
+    centroids.crossJoin(broadcast(base))
+      .select(col("label"),
+        round(VectorOps.cosine(col("centroid"), col("base_centroid")), 6)
+          .as("cos_to_label0"))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class NearDupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different content about spark engines and shuffles"),
+    (4L, "the quick brown fox jumps over the lazy dog")  // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("identical docs share full minhash signature; LSH pairs them") {
+    val sh = NearDup.shingleRows(docs, "doc_id", "text", 3)
+    val mh = NearDup.minhashRows(sh, "doc_id", 16)
+    val bands = NearDup.lshBands(mh, "doc_id", 4)
+    val pairs = NearDup.candidatePairs(bands, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // exact dup pair (1,4) must share all 4 bands
+    assert(pairs.contains((1L, 4L, 4L)))
+    // near-dup (1,2) should surface as a candidate with ≥1 shared band
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L))
+    // unrelated doc 3 never pairs
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("exact jaccard: identical docs = 1.0, near-dups in (0,1)") {
+    val sh = NearDup.shingleRows(docs, "doc_id", "text", 3)
+    val pairs = Seq((1L, 4L), (1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val j = NearDup.jaccard(pairs, sh, "doc_id")
+      .select("doc_a", "doc_b", "jaccard")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((1L, 4L)) == 1.0)
+    assert(j((1L, 2L)) > 0 && j((1L, 2L)) < 1)
+    assert(j((1L, 3L)) == 0.0)
+  }
+
+  test("simhash: identical docs equal; near-dups closer than unrelated") {
+    val sigs = NearDup.simhash(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sigs(1L) == sigs(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
+  }
+
+  test("shorter-than-n docs still shingle (whole doc)") {
+    val tiny = Seq((1L, "two words")).toDF("doc_id", "text")
+    val sh = NearDup.shingleRows(tiny, "doc_id", "text", 3)
+    assert(sh.count() == 1)
+  }
+}

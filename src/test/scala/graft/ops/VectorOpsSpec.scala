@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class VectorOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),   // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f))   // opposite of 0
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: self=1, orthogonal=0, opposite=-1") {
+    val self = vecs.filter($"vec_id" === 0)
+      .select(VectorOps.cosine($"embedding", $"embedding")).head().getDouble(0)
+    assert(math.abs(self - 1.0) < 1e-12)
+    val pairs = vecs.as("a").crossJoin(vecs.as("b"))
+      .select($"a.vec_id".as("ia"), $"b.vec_id".as("ib"),
+        VectorOps.cosine($"a.embedding", $"b.embedding").as("c"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(pairs((0L, 2L))) < 1e-12)
+    assert(math.abs(pairs((0L, 3L)) + 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks nearest first with deterministic tiebreak") {
+    val top = VectorOps.bruteForceTopK(
+      vecs.filter($"vec_id" === 0), vecs, 3)
+      .orderBy("rank").collect()
+    assert(top.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(top.head.getAs[Double]("cos_sim") > 0.99)
+  }
+
+  test("SRP: identical vectors land in the same bucket; opposite differ") {
+    val sig = vecs.select($"vec_id",
+      VectorOps.srpSignature($"embedding", 12).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val dup = Seq((9L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+      .select(VectorOps.srpSignature($"embedding", 12)).head().getLong(0)
+    assert(dup == sig(0L))
+    assert(sig(0L) != sig(3L))
+  }
+}
