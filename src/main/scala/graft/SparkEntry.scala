@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.queries.{Relational, TextOracles, TextQueries, VectorOracles, VectorQueries}
 
@@ -49,6 +50,28 @@ object SparkEntry {
     "q28_neardup_verified"   -> TextQueries.qNearDupVerified _,
     "q29_simhash"            -> TextQueries.qSimhash _,
     "q30_jaccard_window"     -> TextQueries.qNgramJaccardWindow _,
+    // streaming-shaped transforms, batch-parity forms (events table)
+    "q40_hourly_rollup"      -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStreams.hourlyRollup(graft.core.Tables.events(s, d))),
+    "q41_sessionize"         -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStreams.sessionizeBatch(graft.core.Tables.events(s, d))),
+    // multimodal binary-column plumbing (documents as payload stand-in)
+    "q50_media_features"     -> ((s: SparkSession, d: String) => {
+      val media = graft.multimodal.Multimodal.mediaFromDocuments(
+        graft.core.Tables.documents(s, d))
+      val f = graft.multimodal.Multimodal.extractFeatures(media).toDF()
+      f.select(col("media_id") +: col("kind") +: col("n_bytes") +:
+        (0 until graft.multimodal.Multimodal.FeatureDims)
+          .map(i => col("features")(i).as(s"f$i")): _*)
+    }),
+    "q51_frame_sample"       -> ((s: SparkSession, d: String) =>
+      graft.multimodal.Multimodal.sampleFrames(
+        graft.multimodal.Multimodal.mediaFromDocuments(
+          graft.core.Tables.documents(s, d)), 100)
+        .groupBy(col("kind"))
+        .agg(countDistinct(col("media_id")).as("n_media"),
+          count(lit(1)).as("n_frames"),
+          max(col("frame_idx")).as("max_frame_idx"))),
     // similarity search (embeddings table)
     "q31_ann_bruteforce"     -> VectorQueries.qAnnBruteforce _,
     "q32_srp_buckets"        -> VectorQueries.qSrpBuckets _,
@@ -190,6 +213,53 @@ object SparkEntry {
         |                    ELSE 'code-' || event_type END AS payload FROM events) p
         |  WHERE payload IS NOT NULL) t
         |GROUP BY branch""".stripMargin,
+
+    "q50_media_features" -> {
+      val fcols = (0 until graft.multimodal.Multimodal.FeatureDims)
+        .map(d => s"CAST(len(list_filter(bs, x -> x = $d)) AS BIGINT) AS f$d")
+        .mkString(",\n  ")
+      s"""SELECT doc_id AS media_id,
+         |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+         |  CAST(length(text) AS BIGINT) AS n_bytes,
+         |  $fcols
+         |FROM (SELECT doc_id, text,
+         |        list_transform(list_filter(string_split(text, ''),
+         |          c -> c <> ''), c -> ascii(c) % 8) AS bs
+         |      FROM documents) t""".stripMargin
+    },
+
+    "q51_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        |  greatest(1, length(text) // 100) AS nf
+        |FROM documents)
+        |SELECT kind, COUNT(DISTINCT media_id) AS n_media,
+        |  CAST(SUM(nf) AS BIGINT) AS n_frames,
+        |  CAST(MAX(nf) - 1 AS BIGINT) AS max_frame_idx
+        |FROM m GROUP BY kind""".stripMargin,
+
+    "q40_hourly_rollup" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY window_start, event_type""".stripMargin,
+
+    "q41_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev IS NULL
+        |           OR epoch_us(ts) - epoch_us(prev) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM (SELECT user_id, ts,
+        |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |        FROM events) t),
+        |s AS (SELECT user_id, ts,
+        |        CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |      FROM g)
+        |SELECT user_id, session_idx, MIN(ts) AS session_start,
+        |  MAX(ts) AS session_end, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, session_idx""".stripMargin,
 
     "q17_two_hop" ->
       """SELECT r_name, COUNT(DISTINCT n_nationkey) AS n_nations,

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming operators over the events table shape (event_id, ts, user_id,
+  * event_type, value, props).
+  *
+  * The reference is batch-only (SURVEY.md §2.8) — this extends the engine
+  * the Spark-native way: the SAME transform functions run on a batch
+  * DataFrame (oracle-checkable) and on a readStream DataFrame (tested with
+  * MemoryStream in EventStreamsSpec). Watermarks bound state; the
+  * sessionization uses flatMapGroupsWithState with event-time timeouts —
+  * state per user, O(active users), which is the shape that scales to a
+  * 1000-executor streaming job.
+  */
+object EventStreams {
+
+  /** Tumbling-window rollup: works identically on batch and stream inputs
+    * (for streams, call after withWatermark). */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Streaming variant with a watermark bounding window state. */
+  def hourlyRollupStream(events: DataFrame): DataFrame =
+    hourlyRollup(events.withWatermark("ts", "2 hours"))
+
+  val SessionGapMinutes = 30
+
+  /** Batch sessionization: a session breaks when the gap to the previous
+    * event of the same user exceeds the gap threshold. Pure window
+    * functions — one shuffle on user_id. */
+  def sessionizeBatch(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+    val isNew = when(gapUs.isNull ||
+      gapUs > SessionGapMinutes * 60L * 1000000L, 1).otherwise(0)
+    events
+      .withColumn("session_idx",
+        sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
+  case class Event(ts: java.sql.Timestamp, user_id: Long)
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                     session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Streaming sessionization: per-user state via flatMapGroupsWithState,
+    * emitting a session when the gap passes or on event-time timeout.
+    * State is (start, last, count) — constant per user. */
+  def sessionizeStream(events: DataFrame): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = SessionGapMinutes * 60L * 1000000L
+
+    def update(userId: Long, rows: Iterator[Event],
+               state: GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(Session(userId, new java.sql.Timestamp(s.start / 1000),
+          new java.sql.Timestamp(s.last / 1000), s.n))
+      } else {
+        var closed = List.empty[Session]
+        val sorted = rows.toSeq.sortBy(_.ts.getTime)
+        var cur = state.getOption
+        for (e <- sorted) {
+          val tUs = e.ts.getTime * 1000L
+          cur match {
+            case Some(s) if tUs - s.last > gapUs =>
+              closed ::= Session(userId, new java.sql.Timestamp(s.start / 1000),
+                new java.sql.Timestamp(s.last / 1000), s.n)
+              cur = Some(SessionState(tUs, tUs, 1))
+            case Some(s) =>
+              cur = Some(SessionState(s.start, tUs, s.n + 1))
+            case None =>
+              cur = Some(SessionState(tUs, tUs, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.last / 1000 + gapUs / 1000)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events.select(col("ts"), col("user_id"))
+      .withWatermark("ts", "1 hour")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

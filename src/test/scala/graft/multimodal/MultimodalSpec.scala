@@ -1,0 +1,42 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class MultimodalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("binary payloads round-trip through parquet and decode batched") {
+    val media = Multimodal.mediaFromDocuments(
+      spark.read.parquet(s"$sf/documents.parquet"))
+    assert(media.schema("bytes").dataType.typeName == "binary")
+    val out = java.nio.file.Files.createTempDirectory("media").toString
+    media.write.mode("overwrite").parquet(out)
+    val feats = Multimodal.extractFeatures(spark.read.parquet(out))
+    val row = feats.filter($"media_id" === 0).head()
+    // features histogram must sum to payload size
+    assert(row.features.sum == row.n_bytes)
+    assert(row.features.length == Multimodal.FeatureDims)
+  }
+
+  test("decode stub is deterministic across partitionings") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val a = Multimodal.extractFeatures(
+      Multimodal.mediaFromDocuments(docs).repartition(2))
+      .collect().map(f => f.media_id -> f.features.toSeq).toMap
+    val b = Multimodal.extractFeatures(
+      Multimodal.mediaFromDocuments(docs).repartition(13))
+      .collect().map(f => f.media_id -> f.features.toSeq).toMap
+    assert(a == b)
+  }
+
+  test("frame sampling expands per media without carrying bytes") {
+    val media = Multimodal.mediaFromDocuments(
+      Seq((1L, "x" * 350, "en", "s", 350L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val frames = Multimodal.sampleFrames(media, 100)
+    assert(frames.count() == 3)
+    assert(!frames.columns.contains("bytes"))
+  }
+}
