@@ -32,8 +32,14 @@ object TextOps {
   def tokenCount(c: Column): Column = size(tokens(c))
 
   /** Polynomial rolling hash of a string: fold h = (h*31 + codepoint) % M
-    * over its characters. */
-  def polyHash(c: Column): Column =
+    * over its characters. Dispatches to the native codegen'd
+    * [[graft.functions.PolyHash]] expression — sessions must register
+    * [[graft.GraftExtensions]] (Sessions does). */
+  def polyHash(c: Column): Column = call_function("poly_hash", c)
+
+  /** Lambda reference form of the same fold — the spec cross-checks the
+    * native expression against it. */
+  def polyHashLambda(c: Column): Column =
     aggregate(
       filter(split(c, ""), ch => ch =!= ""),
       lit(0L),

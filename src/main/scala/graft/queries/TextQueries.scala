@@ -87,10 +87,15 @@ object TextQueries {
     NearDup.candidatePairs(bands, "doc_id")
   }
 
-  /** LSH candidates verified with exact shingle Jaccard ≥ 0.3. */
+  /** LSH candidates verified with exact shingle Jaccard ≥ 0.3. The
+    * (doc, shingle-hash) stream feeds BOTH the minhash→LSH candidate stage
+    * and the exact-Jaccard verify stage — persist it once instead of
+    * recomputing the tokenize/shingle/hash lineage twice (the reference
+    * stages the same way via temp tables, OPTIMIZATION_SUMMARY.md:55-69). */
   def qNearDupVerified(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val sh = NearDup.shingleRows(docs, "doc_id", "text", ShingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mh = NearDup.minhashRows(sh, "doc_id", NumHashes)
     val pairs = NearDup.candidatePairs(
       NearDup.lshBands(mh, "doc_id", RowsPerBand), "doc_id")

@@ -24,6 +24,33 @@ class TextOpsSpec extends SparkSpecBase {
       assert(one(TextOps.polyHash(col("text")), s) == ref(s), s"for '$s'")
   }
 
+  test("native poly_hash expression equals the lambda form on the corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val mismatches = docs.select(
+      TextOps.polyHash(col("text")).as("native"),
+      TextOps.polyHashLambda(col("text")).as("lambda"))
+      .filter(col("native") =!= col("lambda")).count()
+    assert(mismatches == 0)
+    // unicode: multi-byte codepoints fold identically
+    assert(one(TextOps.polyHash(col("text")), "héllo 你好") ==
+      one(TextOps.polyHashLambda(col("text")), "héllo 你好"))
+  }
+
+  test("poly_hash is callable from SQL and participates in codegen") {
+    import spark.implicits._
+    val df = Seq("abc").toDF("text")
+    df.createOrReplaceTempView("polyhash_spec")
+    assert(spark.sql("SELECT poly_hash(text) AS h FROM polyhash_spec")
+      .head().getLong(0) == one(TextOps.polyHashLambda(col("text")), "abc"))
+    // a parquet-backed scan (not a constant-foldable local relation) must
+    // evaluate poly_hash inside a WholeStageCodegen span
+    // "*(n)" prefixes mark WholeStageCodegen stages in the plan string
+    val plan = spark.read.parquet(s"$sf/documents.parquet")
+      .select(TextOps.polyHash(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)") && plan.contains("poly_hash"), plan)
+  }
+
   test("qualityFeatures ratios are 0-guarded") {
     val f = Seq("").toDF("text")
       .select(TextOps.qualityFeatures(col("text")).as("f"))
