@@ -1,0 +1,247 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, DenseId, SafeCast, Sweep}
+
+/** Silver→gold OMOP domain transforms (SURVEY.md §2.3–§2.7), re-expressed
+  * as pure DataFrame functions. Each takes typed inputs + the id maps and
+  * returns the OMOP table; idempotent re-runs use antiAppend against the
+  * existing table (the reference's NOT IN guards). The id maps are the
+  * only global coordination — everything else is broadcast-join + project.
+  */
+object Domains {
+
+  /** person_map / visit_map: UUID → dense int (SURVEY §1.4, W2/M1;
+    * enhanced_synthea_to_omop.py:770-777,935-944). */
+  def buildIdMap(spark: SparkSession, existing: Option[DataFrame],
+                 source: DataFrame, srcCol: String, idCol: String): DataFrame = {
+    // explicit schema, not a reflection-derived Encoder: keeps the library
+    // usable from REPL/embedded classloaders where runtime type reflection
+    // for toDF breaks
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(srcCol,
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(idCol,
+          org.apache.spark.sql.types.LongType))))
+    DenseId.extendIdMap(existing.getOrElse(empty),
+      source.select(col(srcCol)).filter(col(srcCol).isNotNull),
+      srcCol, idCol)
+  }
+
+  /** omop.person (enhanced_synthea_to_omop.py:786-859): demographic
+    * lookups joined case-insensitively (broadcast), unmapped → 0, dense
+    * person_id via map, idempotent. */
+  def person(spark: SparkSession, typedPatients: DataFrame,
+             personMap: DataFrame,
+             existing: Option[DataFrame] = None): DataFrame = {
+    val g = broadcast(Lookups.gender(spark)
+      .withColumn("k", lower(col("source_gender")))
+      .select(col("k"), col("gender_concept_id"))
+      .dropDuplicates("k"))
+    val r = broadcast(Lookups.race(spark)
+      .withColumn("k", lower(col("source_race")))
+      .select(col("k"), col("race_concept_id"))
+      .dropDuplicates("k"))
+    val e = broadcast(Lookups.ethnicity(spark)
+      .withColumn("k", lower(col("source_ethnicity")))
+      .select(col("k"), col("ethnicity_concept_id"))
+      .dropDuplicates("k"))
+    val out = typedPatients
+      .join(broadcast(personMap), col("id") === col("source_patient_id"))
+      .join(g, lower(col("gender_source")) === g("k"), "left")
+      .join(r, lower(col("race_source")) === r("k"), "left")
+      .join(e, lower(col("ethnicity_source")) === e("k"), "left")
+      .select(
+        col("person_id"),
+        coalesce(col("gender_concept_id"), lit(0L)).as("gender_concept_id"),
+        year(col("birthdate")).as("year_of_birth"),
+        month(col("birthdate")).as("month_of_birth"),
+        dayofmonth(col("birthdate")).as("day_of_birth"),
+        col("birthdate").cast("timestamp").as("birth_datetime"),
+        coalesce(col("race_concept_id"), lit(0L)).as("race_concept_id"),
+        coalesce(col("ethnicity_concept_id"), lit(0L))
+          .as("ethnicity_concept_id"),
+        col("id").as("person_source_value"),
+        col("gender_source").as("gender_source_value"),
+        col("race_source").as("race_source_value"),
+        col("ethnicity_source").as("ethnicity_source_value"))
+    existing.fold(out)(ex => Dedup.antiAppend(out, ex, Seq("person_id")))
+  }
+
+  /** ENCOUNTERCLASS → visit concept (transform_visit_occurrence_v2.sql:
+    * 29-40; the broader v2 set incl. home/virtual/hospice). */
+  val visitConcept: org.apache.spark.sql.Column = {
+    val c = lower(col("encounterclass"))
+    when(c === "inpatient", 9201L)
+      .when(c.isin("ambulatory", "wellness", "outpatient", "office"), 9202L)
+      .when(c.isin("emergency", "urgentcare"), 9203L)
+      .when(c === "home", 581476L)
+      .when(c === "virtual", 42898160L)
+      .when(c === "hospice", 42898160L)
+      .otherwise(0L)
+  }
+
+  /** omop.visit_occurrence (enhanced_synthea_to_omop.py:968-1016). */
+  def visitOccurrence(typedEncounters: DataFrame, personMap: DataFrame,
+                      visitMap: DataFrame): DataFrame =
+    typedEncounters
+      .join(broadcast(visitMap), col("id") === col("source_visit_id"))
+      .join(broadcast(personMap), col("patient") === col("source_patient_id"))
+      .select(
+        col("visit_occurrence_id"),
+        col("person_id"),
+        visitConcept.as("visit_concept_id"),
+        col("start_ts").cast("date").as("visit_start_date"),
+        col("start_ts").as("visit_start_datetime"),
+        col("stop_ts").cast("date").as("visit_end_date"),
+        col("stop_ts").as("visit_end_datetime"),
+        lit(32817L).as("visit_type_concept_id"), // EHR
+        col("id").as("visit_source_value"))
+
+  /** Shared event-domain shape: person/visit resolution + within-batch
+    * dedup on the reference's NOT EXISTS key (J1/J4;
+    * enhanced_synthea_to_omop.py:1102-1127 for conditions). */
+  private def eventDomain(typed: DataFrame, personMap: DataFrame,
+                          visitMap: DataFrame, dedupKeys: Seq[String])
+      : DataFrame =
+    typed
+      .join(broadcast(personMap), col("patient") === col("source_patient_id"))
+      .join(broadcast(visitMap), col("encounter") === col("source_visit_id"),
+        "left")
+      .dropDuplicates(dedupKeys)
+
+  /** omop.condition_occurrence (:1102-1150). */
+  def conditionOccurrence(typedConditions: DataFrame, personMap: DataFrame,
+                          visitMap: DataFrame): DataFrame =
+    DenseId.withDenseIdScalable(
+      eventDomain(typedConditions, personMap, visitMap,
+        Seq("person_id", "encounter", "code")),
+      Seq(col("person_id"), col("encounter"), col("code")),
+      "condition_occurrence_id")
+      .select(
+        col("condition_occurrence_id"),
+        col("person_id"),
+        lit(0L).as("condition_concept_id"), // staged mapping fills (J9)
+        col("start_date").as("condition_start_date"),
+        coalesce(col("stop_date"), col("start_date"))
+          .as("condition_end_date"),
+        lit(32020L).as("condition_type_concept_id"),
+        col("visit_occurrence_id"),
+        col("code").as("condition_source_value"))
+
+  /** omop.drug_exposure (:1230-1290): default 30-day end date (P7,
+    * enhanced_synthea_to_omop.py:1236-1238). */
+  def drugExposure(typedMedications: DataFrame, personMap: DataFrame,
+                   visitMap: DataFrame): DataFrame =
+    DenseId.withDenseIdScalable(
+      eventDomain(typedMedications, personMap, visitMap,
+        Seq("person_id", "encounter", "code", "start_ts")),
+      Seq(col("person_id"), col("encounter"), col("code"), col("start_ts")),
+      "drug_exposure_id")
+      .select(
+        col("drug_exposure_id"),
+        col("person_id"),
+        lit(0L).as("drug_concept_id"),
+        col("start_ts").cast("date").as("drug_exposure_start_date"),
+        coalesce(col("stop_ts").cast("date"),
+          date_add(col("start_ts").cast("date"), 30))
+          .as("drug_exposure_end_date"),
+        lit(32817L).as("drug_type_concept_id"),
+        col("visit_occurrence_id"),
+        col("code").as("drug_source_value"))
+
+  /** omop.procedure_occurrence (:1358-1400). */
+  def procedureOccurrence(typedProcedures: DataFrame, personMap: DataFrame,
+                          visitMap: DataFrame): DataFrame =
+    DenseId.withDenseIdScalable(
+      eventDomain(typedProcedures, personMap, visitMap,
+        Seq("person_id", "encounter", "code", "start_ts")),
+      Seq(col("person_id"), col("encounter"), col("code"), col("start_ts")),
+      "procedure_occurrence_id")
+      .select(
+        col("procedure_occurrence_id"),
+        col("person_id"),
+        lit(0L).as("procedure_concept_id"),
+        col("start_ts").cast("date").as("procedure_date"),
+        col("start_ts").as("procedure_datetime"),
+        lit(32817L).as("procedure_type_concept_id"),
+        col("visit_occurrence_id"),
+        col("code").as("procedure_source_value"))
+
+  /** M5 measurement/observation split (transfer_non_numeric_to_observation
+    * .sql:51-120): numeric-looking VALUE → measurement with
+    * value_as_number; otherwise → observation with value_as_string. Two
+    * filtered projections off one parent — no mutation, no second scan
+    * after cache. */
+  def measurementObservationSplit(typedObservations: DataFrame,
+                                  personMap: DataFrame, visitMap: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val base = eventDomain(typedObservations, personMap, visitMap,
+      Seq("person_id", "encounter", "code", "obs_ts", "value"))
+    val isNum = SafeCast.isNumericString(col("value"))
+    val meas = DenseId.withDenseIdScalable(
+      base.filter(col("value").isNotNull && isNum),
+      Seq(col("person_id"), col("encounter"), col("code"), col("obs_ts")),
+      "measurement_id")
+      .select(
+        col("measurement_id"),
+        col("person_id"),
+        lit(0L).as("measurement_concept_id"),
+        col("obs_ts").cast("date").as("measurement_date"),
+        col("obs_ts").as("measurement_datetime"),
+        lit(32817L).as("measurement_type_concept_id"),
+        col("value").cast("double").as("value_as_number"),
+        substring(col("units"), 1, 50).as("unit_source_value"),
+        col("visit_occurrence_id"),
+        col("code").as("measurement_source_value"),
+        substring(col("value"), 1, 50).as("value_source_value"))
+    val obs = DenseId.withDenseIdScalable(
+      base.filter(col("value").isNull || !isNum),
+      Seq(col("person_id"), col("encounter"), col("code"), col("obs_ts")),
+      "observation_id")
+      .select(
+        col("observation_id"),
+        col("person_id"),
+        lit(0L).as("observation_concept_id"),
+        col("obs_ts").cast("date").as("observation_date"),
+        col("obs_ts").as("observation_datetime"),
+        lit(32817L).as("observation_type_concept_id"),
+        substring(col("value"), 1, 60).as("value_as_string"),
+        col("visit_occurrence_id"),
+        col("code").as("observation_source_value"))
+    (meas, obs)
+  }
+
+  /** omop.observation_period (U1+A2; create_observation_period_v2.sql:
+    * 10-55): min/max event date per person over the unioned domains. */
+  def observationPeriod(sweepInputs: Seq[DataFrame]): DataFrame = {
+    val spans = sweepInputs.map(_.select(
+      col("person_id"),
+      col("start_date").cast("date").as("start_date"),
+      col("end_date").cast("date").as("end_date")))
+    DenseId.withDenseIdScalable(
+      Sweep.spanPerKey(Sweep.unionSweep(spans), "person_id",
+        "start_date", "end_date"),
+      Seq(col("person_id")), "observation_period_id")
+      .select(
+        col("observation_period_id"),
+        col("person_id"),
+        col("period_start").as("observation_period_start_date"),
+        col("period_end").as("observation_period_end_date"),
+        lit(32817L).as("period_type_concept_id"))
+  }
+
+  /** omop.death (transform_death.sql:27): patients with DEATHDATE. */
+  def death(typedPatients: DataFrame, personMap: DataFrame): DataFrame =
+    typedPatients
+      .filter(col("deathdate").isNotNull)
+      .join(broadcast(personMap), col("id") === col("source_patient_id"))
+      .select(
+        col("person_id"),
+        col("deathdate").as("death_date"),
+        lit(32817L).as("death_type_concept_id"))
+}

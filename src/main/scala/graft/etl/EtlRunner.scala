@@ -1,0 +1,89 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CLI entry: run the full Synthea→OMOP pipeline over a directory of
+  * Synthea CSVs and write OMOP parquet tables + a validation report.
+  *
+  *   runMain graft.etl.EtlRunner <syntheaDir> <outDir>
+  *
+  * Mirrors the reference's step DAG (etl_pipeline/etl_main.py:44-96):
+  * patients → encounters → {conditions, medications, procedures,
+  * observations} → observation_period → validation — but as one lazy
+  * lineage per output with shared id maps; each write is the only action
+  * per step, so Spark schedules the independent domains concurrently
+  * where cores allow.
+  */
+object EtlRunner {
+
+  def main(args: Array[String]): Unit = {
+    val Array(inDir, outDir) = args.take(2)
+    val spark = graft.core.Sessions.local()
+    try {
+      val report = run(spark, inDir, outDir)
+      report.show(50, truncate = false)
+    } finally spark.stop()
+  }
+
+  def run(spark: SparkSession, inDir: String, outDir: String): DataFrame = {
+    def in(n: String) = s"$inDir/$n.csv"
+    def save(df: DataFrame, n: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$outDir/$n")
+      spark.read.parquet(s"$outDir/$n")
+    }
+
+    // bronze → typed (repair pass only where malformed rows can occur:
+    // free-text description columns)
+    val tPat = Typing.patients(Ingest.readAllString(spark, in("patients")))
+    val tEnc = Typing.encounters(Ingest.readRepaired(spark, in("encounters")))
+    val tCon = Typing.conditions(Ingest.readRepaired(spark, in("conditions")))
+    val tMed = Typing.medications(Ingest.readRepaired(spark, in("medications")))
+    val tPro = Typing.procedures(Ingest.readRepaired(spark, in("procedures")))
+    val tObs = Typing.observations(
+      Ingest.readRepaired(spark, in("observations")))
+
+    // id maps (the only global coordination)
+    val personMap = save(Domains.buildIdMap(spark, None,
+      tPat.filter(col("id").isNotNull), "id", "person_id")
+      .withColumnRenamed("id", "source_patient_id"), "person_map")
+    val visitMap = save(Domains.buildIdMap(spark, None, tEnc, "id",
+      "visit_occurrence_id")
+      .withColumnRenamed("id", "source_visit_id"), "visit_map")
+
+    // gold domains
+    val person = save(Domains.person(spark, tPat, personMap), "person")
+    val visit = save(
+      Domains.visitOccurrence(tEnc, personMap, visitMap), "visit_occurrence")
+    val cond = save(Domains.conditionOccurrence(tCon, personMap, visitMap),
+      "condition_occurrence")
+    val drug = save(Domains.drugExposure(tMed, personMap, visitMap),
+      "drug_exposure")
+    val proc = save(Domains.procedureOccurrence(tPro, personMap, visitMap),
+      "procedure_occurrence")
+    val (meas, obs) =
+      Domains.measurementObservationSplit(tObs, personMap, visitMap)
+    val measT = save(meas, "measurement")
+    val obsT = save(obs, "observation")
+    save(Domains.death(tPat, personMap), "death")
+    save(Domains.observationPeriod(Seq(
+      visit.select(col("person_id"), col("visit_start_date").as("start_date"),
+        col("visit_end_date").as("end_date")),
+      cond.select(col("person_id"),
+        col("condition_start_date").as("start_date"),
+        col("condition_end_date").as("end_date")),
+      drug.select(col("person_id"),
+        col("drug_exposure_start_date").as("start_date"),
+        col("drug_exposure_end_date").as("end_date")),
+      proc.select(col("person_id"), col("procedure_date").as("start_date"),
+        col("procedure_date").as("end_date")),
+      measT.select(col("person_id"), col("measurement_date").as("start_date"),
+        col("measurement_date").as("end_date")),
+      obsT.select(col("person_id"), col("observation_date").as("start_date"),
+        col("observation_date").as("end_date")))), "observation_period")
+
+    val report = Validation.report(spark, person, visit, cond, measT, obsT)
+    report.coalesce(1).write.mode("overwrite").json(s"$outDir/validation")
+    report
+  }
+}
