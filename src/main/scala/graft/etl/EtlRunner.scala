@@ -19,14 +19,16 @@ object EtlRunner {
 
   def main(args: Array[String]): Unit = {
     val Array(inDir, outDir) = args.take(2)
+    val vocabDir = args.lift(2)
     val spark = graft.core.Sessions.local()
     try {
-      val report = run(spark, inDir, outDir)
+      val report = run(spark, inDir, outDir, vocabDir)
       report.show(50, truncate = false)
     } finally spark.stop()
   }
 
-  def run(spark: SparkSession, inDir: String, outDir: String): DataFrame = {
+  def run(spark: SparkSession, inDir: String, outDir: String,
+          vocabDir: Option[String] = None): DataFrame = {
     def in(n: String) = s"$inDir/$n.csv"
     def save(df: DataFrame, n: String): DataFrame = {
       df.write.mode("overwrite").parquet(s"$outDir/$n")
@@ -55,7 +57,24 @@ object EtlRunner {
     val person = save(Domains.person(spark, tPat, personMap), "person")
     val visit = save(
       Domains.visitOccurrence(tEnc, personMap, visitMap), "visit_occurrence")
-    val cond = save(Domains.conditionOccurrence(tCon, personMap, visitMap),
+
+    // vocabulary concept mapping (stage-3 chain) when a vocab dir is given
+    val vocab = vocabDir.map { vd =>
+      (Vocab.loadConcept(spark, s"$vd/CONCEPT.csv"),
+        Vocab.loadConceptRelationship(spark, s"$vd/CONCEPT_RELATIONSHIP.csv"))
+    }
+    def mapConcepts(df: DataFrame, srcValue: String, srcConcept: String,
+                    tgtConcept: String, vocabulary: String,
+                    domain: String): DataFrame =
+      vocab.fold(df) { case (c, r) =>
+        Vocab.mapDomain(df.withColumn(srcConcept, lit(0L)), c, r,
+          srcValue, srcConcept, tgtConcept, vocabulary, domain)
+      }
+
+    val cond = save(mapConcepts(
+      Domains.conditionOccurrence(tCon, personMap, visitMap),
+      "condition_source_value", "condition_source_concept_id",
+      "condition_concept_id", "SNOMED", "Condition"),
       "condition_occurrence")
     val drug = save(Domains.drugExposure(tMed, personMap, visitMap),
       "drug_exposure")
@@ -66,6 +85,8 @@ object EtlRunner {
     val measT = save(meas, "measurement")
     val obsT = save(obs, "observation")
     save(Domains.death(tPat, personMap), "death")
+    save(Domains.visitCost(tEnc, visitMap), "cost")
+    save(graft.analyze.Achilles.run(person, visit, cond), "achilles_results")
     save(Domains.observationPeriod(Seq(
       visit.select(col("person_id"), col("visit_start_date").as("start_date"),
         col("visit_end_date").as("end_date")),

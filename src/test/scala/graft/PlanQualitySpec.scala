@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the properties that make these plans survive
+  * a 100× scale-up — broadcast joins for dims, pushed filters and pruned
+  * columns at the parquet scan, whole-stage codegen on hot paths. These
+  * are the `.explain` checks done once while authoring, frozen as tests so
+  * a regression (e.g. a lost broadcast after a refactor) fails loudly. */
+class PlanQualitySpec extends SparkSpecBase {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("star join broadcasts every dimension (q02)") {
+    val p = plan(graft.queries.Relational.q02RevenueByNation(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // lineitem⋈orders may be shuffle/broadcast depending on stats; the
+    // three dims must all broadcast: count occurrences
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+  }
+
+  test("filter pushdown reaches the parquet scan (q01)") {
+    val p = plan(graft.queries.Relational.q01PricingSummary(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("column pruning: q01 scan reads only the 6 needed columns") {
+    val p = plan(graft.queries.Relational.q01PricingSummary(spark, sf))
+    val readSchema = p.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") &&
+      readSchema.contains("l_quantity") &&
+      !readSchema.contains("l_partkey") &&
+      !readSchema.contains("l_suppkey"), readSchema)
+  }
+
+  test("anti and semi joins plan as their dedicated join types") {
+    assert(plan(graft.queries.Relational.q03CustomersWithoutOrders(spark, sf))
+      .contains("LeftAnti"))
+    assert(plan(graft.queries.Relational.q04OrdersWithBigLineitem(spark, sf))
+      .contains("LeftSemi"))
+  }
+
+  test("top-n plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(graft.queries.Relational.q11TopUsersByEvents(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("scalable dense-id adds no global single-partition sort") {
+    val df = graft.queries.Relational.q06DenseIdCustomers(spark, sf)
+    // the plan must not contain a single-partition Exchange (the signature
+    // of Window.orderBy without partitioning)
+    assert(!plan(df).contains("Exchange SinglePartition"), plan(df))
+  }
+
+  test("ID-map and lookup joins in the ETL person transform broadcast") {
+    // (conditionOccurrence's plan is split by the dense-id RDD boundary;
+    // person keeps one lineage end-to-end, so its plan shows the joins)
+    import spark.implicits._
+    val typed = Seq(("u1", "M", "white", "nonhispanic"))
+      .toDF("id", "gender_source", "race_source", "ethnicity_source")
+      .withColumn("birthdate", lit("1980-01-01").cast("date"))
+    val pm = Seq(("u1", 1L)).toDF("source_patient_id", "person_id")
+    val p = plan(graft.etl.Domains.person(spark, typed, pm))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+  }
+
+  test("minhash aggregation is partial (map-side combine) before shuffle") {
+    val sh = graft.ops.NearDup.shingleRows(
+      graft.core.Tables.documents(spark, sf), "doc_id", "text", 3)
+    val p = plan(graft.ops.NearDup.minhashRows(sh, "doc_id", 16))
+    // partial_min markers appear in the pre-shuffle HashAggregate
+    assert(p.contains("partial_min") || p.contains("partial_"), p)
+  }
+}

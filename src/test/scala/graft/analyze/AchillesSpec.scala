@@ -1,0 +1,44 @@
+package graft.analyze
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class AchillesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val person = Seq(
+    (1L, 8507L, 1980, 8527L), (2L, 8532L, 1980, 8516L),
+    (3L, 8507L, 1990, 8527L)
+  ).toDF("person_id", "gender_concept_id", "year_of_birth",
+    "race_concept_id")
+
+  private lazy val visit = Seq(
+    (1L, 1L, 9201L, "2020-01-01", "2020-01-05"),
+    (2L, 2L, 9202L, "2020-02-01", "2020-02-01")
+  ).toDF("visit_occurrence_id", "person_id", "visit_concept_id", "s", "e")
+    .select(col("*"), col("s").cast("date").as("visit_start_date"),
+      col("e").cast("date").as("visit_end_date"))
+
+  test("stratified counts produce the standard results shape") {
+    val res = Achilles.run(person, visit,
+      Seq((1L, 1L, 0L)).toDF("condition_occurrence_id", "person_id",
+        "condition_concept_id"))
+    assert(res.columns.toSeq == Seq("analysis_id", "stratum_1", "stratum_2",
+      "stratum_3", "stratum_4", "stratum_5", "count_value"))
+    val byAnalysis = res.collect().groupBy(_.getInt(0))
+    assert(byAnalysis(1).head.getLong(6) == 3)           // persons
+    assert(byAnalysis(2).map(r => r.getString(1) -> r.getLong(6)).toMap
+      == Map("8507" -> 2, "8532" -> 1))                  // by gender
+    assert(byAnalysis(3).length == 2)                    // two birth years
+    assert(byAnalysis(200).length == 2)                  // two visit concepts
+  }
+
+  test("visit-length distribution computes exact percentiles") {
+    val d = Achilles.a211VisitLength(visit).head()
+    assert(d.getAs[Long]("count_value") == 2)
+    assert(d.getAs[Double]("min_value") == 0.0)
+    assert(d.getAs[Double]("max_value") == 4.0)
+    assert(d.getAs[Double]("median_value") == 2.0)
+  }
+}
