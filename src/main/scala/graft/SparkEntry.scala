@@ -38,6 +38,11 @@ object SparkEntry {
     "q15_orphan_report"      -> Relational.q15OrphanReport _,
     "q16_numeric_split"      -> Relational.q16NumericSplit _,
     "q17_two_hop"            -> Relational.q17TwoHopTraversal _,
+    "q18_date_arith"         -> Relational.q18DateArithmetic _,
+    "q19_string_funcs"       -> Relational.q19StringFuncs _,
+    "q42_pagination"         -> Relational.q42Pagination _,
+    "q43_rollup"             -> Relational.q43Rollup _,
+    "q44_distinct_counts"    -> Relational.q44DistinctCounts _,
     // training-data text pipeline (documents table)
     "q20_exact_dup_stats"    -> TextQueries.qExactDupStats _,
     "q21_exact_dedup"        -> TextQueries.qExactDedup _,
@@ -213,6 +218,44 @@ object SparkEntry {
         |                    ELSE 'code-' || event_type END AS payload FROM events) p
         |  WHERE payload IS NOT NULL) t
         |GROUP BY branch""".stripMargin,
+
+    "q18_date_arith" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+        |  CAST(o_orderdate AS DATE) + INTERVAL 12 MONTH - INTERVAL 1 DAY AS coverage_end,
+        |  CAST(year(o_orderdate) AS INTEGER) AS order_year,
+        |  CAST(month(o_orderdate) AS INTEGER) AS order_month,
+        |  CAST(day(o_orderdate) AS INTEGER) AS order_day
+        |FROM orders""".stripMargin,
+
+    "q19_string_funcs" ->
+      """SELECT p_partkey, p_brand || ': ' || p_type AS brand_type,
+        |  substr(p_name, 1, 12) AS name_trunc,
+        |  ROUND(p_retailprice * 1.1, 2) AS marked_up,
+        |  contains(lower(p_type), 'brass') AS is_brass
+        |FROM part""".stripMargin,
+
+    "q42_pagination" ->
+      """SELECT o_orderkey, o_custkey, row_pos FROM (
+        |  SELECT o_orderkey, o_custkey,
+        |    row_number() OVER (ORDER BY o_orderkey) AS row_pos
+        |  FROM orders) t
+        |WHERE row_pos > 100 AND row_pos <= 150""".stripMargin,
+
+    "q43_rollup" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q44_distinct_counts" ->
+      """SELECT COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status
+        |FROM lineitem""".stripMargin,
 
     "q50_media_features" -> {
       val fcols = (0 until graft.multimodal.Multimodal.FeatureDims)

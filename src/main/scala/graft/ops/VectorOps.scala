@@ -63,6 +63,50 @@ object VectorOps {
       when(proj > 0, lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
 
+  /** IVF-style coarse quantization: assign every vector to its nearest
+    * centroid (broadcast centroids — the "coarse codebook"), search only
+    * the `nprobe` nearest lists per query. At 100 TB the corpus is
+    * pre-partitioned (bucketed) by list_id so a probe touches only
+    * nprobe/k of the data; here the assignment join expresses that. */
+  def assignToCentroids(vecs: DataFrame, centroids: DataFrame,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val scored = vecs.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroids.select(
+        col("centroid_id"), col("centroid"))))
+      .withColumn("cdist", -cosine(col(vecCol), col("centroid")))
+    Dedup.firstRowPerGroup(scored, Seq(col(idCol)),
+      Seq(col("cdist").asc, col("centroid_id").asc))
+      .select(col(idCol), col(vecCol), col("centroid_id").as("list_id"))
+  }
+
+  /** IVF search: probe the nprobe nearest lists per query, exact cosine
+    * within the probed lists, top-k per query. */
+  def ivfSearch(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+                nprobe: Int, k: Int,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val corpusLists = assignToCentroids(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        col("list_id"))
+    val queryProbes = Dedup.firstRowPerGroupN(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+        .crossJoin(broadcast(centroids.select(col("centroid_id"),
+          col("centroid"))))
+        .withColumn("cdist", -cosine(col("qv"), col("centroid"))),
+      Seq(col("query_id")), Seq(col("cdist").asc, col("centroid_id").asc),
+      nprobe)
+      .select(col("query_id"), col("qv"),
+        col("centroid_id").as("list_id"))
+    val scored = queryProbes.join(corpusLists, "list_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    Dedup.firstRowPerGroupN(scored, Seq(col("query_id")),
+      Seq(col("cos").desc, col("neighbor_id").asc), k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("__rn").as("rank"), round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Candidate near-dup pairs from shared SRP buckets, verified with exact
     * cosine ≥ minCos. */
   def srpNearDupPairs(vecs: DataFrame, numPlanes: Int, minCos: Double,

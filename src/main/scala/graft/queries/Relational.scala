@@ -242,6 +242,63 @@ object Relational {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** P7 date arithmetic (reference: +30 days default med end,
+    * enhanced_synthea_to_omop.py:1236-1238; +1 year −1 day payer period,
+    * synthea-omop-ETL.sql:550) + P5 date-part extraction. */
+  def q18DateArithmetic(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_orderdate").cast("date").as("order_date"),
+      date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+      date_sub(add_months(col("o_orderdate").cast("date"), 12), 1)
+        .as("coverage_end"),
+      year(col("o_orderdate")).as("order_year"),
+      month(col("o_orderdate")).as("order_month"),
+      dayofmonth(col("o_orderdate")).as("order_day"))
+
+  /** P12/P13/P14 string scalar functions (composite source values,
+    * synthea-omop-ETL.sql:158; SUBSTRING truncation,
+    * transform_measurement_and_observation.sql:54; ROUND). */
+  def q19StringFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir).select(
+      col("p_partkey"),
+      concat(col("p_brand"), lit(": "), col("p_type")).as("brand_type"),
+      substring(col("p_name"), 1, 12).as("name_trunc"),
+      round(col("p_retailprice") * 1.1, 2).as("marked_up"),
+      lower(col("p_type")).contains("brass").as("is_brass"))
+
+  /** W3 keyset pagination (ORDER BY id LIMIT batch OFFSET n,
+    * transfer_population_to_staging.sql:140-142) — expressed as a
+    * row_number filter; at scale, keyset predicates (id > last) replace
+    * OFFSET entirely. */
+  def q42Pagination(s: SparkSession, dir: String): DataFrame =
+    Dedup.firstRowPerGroupN(
+      Tables.orders(s, dir), Seq(lit(1)), Seq(col("o_orderkey").asc), 150)
+      .filter(col("__rn") > 100)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("__rn").cast("long").as("row_pos"))
+
+  /** Beyond the reference: ROLLUP hierarchical aggregation (the
+    * Achilles-style report shape generalized; Catalyst expands grouping
+    * sets in one pass). */
+  def q43Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+
+  /** A7+ exact distinct counts across several columns in one pass. */
+  def q44DistinctCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).agg(
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      countDistinct(col("l_returnflag"), col("l_linestatus")).as("n_flag_status"))
+
   /** J7/J8 two-hop "Maps to" vocabulary traversal
     * (etl_pipeline/etl_concept_mapping.py:153-165), emulated on the star
     * schema: customer --(nation as relationship)--> region as the standard
