@@ -18,17 +18,29 @@ object TextOracles {
     "CASE WHEN length(trim(text)) = 0 THEN [] " +
       "ELSE string_split_regex(trim(text), '\\s+') END"
 
-  /** Shared CTE prefix: tokens → 3-shingles → distinct (doc, shingle hash)
-    * → 16 minhashes per doc. Mirrors NearDup.{shingleRows,minhashRows}. */
+  /** Shared CTE prefix: tokens → per-token hash → lead()-window 3-shingle
+    * hash fold → distinct (doc, shingle hash). Mirrors the relational
+    * NearDup.shingleRows exactly (same fold, same mod placement). */
+  val ShingleCtes: String =
+    s"""WITH tok0 AS (SELECT doc_id, $Tk AS tk FROM documents),
+       |tokx AS (SELECT doc_id, unnest(tk) AS tok,
+       |           unnest(range(1, len(tk) + 1)) AS pos FROM tok0),
+       |th AS (SELECT doc_id, pos, ${H("tok")} AS th FROM tokx),
+       |shl AS (SELECT doc_id, th,
+       |          lead(th, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS th1,
+       |          lead(th, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS th2
+       |        FROM th),
+       |shu AS (SELECT doc_id,
+       |          ((th * 31 + th1) % 1000000007 * 31 + th2) % 1000000007 AS h
+       |        FROM shl WHERE th2 IS NOT NULL
+       |        UNION ALL
+       |        SELECT doc_id, ${H("array_to_string(tk, ' ')")} AS h
+       |        FROM tok0 WHERE len(tk) < 3),
+       |shx AS (SELECT DISTINCT doc_id, h FROM shu)""".stripMargin
+
+  /** + 16 minhashes per doc (mirrors NearDup.minhashRows). */
   val MinhashCtes: String =
-    s"""WITH tok AS (SELECT doc_id, $Tk AS tk FROM documents),
-       |sh0 AS (SELECT doc_id,
-       |  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
-       |       ELSE list_transform(range(0, len(tk) - 2),
-       |              i -> array_to_string(array_slice(tk, i + 1, i + 3), ' '))
-       |  END AS shs FROM tok),
-       |shx AS (SELECT DISTINCT doc_id, ${H("sh")} AS h
-       |        FROM (SELECT doc_id, unnest(shs) AS sh FROM sh0) u),
+    s"""$ShingleCtes,
        |mh AS (SELECT doc_id, i,
        |         MIN(((2 * i + 1) * h + i) % 1000000007) AS mh
        |       FROM shx CROSS JOIN (SELECT unnest(range(0, 16)) AS i) idx
@@ -140,14 +152,7 @@ object TextOracles {
     },
 
     "q30_jaccard_window" ->
-      s"""WITH tok AS (SELECT doc_id, $Tk AS tk FROM documents),
-         |sh0 AS (SELECT doc_id,
-         |  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
-         |       ELSE list_transform(range(0, len(tk) - 2),
-         |              i -> array_to_string(array_slice(tk, i + 1, i + 3), ' '))
-         |  END AS shs FROM tok),
-         |shx AS (SELECT DISTINCT doc_id, ${H("sh")} AS h
-         |        FROM (SELECT doc_id, unnest(shs) AS sh FROM sh0) u),
+      s"""$ShingleCtes,
          |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |          FROM documents a JOIN documents b
          |            ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 3),
