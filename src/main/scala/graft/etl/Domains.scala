@@ -235,6 +235,32 @@ object Domains {
         lit(32817L).as("period_type_concept_id"))
   }
 
+  /** Immunizations → omop.drug_exposure (synthea-omop-ETL.sql:460-501):
+    * same-day exposure, type 38000177, dedup on (person, datetime, code). */
+  def immunizationDrugExposure(typedImmunizations: DataFrame,
+                               personMap: DataFrame,
+                               visitMap: DataFrame): DataFrame =
+    DenseId.withDenseIdScalable(
+      typedImmunizations
+        .join(broadcast(personMap),
+          col("patient") === col("source_patient_id"))
+        .join(broadcast(visitMap),
+          col("encounter") === col("source_visit_id"), "left")
+        .dropDuplicates("person_id", "date_time", "code"),
+      Seq(col("person_id"), col("date_time"), col("code")),
+      "drug_exposure_id")
+      .select(
+        col("drug_exposure_id"),
+        col("person_id"),
+        lit(0L).as("drug_concept_id"),
+        col("date_time").cast("date").as("drug_exposure_start_date"),
+        col("date_time").as("drug_exposure_start_datetime"),
+        col("date_time").cast("date").as("drug_exposure_end_date"),
+        col("date_time").as("drug_exposure_end_datetime"),
+        lit(38000177L).as("drug_type_concept_id"), // Prescription written
+        col("visit_occurrence_id"),
+        col("code").as("drug_source_value"))
+
   /** omop.cost for visits (transform_cost.sql:30-61): decimal money math —
     * paid_by_patient = total_claim − payer_coverage computed in
     * DecimalType(10,2), so no float drift (SURVEY §7.4 risk 4). */

@@ -86,6 +86,14 @@ object EtlRunner {
     val obsT = save(obs, "observation")
     save(Domains.death(tPat, personMap), "death")
     save(Domains.visitCost(tEnc, visitMap), "cost")
+    // optional source: immunizations → drug_exposure rows
+    if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(in("immunizations")))) {
+      val tImm = TypedTables.typedTable(
+        Ingest.readRepaired(spark, in("immunizations")), "immunizations")
+      save(Domains.immunizationDrugExposure(tImm, personMap, visitMap),
+        "drug_exposure_immunizations")
+    }
     save(graft.analyze.Achilles.run(person, visit, cond), "achilles_results")
     save(Domains.observationPeriod(Seq(
       visit.select(col("person_id"), col("visit_start_date").as("start_date"),

@@ -77,17 +77,25 @@ object TextOracles {
          |FROM (SELECT doc_id, text, $Tk AS tk FROM documents) t""".stripMargin,
 
     "q24_lang_id" -> {
-      val markers = graft.ops.TextOps.LangMarkers.map { case (lang, ws) =>
-        s"len(list_filter(tk, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS s_$lang"
-      }.mkString(",\n  ")
-      val langs = graft.ops.TextOps.LangMarkers.map(_._1)
-      val pick = langs.init.map(l => s"WHEN s_$l = m THEN '$l'")
-        .mkString(" ") + s" ELSE '${langs.last}'"
-      s"""SELECT lang, CASE $pick END AS lang_guess, COUNT(*) AS n FROM (
-         |  SELECT lang, greatest(${langs.map("s_" + _).mkString(", ")}) AS m, *
-         |  FROM (SELECT lang, $markers
-         |        FROM (SELECT lang, $Tk AS tk FROM documents) t0) t1) t2
-         |GROUP BY lang, lang_guess""".stripMargin
+      val markerValues = graft.ops.TextOps.LangMarkers
+        .flatMap { case (l, ws) => ws.map(w => s"('$l', '$w')") }
+        .mkString(", ")
+      val fallback = graft.ops.TextOps.LangMarkers.head._1
+      s"""WITH tok AS (SELECT doc_id, unnest($Tk) AS tok FROM documents),
+         |m(lang_m, w) AS (SELECT * FROM (VALUES $markerValues) v),
+         |hits AS (SELECT t.doc_id, m.lang_m, COUNT(*) AS n_hits
+         |         FROM tok t JOIN m ON t.tok = m.w
+         |         GROUP BY t.doc_id, m.lang_m),
+         |best AS (SELECT doc_id, lang_m,
+         |           row_number() OVER (PARTITION BY doc_id
+         |             ORDER BY n_hits DESC, lang_m ASC) AS rn
+         |         FROM hits)
+         |SELECT d.lang, COALESCE(b.lang_m, '$fallback') AS lang_guess,
+         |  COUNT(*) AS n
+         |FROM documents d
+         |LEFT JOIN (SELECT doc_id, lang_m FROM best WHERE rn = 1) b
+         |  ON d.doc_id = b.doc_id
+         |GROUP BY d.lang, lang_guess""".stripMargin
     },
 
     "q25_fingerprint" ->

@@ -54,12 +54,35 @@ object TextQueries {
         round(col("f.stopword_ratio"), 6).as("stopword_ratio"),
         round(col("f.punct_ratio"), 6).as("punct_ratio"))
 
-  /** Language-ID guess vs labeled lang: confusion counts. */
-  def qLangId(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("lang"), TextOps.langGuess(col("text")).as("lang_guess"))
+  /** Language-ID guess vs labeled lang: confusion counts.
+    *
+    * Relational formulation of [[TextOps.langGuess]]: explode tokens, join
+    * the broadcast marker table, count hits per (doc, lang), keep the
+    * argmax with the same first-in-list tiebreak, default 'de' for
+    * marker-less docs. Same result as the per-row fold (asserted in
+    * TextOpsSpec) but fully codegen'd + one shuffle — the per-row filter
+    * lambdas evaluate interpreted. */
+  def qLangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val markers = broadcast(TextOps.LangMarkers
+      .flatMap { case (l, ws) => ws.map(w => (l, w)) }
+      .toDF("lang_m", "tok"))
+    val hits = docs
+      .select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      .join(markers, "tok")
+      .groupBy(col("doc_id"), col("lang_m"))
+      .agg(count(lit(1)).as("n_hits"))
+    val best = graft.ops.Dedup.firstRowPerGroup(hits, Seq(col("doc_id")),
+      Seq(col("n_hits").desc, col("lang_m").asc))
+    docs.join(best.select(col("doc_id"), col("lang_m")), Seq("doc_id"), "left")
+      .select(col("lang"),
+        coalesce(col("lang_m"),
+          lit(TextOps.LangMarkers.head._1)).as("lang_guess"))
       .groupBy(col("lang"), col("lang_guess"))
       .agg(count(lit(1)).as("n"))
+  }
 
   /** Document fingerprint: rolling content hash + first-shingle hash. */
   def qFingerprint(s: SparkSession, dir: String): DataFrame =

@@ -65,4 +65,16 @@ class TextOpsSpec extends SparkSpecBase {
     // no markers at all → all scores 0 → first in list (de)
     assert(one(TextOps.langGuess(col("text")), "xyzzy plugh") == "de")
   }
+
+  test("relational qLangId equals the per-row langGuess fold") {
+    val perRow = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("lang"), TextOps.langGuess(col("text")).as("lang_guess"))
+      .groupBy("lang", "lang_guess").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val relational = graft.queries.TextQueries.qLangId(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(relational == perRow)
+  }
 }
