@@ -16,8 +16,13 @@ import org.apache.spark.sql.types.DoubleType
   */
 object VectorOps {
 
-  /** Σ aᵢ·bᵢ in double, sequential fold (deterministic). */
-  def dot(a: Column, b: Column): Column =
+  /** Σ aᵢ·bᵢ in double, sequential fold (deterministic). Dispatches to the
+    * native codegen'd [[graft.functions.VecDot]]; the lambda form below is
+    * the reference implementation the spec cross-checks. */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** Interpreted lambda form of the identical fold (spec cross-check). */
+  def dotLambda(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, x) => acc + x)
 

@@ -14,6 +14,23 @@ class VectorOpsSpec extends SparkSpecBase {
     (3L, Array(-1.0f, 0.0f, 0.0f))   // opposite of 0
   ).toDF("vec_id", "embedding")
 
+  test("native vec_dot is bit-identical to the lambda fold on the corpus") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val pairs = emb.limit(50).crossJoin(
+      emb.select($"embedding".as("b")).limit(50))
+    val mism = pairs.select(
+      VectorOps.dot($"embedding", $"b").as("native"),
+      VectorOps.dotLambda($"embedding", $"b").as("lambda"))
+      .filter($"native" =!= $"lambda").count() // exact, not approx
+    assert(mism == 0)
+    // double arrays too (centroid path)
+    val d = Seq((Array(1.5, 2.5), Array(2.0, 4.0))).toDF("a", "b")
+    assert(d.select(VectorOps.dot($"a", $"b")).head().getDouble(0) == 13.0)
+    // length mismatch → null (matches zip_with/oracle semantics)
+    val m = Seq((Array(1.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    assert(m.select(VectorOps.dot($"a", $"b")).head().isNullAt(0))
+  }
+
   test("cosine: self=1, orthogonal=0, opposite=-1") {
     val self = vecs.filter($"vec_id" === 0)
       .select(VectorOps.cosine($"embedding", $"embedding")).head().getDouble(0)
