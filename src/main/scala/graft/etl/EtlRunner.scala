@@ -27,9 +27,19 @@ object EtlRunner {
     } finally spark.stop()
   }
 
+  /** The reference's required input set
+    * (python/enhanced_synthea_to_omop.py:101-108). */
+  val RequiredFiles: Seq[String] = Seq("patients", "encounters", "conditions",
+    "observations", "procedures", "medications")
+
   def run(spark: SparkSession, inDir: String, outDir: String,
           vocabDir: Option[String] = None): DataFrame = {
     def in(n: String) = s"$inDir/$n.csv"
+    val missing = RequiredFiles.filterNot(n =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(in(n))))
+    require(missing.isEmpty,
+      s"missing required Synthea CSVs in $inDir: " +
+        missing.map(_ + ".csv").mkString(", "))
     def save(df: DataFrame, n: String): DataFrame = {
       df.write.mode("overwrite").parquet(s"$outDir/$n")
       spark.read.parquet(s"$outDir/$n")
@@ -87,13 +97,29 @@ object EtlRunner {
     save(Domains.death(tPat, personMap), "death")
     save(Domains.visitCost(tEnc, visitMap), "cost")
     // optional source: immunizations → drug_exposure rows
-    if (java.nio.file.Files.exists(
-        java.nio.file.Paths.get(in("immunizations")))) {
-      val tImm = TypedTables.typedTable(
-        Ingest.readRepaired(spark, in("immunizations")), "immunizations")
-      save(Domains.immunizationDrugExposure(tImm, personMap, visitMap),
-        "drug_exposure_immunizations")
-    }
+    val immDrug =
+      if (java.nio.file.Files.exists(
+          java.nio.file.Paths.get(in("immunizations")))) {
+        val tImm = TypedTables.typedTable(
+          Ingest.readRepaired(spark, in("immunizations")), "immunizations")
+        Some(save(Domains.immunizationDrugExposure(tImm, personMap, visitMap),
+          "drug_exposure_immunizations"))
+      } else None
+    // optional source: allergies feed the observation-period sweep
+    // (etl_pipeline/etl_observation_periods.py:81-145 includes both)
+    val allergySpans =
+      if (java.nio.file.Files.exists(
+          java.nio.file.Paths.get(in("allergies")))) {
+        val tAll = TypedTables.typedTable(
+          Ingest.readRepaired(spark, in("allergies")), "allergies")
+        Some(tAll
+          .join(broadcast(personMap),
+            col("patient") === col("source_patient_id"))
+          .select(col("person_id"),
+            col("start_time").cast("date").as("start_date"),
+            coalesce(col("stop_time"), col("start_time")).cast("date")
+              .as("end_date")))
+      } else None
     save(graft.analyze.Achilles.run(person, visit, cond), "achilles_results")
     save(Domains.observationPeriod(Seq(
       visit.select(col("person_id"), col("visit_start_date").as("start_date"),
@@ -109,7 +135,11 @@ object EtlRunner {
       measT.select(col("person_id"), col("measurement_date").as("start_date"),
         col("measurement_date").as("end_date")),
       obsT.select(col("person_id"), col("observation_date").as("start_date"),
-        col("observation_date").as("end_date")))), "observation_period")
+        col("observation_date").as("end_date"))) ++
+      immDrug.map(d => d.select(col("person_id"),
+        col("drug_exposure_start_date").as("start_date"),
+        col("drug_exposure_end_date").as("end_date"))).toSeq ++
+      allergySpans.toSeq), "observation_period")
 
     val report = Validation.report(spark, person, visit, cond, measT, obsT)
     report.coalesce(1).write.mode("overwrite").json(s"$outDir/validation")

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Typed top-k aggregation (SURVEY.md §2.9 — the one place a custom
+  * Aggregator genuinely beats built-ins at scale).
+  *
+  * The window formulation of per-group top-k (row_number over
+  * (group ORDER BY score)) shuffles and sorts EVERY scored row; this
+  * Aggregator keeps a bounded k-list per group per partition, so the
+  * shuffle carries ≤ k rows per (group, partition) — at 100 TB corpus ×
+  * thousands of queries, that is the difference between shuffling the
+  * full score matrix and shuffling k·|groups| rows. Deterministic: order
+  * by (score desc, item asc), identical output to the window form
+  * (asserted in spec and by the q31 oracle).
+  */
+object TopK {
+
+  case class ScoredRow(group: Long, item: Long, score: Double)
+
+  private def ord: Ordering[(Double, Long)] =
+    Ordering.by[(Double, Long), (Double, Long)] { case (s, i) => (-s, i) }
+
+  def aggregator(k: Int): Aggregator[ScoredRow, Seq[(Double, Long)],
+                                     Seq[(Double, Long)]] =
+    new Aggregator[ScoredRow, Seq[(Double, Long)], Seq[(Double, Long)]] {
+      def zero: Seq[(Double, Long)] = Nil
+      def reduce(b: Seq[(Double, Long)], a: ScoredRow): Seq[(Double, Long)] =
+        ((a.score, a.item) +: b).sorted(ord).take(k)
+      def merge(x: Seq[(Double, Long)],
+                y: Seq[(Double, Long)]): Seq[(Double, Long)] =
+        (x ++ y).sorted(ord).take(k)
+      def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = b
+      def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+      def outputEncoder: Encoder[Seq[(Double, Long)]] = bufferEncoder
+    }
+
+  /** Per-group top-k of `scoreCol` with deterministic (score desc, item
+    * asc) order; output columns (groupCol, itemCol, rank, scoreCol). */
+  def topKPerGroup(df: DataFrame, groupCol: String, itemCol: String,
+                   scoreCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(groupCol).cast("long").as("group"),
+        col(itemCol).cast("long").as("item"),
+        col(scoreCol).cast("double").as("score"))
+      .as[ScoredRow]
+    ds.groupByKey(_.group)
+      .agg(aggregator(k).toColumn.name("topk"))
+      .flatMap { case (g, items) =>
+        items.zipWithIndex.map { case ((s, i), idx) => (g, i, idx + 1, s) }
+      }
+      .toDF(groupCol, itemCol, "rank", scoreCol)
+  }
+}

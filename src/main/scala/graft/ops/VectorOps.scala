@@ -34,18 +34,35 @@ object VectorOps {
   /** Brute-force exact top-k cosine neighbors of each query vector.
     * `queries` is expected small (it is broadcast); the corpus side never
     * materializes more than (query × corpus-partition) rows per task, and
-    * the final top-k is a per-query window — shuffle keyed on query_id. */
+    * the reduction is the bounded [[TopK]] Aggregator — the shuffle
+    * carries ≤ k rows per (query, partition) instead of the full score
+    * matrix a window sort would move. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
-    Dedup.firstRowPerGroupN(scored, Seq(col("query_id")),
+                     vecCol: String = "embedding"): DataFrame =
+    TopK.topKPerGroup(bruteForceScores(queries, corpus, idCol, vecCol),
+        "query_id", "neighbor_id", "cos", k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("int").as("rank"),
+        round(col("cos"), 6).as("cos_sim"))
+
+  /** Window-sort formulation of the same top-k (spec cross-check; the
+    * Aggregator path above is the scale choice). */
+  def bruteForceTopKWindow(queries: DataFrame, corpus: DataFrame, k: Int,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame =
+    Dedup.firstRowPerGroupN(bruteForceScores(queries, corpus, idCol, vecCol),
+        Seq(col("query_id")),
         Seq(col("cos").desc, col("neighbor_id").asc), k)
       .select(col("query_id"), col("neighbor_id"),
         col("__rn").as("rank"), round(col("cos"), 6).as("cos_sim"))
+
+  private def bruteForceScores(queries: DataFrame, corpus: DataFrame,
+                               idCol: String, vecCol: String): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
   }
 
   /** Deterministic ±1 pseudo-random hyperplane component for (plane j,
@@ -106,10 +123,10 @@ object VectorOps {
     val scored = queryProbes.join(corpusLists, "list_id")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
-    Dedup.firstRowPerGroupN(scored, Seq(col("query_id")),
-      Seq(col("cos").desc, col("neighbor_id").asc), k)
+    TopK.topKPerGroup(scored, "query_id", "neighbor_id", "cos", k)
       .select(col("query_id"), col("neighbor_id"),
-        col("__rn").as("rank"), round(col("cos"), 6).as("cos_sim"))
+        col("rank").cast("int").as("rank"),
+        round(col("cos"), 6).as("cos_sim"))
   }
 
   /** Candidate near-dup pairs from shared SRP buckets, verified with exact

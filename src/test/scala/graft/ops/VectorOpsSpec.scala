@@ -51,6 +51,17 @@ class VectorOpsSpec extends SparkSpecBase {
     assert(top.head.getAs[Double]("cos_sim") > 0.99)
   }
 
+  test("TopK aggregator equals the window formulation on the corpus") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 10)
+    val viaAgg = VectorOps.bruteForceTopK(q, emb, 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaWindow = VectorOps.bruteForceTopKWindow(q, emb, 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaAgg == viaWindow)
+    assert(viaAgg.size == 70)
+  }
+
   test("SRP: identical vectors land in the same bucket; opposite differ") {
     val sig = vecs.select($"vec_id",
       VectorOps.srpSignature($"embedding", 12).as("sig"))
