@@ -55,6 +55,7 @@ object SparkEntry {
     "q28_neardup_verified"   -> TextQueries.qNearDupVerified _,
     "q29_simhash"            -> TextQueries.qSimhash _,
     "q30_jaccard_window"     -> TextQueries.qNgramJaccardWindow _,
+    "q45_repetition"         -> TextQueries.qRepetition _,
     // streaming-shaped transforms, batch-parity forms (events table)
     "q40_hourly_rollup"      -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStreams.hourlyRollup(graft.core.Tables.events(s, d))),

@@ -55,6 +55,17 @@ object Achilles {
   def a400ByConditionConcept(condition: DataFrame): DataFrame =
     result(400, condition, Seq(col("condition_concept_id")))
 
+  /** Analysis 101-shape: persons by age at first observation period. */
+  def a101AgeAtFirstObs(person: DataFrame,
+                        observationPeriod: DataFrame): DataFrame =
+    result(101,
+      person.join(
+        observationPeriod.groupBy(col("person_id"))
+          .agg(min(col("observation_period_start_date")).as("first_obs")),
+        "person_id")
+        .withColumn("age", year(col("first_obs")) - col("year_of_birth")),
+      Seq(col("age")))
+
   /** Analysis 211-shape: distribution of visit length in days (A9 —
     * exact percentiles for oracle parity; percentile_approx at scale). */
   def a211VisitLength(visit: DataFrame): DataFrame =

@@ -18,25 +18,32 @@ object TextOracles {
     "CASE WHEN length(trim(text)) = 0 THEN [] " +
       "ELSE string_split_regex(trim(text), '\\s+') END"
 
-  /** Shared CTE prefix: tokens → per-token hash → lead()-window 3-shingle
-    * hash fold → distinct (doc, shingle hash). Mirrors the relational
-    * NearDup.shingleRows exactly (same fold, same mod placement). */
-  val ShingleCtes: String =
+  /** Shared CTE prefix: tokens → per-token hash → lead()-window n-shingle
+    * hash fold → (doc, shingle hash) stream `shu` (+ deduped `shx`).
+    * Mirrors the relational NearDup.shingleRows exactly (same fold, same
+    * mod placement). */
+  def shingleCtes(n: Int): String = {
+    val leads = (1 until n).map(i =>
+      s"lead(th, $i) OVER (PARTITION BY doc_id ORDER BY pos) AS th$i")
+      .mkString(",\n          ")
+    val fold = (1 until n).foldLeft("th")((acc, i) =>
+      s"($acc * 31 + th$i) % 1000000007")
     s"""WITH tok0 AS (SELECT doc_id, $Tk AS tk FROM documents),
        |tokx AS (SELECT doc_id, unnest(tk) AS tok,
        |           unnest(range(1, len(tk) + 1)) AS pos FROM tok0),
        |th AS (SELECT doc_id, pos, ${H("tok")} AS th FROM tokx),
        |shl AS (SELECT doc_id, th,
-       |          lead(th, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS th1,
-       |          lead(th, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS th2
+       |          $leads
        |        FROM th),
-       |shu AS (SELECT doc_id,
-       |          ((th * 31 + th1) % 1000000007 * 31 + th2) % 1000000007 AS h
-       |        FROM shl WHERE th2 IS NOT NULL
+       |shu AS (SELECT doc_id, $fold AS h
+       |        FROM shl WHERE th${n - 1} IS NOT NULL
        |        UNION ALL
        |        SELECT doc_id, ${H("array_to_string(tk, ' ')")} AS h
-       |        FROM tok0 WHERE len(tk) < 3),
+       |        FROM tok0 WHERE len(tk) < $n),
        |shx AS (SELECT DISTINCT doc_id, h FROM shu)""".stripMargin
+  }
+
+  val ShingleCtes: String = shingleCtes(3)
 
   /** + 16 minhashes per doc (mirrors NearDup.minhashRows). */
   val MinhashCtes: String =
@@ -158,6 +165,16 @@ object TextOracles {
          |  CAST(bit_count(CAST($sig AS BIGINT)) AS INTEGER) AS popcount
          |FROM bits""".stripMargin
     },
+
+    "q45_repetition" ->
+      s"""${shingleCtes(2)},
+         |g AS (SELECT doc_id, h, COUNT(*) AS c FROM shu GROUP BY doc_id, h)
+         |SELECT doc_id,
+         |  ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+         |    AS top_bigram_frac,
+         |  ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+         |    AS distinct_bigram_ratio
+         |FROM g GROUP BY doc_id""".stripMargin,
 
     "q30_jaccard_window" ->
       s"""$ShingleCtes,

@@ -129,6 +129,23 @@ object TextQueries {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Gopher-style repetition metrics: fraction of all bigrams taken by
+    * the most-frequent bigram, and distinct-bigram ratio — the standard
+    * cheap repetition filters for LLM training corpora. Built on the
+    * non-distinct 2-gram shingle stream; one groupBy cascade, map-side
+    * combinable. */
+  def qRepetition(s: SparkSession, dir: String): DataFrame = {
+    val sh2 = NearDup.shingleRows(Tables.documents(s, dir), "doc_id", "text", 2)
+    sh2.groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        round(max(col("c")).cast("double") / sum(col("c")).cast("double"), 6)
+          .as("top_bigram_frac"),
+        round(count(lit(1)).cast("double") / sum(col("c")).cast("double"), 6)
+          .as("distinct_bigram_ratio"))
+  }
+
   /** SimHash signature per doc (16-bit) + population count. */
   def qSimhash(s: SparkSession, dir: String): DataFrame =
     NearDup.simhash(Tables.documents(s, dir), "doc_id", "text")

@@ -34,6 +34,16 @@ class AchillesSpec extends SparkSpecBase {
     assert(byAnalysis(200).length == 2)                  // two visit concepts
   }
 
+  test("age at first observation strata") {
+    val op = Seq((1L, 1L, "2020-01-01"), (2L, 2L, "2020-06-01"))
+      .toDF("observation_period_id", "person_id", "s")
+      .select(col("*"),
+        col("s").cast("date").as("observation_period_start_date"))
+    val res = Achilles.a101AgeAtFirstObs(person, op)
+      .collect().map(r => r.getString(1) -> r.getLong(6)).toMap
+    assert(res == Map("40" -> 2)) // both obs-persons born 1980, first obs 2020
+  }
+
   test("visit-length distribution computes exact percentiles") {
     val d = Achilles.a211VisitLength(visit).head()
     assert(d.getAs[Long]("count_value") == 2)
