@@ -32,6 +32,16 @@ object EventStreams {
   def hourlyRollupStream(events: DataFrame): DataFrame =
     hourlyRollup(events.withWatermark("ts", "2 hours"))
 
+  /** Streaming exact-dedup: drop events whose dedup key was already seen,
+    * with state bounded by the watermark (the streaming tier of the batch
+    * content-hash dedup in [[graft.ops.Dedup]]). At scale the state store
+    * holds one entry per key inside the watermark window — O(recent keys),
+    * not O(stream). */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+                  watermarkDelay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicates(keys :+ "ts")
+
   val SessionGapMinutes = 30
 
   /** Batch sessionization: a session breaks when the gap to the previous

@@ -52,6 +52,29 @@ class EventStreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated keys under the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val sdf = mem.toDF.toDF("user_id", "ts", "event_type", "value")
+    val q = EventStreams.dedupStream(sdf, Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // same (user, type, ts) delivered twice → kept once
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+        (1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+        (1L, ts("2024-01-01 10:05:00"), "click", 2.0))
+      q.processAllAvailable()
+      // redelivery in a later batch, still within watermark → dropped
+      mem.addData((1L, ts("2024-01-01 10:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_sink").collect()
+      assert(rows.length == 2, rows.mkString(", "))
+    } finally q.stop()
+  }
+
   test("file sink + checkpoint: restart resumes without reprocessing") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
