@@ -67,6 +67,14 @@ class EtlPipelineSpec extends SparkSpecBase {
     typedEncounters, "id", "visit_occurrence_id")
     .withColumnRenamed("id", "source_visit_id")
 
+  test("splitCsv honors quotes, escaped quotes, and empty fields") {
+    assert(Ingest.splitCsv("a,\"b,c\",d").toSeq == Seq("a", "b,c", "d"))
+    assert(Ingest.splitCsv("a,\"say \"\"hi\"\"\",c").toSeq
+      == Seq("a", "say \"hi\"", "c"))
+    assert(Ingest.splitCsv("a,,c,").toSeq == Seq("a", "", "c", ""))
+    assert(Ingest.splitCsv("").toSeq == Seq(""))
+  }
+
   test("S3 repair: unquoted comma row is merged into the last field") {
     val repaired = Ingest.readRepaired(spark, s"$dir/conditions.csv")
     assert(repaired.count() == 4)

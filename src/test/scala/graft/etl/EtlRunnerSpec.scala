@@ -1,0 +1,91 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** Regression net for the CLI contract: EtlRunner.run over a full fixture
+  * set (incl. optional immunizations/allergies + vocab) produces all OMOP
+  * outputs and a zero-failure validation report. */
+class EtlRunnerSpec extends SparkSpecBase {
+
+  private lazy val dirs = {
+    val in = Files.createTempDirectory("runner_in").toString
+    val out = Files.createTempDirectory("runner_out").toString
+    val vocab = Files.createTempDirectory("runner_vocab").toString
+    def w(d: String, name: String, content: String): Unit =
+      Files.writeString(java.nio.file.Paths.get(s"$d/$name"), content)
+    val u1 = "11111111-1111-1111-1111-111111111111"
+    val e1 = "aaaaaaaa-0000-0000-0000-000000000001"
+    w(in, "patients.csv",
+      s"Id,BIRTHDATE,DEATHDATE,GENDER,RACE,ETHNICITY,MARITAL\n" +
+        s"$u1,1980-03-15,,M,white,nonhispanic,M\n")
+    w(in, "encounters.csv",
+      "Id,START,STOP,PATIENT,ENCOUNTERCLASS,CODE,DESCRIPTION," +
+        "BASE_ENCOUNTER_COST,TOTAL_CLAIM_COST,PAYER_COVERAGE\n" +
+        s"$e1,2015-01-01T09:00:00Z,2015-01-01T10:00:00Z,$u1,ambulatory," +
+        "185349003,Visit,100.00,120.00,20.00\n")
+    w(in, "conditions.csv",
+      "START,STOP,PATIENT,ENCOUNTER,CODE,DESCRIPTION\n" +
+        s"2015-01-01,2015-02-01,$u1,$e1,44054006,Diabetes\n")
+    w(in, "medications.csv",
+      "START,STOP,PATIENT,ENCOUNTER,CODE,DESCRIPTION\n" +
+        s"2015-01-01T09:30:00Z,,$u1,$e1,313782,Acetaminophen\n")
+    w(in, "procedures.csv",
+      "START,STOP,PATIENT,ENCOUNTER,CODE,DESCRIPTION\n" +
+        s"2015-01-01T09:45:00Z,,$u1,$e1,232717009,CABG\n")
+    w(in, "observations.csv",
+      "DATE,PATIENT,ENCOUNTER,CODE,DESCRIPTION,VALUE,UNITS\n" +
+        s"2015-01-01T09:15:00Z,$u1,$e1,8302-2,Height,175.3,cm\n")
+    w(in, "immunizations.csv",
+      "DATE,PATIENT,ENCOUNTER,CODE,DESCRIPTION,BASE_COST\n" +
+        s"2016-04-01T10:00:00Z,$u1,$e1,140,Flu,140.52\n")
+    w(in, "allergies.csv",
+      "START,STOP,PATIENT,ENCOUNTER,CODE,SYSTEM,DESCRIPTION,TYPE,CATEGORY," +
+        "REACTION1,DESCRIPTION1,SEVERITY1,REACTION2,DESCRIPTION2,SEVERITY2\n" +
+        s"2014-06-01T00:00:00Z,,$u1,$e1,419474003,SNOMED,Peanut,allergy," +
+        "food,271807003,Rash,MILD,,,\n")
+    w(vocab, "CONCEPT.csv",
+      "concept_id\tconcept_name\tdomain_id\tvocabulary_id\tconcept_class_id" +
+        "\tstandard_concept\tconcept_code\tinvalid_reason\n" +
+        "1001\tDiabetes src\tCondition\tSNOMED\tCF\t\t44054006\t\n" +
+        "201826\tT2DM\tCondition\tSNOMED\tCF\tS\t201826X\t\n")
+    w(vocab, "CONCEPT_RELATIONSHIP.csv",
+      "concept_id_1\tconcept_id_2\trelationship_id\tvalid_start_date" +
+        "\tvalid_end_date\tinvalid_reason\n" +
+        "1001\t201826\tMaps to\t2000-01-01\t2099-12-31\t\n")
+    (in, out, vocab)
+  }
+
+  test("full run produces every OMOP output and a clean validation report") {
+    val (in, out, vocab) = dirs
+    val report = EtlRunner.run(spark, in, out, Some(vocab))
+    assert(report.filter(col("failed_count") > 0).count() == 0)
+    val expected = Seq("person_map", "visit_map", "person",
+      "visit_occurrence", "condition_occurrence", "drug_exposure",
+      "procedure_occurrence", "measurement", "observation", "death", "cost",
+      "drug_exposure_immunizations", "achilles_results", "observation_period")
+    for (t <- expected)
+      assert(Files.exists(java.nio.file.Paths.get(s"$out/$t")), t)
+    // vocab mapping applied
+    val cond = spark.read.parquet(s"$out/condition_occurrence").head()
+    assert(cond.getAs[Long]("condition_concept_id") == 201826L)
+    // observation period spans allergy (2014) → immunization (2016)
+    val op = spark.read.parquet(s"$out/observation_period").head()
+    assert(op.getAs[java.sql.Date]("observation_period_start_date").toString
+      == "2014-06-01")
+    assert(op.getAs[java.sql.Date]("observation_period_end_date").toString
+      == "2016-04-01")
+  }
+
+  test("missing required file fails fast with the full list") {
+    val empty = Files.createTempDirectory("runner_empty").toString
+    val e = intercept[IllegalArgumentException] {
+      EtlRunner.run(spark, empty, empty)
+    }
+    assert(e.getMessage.contains("patients.csv"))
+    assert(e.getMessage.contains("medications.csv"))
+  }
+}
