@@ -106,10 +106,13 @@ object NearDup {
               idCol: String): DataFrame = {
     val shingles = shinglesRaw.distinct() // set semantics for |A∩B|/|A∪B|
     val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    // second join keys on BOTH (doc, hash): the intersection is computed
+    // IN the join instead of filtering a per-pair cross of shingle sets —
+    // intermediate size |A∩B| per pair, not |A|·|B|
     val inter = pairs
-      .join(shingles.select(col(idCol).as("doc_a"), col("h").as("ha")), "doc_a")
-      .join(shingles.select(col(idCol).as("doc_b"), col("h").as("hb")), "doc_b")
-      .filter(col("ha") === col("hb"))
+      .join(shingles.select(col(idCol).as("doc_a"), col("h")), "doc_a")
+      .join(shingles.select(col(idCol).as("doc_b"), col("h")),
+        Seq("doc_b", "h"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     pairs
