@@ -56,6 +56,7 @@ object SparkEntry {
     "q29_simhash"            -> TextQueries.qSimhash _,
     "q30_jaccard_window"     -> TextQueries.qNgramJaccardWindow _,
     "q45_repetition"         -> TextQueries.qRepetition _,
+    "q46_window_analytics"   -> Relational.q46WindowAnalytics _,
     // streaming-shaped transforms, batch-parity forms (events table)
     "q40_hourly_rollup"      -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStreams.hourlyRollup(graft.core.Tables.events(s, d))),
@@ -257,6 +258,18 @@ object SparkEntry {
         |  COUNT(DISTINCT l_suppkey) AS n_supps,
         |  COUNT(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status
         |FROM lineitem""".stripMargin,
+
+    "q46_window_analytics" ->
+      """SELECT event_id, user_id, ts, value,
+        |  CAST(row_number() OVER w AS INTEGER) AS seq,
+        |  CAST(rank() OVER (PARTITION BY user_id
+        |       ORDER BY value DESC, event_id) AS INTEGER) AS value_rank,
+        |  epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS micros_since_prev,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id
+        |       ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |    AS running_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
 
     "q50_media_features" -> {
       val fcols = (0 until graft.multimodal.Multimodal.FeatureDims)

@@ -299,6 +299,27 @@ object Relational {
       countDistinct(col("l_suppkey")).as("n_supps"),
       countDistinct(col("l_returnflag"), col("l_linestatus")).as("n_flag_status"))
 
+  /** Beyond the reference: general window analytics (rank/lag/running
+    * aggregates) — the per-entity sequence analysis a complete engine
+    * owes its users. One shuffle on the partition key; running sums use
+    * the exact-decimal pattern so frame accumulation is order-exact. */
+  def q46WindowAnalytics(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("ts"), col("value"),
+      row_number().over(w).as("seq"),
+      rank().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("value").desc, col("event_id"))).as("value_rank"),
+      (unix_micros(col("ts")) -
+        unix_micros(lag(col("ts"), 1).over(w))).as("micros_since_prev"),
+      sum(col("value").cast("decimal(18,4)"))
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0))
+        .cast("double").as("running_value"))
+  }
+
   /** J7/J8 two-hop "Maps to" vocabulary traversal
     * (etl_pipeline/etl_concept_mapping.py:153-165), emulated on the star
     * schema: customer --(nation as relationship)--> region as the standard
