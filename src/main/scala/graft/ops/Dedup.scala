@@ -52,6 +52,18 @@ object Dedup {
       .join(existingKeys, keys, "left_anti")
   }
 
+  /** Keyset pagination — the scale replacement for ORDER BY/LIMIT/OFFSET
+    * batching (W3; the reference pages with OFFSET,
+    * transfer_population_to_staging.sql:140-142, which re-scans every
+    * skipped row). `after` is the last key of the previous page (None for
+    * the first); the filter pushes to the scan, so each page costs
+    * O(page), not O(offset + page). */
+  def keysetPage(df: DataFrame, keyCol: String, pageSize: Int,
+                 after: Option[Any]): DataFrame = {
+    val filtered = after.fold(df)(k => df.filter(col(keyCol) > lit(k)))
+    filtered.orderBy(col(keyCol).asc).limit(pageSize)
+  }
+
   /** Exact duplicate detection by content hash — groupBy-count on a stable
     * digest of the chosen columns. Map-side partial aggregation makes this
     * one shuffle of (hash, count) pairs regardless of row width. */

@@ -43,6 +43,27 @@ class DedupSpec extends SparkSpecBase {
     assert(notIn == 0)
   }
 
+  test("keysetPage pages the full set exactly once, filter pushed down") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val total = orders.count()
+    var seen = Vector.empty[Long]
+    var after: Option[Any] = None
+    var page = Dedup.keysetPage(orders, "o_orderkey", 700, after)
+    while (page.count() > 0) {
+      val keys = page.select("o_orderkey").collect().map(_.getLong(0))
+      seen ++= keys
+      after = Some(keys.max)
+      page = Dedup.keysetPage(orders, "o_orderkey", 700, after)
+    }
+    assert(seen.length == total)
+    assert(seen == seen.sorted && seen.distinct.length == seen.length)
+    // the keyset predicate reaches the parquet scan
+    val plan = Dedup.keysetPage(orders, "o_orderkey", 700, Some(100L))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), " +
+      "GreaterThan(o_orderkey,100)"), plan)
+  }
+
   test("exactDedup keeps one deterministic representative per content") {
     import spark.implicits._
     val df = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("id", "text")
