@@ -57,6 +57,8 @@ object SparkEntry {
     "q30_jaccard_window"     -> TextQueries.qNgramJaccardWindow _,
     "q45_repetition"         -> TextQueries.qRepetition _,
     "q46_window_analytics"   -> Relational.q46WindowAnalytics _,
+    "q47_set_ops"            -> Relational.q47SetOps _,
+    "q48_asof_join"          -> Relational.q48AsofJoin _,
     // streaming-shaped transforms, batch-parity forms (events table)
     "q40_hourly_rollup"      -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStreams.hourlyRollup(graft.core.Tables.events(s, d))),
@@ -270,6 +272,26 @@ object SparkEntry {
         |    AS running_value
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "q47_set_ops" ->
+      """SELECT 'purchase_and_error' AS set_op, COUNT(*) AS n FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'
+        |  INTERSECT
+        |  SELECT user_id FROM events WHERE event_type = 'error') a
+        |UNION ALL
+        |SELECT 'purchase_not_error', COUNT(*) FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'
+        |  EXCEPT
+        |  SELECT user_id FROM events WHERE event_type = 'error') b""".stripMargin,
+
+    "q48_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |s AS (SELECT event_id AS signup_event_id, user_id, ts FROM events
+        |      WHERE event_type = 'signup')
+        |SELECT p.event_id, p.user_id, s.signup_event_id, s.ts AS asof_ts
+        |FROM p ASOF LEFT JOIN s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin,
 
     "q50_media_features" -> {
       val fcols = (0 until graft.multimodal.Multimodal.FeatureDims)

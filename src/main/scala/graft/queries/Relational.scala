@@ -320,6 +320,39 @@ object Relational {
         .cast("double").as("running_value"))
   }
 
+  /** §2.6 completion beyond the reference: INTERSECT / EXCEPT between two
+    * per-type user sets (the reference emulates except-semantics with
+    * anti joins; these are the declarative forms). */
+  def q47SetOps(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def users(t: String) =
+      ev.filter(col("event_type") === t).select(col("user_id"))
+    val both = users("purchase").intersect(users("error"))
+      .agg(count(lit(1)).as("n")).select(lit("purchase_and_error").as("set_op"),
+        col("n"))
+    val only = users("purchase").except(users("error"))
+      .agg(count(lit(1)).as("n")).select(lit("purchase_not_error").as("set_op"),
+        col("n"))
+    both.unionByName(only)
+  }
+
+  /** As-of join (the canonical event-stream operator Spark lacks
+    * natively; composed via [[graft.ops.AsOf]] — one shuffle+sort): for
+    * every purchase, the latest signup at or before it per user. */
+  def q48AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_event_id"), col("user_id"),
+        col("ts"))
+    graft.ops.AsOf.asofJoin(purchases, signups, "user_id", "ts",
+        Seq("signup_event_id"))
+      .select(col("event_id"), col("user_id"),
+        col("asof_signup_event_id").as("signup_event_id"),
+        col("asof_ts"))
+  }
+
   /** J7/J8 two-hop "Maps to" vocabulary traversal
     * (etl_pipeline/etl_concept_mapping.py:153-165), emulated on the star
     * schema: customer --(nation as relationship)--> region as the standard

@@ -1,0 +1,43 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class AsOfSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin picks the latest right row at or before each left ts") {
+    val purchases = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-01 12:00:00"), 101L),
+      (2L, ts("2024-01-01 09:00:00"), 102L) // before any signup → null
+    ).toDF("user_id", "ts", "purchase_id")
+    val signups = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 900L),
+      (1L, ts("2024-01-01 11:00:00"), 901L),
+      (2L, ts("2024-01-01 09:30:00"), 902L)
+    ).toDF("user_id", "ts", "signup_id")
+
+    val got = AsOf.asofJoin(purchases, signups, "user_id", "ts",
+      Seq("signup_id"))
+      .select("purchase_id", "asof_signup_id")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(100L).contains(900L)) // 10:00 → signup at 09:00
+    assert(got(101L).contains(901L)) // 12:00 → signup at 11:00
+    assert(got(102L).isEmpty)        // 09:00 < first signup 09:30
+  }
+
+  test("equal timestamps match (ASOF >= semantics)") {
+    val l = Seq((1L, ts("2024-01-01 10:00:00"), 1L))
+      .toDF("user_id", "ts", "lid")
+    val r = Seq((1L, ts("2024-01-01 10:00:00"), 7L))
+      .toDF("user_id", "ts", "rid")
+    val got = AsOf.asofJoin(l, r, "user_id", "ts", Seq("rid")).head()
+    assert(got.getAs[Long]("asof_rid") == 7L)
+  }
+}
