@@ -59,6 +59,7 @@ object SparkEntry {
     "q46_window_analytics"   -> Relational.q46WindowAnalytics _,
     "q47_set_ops"            -> Relational.q47SetOps _,
     "q48_asof_join"          -> Relational.q48AsofJoin _,
+    "q49_cube"               -> Relational.q49Cube _,
     // streaming-shaped transforms, batch-parity forms (events table)
     "q40_hourly_rollup"      -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStreams.hourlyRollup(graft.core.Tables.events(s, d))),
@@ -292,6 +293,15 @@ object SparkEntry {
         |SELECT p.event_id, p.user_id, s.signup_event_id, s.ts AS asof_ts
         |FROM p ASOF LEFT JOIN s
         |  ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin,
+
+    "q49_cube" ->
+      """SELECT COALESCE(event_type, 'ALL') AS event_type,
+        |  COALESCE(CAST(day AS VARCHAR), 'ALL') AS day,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM (SELECT event_type, dayofweek(ts) + 1 AS day, value
+        |      FROM events) t -- DuckDB dayofweek is 0-based; Spark's is 1-based
+        |GROUP BY CUBE (event_type, day)""".stripMargin,
 
     "q50_media_features" -> {
       val fcols = (0 until graft.multimodal.Multimodal.FeatureDims)

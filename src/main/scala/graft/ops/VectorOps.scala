@@ -72,18 +72,32 @@ object VectorOps {
     when(((j * 131 + i) * 2654435761L % TextOps.HashMod) % 2 === 0,
       lit(1.0)).otherwise(lit(-1.0))
 
+  /** The ±1 plane component as a plain Scala value (same formula as
+    * [[planeSign]]) for pre-materialized plane vectors. */
+  def planeSignValue(j: Int, i: Int): Double =
+    if (((j * 131L + i) * 2654435761L % TextOps.HashMod) % 2 == 0) 1.0
+    else -1.0
+
   /** Sign-random-projection LSH signature (numPlanes bits) per vector:
     * bit j = [dot(v, plane_j) > 0]. The scale path for near-dup/ANN:
     * bucket on the signature, then verify candidates exactly within
-    * buckets (cost ∝ bucket², not corpus²). */
-  def srpSignature(vec: Column, numPlanes: Int): Column =
+    * buckets (cost ∝ bucket², not corpus²).
+    *
+    * `dim` pins the plane vectors as literal arrays so each projection is
+    * one native vec_dot call (same sequential fold as the old per-element
+    * lambda — bit-identical) instead of an interpreted zip_with. */
+  def srpSignature(vec: Column, numPlanes: Int, dim: Int): Column =
     (0 until numPlanes).map { j =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast(DoubleType) * planeSign(lit(j), i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << j)).otherwise(0L)
+      val plane = array((0 until dim).map(i =>
+        lit(planeSignValue(j, i))): _*)
+      when(dot(vec, plane) > 0, lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
+
+  /** Dim-discovering convenience (one tiny driver-side job). */
+  def srpSignatureAuto(df: DataFrame, vecCol: String,
+                       numPlanes: Int): Column =
+    srpSignature(col(vecCol), numPlanes,
+      df.select(size(col(vecCol))).head().getInt(0))
 
   /** IVF-style coarse quantization: assign every vector to its nearest
     * centroid (broadcast centroids — the "coarse codebook"), search only
@@ -135,7 +149,7 @@ object VectorOps {
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
     val sig = vecs.select(col(idCol), col(vecCol),
-      srpSignature(col(vecCol), numPlanes).as("sig"))
+      srpSignatureAuto(vecs, vecCol, numPlanes).as("sig"))
     val l = sig.select(col(idCol).as("vec_a"), col(vecCol).as("va"), col("sig"))
     val r = sig.select(col(idCol).as("vec_b"), col(vecCol).as("vb"), col("sig"))
     l.join(r, "sig").filter(col("vec_a") < col("vec_b"))

@@ -291,6 +291,19 @@ object Relational {
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         col("n"), col("total"))
 
+  /** CUBE over two dimensions — all four grouping combinations in one
+    * pass (Catalyst expands the grouping sets; each row is aggregated
+    * once per set, map-side combinable). */
+  def q49Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("day", dayofweek(col("ts")))
+      .cube(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("day").cast("string"), lit("ALL")).as("day"),
+        col("n"), col("total"))
+
   /** A7+ exact distinct counts across several columns in one pass. */
   def q44DistinctCounts(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir).agg(

@@ -27,11 +27,14 @@ object VectorQueries {
 
   /** SRP-LSH bucket histogram: how the corpus distributes over signature
     * buckets (the candidate-generation structure, inspectable). */
-  def qSrpBuckets(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
-      .select(VectorOps.srpSignature(col("embedding"), SrpPlanes).as("sig"))
+  def qSrpBuckets(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    emb
+      .select(VectorOps.srpSignatureAuto(emb, "embedding", SrpPlanes)
+        .as("sig"))
       .groupBy(col("sig"))
       .agg(count(lit(1)).as("n_vecs"))
+  }
 
   /** Embedding near-dup pairs: SRP bucket candidates verified at cos ≥ 0.2
     * (synthetic corpus has no true near-dups; threshold set to exercise

@@ -64,10 +64,10 @@ class VectorOpsSpec extends SparkSpecBase {
 
   test("SRP: identical vectors land in the same bucket; opposite differ") {
     val sig = vecs.select($"vec_id",
-      VectorOps.srpSignature($"embedding", 12).as("sig"))
+      VectorOps.srpSignature($"embedding", 12, 3).as("sig"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val dup = Seq((9L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
-      .select(VectorOps.srpSignature($"embedding", 12)).head().getLong(0)
+      .select(VectorOps.srpSignature($"embedding", 12, 3)).head().getLong(0)
     assert(dup == sig(0L))
     assert(sig(0L) != sig(3L))
   }
