@@ -13,7 +13,11 @@ object Bench {
     // min of two runs per query: first run can absorb shuffle-file/page
     // cache warmup and JIT of query-specific codegen; min is the honest
     // steady-state number on a shared machine
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional args: only bench queries whose name starts with one of them
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => args.exists(n.startsWith) }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -69,7 +69,14 @@ object Domains {
         col("gender_source").as("gender_source_value"),
         col("race_source").as("race_source_value"),
         col("ethnicity_source").as("ethnicity_source_value"))
-    existing.fold(out)(ex => Dedup.antiAppend(out, ex, Seq("person_id")))
+    // deterministic survivor for duplicated source patient rows: rerun
+    // output is byte-stable regardless of partitioning
+    existing.fold(out)(ex => Dedup.antiAppendDeterministic(out, ex,
+      Seq("person_id"),
+      Seq(col("birth_datetime").asc_nulls_last,
+        col("gender_source_value").asc_nulls_last,
+        col("race_source_value").asc_nulls_last,
+        col("ethnicity_source_value").asc_nulls_last)))
   }
 
   /** ENCOUNTERCLASS → visit concept (transform_visit_occurrence_v2.sql:

@@ -43,9 +43,14 @@ object AsOf {
     }.select(leftAligned.columns.map(col): _*)
 
     // right rows (__tag=1) sort before left (__tag=0) at equal ts so
-    // ties match (ASOF >= semantics)
+    // ties match (ASOF >= semantics); the carried value columns break
+    // ties among right rows sharing (key, ts) so last() is deterministic
+    // across runs and partitionings (left rows hold NULLs there —
+    // asc_nulls_first keeps them after all right rows at the same ts
+    // only via __tag, which already dominates)
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol).asc, col("__tag").desc)
+      .orderBy(col(tsCol).asc +: col("__tag").desc +:
+        carried.map(col(_).asc_nulls_first): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val filled = carried.foldLeft(leftAligned.unionByName(rightAligned)) {
       (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))

@@ -43,12 +43,31 @@ object Dedup {
     * (set-based anti join can't see them the way Postgres row-at-a-time
     * inserts do — SURVEY.md §7.4 risk 8). `left_anti` matches the
     * reference's `NOT IN` exactly because the keys are non-null there
-    * (risk 3; asserted in DedupSpec). */
+    * (risk 3; asserted in DedupSpec).
+    *
+    * NOTE: for intra-batch duplicates the surviving row's NON-KEY columns
+    * are unspecified (`dropDuplicates` keeps an arbitrary row). When the
+    * payload must be reproducible across reruns, use
+    * [[antiAppendDeterministic]] with an explicit tiebreak. */
   def antiAppend(incoming: DataFrame, existing: DataFrame,
                  keys: Seq[String]): DataFrame = {
     val existingKeys = existing.select(keys.map(col): _*)
     incoming
       .dropDuplicates(keys)
+      .join(existingKeys, keys, "left_anti")
+  }
+
+  /** [[antiAppend]] with a deterministic within-batch survivor: when
+    * `incoming` has several rows per key, the first under `tiebreak` wins
+    * (mirrors the reference's row-at-a-time first-writer-wins insert,
+    * which plain `dropDuplicates` only matches up to arbitrary choice of
+    * non-key columns). Same shuffle count — the window reuses the key
+    * partitioning the anti join needs anyway. */
+  def antiAppendDeterministic(incoming: DataFrame, existing: DataFrame,
+                              keys: Seq[String],
+                              tiebreak: Seq[Column]): DataFrame = {
+    val existingKeys = existing.select(keys.map(col): _*)
+    firstRowPerGroup(incoming, keys.map(col), tiebreak)
       .join(existingKeys, keys, "left_anti")
   }
 

@@ -33,20 +33,27 @@ object NearDup {
     * by the downstream minhash aggregation. ~4× faster at sf0.1. */
   def shingleRows(docs: DataFrame, idCol: String, textCol: String,
                   n: Int): DataFrame = {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
     val tk = TextOps.tokens(col(textCol))
     val tok = docs.select(col(idCol),
         posexplode(tk).as(Seq("pos", "tok")))
       .select(col(idCol), col("pos"),
         TextOps.polyHash(col("tok")).as("th"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("pos"))
-    val leads = (1 until n).map(i => lead(col("th"), i).over(w).as(s"th$i"))
-    val folded = (1 until n).foldLeft(col("th")) { (acc, i) =>
-      (acc * 31 + col(s"th$i")) % TextOps.HashMod
-    }
-    val shingled = tok.select(col(idCol) +: col("th") +: leads: _*)
-      .filter(col(s"th${n - 1}").isNotNull)
-      .select(col(idCol), folded.as("h"))
+    // n=1: per-token shingles need no lead/fold window (and th0 would not
+    // exist) — the hash IS the token hash
+    val shingled =
+      if (n == 1) tok.select(col(idCol), col("th").as("h"))
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol)).orderBy(col("pos"))
+        val leads = (1 until n).map(i => lead(col("th"), i).over(w).as(s"th$i"))
+        val folded = (1 until n).foldLeft(col("th")) { (acc, i) =>
+          (acc * 31 + col(s"th$i")) % TextOps.HashMod
+        }
+        tok.select(col(idCol) +: col("th") +: leads: _*)
+          .filter(col(s"th${n - 1}").isNotNull)
+          .select(col(idCol), folded.as("h"))
+      }
     val short = docs
       .filter(size(tk) < n)
       .select(col(idCol),
@@ -101,10 +108,33 @@ object NearDup {
   }
 
   /** Exact n-gram Jaccard for given (doc_a, doc_b) pairs, from the same
-    * (doc, shingle-hash) rows: |A∩B| via join, |A∪B| = |A|+|B|−|A∩B|. */
-  def jaccard(pairs: DataFrame, shinglesRaw: DataFrame,
-              idCol: String): DataFrame = {
-    val shingles = shinglesRaw.distinct() // set semantics for |A∩B|/|A∪B|
+    * (doc, shingle-hash) rows: |A∩B| via join, |A∪B| = |A|+|B|−|A∩B|.
+    *
+    * The shingle stream is first semi-join-restricted to docs that appear
+    * in a candidate pair: the verify tier then costs O(candidate docs),
+    * not O(corpus) — at 100 TB the LSH stage emits a sliver of the corpus
+    * and the expensive distinct + intersection joins must only ever see
+    * that sliver. (Pass `restrictToPairDocs = false` when the pair set
+    * already covers every doc, e.g. exhaustive windows — saves the
+    * restriction join.) */
+  def jaccard(pairs: DataFrame, shinglesRaw: DataFrame, idCol: String,
+              restrictToPairDocs: Boolean = true): DataFrame = {
+    val restricted =
+      if (!restrictToPairDocs) shinglesRaw
+      else {
+        val pairDocs = pairs.select(col("doc_a").as(idCol))
+          .unionByName(pairs.select(col("doc_b").as(idCol))).distinct()
+        shinglesRaw.join(pairDocs, Seq(idCol), "left_semi")
+      }
+    // set semantics for |A∩B|/|A∪B|; persisted because the plan below
+    // references it four times (sizes + both sides of the intersection
+    // join) and each reference would otherwise re-run the whole
+    // tokenize→window→distinct lineage. This is the pipeline's stage
+    // boundary — the same role the reference's staged temp tables play
+    // (OPTIMIZATION_SUMMARY.md:55-69); MEMORY_AND_DISK so a corpus-scale
+    // window tier degrades to spill, never OOM.
+    val shingles = restricted.distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     // second join keys on BOTH (doc, hash): the intersection is computed
     // IN the join instead of filtering a per-pair cross of shingle sets —

@@ -41,9 +41,13 @@ object SafeCast {
   val DatePrefixPattern = "^[0-9]{4}-[0-9]{2}-[0-9]{2}"
 
   /** P1: cast only when the string matches `pattern`; otherwise NULL.
-    * Never throws on dirty data (ANSI-safe by construction). */
+    * Never throws on dirty data: the regex mirrors the reference's guard,
+    * and the inner cast is `try_cast` so values that pass the guard but
+    * still fail the cast under ANSI mode (Spark 4 default) — invalid
+    * calendar dates, overflowing digit strings — become NULL instead of
+    * killing the job. */
   def safeCast(c: Column, dt: DataType, pattern: String): Column =
-    when(c.rlike(pattern), c.cast(dt)).otherwise(lit(null).cast(dt))
+    when(c.rlike(pattern), c.try_cast(dt)).otherwise(lit(null).cast(dt))
 
   /** P3/P4 convenience forms. */
   def safeNumeric(c: Column, dt: DataType = DoubleType): Column =
@@ -53,15 +57,18 @@ object SafeCast {
   def safeInt(c: Column): Column = safeCast(c, IntegerType, IntPattern)
   def safeLong(c: Column): Column = safeCast(c, LongType, IntPattern)
 
-  /** Timestamp guard: prefix-check then cast (to_timestamp returns NULL on
-    * garbage suffixes rather than erroring — matches reference intent,
-    * SURVEY.md §7.4 risk 6). */
+  /** Timestamp guard: prefix-check then try-cast — NULL (not an ANSI
+    * error) on garbage suffixes AND on guard-passing-but-invalid values
+    * like '2024-01-02 99:00' (SURVEY.md §7.4 risk 6). */
   def safeTimestamp(c: Column): Column =
-    when(c.rlike(DatePrefixPattern), to_timestamp(c))
+    when(c.rlike(DatePrefixPattern), c.try_cast(TimestampType))
       .otherwise(lit(null).cast(TimestampType))
 
+  /** Date guard: '2024-99-99' matches the prefix regex but is not a
+    * calendar date — try_cast maps it to NULL instead of throwing. */
   def safeDate(c: Column): Column =
-    when(c.rlike(DatePrefixPattern), to_date(substring(c, 1, 10)))
+    when(c.rlike(DatePrefixPattern),
+        substring(c, 1, 10).try_cast(DateType))
       .otherwise(lit(null).cast(DateType))
 
   /** UUID validity guard. */

@@ -39,11 +39,27 @@ object TopK {
     }
 
   /** Per-group top-k of `scoreCol` with deterministic (score desc, item
-    * asc) order; output columns (groupCol, itemCol, rank, scoreCol). */
+    * asc) order; output columns (groupCol, itemCol, rank, scoreCol).
+    *
+    * Group and item ids must be integral (they key the bounded-buffer
+    * aggregator as longs); a string doc-id would silently cast to NULL
+    * and collapse all rows into one group, so non-integral id columns
+    * are rejected up front. Re-key string ids through [[DenseId]] first. */
   def topKPerGroup(df: DataFrame, groupCol: String, itemCol: String,
                    scoreCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    Seq(groupCol, itemCol).foreach { c =>
+      import org.apache.spark.sql.types._
+      val ok = df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      require(ok,
+        s"topKPerGroup id column '$c' must be integral, got " +
+          s"${df.schema(c).dataType.simpleString} — assign dense integer " +
+          "ids (ops.DenseId) for string keys")
+    }
     val ds = df.select(col(groupCol).cast("long").as("group"),
         col(itemCol).cast("long").as("item"),
         col(scoreCol).cast("double").as("score"))

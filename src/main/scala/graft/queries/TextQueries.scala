@@ -110,20 +110,32 @@ object TextQueries {
     NearDup.candidatePairs(bands, "doc_id")
   }
 
-  /** LSH candidates verified with exact shingle Jaccard ≥ 0.3. The
-    * (doc, shingle-hash) stream feeds BOTH the minhash→LSH candidate stage
-    * and the exact-Jaccard verify stage — persist it once instead of
-    * recomputing the tokenize/shingle/hash lineage twice (the reference
-    * stages the same way via temp tables, OPTIMIZATION_SUMMARY.md:55-69). */
+  /** LSH candidates verified with exact shingle Jaccard ≥ 0.3.
+    *
+    * Scale shape: the corpus-wide shingle stream flows ONCE through the
+    * minhash→LSH cascade (never persisted — it is the widest intermediate
+    * in the whole pipeline and would dominate cache memory at 100 TB).
+    * Only the candidate PAIRS are persisted (tiny, bounded by bucket
+    * collisions), and the exact-Jaccard verify tier re-derives shingles
+    * from scratch for candidate docs only — the semi-join lands next to
+    * the parquet scan, so the second pass reads a sliver of the corpus. */
   def qNearDupVerified(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val sh = NearDup.shingleRows(docs, "doc_id", "text", ShingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mh = NearDup.minhashRows(sh, "doc_id", NumHashes)
+    // persisted because jaccard references the pair set three times
+    // (intersection build + two final joins) and the LSH cascade above
+    // it must run once, not three times
     val pairs = NearDup.candidatePairs(
       NearDup.lshBands(mh, "doc_id", RowsPerBand), "doc_id")
       .select(col("doc_a"), col("doc_b"))
-    NearDup.jaccard(pairs, sh, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairDocs = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val shCand = NearDup.shingleRows(
+      docs.join(pairDocs, Seq("doc_id"), "left_semi"),
+      "doc_id", "text", ShingleN)
+    NearDup.jaccard(pairs, shCand, "doc_id", restrictToPairDocs = false)
       .filter(col("jaccard") >= 0.3)
       .select(col("doc_a"), col("doc_b"), col("inter"),
         round(col("jaccard"), 6).as("jaccard"))
@@ -158,11 +170,16 @@ object TextQueries {
   def qNgramJaccardWindow(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val ids = docs.select(col("doc_id"))
+    // equi-join pair generation: explode the offsets 1..3 and semi-join
+    // to keep existing ids — a hash join on doc_b, NOT the O(n²)
+    // broadcast-nested-loop a (doc_b BETWEEN a+1 AND a+3) theta-join plans
     val pairs = ids.select(col("doc_id").as("doc_a"))
-      .join(ids.select(col("doc_id").as("doc_b")),
-        col("doc_b") > col("doc_a") && col("doc_b") <= col("doc_a") + 3)
+      .withColumn("doc_b",
+        explode(array((1 to 3).map(d => col("doc_a") + d): _*)))
+      .join(ids.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
     val sh = NearDup.shingleRows(docs, "doc_id", "text", ShingleN)
-    NearDup.jaccard(pairs, sh, "doc_id")
+    // window pairs span every doc — skip the pair-doc restriction join
+    NearDup.jaccard(pairs, sh, "doc_id", restrictToPairDocs = false)
       .filter(col("jaccard") > 0)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }

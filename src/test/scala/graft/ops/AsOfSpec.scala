@@ -40,4 +40,20 @@ class AsOfSpec extends SparkSpecBase {
     val got = AsOf.asofJoin(l, r, "user_id", "ts", Seq("rid")).head()
     assert(got.getAs[Long]("asof_rid") == 7L)
   }
+
+  test("right rows tied on (key, ts) resolve deterministically across partitionings") {
+    val l = Seq((1L, ts("2024-01-01 10:00:00"), 1L))
+      .toDF("user_id", "ts", "lid")
+    val rRows = Seq((1L, ts("2024-01-01 09:00:00"), 903L),
+      (1L, ts("2024-01-01 09:00:00"), 901L),
+      (1L, ts("2024-01-01 09:00:00"), 902L))
+    // every shuffle/order of the right side must pick the same winner:
+    // the greatest carried tuple (here rid=903) under the window tiebreak
+    for (perm <- rRows.permutations.take(6); parts <- Seq(1, 3)) {
+      val r = perm.toDF("user_id", "ts", "rid").repartition(parts)
+      val got = AsOf.asofJoin(l, r, "user_id", "ts", Seq("rid")).head()
+      assert(got.getAs[Long]("asof_rid") == 903L,
+        s"nondeterministic tie-break for perm=$perm parts=$parts")
+    }
+  }
 }

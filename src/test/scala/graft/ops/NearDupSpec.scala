@@ -52,4 +52,19 @@ class NearDupSpec extends SparkSpecBase {
     val sh = NearDup.shingleRows(tiny, "doc_id", "text", 3)
     assert(sh.count() == 1)
   }
+
+  test("n=1 degrades to per-token shingles (no lead window, no th0 ref)") {
+    val sh = NearDup.shingleRows(docs, "doc_id", "text", 1)
+      .filter(col("doc_id") === 1L)
+    // 9 tokens in doc 1 → 9 per-token shingle hashes, equal to polyHash
+    // of each token directly
+    assert(sh.count() == 9)
+    val direct = docs.filter(col("doc_id") === 1L)
+      .select(explode(TextOps.tokens(col("text"))).as("t"))
+      .select(TextOps.polyHash(col("t")).as("h"))
+    assert(sh.select("h").except(direct).count() == 0)
+    assertThrows[IllegalArgumentException] {
+      NearDup.shingleRows(docs, "doc_id", "text", 0)
+    }
+  }
 }

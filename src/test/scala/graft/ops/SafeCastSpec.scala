@@ -70,6 +70,20 @@ class SafeCastSpec extends SparkSpecBase {
     assert(one(c, "x") == null)
   }
 
+  test("guard-passing but unparseable inputs become NULL under ANSI mode") {
+    // Spark 4 defaults spark.sql.ansi.enabled=true; these all match the
+    // regex guard yet fail the cast — try_cast must absorb them (one bad
+    // row must never kill a dirty-CSV ETL job).
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    assert(one(safeDate(col("v")), "2024-99-99") == null)
+    assert(one(safeDate(col("v")), "2023-02-29") == null) // not a leap year
+    assert(one(safeTimestamp(col("v")), "2024-01-02 99:00") == null)
+    assert(one(safeInt(col("v")), "99999999999999999999") == null) // overflow
+    assert(one(safeLong(col("v")), "99999999999999999999") == null)
+    assert(one(safeInt(col("v")), "2147483648") == null) // Int.MaxValue + 1
+    assert(one(safeLong(col("v")), "2147483648") == 2147483648L)
+  }
+
   test("safeUuid validates the 36-char shape") {
     assert(one(safeUuid(col("v")), "123e4567-e89b-12d3-a456-426614174000")
       == "123e4567-e89b-12d3-a456-426614174000")

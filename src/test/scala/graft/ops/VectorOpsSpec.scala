@@ -62,6 +62,14 @@ class VectorOpsSpec extends SparkSpecBase {
     assert(viaAgg.size == 70)
   }
 
+  test("topKPerGroup rejects non-integral id columns up front") {
+    val strKeys = Seq(("a", 1L, 0.5)).toDF("g", "item", "score")
+    val ex = intercept[IllegalArgumentException] {
+      TopK.topKPerGroup(strKeys, "g", "item", "score", 3)
+    }
+    assert(ex.getMessage.contains("must be integral"))
+  }
+
   test("SRP: identical vectors land in the same bucket; opposite differ") {
     val sig = vecs.select($"vec_id",
       VectorOps.srpSignature($"embedding", 12, 3).as("sig"))
