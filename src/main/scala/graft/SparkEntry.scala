@@ -60,6 +60,9 @@ object SparkEntry {
     "q47_set_ops"            -> Relational.q47SetOps _,
     "q48_asof_join"          -> Relational.q48AsofJoin _,
     "q49_cube"               -> Relational.q49Cube _,
+    "q52_interval_merge"     -> Relational.q52IntervalMerge _,
+    "q53_range_join"         -> Relational.q53RangeJoin _,
+    "q54_stratified_sample"  -> TextQueries.qStratifiedSample _,
     // streaming-shaped transforms, batch-parity forms (events table)
     "q40_hourly_rollup"      -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStreams.hourlyRollup(graft.core.Tables.events(s, d))),
@@ -284,6 +287,32 @@ object SparkEntry {
         |  SELECT user_id FROM events WHERE event_type = 'purchase'
         |  EXCEPT
         |  SELECT user_id FROM events WHERE event_type = 'error') b""".stripMargin,
+
+    "q52_interval_merge" ->
+      """WITH iv AS (SELECT l_suppkey, l_shipdate AS s,
+        |              l_shipdate + INTERVAL 7 DAY AS e FROM lineitem),
+        |x AS (SELECT l_suppkey, s, e,
+        |        MAX(e) OVER (PARTITION BY l_suppkey ORDER BY s, e
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |      FROM iv),
+        |y AS (SELECT l_suppkey, s, e,
+        |        SUM(CASE WHEN pme IS NOT NULL AND pme >= s THEN 0 ELSE 1 END)
+        |          OVER (PARTITION BY l_suppkey ORDER BY s, e
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |      FROM x)
+        |SELECT l_suppkey, MIN(s) AS era_start, MAX(e) AS era_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_merged
+        |FROM y GROUP BY l_suppkey, island""".stripMargin,
+
+    "q53_range_join" ->
+      """SELECT e.event_id AS err_id, e.user_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_clicks
+        |FROM events e JOIN events c
+        |  ON c.user_id = e.user_id AND c.event_type = 'click'
+        | AND c.ts >= e.ts - INTERVAL 7200 SECOND
+        | AND c.ts <= e.ts + INTERVAL 7200 SECOND
+        |WHERE e.event_type = 'error'
+        |GROUP BY e.event_id, e.user_id""".stripMargin,
 
     "q48_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events

@@ -14,6 +14,11 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // runtime bloom-filter pushdown: a selective dim-side predicate
+      // seeds a bloom filter that prunes the fact side BEFORE its shuffle
+      // — at 100 TB this is the difference between shuffling the whole
+      // fact table and shuffling only rows that can possibly join
+      .config("spark.sql.optimizer.runtimeFilter.bloomFilter.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")

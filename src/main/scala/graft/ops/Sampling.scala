@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling for training-data pipelines.
+  *
+  * `df.sample()` draws from a per-partition RNG: the selected rows change
+  * with partitioning, task retries, and AQE re-plans — useless for
+  * reproducible corpus construction. These samplers decide per ROW from a
+  * content hash of the row's key + seed, so the same row is always in or
+  * out regardless of cluster layout; the sample is re-derivable years
+  * later; and (since [[TextOps.polyHash]] has an exact SQL twin) the
+  * selection is oracle-checkable value-for-value, not statistically.
+  */
+object Sampling {
+
+  private val Scale = 1000000L
+
+  /** Uniform deterministic sample: keep rows where
+    * polyHash(key # seed) mod 1e6 < fraction·1e6. */
+  def hashSample(df: DataFrame, keyCol: Column, fraction: Double,
+                 seed: Long): DataFrame =
+    df.filter(sampleHash(keyCol, seed) < (fraction * Scale).toLong)
+
+  /** Per-stratum fractions (e.g. language rebalancing: downsample the
+    * dominant language, keep the tail). Strata not in `fractions` use
+    * `defaultFraction`. */
+  def stratifiedHashSample(df: DataFrame, keyCol: Column, strataCol: Column,
+                           fractions: Map[String, Double],
+                           defaultFraction: Double, seed: Long): DataFrame = {
+    val threshold = fractions.foldLeft(
+      lit((defaultFraction * Scale).toLong)) { case (acc, (stratum, f)) =>
+      when(strataCol === stratum, lit((f * Scale).toLong)).otherwise(acc)
+    }
+    df.filter(sampleHash(keyCol, seed) < threshold)
+  }
+
+  /** Knuth multiplicative mixer: the raw 31-polynomial hash of short ids
+    * is badly non-uniform in its low decimal digits (empirically 3% below
+    * the median for sequential ids); one odd-multiplier remix restores
+    * uniformity. Product ≤ (1e9+6)·2654435761 ≈ 2.7e18 < 2^63 — exact in
+    * BIGINT on both engines. */
+  val Mixer = 2654435761L
+
+  /** The decision hash: uniform in [0, 1e6) and shared arithmetic with
+    * the DuckDB oracle twin (TextOracles q54). */
+  def sampleHash(keyCol: Column, seed: Long): Column =
+    pmod(
+      TextOps.polyHash(concat(keyCol.cast("string"), lit("#" + seed)))
+        * Mixer % TextOps.HashMod,
+      lit(Scale))
+}

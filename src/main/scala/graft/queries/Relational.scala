@@ -379,4 +379,38 @@ object Relational {
       .groupBy(col("r_name"))
       .agg(countDistinct(col("n_nationkey")).as("n_nations"),
            count(lit(1)).as("n_customers"))
+
+  /** Era building (OMOP drug_era/condition_era semantics — gap-tolerant
+    * interval merge the reference's observation-period min/max sweep
+    * approximates, create_observation_period_v2.sql:46-55): per supplier,
+    * coalesce 7-day shipping windows into busy eras via
+    * [[graft.ops.Intervals.mergeIntervals]] — one shuffle on the key,
+    * gaps-and-islands window, no self-join. */
+  def q52IntervalMerge(s: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.lineitem(s, dir).select(
+      col("l_suppkey"), col("l_shipdate").as("s"),
+      (col("l_shipdate") + expr("INTERVAL 7 DAYS")).as("e"))
+    graft.ops.Intervals.mergeIntervals(iv, Seq(col("l_suppkey")),
+        col("s"), col("e"), expr("INTERVAL 0 SECONDS"))
+      .select(col("l_suppkey"), col("era_start"), col("era_end"),
+        col("n_merged"))
+  }
+
+  /** Banded range join (the general form of the as-of join family): for
+    * each error event, how many clicks by the same user within ±2 h.
+    * [[graft.ops.Intervals.bandedRangeJoin]] plans an equi hash join on
+    * (user, time-band) + exact µs filter — NOT the O(n²) nested-loop a
+    * raw range predicate gets. */
+  def q53RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("err_id"),
+        col("ts").as("err_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    graft.ops.Intervals.bandedRangeJoin(errors, clicks, Seq("user_id"),
+        "err_ts", "click_ts", -7200, 7200)
+      .groupBy(col("err_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_clicks"))
+  }
 }

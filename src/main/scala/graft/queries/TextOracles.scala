@@ -166,6 +166,14 @@ object TextOracles {
          |FROM bits""".stripMargin
     },
 
+    "q54_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE (${H("CAST(doc_id AS VARCHAR) || '#7'")}
+         |       * 2654435761 % 1000000007) % 1000000 <
+         |  CASE WHEN lang = 'en' THEN 250000
+         |       WHEN lang = 'zh' THEN 900000
+         |       ELSE 500000 END""".stripMargin,
+
     "q45_repetition" ->
       s"""${shingleCtes(2)},
          |g AS (SELECT doc_id, h, COUNT(*) AS c FROM shu GROUP BY doc_id, h)

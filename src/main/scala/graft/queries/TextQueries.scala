@@ -158,6 +158,17 @@ object TextQueries {
           .as("distinct_bigram_ratio"))
   }
 
+  /** Deterministic stratified corpus sampling: language rebalancing via
+    * [[graft.ops.Sampling.stratifiedHashSample]] — downsample dominant
+    * 'en', keep 'zh' nearly whole, 50% elsewhere. Row membership is a pure
+    * function of (doc_id, seed): stable across partitionings, retries and
+    * reruns, which `df.sample`'s per-partition RNG is not. */
+  def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.stratifiedHashSample(
+        Tables.documents(s, dir), col("doc_id"), col("lang"),
+        Map("en" -> 0.25, "zh" -> 0.9), defaultFraction = 0.5, seed = 7)
+      .select(col("doc_id"), col("lang"))
+
   /** SimHash signature per doc (16-bit) + population count. */
   def qSimhash(s: SparkSession, dir: String): DataFrame =
     NearDup.simhash(Tables.documents(s, dir), "doc_id", "text")
