@@ -75,4 +75,25 @@ class PlanQualitySpec extends SparkSpecBase {
     // partial_min markers appear in the pre-shuffle HashAggregate
     assert(p.contains("partial_min") || p.contains("partial_"), p)
   }
+
+  test("interval merge plans one exchange; both windows share its sort") {
+    val p = plan(graft.queries.Relational.q52IntervalMerge(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoop"), p)
+  }
+
+  test("banded range join is a hash join, never a nested loop") {
+    val p = plan(graft.queries.Relational.q53RangeJoin(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("hash sampling is a scan-level filter — no shuffle, no UDF") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val p = plan(graft.ops.Sampling.hashSample(docs, col("doc_id"), 0.5, 1))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.toLowerCase.contains("batchevalpython") &&
+      !p.contains("ScalaUDF"), p)
+  }
 }

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class CorpusPipelineSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("stages prune monotonically and keep a non-empty corpus") {
+    val (result, stats) = CorpusPipeline.run(docs,
+      CorpusPipeline.Config(minTokens = 5, jaccardMin = 0.8,
+        sampleFractions = Map("en" -> 0.5)))
+    assert(stats.input >= stats.afterQuality)
+    assert(stats.afterQuality >= stats.afterExact)
+    assert(stats.afterExact >= stats.afterNearDup)
+    assert(stats.afterNearDup >= stats.output)
+    assert(stats.output > 0)
+    assert(result.count() == stats.output)
+    // schema passes through unchanged
+    assert(result.columns.toSet == docs.columns.toSet)
+  }
+
+  test("near-dup stage removes planted duplicates, keeps the smallest id") {
+    val base = docs.limit(50)
+    // plant: doc_id+100000 with identical text (exact dup), doc_id+200000
+    // with one token appended (near dup)
+    val exactDups = base.select((col("doc_id") + 100000).as("doc_id"),
+      col("text"), col("lang"), col("source"), col("n_chars"))
+    val nearDups = base.select((col("doc_id") + 200000).as("doc_id"),
+      concat(col("text"), lit(" trailingtoken")).as("text"),
+      col("lang"), col("source"), col("n_chars"))
+    val corpus = base.unionByName(exactDups).unionByName(nearDups)
+    val (result, stats) = CorpusPipeline.run(corpus,
+      CorpusPipeline.Config(minTokens = 0, maxPunctRatio = 1.0,
+        jaccardMin = 0.5))
+    val ids = result.select("doc_id").as[Long].collect().toSet
+    // all originals that passed quality survive; all planted ids are gone
+    assert(ids.forall(_ < 100000), s"planted dup survived: ${ids.filter(_ >= 100000)}")
+    assert(stats.afterExact == stats.afterQuality - 50) // exact dups dropped
+    assert(stats.afterNearDup < stats.afterExact)       // near dups dropped
+  }
+
+  test("pipeline is deterministic across partitionings") {
+    val cfg = CorpusPipeline.Config(sampleFractions = Map("en" -> 0.4))
+    val a = CorpusPipeline.run(docs, cfg)._1
+      .select("doc_id").as[Long].collect().toSet
+    val b = CorpusPipeline.run(docs.repartition(13), cfg)._1
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+  }
+}
