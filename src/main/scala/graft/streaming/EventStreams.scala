@@ -61,6 +61,31 @@ object EventStreams {
         count(lit(1)).as("n_events"))
   }
 
+  /** Stream-stream enrichment join: pair each left row with the right
+    * rows of the same key whose `rightTs` falls in
+    * [leftTs − horizon, leftTs] — "purchases joined to the signups that
+    * preceded them within an hour". Uses Spark's native stream-stream
+    * inner join with a time-range condition; BOTH sides carry watermarks,
+    * so the join state store retains only rows inside the horizon
+    * (O(horizon·rate), not O(stream)).
+    *
+    * The same function runs on batch DataFrames (withWatermark is a no-op
+    * there) — EventStreamsSpec asserts batch/stream parity through real
+    * micro-batches. Timestamp columns must be distinctly named. */
+  def joinWithinHorizon(left: DataFrame, right: DataFrame,
+                        key: String, leftTs: String, rightTs: String,
+                        horizon: String = "1 hour"): DataFrame = {
+    require(leftTs != rightTs, "rename one ts column — names must differ")
+    val l = left.withWatermark(leftTs, horizon)
+    val r = right.withWatermark(rightTs, horizon)
+      .withColumnRenamed(key, "__rkey")
+    l.join(r,
+      col(key) === col("__rkey") &&
+        col(rightTs) <= col(leftTs) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $horizon"))
+      .drop("__rkey")
+  }
+
   case class Event(ts: java.sql.Timestamp, user_id: Long)
   case class SessionState(start: Long, last: Long, n: Long)
   case class Session(user_id: Long, session_start: java.sql.Timestamp,

@@ -52,6 +52,53 @@ class EventStreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-stream join within horizon: parity with batch, incremental emission") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = Seq(
+      (1L, 100L, ts("2024-01-01 11:00:00")),
+      (1L, 101L, ts("2024-01-01 13:00:00")), // no signup within 1h
+      (2L, 102L, ts("2024-01-01 10:30:00")))
+    val signups = Seq(
+      (1L, 900L, ts("2024-01-01 10:30:00")), // within 1h of 100
+      (1L, 901L, ts("2024-01-01 11:00:00")), // equal ts of 100 → matches
+      (2L, 902L, ts("2024-01-01 10:00:00")), // within 1h of 102
+      (9L, 999L, ts("2024-01-02 00:00:00"))) // watermark sentinel
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("p_id", "s_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Set((100L, 900L), (100L, 901L), (102L, 902L))
+
+    // batch form (withWatermark no-ops)
+    val batch = EventStreams.joinWithinHorizon(
+      purchases.toDF("user_id", "p_id", "p_ts"),
+      signups.toDF("user_id", "s_id", "s_ts"),
+      "user_id", "p_ts", "s_ts", "1 hour")
+    assert(pairsOf(batch) == expected)
+
+    // streaming: two MemoryStreams, data arriving across batches
+    val memP = MemoryStream[(Long, Long, Timestamp)]
+    val memS = MemoryStream[(Long, Long, Timestamp)]
+    val joined = EventStreams.joinWithinHorizon(
+      memP.toDF.toDF("user_id", "p_id", "p_ts"),
+      memS.toDF.toDF("user_id", "s_id", "s_ts"),
+      "user_id", "p_ts", "s_ts", "1 hour")
+    val q = joined.writeStream.format("memory").queryName("ss_join_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // all non-sentinel signups before the purchases advance the
+      // watermark past them (a signup sent after that is LATE by
+      // definition and correctly dropped — that is the state bound)
+      memS.addData(signups.take(3): _*)
+      q.processAllAvailable()
+      memP.addData(purchases: _*)
+      q.processAllAvailable()
+      memS.addData(signups.drop(3): _*)
+      q.processAllAvailable()
+      assert(pairsOf(spark.table("ss_join_sink")) == expected)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated keys under the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
