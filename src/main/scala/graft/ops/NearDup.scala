@@ -85,15 +85,26 @@ object NearDup {
 
   /** LSH banding: group the k minhashes into bands of `rowsPerBand`, one
     * signature string per (doc, band). Docs sharing any (band, sig) bucket
-    * are near-dup candidates. */
+    * are near-dup candidates.
+    *
+    * The signature is assembled with one max(when(slot=s)) aggregate per
+    * band slot — plain pivoting hash aggregation, fully codegen'd and
+    * map-side combinable. The collect_list→array_sort→transform form
+    * computes the same string but runs the array lambdas interpreted and
+    * buffers per-group lists through the shuffle. */
   def lshBands(minhash: DataFrame, idCol: String,
-               rowsPerBand: Int): DataFrame =
+               rowsPerBand: Int): DataFrame = {
+    val slots = (0 until rowsPerBand).map(s =>
+      max(when(col("slot") === s, col("mh"))).as(s"m$s"))
     minhash
       .withColumn("band", (col("i") / rowsPerBand).cast("int"))
+      .withColumn("slot", pmod(col("i"), lit(rowsPerBand)))
       .groupBy(col(idCol), col("band"))
-      .agg(concat_ws("-",
-        transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-          s => s.getField("mh").cast("string"))).as("band_sig"))
+      .agg(slots.head, slots.tail: _*)
+      .select(col(idCol), col("band"),
+        concat_ws("-", (0 until rowsPerBand).map(s =>
+          col(s"m$s").cast("string")): _*).as("band_sig"))
+  }
 
   /** Candidate pairs from shared LSH buckets: (a, b, n_shared_bands),
     * a < b. The join key is (band, band_sig) — bucket-local, so the
