@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // shuffle/spill files outside /tmp: the environment's tmp reaper has
+  // deleted live temp_shuffle files from long (>4 min) runs
+  "-Dspark.local.dir=/root/repo/target/sparktmp",
 )

@@ -49,6 +49,7 @@ object CorpusPipeline {
     * standard greedy MinHash-dedup policy; exact transitive clustering
     * would need iterated connected components for no retention benefit). */
   def run(docs: DataFrame, cfg: Config): (DataFrame, Stats) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val input = docs.count()
 
     // 1. quality: cheap per-row features, no shuffle, filter at the scan
@@ -60,9 +61,14 @@ object CorpusPipeline {
       .drop("__q")
     val afterQuality = quality.count()
 
-    // 2. exact dedup: smallest doc_id survives per content hash
+    // 2. exact dedup: smallest doc_id survives per content hash.
+    // Persisted: it feeds the stage count, the shingle stream, AND the
+    // final anti-join — without a persist each consumer re-runs the
+    // scan+filter+dedup shuffle. This is the pipeline's stage boundary
+    // (survivor rows, corpus-sized once, disk-spillable).
     val exact = Dedup.exactDedup(quality, Seq(col("text")),
-      col("doc_id").asc)
+        col("doc_id").asc)
+      .persist(MEMORY_AND_DISK)
     val afterExact = exact.count()
 
     // 3. near-dup: LSH candidates → exact-Jaccard verify (restricted to
@@ -77,6 +83,7 @@ object CorpusPipeline {
       .filter(col("jaccard") >= cfg.jaccardMin)
       .select(col("doc_b").as("doc_id")).distinct()
     val deduped = exact.join(dupIds, Seq("doc_id"), "left_anti")
+      .persist(MEMORY_AND_DISK) // consumed by count + sample + caller
     val afterNearDup = deduped.count()
 
     // 4. deterministic stratified sample by language
