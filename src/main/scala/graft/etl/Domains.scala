@@ -223,6 +223,72 @@ object Domains {
     (meas, obs)
   }
 
+  /** omop.drug_era (OMOPCDM_postgresql_5.4_ddl.sql:347-354): exposures to
+    * the same (person, drug concept) whose gaps are within the standard
+    * 30-day persistence window merge into one era. The reference ships the
+    * DDL but never populates it; the OHDSI-standard derivation is
+    * gaps-and-islands, here [[graft.ops.Intervals]] — one shuffle on the
+    * (person, concept) key, both windows and the covered-day sub-islands
+    * reuse its partitioning.
+    *
+    * gap_days = datediff(era span) − Σ datediff of the maximal
+    * continuously-covered sub-islands (un-exposed days inside the era). */
+  def drugEra(drugExposure: DataFrame): DataFrame = {
+    val keys = Seq(col("person_id"), col("drug_concept_id"))
+    val persist30 = expr("INTERVAL 30 DAYS")
+    val tagged = graft.ops.Intervals.assignIslands(
+      drugExposure.select(col("person_id"), col("drug_concept_id"),
+        col("drug_exposure_start_date").as("s"),
+        col("drug_exposure_end_date").as("e")),
+      keys, col("s"), col("e"), persist30, outCol = "__era")
+    // covered sub-islands (gap 0) inside each era, same partitioning
+    val sub = graft.ops.Intervals.assignIslands(
+      tagged, keys :+ col("__era"), col("s"), col("e"),
+      expr("INTERVAL 0 SECONDS"), outCol = "__sub")
+    val eras = sub
+      .groupBy(keys ++ Seq(col("__era"), col("__sub")): _*)
+      .agg(min(col("s")).as("cs"), max(col("e")).as("ce"),
+        count(lit(1)).as("n"))
+      .groupBy(keys :+ col("__era"): _*)
+      .agg(min(col("cs")).as("drug_era_start_date"),
+        max(col("ce")).as("drug_era_end_date"),
+        sum(col("n")).cast("int").as("drug_exposure_count"),
+        sum(datediff(col("ce"), col("cs"))).as("covered_days"))
+      .withColumn("gap_days",
+        (datediff(col("drug_era_end_date"), col("drug_era_start_date"))
+          - col("covered_days")).cast("int")) // DDL: integer (:353-354)
+      .drop("__era", "covered_days")
+    DenseId.withDenseIdScalable(eras,
+      Seq(col("person_id"), col("drug_concept_id"),
+        col("drug_era_start_date")), "drug_era_id")
+      .select(col("drug_era_id"), col("person_id"),
+        col("drug_concept_id"), col("drug_era_start_date"),
+        col("drug_era_end_date"), col("drug_exposure_count"),
+        col("gap_days"))
+  }
+
+  /** omop.condition_era (OMOPCDM_postgresql_5.4_ddl.sql:365-371): same
+    * 30-day persistence merge keyed on (person, condition concept). */
+  def conditionEra(conditionOccurrence: DataFrame): DataFrame = {
+    val eras = graft.ops.Intervals.mergeIntervals(
+      conditionOccurrence.select(col("person_id"),
+        col("condition_concept_id"),
+        col("condition_start_date").as("s"),
+        col("condition_end_date").as("e")),
+      Seq(col("person_id"), col("condition_concept_id")),
+      col("s"), col("e"), expr("INTERVAL 30 DAYS"))
+      .select(col("person_id"), col("condition_concept_id"),
+        col("era_start").as("condition_era_start_date"),
+        col("era_end").as("condition_era_end_date"),
+        col("n_merged").cast("int").as("condition_occurrence_count"))
+    DenseId.withDenseIdScalable(eras,
+      Seq(col("person_id"), col("condition_concept_id"),
+        col("condition_era_start_date")), "condition_era_id")
+      .select(col("condition_era_id"), col("person_id"),
+        col("condition_concept_id"), col("condition_era_start_date"),
+        col("condition_era_end_date"), col("condition_occurrence_count"))
+  }
+
   /** omop.observation_period (U1+A2; create_observation_period_v2.sql:
     * 10-55): min/max event date per person over the unioned domains. */
   def observationPeriod(sweepInputs: Seq[DataFrame]): DataFrame = {

@@ -90,6 +90,9 @@ object EtlRunner {
       "drug_exposure")
     val proc = save(Domains.procedureOccurrence(tPro, personMap, visitMap),
       "procedure_occurrence")
+    // OHDSI-standard era derivations (30-day persistence window)
+    save(Domains.drugEra(drug), "drug_era")
+    save(Domains.conditionEra(cond), "condition_era")
     val (meas, obs) =
       Domains.measurementObservationSplit(tObs, personMap, visitMap)
     val measT = save(meas, "measurement")

@@ -32,7 +32,22 @@ object Intervals {
     *   alike — anything `+` and `>=` support. */
   def mergeIntervals(df: DataFrame, keyCols: Seq[Column],
                      startCol: Column, endCol: Column,
-                     gap: Column): DataFrame = {
+                     gap: Column): DataFrame =
+    assignIslands(df, keyCols, startCol, endCol, gap)
+      .groupBy(keyCols :+ col("__island"): _*)
+      .agg(min(startCol).as("era_start"), max(endCol).as("era_end"),
+        count(lit(1)).as("n_merged"))
+      .drop("__island")
+
+  /** The row-level half of [[mergeIntervals]]: tag every row with the id
+    * (`__island`, 1-based per key) of the gap-tolerant island it belongs
+    * to, without aggregating. Lets callers run further same-partitioning
+    * analytics inside each island (e.g. covered-day sums for OMOP
+    * gap_days) — windows over (keys :+ __island) reuse the (keys) hash
+    * partitioning, so no second exchange. */
+  def assignIslands(df: DataFrame, keyCols: Seq[Column],
+                    startCol: Column, endCol: Column, gap: Column,
+                    outCol: String = "__island"): DataFrame = {
     val w = Window.partitionBy(keyCols: _*)
       .orderBy(startCol.asc, endCol.asc)
     // running max end over STRICTLY EARLIER rows; null for the first row
@@ -43,11 +58,7 @@ object Intervals {
       prevMaxEnd + gap >= startCol, 0).otherwise(1)
     val islandId = sum(newIsland)
       .over(w.rowsBetween(Window.unboundedPreceding, 0))
-    df.withColumn("__island", islandId)
-      .groupBy(keyCols :+ col("__island"): _*)
-      .agg(min(startCol).as("era_start"), max(endCol).as("era_end"),
-        count(lit(1)).as("n_merged"))
-      .drop("__island")
+    df.withColumn(outCol, islandId)
   }
 
   /** Banded range join: pair left rows with right rows of the same key
