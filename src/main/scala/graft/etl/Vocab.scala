@@ -25,19 +25,25 @@ object Vocab {
     * tab-separated in OMOP distributions). */
   def loadConcept(spark: SparkSession, path: String): DataFrame =
     Ingest.readVocabTsv(spark, path).select(
-      col("concept_id").cast("long").as("concept_id"),
+      // try_cast: a malformed id in a vocab distribution becomes a
+      // droppable NULL row instead of an ANSI CAST error killing the load
+      // (the reference's loader also skips bad rows while cleaning,
+      // enhanced_vocabulary_loader.py:700-760)
+      col("concept_id").try_cast("long").as("concept_id"),
       col("concept_name"),
       col("domain_id"),
       col("vocabulary_id"),
       col("standard_concept"),
       col("concept_code"),
       col("invalid_reason"))
+      .filter(col("concept_id").isNotNull)
 
   def loadConceptRelationship(spark: SparkSession, path: String): DataFrame =
     Ingest.readVocabTsv(spark, path).select(
-      col("concept_id_1").cast("long").as("concept_id_1"),
-      col("concept_id_2").cast("long").as("concept_id_2"),
+      col("concept_id_1").try_cast("long").as("concept_id_1"),
+      col("concept_id_2").try_cast("long").as("concept_id_2"),
       col("relationship_id"))
+      .filter(col("concept_id_1").isNotNull && col("concept_id_2").isNotNull)
 
   /** Apply the 3-stage mapping to one domain table.
     *

@@ -47,8 +47,18 @@ object Sketches {
     val bloom = dimKeys.stat.bloomFilter(keyName, expectedDim, fpp)
     val spark = fact.sparkSession
     val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: java.lang.Long) =>
-      k != null && bloomBc.value.mightContainLong(k))
-    fact.filter(mightContain(factKey.cast("long")))
+    // type-matched membership probe: a long key through the string path
+    // (or vice versa) would hash differently and break the no-false-
+    // negative guarantee; string keys also must never be ANSI-cast to long
+    val isString = fact.select(factKey).schema.head.dataType ==
+      org.apache.spark.sql.types.StringType
+    if (isString) {
+      val mc = udf((k: String) => k != null && bloomBc.value.mightContain(k))
+      fact.filter(mc(factKey))
+    } else {
+      val mc = udf((k: java.lang.Long) =>
+        k != null && bloomBc.value.mightContainLong(k))
+      fact.filter(mc(factKey.cast("long")))
+    }
   }
 }

@@ -49,6 +49,40 @@ class IntervalsSpec extends SparkSpecBase {
     assert(got.length == 1 && got.head.getLong(3) == 3L)
   }
 
+  test("property: mergeIntervals equals brute-force merge on random inputs") {
+    // deterministic pseudo-random interval sets (numeric intervals: the
+    // operator is generic over any ordered +-able type)
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 20) {
+      val gap = rnd.nextInt(5).toLong
+      val rows = (1 to 60).map { _ =>
+        val k = rnd.nextInt(4).toLong
+        val s = rnd.nextInt(100).toLong
+        (k, s, s + rnd.nextInt(10).toLong)
+      }
+      // reference implementation: per key, sort and fold
+      val expected = rows.groupBy(_._1).flatMap { case (k, iv) =>
+        val sorted = iv.map(r => (r._2, r._3)).sortBy(identity)
+        val eras = scala.collection.mutable.ListBuffer
+          .empty[(Long, Long, Long)] // start, maxEnd, n
+        for ((s, e) <- sorted) {
+          if (eras.nonEmpty && eras.last._2 + gap >= s) {
+            val (cs, ce, n) = eras.last
+            eras(eras.length - 1) = (cs, math.max(ce, e), n + 1)
+          } else eras += ((s, e, 1L))
+        }
+        eras.map { case (s, e, n) => (k, s, e, n) }
+      }.toSet
+      val got = Intervals.mergeIntervals(
+          rows.toDF("k", "s", "e").repartition(3),
+          Seq(col("k")), col("s"), col("e"), lit(gap))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == expected, s"trial $trial gap $gap")
+    }
+  }
+
   test("bandedRangeJoin equals the naive theta-join on events") {
     val ev = graft.core.Tables.events(spark, sf)
     val errors = ev.filter(col("event_type") === "error")

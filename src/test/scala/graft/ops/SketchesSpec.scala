@@ -35,6 +35,16 @@ class SketchesSpec extends SparkSpecBase {
         s"$k: approx ${approx(k)} vs exact $e")
   }
 
+  test("bloomPrune works for string keys (no false negatives)") {
+    import spark.implicits._
+    val fact = (1 to 500).map(i => (s"k$i", i)).toDF("key", "v")
+    val dim = (1 to 500 by 25).map(i => s"k$i").toDF("key")
+    val pruned = Sketches.bloomPrune(fact, col("key"), dim, 20, 0.01)
+    assert(pruned.join(dim, Seq("key")).count()
+      == fact.join(dim, Seq("key")).count())
+    assert(pruned.count() < 100) // 20 true keys + few false positives
+  }
+
   test("bloomPrune never drops joinable rows, prunes most others") {
     // dim: 5% of customers; fact: orders
     val dim = orders.select(col("o_custkey")).distinct()
