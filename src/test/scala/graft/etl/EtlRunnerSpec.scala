@@ -65,7 +65,8 @@ class EtlRunnerSpec extends SparkSpecBase {
     assert(report.filter(col("failed_count") > 0).count() == 0)
     val expected = Seq("person_map", "visit_map", "person",
       "visit_occurrence", "condition_occurrence", "drug_exposure",
-      "procedure_occurrence", "measurement", "observation", "death", "cost",
+      "procedure_occurrence", "drug_era", "condition_era",
+      "measurement", "observation", "death", "cost",
       "drug_exposure_immunizations", "achilles_results", "observation_period")
     for (t <- expected)
       assert(Files.exists(java.nio.file.Paths.get(s"$out/$t")), t)
