@@ -18,29 +18,43 @@ import org.apache.spark.sql.functions._
   */
 object NearDup {
 
-  /** (doc, shingle-hash) pairs: n-token shingles, distinct per doc. Docs
-    * shorter than n tokens contribute their whole (space-normalized) text
-    * as one shingle.
+  /** (doc, shingle-hash) pairs: n-token shingles per doc. Docs shorter
+    * than n tokens contribute their whole (space-normalized) text as one
+    * shingle.
     *
-    * Relational formulation: posexplode tokens → native poly_hash per
-    * token → lead() window to fold n consecutive token hashes into the
-    * shingle hash ((…(h0·31+h1)·31+…+hₙ₋₁) mod M). The per-row
-    * array-lambda version (transform/slice/concat_ws) evaluates
-    * interpreted — outside whole-stage codegen — and re-materializes every
-    * shingle as a string; this shape keeps everything codegen'd except one
-    * windowed shuffle on the doc key, and is what scales: the shuffle
-    * carries (doc, pos, hash), and the same doc-key partitioning is reused
-    * by the downstream minhash aggregation. ~4× faster at sf0.1. */
+    * Computed by the native `shingle_hashes` expression
+    * ([[graft.functions.ShingleHashes]]): one codegen'd pass per doc
+    * producing the n-gram hash array, exploded at the scan — NO shuffle.
+    * The previous relational form (posexplode → lead()-window fold)
+    * shuffled and sorted the corpus-wide token stream on the doc key just
+    * to line up consecutive tokens; per-row stateless hashing makes that
+    * exchange — the widest in the whole near-dup pipeline — disappear.
+    * Values are bit-identical (asserted in NearDupSpec against the
+    * retained relational reference form).
+    *
+    * NOT distinct here: min-aggregation (minhash) and bucket joins are
+    * duplicate-insensitive; set-semantics consumers (jaccard) dedupe
+    * themselves. */
   def shingleRows(docs: DataFrame, idCol: String, textCol: String,
                   n: Int): DataFrame = {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    docs.select(col(idCol),
+      explode(call_function("shingle_hashes",
+        TextOps.tokens(col(textCol)), lit(n))).as("h"))
+  }
+
+  /** The pre-native relational formulation of [[shingleRows]] (posexplode
+    * → poly_hash → lead-window fold + short-doc union) — kept as the
+    * cross-check reference for the native expression's spec. */
+  private[graft] def shingleRowsRelational(docs: DataFrame, idCol: String,
+                                           textCol: String,
+                                           n: Int): DataFrame = {
     require(n >= 1, s"shingle width must be >= 1, got $n")
     val tk = TextOps.tokens(col(textCol))
     val tok = docs.select(col(idCol),
         posexplode(tk).as(Seq("pos", "tok")))
       .select(col(idCol), col("pos"),
         TextOps.polyHash(col("tok")).as("th"))
-    // n=1: per-token shingles need no lead/fold window (and th0 would not
-    // exist) — the hash IS the token hash
     val shingled =
       if (n == 1) tok.select(col(idCol), col("th").as("h"))
       else {
@@ -58,9 +72,6 @@ object NearDup {
       .filter(size(tk) < n)
       .select(col(idCol),
         TextOps.polyHash(concat_ws(" ", tk)).as("h"))
-    // NOT distinct here: min-aggregation (minhash) and bucket joins are
-    // duplicate-insensitive; set-semantics consumers (jaccard) dedupe
-    // themselves. Saves a full shuffle on the widest stream.
     shingled.unionByName(short)
   }
 

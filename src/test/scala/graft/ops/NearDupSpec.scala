@@ -53,6 +53,23 @@ class NearDupSpec extends SparkSpecBase {
     assert(sh.count() == 1)
   }
 
+  test("native shingle_hashes is bit-identical to the relational window form") {
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((90001L, ""), (90002L, "one"), (90003L, "two words"),
+        (90004L, "  padded   whitespace  doc  ")).toDF("doc_id", "text"))
+    for (n <- Seq(1, 2, 3, 5)) {
+      val native = NearDup.shingleRows(corpus, "doc_id", "text", n)
+        .groupBy("doc_id", "h").count()
+      val relational = NearDup
+        .shingleRowsRelational(corpus, "doc_id", "text", n)
+        .groupBy("doc_id", "h").count()
+      // exact multiset equality per doc
+      assert(native.except(relational).count() == 0, s"n=$n extra")
+      assert(relational.except(native).count() == 0, s"n=$n missing")
+    }
+  }
+
   test("n=1 degrades to per-token shingles (no lead window, no th0 ref)") {
     val sh = NearDup.shingleRows(docs, "doc_id", "text", 1)
       .filter(col("doc_id") === 1L)
