@@ -197,15 +197,51 @@ object NearDup {
           .reduce(_ + _).as("simhash"))
   }
 
-  /** Hamming-near pairs on simhash signatures ≤ maxDist apart. For corpus
-    * scale, block on the signature's high byte first (here: all-pairs is
-    * fine for the verify tier; the blocked variant reuses candidatePairs'
-    * bucket-join shape). */
+  /** Hamming-near pairs on simhash signatures ≤ maxDist apart — the exact
+    * all-pairs tier (O(n²): fine for re-ranking small candidate sets,
+    * never for a corpus; use [[simhashPairsBlocked]] there). */
   def simhashPairs(sigs: DataFrame, idCol: String,
                    maxDist: Int): DataFrame = {
     val l = sigs.select(col(idCol).as("doc_a"), col("simhash").as("sig_a"))
     val r = sigs.select(col(idCol).as("doc_b"), col("simhash").as("sig_b"))
     l.crossJoin(r).filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Corpus-scale simhash pair search by pigeonhole blocking: split the
+    * `bits`-wide signature into maxDist+1 equal blocks — two signatures
+    * within Hamming distance maxDist must agree EXACTLY on at least one
+    * block — and hash-join on (block index, block value). Identical output
+    * to [[simhashPairs]] (asserted in spec); shuffle cost tracks bucket
+    * sizes like the MinHash-LSH candidate join, not corpus². */
+  def simhashPairsBlocked(sigs: DataFrame, idCol: String, maxDist: Int,
+                          bits: Int = 16): DataFrame = {
+    val nBlocks = maxDist + 1
+    val width = bits / nBlocks
+    require(width >= 1, s"maxDist $maxDist too large for $bits-bit sigs")
+    val mask = (1L << width) - 1
+    // block b = bits [b*width, (b+1)*width); the last block absorbs the
+    // bits-% remainder so every bit is covered (pigeonhole needs that)
+    def blockVal(sig: Column, b: Int): Column =
+      if (b == nBlocks - 1) shiftright(sig, b * width)
+      else shiftright(sig, b * width).bitwiseAND(mask)
+    val blocked = sigs.select(col(idCol) +: col("simhash") +:
+      (0 until nBlocks).map(b => blockVal(col("simhash"), b).as(s"b$b")): _*)
+    val exploded = blocked.select(col(idCol), col("simhash"),
+      explode(array((0 until nBlocks).map(b =>
+        struct(lit(b).as("blk"), col(s"b$b").as("bv"))): _*)).as("x"))
+      .select(col(idCol), col("simhash"), col("x.blk"), col("x.bv"))
+    val l = exploded.select(col(idCol).as("doc_a"),
+      col("simhash").as("sig_a"), col("blk"), col("bv"))
+    val r = exploded.select(col(idCol).as("doc_b"),
+      col("simhash").as("sig_b"), col("blk"), col("bv"))
+    l.join(r, Seq("blk", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .distinct() // a pair may share several blocks
       .withColumn("hamming",
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxDist)

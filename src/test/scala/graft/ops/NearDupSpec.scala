@@ -47,6 +47,24 @@ class NearDupSpec extends SparkSpecBase {
     assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
   }
 
+  test("blocked simhash pair search equals all-pairs on the corpus") {
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+    val sigs = NearDup.simhash(corpus, "doc_id", "text")
+    for (maxDist <- Seq(1, 3)) {
+      def collectPairs(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val exact = collectPairs(
+        NearDup.simhashPairs(sigs, "doc_id", maxDist)
+          .withColumn("hamming", col("hamming").cast("int")))
+      val blocked = collectPairs(
+        NearDup.simhashPairsBlocked(sigs, "doc_id", maxDist)
+          .withColumn("hamming", col("hamming").cast("int")))
+      assert(blocked == exact, s"maxDist=$maxDist")
+      assert(exact.nonEmpty, s"maxDist=$maxDist trivial corpus")
+    }
+  }
+
   test("shorter-than-n docs still shingle (whole doc)") {
     val tiny = Seq((1L, "two words")).toDF("doc_id", "text")
     val sh = NearDup.shingleRows(tiny, "doc_id", "text", 3)
