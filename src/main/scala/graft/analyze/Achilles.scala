@@ -83,12 +83,41 @@ object Achilles {
         expr("percentile(len, 0.90)").as("p90_value"),
         max(col("len")).as("max_value"))
 
-  /** Full default-analyses run → one stacked results table. */
-  def run(person: DataFrame, visit: DataFrame,
-          condition: DataFrame): DataFrame =
-    Seq(
+  /** Analysis 900-shape: drug eras by drug concept
+    * (query_achilles_results.sh drug-era block). */
+  def a900ByDrugEraConcept(drugEra: DataFrame): DataFrame =
+    result(900, drugEra, Seq(col("drug_concept_id")))
+
+  /** Analysis 906-shape: distribution of drug-era length in days. */
+  def a906DrugEraLength(drugEra: DataFrame): DataFrame =
+    drugEra
+      .select(datediff(col("drug_era_end_date"),
+        col("drug_era_start_date")).cast("double").as("len"))
+      .agg(
+        lit(906).as("analysis_id"),
+        count(lit(1)).as("count_value"),
+        min(col("len")).as("min_value"),
+        expr("percentile(len, 0.10)").as("p10_value"),
+        expr("percentile(len, 0.25)").as("p25_value"),
+        expr("percentile(len, 0.50)").as("median_value"),
+        expr("percentile(len, 0.75)").as("p75_value"),
+        expr("percentile(len, 0.90)").as("p90_value"),
+        max(col("len")).as("max_value"))
+
+  /** Analysis 1000-shape: condition eras by condition concept. */
+  def a1000ByConditionEraConcept(conditionEra: DataFrame): DataFrame =
+    result(1000, conditionEra, Seq(col("condition_concept_id")))
+
+  /** Full default-analyses run → one stacked results table. Era inputs
+    * are optional so pre-era pipelines keep their analysis set. */
+  def run(person: DataFrame, visit: DataFrame, condition: DataFrame,
+          drugEra: Option[DataFrame] = None,
+          conditionEra: Option[DataFrame] = None): DataFrame =
+    (Seq(
       a1NumPersons(person), a2ByGender(person), a3ByYearOfBirth(person),
       a4ByRace(person), a200ByVisitConcept(visit),
       a400ByConditionConcept(condition)
+    ) ++ drugEra.map(a900ByDrugEraConcept)
+      ++ conditionEra.map(a1000ByConditionEraConcept)
     ).reduce(_ unionByName _)
 }

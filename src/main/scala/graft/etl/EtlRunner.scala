@@ -91,8 +91,8 @@ object EtlRunner {
     val proc = save(Domains.procedureOccurrence(tPro, personMap, visitMap),
       "procedure_occurrence")
     // OHDSI-standard era derivations (30-day persistence window)
-    save(Domains.drugEra(drug), "drug_era")
-    save(Domains.conditionEra(cond), "condition_era")
+    val drugEra = save(Domains.drugEra(drug), "drug_era")
+    val condEra = save(Domains.conditionEra(cond), "condition_era")
     val (meas, obs) =
       Domains.measurementObservationSplit(tObs, personMap, visitMap)
     val measT = save(meas, "measurement")
@@ -123,7 +123,8 @@ object EtlRunner {
             coalesce(col("stop_time"), col("start_time")).cast("date")
               .as("end_date")))
       } else None
-    save(graft.analyze.Achilles.run(person, visit, cond), "achilles_results")
+    save(graft.analyze.Achilles.run(person, visit, cond,
+      Some(drugEra), Some(condEra)), "achilles_results")
     save(Domains.observationPeriod(Seq(
       visit.select(col("person_id"), col("visit_start_date").as("start_date"),
         col("visit_end_date").as("end_date")),

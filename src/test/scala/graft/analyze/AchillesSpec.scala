@@ -34,6 +34,29 @@ class AchillesSpec extends SparkSpecBase {
     assert(byAnalysis(200).length == 2)                  // two visit concepts
   }
 
+  test("era analyses stack into the same results shape when provided") {
+    val drugEra = Seq(
+      (1L, 1L, 10L, "2020-01-01", "2020-01-20"),
+      (2L, 1L, 10L, "2020-06-01", "2020-06-05"),
+      (3L, 2L, 20L, "2020-01-01", "2020-01-02")
+    ).toDF("drug_era_id", "person_id", "drug_concept_id", "s", "e")
+      .select(col("*"), col("s").cast("date").as("drug_era_start_date"),
+        col("e").cast("date").as("drug_era_end_date"))
+    val condEra = Seq((1L, 1L, 100L))
+      .toDF("condition_era_id", "person_id", "condition_concept_id")
+    val res = Achilles.run(person, visit,
+      Seq((1L, 1L, 0L)).toDF("condition_occurrence_id", "person_id",
+        "condition_concept_id"),
+      Some(drugEra), Some(condEra))
+    val byAnalysis = res.collect().groupBy(_.getInt(0))
+    assert(byAnalysis(900).map(r => r.getString(1) -> r.getLong(6)).toMap
+      == Map("10" -> 2, "20" -> 1))
+    assert(byAnalysis(1000).head.getLong(6) == 1)
+    val dist = Achilles.a906DrugEraLength(drugEra).head()
+    assert(dist.getAs[Long]("count_value") == 3)
+    assert(dist.getAs[Double]("max_value") == 19.0)
+  }
+
   test("age at first observation strata") {
     val op = Seq((1L, 1L, "2020-01-01"), (2L, 2L, "2020-06-01"))
       .toDF("observation_period_id", "person_id", "s")
