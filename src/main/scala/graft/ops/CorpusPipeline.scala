@@ -95,4 +95,103 @@ object CorpusPipeline {
 
     (sampled, Stats(input, afterQuality, afterExact, afterNearDup, output))
   }
+
+  /** Incremental append — the daily-drop shape: clean `incoming` and keep
+    * only rows that duplicate NEITHER the existing corpus NOR an earlier
+    * survivor of the same batch. The existing corpus is never reprocessed:
+    * it contributes one content-hash stream (exact tier) and one LSH band
+    * stream (near-dup tier), both derived lazily and joined against the
+    * (much smaller) increment — at 100 TB corpus + 100 GB drop, all
+    * per-doc work is O(|increment|) except the two id/band joins, and
+    * those shuffle hashes, not text. Returns only the new survivors (the
+    * caller unions/appends them to storage — same contract as
+    * [[Dedup.antiAppend]]).
+    *
+    * Near-dup vs existing keeps the EXISTING doc (first-writer-wins, like
+    * the reference's idempotent re-runs); within the increment the
+    * smallest doc_id survives as in [[run]].
+    *
+    * REQUIRES globally unique doc_ids across existing ∪ incoming (an
+    * ingest-time monotonic id satisfies this) — the verify tier unions
+    * both sides' shingle streams by id. */
+  def append(existing: DataFrame, incoming: DataFrame,
+             cfg: Config): (DataFrame, Stats) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val input = incoming.count()
+
+    // 1+2. within-batch quality filter + exact dedup, then drop rows whose
+    // content already exists in the corpus (hash anti-join — text never
+    // shuffles)
+    val q = TextOps.qualityFeatures(col("text"))
+    val quality = incoming
+      .withColumn("__q", q)
+      .filter(col("__q.n_tokens") >= cfg.minTokens &&
+        col("__q.punct_ratio") <= cfg.maxPunctRatio)
+      .drop("__q")
+    val afterQuality = quality.count()
+    val withHash = Dedup.firstRowPerGroup(
+      quality.withColumn("__h", TextOps.polyHash(col("text"))),
+      Seq(col("__h")), Seq(col("doc_id").asc))
+    val exact = withHash
+      .join(existing.select(TextOps.polyHash(col("text")).as("__h")),
+        Seq("__h"), "left_anti")
+      .drop("__h")
+      .persist(MEMORY_AND_DISK)
+    val afterExact = exact.count()
+
+    // 3. near-dup: increment bands join (existing ∪ increment) bands;
+    // a candidate against the corpus always drops the incoming doc, a
+    // candidate within the increment drops the larger id
+    def bandsOf(df: DataFrame): DataFrame =
+      NearDup.lshBands(
+        NearDup.minhashRows(
+          NearDup.shingleRows(df, "doc_id", "text", cfg.shingleN),
+          "doc_id", cfg.numHashes),
+        "doc_id", cfg.rowsPerBand)
+    val incBands = bandsOf(exact).persist(MEMORY_AND_DISK)
+    val exBands = bandsOf(existing)
+    // vs corpus: any shared bucket is a candidate; verify exact jaccard
+    // on the union's shingles (restricted to candidate docs)
+    val vsCorpus = incBands
+      .join(exBands.select(col("band"), col("band_sig")),
+        Seq("band", "band_sig"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val candDocsEx = exBands
+      .join(incBands.select(col("band"), col("band_sig")),
+        Seq("band", "band_sig"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val candShingles = NearDup.shingleRows(
+      exact.join(vsCorpus, Seq("doc_id"), "left_semi")
+        .unionByName(existing.join(candDocsEx, Seq("doc_id"), "left_semi")
+          .select(exact.columns.map(col): _*)),
+      "doc_id", "text", cfg.shingleN)
+    // pairs: (existing doc_a, incoming doc_b) — doc_b is what gets dropped
+    val pairsVsCorpus = exBands.join(candDocsEx, Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
+      .join(incBands.select(col("doc_id").as("doc_b"), col("band"),
+        col("band_sig")), Seq("band", "band_sig"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val dupVsCorpus = NearDup.jaccard(pairsVsCorpus, candShingles, "doc_id")
+      .filter(col("jaccard") >= cfg.jaccardMin)
+      .select(col("doc_b").as("doc_id")).distinct()
+    // within increment: the standard candidate cascade on the increment
+    val pairsWithin = NearDup.candidatePairs(incBands, "doc_id")
+      .select(col("doc_a"), col("doc_b"))
+    val dupWithin = NearDup.jaccard(pairsWithin,
+        NearDup.shingleRows(exact, "doc_id", "text", cfg.shingleN), "doc_id")
+      .filter(col("jaccard") >= cfg.jaccardMin)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val deduped = exact
+      .join(dupVsCorpus.unionByName(dupWithin).distinct(),
+        Seq("doc_id"), "left_anti")
+      .persist(MEMORY_AND_DISK)
+    val afterNearDup = deduped.count()
+
+    val sampled =
+      if (cfg.sampleFractions.isEmpty && cfg.sampleDefault >= 1.0) deduped
+      else Sampling.stratifiedHashSample(deduped, col("doc_id"),
+        col("lang"), cfg.sampleFractions, cfg.sampleDefault, cfg.seed)
+    val output = sampled.count()
+    (sampled, Stats(input, afterQuality, afterExact, afterNearDup, output))
+  }
 }
