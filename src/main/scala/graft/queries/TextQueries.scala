@@ -180,18 +180,33 @@ object TextQueries {
     * the scale path. */
   def qNgramJaccardWindow(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val ids = docs.select(col("doc_id"))
-    // equi-join pair generation: explode the offsets 1..3 and semi-join
-    // to keep existing ids — a hash join on doc_b, NOT the O(n²)
-    // broadcast-nested-loop a (doc_b BETWEEN a+1 AND a+3) theta-join plans
-    val pairs = ids.select(col("doc_id").as("doc_a"))
-      .withColumn("doc_b",
-        explode(array((1 to 3).map(d => col("doc_a") + d): _*)))
-      .join(ids.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
-    val sh = NearDup.shingleRows(docs, "doc_id", "text", ShingleN)
-    // window pairs span every doc — skip the pair-doc restriction join
-    NearDup.jaccard(pairs, sh, "doc_id", restrictToPairDocs = false)
-      .filter(col("jaccard") > 0)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    // direct-intersection formulation: each deduped (doc, h) row explodes
+    // to its ≤3 in-window predecessors and joins the shingle set on
+    // (doc_a, h) — the join OUTPUT is the intersection, so the widest
+    // intermediate is 3·|shingle set|, versus |pairs|·|shingles-per-doc|
+    // when pre-built pairs pick up whole shingle sets per pair. Pairs
+    // with an empty intersection never materialize, which matches the
+    // jaccard > 0 output contract. (The LSH-verify tier q28 keeps
+    // pair-restricted NearDup.jaccard — there candidates ≪ corpus.)
+    val shx = NearDup.shingleRows(docs, "doc_id", "text", ShingleN)
+      .distinct() // set semantics for |A∩B| / |A∪B|
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = shx.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = shx.select(col("doc_id").as("doc_b"), col("h"))
+      .withColumn("doc_a",
+        explode(array((1 to 3).map(d => col("doc_b") - d): _*)))
+      .join(shx.select(col("doc_id").as("doc_a"), col("h")),
+        Seq("doc_a", "h"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
   }
 }
