@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{PolyHash, ShingleHashes, VecDot}
+import graft.functions.{CountIn, PolyHash, ShingleHashes, VecDot}
 
 /** Engine extensions, injected via spark.sql.extensions (set by
   * [[graft.core.Sessions]]). Registers the native expressions so they are
@@ -16,6 +16,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         PolyHash(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("count_in"),
+      new ExpressionInfo(classOf[CountIn].getName, "count_in"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CountIn(children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),

@@ -102,7 +102,22 @@ object TextOps {
   def langGuess(text: Column): Column = {
     val tk = tokens(text)
     // fold over (lang, score) keeping the max; ties keep the earlier
-    // (alphabetically first) language
+    // (alphabetically first) language. Scoring is the native codegen'd
+    // count_in expression — per-row, no explode, no shuffle.
+    val scored = LangMarkers.map { case (lang, markers) =>
+      struct(call_function("count_in", tk,
+          array(markers.map(lit): _*)).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = scored.reduceLeft((a, b) =>
+      when(b.getField("score") > a.getField("score"), b).otherwise(a))
+    best.getField("lang")
+  }
+
+  /** Lambda reference form of [[langGuess]]'s scoring (interpreted HOFs)
+    * — retained as the spec cross-check for the native count_in path. */
+  def langGuessLambda(text: Column): Column = {
+    val tk = tokens(text)
     val scored = LangMarkers.map { case (lang, markers) =>
       struct(size(filter(tk, t => t.isin(markers.map(lit): _*))).as("score"),
              lit(lang).as("lang"))

@@ -56,13 +56,25 @@ object TextQueries {
 
   /** Language-ID guess vs labeled lang: confusion counts.
     *
-    * Relational formulation of [[TextOps.langGuess]]: explode tokens, join
-    * the broadcast marker table, count hits per (doc, lang), keep the
-    * argmax with the same first-in-list tiebreak, default 'de' for
-    * marker-less docs. Same result as the per-row fold (asserted in
-    * TextOpsSpec) but fully codegen'd + one shuffle — the per-row filter
-    * lambdas evaluate interpreted. */
-  def qLangId(s: SparkSession, dir: String): DataFrame = {
+    * Per-row scoring via the native count_in expression
+    * ([[graft.ops.TextOps.langGuess]]): each doc scores its K language
+    * profiles in one codegen'd pass — no token explode, no marker join,
+    * no shuffle before the tiny (lang, guess) aggregation. The earlier
+    * relational formulation (explode → broadcast marker join → two
+    * aggregations → window argmax) is retained as [[qLangIdRelational]]
+    * and asserted equal in TextOpsSpec. */
+  def qLangId(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        TextOps.langGuess(col("text")).as("lang_guess"))
+      .groupBy(col("lang"), col("lang_guess"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Relational reference form of [[qLangId]] (explode + broadcast marker
+    * join + window argmax) — the shape to prefer when profiles are too
+    * large to inline per row. Spec cross-check only. */
+  private[graft] def qLangIdRelational(s: SparkSession,
+                                       dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
     val markers = broadcast(TextOps.LangMarkers

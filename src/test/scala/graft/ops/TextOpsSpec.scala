@@ -66,15 +66,30 @@ class TextOpsSpec extends SparkSpecBase {
     assert(one(TextOps.langGuess(col("text")), "xyzzy plugh") == "de")
   }
 
-  test("relational qLangId equals the per-row langGuess fold") {
-    val perRow = spark.read.parquet(s"$sf/documents.parquet")
-      .select(col("lang"), TextOps.langGuess(col("text")).as("lang_guess"))
+  test("native count_in langGuess == lambda fold == relational join form") {
+    val lambda = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("lang"),
+        TextOps.langGuessLambda(col("text")).as("lang_guess"))
       .groupBy("lang", "lang_guess").count()
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
       .toMap
-    val relational = graft.queries.TextQueries.qLangId(spark, sf)
+    val native = graft.queries.TextQueries.qLangId(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
       .toMap
-    assert(relational == perRow)
+    val relational = graft.queries.TextQueries
+      .qLangIdRelational(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(native == lambda)
+    assert(relational == lambda)
+  }
+
+  test("count_in counts repeated hits and ignores null-safe misses") {
+    import spark.implicits._
+    val got = Seq("the cat the dog xyz", "", "THE the").toDF("text")
+      .select(call_function("count_in", TextOps.tokens(col("text")),
+        array(lit("the"), lit("dog"))).as("c"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(3, 0, 1)) // case-sensitive, repeats counted
   }
 }
