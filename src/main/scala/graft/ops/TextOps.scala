@@ -60,9 +60,12 @@ object TextOps {
   def punctCount(c: Column): Column =
     length(c) - length(regexp_replace(c, "[\\p{Punct}]", ""))
 
-  /** Ratio of tokens that appear in `words`, guarded against empty docs. */
+  /** Ratio of tokens that appear in `words`, guarded against empty docs.
+    * Hit counting is the native count_in expression (one codegen'd pass,
+    * identical semantics to size(filter(isin)) — asserted in spec). */
   def wordSetRatio(tokensCol: Column, words: Seq[String]): Column = {
-    val hits = size(filter(tokensCol, t => t.isin(words.map(lit): _*)))
+    val hits = call_function("count_in", tokensCol,
+      array(words.map(lit): _*))
     when(size(tokensCol) === 0, lit(0.0))
       .otherwise(hits.cast(DoubleType) / size(tokensCol).cast(DoubleType))
   }
