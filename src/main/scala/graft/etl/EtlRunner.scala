@@ -145,7 +145,8 @@ object EtlRunner {
         col("drug_exposure_end_date").as("end_date"))).toSeq ++
       allergySpans.toSeq), "observation_period")
 
-    val report = Validation.report(spark, person, visit, cond, measT, obsT)
+    val report = Validation.report(spark, person, visit, cond, measT, obsT,
+      Some(drugEra), Some(condEra))
     report.coalesce(1).write.mode("overwrite").json(s"$outDir/validation")
     report
   }

@@ -42,11 +42,30 @@ object Validation {
         round(lit(100.0) * col("unmapped") /
           nullif(col("total"), lit(0)), 2).as("unmapped_pct"))
 
+  /** Era-derivation invariants: an era must be well-ordered, belong to a
+    * known person, and contain at least one contributing row. */
+  def eraChecks(prefix: String, era: DataFrame, person: DataFrame,
+                startCol: String, endCol: String,
+                countCol: String): Seq[Check] = Seq(
+    Check(s"${prefix}_end_before_start",
+      endBeforeStart(era, startCol, endCol)),
+    Check(s"${prefix}_orphan_person",
+      orphans(era, "person_id", person, "person_id")),
+    Check(s"${prefix}_empty",
+      era.filter(col(countCol) < 1).count()))
+
   /** Full report over a built OMOP set. */
   def report(spark: SparkSession, person: DataFrame, visit: DataFrame,
              condition: DataFrame, measurement: DataFrame,
-             observation: DataFrame): DataFrame = {
+             observation: DataFrame,
+             drugEra: Option[DataFrame] = None,
+             conditionEra: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
+    (drugEra.toSeq.flatMap(e => eraChecks("drug_era", e, person,
+      "drug_era_start_date", "drug_era_end_date", "drug_exposure_count")) ++
+      conditionEra.toSeq.flatMap(e => eraChecks("condition_era", e, person,
+        "condition_era_start_date", "condition_era_end_date",
+        "condition_occurrence_count")) ++
     Seq(
       Check("visit_orphan_person",
         orphans(visit, "person_id", person, "person_id")),
@@ -67,6 +86,6 @@ object Validation {
       Check("invalid_gender_concept", invalidGender(person)),
       Check("duplicate_person_ids",
         person.groupBy("person_id").count().filter(col("count") > 1).count())
-    ).toDF("check_name", "failed_count")
+    )).toDF("check_name", "failed_count")
   }
 }
