@@ -69,7 +69,11 @@ object DenseId {
     * not-yet-mapped keys of `incoming`, first-writer-wins, appended after
     * the current max id. Mirrors the reference's
     * `INSERT ... SELECT nextval(seq) ... WHERE NOT IN (SELECT source_id)`
-    * (enhanced_synthea_to_omop.py:770-777). */
+    * (enhanced_synthea_to_omop.py:770-777).
+    *
+    * New-key ids go through the scalable range-partitioned path — a bulk
+    * first load maps EVERY source id here, so the single-partition global
+    * window would be the whole pipeline's bottleneck at scale. */
   def extendIdMap(existing: DataFrame, incoming: DataFrame,
                   sourceKeyCol: String, idCol: String): DataFrame = {
     val maxId: Long = existing.agg(coalesce(max(col(idCol)), lit(0L)))
@@ -77,7 +81,7 @@ object DenseId {
     val fresh = Dedup.antiAppend(
       incoming.select(col(sourceKeyCol)).distinct(), existing,
       Seq(sourceKeyCol))
-    val newRows = withDenseIdWindow(
+    val newRows = withDenseIdScalable(
       fresh, Seq(col(sourceKeyCol)), idCol, maxId)
       .select(col(sourceKeyCol), col(idCol).cast(LongType))
     existing.select(col(sourceKeyCol), col(idCol).cast(LongType))
