@@ -90,6 +90,7 @@ object SparkEntry {
     "q32_srp_buckets"        -> VectorQueries.qSrpBuckets _,
     "q33_embed_neardup"      -> VectorQueries.qEmbedNearDup _,
     "q34_label_centroids"    -> VectorQueries.qLabelCentroids _,
+    "q55_ivf_full_probe"     -> VectorQueries.qIvfFullProbe _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */

@@ -33,6 +33,22 @@ object VectorOracles {
   }
 
   val oracles: Map[String, String] = Map(
+    // full-probe IVF ≡ brute force (every corpus vector is in a probed
+    // list), so the oracle is the same exhaustive top-k — it pins the
+    // centroid-assignment + bucket-join + bounded-top-k machinery exactly
+    "q55_ivf_full_probe" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id < ${VectorQueries.NumQueryVecs}),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |scored AS (SELECT query_id, neighbor_id, ${cos("qv", "cv")} AS cos
+         |           FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |        CAST(row_number() OVER (PARTITION BY query_id
+         |               ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+         |      FROM scored)
+         |SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS cos_sim
+         |FROM r WHERE rank <= ${VectorQueries.TopK}""".stripMargin,
+
     "q31_ann_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
          |           FROM embeddings WHERE vec_id < ${VectorQueries.NumQueryVecs}),

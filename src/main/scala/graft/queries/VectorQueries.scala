@@ -42,26 +42,45 @@ object VectorQueries {
   def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
     VectorOps.srpNearDupPairs(Tables.embeddings(s, dir), SrpPlanes, 0.2)
 
-  /** Centroid similarity per label: mean vector per label, then cosine of
-    * each label centroid against label 0's centroid — grouped vector
-    * aggregation (the building block for IVF coarse quantization). */
-  def qLabelCentroids(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    // mean via exact decimal sum / count — partition-order-independent,
-    // unlike avg(double) whose partial sums reorder across shuffles
+  /** Exact-decimal per-label mean vectors (partition-order-independent,
+    * unlike avg(double) whose partial sums reorder across shuffles) —
+    * the coarse-quantizer codebook for the IVF tier. */
+  private def labelCentroids(emb: DataFrame): DataFrame = {
     val byPos = emb.select(col("label"),
         posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
       .agg((sum(col("v").cast("decimal(28,10)")).cast("double") /
         count(lit(1))).as("c"))
-    val centroids = byPos.groupBy(col("label"))
+    byPos.groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         s => s.getField("c")).as("centroid"))
+  }
+
+  /** Centroid similarity per label: mean vector per label, then cosine of
+    * each label centroid against label 0's centroid — grouped vector
+    * aggregation (the building block for IVF coarse quantization). */
+  def qLabelCentroids(s: SparkSession, dir: String): DataFrame = {
+    val centroids = labelCentroids(Tables.embeddings(s, dir))
     val base = centroids.filter(col("label") === 0)
       .select(col("centroid").as("base_centroid"))
     centroids.crossJoin(broadcast(base))
       .select(col("label"),
         round(VectorOps.cosine(col("centroid"), col("base_centroid")), 6)
           .as("cos_to_label0"))
+  }
+
+  /** IVF ANN, oracle-gated: label-centroid codebook + full probe. At full
+    * probe IVF is EXACTLY brute force (every corpus vector sits in one
+    * probed list), so the brute-force DuckDB oracle pins the whole IVF
+    * machinery — centroid assignment, probe selection, bucket join,
+    * bounded top-k — value-for-value. The approximate tier (nprobe <
+    * lists) is the same code path, spec-gated on recall. */
+  def qIvfFullProbe(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val centroids = labelCentroids(emb)
+      .select(col("label").cast("long").as("centroid_id"), col("centroid"))
+    val nLists = centroids.count().toInt
+    VectorOps.ivfSearch(emb.filter(col("vec_id") < NumQueryVecs), emb,
+      centroids, nLists, TopK)
   }
 }
