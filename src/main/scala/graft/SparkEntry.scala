@@ -56,6 +56,7 @@ object SparkEntry {
     "q29_simhash"            -> TextQueries.qSimhash _,
     "q30_jaccard_window"     -> TextQueries.qNgramJaccardWindow _,
     "q45_repetition"         -> TextQueries.qRepetition _,
+    "q56_simhash_pairs"      -> TextQueries.qSimhashPairs _,
     "q46_window_analytics"   -> Relational.q46WindowAnalytics _,
     "q47_set_ops"            -> Relational.q47SetOps _,
     "q48_asof_join"          -> Relational.q48AsofJoin _,

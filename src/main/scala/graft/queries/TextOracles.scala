@@ -166,6 +166,24 @@ object TextOracles {
          |FROM bits""".stripMargin
     },
 
+    "q56_simhash_pairs" -> {
+      val bitSums = (0 until 32).map(j =>
+        s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+        .mkString(",\n  ")
+      val sig = (0 until 32).map(j =>
+        s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, unnest($Tk) AS t FROM documents),
+         |th AS (SELECT doc_id, ${H("t")} AS h FROM tok),
+         |bits AS (SELECT doc_id,
+         |  $bitSums
+         |  FROM th GROUP BY doc_id),
+         |sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS s FROM bits)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.s, b.s)) <= 1""".stripMargin
+    },
+
     "q54_stratified_sample" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE (${H("CAST(doc_id AS VARCHAR) || '#7'")}

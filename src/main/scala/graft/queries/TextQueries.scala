@@ -187,6 +187,20 @@ object TextQueries {
       .select(col("doc_id"), col("simhash"),
         bit_count(col("simhash")).cast("int").as("popcount"))
 
+  /** Simhash near-pairs at Hamming ≤ 1 over 32-bit signatures, computed
+    * with the pigeonhole-BLOCKED search (two 16-bit blocks → bucket-join
+    * cost) while the oracle does the honest all-pairs cross join — the
+    * compare proves the blocking loses no pair. 32 bits because the
+    * synthetic corpus shares one small vocabulary: 16-bit signatures
+    * saturate and "near" stops meaning anything. */
+  def qSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    NearDup.simhashPairsBlocked(
+        NearDup.simhash(Tables.documents(s, dir), "doc_id", "text",
+          bits = 32),
+        "doc_id", maxDist = 1, bits = 32)
+      .select(col("doc_a"), col("doc_b"),
+        col("hamming").cast("int").as("hamming"))
+
   /** Exact n-gram Jaccard over a bounded id-window of pairs (adjacent ids,
     * distance ≤ 3) — the oracle-checkable exact tier; the LSH tier above is
     * the scale path. */
