@@ -57,6 +57,7 @@ object SparkEntry {
     "q30_jaccard_window"     -> TextQueries.qNgramJaccardWindow _,
     "q45_repetition"         -> TextQueries.qRepetition _,
     "q56_simhash_pairs"      -> TextQueries.qSimhashPairs _,
+    "q57_dup_clusters"       -> TextQueries.qDupClusters _,
     "q46_window_analytics"   -> Relational.q46WindowAnalytics _,
     "q47_set_ops"            -> Relational.q47SetOps _,
     "q48_asof_join"          -> Relational.q48AsofJoin _,

@@ -150,6 +150,40 @@ object TextOracles {
          |JOIN sizes zb ON zb.doc_id = i.doc_b
          |WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= 0.3""".stripMargin,
 
+    "q57_dup_clusters" ->
+      s"""${MinhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |bands AS (SELECT doc_id, i // 4 AS band,
+         |            string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS band_sig
+         |          FROM mh GROUP BY doc_id, i // 4),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b
+         |            ON a.band = b.band AND a.band_sig = b.band_sig
+         |           AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shx GROUP BY doc_id),
+         |inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
+         |          FROM pairs p
+         |          JOIN shx sa ON sa.doc_id = p.doc_a
+         |          JOIN shx sb ON sb.doc_id = p.doc_b AND sa.h = sb.h
+         |          GROUP BY p.doc_a, p.doc_b),
+         |verified AS (SELECT i.doc_a, i.doc_b
+         |             FROM inter i
+         |             JOIN sizes za ON za.doc_id = i.doc_a
+         |             JOIN sizes zb ON zb.doc_id = i.doc_b
+         |             WHERE CAST(i.inter AS DOUBLE)
+         |                   / (za.sz + zb.sz - i.inter) >= 0.3),
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM verified
+         |          UNION ALL
+         |          SELECT doc_b AS s, doc_a AS d FROM verified),
+         |reach AS (SELECT s AS id, s AS lab FROM edges
+         |          UNION
+         |          SELECT e.d AS id, r.lab
+         |          FROM reach r JOIN edges e ON e.s = r.id),
+         |cc AS (SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id)
+         |SELECT id AS doc_id, cluster_id,
+         |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+         |    AS cluster_size
+         |FROM cc""".stripMargin,
+
     "q29_simhash" -> {
       val bitSums = (0 until 16).map(j =>
         s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")

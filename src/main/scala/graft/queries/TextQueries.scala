@@ -131,7 +131,15 @@ object TextQueries {
     * collisions), and the exact-Jaccard verify tier re-derives shingles
     * from scratch for candidate docs only — the semi-join lands next to
     * the parquet scan, so the second pass reads a sliver of the corpus. */
-  def qNearDupVerified(s: SparkSession, dir: String): DataFrame = {
+  def qNearDupVerified(s: SparkSession, dir: String): DataFrame =
+    verifiedNearDupPairs(s, dir)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        round(col("jaccard"), 6).as("jaccard"))
+
+  /** The full LSH→verify cascade: candidate pairs from shared bands,
+    * exact-Jaccard verified at ≥ 0.3 on candidate-restricted shingles.
+    * Shared by q28 (pair output) and q57 (cluster output). */
+  private def verifiedNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val sh = NearDup.shingleRows(docs, "doc_id", "text", ShingleN)
     val mh = NearDup.minhashRows(sh, "doc_id", NumHashes)
@@ -149,8 +157,25 @@ object TextQueries {
       "doc_id", "text", ShingleN)
     NearDup.jaccard(pairs, shCand, "doc_id", restrictToPairDocs = false)
       .filter(col("jaccard") >= 0.3)
-      .select(col("doc_a"), col("doc_b"), col("inter"),
-        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Transitive duplicate clusters over the verified near-dup pairs:
+    * connected components ([[graft.ops.Components]]), cluster label = the
+    * smallest doc id in the component. The pair tier (q28) is where LSH
+    * keeps the cost sub-quadratic; this is the step that turns pairs into
+    * the keep-one-per-cluster sets an actual corpus dedup needs — greedy
+    * per-pair drops get chain cases wrong (pairs (1,3),(2,3) would keep
+    * doc 2 though it duplicates cluster {1,2,3}). */
+  def qDupClusters(s: SparkSession, dir: String): DataFrame = {
+    val verified = verifiedNearDupPairs(s, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val cc = graft.ops.Components
+      .connectedComponents(verified, "doc_a", "doc_b")
+    val sizes = cc.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "component")
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+        col("cluster_size"))
   }
 
   /** Gopher-style repetition metrics: fraction of all bigrams taken by
