@@ -23,6 +23,9 @@ object CorpusPipeline {
     * @param numHashes      minhash signature length
     * @param rowsPerBand    LSH banding (numHashes/rowsPerBand bands)
     * @param jaccardMin     verified near-dup threshold
+    * @param transitiveClusters resolve verified pairs into connected
+    *                       components and keep one doc per cluster
+    *                       ([[Components]]); false = greedy per-pair drop
     * @param sampleFractions per-language sample fractions ([[Sampling]])
     * @param sampleDefault  fraction for languages not listed
     * @param seed           sampling seed */
@@ -33,6 +36,7 @@ object CorpusPipeline {
     numHashes: Int = 16,
     rowsPerBand: Int = 4,
     jaccardMin: Double = 0.8,
+    transitiveClusters: Boolean = false,
     sampleFractions: Map[String, Double] = Map.empty,
     sampleDefault: Double = 1.0,
     seed: Long = 42L)
@@ -43,11 +47,17 @@ object CorpusPipeline {
   /** Run the four stages over `docs(doc_id, text, lang)`; returns the
     * surviving rows (original columns) and per-stage counts.
     *
-    * Near-dup policy: for every verified pair (a, b) with a < b, the
-    * higher id is dropped — the minimum of each duplicate cluster is never
-    * a `doc_b`, so each cluster keeps exactly its smallest id (the
-    * standard greedy MinHash-dedup policy; exact transitive clustering
-    * would need iterated connected components for no retention benefit). */
+    * Near-dup policy (greedy, default): for every verified pair (a, b)
+    * with a < b, the higher id is dropped. Each cluster's smallest id is
+    * never a `doc_b`, so it always survives — but a doc whose verified
+    * partners all have LARGER ids also survives even when its cluster
+    * reaches a smaller doc transitively (pairs (1,3),(2,3) keep doc 2).
+    * `cfg.transitiveClusters` switches to exact connected-components
+    * clustering ([[Components]]): one survivor — the smallest id — per
+    * component, the policy corpus-scale LLM dedup pipelines standardize
+    * on. Greedy stays the default because it is one anti-join instead of
+    * an iterative fixpoint, and on LSH-shaped graphs (near-cliques) the
+    * two differ only on chain topologies. */
   def run(docs: DataFrame, cfg: Config): (DataFrame, Stats) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val input = docs.count()
@@ -79,9 +89,15 @@ object CorpusPipeline {
         NearDup.lshBands(mh, "doc_id", cfg.rowsPerBand), "doc_id")
       .select(col("doc_a"), col("doc_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dupIds = NearDup.jaccard(pairs, sh, "doc_id")
+    val verified = NearDup.jaccard(pairs, sh, "doc_id")
       .filter(col("jaccard") >= cfg.jaccardMin)
-      .select(col("doc_b").as("doc_id")).distinct()
+    val dupIds =
+      if (cfg.transitiveClusters)
+        Components.connectedComponents(
+            verified.select(col("doc_a"), col("doc_b")), "doc_a", "doc_b")
+          .filter(col("id") =!= col("component"))
+          .select(col("id").as("doc_id"))
+      else verified.select(col("doc_b").as("doc_id")).distinct()
     val deduped = exact.join(dupIds, Seq("doc_id"), "left_anti")
       .persist(MEMORY_AND_DISK) // consumed by count + sample + caller
     val afterNearDup = deduped.count()

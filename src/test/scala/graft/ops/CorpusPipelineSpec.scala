@@ -89,4 +89,25 @@ class CorpusPipelineSpec extends SparkSpecBase {
       .select("doc_id").as[Long].collect().toSet
     assert(a == b)
   }
+
+  test("transitive clustering resolves chains greedy dedup keeps") {
+    // doc 3 duplicates BOTH 1 and 2 (J = 3/4 each), but 1 vs 2 fall
+    // below the threshold (J = 1/2): verified pairs (1,3),(2,3) form a
+    // chain. Greedy drops only doc_b's → {1,2} survive; transitive
+    // components keep one doc per cluster → {1}.
+    val chain = Seq(
+      (1L, "alpha bravo charlie", "en", "t", 19L),
+      (2L, "bravo charlie delta", "en", "t", 19L),
+      (3L, "alpha bravo charlie delta", "en", "t", 25L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val cfg = CorpusPipeline.Config(minTokens = 0, maxPunctRatio = 1.0,
+      shingleN = 1, rowsPerBand = 1, jaccardMin = 0.7)
+    val greedy = CorpusPipeline.run(chain, cfg)._1
+      .select("doc_id").as[Long].collect().toSet
+    val transitive = CorpusPipeline.run(chain,
+        cfg.copy(transitiveClusters = true))._1
+      .select("doc_id").as[Long].collect().toSet
+    assert(greedy === Set(1L, 2L))
+    assert(transitive === Set(1L))
+  }
 }
