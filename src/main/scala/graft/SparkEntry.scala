@@ -58,6 +58,8 @@ object SparkEntry {
     "q45_repetition"         -> TextQueries.qRepetition _,
     "q56_simhash_pairs"      -> TextQueries.qSimhashPairs _,
     "q57_dup_clusters"       -> TextQueries.qDupClusters _,
+    "q58_tfidf_terms"        -> TextQueries.qTfIdfTerms _,
+    "q59_bloom_semi"         -> Relational.q59BloomPrunedSemi _,
     "q46_window_analytics"   -> Relational.q46WindowAnalytics _,
     "q47_set_ops"            -> Relational.q47SetOps _,
     "q48_asof_join"          -> Relational.q48AsofJoin _,
@@ -316,6 +318,14 @@ object SparkEntry {
         | AND c.ts <= e.ts + INTERVAL 7200 SECOND
         |WHERE e.event_type = 'error'
         |GROUP BY e.event_id, e.user_id""".stripMargin,
+
+    "q59_bloom_semi" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag""".stripMargin,
 
     "q48_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -115,6 +115,38 @@ object TextOps {
     val best = scored.reduceLeft((a, b) =>
       when(b.getField("score") > a.getField("score"), b).otherwise(a))
     best.getField("lang")
+  }
+
+  /** Top-k terms per document by TF-IDF — keyword extraction for corpus
+    * curation. Scoring is log-free rational:
+    * `score = (tf · 1e6 · N) div df` (integer division) — monotone in
+    * tf·(N/df) at fixed N, so rankings match classic tf-idf while the
+    * value is bit-exact across engines (no transcendental-ULP drift in
+    * the oracle compare). Ties break on term asc.
+    *
+    * Plan shape: one explode → two hash aggregations (tf over (doc,term),
+    * df over term, both map-side combinable) → join on term → per-doc
+    * top-k window. The df side aggregates to vocabulary size — ≪ corpus
+    * at any scale — and the join shuffles (term, df) pairs, never text;
+    * N rides along as a broadcast single-row cross join, keeping the
+    * whole thing one lazy plan. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("tfidf_scaled").desc, col("term").asc)
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf_scaled", expr("(tf * 1000000 * n) div df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tfidf_scaled"),
+        col("rank").cast("int").as("rank"))
   }
 
   /** Lambda reference form of [[langGuess]]'s scoring (interpreted HOFs)

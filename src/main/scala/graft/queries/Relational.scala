@@ -413,4 +413,23 @@ object Relational {
       .groupBy(col("err_id"), col("user_id"))
       .agg(count(lit(1)).as("n_clicks"))
   }
+
+  /** Bloom-pruned selective semi join ([[graft.ops.Sketches.bloomPrune]]):
+    * the fact side is filtered by a bloom over the dim keys BEFORE its
+    * shuffle. The bloom admits false positives only, and the residual
+    * semi join removes those, so the result is bit-identical to the plain
+    * semi join the oracle runs — the sketch changes shuffle I/O, never
+    * the answer. That identity is exactly what this gate proves. */
+  def q59BloomPrunedSemi(s: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val pruned = graft.ops.Sketches.bloomPrune(
+      Tables.lineitem(s, dir), col("l_orderkey"), urgent,
+      expectedDim = 200000L)
+    pruned.join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_quantity")).as("sum_qty"))
+  }
 }

@@ -150,6 +150,23 @@ object TextOracles {
          |JOIN sizes zb ON zb.doc_id = i.doc_b
          |WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= 0.3""".stripMargin,
 
+    "q58_tfidf_terms" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($Tk) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+         |       FROM tok GROUP BY doc_id, term),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |scored AS (SELECT t.doc_id, t.term,
+         |             CAST((t.tf * 1000000 * n.n) // d.df AS BIGINT)
+         |               AS tfidf_scaled
+         |           FROM tf t JOIN df d USING (term) CROSS JOIN n),
+         |ranked AS (SELECT doc_id, term, tfidf_scaled,
+         |             row_number() OVER (PARTITION BY doc_id
+         |               ORDER BY tfidf_scaled DESC, term ASC) AS rn
+         |           FROM scored)
+         |SELECT doc_id, term, tfidf_scaled, CAST(rn AS INTEGER) AS rank
+         |FROM ranked WHERE rn <= 3""".stripMargin,
+
     "q57_dup_clusters" ->
       s"""${MinhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |bands AS (SELECT doc_id, i // 4 AS band,

@@ -226,6 +226,11 @@ object TextQueries {
       .select(col("doc_a"), col("doc_b"),
         col("hamming").cast("int").as("hamming"))
 
+  /** Top-3 TF-IDF terms per document ([[TextOps.tfidfTopTerms]]) —
+    * integer-rational scoring keeps the oracle compare bit-exact. */
+  def qTfIdfTerms(s: SparkSession, dir: String): DataFrame =
+    TextOps.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", 3)
+
   /** Exact n-gram Jaccard over a bounded id-window of pairs (adjacent ids,
     * distance ≤ 3) — the oracle-checkable exact tier; the LSH tier above is
     * the scale path. */
