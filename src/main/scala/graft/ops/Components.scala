@@ -43,14 +43,43 @@ object Components {
     *
     * @param maxIter hard cap on propagation rounds (diameter bound);
     *                throws if the fixpoint is not reached so a silent
-    *                under-merge can never ship. */
+    *                under-merge can never ship.
+    * @param localThreshold edge count at or below which the component
+    *                labels are computed with a driver-side union-find
+    *                over the collected edge list — the same size-gated
+    *                reasoning as `autoBroadcastJoinThreshold`: a verified
+    *                near-dup pair set is a sliver of any corpus, and an
+    *                iterative fixpoint of Spark jobs over a few thousand
+    *                rows pays rounds × job-latency for work a single
+    *                in-memory pass does exactly. Identical output to the
+    *                distributed path (asserted in spec); set 0 to force
+    *                the distributed fixpoint. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          localThreshold: Long = 1L << 20): DataFrame = {
     val e = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
-    // symmetrize once; persisted — every round joins against it
-    val und = e.unionByName(e.select(col("d").as("s"), col("s").as("d")))
-      .distinct()
-      .persist(MEMORY_AND_DISK)
+    // symmetrize once. Partition count adapts to the edge count: the
+    // per-round fixed cost is tasks × rounds, so a small pair graph (the
+    // common case — verified near-dup pairs are a sliver of any corpus)
+    // iterates in single-task rounds, while a huge one keeps full
+    // parallelism. Pre-partitioned by the join side and persisted, so
+    // each round shuffles only the label table, never the edges.
+    // persisted BEFORE the size probe: count and the branch taken after
+    // it both execute this plan, and the upstream edge derivation (e.g.
+    // a whole LSH-verify cascade) must run once, not twice
+    val undAll = e.unionByName(e.select(col("d").as("s"), col("s").as("d")))
+      .distinct().persist(MEMORY_AND_DISK)
+    val nEdges = undAll.count()
+    if (nEdges <= localThreshold) {
+      val result = unionFindLocal(undAll)
+      undAll.unpersist()
+      return result
+    }
+    val nPart = math.max(1, math.min((nEdges / 500000L).toInt,
+      e.sparkSession.sparkContext.defaultParallelism * 4))
+    val und = undAll.repartition(nPart, col("s")).persist(MEMORY_AND_DISK)
+    und.count()
+    undAll.unpersist()
     var labels = und.select(col("s").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
@@ -59,18 +88,23 @@ object Components {
     var iter = 0
     while (!converged && iter < maxIter) {
       // neighbor labels flow along edges; min with the node's own label.
-      // One wide union → hash min-agg: a single shuffle per round.
+      // One wide union → hash min-agg: a single shuffle per round. The
+      // node's own previous label rides along (min over flagged rows), so
+      // convergence detection is a filter on the round's output — no
+      // extra join.
       val viaEdges = und
         .join(labels.withColumnRenamed("id", "s"), "s")
-        .select(col("d").as("id"), col("component"))
-      val next = labels.unionByName(viaEdges)
-        .groupBy("id").agg(min("component").as("component"))
+        .select(col("d").as("id"), col("component"), lit(null: String).as("own"))
+      val next = labels
+        .select(col("id"), col("component"), lit("y").as("own"))
+        .unionByName(viaEdges)
+        .groupBy("id")
+        .agg(min("component").as("component"),
+          min(when(col("own").isNotNull, col("component"))).as("prev"))
         .localCheckpoint(true)
       // labels only ever decrease, so "any change" = "any strict decrease"
-      val changed = next.join(
-          labels.withColumnRenamed("component", "prev"), "id")
-        .filter(col("component") < col("prev")).count()
-      labels = next
+      val changed = next.filter(col("component") < col("prev")).count()
+      labels = next.select(col("id"), col("component"))
       converged = changed == 0
       iter += 1
     }
@@ -79,5 +113,40 @@ object Components {
       s"connectedComponents did not converge in $maxIter rounds — " +
         "graph diameter exceeds the bound; raise maxIter")
     labels
+  }
+
+  /** Exact driver-side union-find (path compression + arbitrary union)
+    * for edge sets under `localThreshold`. Same output contract as the
+    * distributed fixpoint: (id, component = min member). */
+  private def unionFindLocal(und: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val spark = und.sparkSession
+    val dt = und.schema.head.dataType
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    und.collect().foreach { row =>
+      val (a, b) = (row.get(0), row.get(1))
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    implicit val ord: Ordering[Any] = dt match {
+      case StringType => Ordering.String.on[Any](_.asInstanceOf[String])
+      case _ => Ordering.Long.on[Any](_.asInstanceOf[Number].longValue())
+    }
+    val out = parent.keys.toSeq.groupBy(find).toSeq.flatMap {
+      case (_, members) =>
+        val m = members.min
+        members.map(v => Row(v, m))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1),
+      StructType(Seq(StructField("id", dt), StructField("component", dt))))
   }
 }

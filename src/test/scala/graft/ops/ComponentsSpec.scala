@@ -6,13 +6,18 @@ import graft.SparkSpecBase
 class ComponentsSpec extends SparkSpecBase {
   import spark.implicits._
 
-  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
+  /** threshold 0 forces the distributed fixpoint; default uses the
+    * size-gated driver union-find. */
+  private def cc(edges: Seq[(Long, Long)], thr: Long = 1L << 20): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("a", "b"), "a", "b",
+        localThreshold = thr)
       .as[(Long, Long)].collect().toMap
 
-  test("two separate components get their min ids as labels") {
-    val got = cc(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
-    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  test("two separate components get their min ids as labels (both paths)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L)
+    assert(cc(edges) === want)
+    assert(cc(edges, thr = 0) === want)
   }
 
   test("chain case greedy pair-dropping gets wrong: (1,3),(2,3)") {
@@ -22,32 +27,47 @@ class ComponentsSpec extends SparkSpecBase {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
-  test("long path converges (diameter rounds) regardless of direction") {
+  test("long path converges on the distributed fixpoint") {
     val n = 12L
     val back = (1L until n).map(i => (i + 1, i)) // edges all point "down"
-    val got = cc(back)
-    assert(got === (1L to n).map(_ -> 1L).toMap)
+    assert(cc(back, thr = 0) === (1L to n).map(_ -> 1L).toMap)
   }
 
-  test("self-loops and duplicate edges are harmless") {
-    val got = cc(Seq((5L, 5L), (5L, 6L), (5L, 6L), (6L, 5L)))
-    assert(got === Map(5L -> 5L, 6L -> 5L))
+  test("self-loops and duplicate edges are harmless (both paths)") {
+    val edges = Seq((5L, 5L), (5L, 6L), (5L, 6L), (6L, 5L))
+    assert(cc(edges) === Map(5L -> 5L, 6L -> 5L))
+    assert(cc(edges, thr = 0) === Map(5L -> 5L, 6L -> 5L))
   }
 
-  test("labels are partitioning-invariant") {
+  test("local union-find and distributed fixpoint agree on a mixed graph") {
+    val edges = Seq((1L, 9L), (9L, 4L), (2L, 7L), (7L, 2L), (3L, 8L),
+      (8L, 30L), (30L, 31L), (40L, 41L), (41L, 4L))
+    assert(cc(edges) === cc(edges, thr = 0))
+  }
+
+  test("labels are partitioning-invariant (distributed path)") {
     val edges = Seq((1L, 9L), (9L, 4L), (2L, 7L), (7L, 2L), (3L, 8L))
-    val base = cc(edges)
+    val base = cc(edges, thr = 0)
     val repart = Components.connectedComponents(
-        edges.toDF("a", "b").repartition(7, col("b")), "a", "b")
+        edges.toDF("a", "b").repartition(7, col("b")), "a", "b",
+        localThreshold = 0)
       .as[(Long, Long)].collect().toMap
     assert(base === repart)
+  }
+
+  test("string-keyed edges work through the local path") {
+    val got = Components.connectedComponents(
+        Seq(("x", "y"), ("y", "z"), ("q", "r")).toDF("a", "b"), "a", "b")
+      .as[(String, String)].collect().toMap
+    assert(got === Map("x" -> "x", "y" -> "x", "z" -> "x", "q" -> "q",
+      "r" -> "q"))
   }
 
   test("non-convergence within maxIter fails loudly, never under-merges") {
     val path = (1L until 30L).map(i => (i, i + 1))
     val ex = intercept[IllegalArgumentException] {
       Components.connectedComponents(path.toDF("a", "b"), "a", "b",
-        maxIter = 2).collect()
+        maxIter = 2, localThreshold = 0).collect()
     }
     assert(ex.getMessage.contains("did not converge"))
   }
