@@ -95,6 +95,7 @@ object SparkEntry {
     "q33_embed_neardup"      -> VectorQueries.qEmbedNearDup _,
     "q34_label_centroids"    -> VectorQueries.qLabelCentroids _,
     "q55_ivf_full_probe"     -> VectorQueries.qIvfFullProbe _,
+    "q60_kmeans_round"       -> VectorQueries.qKmeansRound _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */

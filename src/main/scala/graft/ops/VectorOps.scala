@@ -107,10 +107,16 @@ object VectorOps {
   def assignToCentroids(vecs: DataFrame, centroids: DataFrame,
                         idCol: String = "vec_id",
                         vecCol: String = "embedding"): DataFrame = {
+    // the argmax ranks on cosine ROUNDED to 6 decimals: a straight double
+    // argmax amplifies sub-ULP evaluation-order drift into whole-vector
+    // assignment flips (observed engine-vs-oracle on ~0.4% of rows);
+    // rounding makes near-ties actual ties, which the centroid_id
+    // tiebreak then resolves identically everywhere. 1e-6 of cosine is
+    // far below any meaningful quantization-quality difference.
     val scored = vecs.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(centroids.select(
         col("centroid_id"), col("centroid"))))
-      .withColumn("cdist", -cosine(col(vecCol), col("centroid")))
+      .withColumn("cdist", -round(cosine(col(vecCol), col("centroid")), 6))
     Dedup.firstRowPerGroup(scored, Seq(col(idCol)),
       Seq(col("cdist").asc, col("centroid_id").asc))
       .select(col(idCol), col(vecCol), col("centroid_id").as("list_id"))
@@ -141,6 +147,74 @@ object VectorOps {
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("int").as("rank"),
         round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Lloyd's k-means for training the IVF coarse codebook — the piece
+    * that makes [[ivfSearch]] self-contained when no labels exist.
+    *
+    * Deterministic end to end: seeds are the k vectors with the smallest
+    * Knuth-remixed id hash ([[Sampling.sampleHash]] — reproducible yet
+    * spread, unlike "first k ids" which often come from one shard of the
+    * corpus); assignment ties break on centroid_id; means accumulate in
+    * exact decimal (partition-order-independent, same trick as the
+    * oracle-matched sums). Rerunning on any partitioning yields the same
+    * codebook bit-for-bit.
+    *
+    * Scale shape: a codebook is k·dim — broadcast-scale by construction —
+    * so centroids live on the driver between rounds and each round is ONE
+    * corpus pass: broadcast-assign ([[assignToCentroids]]) → per-dim
+    * decimal mean, map-side combinable, shuffling k·dim partial sums per
+    * map partition. Keeping the codebook driver-resident also truncates
+    * the iteration's plan lineage for free. Empty lists keep their
+    * previous centroid (the standard Lloyd fallback). */
+  def kmeansFit(vecs: DataFrame, k: Int, iters: Int,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding",
+                seed: Long = 7L): DataFrame = {
+    val spark = vecs.sparkSession
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("centroid_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    def toDf(cents: Seq[(Long, Seq[Double])]): DataFrame =
+      spark.createDataFrame(
+        cents.map { case (i, v) =>
+          org.apache.spark.sql.Row(i, v) }.asJava, schema)
+
+    val seeds = vecs
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("r", Sampling.sampleHash(col(idCol), seed))
+      .orderBy(col("r").asc, col(idCol).asc)
+      .limit(k)
+      .collect()
+      .zipWithIndex
+      .map { case (row, i) => (i.toLong, row.getSeq[Double](1)) }
+      .toSeq
+    var centroids: Seq[(Long, Seq[Double])] = seeds
+    for (_ <- 0 until iters) {
+      val assigned = assignToCentroids(vecs, toDf(centroids), idCol, vecCol)
+      // exact integer nano-unit accumulation: long sums carry no
+      // rounding MODE (decimal quantization of binary fractions can hit
+      // exact half-digits, where engines disagree half-up vs half-even),
+      // so the mean is bit-reproducible across engines and partitionings
+      val means = assigned
+        .select(col("list_id"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg((sum(round(col("v") * 1e9).cast("long")) /
+          (count(lit(1)) * lit(1e9))).as("c"))
+        .groupBy(col("list_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          s => s.getField("c")).as("centroid"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1))
+        .toMap
+      centroids = centroids.map { case (i, old) =>
+        (i, means.getOrElse(i, old)) }
+    }
+    toDf(centroids)
   }
 
   /** Candidate near-dup pairs from shared SRP buckets, verified with exact

@@ -76,6 +76,47 @@ object VectorOracles {
          |FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
          |WHERE ${cos("a.embedding", "b.embedding")} >= 0.2""".stripMargin,
 
+    // one Lloyd round from deterministic seeds: same Knuth-remixed seed
+    // order (Sampling.sampleHash twin), same cosine assignment with
+    // centroid_id tiebreak, same exact-decimal means; seeds with no
+    // members pass through unchanged (the empty-list fallback)
+    "q60_kmeans_round" -> {
+      val h = TextOracles.H("CAST(vec_id AS VARCHAR) || '#7'")
+      s"""WITH sh AS (SELECT vec_id, embedding,
+         |              ($h * 2654435761 % 1000000007) % 1000000 AS r
+         |            FROM embeddings),
+         |seeds AS (SELECT embedding,
+         |            row_number() OVER (ORDER BY r ASC, vec_id ASC) - 1
+         |              AS centroid_id
+         |          FROM sh ORDER BY r ASC, vec_id ASC LIMIT 8),
+         |scored AS (SELECT v.vec_id, v.embedding, s.centroid_id,
+         |             ${cos("v.embedding", "s.embedding")} AS cs
+         |           FROM embeddings v CROSS JOIN seeds s),
+         |best AS (SELECT vec_id, embedding, centroid_id,
+         |           row_number() OVER (PARTITION BY vec_id
+         |             ORDER BY ROUND(cs, 6) DESC, centroid_id ASC) AS rn
+         |         FROM scored),
+         |members AS (SELECT centroid_id, embedding FROM best WHERE rn = 1),
+         |dims AS (SELECT centroid_id, embedding AS emb,
+         |           unnest(range(1, len(embedding) + 1)) AS i
+         |         FROM members),
+         |means AS (SELECT centroid_id, i,
+         |            CAST(SUM(CAST(ROUND(CAST(emb[i] AS DOUBLE)
+         |                               * 1000000000) AS BIGINT)) AS BIGINT)
+         |              / (COUNT(*) * 1000000000.0) AS c
+         |          FROM dims GROUP BY centroid_id, i)
+         |SELECT centroid_id, CAST(i - 1 AS INTEGER) AS pos,
+         |  ROUND(c, 6) AS c
+         |FROM means
+         |UNION ALL
+         |SELECT sd.centroid_id, CAST(sd.i - 1 AS INTEGER) AS pos,
+         |  ROUND(CAST(sd.emb[sd.i] AS DOUBLE), 6) AS c
+         |FROM (SELECT centroid_id, embedding AS emb,
+         |        unnest(range(1, len(embedding) + 1)) AS i FROM seeds) sd
+         |WHERE sd.centroid_id NOT IN
+         |  (SELECT DISTINCT centroid_id FROM members)""".stripMargin
+    },
+
     "q34_label_centroids" ->
       s"""WITH e AS (SELECT label, embedding AS emb,
          |             unnest(range(1, len(embedding) + 1)) AS i

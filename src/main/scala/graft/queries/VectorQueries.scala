@@ -69,6 +69,22 @@ object VectorQueries {
           .as("cos_to_label0"))
   }
 
+  /** One Lloyd round of [[VectorOps.kmeansFit]], flattened to
+    * (centroid_id, pos, c) rows — oracle-gated so the codebook TRAINER
+    * (deterministic seed choice, cosine assignment with tiebreak, exact
+    * decimal means, empty-list fallback) is pinned value-exactly, not
+    * just spec-sanity-checked. Multi-round training is the same code
+    * path iterated (spec-gated: blob recovery, partitioning invariance,
+    * full-probe ≡ brute force). */
+  def qKmeansRound(s: SparkSession, dir: String): DataFrame = {
+    val code = VectorOps.kmeansFit(Tables.embeddings(s, dir),
+      k = 8, iters = 1)
+    code.select(col("centroid_id"),
+        posexplode(col("centroid")).as(Seq("pos", "c")))
+      .select(col("centroid_id"), col("pos").cast("int").as("pos"),
+        round(col("c"), 6).as("c"))
+  }
+
   /** IVF ANN, oracle-gated: label-centroid codebook + full probe. At full
     * probe IVF is EXACTLY brute force (every corpus vector sits in one
     * probed list), so the brute-force DuckDB oracle pins the whole IVF

@@ -79,4 +79,59 @@ class VectorOpsSpec extends SparkSpecBase {
     assert(dup == sig(0L))
     assert(sig(0L) != sig(3L))
   }
+
+  // three well-separated blobs on the axes; ids interleaved so seed
+  // choice can't accidentally align with blob order
+  private def blobs = Seq(
+    (0L, Array(1.0f, 0.02f, 0.0f)), (3L, Array(0.98f, 0.0f, 0.01f)),
+    (6L, Array(1.0f, 0.01f, 0.02f)),
+    (1L, Array(0.0f, 1.0f, 0.02f)), (4L, Array(0.01f, 0.97f, 0.0f)),
+    (7L, Array(0.02f, 1.0f, 0.01f)),
+    (2L, Array(0.01f, 0.0f, 1.0f)), (5L, Array(0.0f, 0.02f, 0.99f)),
+    (8L, Array(0.01f, 0.01f, 1.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("kmeansFit recovers separated blobs and is partitioning-invariant") {
+    val code = VectorOps.kmeansFit(blobs, k = 3, iters = 4)
+    assert(code.count() == 3)
+    val assign = VectorOps.assignToCentroids(blobs, code)
+      .select($"vec_id", $"list_id").as[(Long, Long)].collect().toMap
+    // blob membership: ids ≡ mod 3 belong together
+    for (g <- 0 until 3) {
+      val lists = (0 until 3).map(i => assign(g + 3L * i)).toSet
+      assert(lists.size == 1, s"blob $g split across lists $lists")
+    }
+    // same codebook regardless of input partitioning, bit-for-bit
+    val repart = VectorOps.kmeansFit(blobs.repartition(5, $"vec_id"),
+      k = 3, iters = 4)
+    val a = code.orderBy($"centroid_id")
+      .as[(Long, Seq[Double])].collect().toSeq
+    val b = repart.orderBy($"centroid_id")
+      .as[(Long, Seq[Double])].collect().toSeq
+    assert(a == b)
+  }
+
+  test("kmeansFit-trained IVF at full probe equals brute force") {
+    val code = VectorOps.kmeansFit(blobs, k = 3, iters = 3)
+    val queries = blobs.filter($"vec_id" < 3)
+    val ivf = VectorOps.ivfSearch(queries, blobs, code, nprobe = 3, k = 2)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val bf = VectorOps.bruteForceTopK(queries, blobs, 2)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(ivf == bf)
+  }
+
+  test("kmeansFit keeps previous centroid for empty lists") {
+    // identical points: assignment ties all break to one centroid, the
+    // other list is empty every round and must keep its seed centroid
+    val tiny = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val code = VectorOps.kmeansFit(tiny, k = 2, iters = 3)
+    assert(code.count() == 2)
+    // every centroid remains finite and well-formed
+    val all = code.as[(Long, Seq[Double])].collect()
+    assert(all.forall(_._2.forall(v => !v.isNaN && !v.isInfinite)))
+  }
 }
