@@ -60,6 +60,8 @@ object SparkEntry {
     "q57_dup_clusters"       -> TextQueries.qDupClusters _,
     "q58_tfidf_terms"        -> TextQueries.qTfIdfTerms _,
     "q59_bloom_semi"         -> Relational.q59BloomPrunedSemi _,
+    "q61_chunks"             -> TextQueries.qChunks _,
+    "q62_grouping_sets"      -> Relational.q62GroupingSets _,
     "q46_window_analytics"   -> Relational.q46WindowAnalytics _,
     "q47_set_ops"            -> Relational.q47SetOps _,
     "q48_asof_join"          -> Relational.q48AsofJoin _,
@@ -319,6 +321,15 @@ object SparkEntry {
         | AND c.ts <= e.ts + INTERVAL 7200 SECOND
         |WHERE e.event_type = 'error'
         |GROUP BY e.event_id, e.user_id""".stripMargin,
+
+    "q62_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), ())""".stripMargin,
 
     "q59_bloom_semi" ->
       """SELECT l_returnflag, COUNT(*) AS n_items,

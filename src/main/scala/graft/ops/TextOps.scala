@@ -149,6 +149,28 @@ object TextOps {
         col("rank").cast("int").as("rank"))
   }
 
+  /** Overlapping fixed-width chunking — the context-window prep step of
+    * an LLM-data pipeline (and RAG indexing): each doc's token stream is
+    * cut into `chunkSize`-token windows every `stride` tokens (stride <
+    * chunkSize ⇒ overlap). Pure per-row expansion: tokens → sequence of
+    * starts → explode → slice; no shuffle, scales with the scan, and each
+    * chunk carries a content hash so chunk identity is oracle-checkable.
+    * Docs shorter than one chunk yield exactly one (possibly short)
+    * chunk; empty docs one empty chunk. */
+  def chunkRows(docs: DataFrame, idCol: String, textCol: String,
+                chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1,
+      s"chunkSize and stride must be >= 1, got $chunkSize/$stride")
+    docs.select(col(idCol), tokens(col(textCol)).as("tk"))
+      .withColumn("start", explode(
+        sequence(lit(0), greatest(size(col("tk")) - 1, lit(0)), lit(stride))))
+      .withColumn("chunk", slice(col("tk"), col("start") + 1, lit(chunkSize)))
+      .select(col(idCol),
+        (col("start") / stride).cast("int").as("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        polyHash(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+  }
+
   /** Lambda reference form of [[langGuess]]'s scoring (interpreted HOFs)
     * — retained as the spec cross-check for the native count_in path. */
   def langGuessLambda(text: Column): Column = {

@@ -432,4 +432,18 @@ object Relational {
       .agg(count(lit(1)).as("n_items"),
         dsum(col("l_quantity")).as("sum_qty"))
   }
+
+  /** Explicit GROUPING SETS (the general form behind q43's ROLLUP and
+    * q49's CUBE): chosen aggregation levels only, one pass — Spark plans
+    * a single Expand + hash aggregate, not one scan per level. */
+  def q62GroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
 }

@@ -150,6 +150,20 @@ object TextOracles {
          |JOIN sizes zb ON zb.doc_id = i.doc_b
          |WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= 0.3""".stripMargin,
 
+    "q61_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $Tk AS tk FROM documents),
+         |st AS (SELECT doc_id, tk,
+         |         unnest(range(0, CASE WHEN len(tk) = 0 THEN 1
+         |                             ELSE len(tk) END, 48)) AS start
+         |       FROM t),
+         |ch AS (SELECT doc_id, start // 48 AS chunk_idx,
+         |         tk[start + 1 : start + 64] AS chunk
+         |       FROM st)
+         |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+         |  CAST(len(chunk) AS BIGINT) AS n_tokens,
+         |  ${H("array_to_string(chunk, ' ')")} AS chunk_hash
+         |FROM ch""".stripMargin,
+
     "q58_tfidf_terms" ->
       s"""WITH tok AS (SELECT doc_id, unnest($Tk) AS term FROM documents),
          |tf AS (SELECT doc_id, term, COUNT(*) AS tf

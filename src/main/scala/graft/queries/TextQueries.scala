@@ -231,6 +231,11 @@ object TextQueries {
   def qTfIdfTerms(s: SparkSession, dir: String): DataFrame =
     TextOps.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", 3)
 
+  /** Overlapping 64-token chunks at stride 48 ([[TextOps.chunkRows]]) —
+    * per-chunk token counts and content hashes. */
+  def qChunks(s: SparkSession, dir: String): DataFrame =
+    TextOps.chunkRows(Tables.documents(s, dir), "doc_id", "text", 64, 48)
+
   /** Exact n-gram Jaccard over a bounded id-window of pairs (adjacent ids,
     * distance ≤ 3) — the oracle-checkable exact tier; the LSH tier above is
     * the scale path. */
