@@ -96,4 +96,27 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.toLowerCase.contains("batchevalpython") &&
       !p.contains("ScalaUDF"), p)
   }
+
+  test("token chunking is pure per-row expansion — no shuffle at all") {
+    val p = plan(graft.ops.TextOps.chunkRows(
+      graft.core.Tables.documents(spark, sf), "doc_id", "text", 64, 48))
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Generate"), p) // the explode, at the scan
+  }
+
+  test("grouping sets plan one Expand + hash agg pass, not a scan per level") {
+    val p = plan(graft.queries.Relational.q62GroupingSets(spark, sf))
+    assert(p.contains("Expand"), p)
+    // one scan of orders feeds all three levels
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("tfidf df-side aggregates before its join; no text in the shuffle") {
+    val p = plan(graft.queries.TextQueries.qTfIdfTerms(spark, sf))
+    // the (doc,term) tf aggregate is partial before the exchange
+    assert(p.contains("partial_count") || p.contains("partial_"), p)
+    // the corpus-size side rides in as a broadcast, not a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+  }
 }
