@@ -36,6 +36,41 @@ object Sampling {
     df.filter(sampleHash(keyCol, seed) < threshold)
   }
 
+  /** Rebalance the corpus toward a target stratum mix — the data-mixing
+    * step of training-corpus assembly ("30% code, 60% web, 10% books").
+    * Solves for per-stratum keep-fractions on the driver from one grouped
+    * count (strata counts are a tiny aggregate at any corpus scale), then
+    * applies [[stratifiedHashSample]] — so the result is deterministic,
+    * partitioning-invariant, and only DOWNSAMPLES (fractions are scaled
+    * so the binding stratum keeps everything; no row is ever duplicated).
+    *
+    * `targetWeights` are relative (normalized internally); strata absent
+    * from the map are dropped (fraction 0). Returns the sampled frame and
+    * the solved fractions for the caller's audit log. */
+  def rebalanceToMix(df: DataFrame, keyCol: Column, strataCol: Column,
+                     targetWeights: Map[String, Double],
+                     seed: Long): (DataFrame, Map[String, Double]) = {
+    require(targetWeights.nonEmpty && targetWeights.values.forall(_ > 0),
+      "targetWeights must be non-empty and positive")
+    val counts = df.groupBy(strataCol.as("__s")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wSum = targetWeights.values.sum
+    val norm = targetWeights.map { case (s, w) => s -> (w / wSum) }
+    // largest feasible total T: for each stratum, keep_s = T·w_s ≤ n_s
+    val feasible = norm.collect {
+      case (s, w) if counts.getOrElse(s, 0L) > 0 => counts(s) / w
+    }
+    require(feasible.nonEmpty,
+      "no stratum from targetWeights present in the data")
+    val total = feasible.min
+    val fractions = norm.map { case (s, w) =>
+      val n = counts.getOrElse(s, 0L)
+      s -> (if (n == 0) 0.0 else math.min(1.0, total * w / n))
+    }
+    (stratifiedHashSample(df, keyCol, strataCol, fractions,
+      defaultFraction = 0.0, seed), fractions)
+  }
+
   /** Knuth multiplicative mixer: the raw 31-polynomial hash of short ids
     * is badly non-uniform in its low decimal digits (empirically 3% below
     * the median for sequential ids); one odd-multiplier remix restores

@@ -50,4 +50,33 @@ class SamplingSpec extends SparkSpecBase {
     val enFrac = sampledByLang.getOrElse("en", 0L).toDouble / byLang("en")
     assert(enFrac < 0.5 && enFrac > 0.02, s"en fraction $enFrac")
   }
+
+  test("rebalanceToMix solves fractions toward the target mix") {
+    // corpus is en-heavy (193 en vs ~75 each otherwise); ask for an even
+    // en/zh mix — zh is binding (keeps all), en downsamples to ~74
+    val (sampled, fractions) = Sampling.rebalanceToMix(docs, col("doc_id"),
+      col("lang"), Map("en" -> 0.5, "zh" -> 0.5), seed = 5)
+    assert(fractions("zh") == 1.0, fractions.toString)
+    assert(fractions("en") < 0.6 && fractions("en") > 0.2,
+      fractions.toString)
+    val got = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // absent strata dropped entirely
+    assert(got.keySet == Set("en", "zh"), got.toString)
+    // achieved mix within hash-sampling tolerance of 50/50
+    val mix = got("en").toDouble / (got("en") + got("zh"))
+    assert(math.abs(mix - 0.5) < 0.15, s"mix $mix")
+    // only downsampling: no stratum exceeds its source count
+    assert(got("zh") == 74L)
+  }
+
+  test("rebalanceToMix is deterministic across partitionings") {
+    val a = Sampling.rebalanceToMix(docs, col("doc_id"), col("lang"),
+      Map("en" -> 0.3, "fr" -> 0.7), seed = 9)._1
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.rebalanceToMix(docs.repartition(11), col("doc_id"),
+      col("lang"), Map("en" -> 0.3, "fr" -> 0.7), seed = 9)._1
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
 }
