@@ -62,6 +62,7 @@ object SparkEntry {
     "q59_bloom_semi"         -> Relational.q59BloomPrunedSemi _,
     "q61_chunks"             -> TextQueries.qChunks _,
     "q62_grouping_sets"      -> Relational.q62GroupingSets _,
+    "q63_salted_join"        -> Relational.q63SaltedJoin _,
     "q46_window_analytics"   -> Relational.q46WindowAnalytics _,
     "q47_set_ops"            -> Relational.q47SetOps _,
     "q48_asof_join"          -> Relational.q48AsofJoin _,
@@ -321,6 +322,12 @@ object SparkEntry {
         | AND c.ts <= e.ts + INTERVAL 7200 SECOND
         |WHERE e.event_type = 'error'
         |GROUP BY e.event_id, e.user_id""".stripMargin,
+
+    "q63_salted_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "q62_grouping_sets" ->
       """SELECT COALESCE(o_orderstatus, 'ALL') AS status,

@@ -64,22 +64,28 @@ object Components {
     // iterates in single-task rounds, while a huge one keeps full
     // parallelism. Pre-partitioned by the join side and persisted, so
     // each round shuffles only the label table, never the edges.
-    // persisted BEFORE the size probe: count and the branch taken after
-    // it both execute this plan, and the upstream edge derivation (e.g.
-    // a whole LSH-verify cascade) must run once, not twice
-    val undAll = e.unionByName(e.select(col("d").as("s"), col("s").as("d")))
-      .distinct().persist(MEMORY_AND_DISK)
-    val nEdges = undAll.count()
+    // persisted BEFORE the size probe: the count and the branch taken
+    // after it both consume this plan, and the upstream edge derivation
+    // (e.g. a whole LSH-verify cascade) must run once, not twice. The
+    // probe counts RAW edges — no symmetrize/distinct shuffle spent
+    // before knowing which path runs; union-find is insensitive to
+    // direction, duplicates, and self-loops, so the local path collects
+    // the raw list as-is.
+    val ep = e.persist(MEMORY_AND_DISK)
+    val nEdges = ep.count()
     if (nEdges <= localThreshold) {
-      val result = unionFindLocal(undAll)
-      undAll.unpersist()
+      val result = unionFindLocal(ep)
+      ep.unpersist()
       return result
     }
-    val nPart = math.max(1, math.min((nEdges / 500000L).toInt,
+    val nPart = math.max(1, math.min((nEdges * 2 / 500000L).toInt,
       e.sparkSession.sparkContext.defaultParallelism * 4))
-    val und = undAll.repartition(nPart, col("s")).persist(MEMORY_AND_DISK)
+    val und = ep
+      .unionByName(ep.select(col("d").as("s"), col("s").as("d")))
+      .distinct()
+      .repartition(nPart, col("s")).persist(MEMORY_AND_DISK)
     und.count()
-    undAll.unpersist()
+    ep.unpersist()
     var labels = und.select(col("s").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)

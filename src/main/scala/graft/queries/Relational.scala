@@ -433,6 +433,22 @@ object Relational {
         dsum(col("l_quantity")).as("sum_qty"))
   }
 
+  /** Salted skew join ([[graft.ops.Skew.saltedJoin]]): each order key is
+    * spread over 8 reducers via a deterministic salt on the lineitem
+    * side while orders explode 8×. Salting redistributes the SHUFFLE —
+    * the join output is row-identical to the plain join the oracle runs,
+    * which is exactly what this gate proves (like q59 for bloom prune). */
+  def q63SaltedJoin(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Skew.saltedJoin(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_linenumber")),
+        Tables.orders(s, dir)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+        "l_orderkey", discriminator = col("l_linenumber"), factor = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_quantity")).as("sum_qty"))
+
   /** Explicit GROUPING SETS (the general form behind q43's ROLLUP and
     * q49's CUBE): chosen aggregation levels only, one pass — Spark plans
     * a single Expand + hash aggregate, not one scan per level. */

@@ -188,4 +188,39 @@ class EventStreamsSpec extends SparkSpecBase {
       assert(batch.count(_.head == 2L) == 1)
     } finally q.stop()
   }
+
+  test("text pipeline ops run unchanged in a stream (stateless compose)") {
+    // quality scoring + chunking are pure per-row transforms, so the SAME
+    // operator code runs under micro-batch execution with no watermark or
+    // state — documents arriving as a stream chunk identically to batch
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "short doc"),
+      (3L, ""))
+    val mem = MemoryStream[(Long, String)]
+    val sdf = mem.toDF.toDF("doc_id", "text")
+    val chunked = graft.ops.TextOps.chunkRows(
+      sdf.withColumn("__q", graft.ops.TextOps.qualityFeatures(col("text")))
+        .filter(col("__q.n_tokens") >= 2).drop("__q"),
+      "doc_id", "text", chunkSize = 4, stride = 3)
+    val q = chunked.writeStream.format("memory").queryName("chunk_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("chunk_sink")
+        .orderBy("doc_id", "chunk_idx").collect().map(_.toSeq).toSeq
+      val batch = graft.ops.TextOps.chunkRows(
+        docs.toDF("doc_id", "text")
+          .withColumn("__q", graft.ops.TextOps.qualityFeatures(col("text")))
+          .filter(col("__q.n_tokens") >= 2).drop("__q"),
+        "doc_id", "text", chunkSize = 4, stride = 3)
+        .orderBy("doc_id", "chunk_idx").collect().map(_.toSeq).toSeq
+      assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+      assert(batch.count(_.head == 1L) > 1) // doc 1 produced several chunks
+      assert(!batch.exists(_.head == 3L))   // empty doc filtered by quality
+    } finally q.stop()
+  }
 }
