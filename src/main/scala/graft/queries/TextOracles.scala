@@ -22,13 +22,13 @@ object TextOracles {
     * hash fold → (doc, shingle hash) stream `shu` (+ deduped `shx`).
     * Mirrors the relational NearDup.shingleRows exactly (same fold, same
     * mod placement). */
-  def shingleCtes(n: Int): String = {
+  def shingleCtesBody(n: Int, src: String): String = {
     val leads = (1 until n).map(i =>
       s"lead(th, $i) OVER (PARTITION BY doc_id ORDER BY pos) AS th$i")
       .mkString(",\n          ")
     val fold = (1 until n).foldLeft("th")((acc, i) =>
       s"($acc * 31 + th$i) % 1000000007")
-    s"""WITH tok0 AS (SELECT doc_id, $Tk AS tk FROM documents),
+    s"""tok0 AS (SELECT doc_id, $Tk AS tk FROM $src),
        |tokx AS (SELECT doc_id, unnest(tk) AS tok,
        |           unnest(range(1, len(tk) + 1)) AS pos FROM tok0),
        |th AS (SELECT doc_id, pos, ${H("tok")} AS th FROM tokx),
@@ -42,6 +42,8 @@ object TextOracles {
        |        FROM tok0 WHERE len(tk) < $n),
        |shx AS (SELECT DISTINCT doc_id, h FROM shu)""".stripMargin
   }
+
+  def shingleCtes(n: Int): String = "WITH " + shingleCtesBody(n, "documents")
 
   val ShingleCtes: String = shingleCtes(3)
 
@@ -149,6 +151,56 @@ object TextOracles {
          |JOIN sizes za ON za.doc_id = i.doc_a
          |JOIN sizes zb ON zb.doc_id = i.doc_b
          |WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= 0.3""".stripMargin,
+
+    "q64_incremental_append" -> {
+      val punct = "CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
+        "CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', " +
+        "'', 'g')) AS DOUBLE) / length(text) END"
+      s"""WITH corpus AS (SELECT doc_id, text, lang FROM documents
+         |               WHERE doc_id < 400),
+         |inc AS (SELECT doc_id, text, lang FROM documents
+         |        WHERE doc_id >= 400),
+         |incq AS (SELECT * FROM inc
+         |         WHERE len($Tk) >= 5 AND $punct <= 0.3),
+         |inc1 AS (SELECT *, row_number() OVER (PARTITION BY ${H("text")}
+         |           ORDER BY doc_id) AS rn FROM incq),
+         |inc_exact AS (SELECT doc_id, text, lang FROM inc1
+         |              WHERE rn = 1 AND ${H("text")} NOT IN
+         |                (SELECT ${H("text")} FROM corpus)),
+         |uni AS (SELECT doc_id, text, 'c' AS side FROM corpus
+         |        UNION ALL
+         |        SELECT doc_id, text, 'i' AS side FROM inc_exact),
+         |${shingleCtesBody(3, "uni")},
+         |mh AS (SELECT doc_id, i,
+         |         MIN(((2 * i + 1) * h + i) % 1000000007) AS mh
+         |       FROM shx CROSS JOIN (SELECT unnest(range(0, 16)) AS i) idx
+         |       GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // 4 AS band,
+         |            string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS band_sig
+         |          FROM mh GROUP BY doc_id, i // 4),
+         |bside AS (SELECT b.doc_id, b.band, b.band_sig, u.side
+         |          FROM bands b JOIN uni u USING (doc_id)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bside a JOIN bside b
+         |            ON a.band = b.band AND a.band_sig = b.band_sig
+         |          WHERE (a.side = 'c' AND b.side = 'i')
+         |             OR (a.side = 'i' AND b.side = 'i'
+         |                 AND a.doc_id < b.doc_id)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shx GROUP BY doc_id),
+         |inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
+         |          FROM pairs p
+         |          JOIN shx sa ON sa.doc_id = p.doc_a
+         |          JOIN shx sb ON sb.doc_id = p.doc_b AND sa.h = sb.h
+         |          GROUP BY p.doc_a, p.doc_b),
+         |dup AS (SELECT DISTINCT i.doc_b
+         |        FROM inter i
+         |        JOIN sizes za ON za.doc_id = i.doc_a
+         |        JOIN sizes zb ON zb.doc_id = i.doc_b
+         |        WHERE CAST(i.inter AS DOUBLE)
+         |              / (za.sz + zb.sz - i.inter) >= 0.8)
+         |SELECT e.doc_id, e.lang FROM inc_exact e
+         |WHERE e.doc_id NOT IN (SELECT doc_b FROM dup)""".stripMargin
+    },
 
     "q61_chunks" ->
       s"""WITH t AS (SELECT doc_id, $Tk AS tk FROM documents),
