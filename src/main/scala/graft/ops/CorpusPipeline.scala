@@ -132,8 +132,25 @@ object CorpusPipeline {
     * both sides' shingle streams by id. */
   def append(existing: DataFrame, incoming: DataFrame,
              cfg: Config): (DataFrame, Stats) = {
+    val f = appendFrames(existing, incoming, cfg)
+    (f.sampled, Stats(incoming.count(), f.quality.count(), f.exact.count(),
+      f.deduped.count(), f.sampled.count()))
+  }
+
+  /** [[append]] without the per-stage Stats counts — one lazy plan, for
+    * callers that only need the surviving rows (each Stats count is a
+    * separate action; skipping them matters when the append runs inside
+    * a larger measured pipeline). */
+  def appendDocs(existing: DataFrame, incoming: DataFrame,
+                 cfg: Config): DataFrame =
+    appendFrames(existing, incoming, cfg).sampled
+
+  private final case class AppendFrames(quality: DataFrame,
+    exact: DataFrame, deduped: DataFrame, sampled: DataFrame)
+
+  private def appendFrames(existing: DataFrame, incoming: DataFrame,
+                           cfg: Config): AppendFrames = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val input = incoming.count()
 
     // 1+2. within-batch quality filter + exact dedup, then drop rows whose
     // content already exists in the corpus (hash anti-join — text never
@@ -144,7 +161,6 @@ object CorpusPipeline {
       .filter(col("__q.n_tokens") >= cfg.minTokens &&
         col("__q.punct_ratio") <= cfg.maxPunctRatio)
       .drop("__q")
-    val afterQuality = quality.count()
     val withHash = Dedup.firstRowPerGroup(
       quality.withColumn("__h", TextOps.polyHash(col("text"))),
       Seq(col("__h")), Seq(col("doc_id").asc))
@@ -153,7 +169,6 @@ object CorpusPipeline {
         Seq("__h"), "left_anti")
       .drop("__h")
       .persist(MEMORY_AND_DISK)
-    val afterExact = exact.count()
 
     // 3. near-dup: increment bands join (existing ∪ increment) bands;
     // a candidate against the corpus always drops the incoming doc, a
@@ -165,7 +180,12 @@ object CorpusPipeline {
           "doc_id", cfg.numHashes),
         "doc_id", cfg.rowsPerBand)
     val incBands = bandsOf(exact).persist(MEMORY_AND_DISK)
-    val exBands = bandsOf(existing)
+    // persisted: referenced three times (both semi-joins + the pair
+    // build), and each reference would otherwise re-run the corpus-side
+    // shingle→minhash cascade. Bands are (doc, band, sig) hash rows —
+    // orders of magnitude smaller than the corpus text they derive from,
+    // so this is a disk-spillable stage boundary, not a memory bet.
+    val exBands = bandsOf(existing).persist(MEMORY_AND_DISK)
     // vs corpus: any shared bucket is a candidate; verify exact jaccard
     // on the union's shingles (restricted to candidate docs)
     val vsCorpus = incBands
@@ -201,13 +221,11 @@ object CorpusPipeline {
       .join(dupVsCorpus.unionByName(dupWithin).distinct(),
         Seq("doc_id"), "left_anti")
       .persist(MEMORY_AND_DISK)
-    val afterNearDup = deduped.count()
 
     val sampled =
       if (cfg.sampleFractions.isEmpty && cfg.sampleDefault >= 1.0) deduped
       else Sampling.stratifiedHashSample(deduped, col("doc_id"),
         col("lang"), cfg.sampleFractions, cfg.sampleDefault, cfg.seed)
-    val output = sampled.count()
-    (sampled, Stats(input, afterQuality, afterExact, afterNearDup, output))
+    AppendFrames(quality, exact, deduped, sampled)
   }
 }

@@ -157,9 +157,9 @@ object TextOracles {
         "CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', " +
         "'', 'g')) AS DOUBLE) / length(text) END"
       s"""WITH corpus AS (SELECT doc_id, text, lang FROM documents
-         |               WHERE doc_id < 400),
+         |               WHERE doc_id >= 100),
          |inc AS (SELECT doc_id, text, lang FROM documents
-         |        WHERE doc_id >= 400),
+         |        WHERE doc_id < 100),
          |incq AS (SELECT * FROM inc
          |         WHERE len($Tk) >= 5 AND $punct <= 0.3),
          |inc1 AS (SELECT *, row_number() OVER (PARTITION BY ${H("text")}

@@ -232,8 +232,10 @@ object TextQueries {
     TextOps.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", 3)
 
   /** Incremental corpus append ([[graft.ops.CorpusPipeline.append]]),
-    * oracle-gated end to end: docs < 400 stand in for the standing
-    * corpus, ≥ 400 for the daily drop. The oracle re-derives the whole
+    * oracle-gated end to end: docs ≥ 100 stand in for the standing
+    * corpus, < 100 for the daily drop — the increment stays bounded
+    * while the corpus scales with sf, which is the shape the operator
+    * is designed for. The oracle re-derives the whole
     * path — quality gate, within-batch exact dedup, corpus content-hash
     * anti-join, LSH bands over corpus ∪ increment, and jaccard-verified
     * drops both against the corpus (existing doc wins) and within the
@@ -241,11 +243,11 @@ object TextQueries {
     * value-exactly, not just spec-sanity-checked. */
   def qIncrementalAppend(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val (result, _) = graft.ops.CorpusPipeline.append(
-      docs.filter(col("doc_id") < 400),
-      docs.filter(col("doc_id") >= 400),
-      graft.ops.CorpusPipeline.Config())
-    result.select(col("doc_id"), col("lang"))
+    graft.ops.CorpusPipeline.appendDocs(
+        docs.filter(col("doc_id") >= 100),
+        docs.filter(col("doc_id") < 100),
+        graft.ops.CorpusPipeline.Config())
+      .select(col("doc_id"), col("lang"))
   }
 
   /** Overlapping 64-token chunks at stride 48 ([[TextOps.chunkRows]]) —
