@@ -27,4 +27,20 @@ class TableLayoutSpec extends SparkSpecBase {
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
+
+  test("minhash aggregation on a doc_id-bucketed corpus needs no exchange") {
+    // at 100 TB the (doc, shingle-hash) → minhash groupBy(doc_id) is the
+    // near-dup pipeline's first aggregation; bucketing the corpus by
+    // doc_id at ingest lets it run entirely map-side
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    TableLayout.writeBucketed(docs, "bucketed_docs", "doc_id", 8)
+    val mh = graft.ops.NearDup.minhashRows(
+      graft.ops.NearDup.shingleRows(
+        TableLayout.read(spark, "bucketed_docs"), "doc_id", "text", 3),
+      "doc_id", 16)
+    val plan = mh.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(mh.count() > 0)
+  }
 }

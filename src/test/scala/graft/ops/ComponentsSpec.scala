@@ -63,6 +63,21 @@ class ComponentsSpec extends SparkSpecBase {
       "r" -> "q"))
   }
 
+  test("distributed fixpoint equals union-find on randomized graphs") {
+    // deterministic LCG so the sweep reproduces; graphs mix isolated
+    // pairs, chains, and dense pockets
+    var state = 12345L
+    def nextInt(bound: Int): Int = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (math.abs(state >> 33) % bound).toInt
+    }
+    for (trial <- 1 to 5) {
+      val n = 20 + trial * 7
+      val edges = (1 to n).map(_ => (nextInt(30).toLong, nextInt(30).toLong))
+      assert(cc(edges) === cc(edges, thr = 0), s"trial $trial: $edges")
+    }
+  }
+
   test("non-convergence within maxIter fails loudly, never under-merges") {
     val path = (1L until 30L).map(i => (i, i + 1))
     val ex = intercept[IllegalArgumentException] {
