@@ -434,8 +434,8 @@ object Relational {
   }
 
   /** Salted skew join ([[graft.ops.Skew.saltedJoin]]): each order key is
-    * spread over 8 reducers via a deterministic salt on the lineitem
-    * side while orders explode 8×. Salting redistributes the SHUFFLE —
+    * spread over 4 reducers via a deterministic salt on the lineitem
+    * side while orders explode 4×. Salting redistributes the SHUFFLE —
     * the join output is row-identical to the plain join the oracle runs,
     * which is exactly what this gate proves (like q59 for bloom prune). */
   def q63SaltedJoin(s: SparkSession, dir: String): DataFrame =
@@ -444,7 +444,7 @@ object Relational {
           .select(col("l_orderkey"), col("l_quantity"), col("l_linenumber")),
         Tables.orders(s, dir)
           .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
-        "l_orderkey", discriminator = col("l_linenumber"), factor = 8)
+        "l_orderkey", discriminator = col("l_linenumber"), factor = 4)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
         dsum(col("l_quantity")).as("sum_qty"))
