@@ -37,4 +37,15 @@ object TableLayout {
 
   def read(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Write `df` directory-partitioned by `partitionCol` (Hive-style
+    * `col=value/` layout). Predicates on the partition column then prune
+    * at PLANNING time — unmatched directories are never listed into the
+    * scan, the dominant I/O lever for time-partitioned fact tables (the
+    * reference's event-date batching, but done by layout instead of
+    * WHERE-ranges per batch). Combine with [[writeBucketed]]'s key for
+    * co-located joins within partitions. */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 }

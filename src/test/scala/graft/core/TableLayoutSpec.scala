@@ -28,6 +28,31 @@ class TableLayoutSpec extends SparkSpecBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("partition pruning: a day predicate reads only that day's directory") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val events = graft.core.Tables.events(spark, sf)
+      .withColumn("day", to_date(col("ts")))
+    val path = "target/sparktmp/events_by_day"
+    TableLayout.writePartitioned(events, path, "day")
+    val nDays = events.select("day").distinct().count()
+    assert(nDays > 1, s"need multiple partitions, got $nDays")
+    val oneDay = events.select(max("day")).head().getDate(0)
+    val pruned = spark.read.parquet(path).filter(col("day") === lit(oneDay))
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.get
+    // planning-time pruning visible in the scan node…
+    assert(scan.metadata("PartitionFilters").contains("day"), scan.metadata)
+    // …and execution-real: every file actually read lives in the one
+    // matching day= directory (of 30)
+    val files = pruned.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains(s"day=$oneDay")),
+      files.mkString("\n"))
+    assert(pruned.count() ==
+      events.filter(col("day") === lit(oneDay)).count())
+  }
+
   test("minhash aggregation on a doc_id-bucketed corpus needs no exchange") {
     // at 100 TB the (doc, shingle-hash) → minhash groupBy(doc_id) is the
     // near-dup pipeline's first aggregation; bucketing the corpus by
