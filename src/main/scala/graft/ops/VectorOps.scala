@@ -106,17 +106,29 @@ object VectorOps {
     * nprobe/k of the data; here the assignment join expresses that. */
   def assignToCentroids(vecs: DataFrame, centroids: DataFrame,
                         idCol: String = "vec_id",
-                        vecCol: String = "embedding"): DataFrame = {
-    // the argmax ranks on cosine ROUNDED to 6 decimals: a straight double
-    // argmax amplifies sub-ULP evaluation-order drift into whole-vector
-    // assignment flips (observed engine-vs-oracle on ~0.4% of rows);
-    // rounding makes near-ties actual ties, which the centroid_id
-    // tiebreak then resolves identically everywhere. 1e-6 of cosine is
-    // far below any meaningful quantization-quality difference.
+                        vecCol: String = "embedding",
+                        metric: String = "cosine"): DataFrame = {
+    // the argmax ranks on the metric ROUNDED to 6 decimals: a straight
+    // double argmax amplifies sub-ULP evaluation-order drift into
+    // whole-vector assignment flips (observed engine-vs-oracle on ~0.4%
+    // of rows); rounding makes near-ties actual ties, which the
+    // centroid_id tiebreak then resolves identically everywhere. 1e-6
+    // is far below any meaningful quantization-quality difference.
+    // metric "cosine" ranks by max cosine (ANN list assignment);
+    // "l2" by min squared distance (reconstruction, e.g. PQ encoding).
+    val dist = metric match {
+      case "cosine" => -round(cosine(col(vecCol), col("centroid")), 6)
+      case "l2" => round(
+        dot(col(vecCol), col(vecCol))
+          - lit(2) * dot(col(vecCol), col("centroid"))
+          + dot(col("centroid"), col("centroid")), 6)
+      case other => throw new IllegalArgumentException(
+        s"unknown metric '$other' (cosine|l2)")
+    }
     val scored = vecs.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(centroids.select(
         col("centroid_id"), col("centroid"))))
-      .withColumn("cdist", -round(cosine(col(vecCol), col("centroid")), 6))
+      .withColumn("cdist", dist)
     Dedup.firstRowPerGroup(scored, Seq(col(idCol)),
       Seq(col("cdist").asc, col("centroid_id").asc))
       .select(col(idCol), col(vecCol), col("centroid_id").as("list_id"))
@@ -170,7 +182,8 @@ object VectorOps {
   def kmeansFit(vecs: DataFrame, k: Int, iters: Int,
                 idCol: String = "vec_id",
                 vecCol: String = "embedding",
-                seed: Long = 7L): DataFrame = {
+                seed: Long = 7L,
+                metric: String = "cosine"): DataFrame = {
     val spark = vecs.sparkSession
     import scala.jdk.CollectionConverters._
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -200,7 +213,8 @@ object VectorOps {
       // expression (tried: 3.5s vs 1.3s at k=8·dim=64 — the k·dim
       // literals blow up codegen), and the ×k row expansion is bounded
       // by the codebook, which is broadcast-scale by definition
-      val assigned = assignToCentroids(vecs, toDf(centroids), idCol, vecCol)
+      val assigned = assignToCentroids(vecs, toDf(centroids), idCol, vecCol,
+        metric)
       // exact integer nano-unit accumulation: long sums carry no
       // rounding MODE (decimal quantization of binary fractions can hit
       // exact half-digits, where engines disagree half-up vs half-even),
@@ -220,6 +234,89 @@ object VectorOps {
         (i, means.getOrElse(i, old)) }
     }
     toDf(centroids)
+  }
+
+  /** Product-quantization codebooks: split the `dim`-dimensional space
+    * into `m` contiguous subspaces (dim % m == 0) and train a k-code
+    * [[kmeansFit]] codebook per subspace. Returns one storable frame
+    * (subspace, centroid_id, centroid).
+    *
+    * PQ is the memory side of the canonical billion-scale ANN design
+    * (IVF for list pruning + PQ for in-list scoring): a dim-float vector
+    * compresses to m small codes, and approximate dot products need only
+    * the codes plus a per-query lookup table — the corpus embeddings
+    * themselves never stream through the search. */
+  def pqTrain(vecs: DataFrame, m: Int, k: Int, iters: Int,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding",
+              seed: Long = 7L): DataFrame = {
+    val dim = vecs.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val dsub = dim / m
+    (0 until m).map { i =>
+      val sub = vecs.select(col(idCol),
+        slice(col(vecCol), i * dsub + 1, dsub).as("__sub"))
+      kmeansFit(sub, k, iters, idCol, "__sub", seed = seed + i,
+          metric = "l2")
+        .withColumn("subspace", lit(i))
+    }.reduce(_ unionByName _)
+      .select(col("subspace"), col("centroid_id"), col("centroid"))
+  }
+
+  /** Encode each vector as m (subspace, code) rows: the L2-nearest
+    * subspace centroid per block (reconstruction metric — cosine would
+    * ignore magnitude). Long/relational layout rather than packed code
+    * arrays: joins and group-bys consume it directly, and at n·m rows of
+    * three small ints it is still ~100× smaller than the float
+    * embeddings it replaces. */
+  def pqEncode(vecs: DataFrame, codebooks: DataFrame, m: Int,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val dim = vecs.select(size(col(vecCol))).head().getInt(0)
+    val dsub = dim / m
+    (0 until m).map { i =>
+      val sub = vecs.select(col(idCol),
+        slice(col(vecCol), i * dsub + 1, dsub).as("__sub"))
+      assignToCentroids(sub,
+          codebooks.filter(col("subspace") === i)
+            .select(col("centroid_id"), col("centroid")),
+          idCol, "__sub", metric = "l2")
+        .select(col(idCol), lit(i).as("subspace"),
+          col("list_id").as("code"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Asymmetric-distance top-k over PQ codes: per query, a lookup table
+    * (subspace, code) → partial dot is built against the codebooks (q·m·k
+    * rows — broadcast), joined to the corpus codes on (subspace, code),
+    * and summed per (query, vec). The corpus side touched at search time
+    * is ONLY the code rows; scale cost is one broadcast-hash join over
+    * them plus the bounded top-k — no embedding floats move. */
+  def pqTopK(queries: DataFrame, codes: DataFrame, codebooks: DataFrame,
+             m: Int, k: Int,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val dim = queries.select(size(col(vecCol))).head().getInt(0)
+    val dsub = dim / m
+    val table = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(codebooks)
+      .select(col("query_id"), col("subspace"),
+        col("centroid_id").as("code"),
+        dot(slice(col("qv"), col("subspace") * dsub + 1, lit(dsub)),
+          col("centroid")).as("part"))
+    val scored = codes
+      .join(broadcast(table), Seq("subspace", "code"))
+      .filter(col("query_id") =!= col(idCol))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("part")).as("approx_dot"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("approx_dot"))
+      .withColumnRenamed("approx_dot", "cos")
+    TopK.topKPerGroup(scored, "query_id", "neighbor_id", "cos", k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("int").as("rank"),
+        round(col("cos"), 6).as("approx_dot"))
   }
 
   /** Candidate near-dup pairs from shared SRP buckets, verified with exact

@@ -123,6 +123,69 @@ class VectorOpsSpec extends SparkSpecBase {
     assert(ivf == bf)
   }
 
+  test("PQ with a lossless codebook reproduces exact dot products") {
+    // dim 8, m=2 subspaces of 4; every subvector is one of 3 known
+    // blocks, and the hand-built codebook contains exactly those blocks
+    // — encoding is lossless, so ADC == exact dot and PQ top-k == brute
+    // force ranking by dot (vectors are unit-norm so dot == cosine order)
+    // exact-float axis blocks: all vectors share norm √2, so dot order
+    // == cosine order and every tie is exact (resolved by neighbor id
+    // in both paths)
+    val b = Map(
+      0 -> Array(1.0f, 0.0f, 0.0f, 0.0f),
+      1 -> Array(0.0f, 1.0f, 0.0f, 0.0f),
+      2 -> Array(0.0f, 0.0f, 1.0f, 0.0f))
+    def v(i: Int, j: Int) = b(i) ++ b(j)
+    val corpus = Seq(
+      (0L, v(0, 0)), (1L, v(0, 1)), (2L, v(1, 2)),
+      (3L, v(2, 2)), (4L, v(1, 0)), (5L, v(2, 0))
+    ).toDF("vec_id", "embedding")
+    val codebooks = (for (sub <- 0 until 2; (ci, arr) <- b) yield
+      (sub, ci.toLong, arr.map(_.toDouble).toSeq))
+      .toDF("subspace", "centroid_id", "centroid")
+    val codes = VectorOps.pqEncode(corpus, codebooks, m = 2)
+    // every (vec, subspace) got the code of its true block
+    val got = codes.as[(Long, Int, Long)].collect()
+      .map { case (id, s, c) => (id, s) -> c }.toMap
+    assert(got((2L, 0)) == 1L && got((2L, 1)) == 2L, got.toString)
+    val queries = corpus.filter($"vec_id" < 2)
+    val pq = VectorOps.pqTopK(queries, codes, codebooks, m = 2, k = 3)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val bf = VectorOps.bruteForceTopK(queries, corpus, 3)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pq == bf, s"pq=$pq bf=$bf")
+  }
+
+  test("pqTrain -> encode -> search recovers blob neighbors end to end") {
+    // 9 blob vectors (dim 4 padded to dim 8? no — reuse blobs at dim 3
+    // is indivisible; build dim-4, m=2): blob identity lives in both
+    // halves, so PQ scoring must rank same-blob vectors first
+    def pad(a: Array[Float]) = a ++ a // dim 6, m=2 -> dsub 3
+    val data = blobs.as[(Long, Array[Float])].collect()
+      .map { case (id, a) => (id, pad(a)) }.toSeq
+      .toDF("vec_id", "embedding")
+    val books = VectorOps.pqTrain(data, m = 2, k = 3, iters = 3)
+    val codes = VectorOps.pqEncode(data, books, m = 2)
+    val queries = data.filter($"vec_id" < 3)
+    val top1 = VectorOps.pqTopK(queries, codes, books, m = 2, k = 8)
+      .filter($"rank" === 1)
+      .select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect()
+    // top-1 neighbor shares the query's blob (ids ≡ mod 3)
+    val hits = top1.count { case (q, n) => q % 3 == n % 3 }
+    assert(hits >= 2, s"recall@1 ${hits}/3: ${top1.toSeq}")
+    // deterministic across partitionings
+    val books2 = VectorOps.pqTrain(data.repartition(5, $"vec_id"),
+      m = 2, k = 3, iters = 3)
+    val a = books.orderBy($"subspace", $"centroid_id")
+      .as[(Int, Long, Seq[Double])].collect().toSeq
+    val c2 = books2.orderBy($"subspace", $"centroid_id")
+      .as[(Int, Long, Seq[Double])].collect().toSeq
+    assert(a == c2)
+  }
+
   test("kmeansFit keeps previous centroid for empty lists") {
     // identical points: assignment ties all break to one centroid, the
     // other list is empty every round and must keep its seed centroid
