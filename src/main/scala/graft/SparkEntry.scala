@@ -100,6 +100,7 @@ object SparkEntry {
     "q34_label_centroids"    -> VectorQueries.qLabelCentroids _,
     "q55_ivf_full_probe"     -> VectorQueries.qIvfFullProbe _,
     "q60_kmeans_round"       -> VectorQueries.qKmeansRound _,
+    "q65_pq_adc"             -> VectorQueries.qPqAdc _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */

@@ -85,6 +85,38 @@ object VectorQueries {
         round(col("c"), 6).as("c"))
   }
 
+  /** Product-quantization ADC search, oracle-gated: the per-subspace
+    * codebook derives from label means (integer nano-unit accumulation,
+    * the q60 pattern — no cross-engine rounding-mode skew), vectors are
+    * L2-encoded to (subspace, code) rows, and the top-5 per query ranks
+    * by the summed lookup-table parts. m = 2 keeps the per-group double
+    * sum commutative (two addends), so scores are bit-identical across
+    * engines; the trained-codebook path ([[VectorOps.pqTrain]]) is the
+    * same encode/search code, spec-gated. */
+  def qPqAdc(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val m = 2
+    val dsub = 32
+    val books = (0 until m).map { sub =>
+      emb.select(col("label"),
+          posexplode(slice(col("embedding"), sub * dsub + 1, dsub))
+            .as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg((sum(round(col("v") * 1e9).cast("long")) /
+          (count(lit(1)) * lit(1e9))).as("c"))
+        .groupBy(col("label"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("centroid"))
+        .select(lit(sub).as("subspace"),
+          col("label").cast("long").as("centroid_id"), col("centroid"))
+    }.reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codes = VectorOps.pqEncode(emb, books, m)
+    VectorOps.pqTopK(emb.filter(col("vec_id") < NumQueryVecs),
+      codes, books, m, TopK)
+  }
+
   /** IVF ANN, oracle-gated: label-centroid codebook + full probe. At full
     * probe IVF is EXACTLY brute force (every corpus vector sits in one
     * probed list), so the brute-force DuckDB oracle pins the whole IVF
