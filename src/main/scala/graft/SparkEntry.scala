@@ -64,6 +64,7 @@ object SparkEntry {
     "q62_grouping_sets"      -> Relational.q62GroupingSets _,
     "q63_salted_join"        -> Relational.q63SaltedJoin _,
     "q64_incremental_append" -> TextQueries.qIncrementalAppend _,
+    "q66_pack_sequences"     -> TextQueries.qPackSequences _,
     "q46_window_analytics"   -> Relational.q46WindowAnalytics _,
     "q47_set_ops"            -> Relational.q47SetOps _,
     "q48_asof_join"          -> Relational.q48AsofJoin _,

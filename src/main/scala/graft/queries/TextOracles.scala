@@ -202,6 +202,19 @@ object TextOracles {
          |WHERE e.doc_id NOT IN (SELECT doc_b FROM dup)""".stripMargin
     },
 
+    "q66_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |             CAST(len($Tk) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |        SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |          ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM t)
+         |SELECT doc_id, lang, n_tokens,
+         |  CAST((cum - n_tokens) // 8192 AS BIGINT) AS pack_id,
+         |  CAST((cum - n_tokens) % 8192 AS BIGINT) AS offset_in_pack
+         |FROM c""".stripMargin,
+
     "q61_chunks" ->
       s"""WITH t AS (SELECT doc_id, $Tk AS tk FROM documents),
          |st AS (SELECT doc_id, tk,

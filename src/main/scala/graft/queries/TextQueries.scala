@@ -250,6 +250,28 @@ object TextQueries {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Deterministic sequence packing: assign each doc its start position
+    * in a stream of fixed 8192-token training packs, per language shard
+    * — pack_id and offset derive from a running token sum ordered by
+    * doc_id, so the packing is reproducible and docs may straddle pack
+    * boundaries (the split happens at materialization; this computes the
+    * placement). Window partitioned by shard (lang) — one shuffle, no
+    * global single-partition sort; at 100 TB the shard key is whatever
+    * the corpus is already partitioned by. */
+  def qPackSequences(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr("(cum - n_tokens) div 8192").as("pack_id"),
+        expr("(cum - n_tokens) % 8192").as("offset_in_pack"))
+  }
+
   /** Overlapping 64-token chunks at stride 48 ([[TextOps.chunkRows]]) —
     * per-chunk token counts and content hashes. */
   def qChunks(s: SparkSession, dir: String): DataFrame =
