@@ -92,4 +92,39 @@ class TextOpsSpec extends SparkSpecBase {
       .collect().map(_.getInt(0)).toSeq
     assert(got == Seq(3, 0, 1)) // case-sensitive, repeats counted
   }
+
+  test("chunkRows edges: empty doc, doc shorter than a chunk, overlap") {
+    import spark.implicits._
+    val docs = Seq((1L, ""), (2L, "a b"), (3L, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    val got = TextOps.chunkRows(docs, "doc_id", "text",
+        chunkSize = 4, stride = 3)
+      .select("doc_id", "chunk_idx", "n_tokens")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 0, 0L),            // empty doc: one empty chunk
+      (2L, 0, 2L),            // short doc: one short chunk
+      (3L, 0, 4L), (3L, 1, 4L), (3L, 2, 1L))) // starts 0,3,6 over 7 toks
+    // overlap: token 4 (index 3) appears in chunks 0 and 1
+    val ex = intercept[IllegalArgumentException] {
+      TextOps.chunkRows(docs, "doc_id", "text", 0, 3)
+    }
+    assert(ex.getMessage.contains(">= 1"))
+  }
+
+  test("tfidf ranks by score then term; rank never exceeds k") {
+    import spark.implicits._
+    // 'rare' appears once in doc 1 only (high idf); 'common' everywhere
+    val docs = Seq(
+      (1L, "common rare common"), (2L, "common common"),
+      (3L, "common zed")).toDF("doc_id", "text")
+    val got = TextOps.tfidfTopTerms(docs, "doc_id", "text", 2)
+      .select("doc_id", "term", "rank")
+      .as[(Long, String, Int)].collect()
+    assert(got.forall(_._3 <= 2))
+    val d1 = got.filter(_._1 == 1L).sortBy(_._3).map(_._2).toSeq
+    // doc 1: rare (tf 1, df 1) outranks common (tf 2, df 3):
+    // 1·N/1 = 3e6 > 2·N/3 = 2e6
+    assert(d1 == Seq("rare", "common"), d1.toString)
+  }
 }
