@@ -65,6 +65,7 @@ object SparkEntry {
     "q63_salted_join"        -> Relational.q63SaltedJoin _,
     "q64_incremental_append" -> TextQueries.qIncrementalAppend _,
     "q66_pack_sequences"     -> TextQueries.qPackSequences _,
+    "q67_debounce"           -> Relational.q67Debounce _,
     "q46_window_analytics"   -> Relational.q46WindowAnalytics _,
     "q47_set_ops"            -> Relational.q47SetOps _,
     "q48_asof_join"          -> Relational.q48AsofJoin _,
@@ -325,6 +326,16 @@ object SparkEntry {
         | AND c.ts <= e.ts + INTERVAL 7200 SECOND
         |WHERE e.event_type = 'error'
         |GROUP BY e.event_id, e.user_id""".stripMargin,
+
+    "q67_debounce" ->
+      """WITH w AS (SELECT event_id, user_id, event_type, ts,
+        |  lag(ts) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |  FROM events)
+        |SELECT event_id, user_id, event_type, ts FROM w
+        |WHERE prev_ts IS NULL
+        |   OR (epoch_us(ts) // 1000000)
+        |      - (epoch_us(prev_ts) // 1000000) > 60""".stripMargin,
 
     "q63_salted_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,

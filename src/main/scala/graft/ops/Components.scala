@@ -126,9 +126,13 @@ object Components {
     * distributed fixpoint: (id, component = min member). */
   private def unionFindLocal(und: DataFrame): DataFrame = {
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
+      ShortType, StringType, StructField, StructType}
     val spark = und.sparkSession
     val dt = und.schema.head.dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType, StringType)
+        .contains(dt),
+      s"connectedComponents supports integral or string node ids, got $dt")
     val parent = scala.collection.mutable.HashMap.empty[Any, Any]
     def find(x: Any): Any = {
       var r = x

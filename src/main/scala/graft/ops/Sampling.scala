@@ -52,8 +52,11 @@ object Sampling {
                      seed: Long): (DataFrame, Map[String, Double]) = {
     require(targetWeights.nonEmpty && targetWeights.values.forall(_ > 0),
       "targetWeights must be non-empty and positive")
-    val counts = df.groupBy(strataCol.as("__s")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // string-keyed like targetWeights; cast covers non-string strata
+    // columns, and a null stratum simply never matches a target key
+    val counts = df.groupBy(strataCol.cast("string").as("__s")).count()
+      .collect().filterNot(_.isNullAt(0))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     val wSum = targetWeights.values.sum
     val norm = targetWeights.map { case (s, w) => s -> (w / wSum) }
     // largest feasible total T: for each stratum, keep_s = T·w_s ≤ n_s

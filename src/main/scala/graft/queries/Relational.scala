@@ -449,6 +449,23 @@ object Relational {
       .agg(count(lit(1)).as("n_items"),
         dsum(col("l_quantity")).as("sum_qty"))
 
+  /** Burst debounce: drop events that follow the PREVIOUS event of the
+    * same (user, type) within 60 s — the lag-based adjacent throttle
+    * (telemetry/duplicate-click cleanup). One shuffle on the partition
+    * key; deterministic tiebreak on event_id for equal timestamps. (A
+    * keep-chain debounce — measure from the last KEPT event — is
+    * sequential state, [[graft.streaming.EventStreams.dedupStream]]'s
+    * territory; this is the declarative batch form.) */
+  def q67Debounce(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("prev_ts").isNull ||
+        col("ts").cast("long") - col("prev_ts").cast("long") > 60)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+  }
+
   /** Explicit GROUPING SETS (the general form behind q43's ROLLUP and
     * q49's CUBE): chosen aggregation levels only, one pass — Spark plans
     * a single Expand + hash aggregate, not one scan per level. */
