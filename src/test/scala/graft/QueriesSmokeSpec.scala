@@ -15,6 +15,11 @@ class QueriesSmokeSpec extends SparkSpecBase {
       s"queries without oracle SQL: $missing")
   }
 
+  test("no orphan oracle SQL (oracle key without a registered query)") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle entries with no query: $orphans")
+  }
+
   for ((name, fn) <- SparkEntry.queries) {
     test(s"$name runs at sf0.001 and returns a sane schema") {
       val df = fn(spark, sf)
