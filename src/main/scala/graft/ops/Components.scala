@@ -147,7 +147,29 @@ object Components {
       if (ra != rb) parent(ra) = rb
     }
     implicit val ord: Ordering[Any] = dt match {
-      case StringType => Ordering.String.on[Any](_.asInstanceOf[String])
+      case StringType =>
+        // unsigned UTF-8 byte order, matching Spark's min()/DuckDB's
+        // MIN() on strings — java's natural String order compares UTF-16
+        // code units, which disagrees for supplementary characters
+        // (surrogate pairs sort before U+E000..U+FFFF there), and the
+        // local path must label clusters identically to the distributed
+        // one
+        new Ordering[Any] {
+          def compare(a: Any, b: Any): Int = {
+            val (x, y) = (
+              a.asInstanceOf[String].getBytes(
+                java.nio.charset.StandardCharsets.UTF_8),
+              b.asInstanceOf[String].getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+            var i = 0
+            while (i < x.length && i < y.length) {
+              val c = (x(i) & 0xff) - (y(i) & 0xff)
+              if (c != 0) return c
+              i += 1
+            }
+            x.length - y.length
+          }
+        }
       case _ => Ordering.Long.on[Any](_.asInstanceOf[Number].longValue())
     }
     val out = parent.keys.toSeq.groupBy(find).toSeq.flatMap {

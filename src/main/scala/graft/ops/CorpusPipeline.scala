@@ -133,20 +133,30 @@ object CorpusPipeline {
   def append(existing: DataFrame, incoming: DataFrame,
              cfg: Config): (DataFrame, Stats) = {
     val f = appendFrames(existing, incoming, cfg)
-    (f.sampled, Stats(incoming.count(), f.quality.count(), f.exact.count(),
-      f.deduped.count(), f.sampled.count()))
+    val stats = Stats(incoming.count(), f.quality.count(), f.exact.count(),
+      f.deduped.count(), f.sampled.count())
+    // the stats counts materialized everything downstream of these, so
+    // the working caches can be released now; `deduped` stays persisted
+    // for the caller (it IS the result, modulo sampling)
+    f.incBands.unpersist()
+    f.exBands.unpersist()
+    (f.sampled, stats)
   }
 
   /** [[append]] without the per-stage Stats counts — one lazy plan, for
     * callers that only need the surviving rows (each Stats count is a
     * separate action; skipping them matters when the append runs inside
-    * a larger measured pipeline). */
+    * a larger measured pipeline). The internal stage caches (band
+    * streams, exact survivors) stay persisted until the JVM's
+    * ContextCleaner collects them — a long-lived session running many
+    * appends should prefer [[append]], which releases them eagerly. */
   def appendDocs(existing: DataFrame, incoming: DataFrame,
                  cfg: Config): DataFrame =
     appendFrames(existing, incoming, cfg).sampled
 
   private final case class AppendFrames(quality: DataFrame,
-    exact: DataFrame, deduped: DataFrame, sampled: DataFrame)
+    exact: DataFrame, deduped: DataFrame, sampled: DataFrame,
+    incBands: DataFrame, exBands: DataFrame)
 
   private def appendFrames(existing: DataFrame, incoming: DataFrame,
                            cfg: Config): AppendFrames = {
@@ -226,6 +236,6 @@ object CorpusPipeline {
       if (cfg.sampleFractions.isEmpty && cfg.sampleDefault >= 1.0) deduped
       else Sampling.stratifiedHashSample(deduped, col("doc_id"),
         col("lang"), cfg.sampleFractions, cfg.sampleDefault, cfg.seed)
-    AppendFrames(quality, exact, deduped, sampled)
+    AppendFrames(quality, exact, deduped, sampled, incBands, exBands)
   }
 }

@@ -68,7 +68,11 @@ object Sampling {
     val total = feasible.min
     val fractions = norm.map { case (s, w) =>
       val n = counts.getOrElse(s, 0L)
-      s -> (if (n == 0) 0.0 else math.min(1.0, total * w / n))
+      // snap near-1 to exactly 1.0: total = n_binding/w round-trips
+      // through doubles, and a 1-ulp-short fraction would drop binding-
+      // stratum rows whose hash lands on the last threshold value
+      val f = if (n == 0) 0.0 else math.min(1.0, total * w / n)
+      s -> (if (f >= 1.0 - 1e-9) 1.0 else f)
     }
     (stratifiedHashSample(df, keyCol, strataCol, fractions,
       defaultFraction = 0.0, seed), fractions)

@@ -119,10 +119,13 @@ object TextOps {
 
   /** Top-k terms per document by TF-IDF — keyword extraction for corpus
     * curation. Scoring is log-free rational:
-    * `score = (tf · 1e6 · N) div df` (integer division) — monotone in
+    * `score = (tf · 1000 · N) div df` (integer division) — monotone in
     * tf·(N/df) at fixed N, so rankings match classic tf-idf while the
     * value is bit-exact across engines (no transcendental-ULP drift in
-    * the oracle compare). Ties break on term asc.
+    * the oracle compare). Ties break on term asc. The ×1000 scale keeps
+    * the product inside Long for tf·N up to ~9e15 (a 1e5-token tf
+    * against a 1e10-doc corpus); the earlier ×1e6 scale overflowed
+    * exactly at the corpus sizes this operator targets.
     *
     * Plan shape: one explode → two hash aggregations (tf over (doc,term),
     * df over term, both map-side combinable) → join on term → per-doc
@@ -142,7 +145,7 @@ object TextOps {
       .orderBy(col("tfidf_scaled").desc, col("term").asc)
     tf.join(df, "term")
       .crossJoin(broadcast(n))
-      .withColumn("tfidf_scaled", expr("(tf * 1000000 * n) div df"))
+      .withColumn("tfidf_scaled", expr("(tf * 1000 * n) div df"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(idCol), col("term"), col("tfidf_scaled"),

@@ -197,7 +197,13 @@ object VectorOps {
         cents.map { case (i, v) =>
           org.apache.spark.sql.Row(i, v) }.asJava, schema)
 
-    val seeds = vecs
+    // persisted for the iteration: seeds + every Lloyd round re-reads
+    // this projection, and when `vecs` is a derived frame (filtered or
+    // deduped embeddings) each action would otherwise re-run its whole
+    // upstream cascade — iters+1 times, ×m inside pqTrain
+    val base = vecs.select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = base
       .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
       .withColumn("r", Sampling.sampleHash(col(idCol), seed))
       .orderBy(col("r").asc, col(idCol).asc)
@@ -213,7 +219,7 @@ object VectorOps {
       // expression (tried: 3.5s vs 1.3s at k=8·dim=64 — the k·dim
       // literals blow up codegen), and the ×k row expansion is bounded
       // by the codebook, which is broadcast-scale by definition
-      val assigned = assignToCentroids(vecs, toDf(centroids), idCol, vecCol,
+      val assigned = assignToCentroids(base, toDf(centroids), idCol, vecCol,
         metric)
       // exact integer nano-unit accumulation: long sums carry no
       // rounding MODE (decimal quantization of binary fractions can hit
@@ -233,6 +239,7 @@ object VectorOps {
       centroids = centroids.map { case (i, old) =>
         (i, means.getOrElse(i, old)) }
     }
+    base.unpersist()
     toDf(centroids)
   }
 
@@ -273,6 +280,7 @@ object VectorOps {
                idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {
     val dim = vecs.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
     val dsub = dim / m
     (0 until m).map { i =>
       val sub = vecs.select(col(idCol),
@@ -297,6 +305,7 @@ object VectorOps {
              idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame = {
     val dim = queries.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
     val dsub = dim / m
     val table = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))

@@ -236,7 +236,7 @@ object TextOracles {
          |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
          |n AS (SELECT COUNT(*) AS n FROM documents),
          |scored AS (SELECT t.doc_id, t.term,
-         |             CAST((t.tf * 1000000 * n.n) // d.df AS BIGINT)
+         |             CAST((t.tf * 1000 * n.n) // d.df AS BIGINT)
          |               AS tfidf_scaled
          |           FROM tf t JOIN df d USING (term) CROSS JOIN n),
          |ranked AS (SELECT doc_id, term, tfidf_scaled,

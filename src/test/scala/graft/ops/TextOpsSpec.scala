@@ -124,7 +124,7 @@ class TextOpsSpec extends SparkSpecBase {
     assert(got.forall(_._3 <= 2))
     val d1 = got.filter(_._1 == 1L).sortBy(_._3).map(_._2).toSeq
     // doc 1: rare (tf 1, df 1) outranks common (tf 2, df 3):
-    // 1·N/1 = 3e6 > 2·N/3 = 2e6
+    // 1·1000·3/1 = 3000 > 2·1000·3/3 = 2000
     assert(d1 == Seq("rare", "common"), d1.toString)
   }
 }
