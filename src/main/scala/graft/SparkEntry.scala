@@ -66,6 +66,7 @@ object SparkEntry {
     "q64_incremental_append" -> TextQueries.qIncrementalAppend _,
     "q66_pack_sequences"     -> TextQueries.qPackSequences _,
     "q67_debounce"           -> Relational.q67Debounce _,
+    "q68_boilerplate"        -> TextQueries.qBoilerplatePassages _,
     "q46_window_analytics"   -> Relational.q46WindowAnalytics _,
     "q47_set_ops"            -> Relational.q47SetOps _,
     "q48_asof_join"          -> Relational.q48AsofJoin _,

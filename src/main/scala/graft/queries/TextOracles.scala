@@ -215,6 +215,23 @@ object TextOracles {
          |  CAST((cum - n_tokens) % 8192 AS BIGINT) AS offset_in_pack
          |FROM c""".stripMargin,
 
+    "q68_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, $Tk AS tk FROM documents),
+         |st AS (SELECT doc_id, tk,
+         |         unnest(range(0, CASE WHEN len(tk) = 0 THEN 1
+         |                             ELSE len(tk) END, 16)) AS start
+         |       FROM t),
+         |ch AS (SELECT doc_id, tk[start + 1 : start + 32] AS chunk
+         |       FROM st),
+         |h AS (SELECT doc_id,
+         |        ${H("array_to_string(chunk, ' ')")} AS chunk_hash
+         |      FROM ch WHERE len(chunk) = 32)
+         |SELECT chunk_hash,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  COUNT(*) AS n_occurrences
+         |FROM h GROUP BY chunk_hash
+         |HAVING COUNT(DISTINCT doc_id) > 1""".stripMargin,
+
     "q61_chunks" ->
       s"""WITH t AS (SELECT doc_id, $Tk AS tk FROM documents),
          |st AS (SELECT doc_id, tk,

@@ -277,6 +277,21 @@ object TextQueries {
   def qChunks(s: SparkSession, dir: String): DataFrame =
     TextOps.chunkRows(Tables.documents(s, dir), "doc_id", "text", 64, 48)
 
+  /** Cross-document repeated passages: 32-token chunks at stride 16
+    * whose content hash appears in more than one document — the
+    * passage-level dedup / boilerplate-detection step (headers, footers,
+    * license blocks) that doc-level near-dup misses. One per-row chunk
+    * expansion, one hash aggregation; the shuffle carries (hash, doc)
+    * pairs, never text. */
+  def qBoilerplatePassages(s: SparkSession, dir: String): DataFrame =
+    TextOps.chunkRows(Tables.documents(s, dir), "doc_id", "text", 32, 16)
+      .filter(col("n_tokens") === 32) // full windows only: partial tail
+                                      // windows alias their parent chunk
+      .groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") > 1)
+
   /** Exact n-gram Jaccard over a bounded id-window of pairs (adjacent ids,
     * distance ≤ 3) — the oracle-checkable exact tier; the LSH tier above is
     * the scale path. */
