@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CountIn, PolyHash, ShingleHashes, VecDot}
+import graft.functions.{AccentFold, CountIn, PolyHash, ShingleHashes, VecDot}
 
 /** Engine extensions, injected via spark.sql.extensions (set by
   * [[graft.core.Sessions]]). Registers the native expressions so they are
@@ -26,6 +26,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ShingleHashes(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("accent_fold"),
+      new ExpressionInfo(classOf[AccentFold].getName, "accent_fold"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        AccentFold(children.head)))
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),

@@ -67,6 +67,12 @@ object SparkEntry {
     "q66_pack_sequences"     -> TextQueries.qPackSequences _,
     "q67_debounce"           -> Relational.q67Debounce _,
     "q68_boilerplate"        -> TextQueries.qBoilerplatePassages _,
+    "q69_heavy_hitters"      -> TextQueries.qHeavyHitters _,
+    "q70_bigram_topk"        -> TextQueries.qBigramTopK _,
+    "q71_postings"           -> TextQueries.qPostings _,
+    "q72_normalize"          -> TextQueries.qNormalize _,
+    "q73_redact"             -> TextQueries.qRedact _,
+    "q74_histogram"          -> Relational.q74Histogram _,
     "q46_window_analytics"   -> Relational.q46WindowAnalytics _,
     "q47_set_ops"            -> Relational.q47SetOps _,
     "q48_asof_join"          -> Relational.q48AsofJoin _,

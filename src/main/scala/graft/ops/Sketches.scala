@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Approximate sketches — the scale tier of the exact aggregates the
@@ -60,5 +61,84 @@ object Sketches {
         k != null && bloomBc.value.mightContainLong(k))
       fact.filter(mc(factKey.cast("long")))
     }
+  }
+
+  /** Misra–Gries heavy-hitter sketch state: bounded candidate counters
+    * plus the total number of items folded in. */
+  case class MgState(counts: Map[String, Long], total: Long)
+
+  /** Misra–Gries frequent-items sketch with capacity `k`: one pass,
+    * O(k) memory per partition, mergeable (partial aggregation applies).
+    * Guarantee: every item with true frequency > total/(k+1) is present
+    * in the final candidate set — no false negatives above that bar;
+    * counts are under-estimates, so callers recount exactly (see
+    * [[frequentTokens]]). */
+  class MisraGries(k: Int)
+      extends Aggregator[String, MgState, MgState] with Serializable {
+    require(k >= 1, s"sketch capacity must be >= 1, got $k")
+
+    def zero: MgState = MgState(Map.empty, 0L)
+
+    def reduce(b: MgState, item: String): MgState = {
+      val c = b.counts
+      val nc = c.get(item) match {
+        case Some(n) => c.updated(item, n + 1)
+        case None if c.size < k => c.updated(item, 1L)
+        // full and item absent: decrement every counter (dropping zeros)
+        case None => c.collect { case (t, n) if n > 1 => t -> (n - 1) }
+      }
+      MgState(nc, b.total + 1)
+    }
+
+    def merge(a: MgState, b: MgState): MgState = {
+      val summed = b.counts.foldLeft(a.counts) { case (m, (t, n)) =>
+        m.updated(t, m.getOrElse(t, 0L) + n)
+      }
+      val trimmed =
+        if (summed.size <= k) summed
+        else {
+          // subtract the (k+1)-th largest count from all (the merge-side
+          // analogue of the decrement step), drop non-positive
+          val cut = summed.values.toSeq.sorted(Ordering[Long].reverse)(k)
+          summed.collect { case (t, n) if n > cut => t -> (n - cut) }
+        }
+      MgState(trimmed, a.total + b.total)
+    }
+
+    def finish(r: MgState): MgState = r
+    def bufferEncoder: Encoder[MgState] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: Encoder[MgState] = bufferEncoder
+  }
+
+  /** Exact frequent items at scale, classic two-pass plan:
+    * pass 1 folds the whole column into one O(k) Misra–Gries sketch
+    * (map-side partial merge — the shuffle carries one small Map per
+    * partition, never per-item rows); pass 2 recounts ONLY the ≤k
+    * candidates exactly and keeps those at or above `minFrac` of the
+    * total. Because the sketch has no false negatives above total/(k+1)
+    * and the recount is exact, the result equals the naive
+    * group-everything-and-filter plan — without ever shuffling the long
+    * tail. Requires minFrac > 1/(k+1) for that guarantee.
+    *
+    * Output: (item, n, frac) for items with n >= ceil(total * minFrac). */
+  def frequentItems(items: DataFrame, itemCol: String,
+                    minFrac: Double, k: Int): DataFrame = {
+    require(minFrac > 1.0 / (k + 1),
+      s"minFrac=$minFrac below sketch guarantee 1/(k+1)=${1.0 / (k + 1)}; " +
+        "raise k or minFrac")
+    val spark = items.sparkSession
+    import spark.implicits._
+    val col0 = col(itemCol)
+    val sketch = items.select(col0.as[String](Encoders.STRING))
+      .select(new MisraGries(k).toColumn).head()
+    val threshold = math.ceil(sketch.total * minFrac).toLong
+    val candidates = sketch.counts.keys.toSeq
+    items.filter(col0.isin(candidates: _*))
+      .groupBy(col0.as("item"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= threshold)
+      .withColumn("frac",
+        round(col("n").cast("double") / lit(sketch.total.toDouble), 6))
   }
 }

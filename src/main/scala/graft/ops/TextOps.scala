@@ -31,6 +31,37 @@ object TextOps {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** Adjacent token pairs as readable "a b" strings (order preserved);
+    * size<2 token lists → empty array. Stays inside codegen — transform
+    * over an index sequence, no explode until the caller asks. */
+  def bigramStrings(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) < 2, array().cast(ArrayType(StringType)))
+      .otherwise(transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+  }
+
+  /** Corpus text normalization: accent-fold (native [[graft.functions
+    * .AccentFold]] expression — NFD + strip combining marks), lowercase,
+    * collapse runs of whitespace to single spaces, trim. The standard
+    * canonical form applied before exact-dedup / fingerprinting so that
+    * "Café  au\tlait " and "cafe au lait" collide. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(call_function("accent_fold", c)), "\\s+", " "))
+
+  /** Redact PII-shaped substrings, replacing each match with a fixed tag:
+    * emails, then IPv4s, then any remaining digit run of `minDigits`+
+    * (phone/account numbers). Order matters — emails and IPs contain
+    * digit runs, so they must be tagged first. Pure regexp_replace chain:
+    * codegen'd, no UDF, safe to run over 100 TB of text. */
+  def redactPii(c: Column, minDigits: Int = 4): Column = {
+    val email = regexp_replace(c,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>")
+    regexp_replace(ip, s"[0-9]{$minDigits,}", "<NUM>")
+  }
+
   /** Polynomial rolling hash of a string: fold h = (h*31 + codepoint) % M
     * over its characters. Dispatches to the native codegen'd
     * [[graft.functions.PolyHash]] expression — sessions must register
@@ -172,6 +203,36 @@ object TextOps {
         (col("start") / stride).cast("int").as("chunk_idx"),
         size(col("chunk")).cast("long").as("n_tokens"),
         polyHash(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+  }
+
+  /** Inverted-index posting stats per token: document frequency, total
+    * term frequency, and the first `sampleK` doc ids as a bounded sample.
+    *
+    * Scale shape: explode → (token, doc) partial-counted aggregate (the
+    * shuffle carries one row per distinct (token, doc), never per token
+    * occurrence), then a token-partitioned window bounds the sample to
+    * `sampleK` BEFORE the final collect — no posting list is ever fully
+    * materialized in one task, so a stopword appearing in every document
+    * costs O(sampleK) memory, not O(corpus). Full posting lists at 100 TB
+    * would instead stay as the flat (token, doc_id, tf) table this
+    * computes halfway — sorted/bucketed by token, queried by merge join —
+    * rather than as arrays. */
+  def invertedPostings(docs: DataFrame, idCol: String, textCol: String,
+                       sampleK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("token")).orderBy(col("doc_id"))
+    perDoc
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("doc_freq"),
+        sum(col("tf")).as("term_freq"),
+        sort_array(collect_list(when(col("rn") <= sampleK, col("doc_id"))))
+          .as("sample_docs"))
   }
 
   /** Lambda reference form of [[langGuess]]'s scoring (interpreted HOFs)

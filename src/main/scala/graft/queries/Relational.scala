@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.Tables
-import graft.ops.{ConceptMap, Dedup, DenseId, SafeCast, Sweep}
+import graft.ops.{ConceptMap, Dedup, DenseId, SafeCast, Stats, Sweep}
 
 /** Relational operator suite over the driver test tables (TESTDATA.md).
   *
@@ -456,6 +456,14 @@ object Relational {
     * keep-chain debounce — measure from the last KEPT event — is
     * sequential state, [[graft.streaming.EventStreams.dedupStream]]'s
     * territory; this is the declarative batch form.) */
+  /** Fixed-width price histogram ([[Stats.histogram]]): one hash
+    * aggregate over ≤21 bins — the shuffle is O(nbins), independent of
+    * data size, so the same plan profiles a 100 TB column. Bin math is
+    * pure IEEE arithmetic the oracle reproduces bit-for-bit. */
+  def q74Histogram(s: SparkSession, dir: String): DataFrame =
+    Stats.histogram(Tables.lineitem(s, dir), col("l_extendedprice"),
+      lo = 900.0, hi = 105900.0, nbins = 21)
+
   def q67Debounce(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ts").asc, col("event_id").asc)

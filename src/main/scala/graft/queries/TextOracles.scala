@@ -58,6 +58,64 @@ object TextOracles {
   val stopwords = graft.ops.TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "q69_heavy_hitters" ->
+      s"""WITH tok0 AS (SELECT doc_id, $Tk AS tk FROM documents),
+         |toks AS (SELECT unnest(tk) AS token FROM tok0),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tok FROM toks)
+         |SELECT token, COUNT(*) AS n,
+         |  ROUND(CAST(COUNT(*) AS DOUBLE) /
+         |        (SELECT CAST(n_tok AS DOUBLE) FROM tot), 6) AS frac
+         |FROM toks GROUP BY token
+         |HAVING COUNT(*) >=
+         |  CAST(ceil((SELECT n_tok FROM tot) * 0.02) AS BIGINT)""".stripMargin,
+
+    "q70_bigram_topk" ->
+      s"""WITH tok0 AS (SELECT doc_id, $Tk AS tk FROM documents),
+         |bg AS (SELECT tk[u.i] || ' ' || tk[u.i + 1] AS bigram
+         |       FROM tok0, LATERAL (SELECT unnest(
+         |         generate_series(1, len(tk) - 1)) AS i) u)
+         |SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
+         |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+
+    "q71_postings" ->
+      s"""WITH tok0 AS (SELECT doc_id, $Tk AS tk FROM documents),
+         |toks AS (SELECT doc_id, unnest(tk) AS token FROM tok0),
+         |pd AS (SELECT token, doc_id, COUNT(*) AS tf
+         |       FROM toks GROUP BY token, doc_id),
+         |r AS (SELECT token, doc_id, tf, row_number() OVER
+         |        (PARTITION BY token ORDER BY doc_id) AS rn FROM pd)
+         |SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq,
+         |  CAST(SUM(tf) AS BIGINT) AS term_freq,
+         |  list(doc_id ORDER BY doc_id) FILTER (WHERE rn <= 5)
+         |    AS sample_docs
+         |FROM r GROUP BY token""".stripMargin,
+
+    "q72_normalize" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_raw,
+        |  CAST(length(n) AS BIGINT) AS n_norm,
+        |  substr(n, 1, 48) AS norm_prefix
+        |FROM (SELECT doc_id, text, trim(regexp_replace(
+        |        lower(strip_accents(text)), '\s+', ' ', 'g')) AS n
+        |      FROM documents) t""".stripMargin,
+
+    "q73_redact" ->
+      """SELECT event_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    props || ' uid=' || CAST(user_id AS VARCHAR),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '[0-9]{2,}', '<NUM>', 'g') AS redacted
+        |FROM events""".stripMargin,
+
+    "q74_histogram" ->
+      """WITH b AS (SELECT least(20, greatest(0,
+        |    CAST(floor((l_extendedprice - 900.0) / 5000.0) AS BIGINT))) AS bin
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL)
+        |SELECT bin, COUNT(*) AS n,
+        |  900.0 + bin * 5000.0 AS bin_lo,
+        |  900.0 + (bin + 1) * 5000.0 AS bin_hi
+        |FROM b GROUP BY bin""".stripMargin,
+
     "q20_exact_dup_stats" ->
       s"""SELECT lang, ${H("text")} % 10 AS bucket, COUNT(*) AS n_docs
          |FROM documents GROUP BY lang, bucket""".stripMargin,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Dedup, NearDup, TextOps}
+import graft.ops.{Dedup, NearDup, Sketches, TextOps}
 
 /** Training-data text pipeline queries over the `documents` table: exact
   * dedup, MinHash+LSH near-dup, SimHash, n-gram Jaccard, token counting,
@@ -291,6 +291,58 @@ object TextQueries {
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occurrences"))
       .filter(col("n_docs") > 1)
+
+  /** Corpus heavy hitters: tokens at ≥2% of all token occurrences, found
+    * by the two-pass Misra–Gries plan in [[Sketches.frequentItems]] —
+    * pass 1 folds the corpus into one O(k) sketch (the shuffle carries a
+    * bounded Map per partition), pass 2 recounts only the ≤k candidates.
+    * Exact by construction, so the naive group-everything oracle matches. */
+  def qHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    Sketches.frequentItems(
+      Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("token")),
+      "token", minFrac = 0.02, k = 64)
+      .withColumnRenamed("item", "token")
+
+  /** Corpus-wide top-20 bigrams (count desc, bigram asc tiebreak): the
+    * n-gram statistics pass of corpus analysis. Bigram construction stays
+    * codegen'd inside the row ([[TextOps.bigramStrings]]); the global
+    * top-k is a TakeOrderedAndProject — per-partition heaps, no full
+    * sort. */
+  def qBigramTopK(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(TextOps.bigramStrings(col("text"))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(20)
+
+  /** Inverted-index posting stats: per token, document frequency, term
+    * frequency, and the first-5-docs sample ([[TextOps.invertedPostings]]
+    * bounds the sample before collecting — no unbounded posting arrays). */
+  def qPostings(s: SparkSession, dir: String): DataFrame =
+    TextOps.invertedPostings(Tables.documents(s, dir), "doc_id", "text", 5)
+
+  /** Canonical text form per document: accent-fold (native expression) +
+    * lowercase + whitespace collapse, reported as lengths + a prefix so
+    * the oracle hashes the actual normalized bytes. */
+  def qNormalize(s: SparkSession, dir: String): DataFrame = {
+    val norm = TextOps.normalizeText(col("text"))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_raw"),
+      length(norm).cast("long").as("n_norm"),
+      substring(norm, 1, 48).as("norm_prefix"))
+  }
+
+  /** PII redaction over a synthesized payload (events props + uid — the
+    * test corpus has no natural emails/IPs; the spec covers those): pure
+    * regexp_replace chain, codegen'd, no UDF. */
+  def qRedact(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id"),
+      TextOps.redactPii(
+        concat(col("props"), lit(" uid="), col("user_id")), minDigits = 2)
+        .as("redacted"))
 
   /** Exact n-gram Jaccard over a bounded id-window of pairs (adjacent ids,
     * distance ≤ 3) — the oracle-checkable exact tier; the LSH tier above is

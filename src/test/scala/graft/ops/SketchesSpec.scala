@@ -57,4 +57,58 @@ class SketchesSpec extends SparkSpecBase {
     val kept = pruned.count().toDouble / orders.count()
     assert(kept < 0.2, s"pruned fraction too weak: kept $kept")
   }
+
+  // --- Misra–Gries frequent items ---
+
+  /** Skewed synthetic stream: item i appears ~n/(i+1) times (zipf-ish),
+    * shuffled deterministically so heavy items interleave. */
+  private def zipfItems(n: Int): Seq[String] = {
+    val raw = (0 until 40).flatMap(i => Seq.fill(n / (i + 1))(s"t$i"))
+    val rnd = new scala.util.Random(7)
+    rnd.shuffle(raw)
+  }
+
+  test("MisraGries sketch never misses items above total/(k+1)") {
+    import spark.implicits._
+    val items = zipfItems(2000)
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (k <- Seq(4, 8, 16); parts <- Seq(1, 7)) {
+      val ds = spark.createDataset(items).repartition(parts)
+      val st = ds.select(new Sketches.MisraGries(k).toColumn).head()
+      assert(st.total == items.size)
+      val mustHave = exact.filter(_._2 > items.size.toDouble / (k + 1)).keySet
+      val missed = mustHave -- st.counts.keySet
+      assert(missed.isEmpty,
+        s"k=$k parts=$parts missed heavy items $missed")
+      assert(st.counts.size <= k, s"sketch overflowed capacity: ${st.counts}")
+      // MG counts are under-estimates, never over
+      st.counts.foreach { case (t, c) =>
+        assert(c <= exact(t), s"$t sketch $c > exact ${exact(t)}")
+      }
+    }
+  }
+
+  test("frequentItems equals the naive exact plan, any partitioning") {
+    import spark.implicits._
+    val items = zipfItems(3000)
+    for (parts <- Seq(1, 13)) {
+      val df = spark.createDataset(items).toDF("item").repartition(parts)
+      val got = Sketches.frequentItems(df, "item", minFrac = 0.05, k = 30)
+        .select("item", "n").collect().map(r => r.getString(0) -> r.getLong(1))
+        .toMap
+      val total = items.size
+      val thresh = math.ceil(total * 0.05).toLong
+      val want = items.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter(_._2 >= thresh).toMap
+      assert(got == want, s"parts=$parts got $got want $want")
+    }
+  }
+
+  test("frequentItems rejects minFrac below the sketch guarantee") {
+    import spark.implicits._
+    val df = Seq("a", "b").toDF("item")
+    intercept[IllegalArgumentException] {
+      Sketches.frequentItems(df, "item", minFrac = 0.01, k = 10)
+    }
+  }
 }

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class StatsSpec extends SparkSpecBase {
+
+  test("histogram: exact counts, clamped edges, empty bins omitted") {
+    import spark.implicits._
+    // values: below-range, on lo, interior, on an inner boundary, just
+    // below hi, on hi (clamps to last bin), far above
+    val df = Seq(-5.0, 0.0, 2.5, 5.0, 9.99, 10.0, 99.0).toDF("v")
+    val got = Stats.histogram(df, col("v"), lo = 0.0, hi = 10.0, nbins = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // width 2.5: bin0 [-inf clamp..2.5) ← {-5, 0}; 2.5 → bin1; 5.0 → bin2;
+    // 9.99, 10.0(clamp), 99(clamp) → bin3; bin for (7.5,9.99): 9.99→bin3
+    assert(got(0L)._1 == 2L)
+    assert(got(1L)._1 == 1L)
+    assert(got(2L)._1 == 1L)
+    assert(got(3L)._1 == 3L)
+    assert(got.keySet == Set(0L, 1L, 2L, 3L)) // no phantom bins
+    assert(got(1L)._2 == 2.5 && got(1L)._3 == 5.0)
+    // total preserved
+    assert(got.values.map(_._1).sum == 7L)
+  }
+
+  test("histogram skips nulls and covers every in-range value once") {
+    import spark.implicits._
+    val df = (Seq.tabulate(1000)(i => Some(i.toDouble)) :+
+      Option.empty[Double]).toDF("v")
+    val got = Stats.histogram(df, col("v"), 0.0, 1000.0, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0 until 10).map(b => b.toLong -> 100L).toMap)
+  }
+
+  test("histogram rejects degenerate specs") {
+    import spark.implicits._
+    val df = Seq(1.0).toDF("v")
+    intercept[IllegalArgumentException] {
+      Stats.histogram(df, col("v"), 5.0, 5.0, 10)
+    }
+    intercept[IllegalArgumentException] {
+      Stats.histogram(df, col("v"), 0.0, 1.0, 0)
+    }
+  }
+}

@@ -127,4 +127,63 @@ class TextOpsSpec extends SparkSpecBase {
     // 1·1000·3/1 = 3000 > 2·1000·3/3 = 2000
     assert(d1 == Seq("rare", "common"), d1.toString)
   }
+
+  test("accent_fold strips marks, keeps base letters, ASCII unchanged") {
+    def f(s: String) = one(call_function("accent_fold", col("text")), s)
+    assert(f("Café Ångström naïve") == "Cafe Angstrom naive")
+    assert(f("héllo wörld") == "hello world")
+    val ascii = "plain ascii stays identical 123 !@#"
+    assert(f(ascii) == ascii)
+    assert(f("") == "")
+    assert(one(call_function("accent_fold", col("text")), null) == null)
+  }
+
+  test("normalizeText folds accents, case, and whitespace runs") {
+    def n(s: String) = one(TextOps.normalizeText(col("text")), s)
+    assert(n("  Café  au\t\nLAIT ") == "cafe au lait")
+    assert(n("already normal") == "already normal")
+    assert(n("   ") == "")
+    // normalized forms collide exactly where a dedup pass needs them to
+    assert(n("Café  au lait") == n("cafe au\tLait"))
+  }
+
+  test("redactPii tags emails and IPs before digit runs, in that order") {
+    def r(s: String) = one(TextOps.redactPii(col("text"), 4), s)
+    assert(r("mail bob.smith+x@corp.example.org now")
+      == "mail <EMAIL> now")
+    assert(r("from 192.168.100.200 port 8080")
+      == "from <IP> port <NUM>")
+    assert(r("card 4111111111111111 pin 123")
+      == "card <NUM> pin 123") // 3 digits below minDigits → kept
+    assert(r("a@b.co at 10.0.0.1 acct 99999")
+      == "<EMAIL> at <IP> acct <NUM>")
+    assert(r("clean text") == "clean text")
+  }
+
+  test("bigramStrings preserves order; short docs → empty array") {
+    def b(s: String) = one(TextOps.bigramStrings(col("text")), s)
+      .asInstanceOf[scala.collection.Seq[String]].toSeq
+    assert(b("a b c d") == Seq("a b", "b c", "c d"))
+    assert(b("solo") == Seq.empty)
+    assert(b("") == Seq.empty)
+    assert(b("  x   y  ") == Seq("x y"))
+  }
+
+  test("invertedPostings: exact df/tf, sample bounded and sorted") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "x x y"), (20L, "x z"), (30L, "x"), (40L, "x"),
+      (50L, "x"), (60L, "x"), (70L, "x y")).toDF("doc_id", "text")
+    for (parts <- Seq(1, 5)) {
+      val got = TextOps.invertedPostings(docs.repartition(parts),
+          "doc_id", "text", sampleK = 5)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getSeq[Long](3).toSeq)).sortBy(_._1)
+      assert(got.map(g => (g._1, g._2, g._3)).toSeq ==
+        Seq(("x", 7L, 8L), ("y", 2L, 2L), ("z", 1L, 1L)))
+      val xs = got.find(_._1 == "x").get._4
+      assert(xs == Seq(10L, 20L, 30L, 40L, 50L), // first 5 ids, sorted
+        s"parts=$parts sample $xs")
+    }
+  }
 }
