@@ -311,7 +311,8 @@ object TextQueries {
     * sort. */
   def qBigramTopK(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(explode(TextOps.bigramStrings(col("text"))).as("bigram"))
+      .select(TextOps.tokens(col("text")).as("t")) // split once per row
+      .select(explode(TextOps.bigramsFromTokens(col("t"))).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(20)
