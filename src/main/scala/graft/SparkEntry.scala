@@ -73,6 +73,10 @@ object SparkEntry {
     "q72_normalize"          -> TextQueries.qNormalize _,
     "q73_redact"             -> TextQueries.qRedact _,
     "q74_histogram"          -> Relational.q74Histogram _,
+    "q75_sliding_window"     -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStreams.slidingRollup(graft.core.Tables.events(s, d))),
+    "q76_trailing_window"    -> Relational.q76TrailingWindow _,
+    "q77_full_outer"         -> Relational.q77FullOuter _,
     "q46_window_analytics"   -> Relational.q46WindowAnalytics _,
     "q47_set_ops"            -> Relational.q47SetOps _,
     "q48_asof_join"          -> Relational.q48AsofJoin _,
@@ -414,6 +418,36 @@ object SparkEntry {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY window_start, event_type""".stripMargin,
+
+    // each event lies in exactly the 4 slide-aligned 1h windows starting
+    // at bucket(ts) - {0,1,2,3}·15min — no containment filter needed
+    "q75_sliding_window" ->
+      """WITH w AS (SELECT event_type, value,
+        |    time_bucket(INTERVAL 15 MINUTE, ts)
+        |      - k.i * INTERVAL 15 MINUTE AS window_start
+        |  FROM events, LATERAL (SELECT unnest([0,1,2,3]) AS i) k)
+        |SELECT window_start, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY window_start, event_type""".stripMargin,
+
+    "q76_trailing_window" ->
+      """SELECT event_id, user_id, ts,
+        |  COUNT(*) OVER w AS n_trailing,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |    AS sum_trailing
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q77_full_outer" ->
+      """WITH p AS (SELECT user_id, COUNT(*) AS n_purchases FROM events
+        |           WHERE event_type = 'purchase' GROUP BY user_id),
+        |e AS (SELECT user_id, COUNT(*) AS n_errors FROM events
+        |      WHERE event_type = 'error' GROUP BY user_id)
+        |SELECT COALESCE(p.user_id, e.user_id) AS user_id,
+        |  COALESCE(p.n_purchases, 0) AS n_purchases,
+        |  COALESCE(e.n_errors, 0) AS n_errors
+        |FROM p FULL OUTER JOIN e ON p.user_id = e.user_id""".stripMargin,
 
     "q41_sessionize" ->
       """WITH g AS (

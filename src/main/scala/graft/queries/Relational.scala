@@ -456,6 +456,38 @@ object Relational {
     * keep-chain debounce — measure from the last KEPT event — is
     * sequential state, [[graft.streaming.EventStreams.dedupStream]]'s
     * territory; this is the declarative batch form.) */
+  /** Trailing-hour per-user window over a RANGE frame keyed on integer
+    * epoch-micros — a genuinely different frame than q46's ROWS frames:
+    * the boundary is a value offset, so ties and gaps behave like the
+    * stream-processing "last hour" semantics. Integer frame bounds keep
+    * both engines bit-identical (no interval/float drift). */
+  def q76TrailingWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, 0L) // trailing hour in µs, inclusive
+    Tables.events(s, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        count(lit(1)).over(w).as("n_trailing"),
+        sum(col("value").cast("decimal(18,4)")).over(w)
+          .cast("double").as("sum_trailing"))
+  }
+
+  /** Full outer join of two per-user aggregates (purchases vs errors) —
+    * the one join shape the reference never uses; rows survive from
+    * either side with zero-defaulted counts. */
+  def q77FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_purchases"))
+    val e = ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_errors"))
+    p.join(e, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        coalesce(col("n_errors"), lit(0L)).as("n_errors"))
+  }
+
   /** Fixed-width price histogram ([[Stats.histogram]]): one hash
     * aggregate over ≤21 bins — the shuffle is O(nbins), independent of
     * data size, so the same plan profiles a 100 TB column. Bin math is

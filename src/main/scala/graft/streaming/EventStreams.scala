@@ -32,6 +32,23 @@ object EventStreams {
   def hourlyRollupStream(events: DataFrame): DataFrame =
     hourlyRollup(events.withWatermark("ts", "2 hours"))
 
+  /** Sliding-window rollup: 1-hour windows every 15 minutes — each event
+    * lands in exactly 4 windows (Spark's `window(slide)` expands rows
+    * BEFORE the aggregate, so the shuffle carries 4× (window, type)
+    * partial rows, never 4× the data). Same code runs on a watermarked
+    * stream. */
+  def slidingRollup(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  def slidingRollupStream(events: DataFrame): DataFrame =
+    slidingRollup(events.withWatermark("ts", "2 hours"))
+
   /** Streaming exact-dedup: drop events whose dedup key was already seen,
     * with state bounded by the watermark (the streaming tier of the batch
     * content-hash dedup in [[graft.ops.Dedup]]). At scale the state store

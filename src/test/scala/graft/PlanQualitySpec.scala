@@ -119,4 +119,35 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastExchange"), p)
   }
+
+  test("histogram shuffles O(nbins) partial-agg rows, never the data") {
+    val p = plan(graft.queries.Relational.q74Histogram(spark, sf))
+    // partial aggregation before the single exchange: the shuffle input
+    // is ≤nbins rows per task regardless of scan size
+    assert(p.contains("partial_count"), p)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
+
+  test("bigram top-k: per-row codegen'd pair build + bounded top-k") {
+    val p = plan(graft.queries.TextQueries.qBigramTopK(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p) // never a global sort
+    assert(!p.contains("SortAggregate"), p)        // hash agg on the pairs
+  }
+
+  test("postings: window reuses the token partitioning for the final agg") {
+    val p = plan(graft.queries.TextQueries.qPostings(spark, sf))
+    // exactly two exchanges: explode→(token,doc) agg, then token window;
+    // the final per-token aggregate must NOT add a third
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+  }
+
+  test("redaction and normalization stay whole-stage-codegen'd, no UDF") {
+    for (df <- Seq(graft.queries.TextQueries.qRedact(spark, sf),
+                   graft.queries.TextQueries.qNormalize(spark, sf))) {
+      val p = plan(df)
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+      assert(p.contains("*(1)"), p) // whole-stage codegen span marker
+      assert(!p.contains("Exchange"), p) // pure per-row map over the scan
+    }
+  }
 }

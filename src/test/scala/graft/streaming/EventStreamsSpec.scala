@@ -52,6 +52,32 @@ class EventStreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("slidingRollup: each event in exactly 4 windows; stream == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = EventStreams.slidingRollup(toDf(rows))
+    // row-coverage invariant: total count across windows = 4 × events
+    val totalN = batch.agg(org.apache.spark.sql.functions.sum("n"))
+      .head().getLong(0)
+    assert(totalN == 4L * rows.size, s"coverage $totalN")
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val sdf = mem.toDF.toDF("user_id", "ts", "event_type", "value")
+    val q = EventStreams.slidingRollup(sdf)
+      .writeStream.format("memory").queryName("sliding_sink")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sliding_sink")
+        .orderBy("window_start", "event_type")
+        .collect().map(_.toSeq).toSeq
+      val b = batch.orderBy("window_start", "event_type")
+        .collect().map(_.toSeq).toSeq
+      assert(streamed == b)
+      assert(b.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-stream join within horizon: parity with batch, incremental emission") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
