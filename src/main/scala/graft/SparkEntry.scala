@@ -77,6 +77,12 @@ object SparkEntry {
       graft.streaming.EventStreams.slidingRollup(graft.core.Tables.events(s, d))),
     "q76_trailing_window"    -> Relational.q76TrailingWindow _,
     "q77_full_outer"         -> Relational.q77FullOuter _,
+    "q78_pivot"              -> Relational.q78Pivot _,
+    "q79_unpivot"            -> Relational.q79Unpivot _,
+    "q80_rank_funcs"         -> Relational.q80RankFuncs _,
+    "q81_moments"            -> Relational.q81Moments _,
+    "q82_string_agg"         -> Relational.q82StringAgg _,
+    "q83_json"               -> Relational.q83Json _,
     "q46_window_analytics"   -> Relational.q46WindowAnalytics _,
     "q47_set_ops"            -> Relational.q47SetOps _,
     "q48_asof_join"          -> Relational.q48AsofJoin _,
@@ -448,6 +454,64 @@ object SparkEntry {
         |  COALESCE(p.n_purchases, 0) AS n_purchases,
         |  COALESCE(e.n_errors, 0) AS n_errors
         |FROM p FULL OUTER JOIN e ON p.user_id = e.user_id""".stripMargin,
+
+    "q78_pivot" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q79_unpivot" ->
+      """SELECT measure, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_tax', l_tax FROM lineitem) t
+        |GROUP BY measure""".stripMargin,
+
+    "q80_rank_funcs" ->
+      """SELECT event_id, user_id,
+        |  ROUND(percent_rank() OVER w, 6) AS pct_rank,
+        |  ROUND(cume_dist() OVER w, 6) AS cume,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY value ASC, event_id ASC)""".stripMargin,
+
+    "q81_moments" ->
+      """WITH m AS (SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))
+        |           * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS ss
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n,
+        |  ROUND(s / n, 6) AS mean,
+        |  ROUND((ss - s * s / n) / n, 6) AS variance,
+        |  ROUND(sqrt((ss - s * s / n) / n), 6) AS stddev
+        |FROM m""".stripMargin,
+
+    "q82_string_agg" ->
+      """SELECT o_orderpriority,
+        |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+        |    AS statuses,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q83_json" ->
+      """SELECT event_type,
+        |  COUNT(k) AS n_with_k,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  CAST(MAX(k) AS BIGINT) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events) t
+        |GROUP BY event_type""".stripMargin,
 
     "q41_sessionize" ->
       """WITH g AS (

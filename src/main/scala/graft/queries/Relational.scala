@@ -488,6 +488,94 @@ object Relational {
         coalesce(col("n_errors"), lit(0L)).as("n_errors"))
   }
 
+  /** Pivot (long→wide): per-user event-type counts as columns. The value
+    * list is explicit — with it, Spark plans ONE pass (no values-discovery
+    * job) and the output schema is static, which is the only pivot shape
+    * that scales: discovery-pivot over high-cardinality keys is a driver
+    * OOM by design. Absent cells → 0. */
+  def q78Pivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("user_id") +: types.map(t =>
+        coalesce(col(t), lit(0L)).as(t)): _*)
+  }
+
+  /** Unpivot (wide→long, the reference's measurement/observation column
+    * re-mapping shape M5 generalized): three lineitem measures melt into
+    * (measure, value) rows — pure per-row Expand, no shuffle until the
+    * summarizing aggregate. */
+  def q79Unpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
+
+  /** Distribution-rank window functions (percent_rank / cume_dist /
+    * ntile) — the remaining window family q46 doesn't cover. Deterministic
+    * (value, event_id) order; ranks are pure integer-ratio doubles, so
+    * both engines agree bit-for-bit. */
+  def q80RankFuncs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    Tables.events(s, dir).select(
+      col("event_id"), col("user_id"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cume"),
+      ntile(4).over(w).as("quartile"))
+  }
+
+  /** Exact moments per group from decimal power sums: Σv and Σv² are
+    * summed as decimals (order-independent — the parallel-sum property
+    * plain double aggregation lacks), then mean/variance/stddev derive in
+    * one final double step per GROUP, so the result is identical on any
+    * partitioning and any engine. The built-in stddev/var aggregates are
+    * streaming-double and would hash-flake; this is the scale-safe way to
+    * get exact second moments. */
+  def q81Moments(s: SparkSession, dir: String): DataFrame = {
+    val d = col("value").cast("decimal(18,4)")
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(d).cast("double").as("s"),
+        sum(d * d).cast("double").as("ss"))
+      .select(col("event_type"), col("n"),
+        round(col("s") / col("n"), 6).as("mean"),
+        round((col("ss") - col("s") * col("s") / col("n")) / col("n"), 6)
+          .as("variance"),
+        round(sqrt((col("ss") - col("s") * col("s") / col("n")) / col("n")), 6)
+          .as("stddev"))
+  }
+
+  /** Ordered string aggregation: sorted-distinct statuses per priority as
+    * one delimited string (the GROUP_CONCAT / string_agg shape). Set
+    * semantics + explicit sort keep it deterministic under parallelism. */
+  def q82StringAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(concat_ws(",", array_sort(collect_set(col("o_orderstatus"))))
+        .as("statuses"),
+        count(lit(1)).as("n"))
+
+  /** JSON extraction from the semi-structured props column (the dynamic-
+    * schema corner of the reference's data model, §1.3): path-extract a
+    * field, type it, aggregate. get_json_object is codegen'd — no UDF,
+    * no full-document parse into a map. */
+  def q83Json(s: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(k).as("n_with_k"),
+        sum(k).as("sum_k"),
+        max(k).as("max_k"))
+  }
+
   /** Fixed-width price histogram ([[Stats.histogram]]): one hash
     * aggregate over ≤21 bins — the shuffle is O(nbins), independent of
     * data size, so the same plan profiles a 100 TB column. Bin math is

@@ -141,6 +141,18 @@ class PlanQualitySpec extends SparkSpecBase {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
   }
 
+  test("explicit-values pivot plans one scan + one agg pass") {
+    val p = plan(graft.queries.Relational.q78Pivot(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).size == 1, p) // no discovery job
+    assert(p.contains("partial_"), p) // map-side combine before the shuffle
+  }
+
+  test("unpivot is a per-row Expand, shuffling only the 3-group aggregate") {
+    val p = plan(graft.queries.Relational.q79Unpivot(spark, sf))
+    assert(p.contains("Expand"), p)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
+
   test("redaction and normalization stay whole-stage-codegen'd, no UDF") {
     for (df <- Seq(graft.queries.TextQueries.qRedact(spark, sf),
                    graft.queries.TextQueries.qNormalize(spark, sf))) {
