@@ -83,6 +83,8 @@ object SparkEntry {
     "q81_moments"            -> Relational.q81Moments _,
     "q82_string_agg"         -> Relational.q82StringAgg _,
     "q83_json"               -> Relational.q83Json _,
+    "q84_cross"              -> Relational.q84Cross _,
+    "q85_arg_extremes"       -> Relational.q85ArgExtremes _,
     "q46_window_analytics"   -> Relational.q46WindowAnalytics _,
     "q47_set_ops"            -> Relational.q47SetOps _,
     "q48_asof_join"          -> Relational.q48AsofJoin _,
@@ -502,6 +504,23 @@ object SparkEntry {
         |    AS statuses,
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q84_cross" ->
+      """SELECT r_name, o_orderstatus
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus
+        |                        FROM orders) s""".stripMargin,
+
+    "q85_arg_extremes" ->
+      """SELECT event_type,
+        |  min(struct_pack(value := value, event_id := event_id)).value
+        |    AS lo_value,
+        |  min(struct_pack(value := value, event_id := event_id)).event_id
+        |    AS lo_event,
+        |  max(struct_pack(value := value, event_id := event_id)).value
+        |    AS hi_value,
+        |  max(struct_pack(value := value, event_id := event_id)).event_id
+        |    AS hi_event
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q83_json" ->
       """SELECT event_type,

@@ -576,6 +576,29 @@ object Relational {
         max(k).as("max_k"))
   }
 
+  /** Cross join of two tiny dimensions (the densification shape: every
+    * region × every order status, e.g. to left-join sparse aggregates
+    * into a dense matrix). Both sides are small scans → Spark plans a
+    * broadcast nested-loop; a cross join is only ever safe when one side
+    * is broadcast-sized, which this demonstrates. */
+  def q84Cross(s: SparkSession, dir: String): DataFrame =
+    Tables.region(s, dir).select(col("r_name"))
+      .crossJoin(Tables.orders(s, dir).select(col("o_orderstatus")).distinct())
+
+  /** Deterministic arg-min/arg-max per group via struct ordering:
+    * min/max of (value, event_id) structs compare lexicographically, so
+    * ties on value resolve by event_id — unlike bare min_by/arg_min,
+    * which pick an arbitrary row under parallel merge. One hash
+    * aggregate; the shuffle carries two structs per group. */
+  def q85ArgExtremes(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(min(struct(col("value"), col("event_id"))).as("mn"),
+        max(struct(col("value"), col("event_id"))).as("mx"))
+      .select(col("event_type"),
+        col("mn.value").as("lo_value"), col("mn.event_id").as("lo_event"),
+        col("mx.value").as("hi_value"), col("mx.event_id").as("hi_event"))
+
   /** Fixed-width price histogram ([[Stats.histogram]]): one hash
     * aggregate over ≤21 bins — the shuffle is O(nbins), independent of
     * data size, so the same plan profiles a 100 TB column. Bin math is
