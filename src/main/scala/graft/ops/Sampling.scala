@@ -92,4 +92,25 @@ object Sampling {
       TextOps.polyHash(concat(keyCol.cast("string"), lit("#" + seed)))
         * Mixer % TextOps.HashMod,
       lit(Scale))
+
+  /** Weighted sample without replacement, k rows, Efraimidis–Spirakis
+    * A-Res with the deterministic hash as the randomness source: each
+    * row's priority is ln(u)/w for u = (hash+1)/1e6 ∈ (0,1], w = weight;
+    * the k HIGHEST priorities win. Inclusion probability rises with
+    * weight; the draw is a pure function of (key, seed), so it is
+    * reproducible across partitionings, retries, and re-runs — the same
+    * property the uniform samplers here guarantee.
+    *
+    * Scale: top-k by priority plans as TakeOrderedAndProject (bounded
+    * per-partition heaps), so nothing but k rows crosses the wire. Rows
+    * with weight <= 0 are excluded (ln(u)/w would invert the order). */
+  def weightedSample(df: DataFrame, keyCol: Column, weightCol: Column,
+                     k: Int, seed: Long): DataFrame = {
+    val u = (sampleHash(keyCol, seed) + 1).cast("double") / Scale.toDouble
+    df.filter(weightCol > 0)
+      .withColumn("__priority", log(u) / weightCol)
+      .orderBy(col("__priority").desc)
+      .limit(k)
+      .drop("__priority")
+  }
 }

@@ -79,4 +79,41 @@ class SamplingSpec extends SparkSpecBase {
       .select("doc_id").as[Long].collect().toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("weightedSample: deterministic, k-bounded, drops w<=0") {
+    val df = (1L to 300L).map(i => (i, (i % 7 + 1).toDouble))
+      .toDF("id", "w")
+      .union(Seq((900L, 0.0), (901L, -1.0)).toDF("id", "w"))
+    val a = Sampling.weightedSample(df, col("id"), col("w"), 25, seed = 3)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.weightedSample(df.repartition(13), col("id"), col("w"),
+      25, seed = 3).select("id").as[Long].collect().toSet
+    assert(a == b, "partitioning changed the draw")
+    assert(a.size == 25)
+    assert(!a.contains(900L) && !a.contains(901L))
+    // output keeps original columns only
+    val cols = Sampling.weightedSample(df, col("id"), col("w"), 5, 3).columns
+    assert(cols.toSeq == Seq("id", "w"))
+  }
+
+  test("weightedSample favors heavy rows across seeds") {
+    // 10 heavy rows (w=50) vs 190 light (w=1); draw 20 of 200 over many
+    // seeds — heavies should be picked far above their 5% count share
+    val df = (1L to 200L).map(i => (i, if (i <= 10) 50.0 else 1.0))
+      .toDF("id", "w")
+    val hits = (1 to 20).map { seed =>
+      Sampling.weightedSample(df, col("id"), col("w"), 20, seed)
+        .filter(col("id") <= 10).count()
+    }.sum
+    // E[heavy picked] ≈ 10·(1-(1-~0.5)^…) — loose bound: ≥ 6 of 10 per
+    // draw on average; fail only on gross inversion
+    assert(hits >= 120, s"heavy rows picked only $hits/200 times")
+  }
+
+  test("weightedSample top-k plans bounded (TakeOrderedAndProject)") {
+    val df = (1L to 100L).map(i => (i, 1.0)).toDF("id", "w")
+    val p = Sampling.weightedSample(df, col("id"), col("w"), 10, 1)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }

@@ -78,6 +78,35 @@ class EventStreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment join: stateless, batch parity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the J1/J2 lookup-join shape applied to a stream: the static dim
+    // broadcasts; no state store, no watermark needed for inner joins
+    val dim = Seq(("click", 10), ("purchase", 20), ("signup", 30))
+      .toDF("event_type", "type_code")
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val sdf = mem.toDF.toDF("user_id", "ts", "event_type", "value")
+    val q = sdf.join(org.apache.spark.sql.functions.broadcast(dim),
+        Seq("event_type"))
+      .writeStream.format("memory").queryName("enrich_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_sink")
+        .select("user_id", "ts", "event_type", "type_code")
+        .collect().map(_.toSeq).toSet
+      val batch = toDf(rows).join(dim, Seq("event_type"))
+        .select("user_id", "ts", "event_type", "type_code")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+      // unmatched event types (error/view) drop in both — inner semantics
+      assert(!streamed.exists(_(2) == "error"))
+    } finally q.stop()
+  }
+
   test("stream-stream join within horizon: parity with batch, incremental emission") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
