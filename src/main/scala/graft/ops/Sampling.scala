@@ -109,7 +109,9 @@ object Sampling {
     val u = (sampleHash(keyCol, seed) + 1).cast("double") / Scale.toDouble
     df.filter(weightCol > 0)
       .withColumn("__priority", log(u) / weightCol)
-      .orderBy(col("__priority").desc)
+      // key tiebreak: equal priorities (hash collisions at the k
+      // boundary) must not leave the draw to partition order
+      .orderBy(col("__priority").desc, keyCol.asc)
       .limit(k)
       .drop("__priority")
   }
