@@ -85,6 +85,9 @@ object SparkEntry {
     "q83_json"               -> Relational.q83Json _,
     "q84_cross"              -> Relational.q84Cross _,
     "q85_arg_extremes"       -> Relational.q85ArgExtremes _,
+    "q86_gap_fill"           -> Relational.q86GapFill _,
+    "q87_scd2"               -> Relational.q87Scd2 _,
+    "q88_zero_fill"          -> Relational.q88ZeroFill _,
     "q46_window_analytics"   -> Relational.q46WindowAnalytics _,
     "q47_set_ops"            -> Relational.q47SetOps _,
     "q48_asof_join"          -> Relational.q48AsofJoin _,
@@ -504,6 +507,46 @@ object SparkEntry {
         |    AS statuses,
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q86_gap_fill" ->
+      """WITH obs AS (SELECT user_id, date_trunc('hour', ts) AS hour,
+        |    max(struct_pack(ts := ts, event_id := event_id,
+        |                    value := value)).value AS obs_value
+        |  FROM events GROUP BY user_id, hour),
+        |sp AS (SELECT user_id,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |  FROM (SELECT user_id, min(date_trunc('hour', ts)) AS h0,
+        |          max(date_trunc('hour', ts)) AS h1
+        |        FROM events GROUP BY user_id) b)
+        |SELECT sp.user_id, sp.hour,
+        |  last_value(obs.obs_value IGNORE NULLS) OVER (
+        |    PARTITION BY sp.user_id ORDER BY sp.hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  obs.obs_value IS NOT NULL AS is_observed
+        |FROM sp LEFT JOIN obs
+        |  ON sp.user_id = obs.user_id AND sp.hour = obs.hour""".stripMargin,
+
+    "q87_scd2" ->
+      """WITH x AS (SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT user_id, event_type, ts, event_id FROM x
+        |      WHERE prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type AS state, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS valid_to
+        |FROM c""".stripMargin,
+
+    "q88_zero_fill" ->
+      """WITH d AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
+        |t AS (SELECT DISTINCT event_type FROM events),
+        |c AS (SELECT date_trunc('day', ts) AS day, event_type,
+        |        COUNT(*) AS cnt
+        |      FROM events GROUP BY day, event_type)
+        |SELECT d.day, t.event_type, COALESCE(c.cnt, 0) AS n
+        |FROM d CROSS JOIN t
+        |LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type""".stripMargin,
 
     "q84_cross" ->
       """SELECT r_name, o_orderstatus

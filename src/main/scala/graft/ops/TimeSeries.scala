@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series completion operators: dense spines, forward fill, and
+  * slowly-changing-dimension history — the shapes that turn an event log
+  * into an analysis-ready series. All windows declare entity partitioning
+  * (state per key is O(1) or O(values-per-hour)); spine expansion is
+  * per-row `sequence` + explode, so nothing shuffles until the final
+  * key-partitioned join/window, which all share one partitioning.
+  */
+object TimeSeries {
+
+  /** Hourly spine per key from first to last observation, with the last
+    * value in each hour (deterministic: max by (ts, tie)) forward-filled
+    * across empty hours. Output: (key, hour, value, is_observed).
+    *
+    * Scale: the spine explode is linear in output hours; the fill is one
+    * window over the same (key)-partitioning the join already needs.
+    * Leading nulls cannot occur — the spine starts at the first
+    * observed hour. */
+  def gapFillForwardHourly(df: DataFrame, keyCol: String, tsCol: String,
+                           tieCol: String, valueCol: String): DataFrame = {
+    val hour = date_trunc("hour", col(tsCol))
+    // deterministic per-hour observation: latest (ts, tie) wins
+    val obs = df
+      .groupBy(col(keyCol), hour.as("hour"))
+      .agg(max(struct(col(tsCol), col(tieCol), col(valueCol)))
+        .getField(valueCol).as("obs_value"))
+    val spine = df
+      .groupBy(col(keyCol))
+      .agg(min(hour).as("h0"), max(hour).as("h1"))
+      .select(col(keyCol),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+          .as("hour"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(obs, Seq(keyCol, "hour"), "left")
+      .select(col(keyCol), col("hour"),
+        last(col("obs_value"), ignoreNulls = true).over(w).as("value"),
+        col("obs_value").isNotNull.as("is_observed"))
+  }
+
+  /** SCD2 history from an event log: consecutive runs of the same state
+    * per key compress to one row with [valid_from, valid_to) bounds;
+    * the current state has a NULL valid_to. Deterministic (ts, tie)
+    * ordering; both windows share the key partitioning (one exchange). */
+  def scd2History(df: DataFrame, keyCol: String, stateCol: String,
+                  tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    // first row per key is always a change; later rows only when the
+    // state null-safely differs (a bare __prev IS NULL test would treat
+    // every row after a null STATE as a change too)
+    val changes = df
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__prev", lag(col(stateCol), 1).over(w))
+      .filter(col("__rn") === 1 || !(col("__prev") <=> col(stateCol)))
+      .drop("__rn")
+    changes
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select(col(keyCol), col(stateCol).as("state"),
+        col(tsCol).as("valid_from"), col("valid_to"))
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.Tables
-import graft.ops.{ConceptMap, Dedup, DenseId, SafeCast, Stats, Sweep}
+import graft.ops.{ConceptMap, Dedup, DenseId, SafeCast, Stats, Sweep, TimeSeries}
 
 /** Relational operator suite over the driver test tables (TESTDATA.md).
   *
@@ -574,6 +574,37 @@ object Relational {
       .agg(count(k).as("n_with_k"),
         sum(k).as("sum_k"),
         max(k).as("max_k"))
+  }
+
+  /** Hourly gap-fill with forward fill ([[TimeSeries
+    * .gapFillForwardHourly]]): dense per-user spine, deterministic
+    * per-hour pick, carry-forward across empty hours — the event-log →
+    * analysis-series transform. */
+  def q86GapFill(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.gapFillForwardHourly(Tables.events(s, dir),
+      "user_id", "ts", "event_id", "value")
+
+  /** SCD2 state history ([[TimeSeries.scd2History]]): consecutive
+    * same-state runs compress to [valid_from, valid_to) rows, NULL
+    * valid_to = current — the functional re-expression of the
+    * reference's UPDATE-maintained history tables (M2). */
+  def q87Scd2(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.scd2History(Tables.events(s, dir),
+      "user_id", "event_type", "ts", "event_id")
+
+  /** Dense day×type activity matrix: spine cross join + left join +
+    * zero-default — the densification pattern over a sparse aggregate
+    * (absent (day, type) cells must exist with n=0). */
+  def q88ZeroFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val days = ev.select(date_trunc("day", col("ts")).as("day")).distinct()
+    val types = ev.select(col("event_type")).distinct()
+    val counts = ev.groupBy(date_trunc("day", col("ts")).as("day"),
+      col("event_type")).agg(count(lit(1)).as("n"))
+    days.crossJoin(types)
+      .join(counts, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
   }
 
   /** Cross join of two tiny dimensions (the densification shape: every

@@ -1,0 +1,76 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class TimeSeriesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("gapFillForwardHourly: fills gaps, flags observations, no leading null") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:15:00"), 100L, 1.0),
+      (1L, ts("2024-01-01 10:45:00"), 101L, 2.0), // same hour: latest wins
+      (1L, ts("2024-01-01 13:05:00"), 102L, 9.0), // 2-hour gap before
+      (2L, ts("2024-01-01 00:00:00"), 103L, 5.0)  // single-event user
+    ).toDF("user_id", "ts", "event_id", "value")
+    val got = TimeSeries
+      .gapFillForwardHourly(ev, "user_id", "ts", "event_id", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2),
+        r.getBoolean(3)))
+      .sortBy(t => (t._1, t._2.getTime))
+    val u1 = got.filter(_._1 == 1L)
+    assert(u1.map(_._2).toSeq == Seq("10", "11", "12", "13")
+      .map(h => ts(s"2024-01-01 $h:00:00")))
+    assert(u1.map(_._3).toSeq == Seq(2.0, 2.0, 2.0, 9.0)) // ffill + in-hour latest
+    assert(u1.map(_._4).toSeq == Seq(true, false, false, true))
+    val u2 = got.filter(_._1 == 2L)
+    assert(u2.toSeq == Seq((2L, ts("2024-01-01 00:00:00"), 5.0, true)))
+  }
+
+  test("gapFillForwardHourly is deterministic across partitionings") {
+    val ev = (1L to 500L).map(i =>
+      (i % 7, ts(f"2024-01-01 ${(i % 20) % 24}%02d:00:01"), i, i * 1.5))
+      .toDF("user_id", "ts", "event_id", "value")
+    def run(df: org.apache.spark.sql.DataFrame) = TimeSeries
+      .gapFillForwardHourly(df, "user_id", "ts", "event_id", "value")
+      .collect().map(_.toSeq).toSet
+    assert(run(ev) == run(ev.repartition(17)))
+  }
+
+  test("scd2History compresses runs; open row has null valid_to") {
+    val ev = Seq(
+      (1L, "a", ts("2024-01-01 00:00:00"), 1L),
+      (1L, "a", ts("2024-01-01 01:00:00"), 2L), // same state: compressed
+      (1L, "b", ts("2024-01-01 02:00:00"), 3L),
+      (1L, "a", ts("2024-01-01 03:00:00"), 4L)  // state can recur
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val got = TimeSeries
+      .scd2History(ev, "user_id", "event_type", "ts", "event_id")
+      .orderBy("valid_from")
+      .collect().map(r => (r.getString(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3))))
+    assert(got.toSeq == Seq(
+      ("a", ts("2024-01-01 00:00:00"), Some(ts("2024-01-01 02:00:00"))),
+      ("b", ts("2024-01-01 02:00:00"), Some(ts("2024-01-01 03:00:00"))),
+      ("a", ts("2024-01-01 03:00:00"), None)))
+  }
+
+  test("scd2History treats null states null-safely (no spurious changes)") {
+    val ev = Seq(
+      (1L, null.asInstanceOf[String], ts("2024-01-01 00:00:00"), 1L),
+      (1L, null.asInstanceOf[String], ts("2024-01-01 01:00:00"), 2L),
+      (1L, "x", ts("2024-01-01 02:00:00"), 3L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val got = TimeSeries
+      .scd2History(ev, "user_id", "event_type", "ts", "event_id")
+      .orderBy("valid_from").collect()
+    assert(got.length == 2) // null run compressed to one row
+    assert(got(0).isNullAt(1) && got(1).getString(1) == "x")
+  }
+}
