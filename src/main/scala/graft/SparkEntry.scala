@@ -526,13 +526,18 @@ object SparkEntry {
         |FROM sp LEFT JOIN obs
         |  ON sp.user_id = obs.user_id AND sp.hour = obs.hour""".stripMargin,
 
+    // rn = 1 keeps a leading NULL-state run (IS DISTINCT FROM alone would
+    // drop it: NULL is not distinct from the lag's NULL) — matches
+    // TimeSeries.scd2History exactly
     "q87_scd2" ->
       """WITH x AS (SELECT user_id, event_type, ts, event_id,
         |    lag(event_type) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS prev
+        |      ORDER BY ts, event_id) AS prev,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
         |  FROM events),
         |c AS (SELECT user_id, event_type, ts, event_id FROM x
-        |      WHERE prev IS DISTINCT FROM event_type)
+        |      WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
         |SELECT user_id, event_type AS state, ts AS valid_from,
         |  lead(ts) OVER (PARTITION BY user_id
         |    ORDER BY ts, event_id) AS valid_to

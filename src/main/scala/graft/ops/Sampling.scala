@@ -95,22 +95,30 @@ object Sampling {
 
   /** Weighted sample without replacement, k rows, Efraimidis–Spirakis
     * A-Res with the deterministic hash as the randomness source: each
-    * row's priority is ln(u)/w for u = (hash+1)/1e6 ∈ (0,1], w = weight;
-    * the k HIGHEST priorities win. Inclusion probability rises with
-    * weight; the draw is a pure function of (key, seed), so it is
-    * reproducible across partitionings, retries, and re-runs — the same
-    * property the uniform samplers here guarantee.
+    * row's priority is ln(u)/w for u ∈ (0,1] derived from TWO
+    * independent key hashes combined to ~60 bits (u = (h1·M + h2 + 1) /
+    * (M² + 1), M = 1e9+7 — a single 1e6- or 1e9-granularity hash would
+    * tie pervasively at billion-row scale and the draw would degenerate
+    * to the tiebreak); the k HIGHEST priorities win. Inclusion
+    * probability rises with weight; the draw is a pure function of
+    * (key, seed), so it is reproducible across partitionings, retries,
+    * and re-runs — the same property the uniform samplers guarantee.
     *
     * Scale: top-k by priority plans as TakeOrderedAndProject (bounded
     * per-partition heaps), so nothing but k rows crosses the wire. Rows
     * with weight <= 0 are excluded (ln(u)/w would invert the order). */
   def weightedSample(df: DataFrame, keyCol: Column, weightCol: Column,
                      k: Int, seed: Long): DataFrame = {
-    val u = (sampleHash(keyCol, seed) + 1).cast("double") / Scale.toDouble
+    val M = TextOps.HashMod
+    def h(s: Long): Column =
+      (TextOps.polyHash(concat(keyCol.cast("string"), lit("#" + s)))
+        * Mixer) % M
+    // h1·M + h2 ≤ (M−1)·M + (M−1) = M²−1 ≈ 1e18 < 2^63: exact in long
+    val u = (h(seed) * M + h(seed + 1) + 1).cast("double") /
+      (M.toDouble * M.toDouble + 1)
     df.filter(weightCol > 0)
       .withColumn("__priority", log(u) / weightCol)
-      // key tiebreak: equal priorities (hash collisions at the k
-      // boundary) must not leave the draw to partition order
+      // key tiebreak: a residual exact tie must not fall to partition order
       .orderBy(col("__priority").desc, keyCol.asc)
       .limit(k)
       .drop("__priority")

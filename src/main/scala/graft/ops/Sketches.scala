@@ -63,52 +63,86 @@ object Sketches {
     }
   }
 
-  /** Misra–Gries heavy-hitter sketch state: bounded candidate counters
+  /** Misra–Gries heavy-hitter sketch result: bounded candidate counters
     * plus the total number of items folded in. */
   case class MgState(counts: Map[String, Long], total: Long)
+
+  /** Mutable aggregation buffer (kryo-encoded — it only serializes at
+    * the shuffle boundary; within a partition the same object mutates in
+    * place, so the hot path allocates nothing per row). Values are boxed
+    * java.lang.Long ON PURPOSE: a primitive-Long map would silently
+    * unbox a missing key's null to 0. */
+  class MgBuffer(val counts: java.util.HashMap[String, java.lang.Long],
+                 var total: Long) extends Serializable
 
   /** Misra–Gries frequent-items sketch with capacity `k`: one pass,
     * O(k) memory per partition, mergeable (partial aggregation applies).
     * Guarantee: every item with true frequency > total/(k+1) is present
     * in the final candidate set — no false negatives above that bar;
     * counts are under-estimates, so callers recount exactly (see
-    * [[frequentTokens]]). */
+    * [[frequentItems]]). The decrement-all pass is O(k) but amortized
+    * O(1) per item: total decrement work never exceeds total insert
+    * work. */
   class MisraGries(k: Int)
-      extends Aggregator[String, MgState, MgState] with Serializable {
+      extends Aggregator[String, MgBuffer, MgState] with Serializable {
     require(k >= 1, s"sketch capacity must be >= 1, got $k")
 
-    def zero: MgState = MgState(Map.empty, 0L)
+    def zero: MgBuffer = new MgBuffer(new java.util.HashMap, 0L)
 
-    def reduce(b: MgState, item: String): MgState = {
+    def reduce(b: MgBuffer, item: String): MgBuffer = {
       val c = b.counts
-      val nc = c.get(item) match {
-        case Some(n) => c.updated(item, n + 1)
-        case None if c.size < k => c.updated(item, 1L)
-        // full and item absent: decrement every counter (dropping zeros)
-        case None => c.collect { case (t, n) if n > 1 => t -> (n - 1) }
-      }
-      MgState(nc, b.total + 1)
-    }
-
-    def merge(a: MgState, b: MgState): MgState = {
-      val summed = b.counts.foldLeft(a.counts) { case (m, (t, n)) =>
-        m.updated(t, m.getOrElse(t, 0L) + n)
-      }
-      val trimmed =
-        if (summed.size <= k) summed
-        else {
-          // subtract the (k+1)-th largest count from all (the merge-side
-          // analogue of the decrement step), drop non-positive
-          val cut = summed.values.toSeq.sorted(Ordering[Long].reverse)(k)
-          summed.collect { case (t, n) if n > cut => t -> (n - cut) }
+      val n = c.get(item) // null when absent (boxed access)
+      if (n ne null) c.put(item, java.lang.Long.valueOf(n.longValue + 1))
+      else if (c.size < k) c.put(item, java.lang.Long.valueOf(1L))
+      else {
+        // full and item absent: decrement every counter, dropping zeros
+        val it = c.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val v = e.getValue.longValue
+          if (v > 1) e.setValue(java.lang.Long.valueOf(v - 1))
+          else it.remove()
         }
-      MgState(trimmed, a.total + b.total)
+      }
+      b.total += 1
+      b
     }
 
-    def finish(r: MgState): MgState = r
-    def bufferEncoder: Encoder[MgState] =
+    def merge(a: MgBuffer, b: MgBuffer): MgBuffer = {
+      val it = b.counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val prev = a.counts.get(e.getKey)
+        val sum = if (prev eq null) e.getValue.longValue
+                  else prev.longValue + e.getValue.longValue
+        a.counts.put(e.getKey, java.lang.Long.valueOf(sum))
+      }
+      if (a.counts.size > k) {
+        // subtract the (k+1)-th largest count from all (the merge-side
+        // analogue of the decrement step), drop non-positive
+        import scala.jdk.CollectionConverters._
+        val cut = a.counts.values.asScala.map(_.longValue).toSeq
+          .sorted(Ordering[Long].reverse)(k)
+        val jt = a.counts.entrySet().iterator()
+        while (jt.hasNext) {
+          val e = jt.next()
+          val v = e.getValue.longValue
+          if (v > cut) e.setValue(java.lang.Long.valueOf(v - cut))
+          else jt.remove()
+        }
+      }
+      a.total += b.total
+      a
+    }
+
+    def finish(r: MgBuffer): MgState = {
+      import scala.jdk.CollectionConverters._
+      MgState(r.counts.asScala.map { case (t, n) => t -> n.longValue }.toMap,
+        r.total)
+    }
+    def bufferEncoder: Encoder[MgBuffer] = Encoders.kryo[MgBuffer]
+    def outputEncoder: Encoder[MgState] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
-    def outputEncoder: Encoder[MgState] = bufferEncoder
   }
 
   /** Exact frequent items at scale, classic two-pass plan:
@@ -129,12 +163,16 @@ object Sketches {
         "raise k or minFrac")
     val spark = items.sparkSession
     import spark.implicits._
+    // nulls are not items: they would crash the Map-key serialization and
+    // a null "token" has no frequency semantics — excluded from both
+    // passes AND from the total
+    val nonNull = items.filter(col(itemCol).isNotNull)
     val col0 = col(itemCol)
-    val sketch = items.select(col0.as[String](Encoders.STRING))
+    val sketch = nonNull.select(col0.as[String](Encoders.STRING))
       .select(new MisraGries(k).toColumn).head()
     val threshold = math.ceil(sketch.total * minFrac).toLong
     val candidates = sketch.counts.keys.toSeq
-    items.filter(col0.isin(candidates: _*))
+    nonNull.filter(col0.isin(candidates: _*))
       .groupBy(col0.as("item"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= threshold)

@@ -110,10 +110,11 @@ object TextOracles {
     "q74_histogram" ->
       """WITH b AS (SELECT least(20, greatest(0,
         |    CAST(floor((l_extendedprice - 900.0) / 5000.0) AS BIGINT))) AS bin
-        |  FROM lineitem WHERE l_extendedprice IS NOT NULL)
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND isfinite(l_extendedprice))
         |SELECT bin, COUNT(*) AS n,
-        |  900.0 + bin * 5000.0 AS bin_lo,
-        |  900.0 + (bin + 1) * 5000.0 AS bin_hi
+        |  CAST(900.0 + bin * 5000.0 AS DOUBLE) AS bin_lo,
+        |  CAST(900.0 + (bin + 1) * 5000.0 AS DOUBLE) AS bin_hi
         |FROM b GROUP BY bin""".stripMargin,
 
     "q20_exact_dup_stats" ->

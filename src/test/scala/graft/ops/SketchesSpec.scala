@@ -111,4 +111,14 @@ class SketchesSpec extends SparkSpecBase {
       Sketches.frequentItems(df, "item", minFrac = 0.01, k = 10)
     }
   }
+
+  test("frequentItems ignores null items (no crash, excluded from total)") {
+    import spark.implicits._
+    val df = (Seq.fill(60)(Some("hot")) ++ Seq.fill(10)(Some("cold")) ++
+      Seq.fill(30)(Option.empty[String])).toDF("item")
+    val got = Sketches.frequentItems(df, "item", minFrac = 0.5, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // total is 70 non-null; hot (60) ≥ 35 qualifies, cold (10) does not
+    assert(got.toSeq == Seq(("hot", 60L)))
+  }
 }

@@ -26,6 +26,15 @@ class StatsSpec extends SparkSpecBase {
     assert(got.values.map(_._1).sum == 7L)
   }
 
+  test("histogram excludes NaN and infinities instead of polluting bin 0") {
+    import spark.implicits._
+    val df = Seq(1.0, Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, 2.0).toDF("v")
+    val got = Stats.histogram(df, col("v"), 0.0, 4.0, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L)) // only the two finite values
+  }
+
   test("histogram skips nulls and covers every in-range value once") {
     import spark.implicits._
     val df = (Seq.tabulate(1000)(i => Some(i.toDouble)) :+
