@@ -48,4 +48,35 @@ object TableLayout {
   def writePartitioned(df: DataFrame, path: String,
                        partitionCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
+  /** Compact a parquet directory to ~`targetFileBytes` files — the
+    * small-files remedy for incrementally-appended tables (every
+    * `append` run adds a file per task; a year of daily drops makes the
+    * NameNode/listing and per-file open costs dominate the scan). Sizes
+    * the output file count from the directory's actual bytes, rewrites
+    * to a temp dir, then swaps atomically-enough for a single-writer
+    * batch world (write temp → delete old → rename). Returns the new
+    * file count. */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val dir = new java.io.File(path)
+    require(dir.isDirectory, s"$path is not a directory")
+    def bytes(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(bytes).sum else f.length()
+    val total = bytes(dir)
+    val nFiles = math.max(1, math.ceil(total.toDouble / targetFileBytes).toInt)
+    val tmp = path.stripSuffix("/") + ".compact_tmp"
+    spark.read.parquet(path)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(dir)
+    require(new java.io.File(tmp).renameTo(dir),
+      s"compact rename $tmp -> $path failed")
+    new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+  }
 }

@@ -141,6 +141,14 @@ class PlanQualitySpec extends SparkSpecBase {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
   }
 
+  test("gap-fill window reuses the spine's key partitioning (2 exchanges)") {
+    val p = plan(graft.queries.Relational.q86GapFill(spark, sf))
+    // spine agg + observation agg; the forward-fill Window and the
+    // spine⋈obs join must NOT add a third hash exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("explicit-values pivot plans one scan + one agg pass") {
     val p = plan(graft.queries.Relational.q78Pivot(spark, sf))
     assert("Scan parquet".r.findAllIn(p).size == 1, p) // no discovery job

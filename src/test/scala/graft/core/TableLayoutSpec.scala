@@ -68,4 +68,19 @@ class TableLayoutSpec extends SparkSpecBase {
     assert(!plan.contains("Exchange hashpartitioning"), plan)
     assert(mh.count() > 0)
   }
+
+  test("compact merges a many-file table, preserving content exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact")
+      .toString + "/t"
+    val src = (1L to 2000L).map(i => (i, s"row$i")).toDF("id", "payload")
+    src.repartition(64).write.parquet(dir) // the small-files state
+    val before = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before == 64)
+    val after = TableLayout.compact(spark, dir, targetFileBytes = 64L * 1024)
+    assert(after < 16, s"still $after files")
+    val back = spark.read.parquet(dir)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
 }
