@@ -88,6 +88,7 @@ object SparkEntry {
     "q86_gap_fill"           -> Relational.q86GapFill _,
     "q87_scd2"               -> Relational.q87Scd2 _,
     "q88_zero_fill"          -> Relational.q88ZeroFill _,
+    "q89_union_distinct"     -> Relational.q89UnionDistinct _,
     "q46_window_analytics"   -> Relational.q46WindowAnalytics _,
     "q47_set_ops"            -> Relational.q47SetOps _,
     "q48_asof_join"          -> Relational.q48AsofJoin _,
@@ -507,6 +508,12 @@ object SparkEntry {
         |    AS statuses,
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q89_union_distinct" ->
+      """SELECT COUNT(*) AS n_union_users FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'
+        |  UNION
+        |  SELECT user_id FROM events WHERE event_type = 'error') u""".stripMargin,
 
     "q86_gap_fill" ->
       """WITH obs AS (SELECT user_id, date_trunc('hour', ts) AS hour,

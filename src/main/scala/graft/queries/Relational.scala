@@ -607,6 +607,17 @@ object Relational {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** UNION (distinct) — completes the §2.6 set-op family next to q47's
+    * INTERSECT/EXCEPT: one distinct-aggregate over the concatenation,
+    * not a join. */
+  def q89UnionDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase").select(col("user_id"))
+    val e = ev.filter(col("event_type") === "error").select(col("user_id"))
+    p.union(e).distinct()
+      .agg(count(lit(1)).as("n_union_users"))
+  }
+
   /** Cross join of two tiny dimensions (the densification shape: every
     * region × every order status, e.g. to left-join sparse aggregates
     * into a dense matrix). Both sides are small scans → Spark plans a
