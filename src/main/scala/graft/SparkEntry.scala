@@ -89,6 +89,9 @@ object SparkEntry {
     "q87_scd2"               -> Relational.q87Scd2 _,
     "q88_zero_fill"          -> Relational.q88ZeroFill _,
     "q89_union_distinct"     -> Relational.q89UnionDistinct _,
+    "q90_outliers"           -> Relational.q90Outliers _,
+    "q91_winsorize"          -> Relational.q91Winsorize _,
+    "q92_split"              -> Relational.q92Split _,
     "q46_window_analytics"   -> Relational.q46WindowAnalytics _,
     "q47_set_ops"            -> Relational.q47SetOps _,
     "q48_asof_join"          -> Relational.q48AsofJoin _,
@@ -514,6 +517,34 @@ object SparkEntry {
         |  SELECT user_id FROM events WHERE event_type = 'purchase'
         |  UNION
         |  SELECT user_id FROM events WHERE event_type = 'error') u""".stripMargin,
+
+    "q90_outliers" ->
+      """WITH st AS (SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))
+        |           * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS ss
+        |  FROM events GROUP BY event_type),
+        |m AS (SELECT event_type, s / n AS mean,
+        |        sqrt((ss - s * s / n) / n) AS std FROM st)
+        |SELECT e.event_type, COUNT(*) AS n_total,
+        |  COUNT(CASE WHEN abs(e.value - m.mean) / m.std > 3 THEN 1 END)
+        |    AS n_outliers,
+        |  ROUND(MAX(abs(e.value - m.mean) / m.std), 6) AS max_abs_z
+        |FROM events e JOIN m ON e.event_type = m.event_type
+        |GROUP BY e.event_type""".stripMargin,
+
+    "q91_winsorize" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    quantile_cont(l_quantity, 0.05) AS p05,
+        |    quantile_cont(l_quantity, 0.95) AS p95
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag,
+        |  COUNT(CASE WHEN l.l_quantity < b.p05 THEN 1 END) AS n_lo,
+        |  COUNT(CASE WHEN l.l_quantity > b.p95 THEN 1 END) AS n_hi,
+        |  CAST(SUM(CAST(least(greatest(l.l_quantity, b.p05), b.p95)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS winsorized_sum
+        |FROM lineitem l JOIN b USING (l_returnflag)
+        |GROUP BY l.l_returnflag""".stripMargin,
 
     "q86_gap_fill" ->
       """WITH obs AS (SELECT user_id, date_trunc('hour', ts) AS hour,

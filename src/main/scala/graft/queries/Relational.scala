@@ -607,6 +607,65 @@ object Relational {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Z-score outlier detection per group, built on q81's exact-moment
+    * machinery: mean/std derive from order-independent decimal power
+    * sums, broadcast back onto the rows (the stats side is
+    * groups-sized), flag |z| > 3. The filter-stage of a quality
+    * pipeline — at scale this is one aggregate + one broadcast join, the
+    * corpus streams through once. */
+  def q90Outliers(s: SparkSession, dir: String): DataFrame = {
+    val d = col("value").cast("decimal(18,4)")
+    val stats = Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(d).cast("double").as("s"),
+        sum(d * d).cast("double").as("ss"))
+      .select(col("event_type"),
+        (col("s") / col("n")).as("mean"),
+        sqrt((col("ss") - col("s") * col("s") / col("n")) / col("n"))
+          .as("std"))
+    val z = abs(col("value") - col("mean")) / col("std")
+    Tables.events(s, dir)
+      .join(broadcast(stats), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(z > 3, 1)).as("n_outliers"),
+        round(max(z), 6).as("max_abs_z"))
+  }
+
+  /** Winsorization: clamp a measure into its per-group [p05, p95] band
+    * (exact interpolated percentiles — bit-identical across engines on
+    * the same doubles), report the clamp counts and the exact clamped
+    * sum. The tail-taming step before averaging heavy-tailed metrics. */
+  def q91Winsorize(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val bounds = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.05)").as("p05"),
+        expr("percentile(l_quantity, 0.95)").as("p95"))
+    val clamped = least(greatest(col("l_quantity"), col("p05")), col("p95"))
+    li.join(broadcast(bounds), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(when(col("l_quantity") < col("p05"), 1)).as("n_lo"),
+        count(when(col("l_quantity") > col("p95"), 1)).as("n_hi"),
+        sum(clamped.cast("decimal(18,4)")).cast("double")
+          .as("winsorized_sum"))
+  }
+
+  /** Deterministic train/val/test split (80/10/10) from the corpus
+    * sample hash — membership is a pure function of (doc_id, seed), so
+    * the split is reproducible forever and consistent across any
+    * partitioning (the property a training pipeline cannot live
+    * without). Reported as per-split counts + char volume. */
+  def q92Split(s: SparkSession, dir: String): DataFrame = {
+    val h = graft.ops.Sampling.sampleHash(col("doc_id"), seed = 7)
+    Tables.documents(s, dir)
+      .withColumn("split",
+        when(h < 800000, "train").when(h < 900000, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+  }
+
   /** UNION (distinct) — completes the §2.6 set-op family next to q47's
     * INTERSECT/EXCEPT: one distinct-aggregate over the concatenation,
     * not a join. */

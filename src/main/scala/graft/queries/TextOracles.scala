@@ -390,6 +390,18 @@ object TextOracles {
          |WHERE bit_count(xor(a.s, b.s)) <= 1""".stripMargin
     },
 
+    "q92_split" ->
+      s"""SELECT CASE WHEN hv < 800000 THEN 'train'
+         |            WHEN hv < 900000 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM (SELECT n_chars,
+         |        (${H("CAST(doc_id AS VARCHAR) || '#7'")}
+         |         * 2654435761 % 1000000007) % 1000000 AS hv
+         |      FROM documents) t
+         |GROUP BY split""".stripMargin,
+
     "q54_stratified_sample" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE (${H("CAST(doc_id AS VARCHAR) || '#7'")}
