@@ -112,6 +112,29 @@ class SketchesSpec extends SparkSpecBase {
     }
   }
 
+  test("MisraGries sketch runs on a stream (complete mode) == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val items = zipfItems(1500)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val q = mem.toDS().select(new Sketches.MisraGries(16).toColumn)
+      .writeStream.format("memory").queryName("mg_sink")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete).start()
+    try {
+      mem.addData(items.take(700): _*) // two micro-batches: state must merge
+      q.processAllAvailable()
+      mem.addData(items.drop(700): _*)
+      q.processAllAvailable()
+      val st = spark.table("mg_sink").as[Sketches.MgState].head()
+      assert(st.total == items.size)
+      val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val mustHave = exact.filter(_._2 > items.size / 17.0).keySet
+      assert((mustHave -- st.counts.keySet).isEmpty,
+        s"stream sketch missed ${mustHave -- st.counts.keySet}")
+    } finally q.stop()
+  }
+
   test("frequentItems ignores null items (no crash, excluded from total)") {
     import spark.implicits._
     val df = (Seq.fill(60)(Some("hot")) ++ Seq.fill(10)(Some("cold")) ++
