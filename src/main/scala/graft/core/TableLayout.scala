@@ -52,31 +52,53 @@ object TableLayout {
   /** Compact a parquet directory to ~`targetFileBytes` files — the
     * small-files remedy for incrementally-appended tables (every
     * `append` run adds a file per task; a year of daily drops makes the
-    * NameNode/listing and per-file open costs dominate the scan). Sizes
-    * the output file count from the directory's actual bytes, rewrites
-    * to a temp dir, then swaps atomically-enough for a single-writer
-    * batch world (write temp → delete old → rename). Returns the new
-    * file count. */
+    * NameNode/listing and per-file open costs dominate the scan).
+    *
+    * Hive-partitioned layouts (`col=value/` subdirectories, e.g. from
+    * [[writePartitioned]]) compact per leaf partition, preserving the
+    * directory structure AND the partition column's stored absence — a
+    * naive whole-table read-rewrite would flatten the layout and retype
+    * the partition column from directory-name inference.
+    *
+    * The swap is rename-aside (old → .compact_old, tmp → live, delete
+    * old): a crash at any point leaves at least one complete copy on
+    * disk, unlike delete-then-rename which has a window with only the
+    * temp copy. Single-writer batch semantics. Returns the new parquet
+    * file count across all leaves. */
   def compact(spark: SparkSession, path: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     val dir = new java.io.File(path)
     require(dir.isDirectory, s"$path is not a directory")
-    def bytes(f: java.io.File): Long =
-      if (f.isDirectory) f.listFiles().map(bytes).sum else f.length()
-    val total = bytes(dir)
-    val nFiles = math.max(1, math.ceil(total.toDouble / targetFileBytes).toInt)
-    val tmp = path.stripSuffix("/") + ".compact_tmp"
-    spark.read.parquet(path)
-      .repartition(nFiles)
-      .write.mode("overwrite").parquet(tmp)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
+    val subdirs = dir.listFiles().filter(_.isDirectory)
+    if (subdirs.exists(_.getName.contains("="))) {
+      // partitioned layout: recurse into each partition branch
+      subdirs.filter(_.getName.contains("="))
+        .map(d => compact(spark, d.getPath, targetFileBytes)).sum
+    } else {
+      def bytes(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(bytes).sum else f.length()
+      val total = bytes(dir)
+      val nFiles =
+        math.max(1, math.ceil(total.toDouble / targetFileBytes).toInt)
+      val tmp = new java.io.File(path.stripSuffix("/") + ".compact_tmp")
+      val old = new java.io.File(path.stripSuffix("/") + ".compact_old")
+      spark.read.parquet(path)
+        .repartition(nFiles)
+        .write.mode("overwrite").parquet(tmp.getPath)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        if (!f.delete() && f.exists())
+          throw new java.io.IOException(s"could not delete $f")
+      }
+      if (old.exists()) rm(old) // leftover from a prior crash
+      require(dir.renameTo(old), s"compact: rename $path aside failed")
+      if (!tmp.renameTo(dir)) {
+        old.renameTo(dir) // roll back; the original is intact
+        throw new java.io.IOException(s"compact: swap into $path failed")
+      }
+      rm(old)
+      new java.io.File(path).listFiles()
+        .count(_.getName.endsWith(".parquet"))
     }
-    rm(dir)
-    require(new java.io.File(tmp).renameTo(dir),
-      s"compact rename $tmp -> $path failed")
-    new java.io.File(path).listFiles()
-      .count(_.getName.endsWith(".parquet"))
   }
 }

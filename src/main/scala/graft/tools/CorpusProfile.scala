@@ -37,8 +37,11 @@ object CorpusProfile {
     lenHist.write.mode("overwrite").parquet(s"$out/len_hist.parquet")
 
     val toks = docs.select(explode(TextOps.tokens(col("text"))).as("token"))
+    // persisted: the exact recount is a full corpus aggregation and this
+    // ≤k-row frame is referenced three times (write, semi join, count)
     val heavy = Sketches.frequentItems(toks, "token", minFrac = 0.01, k = 256)
       .withColumnRenamed("item", "token")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     heavy.write.mode("overwrite").parquet(s"$out/heavy_tokens.parquet")
 
     val bigrams = docs.select(TextOps.tokens(col("text")).as("t"))
@@ -57,6 +60,7 @@ object CorpusProfile {
     println(s"""{"docs":$nDocs,"heavy_tokens":$nHeavy,""" +
       s""""sections":["lang_mix","len_hist","heavy_tokens",""" +
       s""""top_bigrams","heavy_postings"],"sec":$sec}""")
+    heavy.unpersist()
     docs.unpersist()
     spark.stop()
   }

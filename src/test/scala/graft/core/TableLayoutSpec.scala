@@ -69,6 +69,27 @@ class TableLayoutSpec extends SparkSpecBase {
     assert(mh.count() > 0)
   }
 
+  test("compact preserves a hive-partitioned layout and its pruning") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_p")
+      .toString + "/t"
+    val src = (1L to 900L).map(i => (i, s"d${i % 3}", s"pay$i"))
+      .toDF("id", "day", "payload")
+    src.repartition(12).write.partitionBy("day").parquet(dir)
+    TableLayout.compact(spark, dir, targetFileBytes = 1L * 1024 * 1024)
+    // layout intact: still day=* dirs, one file each after compaction
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+    assert(parts.length == 3, parts.mkString(","))
+    parts.foreach { p =>
+      assert(p.listFiles().count(_.getName.endsWith(".parquet")) == 1, p)
+    }
+    // content + partition column survive (as the string it was written as)
+    val back = spark.read.parquet(dir)
+      .select(col("id"), col("day").cast("string"), col("payload"))
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
   test("compact merges a many-file table, preserving content exactly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_compact")
