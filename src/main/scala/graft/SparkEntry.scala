@@ -90,6 +90,7 @@ object SparkEntry {
     "q88_zero_fill"          -> Relational.q88ZeroFill _,
     "q89_union_distinct"     -> Relational.q89UnionDistinct _,
     "q90_outliers"           -> Relational.q90Outliers _,
+    "q93_extract_all"        -> Relational.q93ExtractAll _,
     "q91_winsorize"          -> Relational.q91Winsorize _,
     "q92_split"              -> Relational.q92Split _,
     "q46_window_analytics"   -> Relational.q46WindowAnalytics _,
@@ -517,6 +518,15 @@ object SparkEntry {
         |  SELECT user_id FROM events WHERE event_type = 'purchase'
         |  UNION
         |  SELECT user_id FROM events WHERE event_type = 'error') u""".stripMargin,
+
+    "q93_extract_all" ->
+      """SELECT event_type, COUNT(*) AS n_matches,
+        |  CAST(SUM(CAST(num AS BIGINT)) AS BIGINT) AS sum_nums,
+        |  COUNT(DISTINCT num) AS n_distinct
+        |FROM (SELECT event_type,
+        |        unnest(regexp_extract_all(props, '[0-9]+')) AS num
+        |      FROM events) t
+        |GROUP BY event_type""".stripMargin,
 
     "q90_outliers" ->
       """WITH st AS (SELECT event_type, COUNT(*) AS n,

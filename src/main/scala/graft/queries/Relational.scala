@@ -666,6 +666,18 @@ object Relational {
         sum(col("n_chars")).as("total_chars"))
   }
 
+  /** regexp_extract_all → explode (one row per match): the generator
+    * form of the P1/P3 regex family — pull every numeric token out of
+    * the semi-structured props payload and aggregate the stream. */
+  def q93ExtractAll(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        explode(expr("regexp_extract_all(props, '[0-9]+', 0)")).as("num"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_matches"),
+        sum(col("num").cast("long")).as("sum_nums"),
+        countDistinct(col("num")).as("n_distinct"))
+
   /** UNION (distinct) — completes the §2.6 set-op family next to q47's
     * INTERSECT/EXCEPT: one distinct-aggregate over the concatenation,
     * not a join. */

@@ -149,6 +149,11 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("outlier detection broadcasts its groups-sized stats side") {
+    val p = plan(graft.queries.Relational.q90Outliers(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p) // stats never shuffle rows
+  }
+
   test("explicit-values pivot plans one scan + one agg pass") {
     val p = plan(graft.queries.Relational.q78Pivot(spark, sf))
     assert("Scan parquet".r.findAllIn(p).size == 1, p) // no discovery job

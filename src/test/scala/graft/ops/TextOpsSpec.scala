@@ -128,6 +128,13 @@ class TextOpsSpec extends SparkSpecBase {
     assert(d1 == Seq("rare", "common"), d1.toString)
   }
 
+  test("accent_fold is SQL-callable through the extension registry") {
+    val r = spark.sql("SELECT accent_fold('Ångström—café') AS f")
+      .head().getString(0)
+    assert(r == "Angstrom—cafe") // marks stripped; the em-dash (not a
+                                 // combining mark) survives
+  }
+
   test("accent_fold strips marks, keeps base letters, ASCII unchanged") {
     def f(s: String) = one(call_function("accent_fold", col("text")), s)
     assert(f("Café Ångström naïve") == "Cafe Angstrom naive")
