@@ -19,8 +19,15 @@ object CorpusProfile {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: CorpusProfile <docsParquet|sfDir> <outDir>")
-    val (in, out) = (args(0), args(1))
     val spark = graft.core.Sessions.local()
+    run(spark, args(0), args(1))
+    spark.stop()
+  }
+
+  /** The profiling run itself, session-agnostic (specs drive it on the
+    * shared test session, which must NOT be stopped). */
+  def run(spark: org.apache.spark.sql.SparkSession,
+          in: String, out: String): Unit = {
     val docs =
       (if (in.endsWith(".parquet")) spark.read.parquet(in)
        else graft.core.Tables.documents(spark, in))
@@ -62,6 +69,5 @@ object CorpusProfile {
       s""""top_bigrams","heavy_postings"],"sec":$sec}""")
     heavy.unpersist()
     docs.unpersist()
-    spark.stop()
   }
 }
