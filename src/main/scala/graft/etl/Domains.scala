@@ -179,6 +179,34 @@ object Domains {
         col("visit_occurrence_id"),
         col("code").as("procedure_source_value"))
 
+  /** omop.device_exposure (synthea-omop-ETL.sql:242-296): typed devices →
+    * person (inner) / visit (left) map joins, UDI carried as
+    * unique_device_id, start/stop timestamps projected to date+datetime,
+    * type 44818707 ("Device Recorded from EHR"), concept mapped by the
+    * reference's case-insensitive code prefix rule (ILIKE 'DEVICE123%' →
+    * 4263759, else 0 until staged vocabulary mapping fills it). Dedup
+    * mirrors the NOT EXISTS key (person, start datetime, code). */
+  def deviceExposure(typedDevices: DataFrame, personMap: DataFrame,
+                     visitMap: DataFrame): DataFrame =
+    DenseId.withDenseIdScalable(
+      eventDomain(typedDevices, personMap, visitMap,
+        Seq("person_id", "start_time", "code")),
+      Seq(col("person_id"), col("start_time"), col("code")),
+      "device_exposure_id")
+      .select(
+        col("device_exposure_id"),
+        col("person_id"),
+        when(lower(col("code")).like("device123%"), 4263759L)
+          .otherwise(0L).as("device_concept_id"),
+        col("start_time").cast("date").as("device_exposure_start_date"),
+        col("start_time").as("device_exposure_start_datetime"),
+        col("stop_time").cast("date").as("device_exposure_end_date"),
+        col("stop_time").as("device_exposure_end_datetime"),
+        lit(44818707L).as("device_type_concept_id"),
+        col("udi").as("unique_device_id"),
+        col("visit_occurrence_id"),
+        col("code").as("device_source_value"))
+
   /** M5 measurement/observation split (transfer_non_numeric_to_observation
     * .sql:51-120): numeric-looking VALUE → measurement with
     * value_as_number; otherwise → observation with value_as_string. Two

@@ -108,6 +108,14 @@ object EtlRunner {
         Some(save(Domains.immunizationDrugExposure(tImm, personMap, visitMap),
           "drug_exposure_immunizations"))
       } else None
+    // optional source: devices → device_exposure (synthea-omop-ETL.sql:242)
+    if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(in("devices")))) {
+      val tDev = TypedTables.typedTable(
+        Ingest.readRepaired(spark, in("devices")), "devices")
+      save(Domains.deviceExposure(tDev, personMap, visitMap),
+        "device_exposure")
+    }
     // optional source: allergies feed the observation-period sweep
     // (etl_pipeline/etl_observation_periods.py:81-145 includes both)
     val allergySpans =

@@ -86,8 +86,9 @@ object TextOracles {
          |        (PARTITION BY token ORDER BY doc_id) AS rn FROM pd)
          |SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq,
          |  CAST(SUM(tf) AS BIGINT) AS term_freq,
-         |  list(doc_id ORDER BY doc_id) FILTER (WHERE rn <= 5)
-         |    AS sample_docs
+         |  array_to_string(
+         |    list(CAST(doc_id AS VARCHAR) ORDER BY doc_id)
+         |      FILTER (WHERE rn <= 5), ',') AS sample_docs
          |FROM r GROUP BY token""".stripMargin,
 
     "q72_normalize" ->

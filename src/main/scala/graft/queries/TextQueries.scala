@@ -319,9 +319,13 @@ object TextQueries {
 
   /** Inverted-index posting stats: per token, document frequency, term
     * frequency, and the first-5-docs sample ([[TextOps.invertedPostings]]
-    * bounds the sample before collecting — no unbounded posting arrays). */
+    * bounds the sample before collecting — no unbounded posting arrays).
+    * The sample is serialized to a comma-joined string so the result is
+    * flat-hashable by any checker (array cells aren't). */
   def qPostings(s: SparkSession, dir: String): DataFrame =
     TextOps.invertedPostings(Tables.documents(s, dir), "doc_id", "text", 5)
+      .withColumn("sample_docs",
+        array_join(transform(col("sample_docs"), _.cast("string")), ","))
 
   /** Canonical text form per document: accent-fold (native expression) +
     * lowercase + whitespace collapse, reported as lengths + a prefix so

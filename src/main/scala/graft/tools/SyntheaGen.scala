@@ -135,6 +135,26 @@ object SyntheaGen {
       lit("140").as("CODE"), lit("Flu").as("DESCRIPTION"),
       lit("140.52").as("BASE_COST")), "immunizations.csv")
 
+    // devices: every 4th patient's first encounter; every 7th device row
+    // is emitted twice (union below) — the NOT EXISTS dedup key
+    // (person, start, code) must collapse it to one device_exposure row
+    val devBase = encs.filter(col("ei") === 2 && col("pid") % 4 === 0).select(
+      date_format(col("start_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("START"),
+      when(col("eid") % 3 === 0, lit(""))
+        .otherwise(date_format(col("start_ts") +
+          make_dt_interval(lit(30), lit(0), lit(0), lit(0)),
+          "yyyy-MM-dd'T'HH:mm:ss'Z'")).as("STOP"),
+      uuid("00aa", col("pid")).as("PATIENT"),
+      uuid("00ec", col("eid")).as("ENCOUNTER"),
+      when(col("pid") % 8 === 0, lit("DEVICE123-A"))
+        .otherwise(lit("706689003")).as("CODE"),
+      lit("Device").as("DESCRIPTION"),
+      format_string("(01)0%013d(11)141231(17)150707(10)T%d(21)%d",
+        col("eid"), col("eid"), col("pid")).as("UDI"),
+      col("pid"))
+    save(devBase.union(devBase.filter(col("pid") % 7 === 0)).drop("pid"),
+      "devices.csv")
+
     save(encs.filter(col("ei") === 1 && col("pid") % 5 === 0).select(
       date_format(col("start_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("START"),
       lit("").as("STOP"),

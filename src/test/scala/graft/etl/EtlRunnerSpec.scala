@@ -42,6 +42,15 @@ class EtlRunnerSpec extends SparkSpecBase {
     w(in, "immunizations.csv",
       "DATE,PATIENT,ENCOUNTER,CODE,DESCRIPTION,BASE_COST\n" +
         s"2016-04-01T10:00:00Z,$u1,$e1,140,Flu,140.52\n")
+    w(in, "devices.csv",
+      "START,STOP,PATIENT,ENCOUNTER,CODE,DESCRIPTION,UDI\n" +
+        // duplicate (person, start, code) row: dedup must keep one
+        s"2015-01-01T09:20:00Z,,$u1,$e1,DEVICE123-A,Stent," +
+        "(01)00643169007222(11)141231(17)150707(10)A213B1(21)1234\n" +
+        s"2015-01-01T09:20:00Z,,$u1,$e1,DEVICE123-A,Stent," +
+        "(01)00643169007222(11)141231(17)150707(10)A213B1(21)1234\n" +
+        s"2015-01-01T09:25:00Z,2015-01-02T09:25:00Z,$u1,$e1,706689003," +
+        "Oximeter,(01)00643169001111(11)141231(17)150707(10)Z9(21)77\n")
     w(in, "allergies.csv",
       "START,STOP,PATIENT,ENCOUNTER,CODE,SYSTEM,DESCRIPTION,TYPE,CATEGORY," +
         "REACTION1,DESCRIPTION1,SEVERITY1,REACTION2,DESCRIPTION2,SEVERITY2\n" +
@@ -67,9 +76,21 @@ class EtlRunnerSpec extends SparkSpecBase {
       "visit_occurrence", "condition_occurrence", "drug_exposure",
       "procedure_occurrence", "drug_era", "condition_era",
       "measurement", "observation", "death", "cost",
-      "drug_exposure_immunizations", "achilles_results", "observation_period")
+      "drug_exposure_immunizations", "achilles_results", "observation_period",
+      "device_exposure")
     for (t <- expected)
       assert(Files.exists(java.nio.file.Paths.get(s"$out/$t")), t)
+    // devices: dup (person, start, code) collapsed; prefix rule mapped the
+    // DEVICE123 code; UDI carried through
+    val dev = spark.read.parquet(s"$out/device_exposure")
+      .orderBy("device_exposure_start_datetime")
+    assert(dev.count() == 2)
+    val d0 = dev.head()
+    assert(d0.getAs[Long]("device_concept_id") == 4263759L)
+    assert(d0.getAs[String]("unique_device_id").startsWith("(01)00643169007222"))
+    assert(d0.getAs[Long]("device_type_concept_id") == 44818707L)
+    assert(dev.filter(col("device_source_value") === "706689003")
+      .head().getAs[Long]("device_concept_id") == 0L)
     // vocab mapping applied
     val cond = spark.read.parquet(s"$out/condition_occurrence").head()
     assert(cond.getAs[Long]("condition_concept_id") == 201826L)
