@@ -25,10 +25,21 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-decimal times keep the single JSON line short enough that a
+    // capped log capture still carries every per-query entry (the full
+    // double rendering pushed the r2 line past the capture tail)
+    val qs = results.map { case (k, v) => f""""$k":$v%.4f""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    Console.out.flush()
+    // durable copy inside the repo: survives any driver-side log
+    // truncation, so every round's full per-query map stays diffable
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), line + "\n")
+    catch { case _: Throwable => }
     spark.stop()
   }
 }

@@ -100,6 +100,8 @@ object SparkEntry {
     "q52_interval_merge"     -> Relational.q52IntervalMerge _,
     "q53_range_join"         -> Relational.q53RangeJoin _,
     "q54_stratified_sample"  -> TextQueries.qStratifiedSample _,
+    "q94_weighted_sample"    -> TextQueries.qWeightedSample _,
+    "q95_rebalance_mix"      -> TextQueries.qRebalanceMix _,
     // streaming-shaped transforms, batch-parity forms (events table)
     "q40_hourly_rollup"      -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStreams.hourlyRollup(graft.core.Tables.events(s, d))),

@@ -47,13 +47,65 @@ object Achilles {
   def a4ByRace(person: DataFrame): DataFrame =
     result(4, person, Seq(col("race_concept_id")))
 
-  /** Analysis 200/201-shape: visits by visit concept. */
-  def a200ByVisitConcept(visit: DataFrame): DataFrame =
-    result(200, visit, Seq(col("visit_concept_id")))
+  /** The OHDSI X00 shape — persons with ≥1 record, by concept: distinct
+    * (person, concept) then count. Two-stage hash agg; the shuffle carries
+    * one row per distinct pair, never per record. */
+  private def personsByConcept(id: Int, df: DataFrame,
+                               concept: String): DataFrame =
+    result(id,
+      df.select(col("person_id"), col(concept))
+        .dropDuplicates("person_id", concept),
+      Seq(col(concept)))
 
-  /** Analysis 400-shape: conditions by concept. */
+  /** The OHDSI X01 shape — record counts by concept. */
+  private def recordsByConcept(id: Int, df: DataFrame,
+                               concept: String): DataFrame =
+    result(id, df, Seq(col(concept)))
+
+  /** Analysis 200: persons with ≥1 visit, by visit concept. */
+  def a200ByVisitConcept(visit: DataFrame): DataFrame =
+    personsByConcept(200, visit, "visit_concept_id")
+
+  /** Analysis 201: visit occurrence records by visit concept. */
+  def a201VisitRecords(visit: DataFrame): DataFrame =
+    recordsByConcept(201, visit, "visit_concept_id")
+
+  /** Analysis 400: persons with ≥1 condition, by condition concept. */
   def a400ByConditionConcept(condition: DataFrame): DataFrame =
-    result(400, condition, Seq(col("condition_concept_id")))
+    personsByConcept(400, condition, "condition_concept_id")
+
+  /** Analysis 401: condition occurrence records by concept. */
+  def a401ConditionRecords(condition: DataFrame): DataFrame =
+    recordsByConcept(401, condition, "condition_concept_id")
+
+  /** Analysis 600/601: procedure persons / records by concept
+    * (query_achilles_results.sh:203-210 "procedures" block). */
+  def a600ByProcedureConcept(procedure: DataFrame): DataFrame =
+    personsByConcept(600, procedure, "procedure_concept_id")
+  def a601ProcedureRecords(procedure: DataFrame): DataFrame =
+    recordsByConcept(601, procedure, "procedure_concept_id")
+
+  /** Analysis 700/701: drug-exposure persons / records by concept
+    * (query_achilles_results.sh:193-200 "drugs" block). */
+  def a700ByDrugConcept(drugExposure: DataFrame): DataFrame =
+    personsByConcept(700, drugExposure, "drug_concept_id")
+  def a701DrugRecords(drugExposure: DataFrame): DataFrame =
+    recordsByConcept(701, drugExposure, "drug_concept_id")
+
+  /** Analysis 800/801: observation persons / records by concept
+    * (query_achilles_results.sh:213-220 "observations" block). */
+  def a800ByObservationConcept(observation: DataFrame): DataFrame =
+    personsByConcept(800, observation, "observation_concept_id")
+  def a801ObservationRecords(observation: DataFrame): DataFrame =
+    recordsByConcept(801, observation, "observation_concept_id")
+
+  /** Analysis 1800/1801: measurement persons / records by concept
+    * (1801 appears in the summary's record-counts-by-domain list,
+    * query_achilles_results.sh:152-155). */
+  def a1800ByMeasurementConcept(measurement: DataFrame): DataFrame =
+    personsByConcept(1800, measurement, "measurement_concept_id")
+  def a1801MeasurementRecords(measurement: DataFrame): DataFrame =
+    recordsByConcept(1801, measurement, "measurement_concept_id")
 
   /** Analysis 101-shape: persons by age at first observation period. */
   def a101AgeAtFirstObs(person: DataFrame,
@@ -108,16 +160,30 @@ object Achilles {
   def a1000ByConditionEraConcept(conditionEra: DataFrame): DataFrame =
     result(1000, conditionEra, Seq(col("condition_concept_id")))
 
-  /** Full default-analyses run → one stacked results table. Era inputs
-    * are optional so pre-era pipelines keep their analysis set. */
+  /** Full default-analyses run → one stacked results table. Domain inputs
+    * beyond the person/visit/condition core are optional so partial
+    * pipelines keep their analysis set. */
   def run(person: DataFrame, visit: DataFrame, condition: DataFrame,
           drugEra: Option[DataFrame] = None,
-          conditionEra: Option[DataFrame] = None): DataFrame =
+          conditionEra: Option[DataFrame] = None,
+          procedure: Option[DataFrame] = None,
+          drugExposure: Option[DataFrame] = None,
+          observation: Option[DataFrame] = None,
+          measurement: Option[DataFrame] = None): DataFrame =
     (Seq(
       a1NumPersons(person), a2ByGender(person), a3ByYearOfBirth(person),
-      a4ByRace(person), a200ByVisitConcept(visit),
-      a400ByConditionConcept(condition)
-    ) ++ drugEra.map(a900ByDrugEraConcept)
+      a4ByRace(person),
+      a200ByVisitConcept(visit), a201VisitRecords(visit),
+      a400ByConditionConcept(condition), a401ConditionRecords(condition)
+    ) ++ procedure.toSeq.flatMap(p =>
+        Seq(a600ByProcedureConcept(p), a601ProcedureRecords(p)))
+      ++ drugExposure.toSeq.flatMap(d =>
+        Seq(a700ByDrugConcept(d), a701DrugRecords(d)))
+      ++ observation.toSeq.flatMap(o =>
+        Seq(a800ByObservationConcept(o), a801ObservationRecords(o)))
+      ++ measurement.toSeq.flatMap(m =>
+        Seq(a1800ByMeasurementConcept(m), a1801MeasurementRecords(m)))
+      ++ drugEra.map(a900ByDrugEraConcept)
       ++ conditionEra.map(a1000ByConditionEraConcept)
     ).reduce(_ unionByName _)
 }

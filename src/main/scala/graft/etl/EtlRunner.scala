@@ -73,6 +73,18 @@ object EtlRunner {
       (Vocab.loadConcept(spark, s"$vd/CONCEPT.csv"),
         Vocab.loadConceptRelationship(spark, s"$vd/CONCEPT_RELATIONSHIP.csv"))
     }
+    // optional hierarchy/synonym tables ship with full OMOP vocab drops
+    // (enhanced_vocabulary_loader.py:492,564); persisted for rollup queries
+    for (vd <- vocabDir) {
+      if (java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$vd/CONCEPT_ANCESTOR.csv")))
+        save(Vocab.loadConceptAncestor(spark, s"$vd/CONCEPT_ANCESTOR.csv"),
+          "concept_ancestor")
+      if (java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$vd/CONCEPT_SYNONYM.csv")))
+        save(Vocab.loadConceptSynonym(spark, s"$vd/CONCEPT_SYNONYM.csv"),
+          "concept_synonym")
+    }
     def mapConcepts(df: DataFrame, srcValue: String, srcConcept: String,
                     tgtConcept: String, vocabulary: String,
                     domain: String): DataFrame =
@@ -132,7 +144,9 @@ object EtlRunner {
               .as("end_date")))
       } else None
     save(graft.analyze.Achilles.run(person, visit, cond,
-      Some(drugEra), Some(condEra)), "achilles_results")
+      Some(drugEra), Some(condEra), procedure = Some(proc),
+      drugExposure = Some(drug), observation = Some(obsT),
+      measurement = Some(measT)), "achilles_results")
     save(Domains.observationPeriod(Seq(
       visit.select(col("person_id"), col("visit_start_date").as("start_date"),
         col("visit_end_date").as("end_date")),

@@ -33,6 +33,7 @@ object Vocab {
       col("concept_name"),
       col("domain_id"),
       col("vocabulary_id"),
+      col("concept_class_id"),
       col("standard_concept"),
       col("concept_code"),
       col("invalid_reason"))
@@ -44,6 +45,61 @@ object Vocab {
       col("concept_id_2").try_cast("long").as("concept_id_2"),
       col("relationship_id"))
       .filter(col("concept_id_1").isNotNull && col("concept_id_2").isNotNull)
+
+  /** Load omop.concept_ancestor (enhanced_vocabulary_loader.py:492-498 DDL;
+    * the OMOP distribution ships it as CONCEPT_ANCESTOR.csv TSV). The
+    * transitive-closure hierarchy table: one row per (ancestor, descendant)
+    * pair with min/max separation levels. ~500k rows in the reference's
+    * estimate (enhanced_vocabulary_loader.py:78) — broadcastable. */
+  def loadConceptAncestor(spark: SparkSession, path: String): DataFrame =
+    Ingest.readVocabTsv(spark, path).select(
+      col("ancestor_concept_id").try_cast("long").as("ancestor_concept_id"),
+      col("descendant_concept_id").try_cast("long")
+        .as("descendant_concept_id"),
+      col("min_levels_of_separation").try_cast("int")
+        .as("min_levels_of_separation"),
+      col("max_levels_of_separation").try_cast("int")
+        .as("max_levels_of_separation"))
+      .filter(col("ancestor_concept_id").isNotNull &&
+        col("descendant_concept_id").isNotNull)
+
+  /** Load omop.concept_synonym (enhanced_vocabulary_loader.py:564-570 DDL):
+    * alternate names per concept, used for name-based lookups. */
+  def loadConceptSynonym(spark: SparkSession, path: String): DataFrame =
+    Ingest.readVocabTsv(spark, path).select(
+      col("concept_id").try_cast("long").as("concept_id"),
+      col("concept_synonym_name"),
+      col("language_concept_id").try_cast("long")
+        .as("language_concept_id"))
+      .filter(col("concept_id").isNotNull)
+
+  /** Ancestor rollup — how real OMOP users aggregate drugs to classes
+    * (e.g. RxNorm ingredients → ATC classes): domain rows join
+    * concept_ancestor on descendant = their concept, restricted to
+    * ancestors of the requested concept class, then count per ancestor.
+    *
+    * Plan shape: the hierarchy slice (ancestors of one class) is a small
+    * filtered projection → broadcast; the fact table never shuffles on the
+    * hierarchy — one hash-agg on ancestor_concept_id whose shuffle is
+    * ∝ distinct classes, not rows. */
+  def rollupByAncestor(table: DataFrame, conceptCol: String,
+                       ancestor: DataFrame, concept: DataFrame,
+                       ancestorClassId: String): DataFrame = {
+    val classConcepts = concept
+      .filter(col("concept_class_id") === ancestorClassId)
+      .select(col("concept_id").as("ancestor_concept_id"),
+        col("concept_name").as("ancestor_concept_name"))
+    val slice = ancestor
+      .join(broadcast(classConcepts), Seq("ancestor_concept_id"))
+      .select(col("ancestor_concept_id"), col("ancestor_concept_name"),
+        col("descendant_concept_id"))
+    table
+      .join(broadcast(slice),
+        col(conceptCol) === col("descendant_concept_id"))
+      .groupBy(col("ancestor_concept_id"), col("ancestor_concept_name"))
+      .agg(count(lit(1)).as("record_count"),
+        countDistinct(col("person_id")).as("person_count"))
+  }
 
   /** Apply the 3-stage mapping to one domain table.
     *

@@ -35,6 +35,30 @@ import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
   */
 object Components {
 
+  /** One distributed-fixpoint round's observability record. Shuffle bytes
+    * come from a stage-completion listener; the listener bus is async, so
+    * a stage can occasionally be attributed to the neighboring round —
+    * totals are exact, per-round splits are ±1 stage. */
+  final case class CcRound(round: Int, changed: Long, secs: Double,
+                           shuffleReadMB: Double, shuffleWriteMB: Double)
+
+  /** Fixpoint run stats: `rounds` is the O(diameter) claim made
+    * measurable — it must track the planted diameter, not the node
+    * count. `perRound` shuffle volumes must stay flat (each round
+    * shuffles the label table only, never the edges). */
+  final case class CcStats(nodes: Long, edges: Long, rounds: Int,
+                           perRound: Seq[CcRound])
+
+  /** [[connectedComponents]] plus fixpoint observability. Stats are None
+    * when the size gate routed to the driver union-find (no rounds to
+    * report). Adds one count job (nodes) over the uninstrumented path. */
+  def connectedComponentsWithStats(edges: DataFrame, srcCol: String,
+                                   dstCol: String, maxIter: Int = 25,
+                                   localThreshold: Long = 1L << 20)
+      : (DataFrame, Option[CcStats]) =
+    ccImpl(edges, srcCol, dstCol, maxIter, localThreshold,
+      collectStats = true)
+
   /** Connected components of the undirected graph given by `edges`
     * (`srcCol`, `dstCol`; direction ignored, self-loops and duplicate
     * edges harmless). Returns one row per distinct node:
@@ -56,7 +80,14 @@ object Components {
     *                the distributed fixpoint. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 25,
-                          localThreshold: Long = 1L << 20): DataFrame = {
+                          localThreshold: Long = 1L << 20): DataFrame =
+    ccImpl(edges, srcCol, dstCol, maxIter, localThreshold,
+      collectStats = false)._1
+
+  private def ccImpl(edges: DataFrame, srcCol: String, dstCol: String,
+                     maxIter: Int, localThreshold: Long,
+                     collectStats: Boolean)
+      : (DataFrame, Option[CcStats]) = {
     val e = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
     // symmetrize once. Partition count adapts to the edge count: the
     // per-round fixed cost is tasks × rounds, so a small pair graph (the
@@ -76,10 +107,11 @@ object Components {
     if (nEdges <= localThreshold) {
       val result = unionFindLocal(ep)
       ep.unpersist()
-      return result
+      return (result, None)
     }
+    val sc = e.sparkSession.sparkContext
     val nPart = math.max(1, math.min((nEdges * 2 / 500000L).toInt,
-      e.sparkSession.sparkContext.defaultParallelism * 4))
+      sc.defaultParallelism * 4))
     val und = ep
       .unionByName(ep.select(col("d").as("s"), col("s").as("d")))
       .distinct()
@@ -89,36 +121,67 @@ object Components {
     var labels = und.select(col("s").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
+    val nNodes = if (collectStats) labels.count() else -1L
+
+    // stage-completion listener accumulates shuffle volume; per-round
+    // deltas are snapshotted around each round's count action
+    val shufRead = new java.util.concurrent.atomic.AtomicLong
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    val listener =
+      if (!collectStats) None
+      else Some(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = {
+          val m = s.stageInfo.taskMetrics
+          if (m != null) {
+            shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          }
+        }
+      })
+    listener.foreach(sc.addSparkListener)
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[CcRound]
 
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIter) {
-      // neighbor labels flow along edges; min with the node's own label.
-      // One wide union → hash min-agg: a single shuffle per round. The
-      // node's own previous label rides along (min over flagged rows), so
-      // convergence detection is a filter on the round's output — no
-      // extra join.
-      val viaEdges = und
-        .join(labels.withColumnRenamed("id", "s"), "s")
-        .select(col("d").as("id"), col("component"), lit(null: String).as("own"))
-      val next = labels
-        .select(col("id"), col("component"), lit("y").as("own"))
-        .unionByName(viaEdges)
-        .groupBy("id")
-        .agg(min("component").as("component"),
-          min(when(col("own").isNotNull, col("component"))).as("prev"))
-        .localCheckpoint(true)
-      // labels only ever decrease, so "any change" = "any strict decrease"
-      val changed = next.filter(col("component") < col("prev")).count()
-      labels = next.select(col("id"), col("component"))
-      converged = changed == 0
-      iter += 1
-    }
+    try {
+      while (!converged && iter < maxIter) {
+        val (r0, w0) = (shufRead.get(), shufWrite.get())
+        val t0 = System.nanoTime()
+        // neighbor labels flow along edges; min with the node's own label.
+        // One wide union → hash min-agg: a single shuffle per round. The
+        // node's own previous label rides along (min over flagged rows), so
+        // convergence detection is a filter on the round's output — no
+        // extra join.
+        val viaEdges = und
+          .join(labels.withColumnRenamed("id", "s"), "s")
+          .select(col("d").as("id"), col("component"),
+            lit(null: String).as("own"))
+        val next = labels
+          .select(col("id"), col("component"), lit("y").as("own"))
+          .unionByName(viaEdges)
+          .groupBy("id")
+          .agg(min("component").as("component"),
+            min(when(col("own").isNotNull, col("component"))).as("prev"))
+          .localCheckpoint(true)
+        // labels only ever decrease, so "any change" = "any strict decrease"
+        val changed = next.filter(col("component") < col("prev")).count()
+        labels = next.select(col("id"), col("component"))
+        converged = changed == 0
+        iter += 1
+        if (collectStats)
+          rounds += CcRound(iter, changed, (System.nanoTime() - t0) / 1e9,
+            (shufRead.get() - r0) / 1e6, (shufWrite.get() - w0) / 1e6)
+      }
+    } finally listener.foreach(sc.removeSparkListener)
     und.unpersist()
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds — " +
         "graph diameter exceeds the bound; raise maxIter")
-    labels
+    (labels,
+      if (collectStats) Some(CcStats(nNodes, nEdges, iter, rounds.toSeq))
+      else None)
   }
 
   /** Exact driver-side union-find (path compression + arbitrary union)

@@ -12,6 +12,18 @@ import org.apache.spark.sql.functions._
   * by hashing a high-cardinality discriminator column (NOT rand() — reruns
   * must reproduce); the small side is exploded factor×. The join key
   * becomes (key, salt), spreading each hot key over `factor` reducers.
+  *
+  * Use ONLY under measured skew. The explode replicates the small side
+  * factor×, so on a uniform key distribution a salted join costs ~factor×
+  * the plain join (q63's identity bench shows exactly that, ~4× at
+  * factor 4) for zero benefit. First preference is AQE's runtime skew
+  * split — `spark.sql.adaptive.skewJoin.enabled` (on in
+  * [[graft.core.Sessions]]) with its `skewedPartitionFactor` /
+  * `skewedPartitionThresholdInBytes` knobs — which pays nothing when no
+  * partition is skewed; reach for salting when the skew is in a
+  * broadcast-impossible shuffled hash/sort-merge join and AQE's split is
+  * defeated (e.g. a single key larger than one executor's memory, or
+  * aggregation upstream of the join pinning the partitioning).
   */
 object Skew {
 

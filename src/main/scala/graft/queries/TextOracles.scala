@@ -411,6 +411,43 @@ object TextOracles {
          |       WHEN lang = 'zh' THEN 900000
          |       ELSE 500000 END""".stripMargin,
 
+    "q94_weighted_sample" ->
+      s"""WITH h AS (SELECT doc_id, n_chars,
+         |    CAST(${H("CAST(doc_id AS VARCHAR) || '#7'")}
+         |     * 2654435761 % 1000000007 AS BIGINT) AS h1,
+         |    CAST(${H("CAST(doc_id AS VARCHAR) || '#8'")}
+         |     * 2654435761 % 1000000007 AS BIGINT) AS h2
+         |  FROM documents WHERE n_chars > 0),
+         |p AS (SELECT doc_id, n_chars,
+         |    ln(CAST(h1 * 1000000007 + h2 + 1 AS DOUBLE) /
+         |       (CAST(1000000007 AS DOUBLE) * CAST(1000000007 AS DOUBLE)
+         |        + 1)) / n_chars AS pri
+         |  FROM h)
+         |SELECT doc_id, n_chars FROM p
+         |ORDER BY pri DESC, doc_id ASC LIMIT 50""".stripMargin,
+
+    "q95_rebalance_mix" ->
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents
+         |           WHERE lang IN ('en', 'zh', 'de') GROUP BY lang),
+         |w AS (SELECT lang, n,
+         |        CASE lang WHEN 'en' THEN CAST(0.5 AS DOUBLE)
+         |                  ELSE CAST(0.25 AS DOUBLE) END AS wn
+         |      FROM c),
+         |t AS (SELECT MIN(n / wn) AS total FROM w),
+         |f AS (SELECT lang,
+         |        least(CAST(1.0 AS DOUBLE),
+         |              (SELECT total FROM t) * wn / n) AS f0
+         |      FROM w),
+         |th AS (SELECT lang,
+         |         CAST(trunc((CASE WHEN f0 >= CAST(1.0 AS DOUBLE) - 1e-9
+         |                          THEN CAST(1.0 AS DOUBLE) ELSE f0 END)
+         |                    * 1000000) AS BIGINT) AS thr
+         |       FROM f)
+         |SELECT d.doc_id, d.lang
+         |FROM documents d JOIN th ON d.lang = th.lang
+         |WHERE (${H("CAST(d.doc_id AS VARCHAR) || '#7'")}
+         |       * 2654435761 % 1000000007) % 1000000 < th.thr""".stripMargin,
+
     "q45_repetition" ->
       s"""${shingleCtes(2)},
          |g AS (SELECT doc_id, h, COUNT(*) AS c FROM shu GROUP BY doc_id, h)

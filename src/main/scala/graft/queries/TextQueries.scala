@@ -206,6 +206,28 @@ object TextQueries {
         Map("en" -> 0.25, "zh" -> 0.9), defaultFraction = 0.5, seed = 7)
       .select(col("doc_id"), col("lang"))
 
+  /** Weighted sample without replacement (Efraimidis–Spirakis A-Res), 50
+    * docs weighted by length — the oracle reproduces the exact two-hash
+    * u-draw and ln(u)/w priority arithmetic, so membership is checked
+    * value-for-value, not statistically. */
+  def qWeightedSample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.weightedSample(
+        Tables.documents(s, dir), col("doc_id"), col("n_chars"),
+        k = 50, seed = 7)
+      .select(col("doc_id"), col("n_chars"))
+
+  /** Rebalance-to-mix: solve per-language keep-fractions for a 50/25/25
+    * en/zh/de target off one grouped count, then deterministic hash
+    * sampling — the oracle re-solves the same fraction arithmetic in SQL
+    * (identical IEEE op order) and must select the identical row set.
+    * Weights are binary-exact doubles so the normalization sum is exact
+    * on both engines. */
+  def qRebalanceMix(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.rebalanceToMix(
+        Tables.documents(s, dir), col("doc_id"), col("lang"),
+        Map("en" -> 0.5, "zh" -> 0.25, "de" -> 0.25), seed = 7)._1
+      .select(col("doc_id"), col("lang"))
+
   /** SimHash signature per doc (16-bit) + population count. */
   def qSimhash(s: SparkSession, dir: String): DataFrame =
     NearDup.simhash(Tables.documents(s, dir), "doc_id", "text")

@@ -34,6 +34,31 @@ class AchillesSpec extends SparkSpecBase {
     assert(byAnalysis(200).length == 2)                  // two visit concepts
   }
 
+  test("X00 persons vs X01 records distinction across every domain") {
+    // person 1 has TWO records of concept 10 → X00 counts 1, X01 counts 2
+    def dom(idCol: String, conceptCol: String) = Seq(
+      (1L, 1L, 10L), (2L, 1L, 10L), (3L, 2L, 10L), (4L, 2L, 20L)
+    ).toDF(idCol, "person_id", conceptCol)
+    val res = Achilles.run(person, visit,
+      dom("condition_occurrence_id", "condition_concept_id"),
+      procedure = Some(dom("procedure_occurrence_id",
+        "procedure_concept_id")),
+      drugExposure = Some(dom("drug_exposure_id", "drug_concept_id")),
+      observation = Some(dom("observation_id", "observation_concept_id")),
+      measurement = Some(dom("measurement_id", "measurement_concept_id")))
+    val byA = res.collect().groupBy(_.getInt(0))
+      .view.mapValues(_.map(r => r.getString(1) -> r.getLong(6)).toMap)
+    for (persons <- Seq(400, 600, 700, 800, 1800))
+      assert(byA(persons) == Map("10" -> 2, "20" -> 1),
+        s"analysis $persons (persons)")
+    for (records <- Seq(401, 601, 701, 801, 1801))
+      assert(byA(records) == Map("10" -> 3, "20" -> 1),
+        s"analysis $records (records)")
+    // 200 persons-by-visit-concept vs 201 record counts on the visit table
+    assert(byA(200) == Map("9201" -> 1, "9202" -> 1))
+    assert(byA(201) == Map("9201" -> 1, "9202" -> 1))
+  }
+
   test("era analyses stack into the same results shape when provided") {
     val drugEra = Seq(
       (1L, 1L, 10L, "2020-01-01", "2020-01-20"),

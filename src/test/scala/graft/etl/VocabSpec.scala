@@ -26,6 +26,22 @@ class VocabSpec extends SparkSpecBase {
         "concept_id_1\tconcept_id_2\trelationship_id\tvalid_start_date\tvalid_end_date\tinvalid_reason",
         "1001\t201826\tMaps to\t2000-01-01\t2099-12-31\t"
       ).mkString("\n"))
+    Files.writeString(java.nio.file.Paths.get(s"$d/CONCEPT_ANCESTOR.csv"),
+      Seq(
+        "ancestor_concept_id\tdescendant_concept_id\tmin_levels_of_separation\tmax_levels_of_separation",
+        "5000\t201826\t1\t2",   // ATC class 5000 covers T2DM
+        "5000\t1002\t2\t2",     // …and hypertension
+        "5001\t1002\t1\t1",     // second class covers only hypertension
+        "201826\t201826\t0\t0", // self-rows the closure table carries
+        "bad\t201826\t0\t0"     // malformed id → dropped, not fatal
+      ).mkString("\n"))
+    Files.writeString(java.nio.file.Paths.get(s"$d/CONCEPT_SYNONYM.csv"),
+      Seq(
+        "concept_id\tconcept_synonym_name\tlanguage_concept_id",
+        "201826\tType II diabetes mellitus\t4180186",
+        "201826\tNIDDM\t4180186",
+        "junk\tbroken row\t4180186"
+      ).mkString("\n"))
     d
   }
 
@@ -52,6 +68,49 @@ class VocabSpec extends SparkSpecBase {
     assert(mapped(1L) == (1001L, 201826L))
     assert(mapped(2L) == (1002L, 1002L))
     assert(mapped(3L) == (0L, 0L))
+  }
+
+  test("concept_ancestor and concept_synonym round-trip with bad-row drop") {
+    val anc = Vocab.loadConceptAncestor(spark,
+      s"$vocabDir/CONCEPT_ANCESTOR.csv")
+    assert(anc.count() == 4) // malformed 'bad' ancestor id dropped
+    val self = anc.filter(col("ancestor_concept_id") === 201826L).head()
+    assert(self.getAs[Int]("min_levels_of_separation") == 0)
+    assert(anc.filter(col("ancestor_concept_id") === 5000L).count() == 2)
+    val syn = Vocab.loadConceptSynonym(spark,
+      s"$vocabDir/CONCEPT_SYNONYM.csv")
+    assert(syn.count() == 2) // 'junk' concept id dropped
+    assert(syn.filter(col("concept_synonym_name") === "NIDDM").count() == 1)
+  }
+
+  test("ancestor rollup aggregates domain rows to class-level concepts") {
+    // concepts 5000/5001 act as the class tier (give them a class id)
+    val concept = Vocab.loadConcept(spark, s"$vocabDir/CONCEPT.csv")
+      .unionByName(Seq(
+        (5000L, "Antidiabetics+HTN class", "Drug", "ATC", "ATC 3rd",
+          "C", "A10", null.asInstanceOf[String]),
+        (5001L, "HTN-only class", "Drug", "ATC", "ATC 3rd",
+          "C", "C02", null.asInstanceOf[String])
+      ).toDF("concept_id", "concept_name", "domain_id", "vocabulary_id",
+        "concept_class_id", "standard_concept", "concept_code",
+        "invalid_reason"))
+    val anc = Vocab.loadConceptAncestor(spark,
+      s"$vocabDir/CONCEPT_ANCESTOR.csv")
+    // person 1 twice on 201826; person 2 once on 1002
+    val facts = Seq((1L, 201826L), (1L, 201826L), (2L, 1002L))
+      .toDF("person_id", "drug_concept_id")
+    val roll = Vocab.rollupByAncestor(facts, "drug_concept_id", anc,
+      concept, "ATC 3rd")
+      .collect().map(r => r.getAs[Long]("ancestor_concept_id") ->
+        (r.getAs[String]("ancestor_concept_name"),
+         r.getAs[Long]("record_count"), r.getAs[Long]("person_count")))
+      .toMap
+    // hand-computed: 5000 covers both concepts → 3 records / 2 persons;
+    // 5001 covers only 1002 → 1 record / 1 person
+    assert(roll(5000L) == (("Antidiabetics+HTN class", 3L, 2L)))
+    assert(roll(5001L) == (("HTN-only class", 1L, 1L)))
+    // the self-row (201826→201826) is NOT class-tier → never surfaces
+    assert(!roll.contains(201826L))
   }
 
   test("mappingStats reports the reference's mapped/unmapped rollup") {

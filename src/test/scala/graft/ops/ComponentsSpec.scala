@@ -33,6 +33,28 @@ class ComponentsSpec extends SparkSpecBase {
     assert(cc(back, thr = 0) === (1L to n).map(_ -> 1L).toMap)
   }
 
+  test("withStats reports rounds tracking diameter, not size") {
+    // path of 8 nodes (diameter 7) + a 3-node star: rounds must land in
+    // [7, 9] (min-label moves one hop per round; +1 detection round)
+    val path = (1L until 8L).map(i => (i + 1, i))
+    val star = Seq((100L, 101L), (100L, 102L))
+    val (labels, stats) = Components.connectedComponentsWithStats(
+      (path ++ star).toDF("a", "b"), "a", "b", localThreshold = 0L)
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got === ((1L to 8L).map(_ -> 1L) ++
+      Seq(100L -> 100L, 101L -> 100L, 102L -> 100L)).toMap)
+    val st = stats.get
+    assert(st.nodes == 11 && st.edges == 9)
+    assert(st.rounds >= 7 && st.rounds <= 9, s"rounds = ${st.rounds}")
+    assert(st.perRound.size == st.rounds)
+    assert(st.perRound.last.changed == 0)       // fixpoint detected
+    assert(st.perRound.map(_.changed).init.forall(_ > 0))
+    // the local gate returns no stats (no rounds to report)
+    val (_, none) = Components.connectedComponentsWithStats(
+      star.toDF("a", "b"), "a", "b")
+    assert(none.isEmpty)
+  }
+
   test("self-loops and duplicate edges are harmless (both paths)") {
     val edges = Seq((5L, 5L), (5L, 6L), (5L, 6L), (6L, 5L))
     assert(cc(edges) === Map(5L -> 5L, 6L -> 5L))
