@@ -102,6 +102,7 @@ object SparkEntry {
     "q54_stratified_sample"  -> TextQueries.qStratifiedSample _,
     "q94_weighted_sample"    -> TextQueries.qWeightedSample _,
     "q95_rebalance_mix"      -> TextQueries.qRebalanceMix _,
+    "q96_decontaminate"      -> TextQueries.qDecontaminate _,
     // streaming-shaped transforms, batch-parity forms (events table)
     "q40_hourly_rollup"      -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStreams.hourlyRollup(graft.core.Tables.events(s, d))),

@@ -247,4 +247,39 @@ object NearDup {
       .filter(col("hamming") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  /** Benchmark decontamination report — the eval-leakage check of a
+    * training-corpus pipeline (distinct from near-dup: asymmetric exact
+    * n-gram CONTAINMENT, not symmetric similarity; one shared shingle is
+    * already contamination). Per corpus doc sharing at least one n-token
+    * shingle with any benchmark doc: the distinct shared-shingle count.
+    *
+    * Scale shape: the benchmark's distinct shingle set is eval-sized
+    * (thousands of docs), so it broadcasts; the corpus shingle stream is
+    * filtered MAP-SIDE by the broadcast semi join — the corpus is never
+    * shuffled, and the dedup + per-doc count shuffle only the
+    * contaminated sliver that survives the filter. */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int = 8): DataFrame = {
+    val benchSh = shingleRows(benchmark, idCol, textCol, n)
+      .select(col("h")).distinct()
+    shingleRows(corpus, idCol, textCol, n)
+      .join(broadcast(benchSh), Seq("h"), "left_semi")
+      .dropDuplicates(idCol, "h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+  }
+
+  /** The corpus with contaminated docs removed: drop every doc whose
+    * [[contaminationReport]] count reaches `minOverlap` (1 = any shared
+    * n-gram disqualifies, the standard eval-decontamination policy). */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, n: Int = 8,
+                    minOverlap: Int = 1): DataFrame =
+    corpus.join(
+      contaminationReport(corpus, benchmark, idCol, textCol, n)
+        .filter(col("n_shared_shingles") >= minOverlap)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
 }

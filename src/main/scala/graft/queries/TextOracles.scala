@@ -51,7 +51,9 @@ object TextOracles {
   val MinhashCtes: String =
     s"""$ShingleCtes,
        |mh AS (SELECT doc_id, i,
-       |         MIN(((2 * i + 1) * h + i) % 1000000007) AS mh
+       |         MIN(((2654435761 * (i + 1)) % 1000000007 * h
+         |              + (2246822519 * (i + 1)) % 1000000007)
+         |             % 1000000007) AS mh
        |       FROM shx CROSS JOIN (SELECT unnest(range(0, 16)) AS i) idx
        |       GROUP BY doc_id, i)""".stripMargin
 
@@ -232,7 +234,9 @@ object TextOracles {
          |        SELECT doc_id, text, 'i' AS side FROM inc_exact),
          |${shingleCtesBody(3, "uni")},
          |mh AS (SELECT doc_id, i,
-         |         MIN(((2 * i + 1) * h + i) % 1000000007) AS mh
+         |         MIN(((2654435761 * (i + 1)) % 1000000007 * h
+         |              + (2246822519 * (i + 1)) % 1000000007)
+         |             % 1000000007) AS mh
          |       FROM shx CROSS JOIN (SELECT unnest(range(0, 16)) AS i) idx
          |       GROUP BY doc_id, i),
          |bands AS (SELECT doc_id, i // 4 AS band,
@@ -447,6 +451,15 @@ object TextOracles {
          |FROM documents d JOIN th ON d.lang = th.lang
          |WHERE (${H("CAST(d.doc_id AS VARCHAR) || '#7'")}
          |       * 2654435761 % 1000000007) % 1000000 < th.thr""".stripMargin,
+
+    "q96_decontaminate" ->
+      s"""$ShingleCtes,
+         |bench AS (SELECT DISTINCT h FROM shx WHERE doc_id % 20 = 0),
+         |hits AS (SELECT DISTINCT s.doc_id, s.h
+         |         FROM shx s JOIN bench USING (h)
+         |         WHERE s.doc_id % 20 <> 0)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+         |FROM hits GROUP BY doc_id""".stripMargin,
 
     "q45_repetition" ->
       s"""${shingleCtes(2)},

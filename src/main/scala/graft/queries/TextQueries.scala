@@ -228,6 +228,20 @@ object TextQueries {
         Map("en" -> 0.5, "zh" -> 0.25, "de" -> 0.25), seed = 7)._1
       .select(col("doc_id"), col("lang"))
 
+  /** Benchmark decontamination: every 20th doc plays the eval set; the
+    * rest is the training corpus. Reports each corpus doc sharing ≥1
+    * 3-token shingle with any benchmark doc and its distinct shared-
+    * shingle count — the corpus side is filtered by a broadcast semi
+    * join, never shuffled ([[graft.ops.NearDup.contaminationReport]]). */
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    NearDup.contaminationReport(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 3)
+      .select(col("doc_id"), col("n_shared_shingles"))
+  }
+
   /** SimHash signature per doc (16-bit) + population count. */
   def qSimhash(s: SparkSession, dir: String): DataFrame =
     NearDup.simhash(Tables.documents(s, dir), "doc_id", "text")

@@ -15,17 +15,18 @@ object CorpusBench {
     val n = args.headOption.map(_.toInt).getOrElse(200000)
     val spark = graft.core.Sessions.local()
 
-    val words = Seq("spark", "shuffle", "join", "filter", "vector", "batch",
-      "stream", "column", "row", "hash", "sort", "merge", "scan", "agg",
-      "query", "table", "key", "value", "data", "part")
-    val wordArr = array(words.map(lit): _*)
+    // vocabulary grows with corpus size (real text's does too): a fixed
+    // tiny vocab makes every doc share most 3-grams, so LSH buckets
+    // degenerate into corpus-sized near-cliques and the candidate join
+    // goes quadratic — a property of the SYNTHETIC corpus, not the
+    // pipeline. ~1 word per 100 docs keeps shingle diversity realistic.
+    val vocabSize = math.max(1000, n / 100)
+    def word(i: Int) = format_string("w%05x",
+      pmod(hash(col("id"), lit(i)), lit(vocabSize)))
     val langs = Seq("en", "en", "en", "de", "es", "fr", "zh") // en-dominant
     val langArr = array(langs.map(lit): _*)
     val base = spark.range(n).select(col("id").as("doc_id"),
-      concat_ws(" ", (0 until 40).map(i =>
-        element_at(wordArr,
-          (pmod(hash(col("id"), lit(i)), lit(words.size)) + 1).cast("int"))
-      ): _*).as("text"),
+      concat_ws(" ", (0 until 40).map(word): _*).as("text"),
       element_at(langArr,
         (pmod(hash(col("id"), lit(99)), lit(langs.size)) + 1).cast("int"))
         .as("lang"))

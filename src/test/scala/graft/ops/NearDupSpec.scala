@@ -102,4 +102,58 @@ class NearDupSpec extends SparkSpecBase {
       NearDup.shingleRows(docs, "doc_id", "text", 0)
     }
   }
+
+  test("minhash agreement tracks jaccard — the family must be well-mixed") {
+    // 40-word docs, near-dup differs by one word → J ≈ 37/39 ≈ 0.95.
+    // Regression for the order-preserving ((2i+1)h+i) family, under which
+    // one small shingle hash argmin'd ALL 16 hash functions and only 4/16
+    // minhashes agreed on exactly this shape (LSH recall collapsed at
+    // corpus scale while tiny fixtures kept passing).
+    val a = (0 until 40).map(i => f"w$i%05x").mkString(" ")
+    val b = "changed " + (0 until 39).map(i => f"w$i%05x").mkString(" ")
+    val two = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val sh = NearDup.shingleRows(two, "doc_id", "text", 3)
+    val mh = NearDup.minhashRows(sh, "doc_id", 16)
+    val agree = mh.groupBy("i")
+      .agg((min("mh") === max("mh")).as("same"))
+      .filter(col("same")).count()
+    assert(agree >= 12, s"only $agree/16 minhashes agree on a J=0.95 pair")
+    // and the pair must surface as an LSH candidate (4 bands of 4)
+    val pairs = NearDup.candidatePairs(
+      NearDup.lshBands(mh, "doc_id", 4), "doc_id")
+    assert(pairs.filter(col("doc_a") === 1L && col("doc_b") === 2L)
+      .count() == 1)
+  }
+
+  test("decontamination flags exactly the corpus docs sharing an n-gram") {
+    val bench = Seq(
+      (100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    // corpus doc 1 contains benchmark 3-grams ("the quick brown",
+    // "quick brown fox", "brown fox jumps"); docs 3 shares none
+    val corpus = docs.filter(col("doc_id").isin(1L, 3L))
+    val rep = NearDup.contaminationReport(corpus, bench, "doc_id", "text",
+        n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep == Map(1L -> 3L))
+    val clean = NearDup.decontaminate(corpus, bench, "doc_id", "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(3L))
+    // raising minOverlap past the shared count keeps the doc
+    val lax = NearDup.decontaminate(corpus, bench, "doc_id", "text", n = 3,
+      minOverlap = 4).select("doc_id").as[Long].collect().toSet
+    assert(lax == Set(1L, 3L))
+  }
+
+  test("contamination corpus side is broadcast-semi filtered, not shuffled") {
+    val p = NearDup.contaminationReport(docs, docs.limit(1), "doc_id",
+        "text", n = 3)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    // exactly 3 hash exchanges: benchmark distinct, post-filter hit dedup,
+    // per-doc count. The corpus shingle stream itself contributes NONE —
+    // it reaches the semi join via the broadcast side filter; a corpus
+    // shuffle before the join would make it 4
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
+  }
 }
