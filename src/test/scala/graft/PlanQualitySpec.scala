@@ -97,6 +97,20 @@ class PlanQualitySpec extends SparkSpecBase {
       !p.contains("ScalaUDF"), p)
   }
 
+  test("weighted sample (q94) is bounded top-k, never a global sort") {
+    val p = plan(graft.queries.TextQueries.qWeightedSample(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("rebalance-to-mix (q95) applies as a scan-level filter") {
+    // after the driver-side fraction solve, the sample itself must be a
+    // pure per-row predicate: no shuffle, no UDF
+    val p = plan(graft.queries.TextQueries.qRebalanceMix(spark, sf))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
   test("token chunking is pure per-row expansion — no shuffle at all") {
     val p = plan(graft.ops.TextOps.chunkRows(
       graft.core.Tables.documents(spark, sf), "doc_id", "text", 64, 48))
