@@ -120,6 +120,23 @@ object EtlRunner {
         Some(save(Domains.immunizationDrugExposure(tImm, personMap, visitMap),
           "drug_exposure_immunizations"))
       } else None
+    // optional source: patient_expenses → payer_plan_period
+    // (synthea-omop-ETL.sql:530-565: one row per person-year of coverage)
+    if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(in("patient_expenses")))) {
+      val tExp = TypedTables.typedTable(
+        Ingest.readRepaired(spark, in("patient_expenses")), "patient_expenses")
+      val personYears = tExp
+        .join(broadcast(personMap),
+          col("patient_id") === col("source_patient_id"))
+        .select(col("person_id"),
+          make_date(col("year"), lit(1), lit(1)).as("year_date"),
+          col("payer_id"))
+        .filter(col("year_date").isNotNull)
+        // the reference's NOT EXISTS key (person, period start)
+        .dropDuplicates("person_id", "year_date")
+      save(Domains.payerPlanPeriod(personYears), "payer_plan_period")
+    }
     // optional source: devices → device_exposure (synthea-omop-ETL.sql:242)
     if (java.nio.file.Files.exists(
         java.nio.file.Paths.get(in("devices")))) {

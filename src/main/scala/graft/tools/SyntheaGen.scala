@@ -135,6 +135,25 @@ object SyntheaGen {
       lit("140").as("CODE"), lit("Flu").as("DESCRIPTION"),
       lit("140.52").as("BASE_COST")), "immunizations.csv")
 
+    // patient_expenses: two coverage years per patient; every 9th patient's
+    // 2015 row is emitted twice — the person-year dedup key must collapse it
+    val expBase = pats.select(col("pid"),
+        explode(sequence(lit(2015), lit(2016))).as("yr"))
+      .select(
+        uuid("00aa", col("pid")).as("PATIENT_ID"),
+        col("yr").cast("string").as("YEAR"),
+        uuid("00bb", pmod(hash(col("pid"), lit(21)), lit(5))).as("PAYER_ID"),
+        format_string("%.2f", (pmod(hash(col("pid"), lit(22)), lit(500000))
+          .cast("double") / 100)).as("HEALTHCARE_EXPENSES"),
+        format_string("%.2f", (pmod(hash(col("pid"), lit(23)), lit(100000))
+          .cast("double") / 100)).as("INSURANCE_COSTS"),
+        format_string("%.2f", (pmod(hash(col("pid"), lit(24)), lit(400000))
+          .cast("double") / 100)).as("COVERED_COSTS"),
+        col("pid"), col("yr"))
+    save(expBase.union(
+        expBase.filter(col("pid") % 9 === 0 && col("yr") === 2015))
+      .drop("pid", "yr"), "patient_expenses.csv")
+
     // devices: every 4th patient's first encounter; every 7th device row
     // is emitted twice (union below) — the NOT EXISTS dedup key
     // (person, start, code) must collapse it to one device_exposure row

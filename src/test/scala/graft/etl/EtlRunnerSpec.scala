@@ -42,6 +42,16 @@ class EtlRunnerSpec extends SparkSpecBase {
     w(in, "immunizations.csv",
       "DATE,PATIENT,ENCOUNTER,CODE,DESCRIPTION,BASE_COST\n" +
         s"2016-04-01T10:00:00Z,$u1,$e1,140,Flu,140.52\n")
+    w(in, "patient_expenses.csv",
+      "PATIENT_ID,YEAR,PAYER_ID,HEALTHCARE_EXPENSES,INSURANCE_COSTS," +
+        "COVERED_COSTS\n" +
+        s"$u1,2015,abcdefab-0000-0000-0000-000000000001,1000.00,200.00," +
+        "800.00\n" +
+        // duplicate person-year: NOT EXISTS key keeps one
+        s"$u1,2015,abcdefab-0000-0000-0000-000000000001,1000.00,200.00," +
+        "800.00\n" +
+        s"$u1,2016,abcdefab-0000-0000-0000-000000000001,1100.00,220.00," +
+        "880.00\n")
     w(in, "devices.csv",
       "START,STOP,PATIENT,ENCOUNTER,CODE,DESCRIPTION,UDI\n" +
         // duplicate (person, start, code) row: dedup must keep one
@@ -77,9 +87,19 @@ class EtlRunnerSpec extends SparkSpecBase {
       "procedure_occurrence", "drug_era", "condition_era",
       "measurement", "observation", "death", "cost",
       "drug_exposure_immunizations", "achilles_results", "observation_period",
-      "device_exposure")
+      "device_exposure", "payer_plan_period")
     for (t <- expected)
       assert(Files.exists(java.nio.file.Paths.get(s"$out/$t")), t)
+    // payer plan periods: dup person-year collapsed; end = start+1y-1d
+    val ppp = spark.read.parquet(s"$out/payer_plan_period")
+      .orderBy("payer_plan_period_start_date")
+    assert(ppp.count() == 2)
+    val p0 = ppp.head()
+    assert(p0.getAs[java.sql.Date]("payer_plan_period_start_date").toString
+      == "2015-01-01")
+    assert(p0.getAs[java.sql.Date]("payer_plan_period_end_date").toString
+      == "2015-12-31")
+    assert(p0.getAs[String]("payer_source_value").startsWith("abcdefab"))
     // devices: dup (person, start, code) collapsed; prefix rule mapped the
     // DEVICE123 code; UDI carried through
     val dev = spark.read.parquet(s"$out/device_exposure")
