@@ -103,6 +103,8 @@ object SparkEntry {
     "q94_weighted_sample"    -> TextQueries.qWeightedSample _,
     "q95_rebalance_mix"      -> TextQueries.qRebalanceMix _,
     "q96_decontaminate"      -> TextQueries.qDecontaminate _,
+    "q97_ancestor_rollup"    -> Relational.q97AncestorRollup _,
+    "q98_unigram_quality"    -> TextQueries.qUnigramQuality _,
     // streaming-shaped transforms, batch-parity forms (events table)
     "q40_hourly_rollup"      -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStreams.hourlyRollup(graft.core.Tables.events(s, d))),
@@ -655,5 +657,15 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin,
+
+    "q97_ancestor_rollup" ->
+      """SELECT r_regionkey + 1000 AS ancestor_concept_id,
+        |  r_name AS ancestor_concept_name,
+        |  COUNT(*) AS record_count,
+        |  COUNT(DISTINCT c_custkey) AS person_count
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -203,6 +203,37 @@ object TextOps {
         col("rank").cast("int").as("rank"))
   }
 
+  /** Unigram language-model quality score — the KenLM-style perplexity
+    * proxy of corpus curation, self-contained (the corpus is its own
+    * model): per doc, the mean natural-log probability of its tokens
+    * under the corpus unigram distribution. Gibberish and boilerplate
+    * score low (rare or pathologically repeated tokens); typical prose
+    * scores near the corpus mode. Filter on a percentile of the score.
+    *
+    * Plan shape: one token-stream aggregate builds the (term, tf) model
+    * (vocabulary-sized — partial agg, shuffle ∝ vocab); the corpus total
+    * rides along as a single-row broadcast; the model joins back onto the
+    * token stream (shuffles (term, tf) pairs, never text) and a per-doc
+    * agg produces the score. Two corpus passes over one lazy plan, no
+    * driver state — the model is never collected. */
+  def unigramLogProbScore(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    // per-token logs round to 9 places and sum as DECIMAL: the sum is
+    // exact and order-independent across partitionings (a double avg
+    // drifts with merge order — the q81 exact-moments pattern); the one
+    // final double step is the division
+    val lp = round(log(col("tf").cast("double") /
+      col("n_total").cast("double")), 9).cast("decimal(18,9)")
+    tok.join(tf, "term")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        round(sum(lp).cast("double") / count(lit(1)), 6).as("avg_logprob"))
+  }
+
   /** Overlapping fixed-width chunking — the context-window prep step of
     * an LLM-data pipeline (and RAG indexing): each doc's token stream is
     * cut into `chunkSize`-token windows every `stride` tokens (stride <

@@ -730,6 +730,36 @@ object Relational {
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
   }
 
+  /** Hierarchy rollup through [[graft.etl.Vocab.rollupByAncestor]] — the
+    * OMOP concept_ancestor join shape (drug → ATC class), oracle-gated by
+    * casting TPC-H's region⊃nation as the class tier: ancestor rows
+    * (region+1000, nation) + self rows, class-tier concepts = regions,
+    * facts = customers keyed by nation. The hierarchy slice broadcasts;
+    * the fact table's only shuffle is the class-count agg. */
+  def q97AncestorRollup(s: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(s, dir)
+    val region = Tables.region(s, dir)
+    val ancestor = nation.select(
+        (col("n_regionkey") + 1000L).as("ancestor_concept_id"),
+        col("n_nationkey").cast("long").as("descendant_concept_id"))
+      .unionByName(nation.select(
+        col("n_nationkey").cast("long").as("ancestor_concept_id"),
+        col("n_nationkey").cast("long").as("descendant_concept_id")))
+    val concept = region.select(
+        (col("r_regionkey") + 1000L).as("concept_id"),
+        col("r_name").as("concept_name"),
+        lit("Region").as("concept_class_id"))
+      .unionByName(nation.select(
+        col("n_nationkey").cast("long").as("concept_id"),
+        col("n_name").as("concept_name"),
+        lit("Nation").as("concept_class_id")))
+    val facts = Tables.customer(s, dir).select(
+      col("c_custkey").as("person_id"),
+      col("c_nationkey").cast("long").as("nation_concept_id"))
+    graft.etl.Vocab.rollupByAncestor(facts, "nation_concept_id",
+      ancestor, concept, "Region")
+  }
+
   /** Explicit GROUPING SETS (the general form behind q43's ROLLUP and
     * q49's CUBE): chosen aggregation levels only, one pass — Spark plans
     * a single Expand + hash aggregate, not one scan per level. */

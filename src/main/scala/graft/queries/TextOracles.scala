@@ -461,6 +461,18 @@ object TextOracles {
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
          |FROM hits GROUP BY doc_id""".stripMargin,
 
+    "q98_unigram_quality" ->
+      s"""WITH tok0 AS (SELECT doc_id, $Tk AS tk FROM documents),
+         |tok AS (SELECT doc_id, unnest(tk) AS term FROM tok0),
+         |tf AS (SELECT term, COUNT(*) AS tf FROM tok GROUP BY term),
+         |tot AS (SELECT COUNT(*) AS n_total FROM tok)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  ROUND(CAST(SUM(CAST(ROUND(ln(CAST(tf AS DOUBLE) /
+         |      CAST((SELECT n_total FROM tot) AS DOUBLE)), 9)
+         |    AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+         |FROM tok JOIN tf USING (term)
+         |GROUP BY doc_id""".stripMargin,
+
     "q45_repetition" ->
       s"""${shingleCtes(2)},
          |g AS (SELECT doc_id, h, COUNT(*) AS c FROM shu GROUP BY doc_id, h)

@@ -242,6 +242,13 @@ object TextQueries {
       .select(col("doc_id"), col("n_shared_shingles"))
   }
 
+  /** Unigram LM quality score: per doc, mean log-probability of its
+    * tokens under the corpus's own unigram distribution
+    * ([[TextOps.unigramLogProbScore]]) — the perplexity-proxy filter of
+    * corpus curation. */
+  def qUnigramQuality(s: SparkSession, dir: String): DataFrame =
+    TextOps.unigramLogProbScore(Tables.documents(s, dir), "doc_id", "text")
+
   /** SimHash signature per doc (16-bit) + population count. */
   def qSimhash(s: SparkSession, dir: String): DataFrame =
     NearDup.simhash(Tables.documents(s, dir), "doc_id", "text")

@@ -193,4 +193,27 @@ class TextOpsSpec extends SparkSpecBase {
         s"parts=$parts sample $xs")
     }
   }
+
+  test("unigram log-prob score: hand-computed, partitioning-invariant") {
+    import spark.implicits._
+    // corpus model: a→2/5, b→2/5, c→1/5 (5 tokens total)
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    for (parts <- Seq(1, 3)) {
+      val got = TextOps.unigramLogProbScore(docs.repartition(parts),
+          "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      // doc 1: three tokens all p=0.4 → ln(0.4) ≈ -0.916291
+      assert(got(1L)._1 == 3 && got(1L)._2 == -0.916291, s"$got")
+      // doc 2: (ln 0.4 + ln 0.2)/2 ≈ -1.262864
+      assert(got(2L)._1 == 2 && got(2L)._2 == -1.262864, s"$got")
+    }
+    // rarer-token doc scores strictly lower: the filter's ordering claim
+    assert(got2(docs) < 0)
+    def got2(d: org.apache.spark.sql.DataFrame): Double = {
+      val m = TextOps.unigramLogProbScore(d, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      m(2L) - m(1L) // doc 2 contains the rare token → lower score
+    }
+  }
 }
