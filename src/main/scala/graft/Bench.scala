@@ -27,19 +27,29 @@ object Bench {
     }
     // 4-decimal times keep the single JSON line short enough that a
     // capped log capture still carries every per-query entry (the full
-    // double rendering pushed the r2 line past the capture tail)
-    val qs = results.map { case (k, v) => f""""$k":$v%.4f""" }
+    // double rendering pushed the r2 line past the capture tail).
+    // Locale.ROOT: the f interpolator uses the default locale, which
+    // renders decimal COMMAS on e.g. de_DE JVMs — invalid JSON
+    def d4(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val qs = results.map { case (k, v) => s""""$k":${d4(v)}""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${d4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     Console.out.flush()
-    // durable copy inside the repo: survives any driver-side log
-    // truncation, so every round's full per-query map stays diffable
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), line + "\n")
-    catch { case _: Throwable => }
+    // durable copy in the working directory (the repo root under sbt):
+    // survives driver-side log truncation so the full per-query map stays
+    // diffable. Only a FULL run may overwrite it — a subset re-time must
+    // not clobber the round's complete record.
+    if (args.isEmpty) {
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+      catch { case e: java.io.IOException =>
+        System.err.println(s"[bench] BENCH_LOCAL.json not written: $e")
+      }
+    }
     spark.stop()
   }
 }

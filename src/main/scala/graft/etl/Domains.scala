@@ -189,8 +189,19 @@ object Domains {
   def deviceExposure(typedDevices: DataFrame, personMap: DataFrame,
                      visitMap: DataFrame): DataFrame =
     DenseId.withDenseIdScalable(
-      eventDomain(typedDevices, personMap, visitMap,
-        Seq("person_id", "start_time", "code")),
+      // deterministic survivor on the reference's NOT EXISTS key: rows
+      // agreeing on (person, start, code) but differing in encounter or
+      // stop (re-recorded device across same-instant encounters) must
+      // not leave visit/end columns to partition order
+      Dedup.firstRowPerGroup(
+        typedDevices
+          .join(broadcast(personMap),
+            col("patient") === col("source_patient_id"))
+          .join(broadcast(visitMap),
+            col("encounter") === col("source_visit_id"), "left"),
+        Seq(col("person_id"), col("start_time"), col("code")),
+        Seq(col("encounter").asc_nulls_last,
+          col("stop_time").asc_nulls_last)),
       Seq(col("person_id"), col("start_time"), col("code")),
       "device_exposure_id")
       .select(

@@ -126,15 +126,19 @@ object EtlRunner {
         java.nio.file.Paths.get(in("patient_expenses")))) {
       val tExp = TypedTables.typedTable(
         Ingest.readRepaired(spark, in("patient_expenses")), "patient_expenses")
-      val personYears = tExp
-        .join(broadcast(personMap),
-          col("patient_id") === col("source_patient_id"))
-        .select(col("person_id"),
-          make_date(col("year"), lit(1), lit(1)).as("year_date"),
-          col("payer_id"))
-        .filter(col("year_date").isNotNull)
-        // the reference's NOT EXISTS key (person, period start)
-        .dropDuplicates("person_id", "year_date")
+      val personYears = graft.ops.Dedup.firstRowPerGroup(
+        tExp
+          .join(broadcast(personMap),
+            col("patient_id") === col("source_patient_id"))
+          .select(col("person_id"),
+            make_date(col("year"), lit(1), lit(1)).as("year_date"),
+            col("payer_id"))
+          .filter(col("year_date").isNotNull),
+        // the reference's NOT EXISTS key (person, period start); payer
+        // tiebreak makes the survivor deterministic when one person-year
+        // carries two payers (mid-year switch) — reruns stay byte-stable
+        Seq(col("person_id"), col("year_date")),
+        Seq(col("payer_id").asc_nulls_last))
       save(Domains.payerPlanPeriod(personYears), "payer_plan_period")
     }
     // optional source: devices → device_exposure (synthea-omop-ETL.sql:242)

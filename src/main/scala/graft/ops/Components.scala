@@ -38,7 +38,10 @@ object Components {
   /** One distributed-fixpoint round's observability record. Shuffle bytes
     * come from a stage-completion listener; the listener bus is async, so
     * a stage can occasionally be attributed to the neighboring round —
-    * totals are exact, per-round splits are ±1 stage. */
+    * totals are exact, per-round splits are ±1 stage. The listener sees
+    * EVERY stage on the SparkContext: run the instrumented variant on a
+    * session with no concurrent jobs, or the foreign stages' shuffle
+    * bytes land in whichever round is open. */
   final case class CcRound(round: Int, changed: Long, secs: Double,
                            shuffleReadMB: Double, shuffleWriteMB: Double)
 

@@ -220,7 +220,9 @@ object TextOps {
                           textCol: String): DataFrame = {
     val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
     val tf = tok.groupBy(col("term")).agg(count(lit(1)).as("tf"))
-    val total = tok.agg(count(lit(1)).as("n_total"))
+    // corpus total derives from the vocabulary-sized tf frame — a third
+    // full tokenize pass for a single count would double-scan the corpus
+    val total = tf.agg(sum(col("tf")).as("n_total"))
     // per-token logs round to 9 places and sum as DECIMAL: the sum is
     // exact and order-independent across partitionings (a double avg
     // drifts with merge order — the q81 exact-moments pattern); the one

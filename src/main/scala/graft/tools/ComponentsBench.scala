@@ -21,6 +21,9 @@ object ComponentsBench {
   def main(args: Array[String]): Unit = {
     val nClusters = args.headOption.map(_.toInt).getOrElse(400000)
     val chainLen = args.lift(1).map(_.toInt).getOrElse(12)
+    // chainLen 1 would make sequence(0, chainLen-2) DESCEND ([0,-1]),
+    // planting edges into neighboring id ranges instead of isolated nodes
+    require(chainLen >= 2, s"chainLen must be >= 2, got $chainLen")
     val nChains = 1000
     val spark = graft.core.Sessions.local()
     spark.sparkContext.setLogLevel("WARN")
