@@ -248,6 +248,21 @@ object NearDup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Per-ROW minhash signature: array of `numHashes` mins over the row's
+    * shingle hashes — bit-identical to [[minhashRows]]' aggregated values
+    * (spec-pinned) but computed with zero shuffle, which is what a
+    * streaming ingest tier needs (per-row state, no corpus aggregation).
+    * `shingle_hashes`' whole-doc fallback guarantees ≥1 shingle, so
+    * every position is non-null. */
+  def signatureColumn(textCol: Column, n: Int, numHashes: Int): Column = {
+    val sh = call_function("shingle_hashes", TextOps.tokens(textCol), lit(n))
+    transform(sequence(lit(0), lit(numHashes - 1)), i => {
+      val a = (lit(2654435761L) * (i + lit(1))) % TextOps.HashMod
+      val b = (lit(2246822519L) * (i + lit(1))) % TextOps.HashMod
+      array_min(transform(sh, h => (a * h + b) % TextOps.HashMod))
+    })
+  }
+
   /** Benchmark decontamination report — the eval-leakage check of a
     * training-corpus pipeline (distinct from near-dup: asymmetric exact
     * n-gram CONTAINMENT, not symmetric similarity; one shared shingle is
