@@ -160,6 +160,14 @@ object Achilles {
   def a1000ByConditionEraConcept(conditionEra: DataFrame): DataFrame =
     result(1000, conditionEra, Seq(col("condition_concept_id")))
 
+  /** Distribution analyses → the separate achilles_results_dist table the
+    * reference reads (query_achilles_results.sh:228-230 reads 211 from
+    * `achilles_results_dist`, not `achilles_results`). */
+  def runDist(visit: DataFrame,
+              drugEra: Option[DataFrame] = None): DataFrame =
+    (Seq(a211VisitLength(visit)) ++ drugEra.map(a906DrugEraLength))
+      .reduce(_ unionByName _)
+
   /** Full default-analyses run → one stacked results table. Domain inputs
     * beyond the person/visit/condition core are optional so partial
     * pipelines keep their analysis set. */

@@ -168,6 +168,8 @@ object EtlRunner {
       Some(drugEra), Some(condEra), procedure = Some(proc),
       drugExposure = Some(drug), observation = Some(obsT),
       measurement = Some(measT)), "achilles_results")
+    save(graft.analyze.Achilles.runDist(visit, Some(drugEra)),
+      "achilles_results_dist")
     save(Domains.observationPeriod(Seq(
       visit.select(col("person_id"), col("visit_start_date").as("start_date"),
         col("visit_end_date").as("end_date")),

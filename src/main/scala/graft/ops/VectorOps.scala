@@ -161,6 +161,33 @@ object VectorOps {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Incremental IVF index maintenance — the daily-drop shape for ANN
+    * (the vector twin of [[CorpusPipeline.append]]): assign ONLY the
+    * increment to the existing coarse codebook and append. The standing
+    * index (rows of (id, vec, list_id) as produced by
+    * [[assignToCentroids]]) is never rescanned or reassigned — at 100 TB
+    * of embeddings a drop costs O(|increment|) assignment work plus an
+    * id anti-join that shuffles ids, not vectors. Ids already present
+    * keep their existing row (first-writer-wins, idempotent re-runs).
+    *
+    * Because per-row assignment is deterministic, the appended index is
+    * row-identical to re-assigning the whole union from scratch
+    * (spec-asserted) — append never degrades search vs a full rebuild on
+    * the same codebook. What DOES drift is codebook fit: the returned
+    * report carries per-list increment counts so the caller can watch
+    * skew build and schedule a [[kmeansFit]] retrain. */
+  def ivfAppend(index: DataFrame, centroids: DataFrame,
+                incoming: DataFrame, idCol: String = "vec_id",
+                vecCol: String = "embedding")
+      : (DataFrame, DataFrame) = {
+    val fresh = incoming.join(index.select(col(idCol)), Seq(idCol),
+      "left_anti")
+    val assigned = assignToCentroids(fresh, centroids, idCol, vecCol)
+    val report = assigned.groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n_appended"))
+    (index.unionByName(assigned), report)
+  }
+
   /** Lloyd's k-means for training the IVF coarse codebook — the piece
     * that makes [[ivfSearch]] self-contained when no labels exist.
     *

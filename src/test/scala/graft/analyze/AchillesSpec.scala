@@ -82,6 +82,17 @@ class AchillesSpec extends SparkSpecBase {
     assert(dist.getAs[Double]("max_value") == 19.0)
   }
 
+  test("runDist stacks the distribution analyses (211 + 906)") {
+    val drugEra = Seq((1L, 1L, 10L, "2020-01-01", "2020-01-20"))
+      .toDF("drug_era_id", "person_id", "drug_concept_id", "s", "e")
+      .select(col("*"), col("s").cast("date").as("drug_era_start_date"),
+        col("e").cast("date").as("drug_era_end_date"))
+    val dist = Achilles.runDist(visit, Some(drugEra))
+    assert(dist.select("analysis_id").collect().map(_.getInt(0)).sorted
+      === Array(211, 906))
+    assert(dist.columns.contains("median_value"))
+  }
+
   test("age at first observation strata") {
     val op = Seq((1L, 1L, "2020-01-01"), (2L, 2L, "2020-06-01"))
       .toDF("observation_period_id", "person_id", "s")

@@ -86,7 +86,8 @@ class EtlRunnerSpec extends SparkSpecBase {
       "visit_occurrence", "condition_occurrence", "drug_exposure",
       "procedure_occurrence", "drug_era", "condition_era",
       "measurement", "observation", "death", "cost",
-      "drug_exposure_immunizations", "achilles_results", "observation_period",
+      "drug_exposure_immunizations", "achilles_results",
+      "achilles_results_dist", "observation_period",
       "device_exposure", "payer_plan_period")
     for (t <- expected)
       assert(Files.exists(java.nio.file.Paths.get(s"$out/$t")), t)

@@ -111,6 +111,28 @@ class VectorOpsSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("ivfAppend equals full rebuild on the same codebook; ids idempotent") {
+    val code = VectorOps.kmeansFit(blobs, k = 3, iters = 3)
+    val standing = blobs.filter($"vec_id" < 6)
+    val drop = blobs.filter($"vec_id" >= 6)
+      // id 3 collides with the standing index and must NOT reassign
+      .unionByName(blobs.filter($"vec_id" === 3))
+    val index0 = VectorOps.assignToCentroids(standing, code)
+    val (index1, report) = VectorOps.ivfAppend(index0, code, drop)
+    val full = VectorOps.assignToCentroids(blobs, code)
+    assert(index1.count() == 9)
+    assert(index1.select($"vec_id", $"list_id")
+      .except(full.select($"vec_id", $"list_id")).count() == 0)
+    // drift report counts only the genuinely fresh rows (6,7,8)
+    assert(report.agg(sum($"n_appended")).head().getLong(0) == 3)
+    // search over the appended index equals search over the rebuild
+    val q = blobs.filter($"vec_id" === 0)
+    def hits(ix: org.apache.spark.sql.DataFrame) =
+      VectorOps.ivfSearch(q, ix.drop("list_id"), code, nprobe = 3, k = 2)
+        .select($"neighbor_id", $"rank").as[(Long, Int)].collect().toSet
+    assert(hits(index1) == hits(full))
+  }
+
   test("kmeansFit-trained IVF at full probe equals brute force") {
     val code = VectorOps.kmeansFit(blobs, k = 3, iters = 3)
     val queries = blobs.filter($"vec_id" < 3)
