@@ -105,6 +105,7 @@ object SparkEntry {
     "q96_decontaminate"      -> TextQueries.qDecontaminate _,
     "q97_ancestor_rollup"    -> Relational.q97AncestorRollup _,
     "q98_unigram_quality"    -> TextQueries.qUnigramQuality _,
+    "q99_upsample_mix"       -> TextQueries.qUpsampleMix _,
     // streaming-shaped transforms, batch-parity forms (events table)
     "q40_hourly_rollup"      -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStreams.hourlyRollup(graft.core.Tables.events(s, d))),

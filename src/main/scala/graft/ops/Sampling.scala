@@ -78,6 +78,55 @@ object Sampling {
       defaultFraction = 0.0, seed), fractions)
   }
 
+  /** Upsample the corpus to a target stratum mix by deterministic
+    * REPLICATION — the complement of [[rebalanceToMix]] (which only
+    * downsamples): per-stratum factor f_s = T·w_s / n_s with
+    * T = max(n_s / w_s), so the binding stratum keeps factor 1.0 and
+    * every other stratum replicates ≥1×. Each row emits floor(f) copies
+    * plus one more when its decision hash lands under the fractional
+    * part — expected copies = f exactly, membership a pure function of
+    * (key, seed), so the epoch mix is reproducible across partitionings
+    * and reruns (the property training-mix assembly needs: "see domain X
+    * 2.3× per epoch"). Rows gain a `copy_idx` (1-based).
+    *
+    * Scale shape: one grouped count on the driver (strata are tiny),
+    * then a pure per-row explode — no shuffle; output size is the only
+    * cost, which is the point of upsampling. */
+  def upsampleToMix(df: DataFrame, keyCol: Column, strataCol: Column,
+                    targetWeights: Map[String, Double],
+                    seed: Long): (DataFrame, Map[String, Double]) = {
+    require(targetWeights.nonEmpty && targetWeights.values.forall(_ > 0),
+      "targetWeights must be non-empty and positive")
+    val counts = df.groupBy(strataCol.cast("string").as("__s")).count()
+      .collect().filterNot(_.isNullAt(0))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wSum = targetWeights.values.sum
+    val norm = targetWeights.map { case (s, w) => s -> (w / wSum) }
+    val feasible = norm.collect {
+      case (s, w) if counts.getOrElse(s, 0L) > 0 => counts(s) / w
+    }
+    require(feasible.nonEmpty,
+      "no stratum from targetWeights present in the data")
+    val total = feasible.max
+    val factors = norm.collect {
+      case (s, w) if counts.getOrElse(s, 0L) > 0 =>
+        s -> total * w / counts(s)
+    }
+    val fCol = factors.foldLeft(lit(0.0)) { case (acc, (s, f)) =>
+      when(strataCol === s, lit(f)).otherwise(acc)
+    }
+    val copies = (floor(fCol).cast("long") +
+      when(sampleHash(keyCol, seed) <
+        ((fCol - floor(fCol)) * Scale).cast("long"), 1L).otherwise(0L))
+    val out = df
+      .withColumn("__copies", copies)
+      .withColumn("copy_idx",
+        explode(when(col("__copies") > 0,
+          sequence(lit(1L), col("__copies")))))
+      .drop("__copies")
+    (out, factors)
+  }
+
   /** Knuth multiplicative mixer: the raw 31-polynomial hash of short ids
     * is badly non-uniform in its low decimal digits (empirically 3% below
     * the median for sequential ids); one odd-multiplier remix restores

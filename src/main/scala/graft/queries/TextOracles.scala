@@ -461,6 +461,26 @@ object TextOracles {
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
          |FROM hits GROUP BY doc_id""".stripMargin,
 
+    "q99_upsample_mix" ->
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents
+         |           WHERE lang IN ('en', 'zh', 'de') GROUP BY lang),
+         |w AS (SELECT lang, n,
+         |        CASE lang WHEN 'en' THEN CAST(0.5 AS DOUBLE)
+         |                  ELSE CAST(0.25 AS DOUBLE) END AS wn
+         |      FROM c),
+         |t AS (SELECT MAX(n / wn) AS total FROM w),
+         |f AS (SELECT lang, (SELECT total FROM t) * wn / n AS f FROM w),
+         |r AS (SELECT d.doc_id, d.lang,
+         |        CAST(floor(f.f) AS BIGINT) +
+         |        CASE WHEN (${H("CAST(d.doc_id AS VARCHAR) || '#7'")}
+         |                   * 2654435761 % 1000000007) % 1000000 <
+         |          CAST(trunc((f.f - floor(f.f)) * 1000000) AS BIGINT)
+         |        THEN 1 ELSE 0 END AS copies
+         |      FROM documents d JOIN f ON d.lang = f.lang)
+         |SELECT doc_id, lang,
+         |  unnest(generate_series(1, copies)) AS copy_idx
+         |FROM r WHERE copies > 0""".stripMargin,
+
     "q98_unigram_quality" ->
       s"""WITH tok0 AS (SELECT doc_id, $Tk AS tk FROM documents),
          |tok AS (SELECT doc_id, unnest(tk) AS term FROM tok0),

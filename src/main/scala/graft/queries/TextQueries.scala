@@ -242,6 +242,17 @@ object TextQueries {
       .select(col("doc_id"), col("n_shared_shingles"))
   }
 
+  /** Upsample-to-mix: replicate de/zh toward a 50/25/25 en/zh/de target
+    * ([[graft.ops.Sampling.upsampleToMix]]); the oracle re-derives the
+    * replication factors and per-row copy counts with identical
+    * arithmetic, so the exact multiset of (doc, copy_idx) rows must
+    * match. */
+  def qUpsampleMix(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.upsampleToMix(
+        Tables.documents(s, dir), col("doc_id"), col("lang"),
+        Map("en" -> 0.5, "zh" -> 0.25, "de" -> 0.25), seed = 7)._1
+      .select(col("doc_id"), col("lang"), col("copy_idx"))
+
   /** Unigram LM quality score: per doc, mean log-probability of its
     * tokens under the corpus's own unigram distribution
     * ([[TextOps.unigramLogProbScore]]) — the perplexity-proxy filter of

@@ -80,6 +80,35 @@ class SamplingSpec extends SparkSpecBase {
     assert(a == b && a.nonEmpty)
   }
 
+  test("upsampleToMix replicates toward the target, binding stratum ×1") {
+    // 100 en / 20 zh; target 50/50 → T = max(200, 40) = 200:
+    // en factor 1.0 (binding), zh factor 5.0 (exact, no fractional part)
+    val df = ((1L to 100L).map(i => (i, "en")) ++
+      (101L to 120L).map(i => (i, "zh"))).toDF("id", "lang")
+    val (out, factors) = Sampling.upsampleToMix(df, col("id"), col("lang"),
+      Map("en" -> 0.5, "zh" -> 0.5), seed = 11)
+    assert(factors("en") == 1.0 && factors("zh") == 5.0, s"$factors")
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang == Map("en" -> 100L, "zh" -> 100L))
+    // copy_idx densely 1..5 for each zh row
+    val idxs = out.filter(col("lang") === "zh" && col("id") === 101L)
+      .select("copy_idx").as[Long].collect().sorted.toSeq
+    assert(idxs == Seq(1L, 2L, 3L, 4L, 5L))
+    // fractional factors: expected copies ≈ f within hash tolerance, and
+    // the multiset is partitioning-invariant
+    val (out2, f2) = Sampling.upsampleToMix(df, col("id"), col("lang"),
+      Map("en" -> 0.5, "zh" -> 0.3), seed = 11)
+    assert(math.abs(f2("zh") - 3.0) < 1e-9) // 100/.5=200 binding; 200*.3/20
+    val (out3, _) = Sampling.upsampleToMix(df.repartition(7, col("id")),
+      col("id"), col("lang"), Map("en" -> 0.5, "zh" -> 0.3), seed = 11)
+    val m2 = out2.groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m3 = out3.groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m2 == m3)
+  }
+
   test("weightedSample: deterministic, k-bounded, drops w<=0") {
     val df = (1L to 300L).map(i => (i, (i % 7 + 1).toDouble))
       .toDF("id", "w")
