@@ -106,6 +106,7 @@ object SparkEntry {
     "q97_ancestor_rollup"    -> Relational.q97AncestorRollup _,
     "q98_unigram_quality"    -> TextQueries.qUnigramQuality _,
     "q99_upsample_mix"       -> TextQueries.qUpsampleMix _,
+    "q100_strip_markup"      -> TextQueries.qStripMarkup _,
     // streaming-shaped transforms, batch-parity forms (events table)
     "q40_hourly_rollup"      -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStreams.hourlyRollup(graft.core.Tables.events(s, d))),

@@ -203,6 +203,25 @@ object TextOps {
         col("rank").cast("int").as("rank"))
   }
 
+  /** Markup removal for web-scraped corpora: drop script/style blocks
+    * with their content, strip remaining tags, decode the five predefined
+    * entities (&amp; LAST — decoding it first would double-decode
+    * "&amp;lt;"), collapse whitespace. Regexes avoid backreferences so
+    * the identical pattern runs under RE2 (the oracle engine) and Java.
+    * Pure codegen'd per-row chain — zero exchange, composes with any
+    * downstream shuffle untaxed. */
+  def stripMarkup(c: Column): Column = {
+    val noBlock = regexp_replace(c,
+      "(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noBlock, "<[^>]+>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (from, to)) =>
+        replace(acc, lit(from), lit(to))
+      }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Unigram language-model quality score — the KenLM-style perplexity
     * proxy of corpus curation, self-contained (the corpus is its own
     * model): per doc, the mean natural-log probability of its tokens

@@ -461,6 +461,26 @@ object TextOracles {
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
          |FROM hits GROUP BY doc_id""".stripMargin,
 
+    "q100_strip_markup" ->
+      """WITH p AS (SELECT doc_id,
+        |    '<html><body  class="doc"><h1>T</h1><p>' || substr(text, 1, 80)
+        |    || ' &amp; more &lt;tail&gt;</p><script>var x = 1;</script>'
+        |    || '</body></html>' AS payload
+        |  FROM documents),
+        |s AS (SELECT doc_id, trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(
+        |      regexp_replace(
+        |        regexp_replace(payload,
+        |          '(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>',
+        |          ' ', 'g'),
+        |        '<[^>]+>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS clean
+        |  FROM p)
+        |SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS n_clean
+        |FROM s""".stripMargin,
+
     "q99_upsample_mix" ->
       s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents
          |           WHERE lang IN ('en', 'zh', 'de') GROUP BY lang),

@@ -242,6 +242,22 @@ object TextQueries {
       .select(col("doc_id"), col("n_shared_shingles"))
   }
 
+  /** Markup stripping over a synthesized HTML wrapper (the corpus has no
+    * natural markup; both engines build the identical payload from the
+    * text column): tags and script content removed, entities decoded,
+    * whitespace collapsed ([[TextOps.stripMarkup]]). */
+  def qStripMarkup(s: SparkSession, dir: String): DataFrame = {
+    val payload = concat(
+      lit("<html><body  class=\"doc\"><h1>T</h1><p>"),
+      substring(col("text"), 1, 80),
+      lit(" &amp; more &lt;tail&gt;</p><script>var x = 1;</script>"),
+      lit("</body></html>"))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextOps.stripMarkup(payload).as("clean"),
+      length(TextOps.stripMarkup(payload)).cast("long").as("n_clean"))
+  }
+
   /** Upsample-to-mix: replicate de/zh toward a 50/25/25 en/zh/de target
     * ([[graft.ops.Sampling.upsampleToMix]]); the oracle re-derives the
     * replication factors and per-row copy counts with identical

@@ -194,6 +194,20 @@ class TextOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("stripMarkup: script blocks, tags, entity decode order, spacing") {
+    import spark.implicits._
+    val got = Seq(
+      // &amp;lt; must decode to the LITERAL "&lt;", not double-decode
+      "<html><script>if(x<y){}</script><p>a &amp;lt; b &#39;q&#39;</p>" +
+        "<style>p { color: red }</style></html>",
+      "plain   text\n unchanged",
+      "<div><b>bold</b>&quot;quoted&quot; &gt;&lt;</div>")
+      .toDF("t").select(TextOps.stripMarkup(col("t")).as("c"))
+      .as[String].collect().toSeq
+    assert(got == Seq("a &lt; b 'q'", "plain text unchanged",
+      "bold \"quoted\" ><")) // tags become spaces, then collapse
+  }
+
   test("unigram log-prob score: hand-computed, partitioning-invariant") {
     import spark.implicits._
     // corpus model: a→2/5, b→2/5, c→1/5 (5 tokens total)
