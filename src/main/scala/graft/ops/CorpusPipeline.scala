@@ -42,7 +42,8 @@ object CorpusPipeline {
     seed: Long = 42L)
 
   final case class Stats(input: Long, afterQuality: Long, afterExact: Long,
-                         afterNearDup: Long, output: Long)
+                         afterNearDup: Long, output: Long,
+                         decontaminated: Long = 0L)
 
   /** Run the four stages over `docs(doc_id, text, lang)`; returns the
     * surviving rows (original columns) and per-stage counts.
@@ -58,18 +59,27 @@ object CorpusPipeline {
     * on. Greedy stays the default because it is one anti-join instead of
     * an iterative fixpoint, and on LSH-shaped graphs (near-cliques) the
     * two differ only on chain topologies. */
-  def run(docs: DataFrame, cfg: Config): (DataFrame, Stats) = {
+  def run(docs: DataFrame, cfg: Config,
+          benchmark: Option[DataFrame] = None): (DataFrame, Stats) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val input = docs.count()
 
     // 1. quality: cheap per-row features, no shuffle, filter at the scan
     val q = TextOps.qualityFeatures(col("text"))
-    val quality = docs
+    val quality0 = docs
       .withColumn("__q", q)
       .filter(col("__q.n_tokens") >= cfg.minTokens &&
         col("__q.punct_ratio") <= cfg.maxPunctRatio)
       .drop("__q")
+
+    // 1b. optional eval decontamination: drop docs sharing any shingle
+    // with the benchmark set ([[NearDup.decontaminate]] — broadcast semi
+    // filter, the corpus stream never shuffles here)
+    val quality = benchmark.fold(quality0)(b =>
+      NearDup.decontaminate(quality0, b, "doc_id", "text", cfg.shingleN))
     val afterQuality = quality.count()
+    val decontaminated =
+      if (benchmark.isEmpty) 0L else quality0.count() - afterQuality
 
     // 2. exact dedup: smallest doc_id survives per content hash.
     // Persisted: it feeds the stage count, the shingle stream, AND the
@@ -109,7 +119,8 @@ object CorpusPipeline {
         col("lang"), cfg.sampleFractions, cfg.sampleDefault, cfg.seed)
     val output = sampled.count()
 
-    (sampled, Stats(input, afterQuality, afterExact, afterNearDup, output))
+    (sampled, Stats(input, afterQuality, afterExact, afterNearDup, output,
+      decontaminated))
   }
 
   /** Incremental append — the daily-drop shape: clean `incoming` and keep

@@ -23,6 +23,24 @@ class CorpusPipelineSpec extends SparkSpecBase {
     assert(result.columns.toSet == docs.columns.toSet)
   }
 
+  test("optional benchmark stage decontaminates before dedup") {
+    val base = docs.limit(20)
+    // benchmark = one corpus doc verbatim: that doc (and only it) shares
+    // shingles and must drop; the stat records exactly one removal
+    val bench = base.filter(col("doc_id") === base.select(min("doc_id"))
+      .head().getLong(0))
+    val (result, stats) = CorpusPipeline.run(base,
+      CorpusPipeline.Config(minTokens = 0, maxPunctRatio = 1.0),
+      benchmark = Some(bench))
+    assert(stats.decontaminated == 1, s"$stats")
+    val benchId = bench.select("doc_id").head().getLong(0)
+    assert(!result.select("doc_id").as[Long].collect().contains(benchId))
+    // without a benchmark the stat stays zero
+    val (_, s2) = CorpusPipeline.run(base,
+      CorpusPipeline.Config(minTokens = 0, maxPunctRatio = 1.0))
+    assert(s2.decontaminated == 0)
+  }
+
   test("near-dup stage removes planted duplicates, keeps the smallest id") {
     val base = docs.limit(50)
     // plant: doc_id+100000 with identical text (exact dup), doc_id+200000
