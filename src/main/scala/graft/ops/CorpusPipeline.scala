@@ -20,6 +20,16 @@ object CorpusPipeline {
   /** @param minTokens      drop docs shorter than this many tokens
     * @param maxPunctRatio  drop docs with a higher punctuation ratio
     * @param shingleN       n-gram width for near-dup detection
+    * @param decontaminationN n-gram width for the eval-decontamination
+    *                       stage. Deliberately SEPARATE from shingleN:
+    *                       near-dup shingles are short (3) because LSH
+    *                       banding tolerates noise, but "one shared
+    *                       shingle disqualifies" is calibrated for long
+    *                       windows — at n=3 virtually every natural-
+    *                       language doc shares some common trigram with
+    *                       some benchmark doc and the stage would gut the
+    *                       corpus. 8 is the standard eval-decontamination
+    *                       window ([[NearDup.contaminationReport]]).
     * @param numHashes      minhash signature length
     * @param rowsPerBand    LSH banding (numHashes/rowsPerBand bands)
     * @param jaccardMin     verified near-dup threshold
@@ -33,6 +43,7 @@ object CorpusPipeline {
     minTokens: Int = 5,
     maxPunctRatio: Double = 0.3,
     shingleN: Int = 3,
+    decontaminationN: Int = 8,
     numHashes: Int = 16,
     rowsPerBand: Int = 4,
     jaccardMin: Double = 0.8,
@@ -72,14 +83,22 @@ object CorpusPipeline {
         col("__q.punct_ratio") <= cfg.maxPunctRatio)
       .drop("__q")
 
-    // 1b. optional eval decontamination: drop docs sharing any shingle
-    // with the benchmark set ([[NearDup.decontaminate]] — broadcast semi
-    // filter, the corpus stream never shuffles here)
-    val quality = benchmark.fold(quality0)(b =>
-      NearDup.decontaminate(quality0, b, "doc_id", "text", cfg.shingleN))
+    // 1b. optional eval decontamination: drop docs sharing any
+    // decontaminationN-gram with the benchmark set (broadcast semi
+    // filter, the corpus stream never shuffles here). The contaminated id
+    // set — a tiny sliver — is persisted and counted directly, instead of
+    // differencing two corpus-sized counts: that saves one full
+    // scan+filter pass over the corpus AND keeps the report from being
+    // recomputed by the anti-join below.
+    val contaminatedIds = benchmark.map(b =>
+      NearDup.contaminationReport(quality0, b, "doc_id", "text",
+          cfg.decontaminationN)
+        .select(col("doc_id"))
+        .persist(MEMORY_AND_DISK))
+    val decontaminated = contaminatedIds.fold(0L)(_.count())
+    val quality = contaminatedIds.fold(quality0)(ids =>
+      quality0.join(ids, Seq("doc_id"), "left_anti"))
     val afterQuality = quality.count()
-    val decontaminated =
-      if (benchmark.isEmpty) 0L else quality0.count() - afterQuality
 
     // 2. exact dedup: smallest doc_id survives per content hash.
     // Persisted: it feeds the stage count, the shingle stream, AND the
@@ -90,6 +109,8 @@ object CorpusPipeline {
         col("doc_id").asc)
       .persist(MEMORY_AND_DISK)
     val afterExact = exact.count()
+    // exact is materialized — nothing re-reads the quality lineage now
+    contaminatedIds.foreach(_.unpersist())
 
     // 3. near-dup: LSH candidates → exact-Jaccard verify (restricted to
     // candidate docs) → drop the larger id of each verified pair

@@ -256,11 +256,12 @@ object NearDup {
     * every position is non-null. */
   def signatureColumn(textCol: Column, n: Int, numHashes: Int): Column = {
     val sh = call_function("shingle_hashes", TextOps.tokens(textCol), lit(n))
-    transform(sequence(lit(0), lit(numHashes - 1)), i => {
-      val a = (lit(2654435761L) * (i + lit(1))) % TextOps.HashMod
-      val b = (lit(2246822519L) * (i + lit(1))) % TextOps.HashMod
-      array_min(transform(sh, h => (a * h + b) % TextOps.HashMod))
-    })
+    // same TextOps.affineHash family as minhashRows — sharing the one
+    // definition is what KEEPS the streaming signature bit-identical to
+    // the batch tier if the family ever changes again (it already did
+    // once: the correlated pre-affine family collapsed LSH recall)
+    transform(sequence(lit(0), lit(numHashes - 1)), i =>
+      array_min(transform(sh, h => TextOps.affineHash(h, i))))
   }
 
   /** Benchmark decontamination report — the eval-leakage check of a

@@ -110,7 +110,16 @@ object Sampling {
     val total = feasible.max
     val factors = norm.collect {
       case (s, w) if counts.getOrElse(s, 0L) > 0 =>
-        s -> total * w / counts(s)
+        // snap near-integer factors to the integer: total = n_binding/w
+        // round-trips through doubles, and a factor 1 ulp below its exact
+        // integer value (binding stratum: exactly 1.0) turns the
+        // fractional threshold into ~999999/1e6 — rows whose hash lands on
+        // the last threshold value would silently LOSE a copy, violating
+        // "binding stratum keeps factor 1.0". Same hazard rebalanceToMix
+        // snaps; here any integer factor is exposed, not just 1.0.
+        val f = total * w / counts(s)
+        val r = math.rint(f)
+        s -> (if (math.abs(f - r) < 1e-9) r else f)
     }
     val fCol = factors.foldLeft(lit(0.0)) { case (acc, (s, f)) =>
       when(strataCol === s, lit(f)).otherwise(acc)

@@ -203,7 +203,8 @@ object TextOps {
         col("rank").cast("int").as("rank"))
   }
 
-  /** Markup removal for web-scraped corpora: drop script/style blocks
+  /** Markup removal for web-scraped corpora: drop HTML comments (which
+    * may contain '>'), drop script/style blocks
     * with their content, strip remaining tags, decode the five predefined
     * entities (&amp; LAST — decoding it first would double-decode
     * "&amp;lt;"), collapse whitespace. Regexes avoid backreferences so
@@ -211,7 +212,10 @@ object TextOps {
     * Pure codegen'd per-row chain — zero exchange, composes with any
     * downstream shuffle untaxed. */
   def stripMarkup(c: Column): Column = {
-    val noBlock = regexp_replace(c,
+    // comments FIRST: `<[^>]+>` stops at the first '>', so without this
+    // pre-pass `<!-- ads > popups -->` leaves ` popups -->` in the text
+    val noComment = regexp_replace(c, "(?s)<!--.*?-->", " ")
+    val noBlock = regexp_replace(noComment,
       "(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>", " ")
     val noTags = regexp_replace(noBlock, "<[^>]+>", " ")
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",

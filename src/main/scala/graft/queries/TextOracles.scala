@@ -463,14 +463,16 @@ object TextOracles {
 
     "q100_strip_markup" ->
       """WITH p AS (SELECT doc_id,
-        |    '<html><body  class="doc"><h1>T</h1><p>' || substr(text, 1, 80)
+        |    '<html><!-- ads > popups --><body  class="doc"><h1>T</h1><p>'
+        |    || substr(text, 1, 80)
         |    || ' &amp; more &lt;tail&gt;</p><script>var x = 1;</script>'
         |    || '</body></html>' AS payload
         |  FROM documents),
         |s AS (SELECT doc_id, trim(regexp_replace(
         |    replace(replace(replace(replace(replace(
         |      regexp_replace(
-        |        regexp_replace(payload,
+        |        regexp_replace(
+        |          regexp_replace(payload, '(?s)<!--.*?-->', ' ', 'g'),
         |          '(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>',
         |          ' ', 'g'),
         |        '<[^>]+>', ' ', 'g'),
@@ -489,7 +491,11 @@ object TextOracles {
          |                  ELSE CAST(0.25 AS DOUBLE) END AS wn
          |      FROM c),
          |t AS (SELECT MAX(n / wn) AS total FROM w),
-         |f AS (SELECT lang, (SELECT total FROM t) * wn / n AS f FROM w),
+         |f0 AS (SELECT lang, (SELECT total FROM t) * wn / n AS f FROM w),
+         |-- near-integer snap, mirroring upsampleToMix's 1e-9 guard
+         |f AS (SELECT lang, CASE WHEN abs(f - round(f)) < 1e-9
+         |                        THEN round(f) ELSE f END AS f
+         |      FROM f0),
          |r AS (SELECT d.doc_id, d.lang,
          |        CAST(floor(f.f) AS BIGINT) +
          |        CASE WHEN (${H("CAST(d.doc_id AS VARCHAR) || '#7'")}

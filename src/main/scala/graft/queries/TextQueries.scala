@@ -248,7 +248,7 @@ object TextQueries {
     * whitespace collapsed ([[TextOps.stripMarkup]]). */
   def qStripMarkup(s: SparkSession, dir: String): DataFrame = {
     val payload = concat(
-      lit("<html><body  class=\"doc\"><h1>T</h1><p>"),
+      lit("<html><!-- ads > popups --><body  class=\"doc\"><h1>T</h1><p>"),
       substring(col("text"), 1, 80),
       lit(" &amp; more &lt;tail&gt;</p><script>var x = 1;</script>"),
       lit("</body></html>"))

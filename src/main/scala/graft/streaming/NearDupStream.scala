@@ -76,7 +76,12 @@ object NearDupStream {
               out += Candidate(math.min(oldId, d.doc_id),
                 math.max(oldId, d.doc_id), est)
           }
-          stored = ((d.doc_id, d.sig) :: stored).take(maxBucketDocs)
+          // filterNot: an at-least-once source can redeliver a doc_id —
+          // without the dedupe the duplicate occupies a second state slot
+          // (evicting a distinct older doc early) and double-emits every
+          // future candidate against this doc
+          stored = ((d.doc_id, d.sig) :: stored.filterNot(_._1 == d.doc_id))
+            .take(maxBucketDocs)
         }
         state.update(BucketState(stored))
         if (maxTs != Long.MinValue)

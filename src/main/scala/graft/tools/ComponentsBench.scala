@@ -48,16 +48,20 @@ object ComponentsBench {
     val nComponents = labels.select("component").distinct().count()
     val secs = (System.nanoTime() - t0) / 1e9
     val st = stats.get
+    // Locale.ROOT: the f interpolator renders decimal COMMAS on e.g.
+    // de_DE JVMs — invalid JSON (same guard as Bench.d4)
+    def d(v: Double, places: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(v))
     val perRound = st.perRound.map(r =>
-      f"""{"round":${r.round},"changed":${r.changed},"secs":${r.secs}%.2f,""" +
-        f""""shuffle_read_mb":${r.shuffleReadMB}%.1f,""" +
-        f""""shuffle_write_mb":${r.shuffleWriteMB}%.1f}""")
+      s"""{"round":${r.round},"changed":${r.changed},"secs":${d(r.secs, 2)},""" +
+        s""""shuffle_read_mb":${d(r.shuffleReadMB, 1)},""" +
+        s""""shuffle_write_mb":${d(r.shuffleWriteMB, 1)}}""")
       .mkString("[", ",", "]")
     println(
-      f"""{"components_bench": {"nodes": ${st.nodes}, "edges": ${st.edges}, """ +
-        f""""components": $nComponents, "expected_components": ${nClusters + nChains}, """ +
-        f""""rounds": ${st.rounds}, "chain_len": $chainLen, "secs": $secs%.1f, """ +
-        f""""per_round": $perRound}}""")
+      s"""{"components_bench": {"nodes": ${st.nodes}, "edges": ${st.edges}, """ +
+        s""""components": $nComponents, "expected_components": ${nClusters + nChains}, """ +
+        s""""rounds": ${st.rounds}, "chain_len": $chainLen, "secs": ${d(secs, 1)}, """ +
+        s""""per_round": $perRound}}""")
     assert(nComponents == nClusters + nChains,
       s"component count $nComponents != planted ${nClusters + nChains}")
     spark.stop()

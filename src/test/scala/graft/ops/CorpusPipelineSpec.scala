@@ -41,6 +41,35 @@ class CorpusPipelineSpec extends SparkSpecBase {
     assert(s2.decontaminated == 0)
   }
 
+  test("decontamination uses the long n-gram window, not the LSH shingle") {
+    // corpus doc shares the trigram "alpha bravo charlie" with the
+    // benchmark but no 8-gram: at decontaminationN = 8 (default) it must
+    // SURVIVE — coupling the stage to shingleN = 3 would gut any natural-
+    // language corpus, where common trigrams are unavoidable
+    val corpus = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india", "en",
+        "t", 50L),
+      (2L, "unrelated words entirely different content here now ok", "en",
+        "t", 50L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val bench = Seq(
+      (100L, "xray yankee zulu alpha bravo charlie quebec romeo sierra",
+        "en", "t", 50L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (result, stats) = CorpusPipeline.run(corpus,
+      CorpusPipeline.Config(minTokens = 0, maxPunctRatio = 1.0),
+      benchmark = Some(bench))
+    assert(stats.decontaminated == 0, s"$stats")
+    assert(result.count() == 2)
+    // at decontaminationN = 3 the trigram overlap does disqualify doc 1
+    val (r3, s3) = CorpusPipeline.run(corpus,
+      CorpusPipeline.Config(minTokens = 0, maxPunctRatio = 1.0,
+        decontaminationN = 3),
+      benchmark = Some(bench))
+    assert(s3.decontaminated == 1, s"$s3")
+    assert(r3.select("doc_id").as[Long].collect().toSet == Set(2L))
+  }
+
   test("near-dup stage removes planted duplicates, keeps the smallest id") {
     val base = docs.limit(50)
     // plant: doc_id+100000 with identical text (exact dup), doc_id+200000

@@ -109,6 +109,21 @@ class SamplingSpec extends SparkSpecBase {
     assert(m2 == m3)
   }
 
+  test("upsampleToMix snaps near-integer factors: no silent row loss") {
+    // counts {en: 1, zh: 1}, weights {0.6, 0.9}: en is binding with exact
+    // factor 1.0, but the double round-trip through normalize → total →
+    // factor yields 0.9999999999999999 — without the snap, floor = 0 and
+    // an en row whose hash lands on the last fractional threshold gets
+    // ZERO copies (silent deletion, violating "binding stratum ×1")
+    val df = Seq((1L, "en"), (2L, "zh")).toDF("id", "lang")
+    val (out, factors) = Sampling.upsampleToMix(df, col("id"), col("lang"),
+      Map("en" -> 0.6, "zh" -> 0.9), seed = 5)
+    assert(factors("en") == 1.0, s"binding factor not snapped: $factors")
+    assert(factors("zh") == 1.5, s"$factors")
+    // every input row appears at least once — the upsample contract
+    assert(out.select("id").distinct().count() == 2)
+  }
+
   test("weightedSample: deterministic, k-bounded, drops w<=0") {
     val df = (1L to 300L).map(i => (i, (i % 7 + 1).toDouble))
       .toDF("id", "w")

@@ -208,6 +208,22 @@ class TextOpsSpec extends SparkSpecBase {
       "bold \"quoted\" ><")) // tags become spaces, then collapse
   }
 
+  test("stripMarkup: comments with '>' inside leave no residue") {
+    import spark.implicits._
+    val got = Seq(
+      // `<[^>]+>` alone stops at the first '>': "<!-- ads >" would match,
+      // leaking " popups -->" into the text
+      "<!-- ads > popups --><p>hi</p>",
+      // multi-line comment ((?s) makes . span newlines)
+      "<div>a</div><!-- line1\nline2 -->b",
+      // '>' inside an attribute value still strips as a tag boundary —
+      // accepted regex-tier limit, but the common comment case is clean
+      "x <!--c1--> y <!--c2--> z")
+      .toDF("t").select(TextOps.stripMarkup(col("t")).as("c"))
+      .as[String].collect().toSeq
+    assert(got == Seq("hi", "a b", "x y z"))
+  }
+
   test("unigram log-prob score: hand-computed, partitioning-invariant") {
     import spark.implicits._
     // corpus model: a→2/5, b→2/5, c→1/5 (5 tokens total)

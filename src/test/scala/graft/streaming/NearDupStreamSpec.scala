@@ -94,4 +94,39 @@ class NearDupStreamSpec extends SparkSpecBase {
       assert(with4 == Set(2L, 3L), s"$with4") // doc 1 evicted by the cap
     } finally q.stop()
   }
+
+  test("redelivered doc_id occupies one state slot and emits once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val sdf = mem.toDF.toDF("doc_id", "ts", "text")
+    val q = NearDupStream.candidates(sdf, minEstJaccard = 0.9,
+        maxBucketDocs = 3)
+      .writeStream.format("memory").queryName("neardup_redeliver_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // doc 1, doc 2, then doc 1 REDELIVERED (at-least-once source).
+      // Without the state dedupe the bucket holds [1, 2, 1]: the
+      // duplicate burns a cap slot and doc 3 pairs against doc 1 TWICE.
+      mem.addData((1L, ts("2024-01-01 10:01:00"), orig))
+      q.processAllAvailable()
+      mem.addData((2L, ts("2024-01-01 10:02:00"), orig))
+      q.processAllAvailable()
+      mem.addData((1L, ts("2024-01-01 10:03:00"), orig)) // redelivery
+      q.processAllAvailable()
+      mem.addData((3L, ts("2024-01-01 10:04:00"), orig))
+      q.processAllAvailable()
+      val rows = spark.table("neardup_redeliver_sink").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // identical docs share all 16/4 = 4 band buckets, so each pair
+      // legitimately emits once PER BUCKET: exactly 4 rows per pair. A
+      // redelivered doc holding two state slots would emit (1,3) twice
+      // per bucket = 8 rows.
+      val with3 = rows.filter(_._2 == 3L)
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(with3 == Map((1L, 3L) -> 4, (2L, 3L) -> 4), s"$with3")
+      // redelivery never pairs a doc with itself
+      assert(!rows.contains((1L, 1L)))
+    } finally q.stop()
+  }
 }
