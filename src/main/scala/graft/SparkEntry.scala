@@ -105,6 +105,8 @@ object SparkEntry {
     "q96_decontaminate"      -> TextQueries.qDecontaminate _,
     "q97_ancestor_rollup"    -> Relational.q97AncestorRollup _,
     "q98_unigram_quality"    -> TextQueries.qUnigramQuality _,
+    "q101_bigram_quality"    -> TextQueries.qBigramQuality _,
+    "q102_pq_rerank"         -> VectorQueries.qPqRerank _,
     "q99_upsample_mix"       -> TextQueries.qUpsampleMix _,
     "q100_strip_markup"      -> TextQueries.qStripMarkup _,
     // streaming-shaped transforms, batch-parity forms (events table)

@@ -259,6 +259,55 @@ object TextOps {
         round(sum(lp).cast("double") / count(lit(1)), 6).as("avg_logprob"))
   }
 
+  /** Interpolated bigram LM quality score — the next rung above
+    * [[unigramLogProbScore]] on the perplexity-proxy ladder (what KenLM
+    * filters actually use, minus backoff): per doc, the mean natural-log
+    * probability of its token BIGRAMS under
+    * λ·p(w₂|w₁) + (1−λ)·p(w₂), both estimated from the corpus itself.
+    * Repetitive boilerplate scores high on bigram context; shuffled-word
+    * gibberish that fools a unigram model (common words, nonsense order)
+    * scores low — that separation is why curation pipelines step up from
+    * unigram to bigram scoring.
+    *
+    * Plan shape: the bigram stream is a pure per-row zip of the token
+    * array with its own tail — NO window shuffle (the lead()-window form
+    * would sort the corpus token stream per doc). Two model aggregates
+    * (bigram counts, unigram counts — both vocabulary-sized with map-side
+    * partials) join back onto the bigram stream by hash; text never
+    * shuffles. Per-bigram logs round to 9 places and sum as DECIMAL so
+    * the score is partitioning-invariant (q81 exact-moments pattern).
+    *
+    * Docs with fewer than 2 tokens have no bigrams and are absent from
+    * the output (callers treat no-score as no-signal). */
+  def bigramLogProbScore(docs: DataFrame, idCol: String, textCol: String,
+                         lambda: Double = 0.75): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]")
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val uc = tok.groupBy(col("term")).agg(count(lit(1)).as("uc"))
+    // corpus total from the vocabulary-sized frame, not a third scan
+    val total = uc.agg(sum(col("uc")).as("n_total"))
+    val bi = docs.select(col(idCol), tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bc"))
+    val p = lit(lambda) *
+        (col("bc").cast("double") / col("c1").cast("double")) +
+      lit(1.0 - lambda) *
+        (col("uc2").cast("double") / col("n_total").cast("double"))
+    val lp = round(log(p), 9).cast("decimal(18,9)")
+    bi.join(bc, Seq("w1", "w2"))
+      .join(uc.select(col("term").as("w1"), col("uc").as("c1")), "w1")
+      .join(uc.select(col("term").as("w2"), col("uc").as("uc2")), "w2")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(sum(lp).cast("double") / count(lit(1)), 6).as("avg_logprob2"))
+  }
+
   /** Overlapping fixed-width chunking — the context-window prep step of
     * an LLM-data pipeline (and RAG indexing): each doc's token stream is
     * cut into `chunkSize`-token windows every `stride` tokens (stride <

@@ -361,6 +361,42 @@ object VectorOps {
         round(col("cos"), 6).as("approx_dot"))
   }
 
+  /** Two-stage retrieval: ADC shortlist → exact re-rank — the production
+    * billion-scale search shape (IVF/PQ shortlist, exact distances only
+    * on the survivors). Stage 1 runs [[pqTopK]] for `shortlist` (≫ k)
+    * candidates per query using ONLY the PQ code rows; stage 2 joins the
+    * shortlist back to the float embeddings and re-ranks by exact cosine,
+    * returning top-k. Re-ranking repairs most of the quantization error:
+    * ADC's approximate order is wrong exactly where margins are tight,
+    * and those inversions sit inside the shortlist, where exact scoring
+    * fixes them.
+    *
+    * Scale shape: the corpus floats are touched only for shortlist·|q|
+    * rows — a semi-join-sized read, not a scan; the queries frame is
+    * search-batch-sized and broadcasts. Cost knob: `shortlist` trades
+    * recall against exact-scoring volume (the standard 2–10× k). */
+  def pqRerankTopK(queries: DataFrame, codes: DataFrame,
+                   codebooks: DataFrame, corpus: DataFrame,
+                   m: Int, k: Int, shortlist: Int,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val short = pqTopK(queries, codes, codebooks, m, shortlist, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val rescored = short
+      .join(c, "neighbor_id") // shuffles only shortlist ids + their vecs
+      .join(broadcast(q), "query_id")
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+    TopK.topKPerGroup(rescored.select(col("query_id"), col("neighbor_id"),
+        col("cos")), "query_id", "neighbor_id", "cos", k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("int").as("rank"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Candidate near-dup pairs from shared SRP buckets, verified with exact
     * cosine ≥ minCos. */
   def srpNearDupPairs(vecs: DataFrame, numPlanes: Int, minCos: Double,

@@ -507,6 +507,28 @@ object TextOracles {
          |  unnest(generate_series(1, copies)) AS copy_idx
          |FROM r WHERE copies > 0""".stripMargin,
 
+    "q101_bigram_quality" ->
+      s"""WITH tok0 AS (SELECT doc_id, $Tk AS tk FROM documents),
+         |tok AS (SELECT doc_id, unnest(tk) AS term FROM tok0),
+         |uc AS (SELECT term, COUNT(*) AS uc FROM tok GROUP BY term),
+         |tot AS (SELECT CAST(SUM(uc) AS BIGINT) AS n_total FROM uc),
+         |bi AS (SELECT doc_id, tk[u.i] AS w1, tk[u.i + 1] AS w2
+         |       FROM tok0, LATERAL (SELECT unnest(
+         |         generate_series(1, len(tk) - 1)) AS i) u
+         |       WHERE len(tk) >= 2),
+         |bc AS (SELECT w1, w2, COUNT(*) AS bc FROM bi GROUP BY w1, w2)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |  ROUND(CAST(SUM(CAST(ROUND(ln(
+         |      0.75 * (CAST(bc.bc AS DOUBLE) / CAST(u1.uc AS DOUBLE)) +
+         |      0.25 * (CAST(u2.uc AS DOUBLE) /
+         |              CAST((SELECT n_total FROM tot) AS DOUBLE))
+         |    ), 9) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
+         |    AS avg_logprob2
+         |FROM bi JOIN bc USING (w1, w2)
+         |  JOIN uc u1 ON bi.w1 = u1.term
+         |  JOIN uc u2 ON bi.w2 = u2.term
+         |GROUP BY doc_id""".stripMargin,
+
     "q98_unigram_quality" ->
       s"""WITH tok0 AS (SELECT doc_id, $Tk AS tk FROM documents),
          |tok AS (SELECT doc_id, unnest(tk) AS term FROM tok0),

@@ -276,6 +276,12 @@ object TextQueries {
   def qUnigramQuality(s: SparkSession, dir: String): DataFrame =
     TextOps.unigramLogProbScore(Tables.documents(s, dir), "doc_id", "text")
 
+  /** Interpolated bigram LM quality score
+    * ([[TextOps.bigramLogProbScore]], λ = 0.75) — the KenLM-style rung
+    * above the unigram proxy. */
+  def qBigramQuality(s: SparkSession, dir: String): DataFrame =
+    TextOps.bigramLogProbScore(Tables.documents(s, dir), "doc_id", "text")
+
   /** SimHash signature per doc (16-bit) + population count. */
   def qSimhash(s: SparkSession, dir: String): DataFrame =
     NearDup.simhash(Tables.documents(s, dir), "doc_id", "text")

@@ -32,6 +32,51 @@ object VectorOracles {
     s"CAST(${terms.mkString(" + ")} AS BIGINT)"
   }
 
+  /** Shared CTE chain for the PQ-ADC tier (q65/q102): label-mean
+    * codebooks per 32-dim subspace → L2 encode → per-query lookup table →
+    * summed approximate scores `sc(query_id, neighbor_id, approx)`.
+    * Mirrors [[VectorQueries.qPqAdc]]'s books + [[graft.ops.VectorOps]]
+    * pqEncode/pqTopK value-exactly (m = 2 keeps the part sum
+    * commutative). */
+  private val PqAdcCtes: String = {
+    val qsl = "q.embedding[b.sub*32+1 : b.sub*32+32]"
+    s"""subs AS (SELECT 0 AS sub UNION ALL SELECT 1),
+       |dims AS (SELECT label, embedding AS emb,
+       |           unnest(range(1, len(embedding) + 1)) AS i
+       |         FROM embeddings),
+       |means AS (SELECT label, i,
+       |            CAST(SUM(CAST(ROUND(CAST(emb[i] AS DOUBLE)
+       |                               * 1000000000) AS BIGINT)) AS BIGINT)
+       |              / (COUNT(*) * 1000000000.0) AS c
+       |          FROM dims GROUP BY label, i),
+       |cents AS (SELECT label, list(c ORDER BY i) AS centroid
+       |          FROM means GROUP BY label),
+       |books AS (SELECT s.sub, label AS code,
+       |            centroid[s.sub*32+1 : s.sub*32+32] AS cent
+       |          FROM cents CROSS JOIN subs s),
+       |subv AS (SELECT vec_id, s.sub,
+       |           embedding[s.sub*32+1 : s.sub*32+32] AS v
+       |         FROM embeddings CROSS JOIN subs s),
+       |scored AS (SELECT vec_id, sub, code,
+       |             ROUND(${dot("v", "v")} - 2 * ${dot("v", "cent")}
+       |                   + ${dot("cent", "cent")}, 6) AS d
+       |           FROM subv JOIN books USING (sub)),
+       |enc AS (SELECT vec_id, sub, code FROM
+       |          (SELECT vec_id, sub, code,
+       |             row_number() OVER (PARTITION BY vec_id, sub
+       |               ORDER BY d ASC, code ASC) AS rn
+       |           FROM scored) z WHERE rn = 1),
+       |qt AS (SELECT q.vec_id AS query_id, b.sub, b.code,
+       |         ${dot(qsl, "b.cent")} AS part
+       |       FROM embeddings q CROSS JOIN books b
+       |       WHERE q.vec_id < ${VectorQueries.NumQueryVecs}),
+       |sc AS (SELECT t.query_id, e.vec_id AS neighbor_id,
+       |         SUM(t.part) AS approx
+       |       FROM enc e JOIN qt t ON t.sub = e.sub AND t.code = e.code
+       |       WHERE t.query_id <> e.vec_id
+       |       GROUP BY t.query_id, e.vec_id)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // full-probe IVF ≡ brute force (every corpus vector is in a probed
     // list), so the oracle is the same exhaustive top-k — it pins the
@@ -119,50 +164,35 @@ object VectorOracles {
 
     // PQ-ADC: label-mean codebooks per 32-dim subspace (nano-unit means),
     // L2 encode (rounded argmin, code tiebreak), lookup-table scoring
-    "q65_pq_adc" -> {
-      val qsl = "q.embedding[b.sub*32+1 : b.sub*32+32]"
-      s"""WITH subs AS (SELECT 0 AS sub UNION ALL SELECT 1),
-         |dims AS (SELECT label, embedding AS emb,
-         |           unnest(range(1, len(embedding) + 1)) AS i
-         |         FROM embeddings),
-         |means AS (SELECT label, i,
-         |            CAST(SUM(CAST(ROUND(CAST(emb[i] AS DOUBLE)
-         |                               * 1000000000) AS BIGINT)) AS BIGINT)
-         |              / (COUNT(*) * 1000000000.0) AS c
-         |          FROM dims GROUP BY label, i),
-         |cents AS (SELECT label, list(c ORDER BY i) AS centroid
-         |          FROM means GROUP BY label),
-         |books AS (SELECT s.sub, label AS code,
-         |            centroid[s.sub*32+1 : s.sub*32+32] AS cent
-         |          FROM cents CROSS JOIN subs s),
-         |subv AS (SELECT vec_id, s.sub,
-         |           embedding[s.sub*32+1 : s.sub*32+32] AS v
-         |         FROM embeddings CROSS JOIN subs s),
-         |scored AS (SELECT vec_id, sub, code,
-         |             ROUND(${dot("v", "v")} - 2 * ${dot("v", "cent")}
-         |                   + ${dot("cent", "cent")}, 6) AS d
-         |           FROM subv JOIN books USING (sub)),
-         |enc AS (SELECT vec_id, sub, code FROM
-         |          (SELECT vec_id, sub, code,
-         |             row_number() OVER (PARTITION BY vec_id, sub
-         |               ORDER BY d ASC, code ASC) AS rn
-         |           FROM scored) z WHERE rn = 1),
-         |qt AS (SELECT q.vec_id AS query_id, b.sub, b.code,
-         |         ${dot(qsl, "b.cent")} AS part
-         |       FROM embeddings q CROSS JOIN books b
-         |       WHERE q.vec_id < ${VectorQueries.NumQueryVecs}),
-         |sc AS (SELECT t.query_id, e.vec_id AS neighbor_id,
-         |         SUM(t.part) AS approx
-         |       FROM enc e JOIN qt t ON t.sub = e.sub AND t.code = e.code
-         |       WHERE t.query_id <> e.vec_id
-         |       GROUP BY t.query_id, e.vec_id),
+    "q65_pq_adc" ->
+      s"""WITH $PqAdcCtes,
          |r AS (SELECT query_id, neighbor_id, approx,
          |        CAST(row_number() OVER (PARTITION BY query_id
          |          ORDER BY approx DESC, neighbor_id ASC) AS INTEGER) AS rank
          |      FROM sc)
          |SELECT query_id, neighbor_id, rank, ROUND(approx, 6) AS approx_dot
-         |FROM r WHERE rank <= ${VectorQueries.TopK}""".stripMargin
-    },
+         |FROM r WHERE rank <= ${VectorQueries.TopK}""".stripMargin,
+
+    // two-stage retrieval: the same ADC pipeline shortlists 15, then the
+    // float embeddings re-rank the shortlist by exact cosine → top-5
+    "q102_pq_rerank" ->
+      s"""WITH $PqAdcCtes,
+         |short AS (SELECT query_id, neighbor_id FROM
+         |            (SELECT query_id, neighbor_id,
+         |               row_number() OVER (PARTITION BY query_id
+         |                 ORDER BY approx DESC, neighbor_id ASC) AS rn
+         |             FROM sc) z WHERE rn <= ${VectorQueries.Shortlist}),
+         |ex AS (SELECT s.query_id, s.neighbor_id,
+         |         ${cos("q.embedding", "c.embedding")} AS cos
+         |       FROM short s
+         |         JOIN embeddings q ON q.vec_id = s.query_id
+         |         JOIN embeddings c ON c.vec_id = s.neighbor_id),
+         |r2 AS (SELECT query_id, neighbor_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+         |       FROM ex)
+         |SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS cos_sim
+         |FROM r2 WHERE rank <= ${VectorQueries.TopK}""".stripMargin,
 
     "q34_label_centroids" ->
       s"""WITH e AS (SELECT label, embedding AS emb,

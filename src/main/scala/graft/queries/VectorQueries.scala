@@ -17,6 +17,7 @@ object VectorQueries {
   val NumQueryVecs = 20
   val TopK = 5
   val SrpPlanes = 12
+  val Shortlist = 15
 
   /** Brute-force exact top-k cosine neighbors for the first N vec ids. */
   def qAnnBruteforce(s: SparkSession, dir: String): DataFrame = {
@@ -96,8 +97,17 @@ object VectorQueries {
   def qPqAdc(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val m = 2
-    val dsub = 32
-    val books = (0 until m).map { sub =>
+    val books = labelMeanBooks(emb, m, 32)
+    val codes = VectorOps.pqEncode(emb, books, m)
+    VectorOps.pqTopK(emb.filter(col("vec_id") < NumQueryVecs),
+      codes, books, m, TopK)
+  }
+
+  /** The label-mean PQ codebooks shared by q65/q102 (integer nano-unit
+    * accumulation — the q60 pattern). Persisted: encode + search both
+    * consume the frame repeatedly. */
+  private def labelMeanBooks(emb: DataFrame, m: Int, dsub: Int): DataFrame =
+    (0 until m).map { sub =>
       emb.select(col("label"),
           posexplode(slice(col("embedding"), sub * dsub + 1, dsub))
             .as(Seq("pos", "v")))
@@ -112,9 +122,18 @@ object VectorQueries {
           col("label").cast("long").as("centroid_id"), col("centroid"))
     }.reduce(_ unionByName _)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Two-stage retrieval ([[VectorOps.pqRerankTopK]]): ADC shortlist of
+    * 15 over the same label-mean books as q65, exact-cosine re-rank to
+    * top-5. The oracle replays both tiers, so the shortlist boundary AND
+    * the re-rank order are pinned value-exactly. */
+  def qPqRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val m = 2
+    val books = labelMeanBooks(emb, m, 32)
     val codes = VectorOps.pqEncode(emb, books, m)
-    VectorOps.pqTopK(emb.filter(col("vec_id") < NumQueryVecs),
-      codes, books, m, TopK)
+    VectorOps.pqRerankTopK(emb.filter(col("vec_id") < NumQueryVecs),
+      codes, books, emb, m, TopK, Shortlist)
   }
 
   /** IVF ANN, oracle-gated: label-centroid codebook + full probe. At full

@@ -224,6 +224,38 @@ class TextOpsSpec extends SparkSpecBase {
     assert(got == Seq("hi", "a b", "x y z"))
   }
 
+  test("bigram log-prob score: hand-computed, short docs absent") {
+    import spark.implicits._
+    // unigram model counts EVERY doc's tokens (including bigram-less
+    // doc 3): uc = {a:3, b:3, solo:1}, total 7; bc = {(a,b):2, (b,a):2}
+    // p(a→b) = .75·(2/3) + .25·(3/7) = 0.6071428571428571 = p(b→a)
+    // ln → -0.498991166 (round9) → avg → round6
+    val docs = Seq((1L, "a b a b"), (2L, "b a"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    for (parts <- Seq(1, 3)) {
+      val got = TextOps.bigramLogProbScore(docs.repartition(parts),
+          "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      assert(got.keySet == Set(1L, 2L)) // doc 3 has no bigrams
+      assert(got(1L) == (3L, -0.498991), s"$got")
+      assert(got(2L) == (1L, -0.498991), s"$got")
+    }
+  }
+
+  test("bigram score separates word-salad from ordered prose") {
+    import spark.implicits._
+    // same unigram bag, different order: a unigram model scores these
+    // identically; the bigram model must rank the in-order doc higher
+    val prose = "the cat sat on the mat and the dog sat on the rug"
+    val salad = "mat the on dog sat the rug cat the and on sat the"
+    val docs = Seq((1L, prose), (2L, prose), (3L, salad))
+      .toDF("doc_id", "text")
+    val got = TextOps.bigramLogProbScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) > got(3L), s"$got")
+  }
+
   test("unigram log-prob score: hand-computed, partitioning-invariant") {
     import spark.implicits._
     // corpus model: a→2/5, b→2/5, c→1/5 (5 tokens total)

@@ -208,6 +208,33 @@ class VectorOpsSpec extends SparkSpecBase {
     assert(a == c2)
   }
 
+  test("pqRerankTopK with corpus-wide shortlist equals brute force") {
+    // shortlist = |corpus| ⇒ stage 1 excludes nothing and stage 2 is an
+    // exact scan: the two-stage result must match bruteForceTopK row for
+    // row, pinning the re-rank join + ordering machinery
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(60)
+      .persist()
+    val m = 2
+    val books = VectorOps.pqTrain(emb, m = m, k = 4, iters = 2)
+    val codes = VectorOps.pqEncode(emb, books, m)
+    val queries = emb.filter($"vec_id" < 5)
+    val n = emb.count().toInt
+    val rr = VectorOps.pqRerankTopK(queries, codes, books, emb, m,
+        k = 4, shortlist = n)
+      .select($"query_id", $"neighbor_id", $"rank", $"cos_sim")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val bf = VectorOps.bruteForceTopK(queries, emb, 4)
+      .select($"query_id", $"neighbor_id", $"rank", $"cos_sim")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(rr == bf, s"rerank diverged: ${(rr -- bf).take(3)}")
+    // tight shortlists still return exactly k ranked rows per query
+    val tight = VectorOps.pqRerankTopK(queries, codes, books, emb, m,
+      k = 4, shortlist = 6)
+    assert(tight.groupBy($"query_id").count()
+      .filter($"count" =!= 4).count() == 0)
+    emb.unpersist()
+  }
+
   test("kmeansFit keeps previous centroid for empty lists") {
     // identical points: assignment ties all break to one centroid, the
     // other list is empty every round and must keep its seed centroid
