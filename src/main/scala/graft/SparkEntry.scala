@@ -107,6 +107,7 @@ object SparkEntry {
     "q98_unigram_quality"    -> TextQueries.qUnigramQuality _,
     "q101_bigram_quality"    -> TextQueries.qBigramQuality _,
     "q102_pq_rerank"         -> VectorQueries.qPqRerank _,
+    "q103_pack_manifest"     -> TextQueries.qPackManifest _,
     "q99_upsample_mix"       -> TextQueries.qUpsampleMix _,
     "q100_strip_markup"      -> TextQueries.qStripMarkup _,
     // streaming-shaped transforms, batch-parity forms (events table)

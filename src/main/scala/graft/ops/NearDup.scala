@@ -197,6 +197,29 @@ object NearDup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** Per-ROW simhash signature — the streaming-tier complement of
+    * [[simhash]], exactly as [[signatureColumn]] complements
+    * [[minhashRows]]: the ±1 bit sums fold over the row's own token-hash
+    * array (one `aggregate` carrying a bits-wide counter array), so the
+    * signature needs ZERO shuffle and is computable on a stream row at
+    * ingest. Bit-identical to the batch aggregation (spec-pinned): same
+    * poly_hash per token, same ±1 vote per bit, same strict `> 0`
+    * threshold. Docs with no tokens sign as 0 (all votes empty — the
+    * batch tier has no row at all; callers on streams filter empties). */
+  def simhashColumn(textCol: Column, bits: Int = 16): Column = {
+    val votes = aggregate(
+      transform(TextOps.tokens(textCol), t => TextOps.polyHash(t)),
+      array_repeat(lit(0L), bits),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(bits - 1)), (a, j) =>
+        a + when(call_function("shiftright", h, j.cast("int"))
+          .bitwiseAND(1) === 1, lit(1L)).otherwise(lit(-1L))))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(bits - 1)), (v, j) =>
+        when(v > 0, call_function("shiftleft", lit(1L), j.cast("int")))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
   /** Hamming-near pairs on simhash signatures ≤ maxDist apart — the exact
     * all-pairs tier (O(n²): fine for re-ranking small candidate sets,
     * never for a corpus; use [[simhashPairsBlocked]] there). */

@@ -226,6 +226,44 @@ object TextOps {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** Pack manifest — the materialization layer of sequence packing (the
+    * step above q66's placement): every doc becomes one row PER TRAINING
+    * PACK it touches, carrying the token sub-range [slice_start,
+    * slice_start + slice_len) that lands in that pack. Docs straddling a
+    * pack boundary split into contiguous pieces; a pack writer can then
+    * group by pack_id and materialize fixed-width packs with zero
+    * arithmetic of its own.
+    *
+    * Plan shape: one running-sum window per shard (the only shuffle —
+    * shard = whatever the corpus is already partitioned by at 100 TB),
+    * then a pure per-row explode over the touched pack range; piece
+    * count per doc is ceil(n/packSize)+1 at most, so expansion is
+    * bounded by data size, not corpus size. Zero-token docs carry no
+    * tokens into any pack and emit no rows. */
+  def packManifest(docs: DataFrame, idCol: String, shardCol: String,
+                   textCol: String, packSize: Int): DataFrame = {
+    require(packSize >= 1, s"packSize must be >= 1, got $packSize")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs.select(col(idCol), col(shardCol),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .filter(col("n_tokens") > 0)
+      .withColumn("gstart", col("cum") - col("n_tokens"))
+      .withColumn("pack_id", explode(sequence(
+        expr(s"gstart div $packSize"),
+        expr(s"(gstart + n_tokens - 1) div $packSize"))))
+      .select(col(idCol), col(shardCol), col("pack_id"),
+        (greatest(col("gstart"), col("pack_id") * packSize) - col("gstart"))
+          .as("slice_start"),
+        (least(col("gstart") + col("n_tokens"),
+            (col("pack_id") + 1) * packSize) -
+          greatest(col("gstart"), col("pack_id") * packSize))
+          .as("slice_len"))
+  }
+
   /** Unigram language-model quality score — the KenLM-style perplexity
     * proxy of corpus curation, self-contained (the corpus is its own
     * model): per doc, the mean natural-log probability of its tokens

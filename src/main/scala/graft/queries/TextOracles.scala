@@ -279,6 +279,28 @@ object TextOracles {
          |  CAST((cum - n_tokens) % 8192 AS BIGINT) AS offset_in_pack
          |FROM c""".stripMargin,
 
+    "q103_pack_manifest" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |             CAST(len($Tk) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |        SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |          ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM t),
+         |g AS (SELECT doc_id, lang, n_tokens,
+         |        CAST(cum - n_tokens AS BIGINT) AS gstart
+         |      FROM c WHERE n_tokens > 0),
+         |p AS (SELECT doc_id, lang, n_tokens, gstart,
+         |        unnest(generate_series(gstart // 8192,
+         |          (gstart + n_tokens - 1) // 8192)) AS pack_id
+         |      FROM g)
+         |SELECT doc_id, lang, CAST(pack_id AS BIGINT) AS pack_id,
+         |  CAST(GREATEST(gstart, pack_id * 8192) - gstart AS BIGINT)
+         |    AS slice_start,
+         |  CAST(LEAST(gstart + n_tokens, (pack_id + 1) * 8192)
+         |       - GREATEST(gstart, pack_id * 8192) AS BIGINT) AS slice_len
+         |FROM p""".stripMargin,
+
     "q68_boilerplate" ->
       s"""WITH t AS (SELECT doc_id, $Tk AS tk FROM documents),
          |st AS (SELECT doc_id, tk,

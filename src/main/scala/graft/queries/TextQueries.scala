@@ -326,6 +326,14 @@ object TextQueries {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Pack manifest ([[TextOps.packManifest]]): per-(doc, pack) token
+    * slices over the q66 placement — the rows a pack writer consumes
+    * directly, with boundary-straddling docs split into contiguous
+    * pieces. */
+  def qPackManifest(s: SparkSession, dir: String): DataFrame =
+    TextOps.packManifest(Tables.documents(s, dir), "doc_id", "lang",
+      "text", 8192)
+
   /** Deterministic sequence packing: assign each doc its start position
     * in a stream of fixed 8192-token training packs, per language shard
     * — pack_id and offset derive from a running token sum ordered by

@@ -189,4 +189,28 @@ class PlanQualitySpec extends SparkSpecBase {
       assert(!p.contains("Exchange"), p) // pure per-row map over the scan
     }
   }
+
+  test("bigram LM score builds its bigram stream without a window sort") {
+    // the lead()-window formulation would Sort+Exchange the corpus token
+    // stream per doc; the array-zip build must plan NO Sort at all —
+    // every Exchange is a hash agg/join boundary, none a sort prelude
+    val p = plan(graft.queries.TextQueries.qBigramQuality(spark, sf))
+    assert(!p.contains("Sort "), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("pack manifest: one shard-window exchange, per-row pack explode") {
+    val p = plan(graft.queries.TextQueries.qPackManifest(spark, sf))
+    // exactly the shard running-sum exchange — the explode adds none
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("pq re-rank touches corpus floats only via the shortlist join") {
+    val p = plan(graft.queries.VectorQueries.qPqRerank(spark, sf))
+    // the queries side broadcasts into the exact tier; no cartesian of
+    // corpus embeddings anywhere in the re-rank
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -47,6 +47,22 @@ class NearDupSpec extends SparkSpecBase {
     assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
   }
 
+  test("per-row simhashColumn is bit-identical to the batch aggregate") {
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").limit(200)
+    for (bits <- Seq(16, 32)) {
+      val perRow = corpus.select(col("doc_id"),
+        NearDup.simhashColumn(col("text"), bits).as("simhash"))
+      val batch = NearDup.simhash(corpus, "doc_id", "text", bits)
+      assert(perRow.except(batch).count() == 0, s"bits=$bits")
+      assert(batch.except(perRow).count() == 0, s"bits=$bits")
+    }
+    // empty doc: batch tier emits no row; per-row signs as 0
+    val empty = Seq((1L, "")).toDF("doc_id", "text")
+    assert(empty.select(NearDup.simhashColumn(col("text")))
+      .head().getLong(0) == 0L)
+    assert(NearDup.simhash(empty, "doc_id", "text").count() == 0)
+  }
+
   test("blocked simhash pair search equals all-pairs on the corpus") {
     val corpus = spark.read.parquet(s"$sf/documents.parquet")
     val sigs = NearDup.simhash(corpus, "doc_id", "text")

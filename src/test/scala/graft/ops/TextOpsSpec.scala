@@ -224,6 +224,39 @@ class TextOpsSpec extends SparkSpecBase {
     assert(got == Seq("hi", "a b", "x y z"))
   }
 
+  test("packManifest: straddling docs split into contiguous exact slices") {
+    import spark.implicits._
+    def words(n: Int) = Seq.fill(n)("t").mkString(" ")
+    // shard x, packSize 10: doc1 n=4 (g=0), doc2 n=8 (g=4, straddles
+    // packs 0/1), doc3 n=12 (g=12, straddles 1/2); doc4 empty → no rows
+    val docs = Seq((1L, "x", words(4)), (2L, "x", words(8)),
+      (3L, "x", words(12)), (4L, "x", ""))
+      .toDF("doc_id", "lang", "text")
+    val got = TextOps.packManifest(docs, "doc_id", "lang", "text", 10)
+      .select("doc_id", "pack_id", "slice_start", "slice_len")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 0L, 0L, 4L),
+      (2L, 0L, 0L, 6L), (2L, 1L, 6L, 2L),
+      (3L, 1L, 0L, 8L), (3L, 2L, 8L, 4L)), s"$got")
+    // corpus-level invariants: per-doc slices cover exactly n_tokens,
+    // and every pack except each shard's last is filled to packSize
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+    val m = TextOps.packManifest(corpus, "doc_id", "lang", "text", 512)
+      .persist()
+    val perDoc = m.groupBy("doc_id").agg(sum("slice_len").as("tot"))
+      .join(corpus.select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n")), "doc_id")
+    assert(perDoc.filter(col("tot") =!= col("n")).count() == 0)
+    val lastPack = m.groupBy("lang").agg(max("pack_id").as("last"))
+    val packFill = m.groupBy("lang", "pack_id")
+      .agg(sum("slice_len").as("fill"))
+      .join(lastPack, "lang")
+      .filter(col("pack_id") =!= col("last"))
+    assert(packFill.filter(col("fill") =!= 512).count() == 0)
+    m.unpersist()
+  }
+
   test("bigram log-prob score: hand-computed, short docs absent") {
     import spark.implicits._
     // unigram model counts EVERY doc's tokens (including bigram-less
