@@ -541,9 +541,11 @@ object TextOracles {
          |bc AS (SELECT w1, w2, COUNT(*) AS bc FROM bi GROUP BY w1, w2)
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
          |  ROUND(CAST(SUM(CAST(ROUND(ln(
-         |      0.75 * (CAST(bc.bc AS DOUBLE) / CAST(u1.uc AS DOUBLE)) +
-         |      0.25 * (CAST(u2.uc AS DOUBLE) /
-         |              CAST((SELECT n_total FROM tot) AS DOUBLE))
+         |      ${TextQueries.BigramLambda} *
+         |        (CAST(bc.bc AS DOUBLE) / CAST(u1.uc AS DOUBLE)) +
+         |      ${1.0 - TextQueries.BigramLambda} *
+         |        (CAST(u2.uc AS DOUBLE) /
+         |         CAST((SELECT n_total FROM tot) AS DOUBLE))
          |    ), 9) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
          |    AS avg_logprob2
          |FROM bi JOIN bc USING (w1, w2)

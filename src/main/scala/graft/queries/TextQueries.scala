@@ -276,11 +276,18 @@ object TextQueries {
   def qUnigramQuality(s: SparkSession, dir: String): DataFrame =
     TextOps.unigramLogProbScore(Tables.documents(s, dir), "doc_id", "text")
 
+  /** Single definition of the q101 interpolation weight — the oracle
+    * string-interpolates BOTH λ and 1−λ from it (the TopK/Shortlist
+    * pattern), so Spark and DuckDB can never silently diverge on the
+    * weights. */
+  val BigramLambda = 0.75
+
   /** Interpolated bigram LM quality score
-    * ([[TextOps.bigramLogProbScore]], λ = 0.75) — the KenLM-style rung
-    * above the unigram proxy. */
+    * ([[TextOps.bigramLogProbScore]]) — the KenLM-style rung above the
+    * unigram proxy. */
   def qBigramQuality(s: SparkSession, dir: String): DataFrame =
-    TextOps.bigramLogProbScore(Tables.documents(s, dir), "doc_id", "text")
+    TextOps.bigramLogProbScore(Tables.documents(s, dir), "doc_id", "text",
+      BigramLambda)
 
   /** SimHash signature per doc (16-bit) + population count. */
   def qSimhash(s: SparkSession, dir: String): DataFrame =

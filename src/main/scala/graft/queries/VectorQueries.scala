@@ -104,10 +104,13 @@ object VectorQueries {
   }
 
   /** The label-mean PQ codebooks shared by q65/q102 (integer nano-unit
-    * accumulation — the q60 pattern). Persisted: encode + search both
-    * consume the frame repeatedly. */
-  private def labelMeanBooks(emb: DataFrame, m: Int, dsub: Int): DataFrame =
-    (0 until m).map { sub =>
+    * accumulation — the q60 pattern). A codebook is m·k·dsub values —
+    * driver-resident BY DESIGN (same posture as kmeansFit): collected
+    * once and re-emitted as a local frame, so the many encode/search
+    * references read a LocalTableScan instead of re-running the
+    * aggregation or pinning a session-lifetime cache entry. */
+  private def labelMeanBooks(emb: DataFrame, m: Int, dsub: Int): DataFrame = {
+    val plan = (0 until m).map { sub =>
       emb.select(col("label"),
           posexplode(slice(col("embedding"), sub * dsub + 1, dsub))
             .as(Seq("pos", "v")))
@@ -121,7 +124,10 @@ object VectorQueries {
         .select(lit(sub).as("subspace"),
           col("label").cast("long").as("centroid_id"), col("centroid"))
     }.reduce(_ unionByName _)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    import scala.jdk.CollectionConverters._
+    emb.sparkSession.createDataFrame(
+      plan.collect().toSeq.asJava, plan.schema)
+  }
 
   /** Two-stage retrieval ([[VectorOps.pqRerankTopK]]): ADC shortlist of
     * 15 over the same label-mean books as q65, exact-cosine re-rank to
