@@ -570,12 +570,13 @@ object SparkEntry {
       """WITH obs AS (SELECT user_id, date_trunc('hour', ts) AS hour,
         |    max(struct_pack(ts := ts, event_id := event_id,
         |                    value := value)).value AS obs_value
-        |  FROM events GROUP BY user_id, hour),
+        |  FROM events WHERE value IS NOT NULL GROUP BY user_id, hour),
         |sp AS (SELECT user_id,
         |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
         |  FROM (SELECT user_id, min(date_trunc('hour', ts)) AS h0,
         |          max(date_trunc('hour', ts)) AS h1
-        |        FROM events GROUP BY user_id) b)
+        |        FROM events WHERE value IS NOT NULL
+        |        GROUP BY user_id) b)
         |SELECT sp.user_id, sp.hour,
         |  last_value(obs.obs_value IGNORE NULLS) OVER (
         |    PARTITION BY sp.user_id ORDER BY sp.hour

@@ -11,13 +11,21 @@ import org.apache.spark.sql.functions._
   *
   *   union(left tagged 0, right tagged 1)
   *     sorted per key by (ts, tag desc, right-tiebreak)
-  *     last(right-col, ignoreNulls) over rows ≤ current
+  *     last(right-struct, ignoreNulls) over rows ≤ current
   *     keep left rows
   *
   * ONE shuffle+sort on the key — same cost as a regular sort-merge join,
   * no per-row probing, no range explosion; at equal timestamps the right
   * row sorts first, so right.ts == left.ts matches (standard ASOF ≥
-  * semantics, same as DuckDB's ASOF JOIN used by the oracle). */
+  * semantics, same as DuckDB's ASOF JOIN used by the oracle).
+  *
+  * The carried columns travel as ONE STRUCT filled by a single last():
+  * the output is always a coherent snapshot of exactly one right row.
+  * (Filling each column independently with its own ignoreNulls last()
+  * would stitch the result together from DIFFERENT right rows whenever a
+  * right value column contains nulls — e.g. r1(ts=1, a=5, b=null),
+  * r2(ts=2, a=null, b=7) must yield r2's (2, null, 7), not the chimera
+  * (2, 5, 7).) */
 object AsOf {
 
   /** @param rightValueCols right columns carried to the output (each
@@ -26,35 +34,33 @@ object AsOf {
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                tsCol: String, rightValueCols: Seq[String]): DataFrame = {
     val carried = s"asof_$tsCol" +: rightValueCols.map("asof_" + _)
+    val rightTagged = right.select(
+      col(keyCol), col(tsCol), lit(1).as("__tag"),
+      struct(col(tsCol).as(s"asof_$tsCol") +:
+        rightValueCols.map(c => col(c).as(s"asof_$c")): _*).as("__asof"))
     val leftTagged = left
       .withColumn("__tag", lit(0))
-      .withColumn(s"asof_$tsCol", lit(null).cast(left.schema(tsCol).dataType))
-    val leftAligned = rightValueCols.foldLeft(leftTagged) { (df, c) =>
-      df.withColumn(s"asof_$c", lit(null).cast(right.schema(c).dataType))
-    }
-    val rightTagged = right.select(
-      col(keyCol) +: col(tsCol).as(tsCol) +: lit(1).as("__tag") +:
-        col(tsCol).as(s"asof_$tsCol") +:
-        rightValueCols.map(c => col(c).as(s"asof_$c")): _*)
-    val rightAligned = leftAligned.columns.foldLeft(rightTagged) { (df, c) =>
-      if (df.columns.contains(c)) df
-      else df.withColumn(c, lit(null).cast(
-        leftAligned.schema(c).dataType))
-    }.select(leftAligned.columns.map(col): _*)
+      .withColumn("__asof",
+        lit(null).cast(rightTagged.schema("__asof").dataType))
+    // allowMissingColumns: left's payload columns null-fill on the right
+    // side of the union (they are never read from right rows)
+    val unioned = leftTagged.unionByName(rightTagged,
+      allowMissingColumns = true)
 
     // right rows (__tag=1) sort before left (__tag=0) at equal ts so
-    // ties match (ASOF >= semantics); the carried value columns break
-    // ties among right rows sharing (key, ts) so last() is deterministic
-    // across runs and partitionings (left rows hold NULLs there —
-    // asc_nulls_first keeps them after all right rows at the same ts
-    // only via __tag, which already dominates)
+    // ties match (ASOF >= semantics); the carried struct breaks ties
+    // among right rows sharing (key, ts) — struct ordering is
+    // lexicographic over its fields, so last() is deterministic across
+    // runs and partitionings (left rows hold NULL there; __tag already
+    // dominates them)
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol).asc +: col("__tag").desc +:
-        carried.map(col(_).asc_nulls_first): _*)
+      .orderBy(col(tsCol).asc, col("__tag").desc,
+        col("__asof").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = carried.foldLeft(leftAligned.unionByName(rightAligned)) {
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__tag") === 0).drop("__tag")
+    val filled = unioned.withColumn("__asof",
+      last(col("__asof"), ignoreNulls = true).over(w))
+    filled.filter(col("__tag") === 0)
+      .select(left.columns.map(col) ++
+        carried.map(c => col(s"__asof.$c").as(c)): _*)
   }
 }

@@ -64,7 +64,11 @@ object Components {
 
   /** Connected components of the undirected graph given by `edges`
     * (`srcCol`, `dstCol`; direction ignored, self-loops and duplicate
-    * edges harmless). Returns one row per distinct node:
+    * edges harmless; an edge with a NULL endpoint is dropped entirely —
+    * a null identifies no node). Node ids must be integral or string
+    * and both endpoint columns must share one type (checked up front,
+    * identically on both size-gated paths). Returns one row per
+    * distinct node:
     * (`id`, `component`) where `component` is the smallest node id
     * reachable from `id` — a canonical, deterministic cluster label.
     *
@@ -91,7 +95,26 @@ object Components {
                      maxIter: Int, localThreshold: Long,
                      collectStats: Boolean)
       : (DataFrame, Option[CcStats]) = {
+    // schema validation up front, IDENTICAL for both size-gated paths —
+    // without it the same frame would succeed or throw depending only on
+    // row count (the local path's ordering needs these types; the
+    // distributed path would silently accept e.g. doubles)
+    {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
+        ShortType, StringType}
+      val allowed: Set[org.apache.spark.sql.types.DataType] =
+        Set(ByteType, ShortType, IntegerType, LongType, StringType)
+      val Seq(st, dt) =
+        edges.select(col(srcCol), col(dstCol)).schema.map(_.dataType)
+      require(allowed.contains(st) && st == dt,
+        s"connectedComponents needs integral or string node ids with " +
+          s"matching endpoint types, got $srcCol: $st, $dstCol: $dt")
+    }
+    // null-endpoint edges identify nothing — dropped at the scan (a
+    // plain filter, no extra pass); without this the local path NPEs in
+    // the ordering while the distributed path emits a (null, null) row
     val e = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull)
     // symmetrize once. Partition count adapts to the edge count: the
     // per-round fixed cost is tasks × rounds, so a small pair graph (the
     // common case — verified near-dup pairs are a sliver of any corpus)
@@ -192,13 +215,11 @@ object Components {
     * distributed fixpoint: (id, component = min member). */
   private def unionFindLocal(und: DataFrame): DataFrame = {
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
-      ShortType, StringType, StructField, StructType}
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val spark = und.sparkSession
+    // type + null validation already happened in ccImpl, identically
+    // for both paths
     val dt = und.schema.head.dataType
-    require(Seq(ByteType, ShortType, IntegerType, LongType, StringType)
-        .contains(dt),
-      s"connectedComponents supports integral or string node ids, got $dt")
     val parent = scala.collection.mutable.HashMap.empty[Any, Any]
     def find(x: Any): Any = {
       var r = x

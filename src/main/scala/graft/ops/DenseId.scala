@@ -29,15 +29,31 @@ object DenseId {
   /** Scale path: identical output, no global single-partition sort.
     * Range-partition by the key (ordered contiguous ranges →
     * spark_partition_id() is an ordered bucket id), row_number within each
-    * bucket, then add per-bucket cumulative offsets computed from a tiny
-    * count aggregate and broadcast back. Entirely Catalyst/Tungsten —
-    * the earlier RDD zipWithIndex formulation paid InternalRow↔Row boxing
-    * on every row (~3× slower end-to-end on the ETL bench).
+    * bucket, then add per-bucket cumulative offsets — computed as a
+    * running sum over the (parts-row) bucket-count aggregate and
+    * broadcast-joined back. Entirely Catalyst/Tungsten — the earlier RDD
+    * zipWithIndex formulation paid InternalRow↔Row boxing on every row
+    * (~3× slower end-to-end on the ETL bench).
     *
-    * One persist of the bucketed data avoids recomputing the range
-    * exchange for the counts job. Ties across bucket boundaries are
-    * broken by the range partitioner, so `orderBy` should be a unique key
-    * (it is for the reference's UUID source ids). */
+    * The bucketed data is materialized ONCE via eager localCheckpoint:
+    * the bucket-count collect and the returned lineage both read that
+    * materialization, so the sampling-based range partitioner can never
+    * re-execute with different bounds between them (a lazy shared-plan
+    * formulation relying on ReuseExchange was tried and CORRUPTED ids
+    * when the rule didn't fire inside a larger query — caught by the
+    * q06 oracle). Unlike a persist, a checkpoint holds no CacheManager
+    * entry: its blocks are released by the ContextCleaner as soon as the
+    * returned frame is unreferenced, so repeated ETL call sites don't
+    * accumulate application-lifetime caches. (Local checkpoints trade
+    * executor-loss recovery for speed — the ETL driver rewrites the
+    * table on failure anyway; swap for reliable `checkpoint` on
+    * churn-prone clusters.)
+    *
+    * Ties across bucket boundaries are broken by the range partitioner,
+    * so `orderBy` should be a unique key (it is for the reference's UUID
+    * source ids); ids are then independent of where the sampled bucket
+    * boundaries land (within-bucket rank + earlier-bucket counts = global
+    * rank). */
   def withDenseIdScalable(df: DataFrame, orderBy: Seq[Column],
                           idCol: String, offset: Long = 0L,
                           numPartitions: Int = 0): DataFrame = {
@@ -47,18 +63,15 @@ object DenseId {
       else spark.sessionState.conf.numShufflePartitions
     val bucketed = df.repartitionByRange(parts, orderBy: _*)
       .withColumn("__bucket", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val starts = bucketed.groupBy(col("__bucket")).count()
       .collect().sortBy(_.getInt(0))
       .foldLeft((offset, Map.empty[Int, Long])) {
         case ((acc, m), r) => (acc + r.getLong(1), m + (r.getInt(0) -> acc))
       }._2
-    val spark2 = bucketed.sparkSession
-    import spark2.implicits._
+    import spark.implicits._
     val offsets = broadcast(starts.toSeq.toDF("__bucket", "__start"))
     val w = Window.partitionBy(col("__bucket")).orderBy(orderBy: _*)
-    // the persisted bucketing is still the input of the returned lineage;
-    // leave it cached (LRU-evicted) rather than unpersisting pre-action
     bucketed
       .join(offsets, "__bucket")
       .withColumn(idCol, row_number().over(w) + col("__start"))

@@ -44,15 +44,35 @@ object Sketches {
     * worth it only when selectivity is high — measure. */
   def bloomPrune(fact: DataFrame, factKey: Column, dimKeys: DataFrame,
                  expectedDim: Long, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, ShortType,
+      ByteType, StringType}
     val keyName = dimKeys.columns.head
+    val factType = fact.select(factKey).schema.head.dataType
+    val dimType = dimKeys.schema(keyName).dataType
+    // build and probe must hash IDENTICALLY: the bloom is built with
+    // putString for string dims and putLong for integral dims, so a
+    // string/integral mismatch between the two sides (which a real join
+    // would cast-reconcile, '42' = 42L) tests against different hash
+    // inputs and silently DROPS joining fact rows — a false negative,
+    // the one failure mode this operator promises not to have. Fail
+    // fast instead of returning a wrong join input.
+    def clazz(t: org.apache.spark.sql.types.DataType): String = t match {
+      case StringType => "string"
+      case ByteType | ShortType | IntegerType | LongType => "integral"
+      case other => other.simpleString
+    }
+    require(clazz(factType) == clazz(dimType) &&
+        (clazz(factType) == "string" || clazz(factType) == "integral"),
+      s"bloomPrune key types must agree (string with string, integral " +
+        s"with integral); got fact=$factType dim=$dimType for dim " +
+        s"column '$keyName'")
     val bloom = dimKeys.stat.bloomFilter(keyName, expectedDim, fpp)
     val spark = fact.sparkSession
     val bloomBc = spark.sparkContext.broadcast(bloom)
     // type-matched membership probe: a long key through the string path
     // (or vice versa) would hash differently and break the no-false-
     // negative guarantee; string keys also must never be ANSI-cast to long
-    val isString = fact.select(factKey).schema.head.dataType ==
-      org.apache.spark.sql.types.StringType
+    val isString = factType == StringType
     if (isString) {
       val mc = udf((k: String) => k != null && bloomBc.value.mightContain(k))
       fact.filter(mc(factKey))

@@ -17,6 +17,12 @@ object TimeSeries {
     * value in each hour (deterministic: max by (ts, tie)) forward-filled
     * across empty hours. Output: (key, hour, value, is_observed).
     *
+    * Rows with a NULL value are NOT observations: they neither claim an
+    * hour nor extend the spine. (Letting them claim the hour would make
+    * a trailing null-valued row SHADOW a real value observed earlier in
+    * the same hour — the window's struct-max picks the latest row — and
+    * would void the no-leading-nulls guarantee below.)
+    *
     * Scale: the spine explode is linear in output hours; the fill is one
     * window over the same (key)-partitioning the join already needs.
     * Leading nulls cannot occur — the spine starts at the first
@@ -24,12 +30,13 @@ object TimeSeries {
   def gapFillForwardHourly(df: DataFrame, keyCol: String, tsCol: String,
                            tieCol: String, valueCol: String): DataFrame = {
     val hour = date_trunc("hour", col(tsCol))
+    val observed = df.filter(col(valueCol).isNotNull)
     // deterministic per-hour observation: latest (ts, tie) wins
-    val obs = df
+    val obs = observed
       .groupBy(col(keyCol), hour.as("hour"))
       .agg(max(struct(col(tsCol), col(tieCol), col(valueCol)))
         .getField(valueCol).as("obs_value"))
-    val spine = df
+    val spine = observed
       .groupBy(col(keyCol))
       .agg(min(hour).as("h0"), max(hour).as("h1"))
       .select(col(keyCol),

@@ -41,6 +41,22 @@ class AsOfSpec extends SparkSpecBase {
     assert(got.getAs[Long]("asof_rid") == 7L)
   }
 
+  test("nulls in right value columns never stitch a chimera row") {
+    // r1(09:00, a=5, b=null), r2(11:00, a=null, b=7): the as-of match at
+    // 12:00 is r2 and must surface AS r2 — (11:00, null, 7). A per-column
+    // ignoreNulls fill would emit (11:00, 5, 7), mixing two right rows.
+    val l = Seq((1L, ts("2024-01-01 12:00:00"), 1L))
+      .toDF("user_id", "ts", "lid")
+    val r = Seq(
+      (1L, ts("2024-01-01 09:00:00"), Some(5L), None: Option[Long]),
+      (1L, ts("2024-01-01 11:00:00"), None: Option[Long], Some(7L)))
+      .toDF("user_id", "ts", "a", "b")
+    val got = AsOf.asofJoin(l, r, "user_id", "ts", Seq("a", "b")).head()
+    assert(got.getAs[Timestamp]("asof_ts") == ts("2024-01-01 11:00:00"))
+    assert(got.isNullAt(got.fieldIndex("asof_a")), got.toString)
+    assert(got.getAs[Long]("asof_b") == 7L)
+  }
+
   test("right rows tied on (key, ts) resolve deterministically across partitionings") {
     val l = Seq((1L, ts("2024-01-01 10:00:00"), 1L))
       .toDF("user_id", "ts", "lid")

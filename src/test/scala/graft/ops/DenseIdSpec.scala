@@ -28,6 +28,27 @@ class DenseIdSpec extends SparkSpecBase {
     assert(got == Map("a" -> 11L, "b" -> 12L, "c" -> 13L))
   }
 
+  test("scalable path: dense ids in global key order, no cache entries") {
+    import spark.implicits._
+    spark.sharedState.cacheManager.clearCache()
+    val df = (1L to 5000L).map(i => (i * 2654435761L % 100003, i))
+      .toDF("k", "v").repartition(11)
+    val out = DenseId.withDenseIdScalable(df, Seq(col("k"), col("v")), "id",
+      numPartitions = 7)
+    // dense AND globally ordered by the key: id rank == key rank. A
+    // divergent re-execution of the sampling-based range partitioner
+    // between the counts action and the data read would break exactly
+    // this (the q06 oracle caught a lazy shared-plan formulation whose
+    // ReuseExchange assumption failed inside larger queries)
+    val rows = out.select("k", "v", "id")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(rows.map(_._3).toSeq == (1L to 5000L))
+    // zero CacheManager entries: the old persist-based formulation
+    // leaked a MEMORY_AND_DISK entry per call for the application
+    // lifetime; the localCheckpoint's blocks are ContextCleaner-managed
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("extendIdMap is idempotent and first-writer-wins") {
     import spark.implicits._
     val existing = Seq(("u1", 1L), ("u2", 2L)).toDF("src", "id")

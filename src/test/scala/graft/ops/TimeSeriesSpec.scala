@@ -33,6 +33,26 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(u2.toSeq == Seq((2L, ts("2024-01-01 00:00:00"), 5.0, true)))
   }
 
+  test("gapFillForwardHourly: null-valued rows are not observations") {
+    val ev = Seq(
+      // hour 09: ONLY a null-valued row → spine must not start here
+      (1L, ts("2024-01-01 09:30:00"), 99L, None: Option[Double]),
+      (1L, ts("2024-01-01 10:15:00"), 100L, Some(1.0)),
+      // later null in the SAME hour must not shadow the 1.0 observation
+      (1L, ts("2024-01-01 10:45:00"), 101L, None: Option[Double]),
+      (1L, ts("2024-01-01 12:05:00"), 102L, Some(9.0))
+    ).toDF("user_id", "ts", "event_id", "value")
+    val got = TimeSeries
+      .gapFillForwardHourly(ev, "user_id", "ts", "event_id", "value")
+      .collect()
+      .map(r => (r.getTimestamp(1), r.getDouble(2), r.getBoolean(3)))
+      .sortBy(_._1.getTime)
+    assert(got.map(_._1).toSeq == Seq("10", "11", "12")
+      .map(h => ts(s"2024-01-01 $h:00:00")), got.mkString(","))
+    assert(got.map(_._2).toSeq == Seq(1.0, 1.0, 9.0), got.mkString(","))
+    assert(got.map(_._3).toSeq == Seq(true, false, true))
+  }
+
   test("gapFillForwardHourly is deterministic across partitionings") {
     val ev = (1L to 500L).map(i =>
       (i % 7, ts(f"2024-01-01 ${(i % 20) % 24}%02d:00:01"), i, i * 1.5))
