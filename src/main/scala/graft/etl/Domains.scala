@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Dedup, DenseId, SafeCast, Sweep}
@@ -69,14 +69,20 @@ object Domains {
         col("gender_source").as("gender_source_value"),
         col("race_source").as("race_source_value"),
         col("ethnicity_source").as("ethnicity_source_value"))
-    // deterministic survivor for duplicated source patient rows: rerun
-    // output is byte-stable regardless of partitioning
-    existing.fold(out)(ex => Dedup.antiAppendDeterministic(out, ex,
-      Seq("person_id"),
-      Seq(col("birth_datetime").asc_nulls_last,
-        col("gender_source_value").asc_nulls_last,
-        col("race_source_value").asc_nulls_last,
-        col("ethnicity_source_value").asc_nulls_last)))
+    // deterministic survivor for duplicated source patient rows —
+    // ALWAYS, not only on the incremental path: buildIdMap assigns one
+    // person_id per distinct source id, so two identical source rows
+    // would otherwise both emit person rows sharing that person_id on a
+    // first run (existing = None, as EtlRunner calls it), tripping the
+    // pipeline's own duplicate_person_ids validation. Rerun output is
+    // byte-stable regardless of partitioning.
+    val tiebreak = Seq(col("birth_datetime").asc_nulls_last,
+      col("gender_source_value").asc_nulls_last,
+      col("race_source_value").asc_nulls_last,
+      col("ethnicity_source_value").asc_nulls_last)
+    val deduped = Dedup.firstRowPerGroup(out, Seq(col("person_id")), tiebreak)
+    existing.fold(deduped)(ex =>
+      Dedup.antiAppendDeterministic(deduped, ex, Seq("person_id"), tiebreak))
   }
 
   /** ENCOUNTERCLASS → visit concept (transform_visit_occurrence_v2.sql:
@@ -111,22 +117,33 @@ object Domains {
 
   /** Shared event-domain shape: person/visit resolution + within-batch
     * dedup on the reference's NOT EXISTS key (J1/J4;
-    * enhanced_synthea_to_omop.py:1102-1127 for conditions). */
+    * enhanced_synthea_to_omop.py:1102-1127 for conditions).
+    *
+    * `tiebreak` makes the SURVIVOR deterministic: rows agreeing on the
+    * dedup key can still differ in non-key columns (a re-recorded
+    * diagnosis with a different stop date), and a plain dropDuplicates
+    * would leave those columns to partition order — reruns would not be
+    * byte-stable, against the pipeline's determinism contract (the same
+    * fix deviceExposure applies explicitly). */
   private def eventDomain(typed: DataFrame, personMap: DataFrame,
-                          visitMap: DataFrame, dedupKeys: Seq[String])
-      : DataFrame =
-    typed
-      .join(broadcast(personMap), col("patient") === col("source_patient_id"))
-      .join(broadcast(visitMap), col("encounter") === col("source_visit_id"),
-        "left")
-      .dropDuplicates(dedupKeys)
+                          visitMap: DataFrame, dedupKeys: Seq[String],
+                          tiebreak: Seq[Column]): DataFrame =
+    Dedup.firstRowPerGroup(
+      typed
+        .join(broadcast(personMap),
+          col("patient") === col("source_patient_id"))
+        .join(broadcast(visitMap),
+          col("encounter") === col("source_visit_id"), "left"),
+      dedupKeys.map(col), tiebreak)
 
   /** omop.condition_occurrence (:1102-1150). */
   def conditionOccurrence(typedConditions: DataFrame, personMap: DataFrame,
                           visitMap: DataFrame): DataFrame =
     DenseId.withDenseIdScalable(
       eventDomain(typedConditions, personMap, visitMap,
-        Seq("person_id", "encounter", "code")),
+        Seq("person_id", "encounter", "code"),
+        Seq(col("start_date").asc_nulls_last,
+          col("stop_date").asc_nulls_last)),
       Seq(col("person_id"), col("encounter"), col("code")),
       "condition_occurrence_id")
       .select(
@@ -146,7 +163,8 @@ object Domains {
                    visitMap: DataFrame): DataFrame =
     DenseId.withDenseIdScalable(
       eventDomain(typedMedications, personMap, visitMap,
-        Seq("person_id", "encounter", "code", "start_ts")),
+        Seq("person_id", "encounter", "code", "start_ts"),
+        Seq(col("stop_ts").asc_nulls_last)),
       Seq(col("person_id"), col("encounter"), col("code"), col("start_ts")),
       "drug_exposure_id")
       .select(
@@ -166,7 +184,8 @@ object Domains {
                           visitMap: DataFrame): DataFrame =
     DenseId.withDenseIdScalable(
       eventDomain(typedProcedures, personMap, visitMap,
-        Seq("person_id", "encounter", "code", "start_ts")),
+        Seq("person_id", "encounter", "code", "start_ts"),
+        Seq(col("stop_ts").asc_nulls_last)),
       Seq(col("person_id"), col("encounter"), col("code"), col("start_ts")),
       "procedure_occurrence_id")
       .select(
@@ -227,7 +246,8 @@ object Domains {
                                   personMap: DataFrame, visitMap: DataFrame)
       : (DataFrame, DataFrame) = {
     val base = eventDomain(typedObservations, personMap, visitMap,
-      Seq("person_id", "encounter", "code", "obs_ts", "value"))
+      Seq("person_id", "encounter", "code", "obs_ts", "value"),
+      Seq(col("units").asc_nulls_last))
     val isNum = SafeCast.isNumericString(col("value"))
     val meas = DenseId.withDenseIdScalable(
       base.filter(col("value").isNotNull && isNum),

@@ -32,11 +32,19 @@ object EtlRunner {
   val RequiredFiles: Seq[String] = Seq("patients", "encounters", "conditions",
     "observations", "procedures", "medications")
 
+  /** Path existence via the path's own Hadoop FileSystem — java.nio only
+    * sees the driver-local filesystem, so hdfs://-s3a:// inputs would
+    * spuriously fail the required check and silently skip every optional
+    * source. */
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   def run(spark: SparkSession, inDir: String, outDir: String,
           vocabDir: Option[String] = None): DataFrame = {
     def in(n: String) = s"$inDir/$n.csv"
-    val missing = RequiredFiles.filterNot(n =>
-      java.nio.file.Files.exists(java.nio.file.Paths.get(in(n))))
+    val missing = RequiredFiles.filterNot(n => pathExists(spark, in(n)))
     require(missing.isEmpty,
       s"missing required Synthea CSVs in $inDir: " +
         missing.map(_ + ".csv").mkString(", "))
@@ -76,12 +84,10 @@ object EtlRunner {
     // optional hierarchy/synonym tables ship with full OMOP vocab drops
     // (enhanced_vocabulary_loader.py:492,564); persisted for rollup queries
     for (vd <- vocabDir) {
-      if (java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"$vd/CONCEPT_ANCESTOR.csv")))
+      if (pathExists(spark, s"$vd/CONCEPT_ANCESTOR.csv"))
         save(Vocab.loadConceptAncestor(spark, s"$vd/CONCEPT_ANCESTOR.csv"),
           "concept_ancestor")
-      if (java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"$vd/CONCEPT_SYNONYM.csv")))
+      if (pathExists(spark, s"$vd/CONCEPT_SYNONYM.csv"))
         save(Vocab.loadConceptSynonym(spark, s"$vd/CONCEPT_SYNONYM.csv"),
           "concept_synonym")
     }
@@ -93,28 +99,44 @@ object EtlRunner {
           srcValue, srcConcept, tgtConcept, vocabulary, domain)
       }
 
+    // concept mapping covers the reference's full five-domain sweep
+    // (enhanced_synthea_to_omop.py:2300-2400: condition/SNOMED,
+    // drug/RxNorm, procedure/SNOMED, measurement/LOINC,
+    // observation/LOINC) — mapping only conditions would leave every
+    // drug_concept_id at 0, collapsing all of a person's drugs into ONE
+    // merged drug_era and stratifying Achilles under concept 0
     val cond = save(mapConcepts(
       Domains.conditionOccurrence(tCon, personMap, visitMap),
       "condition_source_value", "condition_source_concept_id",
       "condition_concept_id", "SNOMED", "Condition"),
       "condition_occurrence")
-    val drug = save(Domains.drugExposure(tMed, personMap, visitMap),
+    val drug = save(mapConcepts(
+      Domains.drugExposure(tMed, personMap, visitMap),
+      "drug_source_value", "drug_source_concept_id",
+      "drug_concept_id", "RxNorm", "Drug"),
       "drug_exposure")
-    val proc = save(Domains.procedureOccurrence(tPro, personMap, visitMap),
+    val proc = save(mapConcepts(
+      Domains.procedureOccurrence(tPro, personMap, visitMap),
+      "procedure_source_value", "procedure_source_concept_id",
+      "procedure_concept_id", "SNOMED", "Procedure"),
       "procedure_occurrence")
-    // OHDSI-standard era derivations (30-day persistence window)
+    // OHDSI-standard era derivations (30-day persistence window) —
+    // AFTER mapping, so eras merge per standard concept, not per source 0
     val drugEra = save(Domains.drugEra(drug), "drug_era")
     val condEra = save(Domains.conditionEra(cond), "condition_era")
     val (meas, obs) =
       Domains.measurementObservationSplit(tObs, personMap, visitMap)
-    val measT = save(meas, "measurement")
-    val obsT = save(obs, "observation")
+    val measT = save(mapConcepts(meas,
+      "measurement_source_value", "measurement_source_concept_id",
+      "measurement_concept_id", "LOINC", "Measurement"), "measurement")
+    val obsT = save(mapConcepts(obs,
+      "observation_source_value", "observation_source_concept_id",
+      "observation_concept_id", "LOINC", "Observation"), "observation")
     save(Domains.death(tPat, personMap), "death")
     save(Domains.visitCost(tEnc, visitMap), "cost")
     // optional source: immunizations → drug_exposure rows
     val immDrug =
-      if (java.nio.file.Files.exists(
-          java.nio.file.Paths.get(in("immunizations")))) {
+      if (pathExists(spark, in("immunizations"))) {
         val tImm = TypedTables.typedTable(
           Ingest.readRepaired(spark, in("immunizations")), "immunizations")
         Some(save(Domains.immunizationDrugExposure(tImm, personMap, visitMap),
@@ -122,8 +144,7 @@ object EtlRunner {
       } else None
     // optional source: patient_expenses → payer_plan_period
     // (synthea-omop-ETL.sql:530-565: one row per person-year of coverage)
-    if (java.nio.file.Files.exists(
-        java.nio.file.Paths.get(in("patient_expenses")))) {
+    if (pathExists(spark, in("patient_expenses"))) {
       val tExp = TypedTables.typedTable(
         Ingest.readRepaired(spark, in("patient_expenses")), "patient_expenses")
       val personYears = graft.ops.Dedup.firstRowPerGroup(
@@ -142,8 +163,7 @@ object EtlRunner {
       save(Domains.payerPlanPeriod(personYears), "payer_plan_period")
     }
     // optional source: devices → device_exposure (synthea-omop-ETL.sql:242)
-    if (java.nio.file.Files.exists(
-        java.nio.file.Paths.get(in("devices")))) {
+    if (pathExists(spark, in("devices"))) {
       val tDev = TypedTables.typedTable(
         Ingest.readRepaired(spark, in("devices")), "devices")
       save(Domains.deviceExposure(tDev, personMap, visitMap),
@@ -152,8 +172,7 @@ object EtlRunner {
     // optional source: allergies feed the observation-period sweep
     // (etl_pipeline/etl_observation_periods.py:81-145 includes both)
     val allergySpans =
-      if (java.nio.file.Files.exists(
-          java.nio.file.Paths.get(in("allergies")))) {
+      if (pathExists(spark, in("allergies"))) {
         val tAll = TypedTables.typedTable(
           Ingest.readRepaired(spark, in("allergies")), "allergies")
         Some(tAll

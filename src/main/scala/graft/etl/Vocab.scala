@@ -112,13 +112,21 @@ object Vocab {
                 sourceValueCol: String, sourceConceptCol: String,
                 targetConceptCol: String, vocabularyId: String,
                 domainId: String): DataFrame = {
-    // stage 1: source concept by exact code in the vocabulary
+    // stage 1: source concept by exact code in the vocabulary.
+    // Lookup dedup is firstRowPerGroup with a concept-id tiebreak, NOT
+    // dropDuplicates: a code carried by several concept rows (e.g. a
+    // valid and a deprecated concept sharing the code) would otherwise
+    // resolve to whichever row a partition delivered first — concept
+    // assignments flipping between reruns, against the pipeline's
+    // byte-stable contract. Same below for the Maps-to and direct-code
+    // tiers.
     val byCode = concept
       .filter(col("vocabulary_id") === vocabularyId)
       .select(col("concept_code").as(sourceValueCol),
         col("concept_id").as("__src_concept"))
     val s1 = table
-      .join(broadcast(byCode.dropDuplicates(sourceValueCol)),
+      .join(broadcast(graft.ops.Dedup.firstRowPerGroup(byCode,
+          Seq(col(sourceValueCol)), Seq(col("__src_concept").asc))),
         Seq(sourceValueCol), "left")
       .withColumn(sourceConceptCol, coalesce(col("__src_concept"), lit(0L)))
       .drop("__src_concept")
@@ -130,7 +138,8 @@ object Vocab {
       .select(col("source_concept_id").as(sourceConceptCol),
         col("standard_concept_id").as("__std_concept"))
     val s2 = s1
-      .join(broadcast(mapsTo.dropDuplicates(sourceConceptCol)),
+      .join(broadcast(graft.ops.Dedup.firstRowPerGroup(mapsTo,
+          Seq(col(sourceConceptCol)), Seq(col("__std_concept").asc))),
         Seq(sourceConceptCol), "left")
       .withColumn(targetConceptCol, coalesce(col("__std_concept"), lit(0L)))
       .drop("__std_concept")
@@ -141,7 +150,8 @@ object Vocab {
         col("standard_concept") === "S" && col("domain_id") === domainId)
       .select(col("concept_code").as(sourceValueCol),
         col("concept_id").as("__direct_concept"))
-    s2.join(broadcast(standardByCode.dropDuplicates(sourceValueCol)),
+    s2.join(broadcast(graft.ops.Dedup.firstRowPerGroup(standardByCode,
+          Seq(col(sourceValueCol)), Seq(col("__direct_concept").asc))),
         Seq(sourceValueCol), "left")
       .withColumn(targetConceptCol,
         when(col(targetConceptCol) === 0,

@@ -66,9 +66,18 @@ case class ShingleHashes(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(StringType, _), IntegerType) =>
-        if (right.foldable) TypeCheckResult.TypeCheckSuccess
-        else TypeCheckResult.TypeCheckFailure(
+        if (!right.foldable) TypeCheckResult.TypeCheckFailure(
           "shingle_hashes requires a literal shingle width")
+        else right.eval() match {
+          // validate the width HERE, at analysis: n <= 0 skips the
+          // short-doc fallback (len >= n always holds) and the fold loop
+          // then reads th(len) — an executor-side AIOOBE mid-task
+          // instead of a clean error
+          case n: java.lang.Integer if n <= 0 =>
+            TypeCheckResult.TypeCheckFailure(
+              s"shingle_hashes width must be >= 1, got $n")
+          case _ => TypeCheckResult.TypeCheckSuccess
+        }
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"shingle_hashes requires (array<string>, int), got $l and $r")
     }

@@ -48,9 +48,13 @@ object Multimodal {
   def mediaFromDocuments(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("media_id"),
-      // deterministic kind assignment across 3 modalities
+      // deterministic kind assignment across 3 modalities. pmod, not %:
+      // Spark's % keeps the dividend's sign, so a negative id (hash-
+      // derived ids are negative half the time) would yield index 0
+      // (INVALID_INDEX_OF_ZERO at runtime) or -1 (silently the LAST
+      // element)
       element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
       encode(col("text"), "UTF-8").as("bytes"),
       struct(length(col("text")).cast("long").as("n_chars"),
              col("lang").as("lang")).as("meta"))
@@ -98,11 +102,15 @@ object Multimodal {
   /** Frame sampling plan: one row per sampled frame, no decode needed —
     * pure row expansion from metadata (duration ∝ payload size), pushed
     * down so the binary column is NOT carried through the explode. */
-  def sampleFrames(media: DataFrame, bytesPerFrame: Int): DataFrame =
+  def sampleFrames(media: DataFrame, bytesPerFrame: Int): DataFrame = {
+    // mirrors transcode's guard: 0 would ANSI-overflow on the cast
+    // (Infinity → long), negative would silently clamp every item to 1
+    require(bytesPerFrame > 0, s"bytesPerFrame must be positive: $bytesPerFrame")
     media
       .select(col("media_id"), col("kind"),
         greatest(lit(1), (length(col("bytes")) / bytesPerFrame).cast("long"))
           .as("n_frames"))
       .select(col("media_id"), col("kind"),
         explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"))
+  }
 }

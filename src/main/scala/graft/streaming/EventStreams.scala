@@ -49,15 +49,21 @@ object EventStreams {
   def slidingRollupStream(events: DataFrame): DataFrame =
     slidingRollup(events.withWatermark("ts", "2 hours"))
 
-  /** Streaming exact-dedup: drop events whose dedup key was already seen,
-    * with state bounded by the watermark (the streaming tier of the batch
-    * content-hash dedup in [[graft.ops.Dedup]]). At scale the state store
-    * holds one entry per key inside the watermark window — O(recent keys),
-    * not O(stream). */
+  /** Streaming exact-dedup: drop events whose dedup key was already seen
+    * within the watermark window (the streaming tier of the batch
+    * content-hash dedup in [[graft.ops.Dedup]] — keys are content
+    * identity, e.g. a content hash). `dropDuplicatesWithinWatermark`
+    * rather than `dropDuplicates(keys :+ "ts")`: appending ts to the key
+    * would only catch re-deliveries with an IDENTICAL timestamp — the
+    * same document ingested five minutes later would sail through, which
+    * is precisely what content dedup must stop. State holds one entry
+    * per key inside the watermark window — O(recent keys), not
+    * O(stream); on a batch frame this degrades to plain dropDuplicates
+    * on the keys. */
   def dedupStream(events: DataFrame, keys: Seq[String],
                   watermarkDelay: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermarkDelay)
-      .dropDuplicates(keys :+ "ts")
+      .dropDuplicatesWithinWatermark(keys)
 
   val SessionGapMinutes = 30
 
@@ -134,8 +140,21 @@ object EventStreams {
               closed ::= Session(userId, new java.sql.Timestamp(s.start / 1000),
                 new java.sql.Timestamp(s.last / 1000), s.n)
               cur = Some(SessionState(tUs, tUs, 1))
+            case Some(s) if tUs < s.start - gapUs =>
+              // LATE event (within watermark) predating the open session
+              // by more than the gap: it belongs to an earlier, already-
+              // elapsed session — emit it as its own session rather than
+              // corrupting the open one. (Batch, which sees all events
+              // sorted, may merge several such lates into one earlier
+              // session; the stream has already released that state.)
+              closed ::= Session(userId, e.ts, e.ts, 1)
             case Some(s) =>
-              cur = Some(SessionState(s.start, tUs, s.n + 1))
+              // in-gap event, possibly late: extend the session's bounds
+              // monotonically. A plain last=tUs would let a late event
+              // REGRESS `last`, producing sessions with end < start and
+              // spurious splits against later arrivals.
+              cur = Some(SessionState(math.min(s.start, tUs),
+                math.max(s.last, tUs), s.n + 1))
             case None =>
               cur = Some(SessionState(tUs, tUs, 1))
           }

@@ -118,6 +118,19 @@ class EtlPipelineSpec extends SparkSpecBase {
     assert(p3.getAs[Long]("race_concept_id") == 0L)
   }
 
+  test("person: duplicated source rows collapse to one row on FIRST run") {
+    import spark.implicits._
+    // buildIdMap assigns one person_id per distinct source id, so a
+    // twice-ingested patient row must not emit two person rows sharing
+    // that person_id — previously only the incremental path deduped,
+    // and a first run (existing = None, as EtlRunner calls it) shipped
+    // the duplicate straight into duplicate_person_ids validation
+    val doubled = typedPatients.unionByName(typedPatients)
+    val person = Domains.person(spark, doubled, personMap)
+    assert(person.count() == 3)
+    assert(person.select("person_id").distinct().count() == 3)
+  }
+
   test("person is idempotent: re-run appends nothing") {
     val person = Domains.person(spark, typedPatients, personMap)
     val rerun = Domains.person(spark, typedPatients, personMap,

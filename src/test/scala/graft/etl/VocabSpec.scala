@@ -70,6 +70,39 @@ class VocabSpec extends SparkSpecBase {
     assert(mapped(3L) == (0L, 0L))
   }
 
+  test("ambiguous code/mapping resolves to the lowest concept id, stably") {
+    // code "7777" carried by TWO concept rows, and source 1001 with TWO
+    // Maps-to targets: dropDuplicates would pick per partition order —
+    // concept assignments flipping between reruns. The contract is the
+    // lowest concept id, independent of partitioning.
+    val none: Option[String] = None
+    val concept = Seq(
+      (3001L, "dup code A", "Condition", "SNOMED", "", "7777", none),
+      (3002L, "dup code B", "Condition", "SNOMED", "", "7777", none),
+      (1001L, "src", "Condition", "SNOMED", "", "44054006", none),
+      (2001L, "std A", "Condition", "SNOMED", "S", "2001X", none),
+      (2002L, "std B", "Condition", "SNOMED", "S", "2002X", none))
+      .toDF("concept_id", "concept_name", "domain_id", "vocabulary_id",
+        "standard_concept", "concept_code", "invalid_reason")
+    val rel = Seq((1001L, 2002L, "Maps to"), (1001L, 2001L, "Maps to"))
+      .toDF("concept_id_1", "concept_id_2", "relationship_id")
+    val table = Seq((1L, "44054006"), (2L, "7777"))
+      .toDF("condition_occurrence_id", "condition_source_value")
+      .withColumn("condition_source_concept_id", lit(0L))
+      .withColumn("condition_concept_id", lit(0L))
+    for (parts <- Seq(1, 5)) {
+      val mapped = Vocab.mapDomain(table.repartition(parts), concept, rel,
+        "condition_source_value", "condition_source_concept_id",
+        "condition_concept_id", "SNOMED", "Condition")
+        .collect()
+        .map(r => r.getAs[Long]("condition_occurrence_id") ->
+          (r.getAs[Long]("condition_source_concept_id"),
+           r.getAs[Long]("condition_concept_id"))).toMap
+      assert(mapped(1L) == (1001L, 2001L), s"$mapped") // lowest Maps-to
+      assert(mapped(2L)._1 == 3001L, s"$mapped")       // lowest code match
+    }
+  }
+
   test("concept_ancestor and concept_synonym round-trip with bad-row drop") {
     val anc = Vocab.loadConceptAncestor(spark,
       s"$vocabDir/CONCEPT_ANCESTOR.csv")

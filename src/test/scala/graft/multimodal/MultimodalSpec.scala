@@ -31,6 +31,21 @@ class MultimodalSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("kind assignment survives negative ids (pmod, not %)") {
+    import spark.implicits._
+    // hash-derived doc_ids are negative half the time; % would index 0
+    // (runtime error) or -1 (silently the last element)
+    val docs = Seq((-1L, "a", "en"), (-2L, "b", "en"), (-3L, "c", "en"),
+      (0L, "d", "en"))
+      .toDF("doc_id", "text", "lang")
+    val kinds = Multimodal.mediaFromDocuments(docs)
+      .select("media_id", "kind").as[(Long, String)].collect().toMap
+    assert(kinds.values.forall(Set("image", "audio", "video")), kinds)
+    // pmod(-1,3)=2 → video; pmod(-2,3)=1 → audio; pmod(-3,3)=0 → image
+    assert(kinds == Map(-1L -> "video", -2L -> "audio", -3L -> "image",
+      0L -> "image"), kinds)
+  }
+
   test("transcode emits exact-size binary payloads, empty stays empty") {
     val media = Multimodal.mediaFromDocuments(
         spark.read.parquet(s"$sf/documents.parquet"))

@@ -163,17 +163,23 @@ class EventStreamsSpec extends SparkSpecBase {
       .writeStream.format("memory").queryName("dedup_sink")
       .outputMode(OutputMode.Append).start()
     try {
-      // same (user, type, ts) delivered twice → kept once
+      // keys are CONTENT identity (user, type): any later arrival with
+      // the same key inside the watermark is a duplicate, regardless of
+      // its timestamp — a ts-suffixed key would only catch exact-ts
+      // redeliveries and let a 5-minutes-later duplicate through
       mem.addData(
         (1L, ts("2024-01-01 10:00:00"), "click", 1.0),
-        (1L, ts("2024-01-01 10:00:00"), "click", 1.0),
-        (1L, ts("2024-01-01 10:05:00"), "click", 2.0))
+        (1L, ts("2024-01-01 10:00:00"), "click", 1.0), // exact redelivery
+        (1L, ts("2024-01-01 10:05:00"), "click", 2.0), // same key, new ts
+        (1L, ts("2024-01-01 10:06:00"), "view", 1.0))  // different key
       q.processAllAvailable()
-      // redelivery in a later batch, still within watermark → dropped
-      mem.addData((1L, ts("2024-01-01 10:00:00"), "click", 1.0))
+      // later batch, same key, still within watermark → dropped
+      mem.addData((1L, ts("2024-01-01 10:07:00"), "click", 9.9))
       q.processAllAvailable()
       val rows = spark.table("dedup_sink").collect()
       assert(rows.length == 2, rows.mkString(", "))
+      val types = rows.map(_.getAs[String]("event_type")).sorted.toSeq
+      assert(types == Seq("click", "view"), types)
     } finally q.stop()
   }
 
@@ -241,6 +247,40 @@ class EventStreamsSpec extends SparkSpecBase {
       // user 1 split into two sessions, user 2 one session
       assert(batch.count(_.head == 1L) == 2)
       assert(batch.count(_.head == 2L) == 1)
+    } finally q.stop()
+  }
+
+  test("sessionizeStream: late in-gap events never regress session bounds") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val sdf = mem.toDF.toDF("user_id", "ts", "event_type", "value")
+    val q = EventStreams.sessionizeStream(sdf)
+      .writeStream.format("memory").queryName("late_session_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((1L, ts("2024-01-01 10:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      // LATE event at 09:50 (inside the 1 h watermark, within the gap):
+      // must extend the session's start, not regress `last` — a
+      // regressed last would make the 10:25 event below look > gap away
+      // and wrongly split, emitting a session with end < start
+      mem.addData((1L, ts("2024-01-01 09:50:00"), "click", 1.0))
+      q.processAllAvailable()
+      mem.addData((1L, ts("2024-01-01 10:25:00"), "click", 1.0))
+      q.processAllAvailable()
+      // flush via watermark advance
+      mem.addData((9L, ts("2024-01-03 00:00:00"), "click", 0.0))
+      q.processAllAvailable()
+      mem.addData((9L, ts("2024-01-04 00:00:00"), "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("late_session_sink")
+        .filter(col("user_id") === 1L)
+        .select("session_start", "session_end", "n_events")
+        .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1),
+          r.getLong(2))).toSeq
+      assert(got == Seq((ts("2024-01-01 09:50:00"),
+        ts("2024-01-01 10:25:00"), 3L)), got.toString)
     } finally q.stop()
   }
 
