@@ -24,6 +24,13 @@ object Sessions {
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
       .config("spark.ui.enabled", "false")
 
+  /** NOTE: getOrCreate returns a pre-existing session AS-IS — a second
+    * call with a different core count does NOT re-master or re-size
+    * shuffle partitions, and builder configs (extensions, nanosAsLong)
+    * are only guaranteed applied when this call creates the session.
+    * One session per JVM is the operating assumption (every main and the
+    * test harness respect it); stop() the old session first if a
+    * different configuration is genuinely needed. */
   def local(cores: Int = Runtime.getRuntime.availableProcessors): SparkSession = {
     val s = builder(s"local[$cores]", cores).getOrCreate()
     s.sparkContext.setLogLevel("WARN")

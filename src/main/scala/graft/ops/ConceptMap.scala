@@ -17,14 +17,22 @@ import org.apache.spark.sql.functions._
 object ConceptMap {
 
   /** One update-join stage: where `df.targetCol` is still unset (null or 0),
-    * fill it from `lookup.valueCol` joined on `keys`; else keep it. */
+    * fill it from `lookup.valueCol` joined on `keys`; else keep it.
+    *
+    * A key mapping to SEVERAL lookup values (OMOP "Maps to" is
+    * legitimately 1-to-many) resolves to the LOWEST value — a
+    * deterministic pick via firstRowPerGroup, where dropDuplicates would
+    * keep whichever row a partition surfaced first and flip concept
+    * assignments between reruns (the byte-stable contract Vocab.mapDomain
+    * enforces the same way). */
   def updateJoinStage(df: DataFrame, lookup: DataFrame,
                       keys: Seq[String], targetCol: String,
                       lookupValueCol: String,
                       broadcastLookup: Boolean = true): DataFrame = {
-    val lk0 = lookup
-      .select((keys.map(col) :+ col(lookupValueCol).as("__mapped")): _*)
-      .dropDuplicates(keys)
+    val lk0 = Dedup.firstRowPerGroup(
+      lookup.select(
+        (keys.map(col) :+ col(lookupValueCol).as("__mapped")): _*),
+      keys.map(col), Seq(col("__mapped").asc_nulls_last))
     val lk = if (broadcastLookup) broadcast(lk0) else lk0
     val unset = col(targetCol).isNull || col(targetCol) === 0
     df.join(lk, keys, "left")

@@ -86,8 +86,24 @@ object Dedup {
   /** Exact duplicate detection by content hash — groupBy-count on a stable
     * digest of the chosen columns. Map-side partial aggregation makes this
     * one shuffle of (hash, count) pairs regardless of row width. */
+  /** Field-framed content digest: each column serializes as
+    * `<length>:<value>` (-1 for NULL) before hashing. A bare separator
+    * concat is ambiguous when a value CONTAINS the separator, and
+    * concat_ws silently SKIPS nulls -- colliding ("a", NULL) with
+    * (NULL, "a") and NULL with "": exact "dedup" would then delete rows
+    * that are not duplicates. The length prefix makes field boundaries
+    * unambiguous regardless of content; the null sentinel keeps NULL
+    * distinct from the empty string. */
+  private def contentHash(cols: Seq[Column]): Column =
+    md5(concat_ws(" ",
+      cols.map { c =>
+        val s = c.cast("string")
+        concat(coalesce(length(s), lit(-1)).cast("string"), lit(":"),
+          coalesce(s, lit("")))
+      }: _*))
+
   def exactDupGroups(df: DataFrame, cols: Seq[Column]): DataFrame =
-    df.groupBy(md5(concat_ws("", cols: _*)).as("content_hash"))
+    df.groupBy(contentHash(cols).as("content_hash"))
       .agg(count(lit(1)).as("dup_count"))
       .filter(col("dup_count") > 1)
 
@@ -95,7 +111,7 @@ object Dedup {
   def exactDedup(df: DataFrame, hashCols: Seq[Column],
                  tiebreak: Column): DataFrame =
     firstRowPerGroup(
-      df.withColumn("__h", md5(concat_ws("", hashCols: _*))),
+      df.withColumn("__h", contentHash(hashCols)),
       Seq(col("__h")), Seq(tiebreak)
     ).drop("__h")
 }

@@ -17,11 +17,24 @@ object Sampling {
 
   private val Scale = 1000000L
 
+  /** fraction → integer keep-threshold. The cross-engine convention is
+    * TRUNCATION (the q95 oracle mirrors `trunc(f*1e6)`), but the raw
+    * product is snapped to a near-integer first: 0.3*1e6 in doubles is
+    * 299999.99999999994, and bare truncation would keep one hash value
+    * fewer than specified. The snap only fires when the product is
+    * within 1e-3 of an integer (exactly the double-rounding-noise band),
+    * so it never changes a genuinely fractional threshold. */
+  private def keepThreshold(fraction: Double): Long = {
+    val t = fraction * Scale
+    val r = math.rint(t)
+    if (math.abs(t - r) < 1e-3) r.toLong else t.toLong
+  }
+
   /** Uniform deterministic sample: keep rows where
     * polyHash(key # seed) mod 1e6 < fraction·1e6. */
   def hashSample(df: DataFrame, keyCol: Column, fraction: Double,
                  seed: Long): DataFrame =
-    df.filter(sampleHash(keyCol, seed) < (fraction * Scale).toLong)
+    df.filter(sampleHash(keyCol, seed) < keepThreshold(fraction))
 
   /** Per-stratum fractions (e.g. language rebalancing: downsample the
     * dominant language, keep the tail). Strata not in `fractions` use
@@ -30,8 +43,8 @@ object Sampling {
                            fractions: Map[String, Double],
                            defaultFraction: Double, seed: Long): DataFrame = {
     val threshold = fractions.foldLeft(
-      lit((defaultFraction * Scale).toLong)) { case (acc, (stratum, f)) =>
-      when(strataCol === stratum, lit((f * Scale).toLong)).otherwise(acc)
+      lit(keepThreshold(defaultFraction))) { case (acc, (stratum, f)) =>
+      when(strataCol === stratum, lit(keepThreshold(f))).otherwise(acc)
     }
     df.filter(sampleHash(keyCol, seed) < threshold)
   }
@@ -47,9 +60,17 @@ object Sampling {
     * `targetWeights` are relative (normalized internally); strata absent
     * from the map are dropped (fraction 0). Returns the sampled frame and
     * the solved fractions for the caller's audit log. */
-  def rebalanceToMix(df: DataFrame, keyCol: Column, strataCol: Column,
-                     targetWeights: Map[String, Double],
-                     seed: Long): (DataFrame, Map[String, Double]) = {
+  /** Shared mix-solve prologue for [[rebalanceToMix]]/[[upsampleToMix]]:
+    * per-stratum counts (driver-scale), normalized weights, and the
+    * per-stratum n/w ratios the binding-total derives from.
+    *
+    * EVERY targetWeights key must be present in the data: a missing key
+    * (usually a typo — "codee" for "code") would silently drop the real
+    * stratum to fraction/factor 0 and ship a mix that violates the
+    * requested weights with no error. */
+  private def mixCounts(df: DataFrame, strataCol: Column,
+                        targetWeights: Map[String, Double])
+      : (Map[String, Long], Map[String, Double], Iterable[Double]) = {
     require(targetWeights.nonEmpty && targetWeights.values.forall(_ > 0),
       "targetWeights must be non-empty and positive")
     // string-keyed like targetWeights; cast covers non-string strata
@@ -57,21 +78,28 @@ object Sampling {
     val counts = df.groupBy(strataCol.cast("string").as("__s")).count()
       .collect().filterNot(_.isNullAt(0))
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val absent = targetWeights.keys.filterNot(counts.contains)
+    require(absent.isEmpty,
+      s"targetWeights strata absent from the data: " +
+        s"${absent.mkString(", ")} — a silent drop here would ship a " +
+        "mix violating the requested weights")
     val wSum = targetWeights.values.sum
     val norm = targetWeights.map { case (s, w) => s -> (w / wSum) }
+    val feasible = norm.map { case (s, w) => counts(s) / w }
+    (counts, norm, feasible)
+  }
+
+  def rebalanceToMix(df: DataFrame, keyCol: Column, strataCol: Column,
+                     targetWeights: Map[String, Double],
+                     seed: Long): (DataFrame, Map[String, Double]) = {
+    val (counts, norm, feasible) = mixCounts(df, strataCol, targetWeights)
     // largest feasible total T: for each stratum, keep_s = T·w_s ≤ n_s
-    val feasible = norm.collect {
-      case (s, w) if counts.getOrElse(s, 0L) > 0 => counts(s) / w
-    }
-    require(feasible.nonEmpty,
-      "no stratum from targetWeights present in the data")
     val total = feasible.min
     val fractions = norm.map { case (s, w) =>
-      val n = counts.getOrElse(s, 0L)
       // snap near-1 to exactly 1.0: total = n_binding/w round-trips
       // through doubles, and a 1-ulp-short fraction would drop binding-
       // stratum rows whose hash lands on the last threshold value
-      val f = if (n == 0) 0.0 else math.min(1.0, total * w / n)
+      val f = math.min(1.0, total * w / counts(s))
       s -> (if (f >= 1.0 - 1e-9) 1.0 else f)
     }
     (stratifiedHashSample(df, keyCol, strataCol, fractions,
@@ -95,21 +123,9 @@ object Sampling {
   def upsampleToMix(df: DataFrame, keyCol: Column, strataCol: Column,
                     targetWeights: Map[String, Double],
                     seed: Long): (DataFrame, Map[String, Double]) = {
-    require(targetWeights.nonEmpty && targetWeights.values.forall(_ > 0),
-      "targetWeights must be non-empty and positive")
-    val counts = df.groupBy(strataCol.cast("string").as("__s")).count()
-      .collect().filterNot(_.isNullAt(0))
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val wSum = targetWeights.values.sum
-    val norm = targetWeights.map { case (s, w) => s -> (w / wSum) }
-    val feasible = norm.collect {
-      case (s, w) if counts.getOrElse(s, 0L) > 0 => counts(s) / w
-    }
-    require(feasible.nonEmpty,
-      "no stratum from targetWeights present in the data")
+    val (counts, norm, feasible) = mixCounts(df, strataCol, targetWeights)
     val total = feasible.max
-    val factors = norm.collect {
-      case (s, w) if counts.getOrElse(s, 0L) > 0 =>
+    val factors = norm.map { case (s, w) =>
         // snap near-integer factors to the integer: total = n_binding/w
         // round-trips through doubles, and a factor 1 ulp below its exact
         // integer value (binding stratum: exactly 1.0) turns the
@@ -120,7 +136,7 @@ object Sampling {
         val f = total * w / counts(s)
         val r = math.rint(f)
         s -> (if (math.abs(f - r) < 1e-9) r else f)
-    }
+    }.toMap
     val fCol = factors.foldLeft(lit(0.0)) { case (acc, (s, f)) =>
       when(strataCol === s, lit(f)).otherwise(acc)
     }

@@ -20,15 +20,34 @@ object TopK {
 
   case class ScoredRow(group: Long, item: Long, score: Double)
 
+  /** Best-first ordering: score desc, item asc. Explicit compare rather
+    * than Ordering.by on (-s, i): negating the score sends NaN (which
+    * java sorts GREATER than everything) to the END of the buffer, while
+    * Spark's window ORDER BY score DESC puts NaN rows FIRST — the
+    * aggregator must agree with the window form on dirty scores (a
+    * cosine of a zero vector is 0/0 = NaN) or the documented equivalence
+    * breaks exactly there. Comparing the raw scores reversed keeps NaN
+    * greatest on both paths. */
   private def ord: Ordering[(Double, Long)] =
-    Ordering.by[(Double, Long), (Double, Long)] { case (s, i) => (-s, i) }
+    new Ordering[(Double, Long)] {
+      def compare(x: (Double, Long), y: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(y._1, x._1) // desc, NaN first
+        if (c != 0) c else java.lang.Long.compare(x._2, y._2)
+      }
+    }
 
   def aggregator(k: Int): Aggregator[ScoredRow, Seq[(Double, Long)],
                                      Seq[(Double, Long)]] =
     new Aggregator[ScoredRow, Seq[(Double, Long)], Seq[(Double, Long)]] {
       def zero: Seq[(Double, Long)] = Nil
-      def reduce(b: Seq[(Double, Long)], a: ScoredRow): Seq[(Double, Long)] =
-        ((a.score, a.item) +: b).sorted(ord).take(k)
+      def reduce(b: Seq[(Double, Long)], a: ScoredRow): Seq[(Double, Long)] = {
+        val cand = (a.score, a.item)
+        // fast path: full buffer and the candidate is not better than the
+        // current worst — the overwhelmingly common case on the hot path;
+        // the per-row full re-sort would cost O(k log k) per input row
+        if (b.size >= k && ord.compare(cand, b.last) >= 0) b
+        else (cand +: b).sorted(ord).take(k)
+      }
       def merge(x: Seq[(Double, Long)],
                 y: Seq[(Double, Long)]): Seq[(Double, Long)] =
         (x ++ y).sorted(ord).take(k)

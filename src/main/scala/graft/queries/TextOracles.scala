@@ -464,11 +464,16 @@ object TextOracles {
          |        least(CAST(1.0 AS DOUBLE),
          |              (SELECT total FROM t) * wn / n) AS f0
          |      FROM w),
+         |t0 AS (SELECT lang,
+         |         (CASE WHEN f0 >= CAST(1.0 AS DOUBLE) - 1e-9
+         |               THEN CAST(1.0 AS DOUBLE) ELSE f0 END)
+         |         * 1000000 AS x
+         |       FROM f),
+         |-- near-integer snap before trunc, mirroring keepThreshold
          |th AS (SELECT lang,
-         |         CAST(trunc((CASE WHEN f0 >= CAST(1.0 AS DOUBLE) - 1e-9
-         |                          THEN CAST(1.0 AS DOUBLE) ELSE f0 END)
-         |                    * 1000000) AS BIGINT) AS thr
-         |       FROM f)
+         |         CAST(CASE WHEN abs(x - round(x)) < 1e-3 THEN round(x)
+         |                   ELSE trunc(x) END AS BIGINT) AS thr
+         |       FROM t0)
          |SELECT d.doc_id, d.lang
          |FROM documents d JOIN th ON d.lang = th.lang
          |WHERE (${H("CAST(d.doc_id AS VARCHAR) || '#7'")}

@@ -90,6 +90,32 @@ class TableLayoutSpec extends SparkSpecBase {
     assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
   }
 
+  test("compact recovers an interrupted swap without phantom partitions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_r")
+      .toString + "/t"
+    val src = (1L to 300L).map(i => (i, s"d${i % 3}", s"pay$i"))
+      .toDF("id", "day", "payload")
+    src.repartition(6).write.partitionBy("day").parquet(dir)
+    // simulate a crash between rename-aside and swap for partition day=d1:
+    // the live dir is gone, the complete old copy sits dot-prefixed
+    val live = new java.io.File(dir, "day=d1")
+    val aside = new java.io.File(dir, ".day=d1.compact_old")
+    assert(live.renameTo(aside))
+    // a dot-path is invisible to Spark — no phantom 'day=d1.compact_old'
+    // partition, which an unhidden aside name would create (duplicating
+    // every row of the partition after a crash)
+    assert(spark.read.parquet(dir).select("day").distinct().count() == 2)
+    // recovery: compact restores the aside copy, then compacts normally
+    TableLayout.compact(spark, dir, targetFileBytes = 1L * 1024 * 1024)
+    val back = spark.read.parquet(dir)
+      .select(col("id"), col("day").cast("string"), col("payload"))
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+    val stray = new java.io.File(dir).listFiles()
+      .filter(_.getName.contains("compact_"))
+    assert(stray.isEmpty, stray.mkString(","))
+  }
+
   test("compact merges a many-file table, preserving content exactly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_compact")

@@ -86,4 +86,29 @@ class DedupSpec extends SparkSpecBase {
       .orderBy("id").as[(Long, String)].collect()
     assert(got.toSeq == Seq((1L, "same"), (3L, "other")))
   }
+
+  test("content hash frames fields: no boundary or null collisions") {
+    import spark.implicits._
+    val none: Option[String] = None
+    // every row is DISTINCT content: shifted field boundaries, nulls in
+    // different positions, and null-vs-empty must all hash apart — an
+    // unframed concat would collide them and exactDedup would DELETE
+    // non-duplicate rows
+    val df = Seq(
+      (1L, Some("ab"), Some("c")),
+      (2L, Some("a"), Some("bc")),
+      (3L, Some("a"), none),
+      (4L, none, Some("a")),
+      (5L, Some("a"), Some("")),
+      (6L, none, none),
+      (7L, Some(""), Some("")))
+      .toDF("id", "x", "y")
+    val kept = Dedup.exactDedup(df, Seq(col("x"), col("y")), col("id").asc)
+    assert(kept.count() == 7, kept.orderBy("id").collect().mkString(","))
+    assert(Dedup.exactDupGroups(df, Seq(col("x"), col("y"))).count() == 0)
+    // and true duplicates still collapse
+    val dup = df.unionByName(df)
+    assert(Dedup.exactDedup(dup, Seq(col("x"), col("y")), col("id").asc)
+      .count() == 7)
+  }
 }

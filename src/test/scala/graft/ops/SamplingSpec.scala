@@ -109,6 +109,41 @@ class SamplingSpec extends SparkSpecBase {
     assert(m2 == m3)
   }
 
+  test("mix targets reject strata absent from the data (typo guard)") {
+    val df = Seq((1L, "web"), (2L, "code"), (3L, "books"))
+      .toDF("id", "lang")
+    // "codee" is a typo: silently treating it as count-0 would drop the
+    // real "code" stratum to fraction/factor 0 and ship a wrong mix
+    val weights = Map("web" -> 0.6, "codee" -> 0.3, "books" -> 0.1)
+    val e1 = intercept[IllegalArgumentException] {
+      Sampling.rebalanceToMix(df, col("id"), col("lang"), weights, 1L)
+    }
+    assert(e1.getMessage.contains("codee"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.upsampleToMix(df, col("id"), col("lang"), weights, 1L)
+    }
+    assert(e2.getMessage.contains("codee"), e2.getMessage)
+  }
+
+  test("hashSample threshold snaps double noise: 0.3 keeps 300000/1e6") {
+    // 0.3 * 1e6 = 299999.99999999994 in doubles; bare truncation keeps
+    // one hash value fewer than specified. With the snap, exactly the
+    // keys hashing to 0..299999 survive.
+    val df = (1L to 4000L).toDF("id")
+    val kept = Sampling.hashSample(df, col("id"), 0.3, seed = 7)
+      .count()
+    val expected = (1L to 4000L).count { id =>
+      // mirror sampleHash's arithmetic
+      val h = {
+        var acc = 0L
+        for (ch <- s"$id#7") acc = (acc * 31 + ch.toLong) % 1000000007L
+        acc
+      }
+      (h * 2654435761L % 1000000007L) % 1000000L < 300000L
+    }
+    assert(kept == expected, s"kept=$kept expected=$expected")
+  }
+
   test("upsampleToMix snaps near-integer factors: no silent row loss") {
     // counts {en: 1, zh: 1}, weights {0.6, 0.9}: en is binding with exact
     // factor 1.0, but the double round-trip through normalize → total →

@@ -62,6 +62,25 @@ class VectorOpsSpec extends SparkSpecBase {
     assert(viaAgg.size == 70)
   }
 
+  test("topKPerGroup agrees with the window form on NaN scores") {
+    import org.apache.spark.sql.expressions.Window
+    // Spark's ORDER BY score DESC treats NaN as the LARGEST double —
+    // NaN-scored items rank FIRST; the aggregator's ordering must agree
+    // or the documented window equivalence breaks exactly on dirty
+    // scores (cosine of a zero vector = 0/0 = NaN)
+    val rows = Seq((1L, 10L, 0.9), (1L, 11L, Double.NaN), (1L, 12L, 0.8),
+      (1L, 13L, Double.NaN), (1L, 14L, 0.7))
+      .toDF("g", "item", "score")
+    val viaAgg = TopK.topKPerGroup(rows, "g", "item", "score", 3)
+      .select("item", "rank").as[(Long, Int)].collect().toSet
+    val w = Window.partitionBy($"g").orderBy($"score".desc, $"item".asc)
+    val viaWindow = rows.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select("item", "rank").as[(Long, Int)].collect().toSet
+    assert(viaAgg == viaWindow, s"agg=$viaAgg window=$viaWindow")
+    assert(viaAgg.map(_._1) == Set(11L, 13L, 10L)) // NaNs first, then 0.9
+  }
+
   test("topKPerGroup rejects non-integral id columns up front") {
     val strKeys = Seq(("a", 1L, 0.5)).toDF("g", "item", "score")
     val ex = intercept[IllegalArgumentException] {
