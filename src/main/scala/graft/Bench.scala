@@ -18,12 +18,20 @@ object Bench {
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.exists(n.startsWith) }
     val results = selected.map { case (name, fn) =>
+      // a failed attempt records -1, NOT its elapsed time: a query that
+      // regresses to throwing at plan time would otherwise read as a
+      // near-zero "speedup" in the benchmark record
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+        }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> times.min
+      spark.catalog.clearCache() // see Verify: dead entries accumulate
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     // 4-decimal times keep the single JSON line short enough that a
     // capped log capture still carries every per-query entry (the full
@@ -34,7 +42,8 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val qs = results.map { case (k, v) => s""""$k":${d4(v)}""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // failed queries (-1 markers) don't subtract from the total
+    val total = results.values.filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":${d4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)

@@ -627,7 +627,8 @@ object SparkEntry {
         |    AS hi_value,
         |  max(struct_pack(value := value, event_id := event_id)).event_id
         |    AS hi_event
-        |FROM events GROUP BY event_type""".stripMargin,
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY event_type""".stripMargin,
 
     "q83_json" ->
       """SELECT event_type,

@@ -16,7 +16,22 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // delete any STALE output from a previous run: most failures
+        // throw at plan time, before overwrite touches the directory —
+        // leaving last round's (passing) parquet in place would let the
+        // DuckDB compare validate stale results and MASK the regression
+        // this dump exists to catch. No output → the checker fails loud.
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(new java.io.File(s"$outDir/$name"))
       }
+      // release caches the query's operators persisted internally —
+      // across ~100 queries the dead entries would otherwise accumulate
+      // in executor storage for the whole run (CacheManager entries are
+      // never GC-collected)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

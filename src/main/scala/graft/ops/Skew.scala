@@ -27,9 +27,26 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Join types where salting is row-identical to the plain join: the
+    * small side's factor× replicas are indistinguishable to inner/semi
+    * matching and to BIG-side outer padding. right/full outer would
+    * null-pad every unmatched small-side REPLICA (factor copies of one
+    * row) — not identical — so those types are rejected. */
+  private val SafeJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti",
+      "cross")
+
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  discriminator: Column, factor: Int,
                  joinType: String = "inner"): DataFrame = {
+    require(factor >= 1, s"salt factor must be >= 1, got $factor" +
+      " (0 makes pmod NULL on the big side: silently empty join)")
+    require(SafeJoinTypes.contains(joinType.toLowerCase.replace("_", "")) ||
+        SafeJoinTypes.contains(joinType.toLowerCase),
+      s"saltedJoin is row-identical to the plain join only for " +
+        s"inner/left/semi/anti types; '$joinType' would null-pad " +
+        "unmatched small-side replicas factor times")
     val salted = big.withColumn("__salt",
       pmod(hash(discriminator), lit(factor)))
     val exploded = small.withColumn("__salt",

@@ -59,10 +59,19 @@ object VectorOps {
 
   private def bruteForceScores(queries: DataFrame, corpus: DataFrame,
                                idCol: String, vecCol: String): DataFrame = {
+    // norms precomputed ONCE PER SIDE: cosine(qv, cv) inline would fold
+    // three vec_dots per (query, corpus) pair — each corpus self-dot
+    // recomputed |queries|× and vice versa, ~3× the necessary flops in
+    // the hottest scoring loop. sqrt of the same sequential fold →
+    // bit-identical values.
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("__qn", norm(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("__cn", norm(col("cv")))
     broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos",
+        dot(col("qv"), col("cv")) / (col("__qn") * col("__cn")))
+      .drop("__qn", "__cn")
   }
 
   /** Deterministic ±1 pseudo-random hyperplane component for (plane j,
@@ -86,12 +95,17 @@ object VectorOps {
     * `dim` pins the plane vectors as literal arrays so each projection is
     * one native vec_dot call (same sequential fold as the old per-element
     * lambda — bit-identical) instead of an interpreted zip_with. */
-  def srpSignature(vec: Column, numPlanes: Int, dim: Int): Column =
+  def srpSignature(vec: Column, numPlanes: Int, dim: Int): Column = {
+    // 1L << j wraps silently at 64 (java masks the shift count): plane
+    // 64 would alias plane 0's signature bit, corrupting every bucket
+    require(numPlanes >= 1 && numPlanes <= 63,
+      s"numPlanes must be in [1, 63], got $numPlanes")
     (0 until numPlanes).map { j =>
       val plane = array((0 until dim).map(i =>
         lit(planeSignValue(j, i))): _*)
       when(dot(vec, plane) > 0, lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
+  }
 
   /** Dim-discovering convenience (one tiny driver-side job). */
   def srpSignatureAuto(df: DataFrame, vecCol: String,
@@ -143,18 +157,28 @@ object VectorOps {
     val corpusLists = assignToCentroids(corpus, centroids, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         col("list_id"))
+      .withColumn("__cn", norm(col("cv"))) // once per vector, not per pair
+    // probe ranking uses the SAME rounded-cosine + centroid_id tiebreak
+    // convention as corpus assignment: with raw doubles, a query whose
+    // two nearest centroids tie within 1e-6 could rank list B over A
+    // while the matching corpus vector was assigned to A via the rounded
+    // tiebreak — at nprobe < lists, that loses a true neighbor the
+    // shared convention keeps
     val queryProbes = Dedup.firstRowPerGroupN(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
         .crossJoin(broadcast(centroids.select(col("centroid_id"),
           col("centroid"))))
-        .withColumn("cdist", -cosine(col("qv"), col("centroid"))),
+        .withColumn("cdist",
+          -round(cosine(col("qv"), col("centroid")), 6)),
       Seq(col("query_id")), Seq(col("cdist").asc, col("centroid_id").asc),
       nprobe)
       .select(col("query_id"), col("qv"),
         col("centroid_id").as("list_id"))
+      .withColumn("__qn", norm(col("qv")))
     val scored = queryProbes.join(corpusLists, "list_id")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos",
+        dot(col("qv"), col("cv")) / (col("__qn") * col("__cn")))
     TopK.topKPerGroup(scored, "query_id", "neighbor_id", "cos", k)
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("int").as("rank"),

@@ -705,6 +705,11 @@ object Relational {
     * aggregate; the shuffle carries two structs per group. */
   def q85ArgExtremes(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
+      // NULL values carry no arg-extreme information AND order
+      // differently across engines (Spark sorts null struct fields
+      // FIRST, DuckDB LAST — min would diverge the moment the data
+      // contains one); excluded identically in the oracle
+      .filter(col("value").isNotNull)
       .groupBy(col("event_type"))
       .agg(min(struct(col("value"), col("event_id"))).as("mn"),
         max(struct(col("value"), col("event_id"))).as("mx"))
