@@ -2,6 +2,7 @@ package graft.etl
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.ops.{Dedup, DenseId, SafeCast, Sweep}
 
@@ -161,12 +162,29 @@ object Domains {
     * enhanced_synthea_to_omop.py:1236-1238). */
   def drugExposure(typedMedications: DataFrame, personMap: DataFrame,
                    visitMap: DataFrame): DataFrame =
-    DenseId.withDenseIdScalable(
+    drugExposureAndCost(typedMedications, personMap, visitMap)._1
+
+  /** drug_exposure + its omop.cost Drug rows (transform_cost.sql:64-121)
+    * from ONE dedup + dense-id pass: both projections share the
+    * checkpointed bucketed frame inside [[DenseId.withDenseIdScalable]],
+    * so adding costs costs no second shuffle over medications.
+    *
+    * The reference attaches costs by re-joining medications_raw to
+    * drug_exposure on (person_id, visit_occurrence_id) only — a fan-out
+    * when a visit carries several drugs (every med row matches every
+    * exposure of the visit). We keep the 1:1 intent: one cost row per
+    * surviving exposure row, using the survivor's cost columns. Cost rows
+    * carry no cost_id here — [[cost]] assigns one dense sequence across
+    * all three domains, mirroring the reference's shared staging.cost_seq. */
+  def drugExposureAndCost(typedMedications: DataFrame, personMap: DataFrame,
+                          visitMap: DataFrame): (DataFrame, DataFrame) = {
+    val based = DenseId.withDenseIdScalable(
       eventDomain(typedMedications, personMap, visitMap,
         Seq("person_id", "encounter", "code", "start_ts"),
         Seq(col("stop_ts").asc_nulls_last)),
       Seq(col("person_id"), col("encounter"), col("code"), col("start_ts")),
       "drug_exposure_id")
+    val exposure = based
       .select(
         col("drug_exposure_id"),
         col("person_id"),
@@ -178,16 +196,42 @@ object Domains {
         lit(32817L).as("drug_type_concept_id"),
         col("visit_occurrence_id"),
         col("code").as("drug_source_value"))
+    // transform_cost.sql:91-97: total_charge = TOTALCOST, total_cost =
+    // BASE_COST, paid_by_patient = TOTALCOST − PAYER_COVERAGE (decimal)
+    val drugCost = based
+      .filter(col("base_cost").isNotNull || col("total_cost").isNotNull ||
+        col("payer_coverage").isNotNull)
+      .select(
+        col("drug_exposure_id").as("cost_event_id"),
+        lit("Drug").as("cost_domain_id"),
+        col("total_cost").as("total_charge"),
+        col("base_cost").as("total_cost"),
+        col("payer_coverage").as("total_paid"),
+        col("payer_coverage").as("paid_by_payer"),
+        (col("total_cost") - col("payer_coverage")).as("paid_by_patient"))
+    (exposure, drugCost)
+  }
 
   /** omop.procedure_occurrence (:1358-1400). */
   def procedureOccurrence(typedProcedures: DataFrame, personMap: DataFrame,
                           visitMap: DataFrame): DataFrame =
-    DenseId.withDenseIdScalable(
+    procedureOccurrenceAndCost(typedProcedures, personMap, visitMap)._1
+
+  /** procedure_occurrence + its omop.cost Procedure rows
+    * (transform_cost.sql:123-180: total_charge = total_cost = BASE_COST;
+    * the paid-side columns are NULL by reference contract — Synthea
+    * procedures carry no payer split). Same one-pass sharing as
+    * [[drugExposureAndCost]]. */
+  def procedureOccurrenceAndCost(typedProcedures: DataFrame,
+                                 personMap: DataFrame, visitMap: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val based = DenseId.withDenseIdScalable(
       eventDomain(typedProcedures, personMap, visitMap,
         Seq("person_id", "encounter", "code", "start_ts"),
         Seq(col("stop_ts").asc_nulls_last)),
       Seq(col("person_id"), col("encounter"), col("code"), col("start_ts")),
       "procedure_occurrence_id")
+    val occurrence = based
       .select(
         col("procedure_occurrence_id"),
         col("person_id"),
@@ -197,6 +241,19 @@ object Domains {
         lit(32817L).as("procedure_type_concept_id"),
         col("visit_occurrence_id"),
         col("code").as("procedure_source_value"))
+    val nullMoney = lit(null).cast(DecimalType(10, 2))
+    val procCost = based
+      .filter(col("base_cost").isNotNull)
+      .select(
+        col("procedure_occurrence_id").as("cost_event_id"),
+        lit("Procedure").as("cost_domain_id"),
+        col("base_cost").as("total_charge"),
+        col("base_cost").as("total_cost"),
+        nullMoney.as("total_paid"),
+        nullMoney.as("paid_by_payer"),
+        nullMoney.as("paid_by_patient"))
+    (occurrence, procCost)
+  }
 
   /** omop.device_exposure (synthea-omop-ETL.sql:242-296): typed devices →
     * person (inner) / visit (left) map joins, UDI carried as
@@ -393,29 +450,55 @@ object Domains {
         col("visit_occurrence_id"),
         col("code").as("drug_source_value"))
 
-  /** omop.cost for visits (transform_cost.sql:30-61): decimal money math —
+  /** omop.cost Visit rows (transform_cost.sql:30-61): decimal money math —
     * paid_by_patient = total_claim − payer_coverage computed in
-    * DecimalType(10,2), so no float drift (SURVEY §7.4 risk 4). */
+    * DecimalType, so no float drift (SURVEY §7.4 risk 4). Id-less rows;
+    * [[cost]] assigns the shared dense sequence. */
   def visitCost(typedEncounters: DataFrame, visitMap: DataFrame): DataFrame =
-    DenseId.withDenseIdScalable(
-      typedEncounters
-        .filter(col("base_encounter_cost").isNotNull ||
-          col("total_claim_cost").isNotNull ||
-          col("payer_coverage").isNotNull)
-        .join(broadcast(visitMap), col("id") === col("source_visit_id")),
-      Seq(col("visit_occurrence_id")), "cost_id")
+    typedEncounters
+      .filter(col("base_encounter_cost").isNotNull ||
+        col("total_claim_cost").isNotNull ||
+        col("payer_coverage").isNotNull)
+      .join(broadcast(visitMap), col("id") === col("source_visit_id"))
       .select(
-        col("cost_id"),
         col("visit_occurrence_id").as("cost_event_id"),
         lit("Visit").as("cost_domain_id"),
-        lit(5031L).as("cost_type_concept_id"),     // Calculated
-        lit(44818668L).as("currency_concept_id"),  // USD
         col("total_claim_cost").as("total_charge"),
         col("base_encounter_cost").as("total_cost"),
         col("payer_coverage").as("total_paid"),
         col("payer_coverage").as("paid_by_payer"),
         (col("total_claim_cost") - col("payer_coverage"))
           .as("paid_by_patient"))
+
+  /** omop.cost: the three domain strata (Visit / Drug / Procedure —
+    * transform_cost.sql's three INSERT blocks) under ONE dense cost_id,
+    * mirroring the reference's shared staging.cost_seq. Ordered by
+    * (domain, event id) so ids are deterministic across reruns; constant
+    * type/currency concepts (5031 "Calculated", 44818668 USD,
+    * transform_cost.sql:36-37) applied once here. unionByName with
+    * explicit decimal widening: the subtraction branches carry
+    * DecimalType(11,2) while Procedure's NULLs are (10,2). */
+  def cost(visitRows: DataFrame, drugRows: DataFrame,
+           procedureRows: DataFrame): DataFrame = {
+    val widened = Seq(visitRows, drugRows, procedureRows).map { df =>
+      df.withColumn("paid_by_patient",
+        col("paid_by_patient").cast(DecimalType(11, 2)))
+    }
+    DenseId.withDenseIdScalable(
+      widened.reduce(_ unionByName _),
+      Seq(col("cost_domain_id"), col("cost_event_id")), "cost_id")
+      .select(
+        col("cost_id"),
+        col("cost_event_id"),
+        col("cost_domain_id"),
+        lit(5031L).as("cost_type_concept_id"),     // Calculated
+        lit(44818668L).as("currency_concept_id"),  // USD
+        col("total_charge"),
+        col("total_cost"),
+        col("total_paid"),
+        col("paid_by_payer"),
+        col("paid_by_patient"))
+  }
 
   /** omop.payer_plan_period (synthea-omop-ETL.sql:540-560): one row per
     * person-year, end = start + 1 year − 1 day (P7). */

@@ -110,13 +110,15 @@ object EtlRunner {
       "condition_source_value", "condition_source_concept_id",
       "condition_concept_id", "SNOMED", "Condition"),
       "condition_occurrence")
-    val drug = save(mapConcepts(
-      Domains.drugExposure(tMed, personMap, visitMap),
+    val (drugRaw, drugCostRows) =
+      Domains.drugExposureAndCost(tMed, personMap, visitMap)
+    val drug = save(mapConcepts(drugRaw,
       "drug_source_value", "drug_source_concept_id",
       "drug_concept_id", "RxNorm", "Drug"),
       "drug_exposure")
-    val proc = save(mapConcepts(
-      Domains.procedureOccurrence(tPro, personMap, visitMap),
+    val (procRaw, procCostRows) =
+      Domains.procedureOccurrenceAndCost(tPro, personMap, visitMap)
+    val proc = save(mapConcepts(procRaw,
       "procedure_source_value", "procedure_source_concept_id",
       "procedure_concept_id", "SNOMED", "Procedure"),
       "procedure_occurrence")
@@ -133,7 +135,10 @@ object EtlRunner {
       "observation_source_value", "observation_source_concept_id",
       "observation_concept_id", "LOINC", "Observation"), "observation")
     save(Domains.death(tPat, personMap), "death")
-    save(Domains.visitCost(tEnc, visitMap), "cost")
+    // cost: all three reference strata (Visit/Drug/Procedure,
+    // transform_cost.sql's three INSERT blocks) under one dense cost_id
+    save(Domains.cost(Domains.visitCost(tEnc, visitMap),
+      drugCostRows, procCostRows), "cost")
     // optional source: immunizations → drug_exposure rows
     val immDrug =
       if (pathExists(spark, in("immunizations"))) {

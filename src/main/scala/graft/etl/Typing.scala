@@ -59,7 +59,8 @@ object Typing {
       col("CODE").as("code"),
       col("DESCRIPTION").as("description"))
 
-  /** medications (:326-353). */
+  /** medications (:483-518; cost columns NUMERIC, dispenses INT — they
+    * feed the Drug block of transform_cost.sql:64-121). */
   def medications(raw: DataFrame): DataFrame =
     raw.select(
       safeTimestamp(col("START")).as("start_ts"),
@@ -67,9 +68,15 @@ object Typing {
       safeUuid(col("PATIENT")).as("patient"),
       safeUuid(col("ENCOUNTER")).as("encounter"),
       col("CODE").as("code"),
-      col("DESCRIPTION").as("description"))
+      col("DESCRIPTION").as("description"),
+      safeNumeric(col("BASE_COST"), DecimalType(10, 2)).as("base_cost"),
+      safeNumeric(col("PAYER_COVERAGE"), DecimalType(10, 2))
+        .as("payer_coverage"),
+      safeInt(col("DISPENSES")).as("dispenses"),
+      safeNumeric(col("TOTALCOST"), DecimalType(10, 2)).as("total_cost"))
 
-  /** procedures (:405-450). */
+  /** procedures (:451-477; base_cost NUMERIC — feeds the Procedure block
+    * of transform_cost.sql:123-180). */
   def procedures(raw: DataFrame): DataFrame =
     raw.select(
       safeTimestamp(col("START")).as("start_ts"),
@@ -77,7 +84,8 @@ object Typing {
       safeUuid(col("PATIENT")).as("patient"),
       safeUuid(col("ENCOUNTER")).as("encounter"),
       col("CODE").as("code"),
-      col("DESCRIPTION").as("description"))
+      col("DESCRIPTION").as("description"),
+      safeNumeric(col("BASE_COST"), DecimalType(10, 2)).as("base_cost"))
 
   /** observations (:606-631): VALUE stays text; the measurement/observation
     * split types it downstream (M5). */

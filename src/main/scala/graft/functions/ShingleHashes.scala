@@ -76,6 +76,11 @@ case class ShingleHashes(left: Expression, right: Expression)
           case n: java.lang.Integer if n <= 0 =>
             TypeCheckResult.TypeCheckFailure(
               s"shingle_hashes width must be >= 1, got $n")
+          // a null literal (lit(null).cast("int")) is foldable too and
+          // would otherwise slide through to success, deferring the
+          // failure to a per-row null on the executor
+          case null => TypeCheckResult.TypeCheckFailure(
+            "shingle_hashes width must be a non-null literal")
           case _ => TypeCheckResult.TypeCheckSuccess
         }
       case (l, r) => TypeCheckResult.TypeCheckFailure(

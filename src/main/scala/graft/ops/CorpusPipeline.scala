@@ -52,6 +52,10 @@ object CorpusPipeline {
     sampleDefault: Double = 1.0,
     seed: Long = 42L)
 
+  /** Per-stage survivor counts. `afterQuality` counts quality-filter
+    * survivors BEFORE decontamination, so the stage decomposition is
+    * explicit: input − afterQuality = quality drops;
+    * afterQuality − decontaminated = rows entering exact dedup. */
   final case class Stats(input: Long, afterQuality: Long, afterExact: Long,
                          afterNearDup: Long, output: Long,
                          decontaminated: Long = 0L)
@@ -98,7 +102,12 @@ object CorpusPipeline {
     val decontaminated = contaminatedIds.fold(0L)(_.count())
     val quality = contaminatedIds.fold(quality0)(ids =>
       quality0.join(ids, Seq("doc_id"), "left_anti"))
-    val afterQuality = quality.count()
+    // afterQuality means "survived the QUALITY filter" (decontamination
+    // excluded), so input − afterQuality is pure quality drops and
+    // afterQuality − decontaminated feeds exact dedup. Contaminated ids
+    // are a subset of quality survivors, so the pre-decontamination count
+    // is recovered by addition — no second corpus-sized count pass.
+    val afterQuality = quality.count() + decontaminated
 
     // 2. exact dedup: smallest doc_id survives per content hash.
     // Persisted: it feeds the stage count, the shingle stream, AND the

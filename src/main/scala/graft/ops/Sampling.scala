@@ -64,12 +64,16 @@ object Sampling {
     * per-stratum counts (driver-scale), normalized weights, and the
     * per-stratum n/w ratios the binding-total derives from.
     *
-    * EVERY targetWeights key must be present in the data: a missing key
-    * (usually a typo — "codee" for "code") would silently drop the real
-    * stratum to fraction/factor 0 and ship a mix that violates the
-    * requested weights with no error. */
+    * By default EVERY targetWeights key must be present in the data: a
+    * missing key (usually a typo — "codee" for "code") would silently
+    * drop the real stratum to fraction/factor 0 and ship a mix that
+    * violates the requested weights with no error. A legitimately-empty
+    * stratum (a daily drop with no 'zh' docs) is opted into with
+    * `allowEmptyStrata`: absent strata are pruned and the remaining
+    * weights renormalized, so the mix among PRESENT strata still holds. */
   private def mixCounts(df: DataFrame, strataCol: Column,
-                        targetWeights: Map[String, Double])
+                        targetWeights: Map[String, Double],
+                        allowEmptyStrata: Boolean)
       : (Map[String, Long], Map[String, Double], Iterable[Double]) = {
     require(targetWeights.nonEmpty && targetWeights.values.forall(_ > 0),
       "targetWeights must be non-empty and positive")
@@ -79,20 +83,26 @@ object Sampling {
       .collect().filterNot(_.isNullAt(0))
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val absent = targetWeights.keys.filterNot(counts.contains)
-    require(absent.isEmpty,
+    require(allowEmptyStrata || absent.isEmpty,
       s"targetWeights strata absent from the data: " +
         s"${absent.mkString(", ")} — a silent drop here would ship a " +
-        "mix violating the requested weights")
-    val wSum = targetWeights.values.sum
-    val norm = targetWeights.map { case (s, w) => s -> (w / wSum) }
+        "mix violating the requested weights (pass " +
+        "allowEmptyStrata = true if empty strata are expected)")
+    val present = targetWeights -- absent
+    require(present.nonEmpty,
+      "every targetWeights stratum is absent from the data")
+    val wSum = present.values.sum
+    val norm = present.map { case (s, w) => s -> (w / wSum) }
     val feasible = norm.map { case (s, w) => counts(s) / w }
     (counts, norm, feasible)
   }
 
   def rebalanceToMix(df: DataFrame, keyCol: Column, strataCol: Column,
                      targetWeights: Map[String, Double],
-                     seed: Long): (DataFrame, Map[String, Double]) = {
-    val (counts, norm, feasible) = mixCounts(df, strataCol, targetWeights)
+                     seed: Long, allowEmptyStrata: Boolean = false)
+      : (DataFrame, Map[String, Double]) = {
+    val (counts, norm, feasible) =
+      mixCounts(df, strataCol, targetWeights, allowEmptyStrata)
     // largest feasible total T: for each stratum, keep_s = T·w_s ≤ n_s
     val total = feasible.min
     val fractions = norm.map { case (s, w) =>
@@ -122,8 +132,10 @@ object Sampling {
     * cost, which is the point of upsampling. */
   def upsampleToMix(df: DataFrame, keyCol: Column, strataCol: Column,
                     targetWeights: Map[String, Double],
-                    seed: Long): (DataFrame, Map[String, Double]) = {
-    val (counts, norm, feasible) = mixCounts(df, strataCol, targetWeights)
+                    seed: Long, allowEmptyStrata: Boolean = false)
+      : (DataFrame, Map[String, Double]) = {
+    val (counts, norm, feasible) =
+      mixCounts(df, strataCol, targetWeights, allowEmptyStrata)
     val total = feasible.max
     val factors = norm.map { case (s, w) =>
         // snap near-integer factors to the integer: total = n_binding/w

@@ -206,13 +206,16 @@ object VectorOps {
       : (DataFrame, DataFrame) = {
     val fresh = incoming.join(index.select(col(idCol)), Seq(idCol),
       "left_anti")
-    // persisted: the documented daily-drop flow consumes BOTH outputs
-    // (write the unioned index AND collect the skew report) — without
-    // this, each action re-runs the anti-join plus the k-distance
-    // centroid scoring of every incoming vector, the dominant cost of
-    // the append. Increment-sized, disk-spillable.
+    // eager localCheckpoint, not persist: the documented daily-drop flow
+    // consumes BOTH outputs (write the unioned index AND collect the skew
+    // report) — without materialization each action re-runs the anti-join
+    // plus the k-distance centroid scoring of every incoming vector, the
+    // dominant cost of the append. A persist would leave a session-
+    // lifetime CacheManager entry per daily append; checkpoint blocks are
+    // released by the ContextCleaner once the returned frames are
+    // unreferenced (same accumulation argument as DenseId).
     val assigned = assignToCentroids(fresh, centroids, idCol, vecCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val report = assigned.groupBy(col("list_id"))
       .agg(count(lit(1)).as("n_appended"))
     (index.unionByName(assigned), report)

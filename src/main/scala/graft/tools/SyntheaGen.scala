@@ -84,8 +84,9 @@ object SyntheaGen {
         .cast("double") / 100)).as("PAYER_COVERAGE"))
     save(encounters, "encounters.csv")
 
-    def eventTable(codes: Seq[String], withStop: Boolean): DataFrame =
-      encs.select(
+    def eventTable(codes: Seq[String], withStop: Boolean,
+                   extra: Seq[org.apache.spark.sql.Column] = Nil): DataFrame =
+      encs.select(Seq(
         date_format(col("start_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("START"),
         (if (withStop)
           when(col("eid") % 3 === 0, lit(""))
@@ -99,13 +100,33 @@ object SyntheaGen {
         element_at(array(codes.map(lit): _*),
           (pmod(hash(col("eid"), lit(10)), lit(codes.size)) + 1)
             .cast("int")).as("CODE"),
-        lit("gen").as("DESCRIPTION"))
+        lit("gen").as("DESCRIPTION")) ++ extra: _*)
     save(eventTable(Seq("44054006", "38341003", "195967001", "10509002"),
       withStop = true), "conditions.csv")
+    // medication cost columns (transform_cost.sql Drug block): every 13th
+    // row carries no cost info (no cost row emitted); every 1013th
+    // BASE_COST is non-numeric junk the safe cast must null, not crash on
+    def money(seed: Int, modCents: Int) =
+      format_string("%.2f", (pmod(hash(col("eid"), lit(seed)), lit(modCents))
+        .cast("double") / 100))
     save(eventTable(Seq("313782", "834061", "308136", "429503"),
-      withStop = true), "medications.csv")
+      withStop = true, extra = Seq(
+        when(col("eid") % 13 === 0, lit(""))
+          .when(col("eid") % 1013 === 0, lit("n/a"))
+          .otherwise(money(31, 50000)).as("BASE_COST"),
+        when(col("eid") % 13 === 0, lit(""))
+          .otherwise(money(32, 20000)).as("PAYER_COVERAGE"),
+        when(col("eid") % 13 === 0, lit(""))
+          .otherwise((pmod(hash(col("eid"), lit(33)), lit(12)) + 1)
+            .cast("string")).as("DISPENSES"),
+        when(col("eid") % 13 === 0, lit(""))
+          .otherwise(money(34, 80000)).as("TOTALCOST"))),
+      "medications.csv")
     save(eventTable(Seq("232717009", "80146002", "274031008"),
-      withStop = false), "procedures.csv")
+      withStop = false, extra = Seq(
+        when(col("eid") % 17 === 0, lit(""))
+          .otherwise(money(35, 90000)).as("BASE_COST"))),
+      "procedures.csv")
 
     val obs = encs.select(col("pid"), col("eid"), col("start_ts"),
         explode(sequence(lit(0), lit(9))).as("oi"))

@@ -31,11 +31,13 @@ class EtlRunnerSpec extends SparkSpecBase {
       "START,STOP,PATIENT,ENCOUNTER,CODE,DESCRIPTION\n" +
         s"2015-01-01,2015-02-01,$u1,$e1,44054006,Diabetes\n")
     w(in, "medications.csv",
-      "START,STOP,PATIENT,ENCOUNTER,CODE,DESCRIPTION\n" +
-        s"2015-01-01T09:30:00Z,,$u1,$e1,313782,Acetaminophen\n")
+      "START,STOP,PATIENT,ENCOUNTER,CODE,DESCRIPTION,BASE_COST," +
+        "PAYER_COVERAGE,DISPENSES,TOTALCOST\n" +
+        s"2015-01-01T09:30:00Z,,$u1,$e1,313782,Acetaminophen," +
+        "12.50,9.00,2,25.00\n")
     w(in, "procedures.csv",
-      "START,STOP,PATIENT,ENCOUNTER,CODE,DESCRIPTION\n" +
-        s"2015-01-01T09:45:00Z,,$u1,$e1,232717009,CABG\n")
+      "START,STOP,PATIENT,ENCOUNTER,CODE,DESCRIPTION,BASE_COST\n" +
+        s"2015-01-01T09:45:00Z,,$u1,$e1,232717009,CABG,431.40\n")
     w(in, "observations.csv",
       "DATE,PATIENT,ENCOUNTER,CODE,DESCRIPTION,VALUE,UNITS\n" +
         s"2015-01-01T09:15:00Z,$u1,$e1,8302-2,Height,175.3,cm\n")
@@ -115,6 +117,35 @@ class EtlRunnerSpec extends SparkSpecBase {
     // vocab mapping applied
     val cond = spark.read.parquet(s"$out/condition_occurrence").head()
     assert(cond.getAs[Long]("condition_concept_id") == 201826L)
+    // cost: all three reference strata under one dense id sequence,
+    // exact decimal arithmetic per transform_cost.sql's three blocks
+    val costT = spark.read.parquet(s"$out/cost")
+    def bd(s: String) = new java.math.BigDecimal(s)
+    def money(r: org.apache.spark.sql.Row, c: String) =
+      r.getAs[java.math.BigDecimal](c)
+    assert(costT.count() == 3)
+    assert(costT.select("cost_id").orderBy("cost_id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val byDom = costT.collect().map(r =>
+      r.getAs[String]("cost_domain_id") -> r).toMap
+    assert(byDom.keySet == Set("Visit", "Drug", "Procedure"))
+    val v = byDom("Visit")
+    assert(money(v, "total_charge").compareTo(bd("120.00")) == 0)
+    assert(money(v, "total_cost").compareTo(bd("100.00")) == 0)
+    assert(money(v, "paid_by_patient").compareTo(bd("100.00")) == 0)
+    val dr = byDom("Drug")
+    assert(money(dr, "total_charge").compareTo(bd("25.00")) == 0)
+    assert(money(dr, "total_cost").compareTo(bd("12.50")) == 0)
+    assert(money(dr, "total_paid").compareTo(bd("9.00")) == 0)
+    assert(money(dr, "paid_by_patient").compareTo(bd("16.00")) == 0)
+    val pr = byDom("Procedure")
+    assert(money(pr, "total_charge").compareTo(bd("431.40")) == 0)
+    assert(money(pr, "total_cost").compareTo(bd("431.40")) == 0)
+    assert(pr.isNullAt(pr.fieldIndex("total_paid")))
+    assert(pr.isNullAt(pr.fieldIndex("paid_by_patient")))
+    assert(byDom.values.forall(r =>
+      r.getAs[Long]("cost_type_concept_id") == 5031L &&
+        r.getAs[Long]("currency_concept_id") == 44818668L))
     // observation period spans allergy (2014) → immunization (2016)
     val op = spark.read.parquet(s"$out/observation_period").head()
     assert(op.getAs[java.sql.Date]("observation_period_start_date").toString
