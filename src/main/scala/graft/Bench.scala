@@ -2,6 +2,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Quiet log4j BEFORE the session starts: the context-startup INFO
+    // burst is hundreds of lines, and a capped driver-side capture that
+    // interleaves stdout+stderr spends its budget on logs and truncates
+    // the one metric line this main exists to emit (BENCH_r02/r03 both
+    // arrived with "parsed": null and a cut tail).
+    org.apache.logging.log4j.core.config.Configurator.setRootLevel(
+      org.apache.logging.log4j.Level.WARN)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.core.Sessions.builder(s"local[$cpus]", cpus.toInt)
@@ -12,7 +19,8 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     // min of two runs per query: first run can absorb shuffle-file/page
     // cache warmup and JIT of query-specific codegen; min is the honest
-    // steady-state number on a shared machine
+    // steady-state number on a shared machine. BOTH reps are recorded in
+    // BENCH_LOCAL.json so min-vs-rerun asymmetry is visible, not guessed.
     // optional args: only bench queries whose name starts with one of them
     val selected =
       if (args.isEmpty) SparkEntry.queries
@@ -31,30 +39,44 @@ object Bench {
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
       spark.catalog.clearCache() // see Verify: dead entries accumulate
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      // GC nudge: blocks from the eager localCheckpoints inside operators
+      // (DenseId, NearDup.candidatePairs) are freed by the ContextCleaner
+      // only after the owning RDD object is garbage-collected. Without a
+      // collection, dead checkpoint blocks pile up across ~100 queries,
+      // fill the storage pool, and EVICT the live MEMORY_AND_DISK
+      // intermediates of later cascade queries — a silent recompute tax
+      // that hits exactly the persist-heavy queries (the r3 driver-vs-
+      // builder 2–6× gap on q27/q28/q57/q69 is this signature).
+      System.gc()
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min, times)
     }
-    // 4-decimal times keep the single JSON line short enough that a
+    // 3-decimal times keep the single JSON line short enough that a
     // capped log capture still carries every per-query entry (the full
     // double rendering pushed the r2 line past the capture tail).
     // Locale.ROOT: the f interpolator uses the default locale, which
     // renders decimal COMMAS on e.g. de_DE JVMs — invalid JSON
-    def d4(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    val qs = results.map { case (k, v) => s""""$k":${d4(v)}""" }
+    def d3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, (v, _)) => s""""$k":${d3(v)}""" }
       .mkString("{", ",", "}")
     // failed queries (-1 markers) don't subtract from the total
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.values.map(_._1).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":${d4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     Console.out.flush()
     // durable copy in the working directory (the repo root under sbt):
     // survives driver-side log truncation so the full per-query map stays
-    // diffable. Only a FULL run may overwrite it — a subset re-time must
-    // not clobber the round's complete record.
+    // diffable; carries EVERY rep, not just the min. Only a FULL run may
+    // overwrite it — a subset re-time must not clobber the round's
+    // complete record.
     if (args.isEmpty) {
+      val reps = results.map { case (k, (_, ts)) =>
+        s""""$k":[${ts.map(d3).mkString(",")}]""" }.mkString("{", ",", "}")
+      val full =
+        s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir"}"""
       try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+        java.nio.file.Paths.get("BENCH_LOCAL.json"), full + "\n")
       catch { case e: java.io.IOException =>
         System.err.println(s"[bench] BENCH_LOCAL.json not written: $e")
       }

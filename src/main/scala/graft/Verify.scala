@@ -30,8 +30,12 @@ object Verify {
       // release caches the query's operators persisted internally —
       // across ~100 queries the dead entries would otherwise accumulate
       // in executor storage for the whole run (CacheManager entries are
-      // never GC-collected)
+      // never GC-collected). The GC nudge then lets the ContextCleaner
+      // drop localCheckpoint blocks (DenseId, candidatePairs), which
+      // CLEARCACHE DOES NOT TOUCH — they'd otherwise crowd the storage
+      // pool and evict later queries' live intermediates (see Bench).
       spark.catalog.clearCache()
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

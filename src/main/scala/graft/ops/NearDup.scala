@@ -119,10 +119,33 @@ object NearDup {
 
   /** Candidate pairs from shared LSH buckets: (a, b, n_shared_bands),
     * a < b. The join key is (band, band_sig) — bucket-local, so the
-    * shuffle is tiny and skew is bounded by bucket size. */
+    * shuffle is tiny and skew is bounded by bucket size.
+    *
+    * The band frame is materialized (eager localCheckpoint) before the
+    * self-join: the two join sides differ in their top projection
+    * (doc_a vs doc_b), so ReuseExchange never deduplicates them and a
+    * lazy formulation runs the whole shingle→minhash→band cascade — the
+    * dominant aggregation of the pipeline — TWICE. Bands are the
+    * narrowest frame of the cascade (bands/doc rows of ~50-byte sigs),
+    * so this is the cheapest point to cut. Checkpoint blocks are
+    * ContextCleaner-released once the result is unreferenced (same
+    * GC-managed pattern as DenseId); at 100 TB the 2× saving on the
+    * signature aggregation dwarfs the materialization cost.
+    *
+    * If the caller ALREADY persisted the band frame (CorpusPipeline
+    * does — it reuses bands across several joins), no checkpoint is
+    * taken: block-level locking in BlockManager.getOrElseUpdate makes a
+    * persisted frame compute-once across both sides of the self-join,
+    * and a second eager copy would only double storage pressure (the
+    * exact regression q64 showed when this method checkpointed
+    * unconditionally). */
   def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
-    val l = bands.select(col(idCol).as("doc_a"), col("band"), col("band_sig"))
-    val r = bands.select(col(idCol).as("doc_b"), col("band"), col("band_sig"))
+    val mat =
+      if (bands.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        bands
+      else bands.localCheckpoint(true)
+    val l = mat.select(col(idCol).as("doc_a"), col("band"), col("band_sig"))
+    val r = mat.select(col(idCol).as("doc_b"), col("band"), col("band_sig"))
     l.join(r, Seq("band", "band_sig"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
