@@ -107,33 +107,86 @@ object Achilles {
   def a1801MeasurementRecords(measurement: DataFrame): DataFrame =
     recordsByConcept(1801, measurement, "measurement_concept_id")
 
+  /** Person × first observation period: (person_id, gender_concept_id,
+    * age at first obs). Shared by analyses 101/103/104. */
+  private def ageAtFirstObs(person: DataFrame,
+                            observationPeriod: DataFrame): DataFrame =
+    person.join(
+      observationPeriod.groupBy(col("person_id"))
+        .agg(min(col("observation_period_start_date")).as("first_obs")),
+      "person_id")
+      .withColumn("age", year(col("first_obs")) - col("year_of_birth"))
+
   /** Analysis 101-shape: persons by age at first observation period. */
   def a101AgeAtFirstObs(person: DataFrame,
                         observationPeriod: DataFrame): DataFrame =
-    result(101,
-      person.join(
-        observationPeriod.groupBy(col("person_id"))
-          .agg(min(col("observation_period_start_date")).as("first_obs")),
-        "person_id")
-        .withColumn("age", year(col("first_obs")) - col("year_of_birth")),
-      Seq(col("age")))
+    result(101, ageAtFirstObs(person, observationPeriod), Seq(col("age")))
+
+  /** The Achilles distribution shape over a `len` column, optionally
+    * stratified (stratum_1). One hash agg; for the stratified form the
+    * shuffle carries strata cardinality, never rows. Exact `percentile`
+    * for oracle parity — swap percentile_approx at scale (SURVEY §8). */
+  private def dist(analysisId: Int, values: DataFrame,
+                   stratum: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
+    val aggs = Seq(
+      count(lit(1)).as("count_value"),
+      min(col("len")).as("min_value"),
+      expr("percentile(len, 0.10)").as("p10_value"),
+      expr("percentile(len, 0.25)").as("p25_value"),
+      expr("percentile(len, 0.50)").as("median_value"),
+      expr("percentile(len, 0.75)").as("p75_value"),
+      expr("percentile(len, 0.90)").as("p90_value"),
+      max(col("len")).as("max_value"))
+    val out = stratum match {
+      case Some(s) =>
+        values.groupBy(s.cast("string").as("stratum_1"))
+          .agg(aggs.head, aggs.tail: _*)
+      case None =>
+        values.agg(aggs.head, aggs.tail: _*)
+          .withColumn("stratum_1", lit(null).cast("string"))
+    }
+    out.select(lit(analysisId).as("analysis_id") +: col("stratum_1") +:
+      distValueCols.map(col): _*)
+  }
+
+  private val distValueCols = Seq("count_value", "min_value", "p10_value",
+    "p25_value", "median_value", "p75_value", "p90_value", "max_value")
 
   /** Analysis 211-shape: distribution of visit length in days (A9 —
     * exact percentiles for oracle parity; percentile_approx at scale). */
   def a211VisitLength(visit: DataFrame): DataFrame =
-    visit
-      .select(datediff(col("visit_end_date"), col("visit_start_date"))
-        .cast("double").as("len"))
-      .agg(
-        lit(211).as("analysis_id"),
-        count(lit(1)).as("count_value"),
-        min(col("len")).as("min_value"),
-        expr("percentile(len, 0.10)").as("p10_value"),
-        expr("percentile(len, 0.25)").as("p25_value"),
-        expr("percentile(len, 0.50)").as("median_value"),
-        expr("percentile(len, 0.75)").as("p75_value"),
-        expr("percentile(len, 0.90)").as("p90_value"),
-        max(col("len")).as("max_value"))
+    dist(211, visit.select(
+      datediff(col("visit_end_date"), col("visit_start_date"))
+        .cast("double").as("len")))
+
+  /** Analysis 103-shape: distribution of age at first observation period
+    * (OHDSI Achilles default set, run via run_achilles.R:36-57). */
+  def a103AgeAtFirstObsDist(person: DataFrame,
+                            observationPeriod: DataFrame): DataFrame =
+    dist(103, ageAtFirstObs(person, observationPeriod)
+      .select(col("age").cast("double").as("len")))
+
+  /** Analysis 104-shape: age at first observation period, by gender
+    * (stratum_1 = gender_concept_id). */
+  def a104AgeAtFirstObsByGender(person: DataFrame,
+                                observationPeriod: DataFrame): DataFrame =
+    dist(104, ageAtFirstObs(person, observationPeriod)
+      .select(col("gender_concept_id"),
+        col("age").cast("double").as("len")),
+      Some(col("gender_concept_id")))
+
+  /** Analysis 105-shape: length in days of each person's FIRST
+    * observation period. The first period is picked by lexicographic
+    * min(start, end) — deterministic under start-date ties, no window. */
+  def a105ObsPeriodLength(observationPeriod: DataFrame): DataFrame =
+    dist(105, observationPeriod
+      .groupBy(col("person_id"))
+      .agg(min(struct(col("observation_period_start_date"),
+        col("observation_period_end_date"))).as("first"))
+      .select(datediff(col("first.observation_period_end_date"),
+        col("first.observation_period_start_date"))
+        .cast("double").as("len")))
 
   /** Analysis 900-shape: drug eras by drug concept
     * (query_achilles_results.sh drug-era block). */
@@ -142,19 +195,8 @@ object Achilles {
 
   /** Analysis 906-shape: distribution of drug-era length in days. */
   def a906DrugEraLength(drugEra: DataFrame): DataFrame =
-    drugEra
-      .select(datediff(col("drug_era_end_date"),
-        col("drug_era_start_date")).cast("double").as("len"))
-      .agg(
-        lit(906).as("analysis_id"),
-        count(lit(1)).as("count_value"),
-        min(col("len")).as("min_value"),
-        expr("percentile(len, 0.10)").as("p10_value"),
-        expr("percentile(len, 0.25)").as("p25_value"),
-        expr("percentile(len, 0.50)").as("median_value"),
-        expr("percentile(len, 0.75)").as("p75_value"),
-        expr("percentile(len, 0.90)").as("p90_value"),
-        max(col("len")).as("max_value"))
+    dist(906, drugEra.select(datediff(col("drug_era_end_date"),
+      col("drug_era_start_date")).cast("double").as("len")))
 
   /** Analysis 1000-shape: condition eras by condition concept. */
   def a1000ByConditionEraConcept(conditionEra: DataFrame): DataFrame =
@@ -162,10 +204,20 @@ object Achilles {
 
   /** Distribution analyses → the separate achilles_results_dist table the
     * reference reads (query_achilles_results.sh:228-230 reads 211 from
-    * `achilles_results_dist`, not `achilles_results`). */
+    * `achilles_results_dist`, not `achilles_results`). With person +
+    * observation_period inputs the run also covers the observation-period
+    * defaults of the R Achilles set (103/104/105, run_achilles.R). */
   def runDist(visit: DataFrame,
-              drugEra: Option[DataFrame] = None): DataFrame =
-    (Seq(a211VisitLength(visit)) ++ drugEra.map(a906DrugEraLength))
+              drugEra: Option[DataFrame] = None,
+              person: Option[DataFrame] = None,
+              observationPeriod: Option[DataFrame] = None): DataFrame =
+    (Seq(a211VisitLength(visit))
+      ++ drugEra.map(a906DrugEraLength)
+      ++ (for (p <- person; op <- observationPeriod)
+           yield a103AgeAtFirstObsDist(p, op)).toSeq
+      ++ (for (p <- person; op <- observationPeriod)
+           yield a104AgeAtFirstObsByGender(p, op)).toSeq
+      ++ observationPeriod.map(a105ObsPeriodLength))
       .reduce(_ unionByName _)
 
   /** Full default-analyses run → one stacked results table. Domain inputs

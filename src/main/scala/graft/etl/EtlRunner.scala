@@ -192,9 +192,7 @@ object EtlRunner {
       Some(drugEra), Some(condEra), procedure = Some(proc),
       drugExposure = Some(drug), observation = Some(obsT),
       measurement = Some(measT)), "achilles_results")
-    save(graft.analyze.Achilles.runDist(visit, Some(drugEra)),
-      "achilles_results_dist")
-    save(Domains.observationPeriod(Seq(
+    val obsPeriod = Domains.observationPeriod(Seq(
       visit.select(col("person_id"), col("visit_start_date").as("start_date"),
         col("visit_end_date").as("end_date")),
       cond.select(col("person_id"),
@@ -212,7 +210,14 @@ object EtlRunner {
       immDrug.map(d => d.select(col("person_id"),
         col("drug_exposure_start_date").as("start_date"),
         col("drug_exposure_end_date").as("end_date"))).toSeq ++
-      allergySpans.toSeq), "observation_period")
+      allergySpans.toSeq)
+    // save returns the written table read back, so the dist analyses scan
+    // the period parquet rather than recomputing the multi-domain span
+    // sweep (the widest union in the run)
+    val obsPeriodSaved = save(obsPeriod, "observation_period")
+    save(graft.analyze.Achilles.runDist(visit, Some(drugEra),
+      person = Some(person), observationPeriod = Some(obsPeriodSaved)),
+      "achilles_results_dist")
 
     val report = Validation.report(spark, person, visit, cond, measT, obsT,
       Some(drugEra), Some(condEra))

@@ -93,6 +93,44 @@ class AchillesSpec extends SparkSpecBase {
     assert(dist.columns.contains("median_value"))
   }
 
+  private lazy val obsPeriods = Seq(
+    // person 1: two periods — FIRST (by start) is 10 days long
+    (1L, 1L, "2020-01-01", "2020-01-11"),
+    (2L, 1L, "2021-01-01", "2021-12-31"),
+    (3L, 2L, "2020-06-01", "2020-06-06"),  // 5 days
+    (4L, 3L, "2021-03-01", "2021-03-21")   // 20 days
+  ).toDF("observation_period_id", "person_id", "s", "e")
+    .select(col("*"),
+      col("s").cast("date").as("observation_period_start_date"),
+      col("e").cast("date").as("observation_period_end_date"))
+
+  test("obs-period distribution analyses 103/104/105 (R default set)") {
+    val dist = Achilles.runDist(visit, drugEra = None,
+      person = Some(person), observationPeriod = Some(obsPeriods))
+    val byA = dist.collect().groupBy(_.getInt(0))
+    assert(byA.keySet == Set(211, 103, 104, 105))
+    // 103: ages at first obs — p1 40 (2020−1980), p2 40, p3 31 (2021−1990)
+    val a103 = byA(103).head
+    assert(a103.getAs[String]("stratum_1") == null)
+    assert(a103.getAs[Long]("count_value") == 3)
+    assert(a103.getAs[Double]("min_value") == 31.0)
+    assert(a103.getAs[Double]("max_value") == 40.0)
+    assert(a103.getAs[Double]("median_value") == 40.0)
+    // 104: same ages stratified by gender — male(8507)={40,31}, f={40}
+    val a104 = byA(104).map(r =>
+      r.getAs[String]("stratum_1") ->
+        (r.getAs[Long]("count_value"), r.getAs[Double]("min_value"),
+          r.getAs[Double]("max_value"))).toMap
+    assert(a104 == Map("8507" -> ((2L, 31.0, 40.0)),
+      "8532" -> ((1L, 40.0, 40.0))))
+    // 105: FIRST period length per person = {10, 5, 20}
+    val a105 = byA(105).head
+    assert(a105.getAs[Long]("count_value") == 3)
+    assert(a105.getAs[Double]("min_value") == 5.0)
+    assert(a105.getAs[Double]("median_value") == 10.0)
+    assert(a105.getAs[Double]("max_value") == 20.0)
+  }
+
   test("age at first observation strata") {
     val op = Seq((1L, 1L, "2020-01-01"), (2L, 2L, "2020-06-01"))
       .toDF("observation_period_id", "person_id", "s")
