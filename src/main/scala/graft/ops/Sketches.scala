@@ -69,6 +69,17 @@ object Sketches {
     val bloom = dimKeys.stat.bloomFilter(keyName, expectedDim, fpp)
     val spark = fact.sparkSession
     val bloomBc = spark.sparkContext.broadcast(bloom)
+    // The probe is a Scala UDF closure BY NECESSITY: Spark's codegen'd
+    // probe expression (BloomFilterMightContain) sits in a private
+    // package and is only planner-injected for runtime filters, and
+    // might_contain is likewise not exposed through the public function
+    // registry — there is no public codegen path to probe a driver-built
+    // BloomFilter. Cost of the closure vs the saving it buys is measured
+    // in tools/BloomBench (SCALE.md "Bloom prune"): the probe removes
+    // ~80% of fact-side shuffle volume at the q59 shape but only wins
+    // wall-clock once shuffle is network-bound, so keep the automatic
+    // runtime bloom filter as the default and reach for this only on a
+    // measured shuffle bottleneck.
     // type-matched membership probe: a long key through the string path
     // (or vice versa) would hash differently and break the no-false-
     // negative guarantee; string keys also must never be ANSI-cast to long
