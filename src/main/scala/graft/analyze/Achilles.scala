@@ -176,17 +176,45 @@ object Achilles {
         col("age").cast("double").as("len")),
       Some(col("gender_concept_id")))
 
-  /** Analysis 105-shape: length in days of each person's FIRST
-    * observation period. The first period is picked by lexicographic
-    * min(start, end) — deterministic under start-date ties, no window. */
-  def a105ObsPeriodLength(observationPeriod: DataFrame): DataFrame =
-    dist(105, observationPeriod
+  /** Per-person FIRST observation period, picked by lexicographic
+    * min(start, end) — deterministic under start-date ties, no window.
+    * Shared by analyses 105/106/107. */
+  private def firstPeriodLength(observationPeriod: DataFrame): DataFrame =
+    observationPeriod
       .groupBy(col("person_id"))
       .agg(min(struct(col("observation_period_start_date"),
         col("observation_period_end_date"))).as("first"))
-      .select(datediff(col("first.observation_period_end_date"),
-        col("first.observation_period_start_date"))
-        .cast("double").as("len")))
+      .select(col("person_id"),
+        col("first.observation_period_start_date").as("first_start"),
+        datediff(col("first.observation_period_end_date"),
+          col("first.observation_period_start_date"))
+          .cast("double").as("len"))
+
+  /** Analysis 105-shape: length in days of each person's FIRST
+    * observation period. */
+  def a105ObsPeriodLength(observationPeriod: DataFrame): DataFrame =
+    dist(105, firstPeriodLength(observationPeriod))
+
+  /** Analysis 106-shape: first-period length by gender
+    * (stratum_1 = gender_concept_id). */
+  def a106ObsPeriodLengthByGender(person: DataFrame,
+                                  observationPeriod: DataFrame): DataFrame =
+    dist(106, firstPeriodLength(observationPeriod)
+      .join(person.select(col("person_id"), col("gender_concept_id")),
+        "person_id"),
+      Some(col("gender_concept_id")))
+
+  /** Analysis 107-shape: first-period length by age decile at first
+    * observation (stratum_1 = floor(age/10)). */
+  def a107ObsPeriodLengthByAgeDecile(person: DataFrame,
+                                     observationPeriod: DataFrame)
+      : DataFrame =
+    dist(107, firstPeriodLength(observationPeriod)
+      .join(person.select(col("person_id"), col("year_of_birth")),
+        "person_id")
+      .withColumn("decile",
+        floor((year(col("first_start")) - col("year_of_birth")) / 10)),
+      Some(col("decile")))
 
   /** Analysis 900-shape: drug eras by drug concept
     * (query_achilles_results.sh drug-era block). */
@@ -213,10 +241,10 @@ object Achilles {
               observationPeriod: Option[DataFrame] = None): DataFrame =
     (Seq(a211VisitLength(visit))
       ++ drugEra.map(a906DrugEraLength)
-      ++ (for (p <- person; op <- observationPeriod)
-           yield a103AgeAtFirstObsDist(p, op)).toSeq
-      ++ (for (p <- person; op <- observationPeriod)
-           yield a104AgeAtFirstObsByGender(p, op)).toSeq
+      ++ (for (p <- person; op <- observationPeriod) yield Seq(
+           a103AgeAtFirstObsDist(p, op), a104AgeAtFirstObsByGender(p, op),
+           a106ObsPeriodLengthByGender(p, op),
+           a107ObsPeriodLengthByAgeDecile(p, op))).toSeq.flatten
       ++ observationPeriod.map(a105ObsPeriodLength))
       .reduce(_ unionByName _)
 

@@ -104,11 +104,11 @@ class AchillesSpec extends SparkSpecBase {
       col("s").cast("date").as("observation_period_start_date"),
       col("e").cast("date").as("observation_period_end_date"))
 
-  test("obs-period distribution analyses 103/104/105 (R default set)") {
+  test("obs-period distribution analyses 103..107 (R default set)") {
     val dist = Achilles.runDist(visit, drugEra = None,
       person = Some(person), observationPeriod = Some(obsPeriods))
     val byA = dist.collect().groupBy(_.getInt(0))
-    assert(byA.keySet == Set(211, 103, 104, 105))
+    assert(byA.keySet == Set(211, 103, 104, 105, 106, 107))
     // 103: ages at first obs — p1 40 (2020−1980), p2 40, p3 31 (2021−1990)
     val a103 = byA(103).head
     assert(a103.getAs[String]("stratum_1") == null)
@@ -129,6 +129,17 @@ class AchillesSpec extends SparkSpecBase {
     assert(a105.getAs[Double]("min_value") == 5.0)
     assert(a105.getAs[Double]("median_value") == 10.0)
     assert(a105.getAs[Double]("max_value") == 20.0)
+    // 106: lengths by gender — male(8507)={10,20}, female(8532)={5}
+    val a106 = byA(106).map(r =>
+      r.getAs[String]("stratum_1") ->
+        (r.getAs[Long]("count_value"), r.getAs[Double]("min_value"),
+          r.getAs[Double]("max_value"))).toMap
+    assert(a106 == Map("8507" -> ((2L, 10.0, 20.0)),
+      "8532" -> ((1L, 5.0, 5.0))))
+    // 107: deciles — p1 age 40 → 4, p2 age 40 → 4, p3 age 31 → 3
+    val a107 = byA(107).map(r =>
+      r.getAs[String]("stratum_1") -> r.getAs[Long]("count_value")).toMap
+    assert(a107 == Map("4" -> 2L, "3" -> 1L))
   }
 
   test("age at first observation strata") {
