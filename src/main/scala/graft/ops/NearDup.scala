@@ -121,29 +121,41 @@ object NearDup {
     * a < b. The join key is (band, band_sig) — bucket-local, so the
     * shuffle is tiny and skew is bounded by bucket size.
     *
-    * The band frame is materialized (eager localCheckpoint) before the
+    * The band frame is materialized (eager persist) before the
     * self-join: the two join sides differ in their top projection
     * (doc_a vs doc_b), so ReuseExchange never deduplicates them and a
     * lazy formulation runs the whole shingle→minhash→band cascade — the
     * dominant aggregation of the pipeline — TWICE. Bands are the
     * narrowest frame of the cascade (bands/doc rows of ~50-byte sigs),
-    * so this is the cheapest point to cut. Checkpoint blocks are
-    * ContextCleaner-released once the result is unreferenced (same
-    * GC-managed pattern as DenseId); at 100 TB the 2× saving on the
-    * signature aggregation dwarfs the materialization cost.
+    * so this is the cheapest point to cut.
+    *
+    * persist, NOT localCheckpoint: the cache keeps SIZE STATISTICS
+    * flowing to the planner, so the band self-join stays scale-adaptive
+    * (broadcast when the frame is small, shuffle at corpus scale). A
+    * checkpoint surfaces as a stats-less ExistingRDD that pins the
+    * worst-case join strategy at every scale — measured 3.5× slower on
+    * the q56-shaped simhash variant of this same pattern. The cache
+    * entry lives until the session drops it (Bench/Verify clearCache
+    * between queries); unpersisting early is safe — the lineage is
+    * intact, worst case is recompute.
     *
     * If the caller ALREADY persisted the band frame (CorpusPipeline
-    * does — it reuses bands across several joins), no checkpoint is
-    * taken: block-level locking in BlockManager.getOrElseUpdate makes a
-    * persisted frame compute-once across both sides of the self-join,
-    * and a second eager copy would only double storage pressure (the
-    * exact regression q64 showed when this method checkpointed
-    * unconditionally). */
+    * does — it reuses bands across several joins), nothing extra is
+    * materialized: block-level locking in BlockManager.getOrElseUpdate
+    * makes a persisted frame compute-once across both sides of the
+    * self-join, and a second eager copy would only double storage
+    * pressure (the exact regression q64 showed when this method
+    * materialized unconditionally). */
   def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
     val mat =
       if (bands.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
         bands
-      else bands.localCheckpoint(true)
+      else {
+        val p = bands.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count() // eager: both join sides must read, never compute
+        p
+      }
     val l = mat.select(col(idCol).as("doc_a"), col("band"), col("band_sig"))
     val r = mat.select(col(idCol).as("doc_b"), col("band"), col("band_sig"))
     l.join(r, Seq("band", "band_sig"))
@@ -276,10 +288,28 @@ object NearDup {
       else shiftright(sig, b * width).bitwiseAND(mask)
     val blocked = sigs.select(col(idCol) +: col("simhash") +:
       (0 until nBlocks).map(b => blockVal(col("simhash"), b).as(s"b$b")): _*)
-    val exploded = blocked.select(col(idCol), col("simhash"),
+    // materialized before the self-join for the same reason as
+    // [[candidatePairs]] (see the persist-vs-checkpoint note there):
+    // the two sides project different names, so ReuseExchange never
+    // fires and a lazy formulation computes the per-doc signature
+    // cascade (tokenize → shingles → bit votes — the dominant cost when
+    // `sigs` derives from raw text) TWICE. The exploded frame is
+    // (maxDist+1) rows/doc of four small columns — the narrowest point
+    // to cut. Skipped when the caller already persisted the signature
+    // frame.
+    val explodedLazy = blocked.select(col(idCol), col("simhash"),
       explode(array((0 until nBlocks).map(b =>
         struct(lit(b).as("blk"), col(s"b$b").as("bv"))): _*)).as("x"))
       .select(col(idCol), col("simhash"), col("x.blk"), col("x.bv"))
+    val exploded =
+      if (sigs.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        explodedLazy
+      else {
+        val p = explodedLazy.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        p
+      }
     val l = exploded.select(col(idCol).as("doc_a"),
       col("simhash").as("sig_a"), col("blk"), col("bv"))
     val r = exploded.select(col(idCol).as("doc_b"),
