@@ -309,29 +309,46 @@ object TextOps {
     *
     * Plan shape: the bigram stream is a pure per-row zip of the token
     * array with its own tail — NO window shuffle (the lead()-window form
-    * would sort the corpus token stream per doc). Two model aggregates
-    * (bigram counts, unigram counts — both vocabulary-sized with map-side
-    * partials) join back onto the bigram stream by hash; text never
-    * shuffles. Per-bigram logs round to 9 places and sum as DECIMAL so
-    * the score is partitioning-invariant (q81 exact-moments pattern).
+    * would sort the corpus token stream per doc). The MODEL is built in
+    * ONE corpus pass: unigrams and bigrams are emitted through a single
+    * tagged explode (w2 NULL marks a unigram) into one vocabulary-sized
+    * aggregate, which is persisted (model-sized — safe at any corpus
+    * scale) and sliced into the unigram/bigram count frames; the corpus
+    * total derives from the same frame. The only other corpus pass is
+    * the scoring stream itself, so the text is read exactly twice —
+    * build and score — which is the floor for a self-estimated model.
+    * Per-bigram logs round to 9 places and sum as DECIMAL so the score
+    * is partitioning-invariant (q81 exact-moments pattern).
     *
     * Docs with fewer than 2 tokens have no bigrams and are absent from
     * the output (callers treat no-score as no-signal). */
   def bigramLogProbScore(docs: DataFrame, idCol: String, textCol: String,
                          lambda: Double = 0.75): DataFrame = {
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]")
-    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
-    val uc = tok.groupBy(col("term")).agg(count(lit(1)).as("uc"))
-    // corpus total from the vocabulary-sized frame, not a third scan
+    def bigramStructs(tk: Column): Column = zip_with(
+      slice(tk, lit(1), size(tk) - 1),
+      slice(tk, lit(2), size(tk) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    // one corpus pass for the whole model: unigrams ride along as
+    // (w, NULL) structs next to the bigrams of the same token array
+    val counts = docs.select(tokens(col(textCol)).as("tk"))
+      .select(explode(concat(
+        transform(col("tk"), w =>
+          struct(w.as("w1"), lit(null).cast("string").as("w2"))),
+        bigramStructs(col("tk")))).as("g"))
+      .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uc = counts.filter(col("w2").isNull)
+      .select(col("w1").as("term"), col("c").as("uc"))
+    val bc = counts.filter(col("w2").isNotNull)
+      .select(col("w1"), col("w2"), col("c").as("bc"))
+    // corpus total from the vocabulary-sized frame, not another scan
     val total = uc.agg(sum(col("uc")).as("n_total"))
     val bi = docs.select(col(idCol), tokens(col(textCol)).as("tk"))
       .filter(size(col("tk")) >= 2)
-      .select(col(idCol), explode(zip_with(
-        slice(col("tk"), lit(1), size(col("tk")) - 1),
-        slice(col("tk"), lit(2), size(col("tk")) - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), explode(bigramStructs(col("tk"))).as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bc"))
     val p = lit(lambda) *
         (col("bc").cast("double") / col("c1").cast("double")) +
       lit(1.0 - lambda) *
