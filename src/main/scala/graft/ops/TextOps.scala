@@ -187,8 +187,16 @@ object TextOps {
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
     val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    // persisted: tf feeds both the df derivation and the scoring join,
+    // and exchange reuse across the two branches is not guaranteed (the
+    // static plan shows the scan→explode→agg cascade twice; zero
+    // ReusedExchange fired in PLANS.md). (doc, term) rows are the
+    // distinct-terms sliver of the corpus — far smaller than text, and
+    // the alternative is paying the corpus scan + explode + tf shuffle
+    // twice, which is strictly more I/O than caching the agg output.
     val tf = tok.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
@@ -280,7 +288,12 @@ object TextOps {
   def unigramLogProbScore(docs: DataFrame, idCol: String,
                           textCol: String): DataFrame = {
     val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    // persisted: the model feeds both the total and the scoring join,
+    // and exchange reuse across branches is not guaranteed (see
+    // tfidfTopTerms) — without the cache the corpus token aggregate
+    // recomputes per reference. Vocabulary-sized, safe at any scale.
     val tf = tok.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // corpus total derives from the vocabulary-sized tf frame — a third
     // full tokenize pass for a single count would double-scan the corpus
     val total = tf.agg(sum(col("tf")).as("n_total"))
