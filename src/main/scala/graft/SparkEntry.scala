@@ -140,6 +140,7 @@ object SparkEntry {
     "q55_ivf_full_probe"     -> VectorQueries.qIvfFullProbe _,
     "q60_kmeans_round"       -> VectorQueries.qKmeansRound _,
     "q65_pq_adc"             -> VectorQueries.qPqAdc _,
+    "q104_semdedup"          -> VectorQueries.qSemDedup _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */

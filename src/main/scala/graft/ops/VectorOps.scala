@@ -424,6 +424,74 @@ object VectorOps {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** SemDedup-style cluster-bounded embedding dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every vector to its nearest coarse
+    * centroid, then look for semantic duplicates ONLY inside each
+    * cluster. Pairwise work is Σ_c |c|² instead of |corpus|² — with
+    * k ≈ √N lists the quadratic term stays flat as the corpus grows —
+    * and the single shuffle key is the cluster id: the same
+    * candidate-bounding idea as LSH bands, with the coarse codebook
+    * instead of hash collisions as the blocking structure. The price is
+    * the known boundary miss: a near-dup pair straddling two clusters is
+    * never compared (spec-pinned), which the paper accepts and k trades
+    * off.
+    *
+    * Keep policy is greedy keep-lowest-id, ONE pass: a vector is dropped
+    * iff some lower-id vector in its cluster has cosine ≥ minCos. Chains
+    * are not chased (a dropped vector can anchor a later drop) — the
+    * same convention as [[NearDup]]'s verified-pair drops; callers
+    * wanting one representative per transitive group run
+    * [[Components.connectedComponents]] over the pair graph instead.
+    *
+    * Returns one row per input vector:
+    * (id, cluster_id, anchor_id, kept) — anchor_id is the LOWEST
+    * qualifying lower-id neighbor, null when kept = 1. */
+  def semDedup(vecs: DataFrame, centroids: DataFrame, minCos: Double,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame =
+    semDedupAssigned(assignToCentroids(vecs, centroids, idCol, vecCol),
+      minCos, idCol, vecCol)
+
+  /** [[semDedup]] over a standing assigned index — rows of
+    * (id, vec, list_id) as produced by [[assignToCentroids]] /
+    * maintained by [[ivfAppend]]. At 100 TB the index already exists
+    * (it IS the ANN index); dedup then costs one cluster-keyed
+    * self-join, no reassignment.
+    *
+    * The index feeds both sides of that self-join, so it is
+    * materialized per the [[NearDup.candidatePairs]] policy: eager
+    * persist (keeps size stats → the join stays scale-adaptive),
+    * skipped when the caller already persisted the frame. Norms are
+    * computed before the persist so each side reads them instead of
+    * recomputing. */
+  def semDedupAssigned(index: DataFrame, minCos: Double,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val withNorm =
+      if (index.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        index.withColumn("__n", norm(col(vecCol)))
+      else {
+        val p = index.withColumn("__n", norm(col(vecCol)))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count() // eager: both join sides must read, never compute
+        p
+      }
+    val l = withNorm.select(col("list_id"), col(idCol).as("__a_id"),
+      col(vecCol).as("__av"), col("__n").as("__an"))
+    val r = withNorm.select(col("list_id"), col(idCol).as("__b_id"),
+      col(vecCol).as("__bv"), col("__n").as("__bn"))
+    val anchors = l.join(r, "list_id")
+      .filter(col("__a_id") < col("__b_id"))
+      .filter(dot(col("__av"), col("__bv")) /
+        (col("__an") * col("__bn")) >= minCos)
+      .groupBy(col("__b_id"))
+      .agg(min(col("__a_id")).as("anchor_id"))
+      .withColumnRenamed("__b_id", idCol)
+    withNorm.select(col(idCol), col("list_id").as("cluster_id"))
+      .join(anchors, Seq(idCol), "left")
+      .withColumn("kept", col("anchor_id").isNull.cast("int"))
+  }
+
   /** Candidate near-dup pairs from shared SRP buckets, verified with exact
     * cosine ≥ minCos. */
   def srpNearDupPairs(vecs: DataFrame, numPlanes: Int, minCos: Double,

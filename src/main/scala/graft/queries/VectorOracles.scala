@@ -194,6 +194,40 @@ object VectorOracles {
          |SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS cos_sim
          |FROM r2 WHERE rank <= ${VectorQueries.TopK}""".stripMargin,
 
+    // SemDedup: label-centroid assignment (rounded-cosine argmax,
+    // centroid_id tiebreak — the q60 convention), then within-cluster
+    // greedy keep-lowest-id at cos >= threshold, one pass (a dropped
+    // vector can anchor a later drop; chains are not chased)
+    "q104_semdedup" ->
+      s"""WITH e AS (SELECT label, embedding AS emb,
+         |             unnest(range(1, len(embedding) + 1)) AS i
+         |           FROM embeddings),
+         |cm AS (SELECT label, i,
+         |         CAST(SUM(CAST(emb[i] AS DECIMAL(28,10))) AS DOUBLE)
+         |           / COUNT(*) AS c
+         |       FROM e GROUP BY label, i),
+         |cent AS (SELECT CAST(label AS BIGINT) AS centroid_id,
+         |           list(c ORDER BY i) AS centroid
+         |         FROM cm GROUP BY label),
+         |scored AS (SELECT v.vec_id, v.embedding, c.centroid_id,
+         |             ${cos("v.embedding", "c.centroid")} AS cs
+         |           FROM embeddings v CROSS JOIN cent c),
+         |asg AS (SELECT vec_id, embedding, centroid_id AS cluster_id FROM
+         |          (SELECT vec_id, embedding, centroid_id,
+         |             row_number() OVER (PARTITION BY vec_id
+         |               ORDER BY ROUND(cs, 6) DESC, centroid_id ASC) AS rn
+         |           FROM scored) z WHERE rn = 1),
+         |anch AS (SELECT b.vec_id, MIN(a.vec_id) AS anchor_id
+         |         FROM asg a JOIN asg b
+         |           ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+         |         WHERE ${cos("a.embedding", "b.embedding")}
+         |           >= ${VectorQueries.SemDedupMinCos}
+         |         GROUP BY b.vec_id)
+         |SELECT g.vec_id, g.cluster_id, n.anchor_id,
+         |  CAST(CASE WHEN n.anchor_id IS NULL THEN 1 ELSE 0 END
+         |    AS INTEGER) AS kept
+         |FROM asg g LEFT JOIN anch n ON n.vec_id = g.vec_id""".stripMargin,
+
     "q34_label_centroids" ->
       s"""WITH e AS (SELECT label, embedding AS emb,
          |             unnest(range(1, len(embedding) + 1)) AS i

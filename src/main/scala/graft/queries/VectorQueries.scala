@@ -142,6 +142,26 @@ object VectorQueries {
       codes, books, emb, m, TopK, Shortlist)
   }
 
+  /** Cosine threshold for q104: the synthetic corpus has no true
+    * semantic duplicates (see [[qEmbedNearDup]]), so the threshold is
+    * set low enough that within-cluster neighbors qualify and the
+    * drop/anchor path is exercised on a non-trivial fraction of rows. */
+  val SemDedupMinCos = 0.2
+
+  /** SemDedup ([[VectorOps.semDedup]]) over the label-centroid coarse
+    * codebook: cluster-bounded semantic dedup — the scale path for
+    * embedding near-dup (q33's SRP buckets are the hash-blocking
+    * alternative; this is the codebook-blocking one, reusing the ANN
+    * index). Oracle replays assignment (rounded-cosine argmax with
+    * centroid-id tiebreak, the q60 convention) and the within-cluster
+    * greedy keep-lowest-id pass value-exactly. */
+  def qSemDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val centroids = labelCentroids(emb)
+      .select(col("label").cast("long").as("centroid_id"), col("centroid"))
+    VectorOps.semDedup(emb, centroids, SemDedupMinCos)
+  }
+
   /** IVF ANN, oracle-gated: label-centroid codebook + full probe. At full
     * probe IVF is EXACTLY brute force (every corpus vector sits in one
     * probed list), so the brute-force DuckDB oracle pins the whole IVF

@@ -68,6 +68,22 @@ class PlanQualitySpec extends SparkSpecBase {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
   }
 
+  test("semDedup pair join keys on the cluster id, never all-pairs") {
+    val p = plan(graft.queries.VectorQueries.qSemDedup(spark, sf))
+    // the only nested-loop join is the k-sized broadcast of the centroid
+    // codebook during assignment (its cached plan prints once per
+    // InMemoryTableScan reference, so NLJ occurrences aren't countable
+    // from the string); the within-cluster self-join must be an
+    // equi-join on list_id — a CartesianProduct would mean the cluster
+    // blocking was lost and the pair volume is |corpus|²
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    // every NLJ in the tree is the assignment's broadcast of the
+    // centroid frame, never a corpus-sized stream side
+    assert(!p.linesIterator.exists(l =>
+      l.contains("BroadcastNestedLoopJoin") && !l.contains("BuildRight")), p)
+  }
+
   test("minhash aggregation is partial (map-side combine) before shuffle") {
     val sh = graft.ops.NearDup.shingleRows(
       graft.core.Tables.documents(spark, sf), "doc_id", "text", 3)

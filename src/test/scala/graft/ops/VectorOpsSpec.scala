@@ -254,6 +254,69 @@ class VectorOpsSpec extends SparkSpecBase {
     emb.unpersist()
   }
 
+  test("semDedup drops planted duplicates with lowest-id anchors, one pass") {
+    // single centroid: everything shares one cluster, isolating the
+    // greedy pass from the blocking structure
+    val cents = Seq((0L, Seq(1.0, 0.0))).toDF("centroid_id", "centroid")
+    // an angular chain at 30° steps: cos(10,11) = cos(11,12) ≈ .866,
+    // cos(10,12) = .5 — at τ = 0.7 the one-pass greedy drops 11
+    // (anchor 10) AND 12 (anchor 11, itself dropped: chains are not
+    // chased)
+    val vs = Seq(
+      (10L, Array(1.0f, 0.0f)),
+      (11L, Array(0.866f, 0.5f)),
+      (12L, Array(0.5f, 0.866f)),
+      (13L, Array(0.0f, -1.0f))          // cos <= 0 to all others
+    ).toDF("vec_id", "embedding")
+    val out = VectorOps.semDedup(vs, cents, minCos = 0.7)
+      .select($"vec_id", $"cluster_id", $"anchor_id", $"kept")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          r.getInt(3))).toMap
+    assert(out(10L) == ((0L, -1L, 1)))
+    assert(out(11L) == ((0L, 10L, 0)))
+    // 12's only >= 0.7 lower-id neighbor is 11; anchor records it even
+    // though 11 itself was dropped
+    assert(out(12L) == ((0L, 11L, 0)))
+    assert(out(13L) == ((0L, -1L, 1)))
+  }
+
+  test("semDedup never compares across clusters (the boundary miss)") {
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("centroid_id", "centroid")
+    // cos(20,21) ≈ 0.8 >= τ, but 20 assigns to x and 21 to y — the
+    // pair straddles the cluster boundary and is never generated
+    // (SemDedup's documented recall trade; k tunes it)
+    val vs = Seq(
+      (20L, Array(0.9f, 0.45f)),
+      (21L, Array(0.45f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val out = VectorOps.semDedup(vs, cents, minCos = 0.2)
+      .select($"vec_id", $"cluster_id", $"kept")
+      .as[(Long, Long, Int)].collect()
+      .map { case (k, c, kept) => k -> ((c, kept)) }.toMap
+    assert(out(20L) == ((0L, 1)))
+    assert(out(21L) == ((1L, 1)))
+  }
+
+  test("semDedupAssigned respects a caller-persisted index") {
+    val cents = Seq((0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0)))
+      .toDF("centroid_id", "centroid")
+    val index = VectorOps.assignToCentroids(blobs, cents).persist()
+    try {
+      val out = VectorOps.semDedupAssigned(index, minCos = 0.9)
+      assert(out.count() == 9)
+      // partitioning invariance of the full pipeline
+      val repart = VectorOps.semDedup(
+        blobs.repartition(5, $"vec_id"), cents, minCos = 0.9)
+      val a = out.select($"vec_id", $"cluster_id", $"anchor_id", $"kept")
+        .collect().map(_.toSeq).toSet
+      val b = repart.select($"vec_id", $"cluster_id", $"anchor_id", $"kept")
+        .collect().map(_.toSeq).toSet
+      assert(a == b)
+    } finally index.unpersist()
+  }
+
   test("kmeansFit keeps previous centroid for empty lists") {
     // identical points: assignment ties all break to one centroid, the
     // other list is empty every round and must keep its seed centroid
