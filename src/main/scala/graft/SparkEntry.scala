@@ -141,6 +141,7 @@ object SparkEntry {
     "q60_kmeans_round"       -> VectorQueries.qKmeansRound _,
     "q65_pq_adc"             -> VectorQueries.qPqAdc _,
     "q104_semdedup"          -> VectorQueries.qSemDedup _,
+    "q105_repeated_spans"    -> TextQueries.qRepeatedSpans _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */

@@ -374,4 +374,61 @@ object NearDup {
         .filter(col("n_shared_shingles") >= minOverlap)
         .select(col(idCol)),
       Seq(idCol), "left_anti")
+
+  /** Repeated token spans — EXACT-SUBSTRING dedup, the third dedup
+    * granularity after whole-document (exact/minhash/simhash) and
+    * passage ([[graft.ops.TextOps.boilerplatePassages]]'s fixed chunks):
+    * find maximal runs of n-token windows whose content occurs more than
+    * once in the corpus, at stride 1 (the substring-dedup family of Lee
+    * et al. 2022, arXiv:2107.06499 — there via suffix arrays; window
+    * hashing expresses the same detection as three relational steps
+    * with the resolution floor n).
+    *
+    * Shape: (1) every stride-1 n-token window hashes at the SCAN via
+    * `shingle_hashes` + posexplode — zero shuffle, position = array
+    * index; docs shorter than n tokens are filtered (they cannot
+    * contain an n-window, and the expression's whole-doc fallback hash
+    * would otherwise masquerade as one); (2) hashes occurring at >1
+    * (doc, pos) site — partial-agg count, then the window stream
+    * re-derives from the scan and semi-joins the repeated-hash set
+    * (the corpus-sized stream is NOT cached, per the materialization
+    * policy: re-hashing at the scan is the cheap side); (3) adjacent
+    * repeated windows merge into maximal spans per doc — the
+    * pos − row_number() islands trick under a PER-DOC window.
+    *
+    * Returns (id, span_start, span_end, n_windows): token positions,
+    * 0-based inclusive; span_end = last window start + n − 1.
+    *
+    * At 100 TB: the only corpus-wide shuffles are the count aggregate
+    * and the repeated-hash join, both keyed on the window hash. A
+    * universal boilerplate n-gram is a hot key in that join — the
+    * mitigation is pre-extracting the top-k hashes with
+    * [[Sketches.heavyHitters]] and handling them broadcast-side, the
+    * same skew split as [[Skew.saltedJoin]]. Hash collisions (mod 1e9+7)
+    * can mark a window repeated when only its hash is; production
+    * removal would re-verify span TEXT on the span sliver (the same
+    * size-gated verify tier as [[verifiedNearDups]]). */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int): DataFrame = {
+    require(n >= 2, s"span window width must be >= 2, got $n")
+    def wins = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col(idCol),
+        posexplode(call_function("shingle_hashes", col("__t"), lit(n)))
+          .as(Seq("pos", "h")))
+    val repeated = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+      .select(col("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    wins.join(repeated, Seq("h"), "left_semi")
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(n - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .drop("__grp")
+  }
 }

@@ -301,6 +301,37 @@ object TextOracles {
          |       - GREATEST(gstart, pack_id * 8192) AS BIGINT) AS slice_len
          |FROM p""".stripMargin,
 
+    // repeated spans: stride-1 8-token window hashes (lead-window fold,
+    // 0-based pos = window start), hashes at >1 (doc,pos) site, adjacent
+    // repeated windows merged per doc via the pos - row_number() islands
+    "q105_repeated_spans" -> {
+      val n = TextQueries.SpanN
+      val leads = (1 until n).map(i =>
+        s"lead(th, $i) OVER (PARTITION BY doc_id ORDER BY pos) AS th$i")
+        .mkString(", ")
+      val fold = (1 until n).foldLeft("th")((acc, i) =>
+        s"($acc * 31 + th$i) % 1000000007")
+      s"""WITH tok0 AS (SELECT doc_id, $Tk AS tk FROM documents),
+         |lng AS (SELECT doc_id, tk FROM tok0 WHERE len(tk) >= $n),
+         |tokx AS (SELECT doc_id, unnest(tk) AS tok,
+         |           unnest(range(0, len(tk))) AS pos FROM lng),
+         |th AS (SELECT doc_id, pos, ${H("tok")} AS th FROM tokx),
+         |shl AS (SELECT doc_id, pos, th, $leads FROM th),
+         |win AS (SELECT doc_id, pos, $fold AS h
+         |        FROM shl WHERE th${n - 1} IS NOT NULL),
+         |rep AS (SELECT h FROM win GROUP BY h HAVING COUNT(*) > 1),
+         |rw AS (SELECT doc_id, pos FROM win
+         |       WHERE h IN (SELECT h FROM rep)),
+         |isl AS (SELECT doc_id, pos,
+         |          pos - row_number() OVER (PARTITION BY doc_id
+         |            ORDER BY pos) AS grp
+         |        FROM rw)
+         |SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS span_start,
+         |  CAST(MAX(pos) + ${n - 1} AS INTEGER) AS span_end,
+         |  COUNT(*) AS n_windows
+         |FROM isl GROUP BY doc_id, grp""".stripMargin
+    },
+
     "q68_boilerplate" ->
       s"""WITH t AS (SELECT doc_id, $Tk AS tk FROM documents),
          |st AS (SELECT doc_id, tk,

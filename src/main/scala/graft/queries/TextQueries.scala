@@ -18,6 +18,9 @@ object TextQueries {
   val ShingleN = 3
   val NumHashes = 16
   val RowsPerBand = 4
+  // q105 window width: the substring-dedup resolution floor, matching
+  // the decontamination n-gram width (8 tokens)
+  val SpanN = 8
 
   /** Exact-duplicate groups by content hash (scale path: hash-groupBy —
     * shuffle carries (hash, count), not text). With no exact dups in the
@@ -102,6 +105,13 @@ object TextQueries {
       col("doc_id"),
       TextOps.polyHash(col("text")).as("content_hash"),
       TextOps.polyHash(substring(col("text"), 1, 64)).as("prefix_hash"))
+
+  /** Maximal repeated token spans ([[NearDup.repeatedSpans]]): exact
+    * substring dedup at stride 1 over 8-token windows — the planted
+    * duplicate groups in the corpus surface as whole-document spans,
+    * boilerplate-sharing docs as partial ones. */
+  def qRepeatedSpans(s: SparkSession, dir: String): DataFrame =
+    NearDup.repeatedSpans(Tables.documents(s, dir), "doc_id", "text", SpanN)
 
   /** MinHash signatures (relational form), folded to one row per doc for a
     * compact verifiable result: sum and min of the 16 minhashes. */

@@ -84,6 +84,18 @@ class PlanQualitySpec extends SparkSpecBase {
       l.contains("BroadcastNestedLoopJoin") && !l.contains("BuildRight")), p)
   }
 
+  test("repeatedSpans: scan-side windows, semi join, per-doc islands") {
+    val p = plan(graft.queries.TextQueries.qRepeatedSpans(spark, sf))
+    // window hashing happens at the scan (Generate = the posexplode),
+    // the repeated-hash restriction is a semi join, and the islands
+    // window is PARTITIONED by doc — a single-partition window here
+    // would serialize the whole corpus through one task
+    assert(p.contains("Generate"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("minhash aggregation is partial (map-side combine) before shuffle") {
     val sh = graft.ops.NearDup.shingleRows(
       graft.core.Tables.documents(spark, sf), "doc_id", "text", 3)

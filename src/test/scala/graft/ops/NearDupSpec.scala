@@ -172,4 +172,32 @@ class NearDupSpec extends SparkSpecBase {
     // shuffle before the join would make it 4
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
   }
+
+  test("repeatedSpans merges maximal cross-doc and intra-doc spans") {
+    val fx = Seq(
+      // doc 2 embeds tokens a4..a15 of doc 1 (12 shared tokens): five
+      // 8-windows each, merging to (4,15) in doc 1 and (2,13) in doc 2
+      (1L, (0 until 20).map(i => s"a$i").mkString(" ")),
+      (2L, "b0 b1 " + (4 to 15).map(i => s"a$i").mkString(" ") + " b2 b3"),
+      (3L, (0 until 12).map(i => s"u$i").mkString(" ")), // no repeats
+      // intra-doc: the same 8-token phrase twice, back to back — the
+      // two occurrences repeat each other but their straddling windows
+      // occur once, so the spans stay separate singletons
+      (4L, ((0 until 8) ++ (0 until 8)).map(i => s"c$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val spans = NearDup.repeatedSpans(fx, "doc_id", "text", 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(spans == Set((1L, 4, 15, 5L), (2L, 2, 13, 5L),
+      (4L, 0, 7, 1L), (4L, 8, 15, 1L)), spans.toString)
+  }
+
+  test("repeatedSpans: short docs never leak the whole-doc fallback hash") {
+    // two identical 5-token docs: no 8-token window exists, and the
+    // shingle expression's whole-doc fallback hash must not surface as
+    // a phantom repeated span
+    val fx = Seq((1L, "x y z w v"), (2L, "x y z w v")).toDF("doc_id", "text")
+    assert(NearDup.repeatedSpans(fx, "doc_id", "text", 8).count() == 0)
+  }
 }
