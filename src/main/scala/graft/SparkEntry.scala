@@ -142,6 +142,8 @@ object SparkEntry {
     "q65_pq_adc"             -> VectorQueries.qPqAdc _,
     "q104_semdedup"          -> VectorQueries.qSemDedup _,
     "q105_repeated_spans"    -> TextQueries.qRepeatedSpans _,
+    "q106_dsir_weights"      -> TextQueries.qDsirWeights _,
+    "q107_bm25"              -> TextQueries.qBm25 _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */

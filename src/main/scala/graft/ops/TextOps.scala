@@ -211,6 +211,68 @@ object TextOps {
         col("rank").cast("int").as("rank"))
   }
 
+  /** BM25 ranked retrieval (Robertson–Spärck Jones; the Lucene-form
+    * positive idf): score every document against a bag of query terms,
+    * return the global top-k. The relevance tier above
+    * [[tfidfTopTerms]]' per-doc keywords and [[postings]]' boolean
+    * matching — what a corpus-curation pipeline uses to pull
+    * topical slices ranked by relevance rather than filtered by
+    * presence.
+    *
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *   idf(t)   = ln((N − df + 0.5)/(df + 0.5) + 1)
+    *
+    * Plan shape: the token array is filtered to the query terms BEFORE
+    * the explode (array-lambda at the scan), so the exploded stream and
+    * the tf shuffle carry only query-term hits — query-sliver-sized,
+    * not corpus-sized; dl rides along from the same array, so no join
+    * back to a per-doc length frame. Corpus stats (N, Σdl) reduce to one
+    * broadcast row; df derives from the tf frame (query-terms-sized).
+    * The global top-k is the bounded-state [[TopK]] aggregator over a
+    * constant group — per-partition heaps of k, never a global sort.
+    * Per-term scores round to 9 and sum as DECIMAL (the q81/q98
+    * pattern), so ranks are partitioning-invariant. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tk = tokens(col(textCol))
+    val stats = docs.select(size(tk).cast("long").as("dl"))
+      .agg(count(lit(1)).as("nd"), sum(col("dl")).as("ntok"))
+    val hits = docs
+      .select(col(idCol), tk.as("__tk"))
+      .select(col(idCol), size(col("__tk")).cast("long").as("dl"),
+        explode(filter(col("__tk"),
+          t => t.isInCollection(queryTerms))).as("term"))
+    // persisted: tf feeds both the df derivation and the scoring join
+    // (the tfidfTopTerms situation — exchange reuse across branches is
+    // not guaranteed, and the alternative is a second corpus scan +
+    // explode). Query-term hits only — a sliver at any corpus scale.
+    val tf = hits.groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfFrame = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // one double expression per (doc, term), mirrored token-for-token
+    // by the oracle SQL (same literals, same association order)
+    val idf = log(
+      ((col("nd") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val denom = col("tf").cast("double") + lit(k1) *
+      (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") *
+        col("nd").cast("double") / col("ntok").cast("double"))
+    val s = round(idf * (col("tf").cast("double") * lit(k1 + 1.0)) / denom,
+      9).cast("decimal(18,9)")
+    val scored = tf
+      .join(broadcast(dfFrame), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol))
+      .agg(round(sum(s).cast("double"), 6).as("score"))
+      .withColumn("__g", lit(0L))
+    TopK.topKPerGroup(scored, "__g", idCol, "score", k)
+      .select(col(idCol), col("rank").cast("int").as("rank"), col("score"))
+  }
+
   /** Markup removal for web-scraped corpora: drop HTML comments (which
     * may contain '>'), drop script/style blocks
     * with their content, strip remaining tags, decode the five predefined
@@ -374,6 +436,72 @@ object TextOps {
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
         round(sum(lp).cast("double") / count(lit(1)), 6).as("avg_logprob2"))
+  }
+
+  /** DSIR-style importance weights for domain-targeted data selection
+    * (Xie et al. 2023, arXiv:2302.03169): score every raw-corpus doc by
+    * how much more likely its hashed n-gram features are under the
+    * TARGET domain's feature distribution than under the raw corpus's
+    * own — avg over the doc's features of
+    * log(p_target[bucket] / p_raw[bucket]), add-one smoothed over
+    * `nBuckets`. Selection is then a weighted resample of the top of
+    * this score — [[Sampling.weightedSample]] composes directly (the
+    * paper's Gumbel top-k and A-Res are the same exponential-race
+    * family).
+    *
+    * Features are hashed unigrams + bigrams: `shingle_hashes` at widths
+    * 1 and 2 at the SCAN (zero shuffle to produce the stream), bucketed
+    * by mod. Both models are nBuckets-sized aggregates — persisted per
+    * the materialization policy (each feeds its total and the scoring
+    * join), broadcast into the scorer; the raw corpus is read twice
+    * (model fit + scoring), the floor for a self-normalized ratio. The
+    * target corpus is domain-sized, typically ≪ raw. Per-feature log
+    * ratios round to 9 places and sum as DECIMAL (the q81/q98
+    * exact-moments pattern) so scores are partitioning-invariant.
+    *
+    * Empty docs have no features and are absent from the output. */
+  def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                        textCol: String, nBuckets: Int = 4096): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    def feats(docs: DataFrame): DataFrame = {
+      val tk = tokens(col(textCol))
+      docs.select(col(idCol), tk.as("__tk"))
+        .filter(size(col("__tk")) >= 1)
+        .select(col(idCol), explode(concat(
+          call_function("shingle_hashes", col("__tk"), lit(1)),
+          // guard width 2: the expression's whole-doc fallback on a
+          // 1-token doc would duplicate its unigram feature
+          when(size(col("__tk")) >= 2,
+            call_function("shingle_hashes", col("__tk"), lit(2)))
+            .otherwise(array().cast("array<long>")))).as("h"))
+        .select(col(idCol), pmod(col("h"), lit(nBuckets.toLong)).as("b"))
+    }
+    def model(f: DataFrame): DataFrame = f.groupBy(col("b"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rawFeats = feats(raw)
+    val rm = model(rawFeats)
+    val tm = model(feats(target))
+    val rn = rm.agg(sum(col("c")).as("nr"))
+    val tn = tm.agg(sum(col("c")).as("nt"))
+    // bucket-level log ratio: a raw bucket absent from the target model
+    // keeps the +1 smoothing mass; every scored bucket exists in the
+    // raw model by construction
+    val lrat = round(
+      log((coalesce(col("tc"), lit(0L)) + lit(1)).cast("double") /
+        (col("nt") + lit(nBuckets)).cast("double")) -
+      log((col("c") + lit(1)).cast("double") /
+        (col("nr") + lit(nBuckets)).cast("double")), 9)
+      .cast("decimal(18,9)")
+    val ratios = rm
+      .join(tm.select(col("b"), col("c").as("tc")), Seq("b"), "left")
+      .crossJoin(broadcast(tn)).crossJoin(broadcast(rn))
+      .select(col("b"), lrat.as("lrat"))
+    rawFeats.join(broadcast(ratios), "b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_features"),
+        round(sum(col("lrat")).cast("double") / count(lit(1)), 6)
+          .as("avg_logratio"))
   }
 
   /** Overlapping fixed-width chunking — the context-window prep step of

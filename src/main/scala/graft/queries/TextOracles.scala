@@ -301,6 +301,69 @@ object TextOracles {
          |       - GREATEST(gstart, pack_id * 8192) AS BIGINT) AS slice_len
          |FROM p""".stripMargin,
 
+    // BM25: query-term tf with dl carried from the same token array,
+    // query-sized df, one-row corpus stats, per-term 9-rounded scores
+    // summed as decimal, global top-k with doc_id tiebreak
+    "q107_bm25" -> {
+      val terms = TextQueries.Bm25Terms.map(t => s"'$t'").mkString(", ")
+      val k1 = 1.2
+      val b = 0.75
+      s"""WITH tok0 AS (SELECT doc_id, $Tk AS tk FROM documents),
+         |st AS (SELECT COUNT(*) AS nd, SUM(len(tk)) AS ntok FROM tok0),
+         |hits AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+         |           unnest(list_filter(tk, t -> t IN ($terms))) AS term
+         |         FROM tok0),
+         |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+         |       FROM hits GROUP BY doc_id, dl, term),
+         |dfp AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT t.doc_id,
+         |         CAST(ROUND(ln((st.nd - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         |           * (t.tf * ${k1 + 1.0})
+         |           / (t.tf + $k1 * (1.0 - $b + $b * t.dl * st.nd
+         |                            / st.ntok)), 9)
+         |           AS DECIMAL(18,9)) AS s
+         |       FROM tf t JOIN dfp d USING (term) CROSS JOIN st),
+         |agg AS (SELECT doc_id, ROUND(CAST(SUM(s) AS DOUBLE), 6) AS score
+         |        FROM sc GROUP BY doc_id)
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+         |    AS INTEGER) AS rank, score
+         |FROM agg ORDER BY score DESC, doc_id ASC
+         |LIMIT ${TextQueries.Bm25K}""".stripMargin
+    },
+
+    // DSIR importance weights: hashed unigram+bigram features into 4096
+    // buckets, add-one-smoothed target ('en') and raw bucket models,
+    // per-doc decimal sum of 9-rounded bucket log ratios
+    "q106_dsir_weights" -> {
+      val nB = TextQueries.DsirBuckets
+      s"""WITH tok0 AS (SELECT doc_id, lang, $Tk AS tk FROM documents),
+         |ne AS (SELECT doc_id, lang, tk FROM tok0 WHERE len(tk) >= 1),
+         |feats AS (SELECT doc_id, lang, unnest(list_concat(
+         |    list_transform(tk, t -> ${H("t")} % $nB),
+         |    CASE WHEN len(tk) >= 2 THEN
+         |      list_transform(range(1, len(tk)), i ->
+         |        ((${H("tk[i]")} * 31 + ${H("tk[i+1]")})
+         |         % 1000000007) % $nB)
+         |    ELSE CAST([] AS BIGINT[]) END)) AS b
+         |  FROM ne),
+         |rm AS (SELECT b, COUNT(*) AS c FROM feats GROUP BY b),
+         |tm AS (SELECT b, COUNT(*) AS tc FROM feats
+         |       WHERE lang = 'en' GROUP BY b),
+         |rn AS (SELECT SUM(c) AS nr FROM rm),
+         |tn AS (SELECT SUM(tc) AS nt FROM tm),
+         |lr AS (SELECT rm.b,
+         |         CAST(ROUND(ln((COALESCE(tm.tc, 0) + 1.0) / (tn.nt + $nB))
+         |                  - ln((rm.c + 1.0) / (rn.nr + $nB)), 9)
+         |           AS DECIMAL(18,9)) AS lrat
+         |       FROM rm LEFT JOIN tm ON rm.b = tm.b
+         |         CROSS JOIN tn CROSS JOIN rn)
+         |SELECT f.doc_id, COUNT(*) AS n_features,
+         |  ROUND(CAST(SUM(lr.lrat) AS DOUBLE) / COUNT(*), 6)
+         |    AS avg_logratio
+         |FROM feats f JOIN lr ON f.b = lr.b GROUP BY f.doc_id""".stripMargin
+    },
+
     // repeated spans: stride-1 8-token window hashes (lead-window fold,
     // 0-based pos = window start), hashes at >1 (doc,pos) site, adjacent
     // repeated windows merged per doc via the pos - row_number() islands

@@ -21,6 +21,11 @@ object TextQueries {
   // q105 window width: the substring-dedup resolution floor, matching
   // the decontamination n-gram width (8 tokens)
   val SpanN = 8
+  // q106 hashed-feature space (DSIR's n-gram buckets)
+  val DsirBuckets = 4096
+  // q107 query bag + result size
+  val Bm25Terms = Seq("hash", "join", "vector")
+  val Bm25K = 10
 
   /** Exact-duplicate groups by content hash (scale path: hash-groupBy —
     * shuffle carries (hash, count), not text). With no exact dups in the
@@ -105,6 +110,24 @@ object TextQueries {
       col("doc_id"),
       TextOps.polyHash(col("text")).as("content_hash"),
       TextOps.polyHash(substring(col("text"), 1, 64)).as("prefix_hash"))
+
+  /** BM25 top-k retrieval ([[TextOps.bm25TopK]]) for a fixed query bag
+    * over the corpus — the oracle replays idf, length normalization,
+    * decimal per-term sums, and the rank tiebreak value-exactly. */
+  def qBm25(s: SparkSession, dir: String): DataFrame =
+    TextOps.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+      Bm25Terms, Bm25K)
+
+  /** DSIR importance weights ([[TextOps.importanceWeights]]) with the
+    * corpus's English slice as the target domain: every doc scored by
+    * how target-like its hashed n-gram features are relative to the raw
+    * corpus. The oracle replays both smoothed bucket models and the
+    * decimal log-ratio sums value-exactly. */
+  def qDsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextOps.importanceWeights(docs, docs.filter(col("lang") === "en"),
+      "doc_id", "text", DsirBuckets)
+  }
 
   /** Maximal repeated token spans ([[NearDup.repeatedSpans]]): exact
     * substring dedup at stride 1 over 8-token windows — the planted

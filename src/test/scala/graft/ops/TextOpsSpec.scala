@@ -311,4 +311,55 @@ class TextOpsSpec extends SparkSpecBase {
       m(2L) - m(1L) // doc 2 contains the rare token → lower score
     }
   }
+
+  test("bm25TopK ranks query-dense docs first; exact ties break by id") {
+    val docs = Seq(
+      (1L, "hash join hash join vector"),   // dense in query terms
+      (2L, "hash scan scan scan scan"),     // one hit
+      (3L, "scan filter merge sort row"),   // no hits → absent
+      (4L, "hash join hash join vector")    // identical to 1 → exact tie
+    ).toDF("doc_id", "text")
+    val out = TextOps.bm25TopK(docs, "doc_id", "text",
+      Seq("hash", "join", "vector"), 10)
+      .orderBy($"rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(out.map(_._1).toSet == Set(1L, 2L, 4L), out.toString)
+    // identical docs score identically (decimal sums); id breaks the tie
+    assert(out.take(2).map(_._1) == Seq(1L, 4L), out.toString)
+    assert(out.last._1 == 2L)
+    // k truncates
+    assert(TextOps.bm25TopK(docs, "doc_id", "text",
+      Seq("hash"), 2).count() == 2)
+  }
+
+  test("importanceWeights ranks target-like docs above off-domain ones") {
+    // target domain talks about spark; raw corpus mixes domains
+    val raw = Seq(
+      (1L, "spark shuffles partition data across executors"),
+      (2L, "spark executors cache partition blocks"),
+      (3L, "recipes simmer onions garlic and butter slowly"),
+      (4L, ""), // empty: no features, absent from output
+      (5L, "spark")  // single token: exactly one (unigram) feature
+    ).toDF("doc_id", "text")
+    val target = Seq(
+      (100L, "spark executors shuffle partition data"),
+      (101L, "spark cache partition blocks across executors")
+    ).toDF("doc_id", "text")
+    val w = TextOps.importanceWeights(raw, target, "doc_id", "text",
+      nBuckets = 4096)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(!w.contains(4L))
+    // 1-token doc: the width-2 fallback guard keeps it at ONE feature
+    assert(w(5L)._1 == 1L)
+    // spark-domain docs outrank the cooking doc
+    assert(w(1L)._2 > w(3L)._2, w.toString)
+    assert(w(2L)._2 > w(3L)._2, w.toString)
+    // partitioning invariance (decimal sums, deterministic hashing)
+    val w2 = TextOps.importanceWeights(raw.repartition(7, $"doc_id"),
+      target.repartition(3, $"doc_id"), "doc_id", "text", nBuckets = 4096)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(w == w2)
+  }
 }
