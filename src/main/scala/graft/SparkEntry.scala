@@ -144,6 +144,8 @@ object SparkEntry {
     "q105_repeated_spans"    -> TextQueries.qRepeatedSpans _,
     "q106_dsir_weights"      -> TextQueries.qDsirWeights _,
     "q107_bm25"              -> TextQueries.qBm25 _,
+    "q108_shuffle_shard"     -> TextQueries.qShuffleShard _,
+    "q109_token_budget"      -> TextQueries.qTokenBudget _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */

@@ -193,6 +193,53 @@ object Sampling {
     * Scale: top-k by priority plans as TakeOrderedAndProject (bounded
     * per-partition heaps), so nothing but k rows crosses the wire. Rows
     * with weight <= 0 are excluded (ln(u)/w would invert the order). */
+  /** Token-budget mix report — the "data recipe" arithmetic of training-
+    * corpus assembly: given relative stratum weights (e.g. 30% web, 20%
+    * code) and a global token budget, how many tokens does each stratum
+    * contribute, and how many EPOCHS of its available data is that
+    * (epochs > 1 = the stratum repeats; the number [[upsampleToMix]]
+    * realizes as replication factors)?
+    *
+    * Fully relational — per-stratum token sums (a strata-sized aggregate
+    * at any corpus scale), the weight normalizer derived by a broadcast
+    * one-row total over PRESENT strata (so absent map keys renormalize
+    * away, mirroring `allowEmptyStrata` semantics), no driver collect.
+    * Double steps mirror the oracle token-for-token: weight and epochs
+    * round to 6; target_tokens = floor(budget·w/Σw) exact in IEEE
+    * doubles (same literals → same result on both engines).
+    *
+    * Output per stratum: `n_docs`, `avail_tokens`, `weight` (normalized),
+    * `target_tokens`, `epochs` (null when the stratum has no tokens). */
+  def tokenBudgetMix(df: DataFrame, strataCol: Column, textCol: Column,
+                     weights: Map[String, Double], defaultWeight: Double,
+                     budgetTokens: Long): DataFrame = {
+    require(weights.values.forall(_ >= 0) && defaultWeight >= 0,
+      "weights must be non-negative")
+    require(budgetTokens >= 0, s"budget must be >= 0, got $budgetTokens")
+    def w(s: Column): Column = weights.foldLeft(lit(defaultWeight)) {
+      case (acc, (k, v)) => when(s === k, lit(v)).otherwise(acc)
+    }
+    // persisted: the strata-sized frame feeds both the weight total and
+    // the output (materialization policy — without it the corpus is
+    // scanned and tokenized twice for a 2nd copy of a ~20-row aggregate)
+    val perStratum = df
+      .groupBy(strataCol.cast("string").as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(textCol))).cast("long").as("avail_tokens"))
+      .withColumn("__w", w(col("source")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totalW = perStratum.agg(sum(col("__w")).as("__tw"))
+    perStratum.crossJoin(broadcast(totalW))
+      .select(col("source"), col("n_docs"), col("avail_tokens"),
+        round(col("__w") / col("__tw"), 6).as("weight"),
+        floor(lit(budgetTokens.toDouble) * col("__w") / col("__tw"))
+          .cast("long").as("target_tokens"))
+      .withColumn("epochs",
+        when(col("avail_tokens") > 0,
+          round(col("target_tokens").cast("double") /
+            col("avail_tokens").cast("double"), 6)))
+  }
+
   def weightedSample(df: DataFrame, keyCol: Column, weightCol: Column,
                      k: Int, seed: Long): DataFrame = {
     val M = TextOps.HashMod

@@ -364,6 +364,46 @@ object TextOracles {
          |FROM feats f JOIN lr ON f.b = lr.b GROUP BY f.doc_id""".stripMargin
     },
 
+    // deterministic shuffle-shard: the sampleHash family (polyHash of
+    // "id#seed", Knuth remix) as shuffle key; shard = key mod 64, pos =
+    // rank within shard by (key, doc_id)
+    "q108_shuffle_shard" -> {
+      val seed = TextQueries.ShardSeed
+      val n = TextQueries.ShardN
+      s"""WITH rk AS (SELECT doc_id,
+         |  (${H(s"CAST(doc_id AS VARCHAR) || '#$seed'")} * 2654435761)
+         |    % 1000000007 AS rk
+         |  FROM documents)
+         |SELECT doc_id, CAST(rk % $n AS INTEGER) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY rk % $n
+         |         ORDER BY rk, doc_id) - 1 AS BIGINT) AS pos
+         |FROM rk""".stripMargin
+    },
+
+    // token-budget mix: per-source token sums, weight normalized over
+    // present strata, floor(budget*w/tw) allocation, epochs ratio —
+    // double steps in the same association order as the Spark side
+    "q109_token_budget" -> {
+      val cases = TextQueries.MixWeights.map { case (k, v) =>
+        s"WHEN '$k' THEN $v" }.mkString(" ")
+      s"""WITH tok0 AS (SELECT source, $Tk AS tk FROM documents),
+         |ps AS (SELECT source, COUNT(*) AS n_docs,
+         |         CAST(SUM(len(tk)) AS BIGINT) AS avail_tokens
+         |       FROM tok0 GROUP BY source),
+         |pw AS (SELECT *, CASE source $cases
+         |         ELSE ${TextQueries.MixDefaultW} END AS w FROM ps),
+         |tw AS (SELECT SUM(w) AS tw FROM pw),
+         |alloc AS (SELECT source, n_docs, avail_tokens,
+         |            ROUND(w / tw, 6) AS weight,
+         |            CAST(FLOOR(${TextQueries.MixBudget}.0 * w / tw)
+         |              AS BIGINT) AS target_tokens
+         |          FROM pw CROSS JOIN tw)
+         |SELECT *, CASE WHEN avail_tokens > 0 THEN
+         |    ROUND(CAST(target_tokens AS DOUBLE) / avail_tokens, 6)
+         |  END AS epochs
+         |FROM alloc""".stripMargin
+    },
+
     // repeated spans: stride-1 8-token window hashes (lead-window fold,
     // 0-based pos = window start), hashes at >1 (doc,pos) site, adjacent
     // repeated windows merged per doc via the pos - row_number() islands

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Dedup, NearDup, Sketches, TextOps}
+import graft.ops.{Dedup, NearDup, Sampling, Sharding, Sketches, TextOps}
 
 /** Training-data text pipeline queries over the `documents` table: exact
   * dedup, MinHash+LSH near-dup, SimHash, n-gram Jaccard, token counting,
@@ -26,6 +26,14 @@ object TextQueries {
   // q107 query bag + result size
   val Bm25Terms = Seq("hash", "join", "vector")
   val Bm25K = 10
+  // q108 shard fan-out + shuffle seed
+  val ShardN = 64
+  val ShardSeed = 42L
+  // q109 recipe: relative weights (src0 3×, src1 2×, rest 0.5×) and a
+  // 1M-token global budget
+  val MixWeights = Map("src0" -> 3.0, "src1" -> 2.0)
+  val MixDefaultW = 0.5
+  val MixBudget = 1000000L
 
   /** Exact-duplicate groups by content hash (scale path: hash-groupBy —
     * shuffle carries (hash, count), not text). With no exact dups in the
@@ -128,6 +136,22 @@ object TextQueries {
     TextOps.importanceWeights(docs, docs.filter(col("lang") === "en"),
       "doc_id", "text", DsirBuckets)
   }
+
+  /** Deterministic corpus shuffle + shard assignment
+    * ([[Sharding.shuffleShard]]): every doc lands in one of 64 shards at
+    * a hash-ordered position — the oracle replays the full assignment
+    * (hash, shard, rank) value-exactly. */
+  def qShuffleShard(s: SparkSession, dir: String): DataFrame =
+    Sharding.shuffleShard(Tables.documents(s, dir), col("doc_id"),
+      ShardN, ShardSeed)
+      .select(col("doc_id"), col("shard"), col("pos"))
+
+  /** Token-budget mix recipe ([[Sampling.tokenBudgetMix]]): per-source
+    * token inventory, normalized weight, allocated budget, and epochs —
+    * the arithmetic behind "30% web / 20% code at 1M tokens". */
+  def qTokenBudget(s: SparkSession, dir: String): DataFrame =
+    Sampling.tokenBudgetMix(Tables.documents(s, dir), col("source"),
+      col("text"), MixWeights, MixDefaultW, MixBudget)
 
   /** Maximal repeated token spans ([[NearDup.repeatedSpans]]): exact
     * substring dedup at stride 1 over 8-token windows — the planted

@@ -195,4 +195,32 @@ class SamplingSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("tokenBudgetMix: hand-computed recipe, empty stratum epochs null") {
+    val df = Seq(
+      (1L, "a", "one two three"),
+      (2L, "a", "one two three four five"),
+      (3L, "b", "alpha beta gamma delta"),
+      (4L, "c", "")
+    ).toDF("id", "src", "text")
+    val out = Sampling.tokenBudgetMix(df, col("src"), col("text"),
+      Map("a" -> 3.0, "b" -> 1.0), defaultWeight = 1.0,
+      budgetTokens = 1000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    // total weight 3+1+1 = 5
+    assert(out("a") == ((2L, 8L, 0.6, 600L, Some(75.0))), out.toString)
+    assert(out("b") == ((1L, 4L, 0.2, 200L, Some(50.0))), out.toString)
+    assert(out("c") == ((1L, 0L, 0.2, 200L, None)), out.toString)
+  }
+
+  test("tokenBudgetMix is partitioning-invariant") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.tokenBudgetMix(d, col("source"), col("text"),
+        Map("src0" -> 3.0, "src1" -> 2.0), 0.5, 1000000L)
+        .collect().map(_.toSeq).toSet
+    assert(run(docs) == run(docs.repartition(11, col("doc_id"))))
+  }
 }
