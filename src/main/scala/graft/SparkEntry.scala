@@ -146,6 +146,7 @@ object SparkEntry {
     "q107_bm25"              -> TextQueries.qBm25 _,
     "q108_shuffle_shard"     -> TextQueries.qShuffleShard _,
     "q109_token_budget"      -> TextQueries.qTokenBudget _,
+    "q110_nb_langid"         -> TextQueries.qNbLangId _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */

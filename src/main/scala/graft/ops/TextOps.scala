@@ -504,6 +504,84 @@ object TextOps {
           .as("avg_logratio"))
   }
 
+  /** Multinomial naive-Bayes classifier, trained and applied in one
+    * relational pass — the model-based tier above the [[langIdFeatures]]
+    * heuristic (the fastText-style "train a cheap classifier on labeled
+    * docs, apply it to the firehose" pattern of corpus curation, here
+    * with NB instead of logistic weights so training is a pure
+    * aggregation).
+    *
+    * Features are hashed unigram buckets (`shingle_hashes` width 1 mod
+    * `nBuckets`, the q106 feature space). Train: per-(label, bucket)
+    * counts + per-label totals + doc-count priors — all label- or
+    * nBuckets-sized aggregates, broadcast into the scorer. Apply:
+    *   score(d, l) = log p(l) + Σ_features log((c_{l,b}+1)/(tot_l+nB))
+    * add-one smoothed; per-term logs round to 9 and sum as DECIMAL (the
+    * q81/q98 pattern) so the argmax is partitioning-invariant; exact
+    * score ties break by label asc.
+    *
+    * Scale shape: the feature stream is joined against ALL labels
+    * (labels × features rows) — the honest cost of dense multi-class
+    * scoring; the label set is corpus-schema-sized (a handful), never
+    * data-sized. One shuffle to the (doc, label) aggregate; the argmax
+    * window partitions by doc (bounded state). Empty docs have no
+    * features and are absent — matching [[importanceWeights]].
+    *
+    * Output: id, `lang` (true label, for the caller's confusion matrix),
+    * `pred` (argmax label), `score` (winning log-likelihood, round 6). */
+  def nbClassify(docs: DataFrame, idCol: String, textCol: String,
+                 labelCol: String, nBuckets: Int = 4096): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val feats = docs
+      .select(col(idCol), col(labelCol), tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= 1)
+      .select(col(idCol), col(labelCol),
+        explode(call_function("shingle_hashes", col("__tk"), lit(1)))
+          .as("h"))
+      .select(col(idCol), col(labelCol),
+        pmod(col("h"), lit(nBuckets.toLong)).as("b"))
+    // feats is NOT persisted: it is the per-token stream (corpus-sized —
+    // caching it is exactly what the materialization policy forbids);
+    // like q106, the corpus is scanned twice (model fit + scoring), the
+    // floor for self-trained scoring. The frames that ARE shared — model,
+    // totals, priors — are label/nBuckets-sized and broadcast.
+    // persisted: the (label, bucket) model is labels×nBuckets-sized and
+    // feeds totals, the label list, and the scoring join — unpersisted,
+    // each reference would re-run the corpus-wide fit aggregation
+    val model = feats.groupBy(col(labelCol).as("__l"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = model.groupBy(col("__l")).agg(sum(col("c")).as("tot"))
+    // priors from labeled DOC counts (not feature counts)
+    val priors = docs.groupBy(col(labelCol).as("__l"))
+      .agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("ndAll"))))
+      .select(col("__l"),
+        round(log(col("nd").cast("double") / col("ndAll").cast("double")),
+          9).cast("decimal(18,9)").as("lprior"))
+    val lp = round(
+      log((coalesce(col("c"), lit(0L)) + lit(1)).cast("double") /
+        (col("tot") + lit(nBuckets)).cast("double")), 9)
+      .cast("decimal(18,9)")
+    val scored = feats.select(col(idCol), col(labelCol), col("b"))
+      .crossJoin(broadcast(totals.select(col("__l")))) // score ALL labels
+      .join(broadcast(model), Seq("__l", "b"), "left")
+      .join(broadcast(totals), Seq("__l"))
+      .groupBy(col(idCol), col(labelCol), col("__l"))
+      .agg(sum(lp).as("__s"))
+      .join(broadcast(priors), Seq("__l"))
+      .select(col(idCol), col(labelCol), col("__l"),
+        (col("__s") + col("lprior")).as("__s"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__s").desc, col("__l").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(labelCol),
+        col("__l").as("pred"),
+        round(col("__s").cast("double"), 6).as("score"))
+  }
+
   /** Overlapping fixed-width chunking — the context-window prep step of
     * an LLM-data pipeline (and RAG indexing): each doc's token stream is
     * cut into `chunkSize`-token windows every `stride` tokens (stride <

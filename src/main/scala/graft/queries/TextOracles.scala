@@ -404,6 +404,42 @@ object TextOracles {
          |FROM alloc""".stripMargin
     },
 
+    // naive-Bayes lang classifier: hashed-unigram features, add-one
+    // smoothed (label, bucket) model, decimal per-feature log-prob sums
+    // + doc-count prior, argmax with label-asc tiebreak
+    "q110_nb_langid" -> {
+      val nB = TextQueries.DsirBuckets
+      s"""WITH tok0 AS (SELECT doc_id, lang, $Tk AS tk FROM documents),
+         |ne AS (SELECT * FROM tok0 WHERE len(tk) >= 1),
+         |feats AS (SELECT doc_id, lang,
+         |            unnest(list_transform(tk, t -> ${H("t")} % $nB)) AS b
+         |          FROM ne),
+         |model AS (SELECT lang AS l, b, COUNT(*) AS c
+         |          FROM feats GROUP BY 1, 2),
+         |totals AS (SELECT l, CAST(SUM(c) AS BIGINT) AS tot
+         |           FROM model GROUP BY 1),
+         |nall AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd_all FROM documents),
+         |priors AS (SELECT lang AS l,
+         |             CAST(ROUND(ln(CAST(COUNT(*) AS DOUBLE) / nd_all), 9)
+         |               AS DECIMAL(18,9)) AS lprior
+         |           FROM documents CROSS JOIN nall GROUP BY 1, nd_all),
+         |sc AS (SELECT f.doc_id, f.lang, t.l,
+         |         CAST(ROUND(ln((COALESCE(m.c, 0) + 1.0)
+         |                       / (t.tot + $nB)), 9)
+         |           AS DECIMAL(18,9)) AS lp
+         |       FROM feats f CROSS JOIN totals t
+         |         LEFT JOIN model m ON m.l = t.l AND m.b = f.b),
+         |agg AS (SELECT doc_id, lang, l, SUM(lp) AS s
+         |        FROM sc GROUP BY 1, 2, 3),
+         |fin AS (SELECT a.doc_id, a.lang, a.l, a.s + p.lprior AS s
+         |        FROM agg a JOIN priors p ON p.l = a.l)
+         |SELECT doc_id, lang, l AS pred,
+         |  ROUND(CAST(s AS DOUBLE), 6) AS score
+         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY s DESC, l ASC) AS rn FROM fin)
+         |WHERE rn = 1""".stripMargin
+    },
+
     // repeated spans: stride-1 8-token window hashes (lead-window fold,
     // 0-based pos = window start), hashes at >1 (doc,pos) site, adjacent
     // repeated windows merged per doc via the pos - row_number() islands

@@ -153,6 +153,14 @@ object TextQueries {
     Sampling.tokenBudgetMix(Tables.documents(s, dir), col("source"),
       col("text"), MixWeights, MixDefaultW, MixBudget)
 
+  /** Naive-Bayes language classifier ([[TextOps.nbClassify]]): trained on
+    * the corpus's own labels, applied back to every doc — the oracle
+    * replays the smoothed per-label models, decimal score sums, and the
+    * argmax tiebreak value-exactly. */
+  def qNbLangId(s: SparkSession, dir: String): DataFrame =
+    TextOps.nbClassify(Tables.documents(s, dir), "doc_id", "text", "lang",
+      DsirBuckets)
+
   /** Maximal repeated token spans ([[NearDup.repeatedSpans]]): exact
     * substring dedup at stride 1 over 8-token windows — the planted
     * duplicate groups in the corpus surface as whole-document spans,
