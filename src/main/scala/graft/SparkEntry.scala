@@ -147,6 +147,7 @@ object SparkEntry {
     "q108_shuffle_shard"     -> TextQueries.qShuffleShard _,
     "q109_token_budget"      -> TextQueries.qTokenBudget _,
     "q110_nb_langid"         -> TextQueries.qNbLangId _,
+    "q111_dup_source_matrix" -> TextQueries.qDupSourceMatrix _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */

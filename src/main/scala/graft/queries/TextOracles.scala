@@ -404,6 +404,41 @@ object TextOracles {
          |FROM alloc""".stripMargin
     },
 
+    // cross-source duplication matrix: the q28 verified-pair cascade,
+    // pairs joined to doc sources, orientation-normalized source cells,
+    // decimal-summed 6-rounded jaccard average
+    "q111_dup_source_matrix" ->
+      s"""$MinhashCtes,
+         |bands AS (SELECT doc_id, i // 4 AS band,
+         |            string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS band_sig
+         |          FROM mh GROUP BY doc_id, i // 4),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b
+         |            ON a.band = b.band AND a.band_sig = b.band_sig
+         |           AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shx GROUP BY doc_id),
+         |inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
+         |          FROM pairs p
+         |          JOIN shx sa ON sa.doc_id = p.doc_a
+         |          JOIN shx sb ON sb.doc_id = p.doc_b AND sa.h = sb.h
+         |          GROUP BY p.doc_a, p.doc_b),
+         |ver AS (SELECT i.doc_a, i.doc_b,
+         |          CAST(ROUND(CAST(i.inter AS DOUBLE)
+         |            / (za.sz + zb.sz - i.inter), 6) AS DECIMAL(18,6)) AS j
+         |        FROM inter i
+         |        JOIN sizes za ON za.doc_id = i.doc_a
+         |        JOIN sizes zb ON zb.doc_id = i.doc_b
+         |        WHERE CAST(i.inter AS DOUBLE)
+         |          / (za.sz + zb.sz - i.inter) >= 0.3)
+         |SELECT least(da.source, db.source) AS source_a,
+         |  greatest(da.source, db.source) AS source_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  ROUND(CAST(SUM(v.j) AS DOUBLE) / COUNT(*), 6) AS avg_jaccard
+         |FROM ver v
+         |JOIN documents da ON da.doc_id = v.doc_a
+         |JOIN documents db ON db.doc_id = v.doc_b
+         |GROUP BY 1, 2""".stripMargin,
+
     // naive-Bayes lang classifier: hashed-unigram features, add-one
     // smoothed (label, bucket) model, decimal per-feature log-prob sums
     // + doc-count prior, argmax with label-asc tiebreak

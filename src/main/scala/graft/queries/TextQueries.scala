@@ -224,6 +224,34 @@ object TextQueries {
       .filter(col("jaccard") >= 0.3)
   }
 
+  /** Cross-source duplication leakage matrix: the verified near-dup
+    * pairs (q28 tier) joined back to doc metadata and aggregated into a
+    * source×source contingency — "which sources copy each other", the
+    * diagnostic that decides whether a source is dropped or de-weighted
+    * during corpus curation. Source pairs are orientation-normalized
+    * (least/greatest) so A→B and B→A land in one cell; avg similarity
+    * sums 6-rounded decimals (partitioning-invariant).
+    *
+    * Scale shape: the expensive tier is the LSH cascade q28 already
+    * bounds; this adds two metadata joins ON THE PAIR SLIVER (each pair
+    * row fetches its two sources) and a matrix-sized aggregate —
+    * |sources|² upper bound, schema-sized. */
+  def qDupSourceMatrix(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    verifiedNearDupPairs(s, dir)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard"), 6).cast("decimal(18,6)").as("j"))
+      .join(src.select(col("doc_id").as("doc_a"),
+        col("source").as("src_a")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"),
+        col("source").as("src_b")), Seq("doc_b"))
+      .groupBy(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("j")).cast("double") / count(lit(1)), 6)
+          .as("avg_jaccard"))
+  }
+
   /** Transitive duplicate clusters over the verified near-dup pairs:
     * connected components ([[graft.ops.Components]]), cluster label = the
     * smallest doc id in the component. The pair tier (q28) is where LSH

@@ -20,6 +20,19 @@ class QueriesSmokeSpec extends SparkSpecBase {
     assert(orphans.isEmpty, s"oracle entries with no query: $orphans")
   }
 
+  test("q111 source matrix accounts for every q28 verified pair") {
+    import org.apache.spark.sql.functions._
+    val pairs = SparkEntry.queries("q28_neardup_verified")(spark, sf).count()
+    val m = SparkEntry.queries("q111_dup_source_matrix")(spark, sf)
+    val cells = m.collect()
+    assert(cells.map(_.getAs[Long]("n_pairs")).sum == pairs)
+    // orientation-normalized: one cell per unordered source pair
+    cells.foreach(r => assert(
+      r.getAs[String]("source_a") <= r.getAs[String]("source_b")))
+    assert(m.groupBy("source_a", "source_b").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
   for ((name, fn) <- SparkEntry.queries) {
     test(s"$name runs at sf0.001 and returns a sane schema") {
       val df = fn(spark, sf)
