@@ -148,6 +148,11 @@ object SparkEntry {
     "q109_token_budget"      -> TextQueries.qTokenBudget _,
     "q110_nb_langid"         -> TextQueries.qNbLangId _,
     "q111_dup_source_matrix" -> TextQueries.qDupSourceMatrix _,
+    "q112_pmi_bigrams"       -> TextQueries.qPmiBigrams _,
+    "q113_int8_quant"        -> VectorQueries.qInt8Quant _,
+    "q114_centroid_outliers" -> VectorQueries.qCentroidOutliers _,
+    "q115_curriculum"        -> TextQueries.qCurriculum _,
+    "q116_source_cap"        -> TextQueries.qSourceCap _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */

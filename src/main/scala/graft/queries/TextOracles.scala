@@ -79,6 +79,53 @@ object TextOracles {
          |SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
          |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
 
+    // PMI collocations: unigram/bigram counts + corpus totals, lift as
+    // one double expression with the op order mirrored from the Spark
+    // side (c_ab·N_tok·N_tok / (c_a·c_b·N_big)), support floor 5
+    "q112_pmi_bigrams" ->
+      s"""WITH tok0 AS (SELECT doc_id, $Tk AS tk FROM documents),
+         |tot AS (SELECT CAST(SUM(len(tk)) AS BIGINT) AS n_tok,
+         |          CAST(SUM(greatest(len(tk) - 1, 0)) AS BIGINT) AS n_big
+         |        FROM tok0),
+         |uc AS (SELECT w, COUNT(*) AS c
+         |       FROM (SELECT unnest(tk) AS w FROM tok0) GROUP BY w),
+         |bg AS (SELECT tk[u.i] AS w1, tk[u.i + 1] AS w2
+         |       FROM tok0, LATERAL (SELECT unnest(
+         |         generate_series(1, len(tk) - 1)) AS i) u),
+         |bc AS (SELECT w1, w2, COUNT(*) AS c_ab FROM bg GROUP BY w1, w2),
+         |j AS (SELECT w1 || ' ' || w2 AS bigram, c_ab,
+         |        ca.c AS c_a, cb.c AS c_b
+         |      FROM bc JOIN uc ca ON ca.w = bc.w1
+         |      JOIN uc cb ON cb.w = bc.w2
+         |      WHERE c_ab >= ${TextQueries.MinPairCount})
+         |SELECT bigram, CAST(c_ab AS BIGINT) AS n,
+         |  ROUND(CAST(c_ab AS DOUBLE) * n_tok * n_tok
+         |    / (CAST(c_a AS DOUBLE) * c_b * n_big), 6) AS lift
+         |FROM j CROSS JOIN tot
+         |ORDER BY lift DESC, bigram ASC LIMIT 20""".stripMargin,
+
+    // curriculum quartiles: quantile_cont boundaries (same linear
+    // interpolation as Spark's exact percentile), bucket = boundary
+    // comparison sum
+    "q115_curriculum" ->
+      """WITH b AS (SELECT quantile_cont(n_chars, 0.25) AS b1,
+        |             quantile_cont(n_chars, 0.5) AS b2,
+        |             quantile_cont(n_chars, 0.75) AS b3
+        |           FROM documents)
+        |SELECT doc_id, n_chars,
+        |  CAST(n_chars > b1 AS INT) + CAST(n_chars > b2 AS INT)
+        |    + CAST(n_chars > b3 AS INT) AS bucket
+        |FROM documents CROSS JOIN b""".stripMargin,
+
+    // per-source cap: keep top-10 per source by (n_chars desc, doc_id)
+    "q116_source_cap" ->
+      s"""SELECT doc_id, source, rk FROM (
+         |  SELECT doc_id, source, CAST(row_number() OVER (
+         |      PARTITION BY source
+         |      ORDER BY n_chars DESC, doc_id ASC) AS INT) AS rk
+         |  FROM documents) z
+         |WHERE rk <= ${TextQueries.SourceCap}""".stripMargin,
+
     "q71_postings" ->
       s"""WITH tok0 AS (SELECT doc_id, $Tk AS tk FROM documents),
          |toks AS (SELECT doc_id, unnest(tk) AS token FROM tok0),

@@ -28,6 +28,10 @@ object TextQueries {
   val Bm25K = 10
   // q108 shard fan-out + shuffle seed
   val ShardN = 64
+  // q112 collocation support floor
+  val MinPairCount = 5
+  // q116 per-source contribution cap
+  val SourceCap = 10
   val ShardSeed = 42L
   // q109 recipe: relative weights (src0 3×, src1 2×, rest 0.5×) and a
   // 1M-token global budget
@@ -532,6 +536,82 @@ object TextQueries {
       TextOps.redactPii(
         concat(col("props"), lit(" uid="), col("user_id")), minDigits = 2)
         .as("redacted"))
+
+  /** Top collocations by PMI lift: bigram occurrence count vs the
+    * independence expectation — lift = P(ab) / (P(a)·P(b)) expressed as
+    * the exact rational c_ab·N_tok² / (c_a·c_b·N_big), evaluated in one
+    * double expression (identical op order both engines, so no log and
+    * no rounding slop before the final round). The standard phrase-mining
+    * / tokenizer-vocab diagnostic over a corpus.
+    *
+    * Scale shape: two corpus scans (unigram agg, bigram agg — both
+    * map-side combinable into vocab-sized frames), the support filter
+    * (c_ab ≥ [[MinPairCount]]) prunes the bigram tail BEFORE the joins,
+    * the unigram table joins twice (vocab-sized, broadcast-able; AQE
+    * decides), totals are a 1-row cross join, and the final top-20 is
+    * TakeOrderedAndProject — never a global sort. */
+  def qPmiBigrams(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(TextOps.tokens(col("text")).as("tk"))
+    val totals = toks.agg(
+      sum(size(col("tk")).cast("long")).as("n_tok"),
+      sum(greatest(size(col("tk")) - 1, lit(0)).cast("long")).as("n_big"))
+    val uni = toks.select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val bi = toks
+      .select(explode(TextOps.bigramsFromTokens(col("tk"))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= MinPairCount)
+    bi
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+      .join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("bigram"), col("c_ab").as("n"),
+        round(col("c_ab").cast("double") * col("n_tok") * col("n_tok")
+          / (col("c_a").cast("double") * col("c_b") * col("n_big")), 6)
+          .as("lift"))
+      .orderBy(col("lift").desc, col("bigram").asc)
+      .limit(20)
+  }
+
+  /** Curriculum quartile assignment: exact length quartile boundaries
+    * (one aggregate), then each doc bucketed 0–3 by boundary comparisons
+    * — the "order training easy→hard" primitive; downstream packing
+    * consumes buckets in sequence. Exact `percentile` keeps
+    * distinct-value-bounded aggregation state (a value→count map, merged
+    * map-side), which is the right tier for an integer-ish key like doc
+    * length; a truly continuous key at 100 TB switches to
+    * approx_percentile, same query shape. Boundaries broadcast; the
+    * bucketing pass is one scan, no shuffle. */
+  def qCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    val bounds = docs.agg(
+      percentile(col("n_chars"), lit(0.25)).as("b1"),
+      percentile(col("n_chars"), lit(0.5)).as("b2"),
+      percentile(col("n_chars"), lit(0.75)).as("b3"))
+    docs.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("n_chars"),
+        ((col("n_chars") > col("b1")).cast("int")
+          + (col("n_chars") > col("b2")).cast("int")
+          + (col("n_chars") > col("b3")).cast("int")).as("bucket"))
+  }
+
+  /** Per-source contribution cap: keep at most [[SourceCap]] docs per
+    * source, best-first (longest, doc-id tiebreak) — the "no single
+    * domain dominates the corpus" curation rule. A per-source window
+    * ranks within each source partition (scales with the largest single
+    * source, not the corpus; a pathologically dominant source is exactly
+    * what the cap exists to bound, and [[graft.ops.Skew]] salting covers
+    * the interim). */
+  def qSourceCap(s: SparkSession, dir: String): DataFrame =
+    Dedup.firstRowPerGroupN(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars")),
+      Seq(col("source")), Seq(col("n_chars").desc, col("doc_id").asc),
+      SourceCap)
+      .select(col("doc_id"), col("source"), col("__rn").as("rk"))
 
   /** Exact n-gram Jaccard over a bounded id-window of pairs (adjacent ids,
     * distance ≤ 3) — the oracle-checkable exact tier; the LSH tier above is

@@ -203,7 +203,7 @@ object VectorOracles {
          |             unnest(range(1, len(embedding) + 1)) AS i
          |           FROM embeddings),
          |cm AS (SELECT label, i,
-         |         CAST(SUM(CAST(emb[i] AS DECIMAL(28,10))) AS DOUBLE)
+         |         CAST(SUM(CAST(CAST(emb[i] AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
          |           / COUNT(*) AS c
          |       FROM e GROUP BY label, i),
          |cent AS (SELECT CAST(label AS BIGINT) AS centroid_id,
@@ -233,12 +233,67 @@ object VectorOracles {
          |             unnest(range(1, len(embedding) + 1)) AS i
          |           FROM embeddings),
          |c AS (SELECT label, i,
-         |        CAST(SUM(CAST(emb[i] AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS c
+         |        CAST(SUM(CAST(CAST(emb[i] AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS c
          |      FROM e GROUP BY label, i),
          |cent AS (SELECT label, list(c ORDER BY i) AS centroid
          |         FROM c GROUP BY label),
          |base AS (SELECT centroid AS bc FROM cent WHERE label = 0)
          |SELECT label, ROUND(${cos("centroid", "bc")}, 6) AS cos_to_label0
          |FROM cent CROSS JOIN base""".stripMargin,
+
+    // int8 scalar quantization: per-dim min/max → affine quantize →
+    // dequantize; l2 error folds sequentially in index order (same
+    // association as the Spark array fold, so doubles are bit-identical)
+    "q113_int8_quant" ->
+      """WITH x AS (SELECT vec_id, embedding AS emb,
+        |             unnest(range(1, len(embedding) + 1)) AS i
+        |           FROM embeddings),
+        |xe AS (SELECT vec_id, i, CAST(emb[i] AS DOUBLE) AS v FROM x),
+        |st AS (SELECT i, MIN(v) AS mn, MAX(v) AS mx FROM xe GROUP BY i),
+        |qq AS (SELECT vec_id, i, v, mn, mx - mn AS rng,
+        |         CASE WHEN mx - mn = 0 THEN 0
+        |              ELSE CAST(floor((v - mn) / (mx - mn) * 255.0 + 0.5)
+        |                     AS BIGINT) - 128 END AS qv
+        |       FROM xe JOIN st USING (i)),
+        |d AS (SELECT vec_id, i, qv, v,
+        |        (CAST(qv AS DOUBLE) + 128.0) / 255.0 * rng + mn AS deq
+        |      FROM qq),
+        |arr AS (SELECT vec_id,
+        |          CAST(SUM(qv) AS BIGINT) AS q_sum,
+        |          list((v - deq) * (v - deq) ORDER BY i) AS errs
+        |        FROM d GROUP BY vec_id)
+        |SELECT vec_id, q_sum,
+        |  ROUND(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), errs),
+        |    (a, b) -> a + b)), 6) AS l2_err
+        |FROM arr""".stripMargin,
+
+    // centroid-distance outliers: per-label centroid (q34 CTE), cosine
+    // per vector rounded to DECIMAL(18,6), exact decimal moments per
+    // label (q81 pattern), keep rows > 2σ below the label mean
+    "q114_centroid_outliers" ->
+      s"""WITH e AS (SELECT label, embedding AS emb,
+         |             unnest(range(1, len(embedding) + 1)) AS i
+         |           FROM embeddings),
+         |c AS (SELECT label, i,
+         |        CAST(SUM(CAST(CAST(emb[i] AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS c
+         |      FROM e GROUP BY label, i),
+         |cent AS (SELECT label, list(c ORDER BY i) AS centroid
+         |         FROM c GROUP BY label),
+         |sc AS (SELECT v.vec_id, v.label,
+         |         CAST(ROUND(${cos("v.embedding", "t.centroid")}, 6)
+         |           AS DECIMAL(18,6)) AS cosd
+         |       FROM embeddings v JOIN cent t ON t.label = v.label),
+         |st AS (SELECT label, COUNT(*) AS n, SUM(cosd) AS s,
+         |         SUM(cosd * cosd) AS ss
+         |       FROM sc GROUP BY label),
+         |mo AS (SELECT label, CAST(s AS DOUBLE) / n AS mean,
+         |         sqrt((CAST(ss AS DOUBLE)
+         |           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n) AS sd
+         |       FROM st)
+         |SELECT sc.vec_id, sc.label,
+         |  CAST(sc.cosd AS DOUBLE) AS cos_to_centroid,
+         |  ROUND((CAST(sc.cosd AS DOUBLE) - mean) / sd, 6) AS z
+         |FROM sc JOIN mo ON mo.label = sc.label
+         |WHERE CAST(sc.cosd AS DOUBLE) < mean - 2.0 * sd""".stripMargin,
   )
 }

@@ -176,4 +176,86 @@ object VectorQueries {
     VectorOps.ivfSearch(emb.filter(col("vec_id") < NumQueryVecs), emb,
       centroids, nLists, TopK)
   }
+
+  /** Int8 scalar quantization of the embedding column: per-dimension
+    * global min/max → affine quantize each component to [-128, 127] →
+    * dequantize → per-vector reconstruction report (exact integer code
+    * sum + L2 error). The standard 4× index-compression step before PQ
+    * is worth its training cost; the report is what decides whether
+    * int8 recall is acceptable for a corpus.
+    *
+    * Scale shape: the stats pass is a per-dim min/max aggregate
+    * (map-side combinable, dim-sized result), the quantize pass is one
+    * corpus scan with the dim-sized scale table broadcast — no shuffle
+    * of vectors at all. Per-vector arithmetic folds sequentially in
+    * array order, so doubles are bit-identical to the DuckDB oracle
+    * evaluating the same fold (no rounding slop before the final
+    * round). */
+  def qInt8Quant(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val stats = emb
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(min(col("v").cast("double")).as("mn"),
+        max(col("v").cast("double")).as("mx"))
+    // one row: dim-ordered array of (mn, mx) — the broadcast scale table
+    val scales = stats
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("mn"), col("mx")))),
+        t => struct(t.getField("mn").as("mn"), t.getField("mx").as("mx")))
+        .as("sc"))
+    def rng(sc: org.apache.spark.sql.Column) =
+      sc.getField("mx") - sc.getField("mn")
+    emb.crossJoin(broadcast(scales))
+      .withColumn("qarr", zip_with(col("embedding"), col("sc"), (v, sc) =>
+        when(rng(sc) === 0, lit(0L)).otherwise(
+          (floor((v.cast("double") - sc.getField("mn")) / rng(sc) * 255.0
+            + 0.5) - 128).cast("long"))))
+      .withColumn("deq", zip_with(col("qarr"), col("sc"), (qv, sc) =>
+        (qv.cast("double") + 128.0) / 255.0 * rng(sc) + sc.getField("mn")))
+      .select(col("vec_id"),
+        aggregate(col("qarr"), lit(0L), (a, x) => a + x).as("q_sum"),
+        round(sqrt(aggregate(
+          zip_with(col("embedding"), col("deq"), (v, d) => {
+            val e = v.cast("double") - d
+            e * e
+          }),
+          lit(0.0), (a, x) => a + x)), 6).as("l2_err"))
+  }
+
+  /** Embedding outlier pruning: cosine of every vector to its OWN label
+    * centroid, per-label exact moments over the 6-rounded decimal scores
+    * (the q81 pattern — partial sums never reorder), and the rows more
+    * than 2σ BELOW the label mean — the "CLIP-score filtering" shape of
+    * multimodal curation: drop items that don't resemble their own
+    * cluster before they pollute training.
+    *
+    * Scale shape: centroids and the per-label moment table are both
+    * label-sized (broadcast); the corpus is scanned twice (score pass
+    * feeds the moments, then the z filter) — at 100 TB the scored frame
+    * is a stage boundary, so it is persisted once here rather than
+    * recomputed per pass. */
+  def qCentroidOutliers(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val scored = emb
+      .join(broadcast(labelCentroids(emb)), "label")
+      .select(col("vec_id"), col("label"),
+        round(VectorOps.cosine(col("embedding"), col("centroid")), 6)
+          .cast("decimal(18,6)").as("cosd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = scored.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("cosd")).as("s"),
+        sum(col("cosd") * col("cosd")).as("ss"))
+      .select(col("label"),
+        (col("s").cast("double") / col("n")).as("mean"),
+        sqrt((col("ss").cast("double")
+          - col("s").cast("double") * col("s").cast("double") / col("n"))
+          / col("n")).as("sd"))
+    scored.join(broadcast(stats), "label")
+      .filter(col("cosd").cast("double") < col("mean") - lit(2.0) * col("sd"))
+      .select(col("vec_id"), col("label"),
+        col("cosd").cast("double").as("cos_to_centroid"),
+        round((col("cosd").cast("double") - col("mean")) / col("sd"), 6)
+          .as("z"))
+  }
 }

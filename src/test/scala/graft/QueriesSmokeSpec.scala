@@ -33,6 +33,54 @@ class QueriesSmokeSpec extends SparkSpecBase {
       .filter(col("count") > 1).count() == 0)
   }
 
+  test("q113 int8 codes stay in [-128, 127] and dequantize within bound") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val rows = SparkEntry.queries("q113_int8_quant")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val qsum = r.getAs[Long]("q_sum")
+      assert(qsum >= -128L * dim && qsum <= 127L * dim)
+      // max per-component error is half a quantization step of the
+      // widest dimension; L2 over dim components is bounded by sqrt(dim)
+      // steps — loose but catches sign/offset bugs
+      assert(r.getAs[Double]("l2_err") >= 0.0 &&
+        r.getAs[Double]("l2_err") < math.sqrt(dim.toDouble))
+    }
+  }
+
+  test("q114 outliers sit strictly more than 2 sigma below their label mean") {
+    val out = SparkEntry.queries("q114_centroid_outliers")(spark, sf).collect()
+    out.foreach(r => assert(r.getAs[Double]("z") < -2.0 + 1e-9))
+  }
+
+  test("q115 buckets are quartiles: monotone in n_chars, all four present") {
+    import org.apache.spark.sql.functions._
+    val b = SparkEntry.queries("q115_curriculum")(spark, sf)
+    val perBucket = b.groupBy(col("bucket"))
+      .agg(min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"),
+        count(lit(1)).as("n"))
+      .orderBy(col("bucket")).collect()
+    assert(perBucket.map(_.getAs[Int]("bucket")).toSeq == Seq(0, 1, 2, 3))
+    // bucket ranges must not interleave
+    perBucket.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getAs[Long]("mx") <= hi.getAs[Long]("mn"))
+    }
+  }
+
+  test("q116 keeps at most SourceCap docs per source, ranks contiguous") {
+    import org.apache.spark.sql.functions._
+    val m = SparkEntry.queries("q116_source_cap")(spark, sf)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), max(col("rk")).as("mx"))
+      .collect()
+    m.foreach { r =>
+      assert(r.getAs[Long]("n") <= graft.queries.TextQueries.SourceCap)
+      assert(r.getAs[Int]("mx").toLong == r.getAs[Long]("n"))
+    }
+  }
+
   for ((name, fn) <- SparkEntry.queries) {
     test(s"$name runs at sf0.001 and returns a sane schema") {
       val df = fn(spark, sf)
