@@ -61,8 +61,14 @@ object Bench {
       .mkString("{", ",", "}")
     // failed queries (-1 markers) don't subtract from the total
     val total = results.values.map(_._1).filter(_ >= 0).sum
+    // cold = first-rep sum: what a run-each-query-once harness would see.
+    // The min-vs-cold spread is JIT + codegen + page-cache warmup, and it
+    // concentrates in the persist-heavy cascades (measured: q64 8.4→2.5,
+    // q28 4.5→1.2 at sf0.1) — the r3 driver-vs-builder bench gap is this
+    // spread, not plan regressions; per-query reps are in BENCH_LOCAL.
+    val cold = results.values.map(_._2.head).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","cold_total":${d3(cold)},"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // The round driver retains only a ~2000-char TAIL of this process's
     // output and parses a metric line out of it. The full 98-query line
@@ -78,7 +84,8 @@ object Bench {
       .map { case (k, (v, _)) => s""""$k":${d3(v)}""" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${d3(total)},"unit":"sec",""" +
-      s""""queries":$slowest,"queries_truncated":true,""" +
+      s""""cold_total":${d3(cold)},"queries":$slowest,""" +
+      s""""queries_truncated":true,""" +
       s""""full_record":"BENCH_LOCAL.json","sf":"$sfDir"}""")
     Console.out.flush()
     // durable copy in the working directory (the repo root under sbt):
@@ -90,7 +97,7 @@ object Bench {
       val reps = results.map { case (k, (_, ts)) =>
         s""""$k":[${ts.map(d3).mkString(",")}]""" }.mkString("{", ",", "}")
       val full =
-        s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${d3(total)},"unit":"sec","cold_total":${d3(cold)},"queries":$qs,"reps":$reps,"sf":"$sfDir"}"""
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_LOCAL.json"), full + "\n")
       catch { case e: java.io.IOException =>

@@ -153,6 +153,8 @@ object SparkEntry {
     "q114_centroid_outliers" -> VectorQueries.qCentroidOutliers _,
     "q115_curriculum"        -> TextQueries.qCurriculum _,
     "q116_source_cap"        -> TextQueries.qSourceCap _,
+    "q117_vocab_coverage"    -> TextQueries.qVocabCoverage _,
+    "q118_lang_confusion"    -> TextQueries.qLangConfusion _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */

@@ -59,6 +59,43 @@ object TextOracles {
 
   val stopwords = graft.ops.TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** Naive-Bayes classifier CTE chain (q110/q118): hashed-unigram
+    * features, add-one smoothed (label, bucket) model, decimal
+    * per-feature log-prob sums + doc-count prior, argmax with label-asc
+    * tiebreak → `pred(doc_id, lang, pred, s)`. Mirrors
+    * [[graft.ops.TextOps.nbClassify]] value-exactly. */
+  private val NbCtes: String = {
+    val nB = TextQueries.DsirBuckets
+    s"""tok0 AS (SELECT doc_id, lang, $Tk AS tk FROM documents),
+       |ne AS (SELECT * FROM tok0 WHERE len(tk) >= 1),
+       |feats AS (SELECT doc_id, lang,
+       |            unnest(list_transform(tk, t -> ${H("t")} % $nB)) AS b
+       |          FROM ne),
+       |model AS (SELECT lang AS l, b, COUNT(*) AS c
+       |          FROM feats GROUP BY 1, 2),
+       |totals AS (SELECT l, CAST(SUM(c) AS BIGINT) AS tot
+       |           FROM model GROUP BY 1),
+       |nall AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd_all FROM documents),
+       |priors AS (SELECT lang AS l,
+       |             CAST(ROUND(ln(CAST(COUNT(*) AS DOUBLE) / nd_all), 9)
+       |               AS DECIMAL(18,9)) AS lprior
+       |           FROM documents CROSS JOIN nall GROUP BY 1, nd_all),
+       |sc AS (SELECT f.doc_id, f.lang, t.l,
+       |         CAST(ROUND(ln((COALESCE(m.c, 0) + 1.0)
+       |                       / (t.tot + $nB)), 9)
+       |           AS DECIMAL(18,9)) AS lp
+       |       FROM feats f CROSS JOIN totals t
+       |         LEFT JOIN model m ON m.l = t.l AND m.b = f.b),
+       |agg AS (SELECT doc_id, lang, l, SUM(lp) AS s
+       |        FROM sc GROUP BY 1, 2, 3),
+       |fin AS (SELECT a.doc_id, a.lang, a.l, a.s + p.lprior AS s
+       |        FROM agg a JOIN priors p ON p.l = a.l),
+       |pred AS (SELECT doc_id, lang, l AS pred, s
+       |         FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                 ORDER BY s DESC, l ASC) AS rn FROM fin)
+       |         WHERE rn = 1)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q69_heavy_hitters" ->
       s"""WITH tok0 AS (SELECT doc_id, $Tk AS tk FROM documents),
@@ -103,6 +140,23 @@ object TextOracles {
          |    / (CAST(c_a AS DOUBLE) * c_b * n_big), 6) AS lift
          |FROM j CROSS JOIN tot
          |ORDER BY lift DESC, bigram ASC LIMIT 20""".stripMargin,
+
+    // vocab coverage curve: cumulative token-mass share of the top-k
+    // types at power-of-two k — top-1024 selection, then a tiny window
+    "q117_vocab_coverage" ->
+      s"""WITH tok0 AS (SELECT doc_id, $Tk AS tk FROM documents),
+         |tc AS (SELECT w, COUNT(*) AS c
+         |       FROM (SELECT unnest(tk) AS w FROM tok0) GROUP BY w),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM tc),
+         |topk AS (SELECT w, c FROM tc ORDER BY c DESC, w ASC LIMIT 1024),
+         |r AS (SELECT CAST(row_number() OVER
+         |          (ORDER BY c DESC, w ASC) AS INT) AS k,
+         |        CAST(SUM(c) OVER (ORDER BY c DESC, w ASC) AS BIGINT)
+         |          AS mass
+         |      FROM topk)
+         |SELECT k, mass, ROUND(CAST(mass AS DOUBLE) / tot, 6) AS mass_frac
+         |FROM r CROSS JOIN tot
+         |WHERE (k & (k - 1)) = 0""".stripMargin,
 
     // curriculum quartiles: quantile_cont boundaries (same linear
     // interpolation as Spark's exact percentile), bucket = boundary
@@ -489,38 +543,23 @@ object TextOracles {
     // naive-Bayes lang classifier: hashed-unigram features, add-one
     // smoothed (label, bucket) model, decimal per-feature log-prob sums
     // + doc-count prior, argmax with label-asc tiebreak
-    "q110_nb_langid" -> {
-      val nB = TextQueries.DsirBuckets
-      s"""WITH tok0 AS (SELECT doc_id, lang, $Tk AS tk FROM documents),
-         |ne AS (SELECT * FROM tok0 WHERE len(tk) >= 1),
-         |feats AS (SELECT doc_id, lang,
-         |            unnest(list_transform(tk, t -> ${H("t")} % $nB)) AS b
-         |          FROM ne),
-         |model AS (SELECT lang AS l, b, COUNT(*) AS c
-         |          FROM feats GROUP BY 1, 2),
-         |totals AS (SELECT l, CAST(SUM(c) AS BIGINT) AS tot
-         |           FROM model GROUP BY 1),
-         |nall AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd_all FROM documents),
-         |priors AS (SELECT lang AS l,
-         |             CAST(ROUND(ln(CAST(COUNT(*) AS DOUBLE) / nd_all), 9)
-         |               AS DECIMAL(18,9)) AS lprior
-         |           FROM documents CROSS JOIN nall GROUP BY 1, nd_all),
-         |sc AS (SELECT f.doc_id, f.lang, t.l,
-         |         CAST(ROUND(ln((COALESCE(m.c, 0) + 1.0)
-         |                       / (t.tot + $nB)), 9)
-         |           AS DECIMAL(18,9)) AS lp
-         |       FROM feats f CROSS JOIN totals t
-         |         LEFT JOIN model m ON m.l = t.l AND m.b = f.b),
-         |agg AS (SELECT doc_id, lang, l, SUM(lp) AS s
-         |        FROM sc GROUP BY 1, 2, 3),
-         |fin AS (SELECT a.doc_id, a.lang, a.l, a.s + p.lprior AS s
-         |        FROM agg a JOIN priors p ON p.l = a.l)
-         |SELECT doc_id, lang, l AS pred,
+    "q110_nb_langid" ->
+      s"""WITH $NbCtes
+         |SELECT doc_id, lang, pred,
          |  ROUND(CAST(s AS DOUBLE), 6) AS score
-         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
-         |        ORDER BY s DESC, l ASC) AS rn FROM fin)
-         |WHERE rn = 1""".stripMargin
-    },
+         |FROM pred""".stripMargin,
+
+    // confusion matrix over the q110 classifier: argmax predictions
+    // (shared NB CTE chain) × declared lang, per-lang shares
+    "q118_lang_confusion" ->
+      s"""WITH $NbCtes,
+         |cells AS (SELECT lang, pred, CAST(COUNT(*) AS BIGINT) AS n
+         |          FROM pred GROUP BY 1, 2),
+         |lt AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS tot
+         |       FROM cells GROUP BY 1)
+         |SELECT c.lang, c.pred, c.n,
+         |  ROUND(CAST(c.n AS DOUBLE) / lt.tot, 6) AS frac
+         |FROM cells c JOIN lt ON lt.lang = c.lang""".stripMargin,
 
     // repeated spans: stride-1 8-token window hashes (lead-window fold,
     // 0-based pos = window start), hashes at >1 (doc,pos) site, adjacent

@@ -613,6 +613,46 @@ object TextQueries {
       SourceCap)
       .select(col("doc_id"), col("source"), col("__rn").as("rk"))
 
+  /** Vocabulary coverage curve: what fraction of total token mass the
+    * top-k types cover, at k = 1, 2, 4, …, 1024 — the corpus diagnostic
+    * behind tokenizer-vocab sizing and stopword lists. Scale shape: one
+    * vocab-sized count aggregate, a TakeOrderedAndProject for the
+    * top-1024, and the running sum windows over those 1024 rows only
+    * (driver-scale — never a corpus- or vocab-wide global window). */
+  def qVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val types = Tables.documents(s, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = types.agg(sum(col("c")).as("tot"))
+    val topk = types.orderBy(col("c").desc, col("w").asc).limit(1024)
+    val w = Window.orderBy(col("c").desc, col("w").asc)
+    topk
+      .withColumn("k", row_number().over(w))
+      .withColumn("mass", sum(col("c")).over(w))
+      .filter((col("k").bitwiseAND(col("k") - 1)) === 0)
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("mass"),
+        round(col("mass").cast("double") / col("tot"), 6).as("mass_frac"))
+  }
+
+  /** Language-ID confusion matrix: the q110 naive-Bayes predictions
+    * against the declared lang column — per-(lang, pred) counts and
+    * per-lang shares, the eval that decides whether a classifier is fit
+    * to route curation. Matrix is |langs|²-bounded (schema-sized); the
+    * cost is the classifier itself ([[TextOps.nbClassify]], two corpus
+    * passes). */
+  def qLangConfusion(s: SparkSession, dir: String): DataFrame = {
+    val pred = TextOps.nbClassify(Tables.documents(s, dir), "doc_id",
+      "text", "lang", DsirBuckets)
+    val cells = pred.groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.groupBy(col("lang")).agg(sum(col("n")).as("tot"))
+    cells.join(broadcast(tot), "lang")
+      .select(col("lang"), col("pred"), col("n"),
+        round(col("n").cast("double") / col("tot"), 6).as("frac"))
+  }
+
   /** Exact n-gram Jaccard over a bounded id-window of pairs (adjacent ids,
     * distance ≤ 3) — the oracle-checkable exact tier; the LSH tier above is
     * the scale path. */
