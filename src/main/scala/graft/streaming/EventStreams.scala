@@ -174,4 +174,47 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  case class Keyed(key: String, ts: java.sql.Timestamp, id: Long)
+  case class QuotaState(n: Long)
+
+  /** Streaming per-key quota: the first `cap` rows per key (event-time
+    * order within each micro-batch, (ts, id) tiebreak) pass; everything
+    * after is dropped forever. The continuous form of the q116 source-cap
+    * curation rule, for ingest-time enforcement — stop *storing* a
+    * dominating source rather than filtering it later.
+    *
+    * State is one counter per key (constant, never row data). Accepted
+    * counts saturate at `cap`, so replayed micro-batches can only re-emit
+    * rows that were already inside the quota — at-least-once delivery
+    * duplicates output rows but never widens the quota (same redelivery
+    * posture as the content-dedup stream). Cross-batch arrival order is
+    * processing order, as with any online quota; batch parity is exact
+    * when batches arrive in event-time order (spec-pinned). */
+  def quotaStream(rows: DataFrame, cap: Int): Dataset[Keyed] = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val spark = rows.sparkSession
+    import spark.implicits._
+
+    def update(key: String, it: Iterator[Keyed],
+               state: GroupState[QuotaState]): Iterator[Keyed] = {
+      val sofar = state.getOption.map(_.n).getOrElse(0L)
+      val room = (cap - sofar).max(0L).toInt
+      val take = it.toSeq.sortBy(k => (k.ts.getTime, k.id)).take(room)
+      if (take.nonEmpty) state.update(QuotaState(sofar + take.size))
+      take.iterator
+    }
+
+    rows.select(col("key"), col("ts"), col("id")).as[Keyed]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Batch twin of [[quotaStream]]: rank by (ts, id) per key, keep ≤ cap. */
+  def quotaBatch(rows: DataFrame, cap: Int): DataFrame =
+    graft.ops.Dedup.firstRowPerGroupN(rows.select(col("key"), col("ts"),
+        col("id")),
+      Seq(col("key")), Seq(col("ts").asc, col("id").asc), cap)
+      .drop("__rn")
 }
