@@ -155,6 +155,8 @@ object SparkEntry {
     "q116_source_cap"        -> TextQueries.qSourceCap _,
     "q117_vocab_coverage"    -> TextQueries.qVocabCoverage _,
     "q118_lang_confusion"    -> TextQueries.qLangConfusion _,
+    "q119_funnel"            -> Relational.q119Funnel _,
+    "q120_retention"         -> Relational.q120Retention _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */
@@ -403,6 +405,45 @@ object SparkEntry {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
         |  (o_orderstatus), ())""".stripMargin,
+
+    // ordered funnel: stage-wise first-event chain with strict ts
+    // ordering between stages, per-stage converted counts + rates
+    "q119_funnel" ->
+      """WITH t1 AS (SELECT user_id, MIN(ts) AS ts1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, MIN(e.ts) AS ts2 FROM events e
+        |       JOIN t1 ON t1.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > t1.ts1 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, MIN(e.ts) AS ts3 FROM events e
+        |       JOIN t2 ON t2.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+        |       GROUP BY 1),
+        |n AS (SELECT (SELECT COUNT(*) FROM t1) AS n1,
+        |        (SELECT COUNT(*) FROM t2) AS n2,
+        |        (SELECT COUNT(*) FROM t3) AS n3)
+        |SELECT 1 AS stage, 'signup' AS step, CAST(n1 AS BIGINT) AS n_users,
+        |  ROUND(CAST(n1 AS DOUBLE) / n1, 6) AS conv_rate FROM n
+        |UNION ALL SELECT 2, 'click', CAST(n2 AS BIGINT),
+        |  ROUND(CAST(n2 AS DOUBLE) / n1, 6) FROM n
+        |UNION ALL SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+        |  ROUND(CAST(n3 AS DOUBLE) / n1, 6) FROM n""".stripMargin,
+
+    // retention cohorts: epoch-week cohort (sec div 604800, calendar-
+    // free), distinct active users per (cohort, offset), rate vs base
+    "q120_retention" ->
+      """WITH ev AS (SELECT user_id,
+        |              CAST(CAST(floor(epoch(ts)) AS BIGINT) // 604800
+        |                AS INT) AS wk
+        |            FROM events),
+        |f AS (SELECT user_id, MIN(wk) AS cw FROM ev GROUP BY 1),
+        |act AS (SELECT DISTINCT ev.user_id, f.cw, ev.wk - f.cw AS off
+        |        FROM ev JOIN f ON f.user_id = ev.user_id),
+        |cells AS (SELECT cw, off, CAST(COUNT(*) AS BIGINT) AS n_users
+        |          FROM act GROUP BY 1, 2),
+        |b AS (SELECT cw, n_users AS base FROM cells WHERE off = 0)
+        |SELECT c.cw AS cohort_week, c.off AS week_offset, c.n_users,
+        |  ROUND(CAST(c.n_users AS DOUBLE) / b.base, 6) AS retention
+        |FROM cells c JOIN b ON b.cw = c.cw""".stripMargin,
 
     "q59_bloom_semi" ->
       """SELECT l_returnflag, COUNT(*) AS n_items,

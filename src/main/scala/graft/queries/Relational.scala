@@ -765,6 +765,63 @@ object Relational {
       ancestor, concept, "Region")
   }
 
+  /** Ordered conversion funnel signup → click → purchase: per user, the
+    * first signup, the first click strictly AFTER it, the first purchase
+    * strictly after that — per-stage converted-user counts and rates.
+    * Stage-wise conditional-min aggregation (each stage scans one
+    * event-type sliver, aggregates map-side to per-user minima, and
+    * joins user-keyed on a monotonically SHRINKING stage table —
+    * broadcast-able as the funnel narrows), never a per-user event-list
+    * collect or a global sort. */
+  def q119Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def stageMin(tpe: String) =
+      ev.filter(col("event_type") === tpe)
+    val t1 = stageMin("signup").groupBy(col("user_id"))
+      .agg(min(col("ts")).as("ts1"))
+    val t2 = stageMin("click").join(t1, "user_id")
+      .filter(col("ts") > col("ts1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("ts2"))
+    val t3 = stageMin("purchase").join(t2, "user_id")
+      .filter(col("ts") > col("ts2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("ts3"))
+    val n1 = t1.agg(count(lit(1)).as("n_users"))
+    val stages = n1.withColumn("stage", lit(1))
+      .withColumn("step", lit("signup"))
+      .unionByName(t2.agg(count(lit(1)).as("n_users"))
+        .withColumn("stage", lit(2)).withColumn("step", lit("click")))
+      .unionByName(t3.agg(count(lit(1)).as("n_users"))
+        .withColumn("stage", lit(3)).withColumn("step", lit("purchase")))
+    stages.crossJoin(broadcast(n1.select(col("n_users").as("base"))))
+      .select(col("stage"), col("step"), col("n_users"),
+        round(col("n_users").cast("double") / col("base"), 6)
+          .as("conv_rate"))
+  }
+
+  /** Retention cohort matrix: cohort = the user's first active epoch week
+    * (calendar-free `sec div 604800` — identical integer arithmetic in
+    * both engines), cell = distinct users of that cohort active at each
+    * week offset, plus the retention rate against the cohort base.
+    * Per-user min is one map-side-combinable aggregate; the activity
+    * join is user-keyed; the matrix is weeks²-bounded (schema-sized). */
+  def q120Retention(s: SparkSession, dir: String): DataFrame = {
+    val wk = expr("cast(ts as long) div 604800").cast("int")
+    val ev = Tables.events(s, dir).select(col("user_id"), wk.as("wk"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cw"))
+    val cells = ev.join(first, "user_id")
+      .select(col("user_id"), col("cw"), (col("wk") - col("cw")).as("off"))
+      .distinct()
+      .groupBy(col("cw"), col("off"))
+      .agg(count(lit(1)).as("n_users"))
+    val base = cells.filter(col("off") === 0)
+      .select(col("cw"), col("n_users").as("base"))
+    cells.join(broadcast(base), "cw")
+      .select(col("cw").as("cohort_week"), col("off").as("week_offset"),
+        col("n_users"),
+        round(col("n_users").cast("double") / col("base"), 6)
+          .as("retention"))
+  }
+
   /** Explicit GROUPING SETS (the general form behind q43's ROLLUP and
     * q49's CUBE): chosen aggregation levels only, one pass — Spark plans
     * a single Expand + hash aggregate, not one scan per level. */
