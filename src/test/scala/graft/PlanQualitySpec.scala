@@ -241,4 +241,39 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("pmi top-20 is TakeOrdered over pruned bigrams, totals broadcast") {
+    val p = plan(graft.queries.TextQueries.qPmiBigrams(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // (the scalar totals aggregate legitimately plans a SinglePartition
+    // exchange of one partial row per task — that's not a global sort)
+    // the 1-row totals frame must broadcast, never shuffle-join
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("int8 quant never shuffles vectors: one stats agg, broadcast scales") {
+    val p = plan(graft.queries.VectorQueries.qInt8Quant(spark, sf))
+    // exactly the per-dim stats aggregation exchanges; the quantize pass
+    // joins the broadcast 1-row scale table
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("vocab coverage: single-partition work is capped at the top-1024") {
+    val df = graft.queries.TextQueries.qVocabCoverage(spark, sf)
+    val p = plan(df)
+    // the window runs AFTER a TakeOrdered(1024) — the only
+    // single-partition exchange moves ≤1024 rows
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("funnel aggregates map-side: no per-user sort or window") {
+    val p = plan(graft.queries.Relational.q119Funnel(spark, sf))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Sort "), p)
+  }
 }
