@@ -157,6 +157,8 @@ object SparkEntry {
     "q118_lang_confusion"    -> TextQueries.qLangConfusion _,
     "q119_funnel"            -> Relational.q119Funnel _,
     "q120_retention"         -> Relational.q120Retention _,
+    "q121_length_buckets"    -> TextQueries.qLengthBuckets _,
+    "q122_cluster_reps"      -> TextQueries.qClusterReps _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */

@@ -141,6 +141,31 @@ object TextOracles {
          |FROM j CROSS JOIN tot
          |ORDER BY lift DESC, bigram ASC LIMIT 20""".stripMargin,
 
+    // length buckets: smallest power-of-two bucket per length histogram
+    // row (13-row dim, min qualifying bucket), padding waste per bucket
+    "q121_length_buckets" ->
+      s"""WITH tok0 AS (SELECT doc_id, $Tk AS tk FROM documents),
+         |lens AS (SELECT CAST(len(tk) AS BIGINT) AS n_tok,
+         |           CAST(COUNT(*) AS BIGINT) AS n_docs
+         |         FROM tok0 WHERE len(tk) >= 1 GROUP BY 1),
+         |dim AS (SELECT unnest([${(0 to 12).map(1 << _).mkString(", ")}])
+         |          AS bucket),
+         |asg AS (SELECT n_tok, n_docs, MIN(bucket) AS bucket
+         |        FROM lens JOIN dim ON n_tok <= bucket
+         |          OR (bucket = 4096 AND n_tok > 4096)
+         |        GROUP BY 1, 2),
+         |eff AS (SELECT bucket, n_docs, n_tok,
+         |          greatest(CAST(bucket AS BIGINT), n_tok) AS eff_bucket
+         |        FROM asg),
+         |agg AS (SELECT bucket, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+         |          CAST(SUM(n_tok * n_docs) AS BIGINT) AS n_tokens,
+         |          CAST(SUM(eff_bucket * n_docs) AS BIGINT) AS slots
+         |        FROM eff GROUP BY 1)
+         |SELECT bucket, n_docs, n_tokens,
+         |  ROUND(CAST(slots - n_tokens AS DOUBLE) / slots, 6)
+         |    AS padding_frac
+         |FROM agg""".stripMargin,
+
     // vocab coverage curve: cumulative token-mass share of the top-k
     // types at power-of-two k — top-1024 selection, then a tiny window
     "q117_vocab_coverage" ->
@@ -639,6 +664,49 @@ object TextOracles {
          |           FROM scored)
          |SELECT doc_id, term, tfidf_scaled, CAST(rn AS INTEGER) AS rank
          |FROM ranked WHERE rn <= 3""".stripMargin,
+
+    // cluster representative: the q57 component chain + metadata join,
+    // argmax (n_chars desc, doc_id asc) per cluster
+    "q122_cluster_reps" ->
+      s"""${MinhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |bands AS (SELECT doc_id, i // 4 AS band,
+         |            string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS band_sig
+         |          FROM mh GROUP BY doc_id, i // 4),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b
+         |            ON a.band = b.band AND a.band_sig = b.band_sig
+         |           AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shx GROUP BY doc_id),
+         |inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
+         |          FROM pairs p
+         |          JOIN shx sa ON sa.doc_id = p.doc_a
+         |          JOIN shx sb ON sb.doc_id = p.doc_b AND sa.h = sb.h
+         |          GROUP BY p.doc_a, p.doc_b),
+         |verified AS (SELECT i.doc_a, i.doc_b
+         |             FROM inter i
+         |             JOIN sizes za ON za.doc_id = i.doc_a
+         |             JOIN sizes zb ON zb.doc_id = i.doc_b
+         |             WHERE CAST(i.inter AS DOUBLE)
+         |                   / (za.sz + zb.sz - i.inter) >= 0.3),
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM verified
+         |          UNION ALL
+         |          SELECT doc_b AS s, doc_a AS d FROM verified),
+         |reach AS (SELECT s AS id, s AS lab FROM edges
+         |          UNION
+         |          SELECT e.d AS id, r.lab
+         |          FROM reach r JOIN edges e ON e.s = r.id),
+         |cc AS (SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+         |jm AS (SELECT cc.id, cc.cluster_id, d.n_chars
+         |       FROM cc JOIN documents d ON d.doc_id = cc.id),
+         |rk AS (SELECT id, cluster_id, n_chars,
+         |         row_number() OVER (PARTITION BY cluster_id
+         |           ORDER BY n_chars DESC, id ASC) AS rn,
+         |         CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+         |           AS cluster_size
+         |       FROM jm)
+         |SELECT cluster_id, id AS rep_doc_id, cluster_size,
+         |  n_chars AS rep_n_chars
+         |FROM rk WHERE rn = 1""".stripMargin,
 
     "q57_dup_clusters" ->
       s"""${MinhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},

@@ -275,6 +275,30 @@ object TextQueries {
         col("cluster_size"))
   }
 
+  /** Representative selection per duplicate cluster: keep the BEST doc
+    * (longest, doc-id tiebreak) of each transitive near-dup cluster —
+    * the curation policy that beats q57's keep-lowest-id when quality
+    * varies inside a cluster (the canonical copy of a boilerplate family
+    * is usually the longest). Adds one metadata join on the clustered
+    * sliver + a per-cluster argmax window to the q57 cascade. */
+  def qClusterReps(s: SparkSession, dir: String): DataFrame = {
+    val verified = verifiedNearDupPairs(s, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val cc = graft.ops.Components
+      .connectedComponents(verified, "doc_a", "doc_b")
+    val j = cc.join(
+      Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+      cc("id") === col("doc_id"))
+    val sized = j.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    Dedup.firstRowPerGroupN(j, Seq(col("component")),
+        Seq(col("n_chars").desc, col("doc_id").asc), 1)
+      .join(sized, "component")
+      .select(col("component").as("cluster_id"),
+        col("doc_id").as("rep_doc_id"), col("cluster_size"),
+        col("n_chars").as("rep_n_chars"))
+  }
+
   /** Gopher-style repetition metrics: fraction of all bigrams taken by
     * the most-frequent bigram, and distinct-bigram ratio — the standard
     * cheap repetition filters for LLM training corpora. Built on the
@@ -612,6 +636,41 @@ object TextQueries {
       Seq(col("source")), Seq(col("n_chars").desc, col("doc_id").asc),
       SourceCap)
       .select(col("doc_id"), col("source"), col("__rn").as("rk"))
+
+  /** Length-bucketed batching report: each doc assigned to the smallest
+    * power-of-two token-length bucket that fits it (the padding-
+    * minimization trick of sequence batching), per-bucket doc counts,
+    * token mass, and padding waste (padded slots that carry no tokens).
+    * The bucket dimension is a 13-row static table joined as the MIN
+    * qualifying bucket — a broadcast range join both engines express
+    * identically, no log2 edge cases. Docs longer than the largest
+    * bucket land in it (truncation is the packing stage's business). */
+  def qLengthBuckets(s: SparkSession, dir: String): DataFrame = {
+    val buckets = (0 to 12).map(1 << _) // 1 .. 4096
+    val dim = s.createDataFrame(buckets.map(Tuple1(_)))
+      .toDF("bucket")
+    val maxB = buckets.last
+    // length histogram first (map-side combinable, ≤ max-doc-length rows)
+    // so the bucket range-join touches the histogram, never the corpus
+    val lens = Tables.documents(s, dir)
+      .select(TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+      .filter(col("n_tok") >= 1)
+      .groupBy(col("n_tok")).agg(count(lit(1)).as("n_docs"))
+    lens
+      .join(broadcast(dim), col("n_tok") <= col("bucket") ||
+        col("bucket") === maxB && col("n_tok") > maxB)
+      .groupBy(col("n_tok"), col("n_docs"))
+      .agg(min(col("bucket")).as("bucket"))
+      .withColumn("eff_bucket", greatest(col("bucket").cast("long"),
+        col("n_tok"))) // oversize docs pad nothing, they truncate later
+      .groupBy(col("bucket"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tok") * col("n_docs")).as("n_tokens"),
+        sum(col("eff_bucket") * col("n_docs")).as("slots"))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        round((col("slots") - col("n_tokens")).cast("double")
+          / col("slots"), 6).as("padding_frac"))
+  }
 
   /** Vocabulary coverage curve: what fraction of total token mass the
     * top-k types cover, at k = 1, 2, 4, …, 1024 — the corpus diagnostic
