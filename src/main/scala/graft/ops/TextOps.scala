@@ -520,12 +520,19 @@ object TextOps {
     * q81/q98 pattern) so the argmax is partitioning-invariant; exact
     * score ties break by label asc.
     *
-    * Scale shape: the feature stream is joined against ALL labels
-    * (labels × features rows) — the honest cost of dense multi-class
-    * scoring; the label set is corpus-schema-sized (a handful), never
-    * data-sized. One shuffle to the (doc, label) aggregate; the argmax
-    * window partitions by doc (bounded state). Empty docs have no
-    * features and are absent — matching [[importanceWeights]].
+    * Scale shape: dense multi-class scoring WITHOUT multiplying the
+    * token stream by the label count. Because the per-term lp is a
+    * DECIMAL constant per (label, bucket), Σ_tokens lp ≡ Σ_buckets
+    * cnt·lp exactly (decimal × integer is exact) — so the scorer
+    * (1) pre-aggregates the token stream to (doc, bucket) counts
+    * (map-side combinable, ≤ distinct-buckets-per-doc rows), then
+    * (2) joins the broadcast bucket-pivoted model (nBuckets × labels —
+    * tiny) and sums ALL label scores as columns in ONE doc-keyed
+    * aggregate. The label set is corpus-schema-sized (a handful,
+    * collected to the driver like strata counts); only the final
+    * doc-sized frame is unpivoted (labels × docs rows) for the argmax
+    * window (WindowGroupLimit-pruned, bounded state). Empty docs have
+    * no features and are absent — matching [[importanceWeights]].
     *
     * Output: id, `lang` (true label, for the caller's confusion matrix),
     * `pred` (argmax label), `score` (winning log-likelihood, round 6). */
@@ -551,7 +558,13 @@ object TextOps {
     val model = feats.groupBy(col(labelCol).as("__l"), col("b"))
       .agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val totals = model.groupBy(col("__l")).agg(sum(col("c")).as("tot"))
+    // label list + per-label feature totals to the driver: label
+    // cardinality is corpus-schema-sized (languages/sources — a
+    // handful), the same licensed driver-sized collect as strata counts
+    val totalRows = model.groupBy(col("__l")).agg(sum(col("c")).as("tot"))
+      .collect()
+    val labels = totalRows.map(_.getString(0)).sorted
+    val totByL = totalRows.map(r => r.getString(0) -> r.getLong(1)).toMap
     // priors from labeled DOC counts (not feature counts)
     val priors = docs.groupBy(col(labelCol).as("__l"))
       .agg(count(lit(1)).as("nd"))
@@ -559,16 +572,43 @@ object TextOps {
       .select(col("__l"),
         round(log(col("nd").cast("double") / col("ndAll").cast("double")),
           9).cast("decimal(18,9)").as("lprior"))
-    val lp = round(
-      log((coalesce(col("c"), lit(0L)) + lit(1)).cast("double") /
-        (col("tot") + lit(nBuckets)).cast("double")), 9)
+    // bucket-pivoted model: one row per bucket, one count column per
+    // label (nBuckets × labels — broadcast-sized by construction);
+    // labels are addressed by index so column names stay identifier-safe
+    val cAggs = labels.indices.map(i =>
+      sum(when(col("__l") === lit(labels(i)), col("c"))).as(s"__c_$i"))
+    val modelWide = model.groupBy(col("b")).agg(cAggs.head, cAggs.tail: _*)
+    // (doc, bucket) occurrence counts: the ONLY corpus-sized aggregate
+    // of the scoring pass, map-side combinable
+    val docFeats = feats.groupBy(col(idCol), col(labelCol), col("b"))
+      .agg(count(lit(1)).as("__cnt"))
+    // per-label score column: Σ_buckets cnt · lp(b, l) — value-identical
+    // to the per-token decimal sum because cnt · decimal is exact
+    def lpCol(i: Int) = round(
+      log((coalesce(col(s"__c_$i"), lit(0L)) + lit(1)).cast("double") /
+        lit(totByL(labels(i)) + nBuckets).cast("double")), 9)
       .cast("decimal(18,9)")
-    val scored = feats.select(col(idCol), col(labelCol), col("b"))
-      .crossJoin(broadcast(totals.select(col("__l")))) // score ALL labels
-      .join(broadcast(model), Seq("__l", "b"), "left")
-      .join(broadcast(totals), Seq("__l"))
-      .groupBy(col(idCol), col(labelCol), col("__l"))
-      .agg(sum(lp).as("__s"))
+    // cnt as DECIMAL(12,0), not BIGINT: bigint×decimal(18,9) would need
+    // precision 39 and Spark trims the scale to 8 — silently rounding
+    // the 9th digit; (12,0)×(18,9) stays at (31,9), exact
+    val sAggs = labels.indices.map(i =>
+      sum(col("__cnt").cast("decimal(12,0)") * lpCol(i)).as(s"__s_$i"))
+    val perDoc = docFeats
+      .join(broadcast(modelWide), Seq("b"), "left")
+      .groupBy(col(idCol), col(labelCol))
+      .agg(sAggs.head, sAggs.tail: _*)
+    // unpivot the doc-sized frame to (doc, label, score) for the argmax
+    // — labels × docs rows, but docs-sized, never token-stream-sized
+    // sums come out decimal(38,9); cast to (28,9) (magnitude-safe: |s| ≤
+    // tokens·|lp| ≪ 10^19) so `+ lprior` types at (29,9) — at (38,9) the
+    // addition would need precision 39 and trim the scale to 8
+    val kv = labels.indices.map(i =>
+      struct(lit(labels(i)).as("__l"),
+        col(s"__s_$i").cast("decimal(28,9)").as("__s")))
+    val scored = perDoc
+      .select(col(idCol), col(labelCol), explode(array(kv: _*)).as("__kv"))
+      .select(col(idCol), col(labelCol),
+        col("__kv.__l").as("__l"), col("__kv.__s").as("__s"))
       .join(broadcast(priors), Seq("__l"))
       .select(col(idCol), col(labelCol), col("__l"),
         (col("__s") + col("lprior")).as("__s"))
