@@ -159,6 +159,8 @@ object SparkEntry {
     "q120_retention"         -> Relational.q120Retention _,
     "q121_length_buckets"    -> TextQueries.qLengthBuckets _,
     "q122_cluster_reps"      -> TextQueries.qClusterReps _,
+    "q123_winnow_fp"         -> TextQueries.qWinnowFp _,
+    "q124_winnow_overlap"    -> TextQueries.qWinnowOverlap _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */

@@ -431,4 +431,91 @@ object NearDup {
         count(lit(1)).as("n_windows"))
       .drop("__grp")
   }
+
+  /** Positions are packed beside hashes in one long so a single
+    * `array_min` is the winnow rule: key = h·2^30 + (2^30−1−pos).
+    * Safe because the poly-hash range (< 1e9+7) fits 30 bits and
+    * 60-bit keys fit a long; caps docs at 2^30 windows. */
+  private val WinnowP = 1L << 30
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    * the MOSS algorithm): from the stride-1 k-gram hash stream of each
+    * doc, select in EVERY window of `w` consecutive hashes the minimum
+    * hash, ties → rightmost position (the "robust winnowing" rule, so
+    * near-identical docs select near-identical fingerprint sets).
+    * Guarantees: any shared run of ≥ w+k−1 tokens yields ≥ 1 shared
+    * fingerprint, and the expected density is 2/(w+1) — a tunable
+    * ~1/w-sized sketch of the shingle stream that, unlike minhash,
+    * keeps POSITIONS (so matches can be localized) and detects partial
+    * overlap (minhash jaccard dilutes a shared paragraph inside a big
+    * doc; winnowing still fingerprints it).
+    *
+    * Computed entirely AT THE SCAN — zero shuffle: the k-gram hash
+    * array comes from the native `shingle_hashes` expression and the
+    * sliding-window min is a `transform`+`slice`+`array_min`
+    * higher-order chain over that per-row array (O(m·w) work per doc,
+    * the classic time/shuffle trade — at w=4 the constant is tiny and
+    * no corpus-wide (doc, pos, hash) stream is ever exchanged, unlike
+    * [[repeatedSpans]] which must shuffle to count across docs).
+    * Docs with fewer than w windows (incl. the |tokens|<k whole-doc
+    * fallback hash) contribute their single overall minimum.
+    *
+    * Output: (idCol, pos, h) — one row per selected fingerprint,
+    * distinct per doc. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int, w: Int): DataFrame = {
+    require(k >= 1, s"fingerprint k-gram width must be >= 1, got $k")
+    require(w >= 2, s"winnow window must be >= 2, got $w")
+    val keys = transform(
+      call_function("shingle_hashes", TextOps.tokens(col(textCol)), lit(k)),
+      (h, i) => h * lit(WinnowP) + (lit(WinnowP - 1) - i))
+    val m = size(col("__keys"))
+    val sel = when(m >= w,
+        array_distinct(transform(sequence(lit(1), m - lit(w) + lit(1)),
+          j => array_min(slice(col("__keys"), j, lit(w))))))
+      .otherwise(array(array_min(col("__keys"))))
+    docs.select(col(idCol), keys.as("__keys"))
+      .select(col(idCol), explode(sel).as("__key"))
+      .select(col(idCol),
+        (lit(WinnowP - 1) - (col("__key") bitwiseAND lit(WinnowP - 1)))
+          .cast("int").as("pos"),
+        shiftright(col("__key"), 30).as("h"))
+  }
+
+  /** Cross-doc overlap from winnowed fingerprints: doc pairs sharing
+    * ≥ `minShared` distinct fingerprint hashes. The MOSS-style
+    * plagiarism/overlap report, and the cheap standing alternative to
+    * the full LSH cascade when the question is "which docs share ANY
+    * sizable passage" rather than "which docs are mostly the same".
+    *
+    * Scale shape: the join input is the ~2/(w+1)-density fingerprint
+    * stream, not the shingle stream. Hashes in more than `maxDocFreq`
+    * docs are dropped first (boilerplate — a universal header selects
+    * the same fingerprint everywhere and carries no overlap signal),
+    * which simultaneously bounds every join bucket at maxDocFreq²
+    * pairs — the same frequency-cap skew defense as the LSH band join.
+    * The doc-frequency aggregate and the bucket self-join are the only
+    * shuffles, both keyed on the fingerprint hash. */
+  def winnowOverlap(fps: DataFrame, idCol: String,
+                    maxDocFreq: Int, minShared: Int): DataFrame = {
+    // persisted because the plan references it three times (the doc-
+    // frequency aggregate and both self-join sides) — without the stage
+    // boundary each reference re-runs the corpus scan + winnow compute.
+    // The frame is the ~2/(w+1)-density distinct fingerprint stream, far
+    // smaller than the corpus; MEMORY_AND_DISK so it spills, never OOMs.
+    val fp = fps.select(col(idCol), col("h")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fp.count() // eager: both self-join sides must read, never compute
+    val rare = fp.groupBy(col("h"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= maxDocFreq)
+      .select(col("h"))
+    val r = fp.join(rare, Seq("h"), "left_semi")
+    r.select(col("h"), col(idCol).as("doc_a"))
+      .join(r.select(col("h"), col(idCol).as("doc_b")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

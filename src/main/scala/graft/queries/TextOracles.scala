@@ -96,6 +96,46 @@ object TextOracles {
        |         WHERE rn = 1)""".stripMargin
   }
 
+  /** Winnowing CTE chain (q123/q124), DuckDB twin of
+    * [[graft.ops.NearDup.winnowFingerprints]]: stride-1 k-gram hash
+    * stream with 0-based window-start pos, hash+pos packed into one
+    * BIGINT key (h·2^30 + (2^30−1−pos)) so list_min per sliding window
+    * is "smallest hash, rightmost position", short docs (< w windows,
+    * incl. the |tokens|<k whole-doc fallback) contribute their single
+    * overall min. Ends in `fph(doc_id, h, pos)`. */
+  val WinnowCtes: String = {
+    val k = TextQueries.WinnowK
+    val w = TextQueries.WinnowW
+    val P = "1073741824"
+    val leads = (1 until k).map(i =>
+      s"lead(th, $i) OVER (PARTITION BY doc_id ORDER BY pos) AS th$i")
+      .mkString(", ")
+    val fold = (1 until k).foldLeft("th")((acc, i) =>
+      s"($acc * 31 + th$i) % 1000000007")
+    s"""WITH tok0 AS (SELECT doc_id, $Tk AS tk FROM documents),
+       |lng AS (SELECT doc_id, tk FROM tok0 WHERE len(tk) >= $k),
+       |tokx AS (SELECT doc_id, unnest(tk) AS tok,
+       |           unnest(range(0, len(tk))) AS pos FROM lng),
+       |th AS (SELECT doc_id, pos, ${H("tok")} AS th FROM tokx),
+       |shl AS (SELECT doc_id, pos, th, $leads FROM th),
+       |win AS (SELECT doc_id, pos, $fold AS h
+       |        FROM shl WHERE th${k - 1} IS NOT NULL),
+       |keyl AS (SELECT doc_id,
+       |           list($P * h + ($P - 1 - pos) ORDER BY pos) AS keys
+       |         FROM win GROUP BY doc_id
+       |         UNION ALL
+       |         SELECT doc_id,
+       |           [$P * ${H("array_to_string(tk, ' ')")} + ($P - 1)] AS keys
+       |         FROM tok0 WHERE len(tk) < $k),
+       |sel AS (SELECT doc_id, CASE WHEN len(keys) >= $w THEN
+       |          list_distinct(list_transform(range(1, len(keys) - $w + 2),
+       |            j -> list_min(list_slice(keys, j, j + $w - 1))))
+       |        ELSE [list_min(keys)] END AS fps FROM keyl),
+       |fp AS (SELECT doc_id, unnest(fps) AS key FROM sel),
+       |fph AS (SELECT doc_id, key // $P AS h,
+       |          $P - 1 - (key % $P) AS pos FROM fp)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q69_heavy_hitters" ->
       s"""WITH tok0 AS (SELECT doc_id, $Tk AS tk FROM documents),
@@ -585,6 +625,28 @@ object TextOracles {
          |SELECT c.lang, c.pred, c.n,
          |  ROUND(CAST(c.n AS DOUBLE) / lt.tot, 6) AS frac
          |FROM cells c JOIN lt ON lt.lang = c.lang""".stripMargin,
+
+    // winnowing fingerprint summary: same CTE chain as the Spark side —
+    // packed key = h·2^30 + (2^30−1−pos), per-window list_min = smallest
+    // hash / rightmost-pos tiebreak, distinct selections per doc
+    "q123_winnow_fp" ->
+      s"""$WinnowCtes
+         |SELECT doc_id, COUNT(*) AS n_fp, MIN(h) AS fp_min,
+         |  CAST(SUM(h) AS BIGINT) AS fp_sum
+         |FROM fph GROUP BY doc_id""".stripMargin,
+
+    // winnow overlap: distinct (doc, fingerprint-hash) pairs, hashes in
+    // 2..FpMaxDf docs only (boilerplate cap), self-join + pair count
+    "q124_winnow_overlap" ->
+      s"""$WinnowCtes,
+         |du AS (SELECT DISTINCT doc_id, h FROM fph),
+         |rare AS (SELECT h FROM du GROUP BY h
+         |         HAVING COUNT(*) BETWEEN 2 AND ${TextQueries.FpMaxDf})
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  COUNT(*) AS n_shared
+         |FROM du a JOIN du b ON a.h = b.h AND a.doc_id < b.doc_id
+         |WHERE a.h IN (SELECT h FROM rare)
+         |GROUP BY 1, 2 HAVING COUNT(*) >= ${TextQueries.FpMinShared}""".stripMargin,
 
     // repeated spans: stride-1 8-token window hashes (lead-window fold,
     // 0-based pos = window start), hashes at >1 (doc,pos) site, adjacent

@@ -38,6 +38,12 @@ object TextQueries {
   val MixWeights = Map("src0" -> 3.0, "src1" -> 2.0)
   val MixDefaultW = 0.5
   val MixBudget = 1000000L
+  // q123/q124 winnowing: k-gram width, winnow window (density 2/(w+1)),
+  // boilerplate doc-frequency cap, min shared fingerprints per pair
+  val WinnowK = 4
+  val WinnowW = 4
+  val FpMaxDf = 10
+  val FpMinShared = 2
 
   /** Exact-duplicate groups by content hash (scale path: hash-groupBy —
     * shuffle carries (hash, count), not text). With no exact dups in the
@@ -171,6 +177,27 @@ object TextQueries {
     * boilerplate-sharing docs as partial ones. */
   def qRepeatedSpans(s: SparkSession, dir: String): DataFrame =
     NearDup.repeatedSpans(Tables.documents(s, dir), "doc_id", "text", SpanN)
+
+  /** Winnowing fingerprint sets ([[NearDup.winnowFingerprints]]), folded
+    * to one row per doc (count / min / sum of selected hashes) for a
+    * compact verifiable result; the raw (doc, pos, h) rows are the
+    * operator surface. */
+  def qWinnowFp(s: SparkSession, dir: String): DataFrame =
+    NearDup.winnowFingerprints(Tables.documents(s, dir), "doc_id", "text",
+      WinnowK, WinnowW)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"), min(col("h")).as("fp_min"),
+        sum(col("h")).as("fp_sum"))
+
+  /** MOSS-style overlap report ([[NearDup.winnowOverlap]]): doc pairs
+    * sharing ≥ 2 non-boilerplate winnowed fingerprints — detects shared
+    * PASSAGES (the partial-overlap case minhash jaccard dilutes), at
+    * ~2/(w+1) of the shingle-stream cost. */
+  def qWinnowOverlap(s: SparkSession, dir: String): DataFrame =
+    NearDup.winnowOverlap(
+      NearDup.winnowFingerprints(Tables.documents(s, dir), "doc_id", "text",
+        WinnowK, WinnowW),
+      "doc_id", FpMaxDf, FpMinShared)
 
   /** MinHash signatures (relational form), folded to one row per doc for a
     * compact verifiable result: sum and min of the 16 minhashes. */

@@ -276,4 +276,26 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("Window"), p)
     assert(!p.contains("Sort "), p)
   }
+
+  test("winnowing is scan-side: no shuffle before the per-doc aggregate") {
+    val p = plan(graft.queries.TextQueries.qWinnowFp(spark, sf))
+    // the sliding-window min runs inside the projection (higher-order
+    // array funcs over the shingle_hashes array) — the ONLY exchange in
+    // the whole query is the doc-keyed aggregate after the explode; the
+    // positional form would shuffle+sort the corpus-wide token stream
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Sort "), p)
+  }
+
+  test("winnow overlap joins the persisted fingerprint sliver, not scans") {
+    val p = plan(graft.queries.TextQueries.qWinnowOverlap(spark, sf))
+    // the distinct fingerprint frame is a persisted stage boundary: the
+    // df-aggregate and both self-join sides all read the cache (the
+    // FileScan strings inside InMemoryRelation nodes are the cached
+    // plan's rendering, not live scans)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

@@ -200,4 +200,94 @@ class NearDupSpec extends SparkSpecBase {
     val fx = Seq((1L, "x y z w v"), (2L, "x y z w v")).toDF("doc_id", "text")
     assert(NearDup.repeatedSpans(fx, "doc_id", "text", 8).count() == 0)
   }
+
+  // --- winnowing fingerprints -------------------------------------------
+
+  /** Reference winnow: shingle-hash fold (same arithmetic as the native
+    * expression), then per-window min with smallest-hash/rightmost-pos
+    * selection, distinct. */
+  private def refWinnow(text: String, k: Int, w: Int): Set[(Int, Long)] = {
+    def ph(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % TextOps.HashMod)
+    val tk = text.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    val hs: Seq[Long] =
+      if (tk.length < k) Seq(ph(tk.mkString(" ")))
+      else tk.sliding(k).map(g =>
+        g.tail.foldLeft(ph(g.head))((a, t) => (a * 31 + ph(t)) % TextOps.HashMod))
+        .toSeq
+    if (hs.length < w) {
+      val h = hs.min
+      Set((hs.lastIndexOf(h), h))
+    } else hs.zipWithIndex.sliding(w).map { win =>
+      val m = win.map(_._1).min
+      val p = win.filter(_._1 == m).map(_._2).max // rightmost tie
+      (p, m)
+    }.toSet
+  }
+
+  test("winnowFingerprints matches the reference sliding-min selection") {
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then naps"),
+      (2L, "a b a b a b a b a b a b"), // heavy ties: rightmost-pos rule
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "short doc"),               // < k tokens: whole-doc fallback
+      (5L, "")                         // empty: fallback hash of ""
+    )
+    val got = NearDup.winnowFingerprints(
+        texts.toDF("doc_id", "text"), "doc_id", "text", 4, 4)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for ((id, t) <- texts)
+      assert(got(id) == refWinnow(t, 4, 4), s"doc $id")
+  }
+
+  test("winnowFingerprints: every w-window of shingles holds a selection") {
+    // the winnowing guarantee that makes overlap detection sound: any
+    // shared run of >= w+k-1 tokens must contribute >= 1 fingerprint
+    val text = (0 until 60).map(i => s"t${i % 17}").mkString(" ")
+    val sel = refWinnow(text, 4, 4).map(_._1)
+    val m = 60 - 4 + 1
+    for (s <- 0 to m - 4)
+      assert((s until s + 4).exists(sel.contains), s"window at $s uncovered")
+    // and the Spark side selects the identical set
+    val got = NearDup.winnowFingerprints(
+        Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", 4, 4)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSet
+    assert(got == refWinnow(text, 4, 4))
+  }
+
+  test("winnowFingerprints: near-identical docs share most fingerprints") {
+    val base = (0 until 80).map(i => s"w$i").mkString(" ")
+    val edited = ((0 until 40).map(i => s"w$i") ++ Seq("CHANGED") ++
+      (41 until 80).map(i => s"w$i")).mkString(" ")
+    val fp = NearDup.winnowFingerprints(
+        Seq((1L, base), (2L, edited)).toDF("doc_id", "text"),
+        "doc_id", "text", 4, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val a = fp.filter(_._1 == 1L).map(_._2).toSet
+    val b = fp.filter(_._1 == 2L).map(_._2).toSet
+    val sim = a.intersect(b).size.toDouble / a.union(b).size
+    assert(sim > 0.6, s"robustness: single-token edit kept only $sim shared")
+  }
+
+  test("winnowOverlap pairs passage-sharing docs, drops boilerplate") {
+    val passage = (0 until 20).map(i => s"p$i").mkString(" ")
+    def filler(seed: Int) =
+      (0 until 30).map(i => s"f${seed}_$i").mkString(" ")
+    // docs 1,2 share a 20-token passage inside distinct filler; 3 is
+    // unrelated; every doc ends with the same boilerplate line, which
+    // must be excluded by the doc-frequency cap (df = 4 > maxDocFreq 3)
+    val boiler = "standard footer applies to all documents here now"
+    val fx = Seq(
+      (1L, s"${filler(1)} $passage $boiler"),
+      (2L, s"${filler(2)} $passage $boiler"),
+      (3L, s"${filler(3)} $boiler"),
+      (4L, s"${filler(4)} $boiler")
+    ).toDF("doc_id", "text")
+    val fp = NearDup.winnowFingerprints(fx, "doc_id", "text", 4, 4)
+    val pairs = NearDup.winnowOverlap(fp, "doc_id",
+        maxDocFreq = 3, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), pairs.toString)
+  }
 }
