@@ -161,6 +161,8 @@ object SparkEntry {
     "q122_cluster_reps"      -> TextQueries.qClusterReps _,
     "q123_winnow_fp"         -> TextQueries.qWinnowFp _,
     "q124_winnow_overlap"    -> TextQueries.qWinnowOverlap _,
+    "q125_split_leakage"     -> TextQueries.qSplitLeakage _,
+    "q126_robust_stats"      -> TextQueries.qRobustStats _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */

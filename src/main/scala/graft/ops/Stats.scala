@@ -41,4 +41,51 @@ object Stats {
       .withColumn("bin_lo", lit(lo) + col("bin") * width)
       .withColumn("bin_hi", lit(lo) + (col("bin") + 1) * width)
   }
+
+  /** Rank-based robust statistics per group: mean, trimmed mean
+    * (1/trimDenom of rows cut from EACH tail, by rank), and exact
+    * median — the outlier-resistant profile used to rank sources whose
+    * tails would swamp a plain mean (one 100 MB doc shifts a source's
+    * avg length; it cannot shift its trimmed mean or median).
+    *
+    * Deliberately rank-based, NOT interpolated percentiles: ranks are
+    * exact integer arithmetic with a deterministic tie column, so the
+    * result is identical on any engine and any partitioning —
+    * interpolated quantiles differ in float rounding across engines and
+    * would break the value-exact oracle. Median = mean of the one or
+    * two middle ranks (exact halves stay exact in double); all means
+    * accumulate in DECIMAL (partition-order-independent).
+    *
+    * Scale shape: ONE per-group window pass (rank + group size ride the
+    * same sort) then one grouped aggregate with conditional sums — no
+    * self-joins, no second scan. The window scales with the LARGEST
+    * group (same posture as the source-cap query); for groups too big
+    * to sort, the approximate tier is `approx_percentile` — this op is
+    * the exact tier for group-sized data (per-source profiling, where
+    * |group| ≪ corpus). */
+  def robustGroupStats(df: DataFrame, groupCol: String, valueCol: String,
+                       tieCol: String, trimDenom: Int = 20): DataFrame = {
+    require(trimDenom >= 2, s"trimDenom must be >= 2, got $trimDenom")
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__v"), col(tieCol))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    val ranked = df
+      .select(col(groupCol), col(valueCol).cast("long").as("__v"),
+        col(tieCol))
+      .withColumn("__r", row_number().over(wOrd).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__k", expr(s"__n DIV $trimDenom"))
+    val dv = col("__v").cast("decimal(18,4)")
+    val kept = col("__r") > col("__k") && col("__r") <= col("__n") - col("__k")
+    val mid = col("__r") === expr("(__n + 1) DIV 2") ||
+      col("__r") === expr("(__n + 2) DIV 2")
+    ranked.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(dv).cast("double") / count(lit(1)), 6).as("mean"),
+        round(sum(when(kept, dv)).cast("double") /
+          sum(when(kept, lit(1L))), 6).as("trimmed_mean"),
+        (sum(when(mid, dv)).cast("double") /
+          sum(when(mid, lit(1L)))).as("median"))
+  }
 }

@@ -380,6 +380,61 @@ object TextOracles {
          |JOIN sizes zb ON zb.doc_id = i.doc_b
          |WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= 0.3""".stripMargin,
 
+    // rank-based robust stats: row_number + group-count window, 5% trim
+    // by rank, median = mean of the 1-2 middle ranks, decimal sums
+    "q126_robust_stats" ->
+      """WITH ranked AS (SELECT source, n_chars AS v,
+        |  row_number() OVER (PARTITION BY source
+        |                     ORDER BY n_chars, doc_id) AS r,
+        |  COUNT(*) OVER (PARTITION BY source) AS n FROM documents)
+        |SELECT source, COUNT(*) AS n_rows,
+        |  ROUND(CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE)
+        |    / COUNT(*), 6) AS mean,
+        |  ROUND(CAST(SUM(CASE WHEN r > n // 20 AND r <= n - n // 20
+        |      THEN CAST(v AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    / SUM(CASE WHEN r > n // 20 AND r <= n - n // 20
+        |      THEN 1 END), 6) AS trimmed_mean,
+        |  CAST(SUM(CASE WHEN r = (n + 1) // 2 OR r = (n + 2) // 2
+        |      THEN CAST(v AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    / SUM(CASE WHEN r = (n + 1) // 2 OR r = (n + 2) // 2
+        |      THEN 1 END) AS median
+        |FROM ranked GROUP BY source""".stripMargin,
+
+    // cross-split leakage: the q28 verified pairs with the q92 split
+    // hash applied to both endpoints, keeping split-straddling rows
+    "q125_split_leakage" -> {
+      def sp(c: String) =
+        s"""CASE WHEN (${H(s"CAST($c AS VARCHAR) || '#7'")}
+           |      * 2654435761 % 1000000007) % 1000000 < 800000 THEN 'train'
+           |     WHEN (${H(s"CAST($c AS VARCHAR) || '#7'")}
+           |      * 2654435761 % 1000000007) % 1000000 < 900000 THEN 'val'
+           |     ELSE 'test' END""".stripMargin
+      s"""$MinhashCtes,
+         |bands AS (SELECT doc_id, i // 4 AS band,
+         |            string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS band_sig
+         |          FROM mh GROUP BY doc_id, i // 4),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b
+         |            ON a.band = b.band AND a.band_sig = b.band_sig
+         |           AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shx GROUP BY doc_id),
+         |inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
+         |          FROM pairs p
+         |          JOIN shx sa ON sa.doc_id = p.doc_a
+         |          JOIN shx sb ON sb.doc_id = p.doc_b AND sa.h = sb.h
+         |          GROUP BY p.doc_a, p.doc_b),
+         |vp AS (SELECT i.doc_a, i.doc_b,
+         |         ROUND(CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter), 6) AS jaccard
+         |       FROM inter i
+         |       JOIN sizes za ON za.doc_id = i.doc_a
+         |       JOIN sizes zb ON zb.doc_id = i.doc_b
+         |       WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= 0.3)
+         |SELECT doc_a, doc_b, ${sp("doc_a")} AS split_a,
+         |  ${sp("doc_b")} AS split_b, jaccard
+         |FROM vp
+         |WHERE ${sp("doc_a")} <> ${sp("doc_b")}""".stripMargin
+    },
+
     "q64_incremental_append" -> {
       val punct = "CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
         "CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', " +

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -281,6 +281,37 @@ object TextQueries {
       .agg(count(lit(1)).as("n_pairs"),
         round(sum(col("j")).cast("double") / count(lit(1)), 6)
           .as("avg_jaccard"))
+  }
+
+  /** Per-source robust length profile ([[graft.ops.Stats.robustGroupStats]]):
+    * mean vs 5%-trimmed mean vs exact median of n_chars — the
+    * outlier-resistant source ranking (one huge doc moves a source's
+    * mean, not its trimmed mean). Rank-based, decimal-accumulated,
+    * value-exact on any engine/partitioning. */
+  def qRobustStats(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.robustGroupStats(Tables.documents(s, dir),
+      "source", "n_chars", "doc_id", trimDenom = 20)
+
+  /** Cross-split contamination audit: verified near-dup pairs (q28 tier)
+    * whose endpoints land in DIFFERENT q92 splits — the train→test
+    * leakage a split-then-train pipeline must surface before the split
+    * ships (a test doc near-duplicating a train doc inflates eval).
+    * Membership is the same pure [[Sampling.sampleHash]] function as
+    * q92, so the audit needs NO split table: it annotates the pair
+    * sliver with two hash expressions — zero extra joins, zero extra
+    * scans on top of the cascade q28 already bounds. Action side: drop
+    * the eval-side doc of each row (doc ids are in the output). */
+  def qSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    def splitOf(c: Column) = {
+      val h = Sampling.sampleHash(c, seed = 7)
+      when(h < 800000, "train").when(h < 900000, "val").otherwise("test")
+    }
+    verifiedNearDupPairs(s, dir)
+      .withColumn("split_a", splitOf(col("doc_a")))
+      .withColumn("split_b", splitOf(col("doc_b")))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+        round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** Transitive duplicate clusters over the verified near-dup pairs:

@@ -54,4 +54,44 @@ class StatsSpec extends SparkSpecBase {
       Stats.histogram(df, col("v"), 0.0, 1.0, 0)
     }
   }
+
+  test("robustGroupStats: trimmed mean and median resist the outlier") {
+    import spark.implicits._
+    // group a: values 0..8 plus a 1000 outlier (n=10, trimDenom=5 → cut
+    // 2 ranks per tail): mean 103.6, trimmed = mean(2..7) = 4.5,
+    // median = (4+5)/2 = 4.5. group b: n=3, k=0 → trimmed = mean = 2,
+    // median = middle rank = 2.
+    val df = ((0 to 8).map(v => ("a", v.toLong, v.toLong)) ++
+      Seq(("a", 1000L, 9L), ("b", 1L, 10L), ("b", 2L, 11L),
+        ("b", 3L, 12L)))
+      .toDF("source", "n_chars", "doc_id")
+    val got = Stats.robustGroupStats(df, "source", "n_chars", "doc_id",
+        trimDenom = 5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got("a") == ((10L, 103.6, 4.5, 4.5)), got("a").toString)
+    assert(got("b") == ((3L, 2.0, 2.0, 2.0)), got("b").toString)
+  }
+
+  test("robustGroupStats is partitioning-invariant (rank tie column)") {
+    import spark.implicits._
+    // duplicate values across many partitions: the tie column pins rank
+    // order, so results match the single-partition run exactly
+    val rows = (0 until 200).map(i => ("s" + i % 3, (i % 7).toLong,
+      i.toLong))
+    val a = Stats.robustGroupStats(
+        rows.toDF("source", "n_chars", "doc_id").repartition(13),
+        "source", "n_chars", "doc_id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val b = Stats.robustGroupStats(
+        rows.toDF("source", "n_chars", "doc_id").coalesce(1),
+        "source", "n_chars", "doc_id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(a == b)
+  }
 }
