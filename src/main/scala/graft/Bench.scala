@@ -93,7 +93,13 @@ object Bench {
     // diffable; carries EVERY rep, not just the min. Only a FULL run may
     // overwrite it — a subset re-time must not clobber the round's
     // complete record.
-    if (args.isEmpty) {
+    // ... and only a run against the driver's canonical testdata may
+    // write it — an sf1/scale-up run (SPARK_GRAFT_SF_DIR=/tmp/...) would
+    // silently clobber the sf0.1 record the round artifacts diff against
+    // (this happened: a background sf1 bench overwrote BENCH_LOCAL.json
+    // between two commits). Scale-up runs are extracted from their logs
+    // into their own artifact (BENCH_SF1.json) instead.
+    if (args.isEmpty && sfDir.startsWith("/root/testdata")) {
       val reps = results.map { case (k, (_, ts)) =>
         s""""$k":[${ts.map(d3).mkString(",")}]""" }.mkString("{", ",", "}")
       val full =
