@@ -163,6 +163,7 @@ object SparkEntry {
     "q124_winnow_overlap"    -> TextQueries.qWinnowOverlap _,
     "q125_split_leakage"     -> TextQueries.qSplitLeakage _,
     "q126_robust_stats"      -> TextQueries.qRobustStats _,
+    "q127_consistent_shard"  -> TextQueries.qConsistentShard _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */

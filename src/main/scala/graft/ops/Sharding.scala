@@ -81,4 +81,22 @@ object Sharding {
       .withColumn("pos", col("pos") + coalesce(col("__off"), lit(0L)))
       .drop("__off")
   }
+
+  /** RESIZE-STABLE bucket assignment via the native `jump_hash`
+    * expression ([[graft.functions.JumpHash]]): growing n → n+1 moves
+    * exactly ~1/(n+1) of keys, all into the new bucket.
+    *
+    * Complements [[shuffleShard]], which deliberately uses `pmod` —
+    * right when shards are write-once files rebuilt as a set (training
+    * shards), because mod is cheaper and a rebuild reshards everything
+    * anyway. Use THIS for standing ownership that outlives resizes:
+    * cache/index partitions (IVF list homes), per-bucket streaming
+    * state, compaction targets — anywhere "add one shard" must not
+    * rewrite the other n. Key must already be well-spread OR unique
+    * (the internal LCG remixes every iteration, so sequential ids are
+    * fine). */
+  def consistentShard(keyCol: Column, nShards: Int): Column = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    call_function("jump_hash", keyCol.cast("long"), lit(nShards))
+  }
 }

@@ -380,6 +380,38 @@ object TextOracles {
          |JOIN sizes zb ON zb.doc_id = i.doc_b
          |WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= 0.3""".stripMargin,
 
+    // jump consistent hash, replayed as a recursive CTE: HUGEINT mod
+    // 2^64 emulates the uint64 LCG wrap, // 2^33 is the unsigned shift,
+    // floor() matches the positive-value int64 cast; one CTE per bucket
+    // count, joined to count movers on resize 64 -> 65
+    "q127_consistent_shard" -> {
+      def jh(name: String, n: Int) =
+        s"""$name AS (
+           |  SELECT doc_id, CAST(doc_id AS HUGEINT) AS k,
+           |    CAST(-1 AS BIGINT) AS b, CAST(0 AS BIGINT) AS j
+           |  FROM documents
+           |  UNION ALL
+           |  SELECT doc_id, nk, nb,
+           |    CAST(floor((nb + 1) * (2147483648.0 /
+           |      CAST((nk // 8589934592) + 1 AS DOUBLE))) AS BIGINT)
+           |  FROM (SELECT doc_id,
+           |          (k * 2862933555777941757 + 1)
+           |            % 18446744073709551616 AS nk,
+           |          j AS nb
+           |        FROM $name WHERE j < $n) t
+           |)""".stripMargin
+      s"""WITH RECURSIVE ${jh("jh64", 64)},
+         |${jh("jh65", 65)},
+         |f64 AS (SELECT doc_id, b AS s64 FROM jh64 WHERE j >= 64),
+         |f65 AS (SELECT doc_id, b AS s65 FROM jh65 WHERE j >= 65)
+         |SELECT s64 AS shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+         |  CAST(SUM(CASE WHEN s65 <> s64 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_moved
+         |FROM f64 JOIN f65 USING (doc_id)
+         |GROUP BY s64""".stripMargin
+    },
+
     // rank-based robust stats: row_number + group-count window, 5% trim
     // by rank, median = mean of the 1-2 middle ranks, decimal sums
     "q126_robust_stats" ->

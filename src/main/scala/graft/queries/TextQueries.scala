@@ -283,6 +283,25 @@ object TextQueries {
           .as("avg_jaccard"))
   }
 
+  /** Consistent-shard occupancy + resize-movement report
+    * ([[Sharding.consistentShard]], native `jump_hash`): every doc
+    * assigned at n=64 and n=65; per-shard doc count, id checksum, and
+    * how many residents would MOVE if one shard were added. Jump hash's
+    * contract — the movement column sums to ~1/65 of the corpus and
+    * every mover lands in the new shard (spec-pinned) — is what makes
+    * resharding a standing 100 TB index increment-only; `pmod` would
+    * relocate ~63/64 of all keys. */
+  def qConsistentShard(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        Sharding.consistentShard(col("doc_id"), 64).as("s64"),
+        Sharding.consistentShard(col("doc_id"), 65).as("s65"))
+      .groupBy(col("s64").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(when(col("s65") =!= col("s64"), lit(1L)).otherwise(lit(0L)))
+          .as("n_moved"))
+
   /** Per-source robust length profile ([[graft.ops.Stats.robustGroupStats]]):
     * mean vs 5%-trimmed mean vs exact median of n_chars — the
     * outlier-resistant source ranking (one huge doc moves a source's

@@ -96,4 +96,74 @@ class ShardingSpec extends SparkSpecBase {
       .select($"doc_id", $"shard", $"pos")
       .except(a2.select($"doc_id", $"shard", $"pos")).isEmpty)
   }
+
+  // --- consistent (jump) hashing ----------------------------------------
+
+  /** Reference port of the paper's C++ (unsigned 64-bit LCG; Java's
+    * wrapping long ops are bit-identical). */
+  private def refJump(key: Long, n: Int): Int = {
+    var k = key; var b = -1L; var j = 0L
+    while (j < n) {
+      b = j
+      k = k * 2862933555777941757L + 1
+      j = ((b + 1) * (2147483648.0 / ((k >>> 33) + 1).toDouble)).toLong
+    }
+    b.toInt
+  }
+
+  test("consistentShard matches the reference jump-hash on awkward keys") {
+    import spark.implicits._
+    val keys = Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue, 42L,
+      1234567890123L) ++ (0 until 100).map(i => i * 2654435761L)
+    for (n <- Seq(1, 2, 64, 65, 1000)) {
+      val got = keys.toDF("k")
+        .select(col("k"), Sharding.consistentShard(col("k"), n).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      for (k <- keys)
+        assert(got(k) == refJump(k, n), s"key $k n $n")
+    }
+  }
+
+  test("resize n -> n+1 moves ~1/(n+1) of keys, all into the new bucket") {
+    import spark.implicits._
+    val df = (0L until 10000L).toDF("k")
+      .select(Sharding.consistentShard(col("k"), 64).as("a"),
+        Sharding.consistentShard(col("k"), 65).as("b"))
+    val moved = df.filter(col("a") =!= col("b"))
+    // the paper's contract: every moved key lands in the NEW bucket
+    assert(moved.filter(col("b") =!= 64).count() == 0)
+    // and the moved fraction is the expected 1/65 (±40% slack)
+    val frac = moved.count().toDouble / 10000
+    assert(frac > 0.6 / 65 && frac < 1.4 / 65, s"moved frac $frac")
+    // stability floor: nothing else changed
+    assert(df.filter(col("a") === col("b")).count() == 10000 - moved.count())
+  }
+
+  test("consistentShard distributes evenly over buckets") {
+    import spark.implicits._
+    val counts = (0L until 64000L).toDF("k")
+      .groupBy(Sharding.consistentShard(col("k"), 64).as("s"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == (0 until 64).toSet)
+    // 1000 expected per bucket; all within ±15%
+    counts.values.foreach(n => assert(n > 850 && n < 1150, counts.toString))
+  }
+
+  test("jump_hash is SQL-callable, codegen'd, and rejects bad widths") {
+    import spark.implicits._
+    Seq(7L).toDF("k").createOrReplaceTempView("jump_spec")
+    assert(spark.sql("SELECT jump_hash(k, 64) AS s FROM jump_spec")
+      .head().getInt(0) == refJump(7L, 64))
+    val plan = spark.read.parquet(s"$sf/documents.parquet")
+      .select(Sharding.consistentShard(col("doc_id"), 64))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)") && plan.contains("jump_hash"), plan)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT jump_hash(k, 0) FROM jump_spec").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT jump_hash(k, k) FROM jump_spec").collect()
+    }
+  }
 }
