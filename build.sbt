@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output goes straight to this process's stdout, WITHOUT the
+// sbt logger's "[info] " line prefix: the round driver's bench capture
+// parses a bare one-line JSON metric from the tail of the run log, and
+// the prefix made every round's metric line unparseable (BENCH_r02-r04
+// all recorded "parsed": null with the line present but "[info]"-wrapped).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -20,6 +20,10 @@ object Sessions {
       // fact table and shuffling only rows that can possibly join
       .config("spark.sql.optimizer.runtimeFilter.bloomFilter.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // driver-generated parquet stores naive (no-zone) timestamps; without
+      // this Spark infers TIMESTAMP_NTZ and unix_micros()/tz arithmetic on
+      // events.ts fails analysis — read them as session-TZ (UTC) timestamps
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
       .config("spark.ui.enabled", "false")
