@@ -164,6 +164,14 @@ object SparkEntry {
     "q125_split_leakage"     -> TextQueries.qSplitLeakage _,
     "q126_robust_stats"      -> TextQueries.qRobustStats _,
     "q127_consistent_shard"  -> TextQueries.qConsistentShard _,
+    "q128_kmv_distinct"      -> TextQueries.qKmvDistinct _,
+    "q129_temperature_mix"   -> TextQueries.qTemperatureMix _,
+    "q130_hard_negatives"    -> VectorQueries.qHardNegatives _,
+    "q131_containment"       -> TextQueries.qContainment _,
+    "q132_prefix_dedup"      -> TextQueries.qPrefixDedup _,
+    "q133_quality_cdf"       -> TextQueries.qQualityCdf _,
+    // spec-gated (BpeSpec): iterative trainer, no single-query SQL form
+    "q134_bpe_merges"        -> TextQueries.qBpeMerges _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */

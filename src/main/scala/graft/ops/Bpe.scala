@@ -1,0 +1,90 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Relational BPE (byte-pair-encoding) merge training — the tokenizer-
+  * construction step of a training-data pipeline, run as a sequence of
+  * vocabulary-sized Spark aggregations.
+  *
+  * Scale design: the corpus is touched ONCE (tokenize → word-frequency
+  * table); every merge round after that runs on the VOCABULARY table
+  * (symbol array, word count) — vocab-sized, not corpus-sized, which is
+  * exactly how production BPE trainers stay tractable. Each round is one
+  * map-side-combinable pair-count aggregation (shuffle carries (pair,
+  * partial count)), a single-row argmax collect, and a narrow per-word
+  * fold applying the merge; `localCheckpoint` truncates lineage per round
+  * like the [[Components]] fixpoint. Tie-break (count desc, then left/
+  * right symbol ascending) makes training fully deterministic under any
+  * partitioning.
+  */
+object Bpe {
+
+  /** One learned merge: rank (1-based round), the two symbols joined,
+    * and the pair's frequency at merge time. */
+  case class Merge(rank: Int, left: String, right: String, pairCount: Long)
+
+  /** Train `numMerges` merges over the whitespace words of `textCol`.
+    * Stops early if no adjacent pair remains. */
+  def train(docs: DataFrame, textCol: String, numMerges: Int): Seq[Merge] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    // one corpus pass: word frequencies, then chars as the seed symbols
+    var vocab = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(split(col("w"), "").as("syms"), col("n"))
+      .localCheckpoint(true)
+    val merges = ArrayBuffer.empty[Merge]
+    var exhausted = false
+    for (r <- 1 to numMerges if !exhausted) {
+      val pairCounts = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(explode(zip_with(
+            slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"), col("n"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("c"))
+      val top = pairCounts
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val l = top(0).getString(0)
+        val rt = top(0).getString(1)
+        val c = top(0).getLong(2)
+        merges += Merge(r, l, rt, c)
+        // apply the merge left-to-right, non-overlapping: fold symbols,
+        // replacing a trailing `l` with `l+rt` when the next symbol is
+        // `rt` (a freshly-merged symbol never re-matches `l`, so "aaa"
+        // under (a,a) becomes [aa, a], as BPE defines it)
+        val applied = aggregate(col("syms"),
+          array().cast("array<string>"),
+          (acc, x) => when(
+              size(acc) > 0 &&
+                element_at(acc, -1) === lit(l) && x === lit(rt),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(lit(l + rt))))
+            .otherwise(concat(acc, array(x))))
+        val next = vocab.select(applied.as("syms"), col("n"))
+          .localCheckpoint(true)
+        vocab.unpersist()
+        vocab = next
+      }
+    }
+    vocab.unpersist()
+    merges.toSeq
+  }
+
+  /** [[train]] as a DataFrame of (rank, left, right, pair_count). */
+  def learnedMerges(docs: DataFrame, textCol: String,
+                    numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    train(docs, textCol, numMerges).toDS()
+      .select(col("rank"), col("left"), col("right"),
+        col("pairCount").as("pair_count"))
+  }
+}

@@ -114,4 +114,31 @@ object Dedup {
       df.withColumn("__h", contentHash(hashCols)),
       Seq(col("__h")), Seq(tiebreak)
     ).drop("__h")
+
+  /** Prefix dedup: documents sharing the same first-`prefixTokens`-token
+    * prefix are one group — the crawl-pipeline middle ground between
+    * exact dedup (whole-content hash; misses appended-boilerplate copies)
+    * and MinHash near-dup (pays the shingle cascade). Template pages,
+    * truncated re-crawls, and pagination copies share long prefixes;
+    * hashing just the prefix catches them in a single hash-groupBy whose
+    * shuffle carries (prefix hash, id) — at 100 TB this is the cheap
+    * first dedup tier run before the LSH cascade ever sees the corpus.
+    *
+    * Output: one row per doc — (id, prefix_hash, group_n, rep, is_kept)
+    * where rep = the group's smallest id and is_kept marks it. Docs
+    * shorter than the prefix hash their whole token stream. */
+  def prefixDedup(docs: DataFrame, idCol: String, textCol: String,
+                  prefixTokens: Int): DataFrame = {
+    require(prefixTokens >= 1,
+      s"prefix width must be >= 1, got $prefixTokens")
+    val prefix = concat_ws(" ",
+      slice(TextOps.tokens(col(textCol)), 1, prefixTokens))
+    val withHash = docs.select(col(idCol),
+      TextOps.polyHash(prefix).as("prefix_hash"))
+    val w = Window.partitionBy(col("prefix_hash"))
+    withHash
+      .withColumn("group_n", count(lit(1)).over(w))
+      .withColumn("rep", min(col(idCol)).over(w))
+      .withColumn("is_kept", col(idCol) === col("rep"))
+  }
 }

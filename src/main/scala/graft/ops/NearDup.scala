@@ -212,6 +212,44 @@ object NearDup {
           (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
   }
 
+  /** Containment similarity |A∩B|/|A| (and /|B|) for candidate pairs —
+    * the asymmetric complement of [[jaccard]]: a short document fully
+    * embedded in a long one ("quote-dups", boilerplate-wrapped copies)
+    * has high containment but LOW Jaccard (the union is dominated by the
+    * long side), so a Jaccard-thresholded dedup pass keeps both copies.
+    * Same candidate-restricted two-key-join plan as [[jaccard]] — the
+    * intersection is computed IN the (doc, hash) join, per-pair work is
+    * |A∩B|, and only candidate docs' shingle sets are re-derived. */
+  def containment(pairs: DataFrame, shinglesRaw: DataFrame, idCol: String,
+                  restrictToPairDocs: Boolean = true): DataFrame = {
+    val restricted =
+      if (!restrictToPairDocs) shinglesRaw
+      else {
+        val pairDocs = pairs.select(col("doc_a").as(idCol))
+          .unionByName(pairs.select(col("doc_b").as(idCol))).distinct()
+        shinglesRaw.join(pairDocs, Seq(idCol), "left_semi")
+      }
+    // persisted for the same four-reference reason as jaccard's
+    val shingles = restricted.distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(shingles.select(col(idCol).as("doc_a"), col("h")), "doc_a")
+      .join(shingles.select(col(idCol).as("doc_b"), col("h")),
+        Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("cont_a",
+        col("inter").cast("double") / col("sz_a").cast("double"))
+      .withColumn("cont_b",
+        col("inter").cast("double") / col("sz_b").cast("double"))
+  }
+
   /** SimHash (here 16-bit for oracle compactness; width is a parameter):
     * per token-hash bit j, sum ±1 over the doc's tokens; bit j of the
     * signature is 1 iff the sum is positive. One groupBy over exploded

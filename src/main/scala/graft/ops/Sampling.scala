@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic hash-based sampling for training-data pipelines.
@@ -71,6 +72,48 @@ object Sampling {
     * stratum (a daily drop with no 'zh' docs) is opted into with
     * `allowEmptyStrata`: absent strata are pruned and the remaining
     * weights renormalized, so the mix among PRESENT strata still holds. */
+  /** Temperature-scaled mixture allocation: distribute a `total`-doc
+    * sampling budget across strata proportionally to n^(1/2) — the
+    * multilingual-training "temperature" reweighting (low-resource strata
+    * get a super-proportional share; T=2 i.e. exponent 0.5 here, the
+    * common default). Exact apportionment by the largest-remainder
+    * method, all in integer arithmetic:
+    *
+    *   weight   = floor(sqrt(n · 10^6))        (integer sqrt-scale)
+    *   base     = (total · weight) div Σweight (floor quota)
+    *   leftover = total − Σbase                (< #strata seats left)
+    *   alloc    = base + 1 for the `leftover` largest remainders
+    *              (ties broken by stratum name ascending)
+    *
+    * so Σalloc = total exactly and every step is reproducible in plain
+    * SQL (sqrt is IEEE-correctly-rounded in both engines; everything
+    * after is BIGINT math — no float ranking anywhere). Runs entirely
+    * relationally: the only wide state is one row per stratum, so the
+    * single-partition ranking window is driver-sized by construction,
+    * same as [[rebalanceToMix]]'s strata counts. */
+  def temperatureMix(df: DataFrame, strataCol: Column,
+                     total: Long): DataFrame = {
+    require(total >= 0, s"total must be >= 0, got $total")
+    val counts = df.groupBy(strataCol.cast("string").as("stratum"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("stratum").isNotNull)
+      .withColumn("weight",
+        floor(sqrt(col("n_docs") * lit(Scale))).cast("long"))
+    val wAll = Window.partitionBy(lit(1))
+    val rankW = Window.partitionBy(lit(1))
+      .orderBy(col("rem").desc, col("stratum").asc)
+    counts
+      .withColumn("__tot", sum(col("weight")).over(wAll))
+      .withColumn("base", expr(s"$total * weight div __tot"))
+      .withColumn("rem", expr(s"$total * weight % __tot"))
+      .withColumn("__leftover", lit(total) - sum(col("base")).over(wAll))
+      .withColumn("__rk", row_number().over(rankW))
+      .withColumn("alloc",
+        col("base") + when(col("__rk") <= col("__leftover"), 1L)
+          .otherwise(0L))
+      .select(col("stratum"), col("n_docs"), col("weight"), col("alloc"))
+  }
+
   private def mixCounts(df: DataFrame, strataCol: Column,
                         targetWeights: Map[String, Double],
                         allowEmptyStrata: Boolean)

@@ -94,6 +94,79 @@ object Sketches {
     }
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch result: the k-th
+    * smallest distinct hash (None when fewer than k distinct values were
+    * seen), how many of the k slots are filled, and the distinct-count
+    * estimate. */
+  case class KmvState(kth_hash: Option[Long], n_kept: Int,
+                      est_distinct: Long)
+
+  /** Bounded sorted buffer of the k smallest DISTINCT hash values.
+    * TreeSet dedups and orders; kryo-encoded like [[MgBuffer]] — it only
+    * serializes at the shuffle boundary. */
+  class KmvBuffer(val set: java.util.TreeSet[java.lang.Long])
+      extends Serializable
+
+  /** KMV bottom-k distinct sketch over already-hashed values in
+    * [0, [[graft.functions.PolyHashFn.Mod]]): keep the k smallest
+    * distinct hashes; estimate distinct = (k−1)·Mod / h_k (the classic
+    * bottom-k estimator on a [0, Mod) hash domain, integer division so
+    * the DuckDB oracle reproduces it bit-exactly). O(k) mergeable state —
+    * the shuffle carries one k-entry set per partition×group, never the
+    * distinct values themselves, and sketches for different corpus
+    * shards union into the sketch of the union (how a 1000-executor job
+    * estimates per-source vocabulary in one pass). Deterministic under
+    * any partitioning: bottom-k of a set is partition-order-invariant. */
+  class Kmv(k: Int)
+      extends Aggregator[Long, KmvBuffer, KmvState] with Serializable {
+    require(k >= 2, s"sketch capacity must be >= 2, got $k")
+
+    def zero: KmvBuffer = new KmvBuffer(new java.util.TreeSet)
+
+    def reduce(b: KmvBuffer, h: Long): KmvBuffer = {
+      val s = b.set
+      if (s.size < k) s.add(h)
+      else if (h < s.last.longValue) { // strict: equal = already present
+        if (s.add(h)) s.pollLast()
+      }
+      b
+    }
+
+    def merge(a: KmvBuffer, b: KmvBuffer): KmvBuffer = {
+      a.set.addAll(b.set)
+      while (a.set.size > k) a.set.pollLast()
+      a
+    }
+
+    def finish(r: KmvBuffer): KmvState =
+      if (r.set.size < k)
+        KmvState(None, r.set.size, r.set.size.toLong)
+      else {
+        val kth = r.set.last.longValue
+        KmvState(Some(kth), k,
+          (k - 1).toLong * graft.functions.PolyHashFn.Mod /
+            math.max(kth, 1L))
+      }
+
+    def bufferEncoder: Encoder[KmvBuffer] = Encoders.kryo[KmvBuffer]
+    def outputEncoder: Encoder[KmvState] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Per-group KMV distinct estimate over a long hash column: returns
+    * (group, kth_hash, n_kept, est_distinct). Null hashes are not values
+    * and are excluded (mirrors [[frequentItems]]'s null stance). */
+  def kmvDistinct(df: DataFrame, groupCol: String, hashCol: Column,
+                  k: Int): DataFrame = {
+    val sk = udaf(new Kmv(k), Encoders.scalaLong)
+    df.filter(hashCol.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(sk(hashCol).as("s"))
+      .select(col(groupCol), col("s.kth_hash").as("kth_hash"),
+        col("s.n_kept").as("n_kept"),
+        col("s.est_distinct").as("est_distinct"))
+  }
+
   /** Misra–Gries heavy-hitter sketch result: bounded candidate counters
     * plus the total number of items folded in. */
   case class MgState(counts: Map[String, Long], total: Long)

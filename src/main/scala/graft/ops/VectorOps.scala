@@ -57,6 +57,42 @@ object VectorOps {
       .select(col("query_id"), col("neighbor_id"),
         col("__rn").as("rank"), round(col("cos"), 6).as("cos_sim"))
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * query vector, the top-k most-cosine-similar corpus vectors with a
+    * DIFFERENT label — "looks like the anchor, isn't the anchor's class",
+    * the pairs that carry the gradient signal. Same broadcast-query ×
+    * corpus-scan shape as [[bruteForceTopK]] (the label inequality
+    * replaces the self-pair guard: a vector shares its own label, so
+    * self-pairs are excluded for free); labels rejoin after the top-k so
+    * the wide scoring stream carries only ids and scores. The scan side
+    * streams — corpus is never collected or broadcast — so the scale
+    * path is the same as q31's: restrict the anchor set, or feed the
+    * IVF-pruned candidate lists instead of the full corpus. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+        col(labelCol).as("query_label"), col(vecCol).as("qv"))
+      .withColumn("__qn", norm(col("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("neg_label"), col(vecCol).as("cv"))
+      .withColumn("__cn", norm(col("cv")))
+    val scored = broadcast(q).join(c,
+        col("query_label") =!= col("neg_label"))
+      .withColumn("cos",
+        dot(col("qv"), col("cv")) / (col("__qn") * col("__cn")))
+    val top = TopK.topKPerGroup(scored, "query_id", "neighbor_id", "cos", k)
+    val qLabels = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("query_label"))
+    val nLabels = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("neg_label"))
+    top.join(broadcast(qLabels), "query_id")
+      .join(nLabels, "neighbor_id")
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neg_label"), col("rank").cast("int").as("rank"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
   private def bruteForceScores(queries: DataFrame, corpus: DataFrame,
                                idCol: String, vecCol: String): DataFrame = {
     // norms precomputed ONCE PER SIDE: cosine(qv, cv) inline would fold

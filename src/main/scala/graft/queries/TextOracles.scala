@@ -346,6 +346,110 @@ object TextOracles {
          |  MIN(mh) AS sig_min
          |FROM mh GROUP BY doc_id""".stripMargin,
 
+    // KMV bottom-k distinct sketch, replayed set-theoretically: the k-th
+    // smallest distinct hash per group via row_number, estimate in pure
+    // BIGINT math ((k-1)·Mod // h_k) — identical to Kmv.finish
+    "q128_kmv_distinct" -> {
+      val k = TextQueries.KmvK
+      s"""WITH tok0 AS (SELECT lang, $Tk AS tk FROM documents),
+         |t AS (SELECT lang, unnest(tk) AS tok FROM tok0),
+         |hh AS (SELECT lang, ${H("tok")} AS h FROM t),
+         |g AS (SELECT lang, h FROM hh
+         |      UNION ALL SELECT 'ALL' AS lang, h FROM hh),
+         |d AS (SELECT DISTINCT lang, h FROM g),
+         |r AS (SELECT lang, h,
+         |        row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+         |        COUNT(*) OVER (PARTITION BY lang) AS nd
+         |      FROM d)
+         |SELECT lang,
+         |  CASE WHEN nd >= $k THEN h END AS kth_hash,
+         |  CAST(LEAST(nd, $k) AS INT) AS n_kept,
+         |  CASE WHEN nd >= $k
+         |       THEN CAST(${k - 1} AS BIGINT) * 1000000007
+         |            // GREATEST(h, 1)
+         |       ELSE nd END AS est_distinct
+         |FROM r WHERE rn = LEAST(nd, $k)""".stripMargin
+    },
+
+    // temperature mix: integer sqrt-scale weights + largest-remainder
+    // seats, mirroring Sampling.temperatureMix step for step
+    "q129_temperature_mix" -> {
+      val t = TextQueries.MixTotal
+      s"""WITH c AS (SELECT lang AS stratum, COUNT(*) AS n_docs
+         |           FROM documents GROUP BY 1),
+         |w AS (SELECT stratum, n_docs,
+         |        CAST(floor(sqrt(CAST(n_docs * 1000000 AS DOUBLE)))
+         |          AS BIGINT) AS weight
+         |      FROM c),
+         |x AS (SELECT stratum, n_docs, weight,
+         |        ($t * weight) // SUM(weight) OVER () AS base,
+         |        ($t * weight) % SUM(weight) OVER () AS rem
+         |      FROM w),
+         |y AS (SELECT stratum, n_docs, weight, base,
+         |        $t - SUM(base) OVER () AS leftover,
+         |        row_number() OVER (ORDER BY rem DESC, stratum ASC) AS rk
+         |      FROM x)
+         |SELECT stratum, n_docs, weight,
+         |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+         |    AS BIGINT) AS alloc
+         |FROM y""".stripMargin
+    },
+
+    // containment: q28's candidate chain, scored asymmetrically
+    "q131_containment" ->
+      s"""$MinhashCtes,
+         |bands AS (SELECT doc_id, i // 4 AS band,
+         |            string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS band_sig
+         |          FROM mh GROUP BY doc_id, i // 4),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b
+         |            ON a.band = b.band AND a.band_sig = b.band_sig
+         |           AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shx GROUP BY doc_id),
+         |inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
+         |          FROM pairs p
+         |          JOIN shx sa ON sa.doc_id = p.doc_a
+         |          JOIN shx sb ON sb.doc_id = p.doc_b AND sa.h = sb.h
+         |          GROUP BY p.doc_a, p.doc_b)
+         |SELECT i.doc_a, i.doc_b, i.inter, za.sz AS sz_a, zb.sz AS sz_b,
+         |  ROUND(CAST(i.inter AS DOUBLE) / za.sz, 6) AS cont_a,
+         |  ROUND(CAST(i.inter AS DOUBLE) / zb.sz, 6) AS cont_b
+         |FROM inter i
+         |JOIN sizes za ON za.doc_id = i.doc_a
+         |JOIN sizes zb ON zb.doc_id = i.doc_b
+         |WHERE GREATEST(CAST(i.inter AS DOUBLE) / za.sz,
+         |               CAST(i.inter AS DOUBLE) / zb.sz)
+         |      >= ${TextQueries.ContainmentMin}""".stripMargin,
+
+    // prefix dedup: hash of the first-P-token prefix, group stats per doc
+    "q132_prefix_dedup" -> {
+      val p = TextQueries.PrefixTokens
+      s"""WITH t AS (SELECT doc_id, $Tk AS tk FROM documents),
+         |pr AS (SELECT doc_id,
+         |         ${H(s"array_to_string(tk[1:$p], ' ')")} AS prefix_hash
+         |       FROM t)
+         |SELECT doc_id, prefix_hash,
+         |  COUNT(*) OVER (PARTITION BY prefix_hash) AS group_n,
+         |  MIN(doc_id) OVER (PARTITION BY prefix_hash) AS rep,
+         |  doc_id = MIN(doc_id) OVER (PARTITION BY prefix_hash) AS is_kept
+         |FROM pr""".stripMargin
+    },
+
+    // per-source quality CDF: percent_rank over the RAW ratio (rounding
+    // only at output, as the Spark side does)
+    "q133_quality_cdf" ->
+      s"""WITH f AS (SELECT doc_id, source,
+         |             CASE WHEN len(tk) = 0 THEN 0.0
+         |                  ELSE CAST(len(list_filter(tk,
+         |                         t -> t IN ($stopwords))) AS DOUBLE)
+         |                       / len(tk) END AS sr
+         |           FROM (SELECT doc_id, source, $Tk AS tk
+         |                 FROM documents) t)
+         |SELECT doc_id, source, ROUND(sr, 6) AS stopword_ratio,
+         |  ROUND(percent_rank() OVER (PARTITION BY source ORDER BY sr), 6)
+         |    AS cdf
+         |FROM f""".stripMargin,
+
     "q27_lsh_candidates" ->
       s"""$MinhashCtes,
          |bands AS (SELECT doc_id, i // 4 AS band,

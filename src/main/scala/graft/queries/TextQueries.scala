@@ -44,6 +44,16 @@ object TextQueries {
   val WinnowW = 4
   val FpMaxDf = 10
   val FpMinShared = 2
+  // q128 KMV sketch capacity
+  val KmvK = 64
+  // q129 temperature-mix sampling budget
+  val MixTotal = 1000L
+  // q131 containment threshold (max of the two directions)
+  val ContainmentMin = 0.5
+  // q132 prefix-dedup width (tokens)
+  val PrefixTokens = 8
+  // q134 BPE merge rounds
+  val BpeMerges = 8
 
   /** Exact-duplicate groups by content hash (scale path: hash-groupBy —
     * shuffle carries (hash, count), not text). With no exact dups in the
@@ -823,4 +833,86 @@ object TextQueries {
           (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6)
           .as("jaccard"))
   }
+
+  /** Per-language vocabulary-size estimate via the KMV bottom-k sketch
+    * ([[Sketches.kmvDistinct]]), plus an ALL row over the union — the
+    * one-pass O(k)-state alternative to q44's exact COUNT(DISTINCT) tier
+    * whose estimate (unlike approx_count_distinct's HLL) is
+    * deterministic and oracle-checkable: bottom-k of a hash set is
+    * partition-invariant. */
+  def qKmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val h = Tables.documents(s, dir)
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .select(col("lang"), TextOps.polyHash(col("tok")).as("h"))
+    Sketches.kmvDistinct(h, "lang", col("h"), KmvK)
+      .unionByName(Sketches.kmvDistinct(
+        h.withColumn("lang", lit("ALL")), "lang", col("h"), KmvK))
+  }
+
+  /** Temperature-scaled (T=2) sampling budget across languages with
+    * exact largest-remainder apportionment
+    * ([[Sampling.temperatureMix]]) — the multilingual mix step. */
+  def qTemperatureMix(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureMix(Tables.documents(s, dir), col("lang"),
+      MixTotal)
+
+  /** Asymmetric containment near-dup tier ([[NearDup.containment]]):
+    * LSH candidates scored by |A∩B|/|A| and /|B| — catches a short doc
+    * swallowed whole by a long one, which the symmetric q28 Jaccard
+    * threshold misses. Same single-cascade shape as q28: candidates are
+    * persisted, shingles re-derived only for candidate docs. */
+  def qContainment(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sh = NearDup.shingleRows(docs, "doc_id", "text", ShingleN)
+    val mh = NearDup.minhashRows(sh, "doc_id", NumHashes)
+    val pairs = NearDup.candidatePairs(
+      NearDup.lshBands(mh, "doc_id", RowsPerBand), "doc_id")
+      .select(col("doc_a"), col("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairDocs = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val shCand = NearDup.shingleRows(
+      docs.join(pairDocs, Seq("doc_id"), "left_semi"),
+      "doc_id", "text", ShingleN)
+    NearDup.containment(pairs, shCand, "doc_id",
+        restrictToPairDocs = false)
+      .filter(greatest(col("cont_a"), col("cont_b")) >= ContainmentMin)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("sz_a"), col("sz_b"),
+        round(col("cont_a"), 6).as("cont_a"),
+        round(col("cont_b"), 6).as("cont_b"))
+  }
+
+  /** Prefix dedup ([[Dedup.prefixDedup]]): group docs by their first-8-
+    * token prefix hash — the cheap pre-LSH dedup tier (template pages,
+    * truncated re-crawls). Per-doc group stats + keep flag. */
+  def qPrefixDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixDedup(Tables.documents(s, dir), "doc_id", "text",
+        PrefixTokens)
+      .select(col("doc_id"), col("prefix_hash"), col("group_n"),
+        col("rep"), col("is_kept"))
+
+  /** Per-source CDF normalization of a quality signal (stopword ratio):
+    * percent_rank within source, so a downstream "keep the best X%"
+    * threshold is source-relative — raw quality scores are not
+    * comparable across crawls/registers. One shuffle on the source key. */
+  def qQualityCdf(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("sr"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        TextOps.qualityFeatures(col("text")).getField("stopword_ratio")
+          .as("sr"))
+      .select(col("doc_id"), col("source"),
+        round(col("sr"), 6).as("stopword_ratio"),
+        round(percent_rank().over(w), 6).as("cdf"))
+  }
+
+  /** Relational BPE merge training ([[graft.ops.Bpe]]): the first 8
+    * learned merges over the corpus vocabulary. Spec-gated (BpeSpec
+    * pins the classic fixture's exact merge sequence); no SQL oracle —
+    * the training loop is iterative argmax, not a single query. */
+  def qBpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Bpe.learnedMerges(Tables.documents(s, dir), "text",
+      BpeMerges)
 }

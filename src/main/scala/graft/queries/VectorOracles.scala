@@ -94,6 +94,25 @@ object VectorOracles {
          |SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS cos_sim
          |FROM r WHERE rank <= ${VectorQueries.TopK}""".stripMargin,
 
+    // hard negatives: the label inequality replaces the self-pair guard
+    // (a vector shares its own label)
+    "q130_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, label AS query_label,
+         |             embedding AS qv
+         |           FROM embeddings WHERE vec_id < ${VectorQueries.NumQueryVecs}),
+         |c AS (SELECT vec_id AS neighbor_id, label AS neg_label,
+         |        embedding AS cv FROM embeddings),
+         |scored AS (SELECT query_id, query_label, neighbor_id, neg_label,
+         |             ${cos("qv", "cv")} AS cos
+         |           FROM q CROSS JOIN c WHERE query_label <> neg_label),
+         |r AS (SELECT query_id, query_label, neighbor_id, neg_label, cos,
+         |        CAST(row_number() OVER (PARTITION BY query_id
+         |               ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+         |      FROM scored)
+         |SELECT query_id, query_label, neighbor_id, neg_label, rank,
+         |  ROUND(cos, 6) AS cos_sim
+         |FROM r WHERE rank <= ${VectorQueries.TopK}""".stripMargin,
+
     "q31_ann_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
          |           FROM embeddings WHERE vec_id < ${VectorQueries.NumQueryVecs}),

@@ -19,6 +19,15 @@ object VectorQueries {
   val SrpPlanes = 12
   val Shortlist = 15
 
+  /** Hard-negative mining for contrastive training
+    * ([[VectorOps.hardNegatives]]): per anchor, the top-k most-similar
+    * corpus vectors with a DIFFERENT label. */
+  def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    VectorOps.hardNegatives(
+      emb.filter(col("vec_id") < NumQueryVecs), emb, TopK)
+  }
+
   /** Brute-force exact top-k cosine neighbors for the first N vec ids. */
   def qAnnBruteforce(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)

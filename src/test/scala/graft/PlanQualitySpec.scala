@@ -298,4 +298,27 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("KMV sketch aggregates partially: map-side sketch merge (q128)") {
+    val p = plan(graft.queries.TextQueries.qKmvDistinct(spark, sf))
+    // the udaf plans as ObjectHashAggregate partial+final per branch —
+    // the shuffle carries k-entry sketches, never the token-hash stream
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("hard negatives broadcast the anchor set, corpus streams (q130)") {
+    val p = plan(graft.queries.VectorQueries.qHardNegatives(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("prefix dedup and quality CDF shuffle exactly once") {
+    // one hash/window key each — any second Exchange means the group
+    // stats stopped riding the same partitioning
+    val p1 = plan(graft.queries.TextQueries.qPrefixDedup(spark, sf))
+    assert("Exchange".r.findAllIn(p1).size == 1, p1)
+    val p2 = plan(graft.queries.TextQueries.qQualityCdf(spark, sf))
+    assert("Exchange".r.findAllIn(p2).size == 1, p2)
+  }
 }

@@ -111,4 +111,22 @@ class DedupSpec extends SparkSpecBase {
     assert(Dedup.exactDedup(dup, Seq(col("x"), col("y")), col("id").asc)
       .count() == 7)
   }
+
+  test("prefixDedup groups by token prefix, keeps the smallest id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h TAIL-ONE x y"),
+      (2L, "a b c d e f g h TAIL-TWO z"),   // same 8-token prefix as 1
+      (3L, "a b c d e f g DIFFERENT h"),    // diverges at token 8
+      (4L, "short doc"))                    // < 8 tokens: whole-text prefix
+      .toDF("doc_id", "text")
+    val got = Dedup.prefixDedup(docs, "doc_id", "text", 8)
+      .select("doc_id", "group_n", "rep", "is_kept")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got(1L) == ((2L, 1L, true)))
+    assert(got(2L) == ((2L, 1L, false)))
+    assert(got(3L) == ((1L, 3L, true)))
+    assert(got(4L) == ((1L, 4L, true)))
+  }
 }

@@ -290,4 +290,25 @@ class NearDupSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)), pairs.toString)
   }
+
+  test("containment: a doc swallowed whole scores 1.0, jaccard stays low") {
+    import spark.implicits._
+    val short = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val long = short + " x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12"
+    val docs = Seq((1L, short), (2L, long), (3L, "u1 u2 u3 u4 u5"))
+      .toDF("doc_id", "text")
+    val sh = NearDup.shingleRows(docs, "doc_id", "text", 3)
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val got = NearDup.containment(pairs, sh, "doc_id")
+      .select("doc_a", "doc_b", "inter", "cont_a", "cont_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // every 3-shingle of the short doc (6 of them) appears in the long
+    // doc's prefix: containment_a = 1.0; the symmetric jaccard would be
+    // 6/18 = 0.33 — the asymmetry this operator exists to expose
+    val (inter12, contA12, contB12) = got((1L, 2L))
+    assert(inter12 == 6L && contA12 == 1.0 && contB12 < 0.5)
+    // disjoint docs: zero intersection survives the left join as 0.0
+    assert(got((1L, 3L)) == ((0L, 0.0, 0.0)))
+  }
 }

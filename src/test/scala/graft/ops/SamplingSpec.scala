@@ -223,4 +223,26 @@ class SamplingSpec extends SparkSpecBase {
         .collect().map(_.toSeq).toSet
     assert(run(docs) == run(docs.repartition(11, col("doc_id"))))
   }
+
+  test("temperatureMix: allocations sum to total and upweight the tail") {
+    import spark.implicits._
+    val df = (Seq.fill(900)("big") ++ Seq.fill(100)("small")).toDF("s")
+    val got = Sampling.temperatureMix(df, col("s"), 1000L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got.values.sum == 1000L)
+    // sqrt weighting: small gets sqrt(100)/(sqrt(900)+sqrt(100)) = 25%
+    // of the budget, well above its 10% proportional share
+    assert(got("small") == 250L, got.toString)
+    assert(got("big") == 750L)
+  }
+
+  test("temperatureMix: largest-remainder seats break ties by name") {
+    import spark.implicits._
+    // 3 equal strata, budget 100: base 33 each, 1 leftover seat -> the
+    // lexicographically smallest stratum (equal remainders) takes it
+    val df = Seq("b", "c", "a").flatMap(s => Seq.fill(7)(s)).toDF("s")
+    val got = Sampling.temperatureMix(df, col("s"), 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got == Map("a" -> 34L, "b" -> 33L, "c" -> 33L), got.toString)
+  }
 }

@@ -144,4 +144,33 @@ class SketchesSpec extends SparkSpecBase {
     // total is 70 non-null; hot (60) ≥ 35 qualifies, cold (10) does not
     assert(got.toSeq == Seq(("hot", 60L)))
   }
+
+  test("kmvDistinct: exact below capacity, estimator at capacity, " +
+      "partition-invariant") {
+    import spark.implicits._
+    // 50 distinct < k=64: the sketch IS the set — exact count, no kth
+    val small = (1L to 50L).flatMap(h => Seq(("g", h), ("g", h)))
+      .toDF("grp", "h")
+    val sRow = Sketches.kmvDistinct(small, "grp", col("h"), 64).head()
+    assert(sRow.isNullAt(1) && sRow.getInt(2) == 50 &&
+      sRow.getLong(3) == 50L)
+    // 1000 distinct, k=10: bottom-k of 1..1000 is 1..10, kth = 10,
+    // est = 9 * 1000000007 div 10 — and the same under any partitioning
+    val big = (1L to 1000L).map(h => ("g", h)).toDF("grp", "h")
+    for (df <- Seq(big, big.repartition(17))) {
+      val r = Sketches.kmvDistinct(df, "grp", col("h"), 10).head()
+      assert(r.getLong(1) == 10L && r.getInt(2) == 10 &&
+        r.getLong(3) == 9L * 1000000007L / 10L)
+    }
+  }
+
+  test("kmvDistinct: duplicates never occupy sketch slots") {
+    import spark.implicits._
+    // 5 distinct values, each 100×: a multiset-minded bottom-8 would
+    // fill with repeats of the smallest and report kth garbage
+    val df = (1L to 5L).flatMap(h => Seq.fill(100)(("g", h)))
+      .toDF("grp", "h")
+    val r = Sketches.kmvDistinct(df, "grp", col("h"), 8).head()
+    assert(r.isNullAt(1) && r.getInt(2) == 5 && r.getLong(3) == 5L)
+  }
 }

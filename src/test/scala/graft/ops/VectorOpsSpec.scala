@@ -328,4 +328,27 @@ class VectorOpsSpec extends SparkSpecBase {
     val all = code.as[(Long, Seq[Double])].collect()
     assert(all.forall(_._2.forall(v => !v.isNaN && !v.isInfinite)))
   }
+
+  test("hardNegatives: nearest cross-label neighbors only") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f), 0),   // same label as 0: never a negative
+      (2L, Array(1.0f, 0.01f), 1),  // closest cross-label to 0
+      (3L, Array(0.5f, 0.5f), 1),
+      (4L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = VectorOps.hardNegatives(emb.filter($"vec_id" === 0L), emb, 2)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getInt(4)))
+    assert(got.toSeq == Seq((0L, 0, 2L, 1, 1), (0L, 0, 3L, 1, 2)),
+      got.mkString(","))
+  }
+
+  test("hardNegatives excludes all same-label pairs at corpus scale") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val got = VectorOps.hardNegatives(emb.filter($"vec_id" < 5), emb, 3)
+    assert(got.filter($"query_label" === $"neg_label").count() == 0)
+    assert(got.count() == 5 * 3)
+  }
 }
