@@ -172,6 +172,12 @@ object SparkEntry {
     "q133_quality_cdf"       -> TextQueries.qQualityCdf _,
     // spec-gated (BpeSpec): iterative trainer, no single-query SQL form
     "q134_bpe_merges"        -> TextQueries.qBpeMerges _,
+    "q135_k_anonymity"       -> Relational.q135KAnonymity _,
+    "q136_filter_rules"      -> TextQueries.qFilterRules _,
+    // spec-gated (BpeSpec): encode depends on the trained merge list
+    "q137_bpe_encode"        -> TextQueries.qBpeEncode _,
+    "q138_snapshot_diff"     -> TextQueries.qSnapshotDiff _,
+    "q139_diff_summary"      -> TextQueries.qDiffSummary _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */
@@ -745,5 +751,17 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2""".stripMargin,
+
+    // equivalence-class-size histogram over the QI projection; NULL
+    // value-buckets form their own class in both engines
+    "q135_k_anonymity" ->
+      """WITH qi AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |              CAST(floor(value / 100) AS BIGINT) AS vbucket
+        |            FROM events),
+        |c AS (SELECT event_type, day, vbucket, COUNT(*) AS n
+        |      FROM qi GROUP BY 1, 2, 3)
+        |SELECT LEAST(n, 10) AS class_size, COUNT(*) AS n_classes,
+        |  CAST(SUM(n) AS BIGINT) AS n_rows
+        |FROM c GROUP BY 1""".stripMargin,
   )
 }

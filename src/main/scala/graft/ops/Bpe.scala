@@ -2,7 +2,7 @@ package graft.ops
 
 import scala.collection.mutable.ArrayBuffer
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Relational BPE (byte-pair-encoding) merge training — the tokenizer-
@@ -56,19 +56,8 @@ object Bpe {
         val rt = top(0).getString(1)
         val c = top(0).getLong(2)
         merges += Merge(r, l, rt, c)
-        // apply the merge left-to-right, non-overlapping: fold symbols,
-        // replacing a trailing `l` with `l+rt` when the next symbol is
-        // `rt` (a freshly-merged symbol never re-matches `l`, so "aaa"
-        // under (a,a) becomes [aa, a], as BPE defines it)
-        val applied = aggregate(col("syms"),
-          array().cast("array<string>"),
-          (acc, x) => when(
-              size(acc) > 0 &&
-                element_at(acc, -1) === lit(l) && x === lit(rt),
-              concat(slice(acc, lit(1), size(acc) - 1),
-                array(lit(l + rt))))
-            .otherwise(concat(acc, array(x))))
-        val next = vocab.select(applied.as("syms"), col("n"))
+        val next = vocab
+          .select(applyMerge(col("syms"), l, rt).as("syms"), col("n"))
           .localCheckpoint(true)
         vocab.unpersist()
         vocab = next
@@ -76,6 +65,38 @@ object Bpe {
     }
     vocab.unpersist()
     merges.toSeq
+  }
+
+  /** One merge applied left-to-right, non-overlapping: fold symbols,
+    * replacing a trailing `l` with `l+r` when the next symbol is `r` (a
+    * freshly-merged symbol never re-matches `l`, so "aaa" under (a,a)
+    * becomes [aa, a], as BPE defines it). Pure Column expression — the
+    * merge pair is a literal, so the fold stays inside codegen. */
+  private def applyMerge(syms: Column, l: String, r: String): Column =
+    aggregate(syms,
+      array().cast("array<string>"),
+      (acc, x) => when(
+          size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Apply a learned merge list (the tokenizer ENCODE step): per-doc
+    * subword counts under the trained vocabulary. Words explode once,
+    * each word's char sequence runs the merges in rank order as nested
+    * literal folds (no per-row interpreter state), and the doc-keyed sum
+    * is map-side combinable — one shuffle total. The fertility ratio
+    * n_subwords / n_words is the standard tokenizer-quality readout. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             merges: Seq[Merge]): DataFrame = {
+    val word = docs.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).as("w"))
+    val seg = merges.sortBy(_.rank).foldLeft(split(col("w"), "")) {
+      case (acc, m) => applyMerge(acc, m.left, m.right)
+    }
+    word.select(col(idCol), size(seg).as("ns"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("ns")).as("n_subwords"))
   }
 
   /** [[train]] as a DataFrame of (rank, left, right, pair_count). */

@@ -835,4 +835,19 @@ object Relational {
       .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         col("n"), col("total"))
+
+  /** K-anonymity risk audit ([[graft.ops.Privacy.anonymityAudit]]) over
+    * a quasi-identifier projection of the event stream: equivalence-
+    * class-size histogram (capped at 10) — how many (type, day,
+    * value-bucket) combinations are shared by so few rows that they
+    * re-identify. The release-gating read before
+    * [[graft.ops.Privacy.kAnonymize]] suppresses. */
+  def q135KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val qi = graft.core.Tables.events(s, dir)
+      .select(col("event_type"),
+        date_trunc("day", col("ts")).as("day"),
+        floor(col("value") / 100).cast("long").as("vbucket"))
+    graft.ops.Privacy.anonymityAudit(qi,
+      Seq("event_type", "day", "vbucket"), cap = 10)
+  }
 }

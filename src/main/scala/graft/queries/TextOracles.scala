@@ -435,6 +435,55 @@ object TextOracles {
          |FROM pr""".stripMargin
     },
 
+    // rule-bundle filter: every rule a scalar over the token array;
+    // thresholds inside the corpus' observed range (tokens 10..99,
+    // chars/token 4.7..6.2, max token len ≤ 8) so the flags split it
+    "q136_filter_rules" ->
+      s"""WITH t AS (SELECT doc_id, text, $Tk AS tk FROM documents),
+         |f AS (SELECT doc_id, len(tk) AS nt,
+         |        CASE WHEN len(tk) = 0 THEN 0.0
+         |             ELSE CAST(length(text) AS DOUBLE) / len(tk)
+         |        END AS cpt,
+         |        CASE WHEN length(text) = 0 THEN 0.0
+         |             ELSE CAST(length(text) - length(regexp_replace(
+         |                    text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+         |                  / length(text) END AS pr,
+         |        list_max(list_transform(tk, x -> length(x))) AS mt
+         |      FROM t)
+         |SELECT doc_id, nt >= 30 AS r_len, cpt <= 6.0 AS r_wordlen,
+         |  pr <= 0.2 AS r_punct, mt <= 6 AS r_maxtok,
+         |  (nt >= 30 AND cpt <= 6.0 AND pr <= 0.2 AND mt <= 6) AS pass
+         |FROM f""".stripMargin,
+
+    // snapshot diff: the oracle compares text directly where the engine
+    // compares framed xxhash64 digests — identical statuses barring a
+    // 64-bit collision
+    "q138_snapshot_diff" ->
+      s"""WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id < 450),
+         |n AS (SELECT doc_id,
+         |        CASE WHEN doc_id % 7 = 0 THEN text || ' EDITED'
+         |             ELSE text END AS text
+         |      FROM documents WHERE doc_id >= 50)
+         |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         |  CASE WHEN o.doc_id IS NULL THEN 'added'
+         |       WHEN n.doc_id IS NULL THEN 'removed'
+         |       WHEN o.text = n.text THEN 'unchanged'
+         |       ELSE 'changed' END AS status
+         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+
+    "q139_diff_summary" ->
+      s"""WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id < 450),
+         |n AS (SELECT doc_id,
+         |        CASE WHEN doc_id % 7 = 0 THEN text || ' EDITED'
+         |             ELSE text END AS text
+         |      FROM documents WHERE doc_id >= 50),
+         |d AS (SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+         |               WHEN n.doc_id IS NULL THEN 'removed'
+         |               WHEN o.text = n.text THEN 'unchanged'
+         |               ELSE 'changed' END AS status
+         |      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+         |SELECT status, COUNT(*) AS n FROM d GROUP BY status""".stripMargin,
+
     // per-source quality CDF: percent_rank over the RAW ratio (rounding
     // only at output, as the Spark side does)
     "q133_quality_cdf" ->

@@ -915,4 +915,72 @@ object TextQueries {
   def qBpeMerges(s: SparkSession, dir: String): DataFrame =
     graft.ops.Bpe.learnedMerges(Tables.documents(s, dir), "text",
       BpeMerges)
+
+  /** Tokenizer encode step ([[graft.ops.Bpe.encode]]): per-doc subword
+    * counts + fertility under the corpus-trained merges — the readout
+    * that tells you whether the vocabulary fits the corpus. Spec-gated
+    * like q134 (the merges come from the iterative trainer). */
+  def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = graft.ops.Bpe.train(docs, "text", BpeMerges)
+    graft.ops.Bpe.encode(docs, "doc_id", "text", merges)
+      .withColumn("fertility",
+        round(col("n_subwords").cast("double") / col("n_words"), 6))
+  }
+
+  /** Corpus snapshot diff ([[graft.ops.Diff.snapshotDiff]]): classify
+    * every doc across two synthetic corpus versions (a 50-doc head drop,
+    * a 50-doc tail add, every 7th surviving doc edited) as added /
+    * removed / changed / unchanged — the CDC primitive an incremental
+    * 100 TB load runs instead of truncate-reload. Payloads never cross
+    * the shuffle: both sides project to (key, 8-byte digest) first. */
+  def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val (oldV, newV) = diffVersions(s, dir)
+    graft.ops.Diff.snapshotDiff(oldV, newV, Seq("doc_id"), Seq("text"))
+  }
+
+  /** [[graft.ops.Diff.diffSummary]] over the same versions: per-status
+    * counts, the gate an incremental loader checks before committing. */
+  def qDiffSummary(s: SparkSession, dir: String): DataFrame = {
+    val (oldV, newV) = diffVersions(s, dir)
+    graft.ops.Diff.diffSummary(oldV, newV, Seq("doc_id"), Seq("text"))
+  }
+
+  /** Two deterministic corpus "versions" derived from the one documents
+    * table (shared by q138/q139). */
+  private def diffVersions(s: SparkSession,
+                           dir: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, dir)
+    val oldV = docs.filter(col("doc_id") < 450).select("doc_id", "text")
+    val newV = docs.filter(col("doc_id") >= 50)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" EDITED")))
+          .otherwise(col("text")).as("text"))
+    (oldV, newV)
+  }
+
+  /** Rule-bundle quality filter (the Gopher/C4-style boolean gate):
+    * per-doc rule flags + the conjunction, every rule a scan-side
+    * expression over the token array — zero shuffle, the shape a
+    * 100 TB first-pass filter must have. Thresholds sit inside the
+    * corpus' observed range so the flags actually split it. */
+  def qFilterRules(s: SparkSession, dir: String): DataFrame = {
+    val f = TextOps.qualityFeatures(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        f.getField("n_tokens").as("nt"),
+        f.getField("chars_per_token").as("cpt"),
+        f.getField("punct_ratio").as("pr"),
+        array_max(transform(TextOps.tokens(col("text")),
+          x => length(x))).as("mt"))
+      .select(col("doc_id"),
+        (col("nt") >= 30).as("r_len"),
+        (col("cpt") <= 6.0).as("r_wordlen"),
+        (col("pr") <= 0.2).as("r_punct"),
+        (col("mt") <= 6).as("r_maxtok"))
+      .withColumn("pass",
+        col("r_len") && col("r_wordlen") && col("r_punct") &&
+          col("r_maxtok"))
+  }
 }

@@ -41,4 +41,26 @@ class BpeSpec extends SparkSpecBase {
     assert(a == b)
     assert(a.size == 3)
   }
+
+  test("encode applies merges in rank order: fixture segmentations") {
+    val trainText = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val merges = Bpe.train(Seq(trainText).toDF("text"), "text", 4)
+    // merges: es, est, lo, low — so:
+    //   "lowest" → low|est (2), "newest" → n|e|w|est (4), "low" → low (1)
+    val docs = Seq((1L, "lowest"), (2L, "newest"), (3L, "low low"))
+      .toDF("doc_id", "text")
+    val got = Bpe.encode(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got(1L) == ((1L, 2L)), got.toString)
+    assert(got(2L) == ((1L, 4L)))
+    assert(got(3L) == ((2L, 2L)))
+  }
+
+  test("encode with no merges counts characters") {
+    val docs = Seq((1L, "abc de")).toDF("doc_id", "text")
+    val got = Bpe.encode(docs, "doc_id", "text", Nil).head()
+    assert(got.getLong(1) == 2L && got.getLong(2) == 5L)
+  }
 }

@@ -52,6 +52,41 @@ class EventStreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("watermarked rollups emit closed windows in append mode == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // append mode is the production shape (complete mode re-emits the
+    // whole result table every trigger — unbounded at stream scale);
+    // a window only emits once the 2h watermark passes its end
+    for ((mk, name) <- Seq(
+        (EventStreams.hourlyRollupStream _, "hr_append"),
+        (EventStreams.slidingRollupStream _, "sl_append"))) {
+      val mem = MemoryStream[(Long, Timestamp, String, Double)]
+      val sdf = mem.toDF.toDF("user_id", "ts", "event_type", "value")
+      val q = mk(sdf).writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        mem.addData(rows.init: _*)
+        q.processAllAvailable()
+        // nothing can emit yet: the watermark trails the only batch
+        mem.addData(rows.last) // next-day sentinel closes every window
+        q.processAllAvailable()
+        val streamed = spark.table(name)
+          .orderBy("window_start", "event_type")
+          .collect().map(_.toSeq).toSeq
+        val batchFn = if (name == "hr_append")
+          EventStreams.hourlyRollup _ else EventStreams.slidingRollup _
+        val batch = batchFn(toDf(rows.init))
+          .orderBy("window_start", "event_type")
+          .collect().map(_.toSeq).toSeq
+        // all pre-sentinel windows are closed (they end hours before the
+        // sentinel − 2h watermark); the sentinel's own window stays open
+        assert(streamed == batch, s"$name: $streamed vs $batch")
+        assert(streamed.nonEmpty)
+      } finally q.stop()
+    }
+  }
+
   test("slidingRollup: each event in exactly 4 windows; stream == batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
