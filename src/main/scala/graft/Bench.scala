@@ -102,8 +102,19 @@ object Bench {
     if (args.isEmpty && sfDir.startsWith("/root/testdata")) {
       val reps = results.map { case (k, (_, ts)) =>
         s""""$k":[${ts.map(d3).mkString(",")}]""" }.mkString("{", ",", "}")
+      // provenance: newest input-parquet mtime. The r4 record's 5×
+      // outliers coincided with a same-day testdata regeneration — the
+      // stamp lets a reviewer see whether two records measured the same
+      // bytes before reading a delta as a plan regression.
+      val tdStamp = try {
+        val fs = Option(new java.io.File(sfDir).listFiles())
+          .getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet")).map(_.lastModified)
+        if (fs.isEmpty) "unknown"
+        else java.time.Instant.ofEpochMilli(fs.max).toString
+      } catch { case _: Throwable => "unknown" }
       val full =
-        s"""{"metric":"total","value":${d3(total)},"unit":"sec","cold_total":${d3(cold)},"queries":$qs,"reps":$reps,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${d3(total)},"unit":"sec","cold_total":${d3(cold)},"queries":$qs,"reps":$reps,"sf":"$sfDir","testdata_mtime":"$tdStamp"}"""
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_LOCAL.json"), full + "\n")
       catch { case e: java.io.IOException =>

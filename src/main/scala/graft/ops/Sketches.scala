@@ -138,20 +138,24 @@ object Sketches {
       a
     }
 
-    def finish(r: KmvBuffer): KmvState =
-      if (r.set.size < k)
-        KmvState(None, r.set.size, r.set.size.toLong)
-      else {
-        val kth = r.set.last.longValue
-        KmvState(Some(kth), k,
-          (k - 1).toLong * graft.functions.PolyHashFn.Mod /
-            math.max(kth, 1L))
-      }
+    def finish(r: KmvBuffer): KmvState = kmvEstimate(r.set, k)
 
     def bufferEncoder: Encoder[KmvBuffer] = Encoders.kryo[KmvBuffer]
     def outputEncoder: Encoder[KmvState] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
+
+  /** The bottom-k estimator, shared by the batch Aggregator and the
+    * streaming state fold ([[graft.streaming.SketchStream]]). */
+  def kmvEstimate(set: java.util.TreeSet[java.lang.Long],
+                  k: Int): KmvState =
+    if (set.size < k) KmvState(None, set.size, set.size.toLong)
+    else {
+      val kth = set.last.longValue
+      KmvState(Some(kth), k,
+        (k - 1).toLong * graft.functions.PolyHashFn.Mod /
+          math.max(kth, 1L))
+    }
 
   /** Per-group KMV distinct estimate over a long hash column: returns
     * (group, kth_hash, n_kept, est_distinct). Null hashes are not values

@@ -10,9 +10,17 @@ class QueriesSmokeSpec extends SparkSpecBase {
   }
 
   test("every query has an oracle or is explicitly rows-only") {
+    // iterative-trainer queries: correctness is pinned by BpeSpec's
+    // exact fixture sequences (there is no single-statement SQL form of
+    // an argmax-per-round training loop); the driver records them as
+    // rows-only checks. Anything else added without an oracle must
+    // either join this documented list or carry the _noracle suffix.
+    val specGated = Set("q134_bpe_merges", "q137_bpe_encode")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(missing.isEmpty || missing.forall(_.endsWith("_noracle")),
-      s"queries without oracle SQL: $missing")
+    val undocumented = missing -- specGated
+    assert(undocumented.isEmpty ||
+        undocumented.forall(_.endsWith("_noracle")),
+      s"queries without oracle SQL: $undocumented")
   }
 
   test("no orphan oracle SQL (oracle key without a registered query)") {
