@@ -178,6 +178,11 @@ object SparkEntry {
     "q137_bpe_encode"        -> TextQueries.qBpeEncode _,
     "q138_snapshot_diff"     -> TextQueries.qSnapshotDiff _,
     "q139_diff_summary"      -> TextQueries.qDiffSummary _,
+    "q140_coverage_gaps"     -> Relational.q140CoverageGaps _,
+    "q141_dup_triangles"     -> TextQueries.qDupTriangles _,
+    "q142_mips_topk"         -> VectorQueries.qMipsTopK _,
+    "q143_phrase_search"     -> TextQueries.qPhraseSearch _,
+    "q144_contamination_frac" -> TextQueries.qContaminationFrac _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */
@@ -751,6 +756,18 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2""".stripMargin,
+
+    // integer-microsecond gap arithmetic on both sides
+    "q140_coverage_gaps" ->
+      """WITH w AS (SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id
+        |                  ORDER BY ts ASC, event_id ASC) AS prev
+        |  FROM events)
+        |SELECT user_id, prev AS gap_start, ts AS gap_end,
+        |  (epoch_us(ts) - epoch_us(prev)) // 1000000 AS gap_s
+        |FROM w
+        |WHERE prev IS NOT NULL
+        |  AND epoch_us(ts) - epoch_us(prev) > 21600000000""".stripMargin,
 
     // equivalence-class-size histogram over the QI projection; NULL
     // value-buckets form their own class in both engines

@@ -13,6 +13,29 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  /** Coverage gaps: consecutive-observation pairs per key separated by
+    * more than `minGapSeconds` — the complement of [[gapFillForwardHourly]]
+    * (where did the series go dark, rather than how to fill it). The
+    * OMOP observation-period construction is this operator's inverse:
+    * eras break exactly at these gaps. One lag window on the key
+    * partitioning; gap arithmetic in integer MICROSECONDS end to end
+    * (no float seconds), so the threshold compare is exact. */
+  def coverageGaps(df: DataFrame, keyCol: String, tsCol: String,
+                   tieCol: String, minGapSeconds: Long): DataFrame = {
+    require(minGapSeconds >= 0, s"minGapSeconds < 0: $minGapSeconds")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    df.select(col(keyCol), col(tsCol), col(tieCol))
+      .withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .withColumn("__gap_us",
+        unix_micros(col(tsCol)) - unix_micros(col("__prev")))
+      .filter(col("__prev").isNotNull &&
+        col("__gap_us") > minGapSeconds * 1000000L)
+      .select(col(keyCol), col("__prev").as("gap_start"),
+        col(tsCol).as("gap_end"),
+        expr("__gap_us div 1000000").as("gap_s"))
+  }
+
   /** Hourly spine per key from first to last observation, with the last
     * value in each hour (deterministic: max by (ts, tie)) forward-filled
     * across empty hours. Output: (key, hour, value, is_observed).

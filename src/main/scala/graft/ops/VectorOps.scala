@@ -57,6 +57,32 @@ object VectorOps {
       .select(col("query_id"), col("neighbor_id"),
         col("__rn").as("rank"), round(col("cos"), 6).as("cos_sim"))
 
+  /** Maximum-inner-product search (MIPS): top-k by raw dot product, NOT
+    * cosine — the retrieval objective when magnitudes carry signal
+    * (learned late-interaction scores, popularity-scaled item vectors).
+    * Same broadcast-query × streamed-corpus shape as [[bruteForceTopK]],
+    * minus the norm divisions. The cosine LSH tiers (SRP/IVF) do NOT
+    * transfer directly — MIPS is not a metric (a vector's own dot can be
+    * beaten by a longer neighbor's); the standard scale path is the
+    * norm-augmentation reduction (append sqrt(M²−‖x‖²) so inner product
+    * becomes cosine in d+1 dims, Shrivastava & Li, NeurIPS 2014) feeding
+    * the SAME SRP/IVF machinery — the reduction is a projection, the
+    * index tiers are unchanged. */
+  def mipsTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"))
+    val scored = broadcast(q)
+      .join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("ip", dot(col("qv"), col("cv")))
+    TopK.topKPerGroup(scored, "query_id", "neighbor_id", "ip", k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("int").as("rank"),
+        round(col("ip"), 6).as("dot_score"))
+  }
+
   /** Hard-negative mining for contrastive/embedding training: for each
     * query vector, the top-k most-cosine-similar corpus vectors with a
     * DIFFERENT label — "looks like the anchor, isn't the anchor's class",

@@ -850,4 +850,14 @@ object Relational {
     graft.ops.Privacy.anonymityAudit(qi,
       Seq("event_type", "day", "vbucket"), cap = 10)
   }
+
+  /** Coverage gaps ([[graft.ops.TimeSeries.coverageGaps]]): per-user
+    * dark periods longer than 6 h between consecutive events — the
+    * era-break detector (OMOP observation periods split exactly at
+    * these). Integer-microsecond arithmetic end to end. */
+  def q140CoverageGaps(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TimeSeries.coverageGaps(graft.core.Tables.events(s, dir),
+        "user_id", "ts", "event_id", minGapSeconds = 21600L)
+      .select(col("user_id"), col("gap_start"), col("gap_end"),
+        col("gap_s"))
 }

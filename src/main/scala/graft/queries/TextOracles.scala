@@ -455,6 +455,73 @@ object TextOracles {
          |  (nt >= 30 AND cpt <= 6.0 AND pr <= 0.2 AND mt <= 6) AS pass
          |FROM f""".stripMargin,
 
+    // triangles over the q28 verified-pair chain; pairs carry a < b so
+    // (v1 < v2 < v3) enumerates once
+    "q141_dup_triangles" ->
+      s"""$MinhashCtes,
+         |bands AS (SELECT doc_id, i // 4 AS band,
+         |            string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS band_sig
+         |          FROM mh GROUP BY doc_id, i // 4),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b
+         |            ON a.band = b.band AND a.band_sig = b.band_sig
+         |           AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shx GROUP BY doc_id),
+         |inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
+         |          FROM pairs p
+         |          JOIN shx sa ON sa.doc_id = p.doc_a
+         |          JOIN shx sb ON sb.doc_id = p.doc_b AND sa.h = sb.h
+         |          GROUP BY p.doc_a, p.doc_b),
+         |v AS (SELECT i.doc_a, i.doc_b
+         |      FROM inter i
+         |      JOIN sizes za ON za.doc_id = i.doc_a
+         |      JOIN sizes zb ON zb.doc_id = i.doc_b
+         |      WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter)
+         |            >= 0.3)
+         |SELECT ab.doc_a AS v1, ab.doc_b AS v2, bc.doc_b AS v3
+         |FROM v ab
+         |JOIN v bc ON bc.doc_a = ab.doc_b
+         |JOIN v ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b""".stripMargin,
+
+    // scan-side adjacent-phrase count via 1-based list indexing
+    "q143_phrase_search" -> {
+      val (a, b) = (TextQueries.PhraseA, TextQueries.PhraseB)
+      s"""WITH t AS (SELECT doc_id, $Tk AS tk FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(range(1, len(tk)),
+         |    i -> tk[i] = '$a' AND tk[i + 1] = '$b')) AS INT) AS n_hits
+         |FROM t
+         |WHERE len(list_filter(range(1, len(tk)),
+         |    i -> tk[i] = '$a' AND tk[i + 1] = '$b')) > 0""".stripMargin
+    },
+
+    // fractional contamination: corpus-side distinct spans vs the
+    // benchmark-slice span set (q96's split, score instead of gate)
+    "q144_contamination_frac" -> {
+      val corpusCtes = shingleCtesBody(TextQueries.ShingleN,
+        "(SELECT * FROM documents WHERE doc_id % 20 <> 0)")
+      // prefix the CTE names (word-bounded: plain .replace of "th"
+      // would also mangle "length")
+      val benchCtes = Seq("tok0", "tokx", "th", "shl", "shu", "shx")
+        .foldLeft(shingleCtesBody(TextQueries.ShingleN,
+          "(SELECT * FROM documents WHERE doc_id % 20 = 0)")) {
+          (sql, name) => sql.replaceAll(s"\\b$name\\b", "b" + name)
+        }
+      s"""WITH $corpusCtes,
+         |$benchCtes,
+         |bh AS (SELECT DISTINCT h FROM bshx),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_spans
+         |          FROM shx GROUP BY doc_id),
+         |matched AS (SELECT s.doc_id, COUNT(*) AS n_matched
+         |            FROM shx s JOIN bh ON bh.h = s.h
+         |            GROUP BY s.doc_id)
+         |SELECT z.doc_id, z.n_spans,
+         |  COALESCE(m.n_matched, 0) AS n_matched,
+         |  ROUND(CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / z.n_spans, 6)
+         |    AS frac
+         |FROM sizes z LEFT JOIN matched m ON m.doc_id = z.doc_id""".stripMargin
+    },
+
     // snapshot diff: the oracle compares text directly where the engine
     // compares framed xxhash64 digests — identical statuses barring a
     // 64-bit collision

@@ -54,6 +54,9 @@ object TextQueries {
   val PrefixTokens = 8
   // q134 BPE merge rounds
   val BpeMerges = 8
+  // q143 phrase tokens (adjacent)
+  val PhraseA = "hash"
+  val PhraseB = "join"
 
   /** Exact-duplicate groups by content hash (scale path: hash-groupBy —
     * shuffle carries (hash, count), not text). With no exact dups in the
@@ -958,6 +961,66 @@ object TextQueries {
             concat(col("text"), lit(" EDITED")))
           .otherwise(col("text")).as("text"))
     (oldV, newV)
+  }
+
+  /** Triangles in the verified near-dup graph: three docs pairwise
+    * near-duplicate — the transitivity evidence that justifies treating
+    * components (q57) as dup CLUSTERS rather than chains. Pairs carry
+    * doc_a < doc_b, so each triangle (v1<v2<v3) enumerates exactly once;
+    * the triple self-join runs on the persisted pair sliver (25 rows at
+    * sf0.01), never the corpus. */
+  def qDupTriangles(s: SparkSession, dir: String): DataFrame = {
+    val p = verifiedNearDupPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.as("ab")
+      .join(p.as("bc"), col("bc.doc_a") === col("ab.doc_b"))
+      .join(p.as("ac"), col("ac.doc_a") === col("ab.doc_a") &&
+        col("ac.doc_b") === col("bc.doc_b"))
+      .select(col("ab.doc_a").as("v1"), col("ab.doc_b").as("v2"),
+        col("bc.doc_b").as("v3"))
+  }
+
+  /** Scan-side phrase search: exact adjacent-token match counted inside
+    * a per-row array fold — the positional-postings question ("docs
+    * containing the phrase") answered with ZERO shuffle and no postings
+    * join, because adjacency within a row needs no cross-row state. The
+    * q71 postings list remains the multi-term / cross-doc tier. */
+  def qPhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val tk = TextOps.tokens(col("text"))
+    val hits = aggregate(
+      zip_with(slice(tk, lit(1), size(tk) - 1),
+        slice(tk, lit(2), size(tk) - 1),
+        (a, b) => (a === lit(PhraseA) && b === lit(PhraseB))
+          .cast("int")),
+      lit(0), (acc, x) => acc + x)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), hits.as("n_hits"))
+      .filter(col("n_hits") > 0)
+  }
+
+  /** Fractional contamination score: per corpus doc, the share of its
+    * distinct 3-gram spans that appear anywhere in the benchmark slice —
+    * q96's binary gate refined into the ranked readout ("how
+    * contaminated", for threshold sweeps). Benchmark shingle set is the
+    * tiny side; the per-doc denominator rides the same distinct shingle
+    * stream the semi-join probes. */
+  def qContaminationFrac(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val shC = NearDup.shingleRows(docs.filter(col("doc_id") % 20 =!= 0),
+        "doc_id", "text", ShingleN)
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shB = NearDup.shingleRows(docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", ShingleN)
+      .select(col("h")).distinct()
+    val sizes = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+    val matched = shC.join(shB, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched"))
+    sizes.join(matched, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_matched"))
+      .select(col("doc_id"), col("n_spans"), col("n_matched"),
+        round(col("n_matched").cast("double") /
+          col("n_spans").cast("double"), 6).as("frac"))
   }
 
   /** Rule-bundle quality filter (the Gopher/C4-style boolean gate):

@@ -94,6 +94,20 @@ object VectorOracles {
          |SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS cos_sim
          |FROM r WHERE rank <= ${VectorQueries.TopK}""".stripMargin,
 
+    // MIPS: raw inner product, same sequential fold as the Spark side
+    "q142_mips_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id < ${VectorQueries.NumQueryVecs}),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |scored AS (SELECT query_id, neighbor_id, ${dot("qv", "cv")} AS ip
+         |           FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, ip,
+         |        CAST(row_number() OVER (PARTITION BY query_id
+         |               ORDER BY ip DESC, neighbor_id ASC) AS INTEGER) AS rank
+         |      FROM scored)
+         |SELECT query_id, neighbor_id, rank, ROUND(ip, 6) AS dot_score
+         |FROM r WHERE rank <= ${VectorQueries.TopK}""".stripMargin,
+
     // hard negatives: the label inequality replaces the self-pair guard
     // (a vector shares its own label)
     "q130_hard_negatives" ->

@@ -28,6 +28,13 @@ object VectorQueries {
       emb.filter(col("vec_id") < NumQueryVecs), emb, TopK)
   }
 
+  /** Exact MIPS top-k ([[VectorOps.mipsTopK]]): raw inner product, the
+    * objective when magnitudes carry signal. */
+  def qMipsTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    VectorOps.mipsTopK(emb.filter(col("vec_id") < NumQueryVecs), emb, TopK)
+  }
+
   /** Brute-force exact top-k cosine neighbors for the first N vec ids. */
   def qAnnBruteforce(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)

@@ -321,4 +321,22 @@ class PlanQualitySpec extends SparkSpecBase {
     val p2 = plan(graft.queries.TextQueries.qQualityCdf(spark, sf))
     assert("Exchange".r.findAllIn(p2).size == 1, p2)
   }
+
+  test("phrase search is scan-side: zero Exchange (q143)") {
+    val p = plan(graft.queries.TextQueries.qPhraseSearch(spark, sf))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Generate"), p) // no explode either
+  }
+
+  test("coverage gaps: one key-partitioned window exchange (q140)") {
+    val p = plan(graft.queries.Relational.q140CoverageGaps(spark, sf))
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("MIPS broadcasts queries, corpus streams (q142)") {
+    val p = plan(graft.queries.VectorQueries.qMipsTopK(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -93,4 +93,21 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(got.length == 2) // null run compressed to one row
     assert(got(0).isNullAt(1) && got(1).getString(1) == "x")
   }
+
+  test("coverageGaps finds only gaps strictly above the threshold") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L),
+      (1L, ts("2024-01-01 00:30:00"), 2L), // 30 min: below
+      (1L, ts("2024-01-01 02:30:01"), 3L), // 2h1s: above
+      (1L, ts("2024-01-01 04:30:01"), 4L), // exactly 2h: NOT a gap (>)
+      (2L, ts("2024-01-01 00:00:00"), 5L)) // single row: no pair
+      .toDF("user_id", "ts", "event_id")
+    val got = TimeSeries.coverageGaps(ev, "user_id", "ts", "event_id",
+        minGapSeconds = 7200L)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, ts("2024-01-01 02:30:01"), 7201L)),
+      got.mkString(","))
+  }
 }

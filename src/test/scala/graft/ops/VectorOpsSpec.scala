@@ -345,6 +345,22 @@ class VectorOpsSpec extends SparkSpecBase {
       got.mkString(","))
   }
 
+  test("mipsTopK ranks by raw dot product, not cosine") {
+    // neighbor 2 wins on magnitude despite a worse angle than 1 —
+    // cosine and MIPS must disagree on this fixture
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),   // cos ≈ 0.994, dot = 0.9
+      (2L, Array(2.0f, 1.0f)))   // cos ≈ 0.894, dot = 2.0
+      .toDF("vec_id", "embedding")
+    val mips = VectorOps.mipsTopK(emb.filter($"vec_id" === 0L), emb, 2)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(mips == Seq(2L, 1L), mips.toString)
+    val cos = VectorOps.bruteForceTopK(emb.filter($"vec_id" === 0L), emb, 2)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(cos == Seq(1L, 2L), cos.toString)
+  }
+
   test("hardNegatives excludes all same-label pairs at corpus scale") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val got = VectorOps.hardNegatives(emb.filter($"vec_id" < 5), emb, 3)
