@@ -183,6 +183,7 @@ object SparkEntry {
     "q142_mips_topk"         -> VectorQueries.qMipsTopK _,
     "q143_phrase_search"     -> TextQueries.qPhraseSearch _,
     "q144_contamination_frac" -> TextQueries.qContaminationFrac _,
+    "q145_negative_pairs"    -> TextQueries.qNegativePairs _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */

@@ -222,6 +222,40 @@ object Sampling {
         * Mixer % TextOps.HashMod,
       lit(Scale))
 
+  /** Deterministic negative-pair mining for contrastive training: pair
+    * each row with the NEXT row of a seeded pseudo-random shuffle within
+    * its hash shard (wrapping) — "random other document" partners that
+    * are reproducible, partitioning-invariant, and free of the cross
+    * join a naive random pairing implies. Complements
+    * [[graft.ops.VectorOps.hardNegatives]]: that op mines the HARD
+    * negatives by similarity; this one supplies the uniform negatives
+    * the loss mixes in.
+    *
+    * Scale shape: one exchange on the shard key; the ordering window,
+    * the size window, and the partner self-join all ride that same
+    * partitioning, and each shard is ~|corpus|/nShards rows. Singleton
+    * shards yield no pair (self-pairs are excluded, not emitted). */
+  def negativePairs(df: DataFrame, keyCol: Column, seed: Long,
+                    nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val base = df.select(keyCol.as("id"))
+      .withColumn("__h", sampleHash(col("id"), seed))
+      .withColumn("shard", pmod(col("__h"), lit(nShards)).cast("int"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__h").asc, col("id").asc)
+    val ranked = base
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt",
+        count(lit(1)).over(Window.partitionBy(col("shard"))))
+    val left = ranked.select(col("shard"), col("id").as("doc_id"),
+      (pmod(col("__rn"), col("__cnt")) + 1).as("__prn"))
+    val right = ranked.select(col("shard"), col("id").as("partner_id"),
+      col("__rn").as("__prn"))
+    left.join(right, Seq("shard", "__prn"))
+      .filter(col("doc_id") =!= col("partner_id"))
+      .select(col("doc_id"), col("partner_id"), col("shard"))
+  }
+
   /** Weighted sample without replacement, k rows, Efraimidis–Spirakis
     * A-Res with the deterministic hash as the randomness source: each
     * row's priority is ln(u)/w for u ∈ (0,1] derived from TWO

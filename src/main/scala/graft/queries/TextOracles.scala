@@ -483,6 +483,24 @@ object TextOracles {
          |JOIN v bc ON bc.doc_a = ab.doc_b
          |JOIN v ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b""".stripMargin,
 
+    // negative pairs: seeded shuffle order within hash shards, partner =
+    // next rank (wrapping); mirrors Sampling.sampleHash exactly
+    "q145_negative_pairs" ->
+      s"""WITH b AS (SELECT doc_id,
+         |             (${H("CAST(doc_id AS VARCHAR) || '#11'")}
+         |              * 2654435761 % 1000000007) % 1000000 AS h
+         |           FROM documents),
+         |s AS (SELECT doc_id, h, CAST(h % 16 AS INT) AS shard FROM b),
+         |r AS (SELECT doc_id, h, shard,
+         |        row_number() OVER (PARTITION BY shard
+         |                           ORDER BY h, doc_id) AS rn,
+         |        COUNT(*) OVER (PARTITION BY shard) AS cnt
+         |      FROM s)
+         |SELECT a.doc_id, p.doc_id AS partner_id, a.shard
+         |FROM r a JOIN r p
+         |  ON p.shard = a.shard AND p.rn = a.rn % a.cnt + 1
+         |WHERE a.doc_id <> p.doc_id""".stripMargin,
+
     // scan-side adjacent-phrase count via 1-based list indexing
     "q143_phrase_search" -> {
       val (a, b) = (TextQueries.PhraseA, TextQueries.PhraseB)

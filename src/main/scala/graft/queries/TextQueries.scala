@@ -1023,6 +1023,12 @@ object TextQueries {
           col("n_spans").cast("double"), 6).as("frac"))
   }
 
+  /** Uniform negative partners ([[Sampling.negativePairs]]): seed 11,
+    * 16 shards over the documents table. */
+  def qNegativePairs(s: SparkSession, dir: String): DataFrame =
+    Sampling.negativePairs(Tables.documents(s, dir), col("doc_id"),
+      seed = 11L, nShards = 16)
+
   /** Rule-bundle quality filter (the Gopher/C4-style boolean gate):
     * per-doc rule flags + the conjunction, every rule a scan-side
     * expression over the token array — zero shuffle, the shape a

@@ -236,6 +236,21 @@ class SamplingSpec extends SparkSpecBase {
     assert(got("big") == 750L)
   }
 
+  test("negativePairs: one partner per doc, never self, " +
+      "partitioning-invariant") {
+    import spark.implicits._
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.negativePairs(d, col("doc_id"), seed = 3L, nShards = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = run(docs)
+    assert(a == run(docs.repartition(9)))
+    assert(a.forall { case (d, p) => d != p })
+    // every doc in a shard of size ≥ 2 appears exactly once as doc_id
+    val asDoc = a.toSeq.map(_._1)
+    assert(asDoc.distinct.size == asDoc.size)
+    assert(asDoc.size >= docs.count() - 4) // ≤ nShards singleton losses
+  }
+
   test("temperatureMix: largest-remainder seats break ties by name") {
     import spark.implicits._
     // 3 equal strata, budget 100: base 33 each, 1 leftover seat -> the
