@@ -184,6 +184,8 @@ object SparkEntry {
     "q143_phrase_search"     -> TextQueries.qPhraseSearch _,
     "q144_contamination_frac" -> TextQueries.qContaminationFrac _,
     "q145_negative_pairs"    -> TextQueries.qNegativePairs _,
+    "q146_dist_drift"        -> TextQueries.qDistDrift _,
+    "q147_incremental_rollup" -> Relational.q147IncrementalRollup _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */
@@ -757,6 +759,14 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2""".stripMargin,
+
+    // incremental maintenance must equal the full recompute exactly —
+    // the oracle IS the full recompute (q40's SQL)
+    "q147_incremental_rollup" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY window_start, event_type""".stripMargin,
 
     // integer-microsecond gap arithmetic on both sides
     "q140_coverage_gaps" ->

@@ -27,6 +27,45 @@ object Stats {
     c.isNotNull && !isnan(c) &&
       c =!= Double.PositiveInfinity && c =!= Double.NegativeInfinity
 
+  /** Distribution drift between two corpus versions: bucket both by the
+    * REFERENCE (old) version's exact `buckets`-quantile boundaries, and
+    * report per-bucket counts, shares, and the total-variation
+    * contribution |p_old − p_new| / 2 — the ingest-gate monitor that
+    * catches "the new crawl's length distribution shifted" BEFORE the
+    * shifted data trains anything. Anchoring buckets to the reference
+    * keeps the readout interpretable (bucket i is always the same value
+    * range) and means the monitor costs one boundary aggregate on the
+    * reference + one bucketing scan per side; the per-bucket frame is
+    * ≤ buckets+1 rows, so the share windows are schema-sized. */
+  def distributionDrift(oldDf: DataFrame, newDf: DataFrame,
+                        valueCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val qs = (1 until buckets).map(i => i.toDouble / buckets)
+    val bounds = oldDf.agg(
+      percentile(col(valueCol), lit(qs.head)).as("b1"),
+      qs.tail.zipWithIndex.map { case (q, i) =>
+        percentile(col(valueCol), lit(q)).as(s"b${i + 2}") }: _*)
+    def bucketed(df: DataFrame, cntName: String): DataFrame =
+      df.crossJoin(broadcast(bounds))
+        .select((1 until buckets)
+          .map(i => (col(valueCol) > col(s"b$i")).cast("long"))
+          .reduce(_ + _).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(cntName))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    bucketed(oldDf, "n_old")
+      .join(bucketed(newDf, "n_new"), Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_old", "n_new"))
+      .withColumn("share_old",
+        col("n_old").cast("double") / sum(col("n_old")).over(w))
+      .withColumn("share_new",
+        col("n_new").cast("double") / sum(col("n_new")).over(w))
+      .select(col("bucket"), col("n_old"), col("n_new"),
+        round(col("share_old"), 6).as("share_old"),
+        round(col("share_new"), 6).as("share_new"),
+        round(abs(col("share_old") - col("share_new")) / 2, 6)
+          .as("tv_contrib"))
+  }
+
   /** Fixed-width histogram: one hash-aggregate over ≤nbins groups (the
     * shuffle carries nbins rows per partition — nothing scales with data
     * size). Empty bins are omitted; null/NaN/±Inf rows are excluded (a

@@ -860,4 +860,17 @@ object Relational {
         "user_id", "ts", "event_id", minGapSeconds = 21600L)
       .select(col("user_id"), col("gap_start"), col("gap_end"),
         col("gap_s"))
+
+  /** Incremental rollup maintenance
+    * ([[graft.streaming.EventStreams.mergeRollups]]): two half-month
+    * rollups merged — gated against the full recompute (the q40 oracle),
+    * proving partial-aggregate maintenance is exact, not approximate. */
+  def q147IncrementalRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.core.Tables.events(s, dir)
+    val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+    graft.streaming.EventStreams.mergeRollups(Seq(
+      graft.streaming.EventStreams.hourlyRollup(ev.filter(col("ts") < cut)),
+      graft.streaming.EventStreams.hourlyRollup(
+        ev.filter(col("ts") >= cut))))
+  }
 }

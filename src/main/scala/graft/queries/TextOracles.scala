@@ -483,6 +483,38 @@ object TextOracles {
          |JOIN v bc ON bc.doc_a = ab.doc_b
          |JOIN v ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b""".stripMargin,
 
+    // drift: deciles from the OLD version's quantile_cont (same
+    // interpolation as Spark's percentile), int > double comparisons
+    "q146_dist_drift" -> {
+      val bs = (1 to 9).map(i =>
+        s"quantile_cont(v, 0.$i) AS b$i").mkString(", ")
+      val bucket = (1 to 9).map(i => s"CAST(v > b$i AS BIGINT)")
+        .mkString(" + ")
+      s"""WITH o AS (SELECT length(text) AS v FROM documents
+         |           WHERE doc_id < 450),
+         |nw AS (SELECT length(CASE WHEN doc_id % 7 = 0
+         |                 THEN text || ' EDITED' ELSE text END) AS v
+         |       FROM documents WHERE doc_id >= 50),
+         |b AS (SELECT $bs FROM o),
+         |oc AS (SELECT $bucket AS bucket, COUNT(*) AS n_old
+         |       FROM o CROSS JOIN b GROUP BY 1),
+         |nc AS (SELECT $bucket AS bucket, COUNT(*) AS n_new
+         |       FROM nw CROSS JOIN b GROUP BY 1),
+         |j AS (SELECT COALESCE(oc.bucket, nc.bucket) AS bucket,
+         |        COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+         |      FROM oc FULL OUTER JOIN nc ON nc.bucket = oc.bucket)
+         |SELECT bucket, CAST(n_old AS BIGINT) AS n_old,
+         |  CAST(n_new AS BIGINT) AS n_new,
+         |  ROUND(CAST(n_old AS DOUBLE) / SUM(n_old) OVER (), 6)
+         |    AS share_old,
+         |  ROUND(CAST(n_new AS DOUBLE) / SUM(n_new) OVER (), 6)
+         |    AS share_new,
+         |  ROUND(abs(CAST(n_old AS DOUBLE) / SUM(n_old) OVER ()
+         |          - CAST(n_new AS DOUBLE) / SUM(n_new) OVER ()) / 2, 6)
+         |    AS tv_contrib
+         |FROM j""".stripMargin
+    },
+
     // negative pairs: seeded shuffle order within hash shards, partner =
     // next rank (wrapping); mirrors Sampling.sampleHash exactly
     "q145_negative_pairs" ->

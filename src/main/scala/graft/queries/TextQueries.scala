@@ -1023,6 +1023,17 @@ object TextQueries {
           col("n_spans").cast("double"), 6).as("frac"))
   }
 
+  /** Distribution-drift monitor ([[graft.ops.Stats.distributionDrift]])
+    * between the q138 corpus versions, on text length: per-decile
+    * counts/shares and total-variation contributions, deciles anchored
+    * to the old version's exact quantiles. */
+  def qDistDrift(s: SparkSession, dir: String): DataFrame = {
+    val (oldV, newV) = diffVersions(s, dir)
+    graft.ops.Stats.distributionDrift(
+      oldV.select(length(col("text")).as("v")),
+      newV.select(length(col("text")).as("v")), "v", buckets = 10)
+  }
+
   /** Uniform negative partners ([[Sampling.negativePairs]]): seed 11,
     * 16 shards over the documents table. */
   def qNegativePairs(s: SparkSession, dir: String): DataFrame =

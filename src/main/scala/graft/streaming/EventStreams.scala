@@ -32,6 +32,24 @@ object EventStreams {
   def hourlyRollupStream(events: DataFrame): DataFrame =
     hourlyRollup(events.withWatermark("ts", "2 hours"))
 
+  /** Incremental rollup maintenance: merge independently-computed
+    * [[hourlyRollup]] partitions (yesterday's standing aggregate + the
+    * new day's delta) into the rollup of the union WITHOUT touching the
+    * old partition's raw events — counts and sums are mergeable partial
+    * aggregates, so maintenance cost is O(|delta| + |standing rollup|).
+    * EXACT, not approximately: each stored sum_value is a
+    * DECIMAL(18,4)-valued double (re-cast is lossless), decimal sums
+    * associate, so merged output is bit-identical to a full recompute
+    * (oracle-gated at q147 against exactly that recompute). */
+  def mergeRollups(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "no rollup partitions to merge")
+    parts.reduce(_ unionByName _)
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(sum(col("n")).as("n"),
+        sum(col("sum_value").cast("decimal(18,4)")).cast("double")
+          .as("sum_value"))
+  }
+
   /** Sliding-window rollup: 1-hour windows every 15 minutes — each event
     * lands in exactly 4 windows (Spark's `window(slide)` expands rows
     * BEFORE the aggregate, so the shuffle carries 4× (window, type)

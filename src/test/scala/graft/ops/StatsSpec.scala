@@ -94,4 +94,21 @@ class StatsSpec extends SparkSpecBase {
       .toMap
     assert(a == b)
   }
+
+  test("distributionDrift: identical versions show zero drift; a shift " +
+      "concentrates TV mass") {
+    import spark.implicits._
+    val base = (1 to 100).map(_.toLong).toDF("v")
+    val same = Stats.distributionDrift(base, base, "v", 4).collect()
+    assert(same.length == 4)
+    assert(same.forall(_.getDouble(5) == 0.0), same.mkString(","))
+    assert(same.forall(r => r.getLong(1) == r.getLong(2)))
+    // new version shifted up by 100: every row lands in the old
+    // version's top bucket -> TV distance sums to (1 - 1/4)
+    val shifted = (101 to 200).map(_.toLong).toDF("v")
+    val drift = Stats.distributionDrift(base, shifted, "v", 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(math.abs(drift.values.sum - 0.75) < 1e-9, drift.toString)
+    assert(drift(3L) > 0.3) // the receiving bucket carries the mass
+  }
 }

@@ -87,6 +87,21 @@ class EventStreamsSpec extends SparkSpecBase {
     }
   }
 
+  test("mergeRollups: merged partials equal the full recompute exactly") {
+    import spark.implicits._
+    val all = toDf(rows)
+    val cut = ts("2024-01-01 10:30:00")
+    val merged = EventStreams.mergeRollups(Seq(
+        EventStreams.hourlyRollup(all.filter($"ts" < cut)),
+        EventStreams.hourlyRollup(all.filter($"ts" >= cut))))
+      .orderBy("window_start", "event_type").collect().map(_.toSeq).toSeq
+    val full = EventStreams.hourlyRollup(all)
+      .orderBy("window_start", "event_type").collect().map(_.toSeq).toSeq
+    // the 10:00 window straddles the cut — its partials must recombine
+    assert(merged == full)
+    assert(full.nonEmpty)
+  }
+
   test("slidingRollup: each event in exactly 4 windows; stream == batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
