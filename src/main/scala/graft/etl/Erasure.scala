@@ -23,7 +23,15 @@ import org.apache.spark.sql.functions._
   * Scale shape: the subject set is a broadcast anti-join probe (an
   * erasure request is human-sized; for bulk erasure pass a DataFrame
   * and the join degrades gracefully to shuffle), and each table is one
-  * scan + one write — no global coordination across tables.
+  * scan + one write — no global coordination across tables. Checkpoint
+  * blocks are ContextCleaner-reclaimed as each table's frame goes out
+  * of scope.
+  *
+  * Tables WITHOUT a person_id column are untouched by design: after the
+  * cascade, a visit_map row for an erased person retains only an opaque
+  * (source uuid → int) pair whose person link died with the
+  * visit_occurrence rows — keep it (id-map stability for re-runs) or
+  * extend the cascade through visit ids if even that pair must go.
   */
 object Erasure {
 

@@ -90,7 +90,12 @@ object Sampling {
     * after is BIGINT math — no float ranking anywhere). Runs entirely
     * relationally: the only wide state is one row per stratum, so the
     * single-partition ranking window is driver-sized by construction,
-    * same as [[rebalanceToMix]]'s strata counts. */
+    * same as [[rebalanceToMix]]'s strata counts.
+    *
+    * Range bound: total · √(maxStratumCount · 10⁶) must stay below 2⁶³
+    * (the quota product is 64-bit) — satisfied for any real budget up to
+    * ~10⁹ docs against strata up to ~10¹² docs; beyond that, drop the
+    * 10⁶ weight scale. */
   def temperatureMix(df: DataFrame, strataCol: Column,
                      total: Long): DataFrame = {
     require(total >= 0, s"total must be >= 0, got $total")

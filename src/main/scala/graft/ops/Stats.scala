@@ -36,7 +36,9 @@ object Stats {
     * keeps the readout interpretable (bucket i is always the same value
     * range) and means the monitor costs one boundary aggregate on the
     * reference + one bucketing scan per side; the per-bucket frame is
-    * ≤ buckets+1 rows, so the share windows are schema-sized. */
+    * ≤ buckets+1 rows, so the share windows are schema-sized. An EMPTY
+    * side yields null shares (0/0) rather than fabricating a zero-drift
+    * reading — an empty new crawl is an ingest failure, not "no drift". */
   def distributionDrift(oldDf: DataFrame, newDf: DataFrame,
                         valueCol: String, buckets: Int): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
