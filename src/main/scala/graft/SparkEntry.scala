@@ -186,6 +186,7 @@ object SparkEntry {
     "q145_negative_pairs"    -> TextQueries.qNegativePairs _,
     "q146_dist_drift"        -> TextQueries.qDistDrift _,
     "q147_incremental_rollup" -> Relational.q147IncrementalRollup _,
+    "q148_grouped_split"     -> TextQueries.qGroupedSplit _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */

@@ -483,6 +483,48 @@ object TextOracles {
          |JOIN v bc ON bc.doc_a = ab.doc_b
          |JOIN v ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b""".stripMargin,
 
+    // grouped split: q57's recursive component chain keys the q92 hash
+    "q148_grouped_split" ->
+      s"""${MinhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |bands AS (SELECT doc_id, i // 4 AS band,
+         |            string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS band_sig
+         |          FROM mh GROUP BY doc_id, i // 4),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b
+         |            ON a.band = b.band AND a.band_sig = b.band_sig
+         |           AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shx GROUP BY doc_id),
+         |inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
+         |          FROM pairs p
+         |          JOIN shx sa ON sa.doc_id = p.doc_a
+         |          JOIN shx sb ON sb.doc_id = p.doc_b AND sa.h = sb.h
+         |          GROUP BY p.doc_a, p.doc_b),
+         |verified AS (SELECT i.doc_a, i.doc_b
+         |             FROM inter i
+         |             JOIN sizes za ON za.doc_id = i.doc_a
+         |             JOIN sizes zb ON zb.doc_id = i.doc_b
+         |             WHERE CAST(i.inter AS DOUBLE)
+         |                   / (za.sz + zb.sz - i.inter) >= 0.3),
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM verified
+         |          UNION ALL
+         |          SELECT doc_b AS s, doc_a AS d FROM verified),
+         |reach AS (SELECT s AS id, s AS lab FROM edges
+         |          UNION
+         |          SELECT e.d AS id, r.lab
+         |          FROM reach r JOIN edges e ON e.s = r.id),
+         |ccx AS (SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+         |k AS (SELECT d.doc_id,
+         |        COALESCE(ccx.cluster_id, d.doc_id) AS split_key
+         |      FROM documents d LEFT JOIN ccx ON ccx.id = d.doc_id)
+         |SELECT doc_id, split_key,
+         |  CASE WHEN hv < 800000 THEN 'train'
+         |       WHEN hv < 900000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, split_key,
+         |        (${H("CAST(split_key AS VARCHAR) || '#7'")}
+         |         * 2654435761 % 1000000007) % 1000000 AS hv
+         |      FROM k) t""".stripMargin,
+
     // drift: deciles from the OLD version's quantile_cont (same
     // interpolation as Spark's percentile), int > double comparisons
     "q146_dist_drift" -> {

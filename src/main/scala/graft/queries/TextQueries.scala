@@ -1023,6 +1023,28 @@ object TextQueries {
           col("n_spans").cast("double"), 6).as("frac"))
   }
 
+  /** Leakage-free train/val/test split: every doc of a near-dup CLUSTER
+    * splits by its cluster id (the component label), singletons by their
+    * own id — so a verified near-dup pair can never straddle splits,
+    * which is exactly the defect q125's audit measures. Same hash family
+    * and 80/10/10 thresholds as q92; the only extra cost over q92 is the
+    * q57 cascade, and membership stays a pure function of (key, seed) —
+    * re-derivable, partitioning-invariant. */
+  def qGroupedSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cc = graft.ops.Components.connectedComponents(
+      verifiedNearDupPairs(s, dir).select(col("doc_a"), col("doc_b")),
+      "doc_a", "doc_b")
+    val keyed = docs.select(col("doc_id"))
+      .join(cc, docs("doc_id") === cc("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("split_key"))
+    val hv = Sampling.sampleHash(col("split_key"), seed = 7L)
+    keyed.select(col("doc_id"), col("split_key"),
+      when(hv < 800000, "train").when(hv < 900000, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** Distribution-drift monitor ([[graft.ops.Stats.distributionDrift]])
     * between the q138 corpus versions, on text length: per-decile
     * counts/shares and total-variation contributions, deciles anchored

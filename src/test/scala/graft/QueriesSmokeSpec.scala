@@ -89,6 +89,21 @@ class QueriesSmokeSpec extends SparkSpecBase {
     }
   }
 
+  test("q148 grouped split: no verified near-dup pair straddles splits") {
+    val split = SparkEntry.queries("q148_grouped_split")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val pairs = SparkEntry.queries("q28_neardup_verified")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b), s"pair ($a,$b) straddles splits")
+    }
+    // and the split still lands near 80/10/10 overall
+    val n = split.size.toDouble
+    val train = split.values.count(_ == "train") / n
+    assert(train > 0.6 && train < 0.95, s"train frac $train")
+  }
+
   for ((name, fn) <- SparkEntry.queries) {
     test(s"$name runs at sf0.001 and returns a sane schema") {
       val df = fn(spark, sf)
