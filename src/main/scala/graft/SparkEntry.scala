@@ -187,6 +187,17 @@ object SparkEntry {
     "q146_dist_drift"        -> TextQueries.qDistDrift _,
     "q147_incremental_rollup" -> Relational.q147IncrementalRollup _,
     "q148_grouped_split"     -> TextQueries.qGroupedSplit _,
+    "q149_zorder_key"        -> Relational.q149ZorderKey _,
+    "q150_fuzzy_names"       -> Relational.q150FuzzyNames _,
+    "q151_skyline"           -> Relational.q151Skyline _,
+    "q152_join_delta"        -> Relational.q152JoinDelta _,
+    "q153_interpolate"       -> Relational.q153Interpolate _,
+    "q154_bitmap_distinct"   -> Relational.q154BitmapDistinct _,
+    "q155_equidepth_hist"    -> Relational.q155EquidepthHist _,
+    "q156_decayed_sum"       -> Relational.q156DecayedSum _,
+    // spec-gated (HllSketchSpec): DataSketches estimates have no DuckDB
+    // twin — gated on error-vs-exact and the union merge law instead
+    "q157_hll_rollup"        -> Relational.q157HllRollup _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */
@@ -792,5 +803,143 @@ object SparkEntry {
         |SELECT LEAST(n, 10) AS class_size, COUNT(*) AS n_classes,
         |  CAST(SUM(n) AS BIGINT) AS n_rows
         |FROM c GROUP BY 1""".stripMargin,
+
+    // Morton interleave, unrolled per bit — the oracle recomputes the
+    // native zorder2 expression with plain shift/mask arithmetic
+    "q149_zorder_key" -> {
+      val z = (0 until 16).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH k AS (SELECT l_orderkey, l_partkey, l_linenumber,
+         |  CAST(l_orderkey % 65536 AS BIGINT) AS x,
+         |  CAST(l_partkey % 65536 AS BIGINT) AS y FROM lineitem)
+         |SELECT l_orderkey, l_partkey, l_linenumber,
+         |  CAST($z AS BIGINT) AS zval,
+         |  CAST(($z) >> 24 AS BIGINT) AS zbucket
+         |FROM k""".stripMargin
+    },
+
+    // blocking contract: pairs share the name's last token; the length
+    // band adds no further restriction at maxDist<=band (lev<=2 bounds
+    // the length gap), so the oracle needs only the token block
+    "q150_fuzzy_names" ->
+      """WITH k AS (SELECT p_partkey, p_name,
+        |             string_split(p_name, ' ')[-1] AS blk FROM part)
+        |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM k a JOIN k b
+        |  ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
+
+    // O(n²) dominance formulation — the semantic ground truth the
+    // sort-scan skyline must reproduce exactly, ties included
+    "q151_skyline" ->
+      """SELECT p_partkey, p_type, p_retailprice, p_size
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part s
+        |  WHERE s.p_type = p.p_type
+        |    AND s.p_retailprice <= p.p_retailprice
+        |    AND s.p_size >= p.p_size
+        |    AND (s.p_retailprice < p.p_retailprice
+        |         OR s.p_size > p.p_size))""".stripMargin,
+
+    // delta-join correctness is DEFINED as full-minus-base; the oracle
+    // computes exactly that (decimal sums subtract exactly)
+    "q152_join_delta" ->
+      """WITH j AS (SELECT o_orderpriority, o_orderdate, l_shipdate,
+        |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS r
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |f AS (SELECT o_orderpriority, COUNT(*) AS n, SUM(r) AS rev
+        |      FROM j GROUP BY 1),
+        |b AS (SELECT o_orderpriority, COUNT(*) AS n, SUM(r) AS rev
+        |      FROM j WHERE o_orderdate < TIMESTAMP '2000-01-01'
+        |        AND l_shipdate < TIMESTAMP '2000-06-01' GROUP BY 1)
+        |SELECT f.o_orderpriority, f.n - COALESCE(b.n, 0) AS n_new,
+        |  CAST(f.rev - COALESCE(b.rev, 0) AS DOUBLE) AS rev_new
+        |FROM f LEFT JOIN b USING (o_orderpriority)
+        |WHERE f.n - COALESCE(b.n, 0) > 0""".stripMargin,
+
+    // same spine + two IGNORE NULLS direction passes + identical
+    // interpolation arithmetic (integer hour indices, double ratio)
+    "q153_interpolate" ->
+      """WITH obs AS (SELECT user_id, date_trunc('hour', ts) AS hour,
+        |    max(struct_pack(ts := ts, event_id := event_id,
+        |                    value := value)).value AS obs_value
+        |  FROM events WHERE value IS NOT NULL GROUP BY user_id, hour),
+        |sp AS (SELECT user_id,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |  FROM (SELECT user_id, min(date_trunc('hour', ts)) AS h0,
+        |          max(date_trunc('hour', ts)) AS h1
+        |        FROM events WHERE value IS NOT NULL
+        |        GROUP BY user_id) b),
+        |g AS (SELECT sp.user_id, sp.hour, obs.obs_value,
+        |    epoch_us(sp.hour) // 3600000000 AS h,
+        |    last_value(obs.obs_value IGNORE NULLS) OVER (
+        |      PARTITION BY sp.user_id ORDER BY sp.hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN obs.obs_value IS NOT NULL
+        |        THEN epoch_us(sp.hour) // 3600000000 END IGNORE NULLS)
+        |      OVER (PARTITION BY sp.user_id ORDER BY sp.hour
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        |    first_value(obs.obs_value IGNORE NULLS) OVER (
+        |      PARTITION BY sp.user_id ORDER BY sp.hour
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN obs.obs_value IS NOT NULL
+        |        THEN epoch_us(sp.hour) // 3600000000 END IGNORE NULLS)
+        |      OVER (PARTITION BY sp.user_id ORDER BY sp.hour
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        |  FROM sp LEFT JOIN obs
+        |    ON sp.user_id = obs.user_id AND sp.hour = obs.hour)
+        |SELECT user_id, hour,
+        |  CASE WHEN obs_value IS NOT NULL THEN obs_value
+        |    ELSE pv + (nv - pv) * (CAST(h - ph AS DOUBLE) /
+        |                           CAST(nh - ph AS DOUBLE)) END AS value,
+        |  obs_value IS NOT NULL AS is_observed
+        |FROM g""".stripMargin,
+
+    // semantic ground truth, not a bitmap re-implementation (DuckDB's
+    // checked signed shift rejects 1 << 63): the bitmap path must equal
+    // plain COUNT(DISTINCT) exactly, per bucket and overall
+    "q154_bitmap_distinct" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id // 64) AS n_buckets,
+        |  COUNT(DISTINCT user_id) AS distinct_keys
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY event_type""".stripMargin,
+
+    // global row_number + the explicit NTILE assignment formula (the
+    // Spark side derives the same rank without a global window)
+    "q155_equidepth_hist" -> {
+      val n = "(SELECT COUNT(*) FROM lineitem)"
+      s"""WITH r AS (SELECT l_extendedprice,
+         |    row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+         |                       l_linenumber) AS rk,
+         |    $n AS n FROM lineitem),
+         |t AS (SELECT l_extendedprice,
+         |    CASE WHEN rk <= (n // 8 + 1) * (n % 8)
+         |      THEN (rk + n // 8) // (n // 8 + 1)
+         |      ELSE n % 8 + (rk - (n // 8 + 1) * (n % 8) + n // 8 - 1)
+         |             // GREATEST(n // 8, 1) END AS bucket
+         |  FROM r)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_rows,
+         |  MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+         |FROM t GROUP BY bucket""".stripMargin
+    },
+
+    // whole-week exponents: weight = 0.5^k is an exact binary double in
+    // both engines; per-term decimal cast makes sums order-independent
+    "q156_decayed_sum" ->
+      """WITH m AS (SELECT MAX(ts) AS ref FROM events),
+        |w AS (SELECT event_type, value,
+        |    power(0.5, CAST((epoch_us(ref) - epoch_us(ts))
+        |                    // 604800000000 AS INTEGER)) AS wt
+        |  FROM events, m WHERE value IS NOT NULL)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(wt AS DECIMAL(28,10))) AS DOUBLE) AS decayed_n,
+        |  CAST(SUM(CAST(value * wt AS DECIMAL(28,10))) AS DOUBLE)
+        |    AS decayed_sum
+        |FROM w GROUP BY event_type""".stripMargin,
   )
 }

@@ -287,4 +287,56 @@ object Sketches {
       .withColumn("frac",
         round(col("n").cast("double") / lit(sketch.total.toDouble), 6))
   }
+
+  /** EXACT distinct counting via bucketed bitmaps — the bitmap-index
+    * rollup (roaring-bitmap shape, flattened to 64-bit words): keys
+    * bucket by `key div 64`, each (group, bucket) folds to one long
+    * bitmask with `bit_or(1 << (key mod 64))`, and the distinct count is
+    * the sum of popcounts. Two cascaded aggregations, both with map-side
+    * partial merge (bit_or and sum are commutative monoids), so the
+    * first shuffle carries at most one LONG per (group, 64-key bucket) —
+    * a ≥64× reduction over shuffling raw keys the way count(distinct)
+    * must — and the masks MERGE across shards/days by bit_or, giving
+    * exact incremental distinct maintenance (the thing HLL can only
+    * approximate). Requires a non-negative integer key domain.
+    *
+    * Output: (group, n_buckets, distinct_keys). */
+  def bitmapDistinct(df: DataFrame, groupCol: String,
+                     keyCol: String): DataFrame =
+    df.filter(col(keyCol).isNotNull)
+      .select(col(groupCol),
+        (col(keyCol).cast("long") / 64L).cast("long").as("__bucket"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pmod($keyCol, 64) AS INT))")
+          .as("__bit"))
+      .groupBy(col(groupCol), col("__bucket"))
+      .agg(bit_or(col("__bit")).as("__mask"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(bit_count(col("__mask")).cast("long")).as("distinct_keys"))
+
+  /** Mergeable APPROXIMATE distinct via Apache DataSketches HLL (Spark's
+    * native `hll_sketch_agg` / `hll_union_agg`): per-group sketches plus
+    * the all-groups union, with estimates. This is the scale tier above
+    * [[bitmapDistinct]]: state is O(2^lgK) REGARDLESS of key domain or
+    * type, and union-of-sketches ≡ sketch-of-union exactly (the
+    * mergeability law HllSketchSpec pins), so per-shard sketches roll up
+    * across days/sources without touching raw keys again. Deterministic
+    * for a given input SET (hash-based, order-free) but engine-specific
+    * — correctness is spec-gated against exact counts (bounded relative
+    * error) and the merge law, not a DuckDB oracle.
+    *
+    * Output: (group, est_distinct) per group plus one "__all__" row for
+    * the union rollup. */
+  def hllRollup(df: DataFrame, groupCol: String, keyCol: String,
+                lgK: Int = 12): DataFrame = {
+    val perGroup = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(hll_sketch_agg(col(keyCol), lit(lgK)).as("__sk"))
+    val union = perGroup
+      .agg(hll_union_agg(col("__sk")).as("__sk"))
+      .select(lit("__all__").as(groupCol), col("__sk"))
+    perGroup.unionByName(union)
+      .select(col(groupCol),
+        hll_sketch_estimate(col("__sk")).cast("long").as("est_distinct"))
+  }
 }

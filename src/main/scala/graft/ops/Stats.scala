@@ -129,4 +129,82 @@ object Stats {
         (sum(when(mid, dv)).cast("double") /
           sum(when(mid, lit(1L)))).as("median"))
   }
+
+  /** Per-group 2-D skyline (Pareto frontier): rows not DOMINATED by any
+    * other row of the same group, where row s dominates row r iff
+    * s.minimize ≤ r.minimize ∧ s.maximize ≥ r.maximize with at least one
+    * strict. The curation use: "no cheaper part is also bigger" /
+    * "no shorter doc also scores higher" frontier extraction.
+    *
+    * Plan: the classic sort-scan skyline, with the scan collapsed onto
+    * DISTINCT cost points so it is exact for arbitrary doubles —
+    * (1) aggregate to one row per (group, cost) carrying that cost's
+    * best value; (2) one window pass over the (small) cost-point frame:
+    * a cost point survives iff the running max of value over all
+    * strictly-cheaper points (rows-frame ending at −1; rows are
+    * distinct costs, so "preceding row" ≡ "strictly cheaper") is below
+    * its value; (3) equi-join survivors back to the input, keeping rows
+    * that attain their cost's best value. The NOT EXISTS dominance
+    * formulation the oracle uses is O(n²) pairs; this is O(n log n)
+    * with the window running over |distinct costs| ≪ n rows, and the
+    * join-back side small enough to broadcast. Ties: same-(cost, value)
+    * duplicates all survive (nothing dominates them strictly), exactly
+    * matching the dominance definition.
+    */
+  def skyline2d(df: DataFrame, groupCol: String, minimizeCol: String,
+                maximizeCol: String): DataFrame = {
+    val grp = df.groupBy(col(groupCol), col(minimizeCol))
+      .agg(max(col(maximizeCol)).as("__grp_max"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(minimizeCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val frontier = grp
+      .withColumn("__best_cheaper", max(col("__grp_max")).over(w))
+      .filter(col("__best_cheaper").isNull ||
+        col("__best_cheaper") < col("__grp_max"))
+      .drop("__best_cheaper")
+    df.join(frontier, Seq(groupCol, minimizeCol))
+      .filter(col(maximizeCol) === col("__grp_max"))
+      .drop("__grp_max")
+  }
+
+  /** Exact equi-depth (equi-height) histogram: k buckets with row counts
+    * as equal as the standard NTILE split allows (the first n mod k
+    * buckets get one extra row), plus each bucket's value bounds — the
+    * optimizer-statistics / quantile-binning primitive where equi-WIDTH
+    * bins ([[histogram]]) collapse under skew.
+    *
+    * NTILE needs a GLOBAL rank, which as a window is a single-partition
+    * sort; this computes the same rank with the range-partitioned
+    * dense-id machinery ([[DenseId.withDenseIdScalable]] — within-bucket
+    * row_number + per-bucket offsets), then derives the tile from the
+    * rank arithmetically: base = n div k, rem = n mod k,
+    * tile(r) = ⌈r/(base+1)⌉ for r ≤ (base+1)·rem, else
+    * rem + ⌈(r − (base+1)·rem)/base⌉ — exactly SQL NTILE's assignment.
+    * One count (driver scalar), one range-shuffle, one grouped agg.
+    * `tieCols` must make the ordering total or ranks at bucket
+    * boundaries are partitioner-dependent. */
+  def equiDepthHistogram(df: DataFrame, valueCol: String,
+                         tieCols: Seq[String], k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val n = df.count()
+    val base = n / k
+    val rem = n % k
+    val cut = (base + 1) * rem
+    val ordered = (valueCol +: tieCols).map(col(_).asc)
+    val ranked = DenseId.withDenseIdScalable(
+      df.select(valueCol, tieCols: _*), ordered, "__rank")
+    // integer DIV throughout (SQL `/` would be fractional); max(base, 1):
+    // when n < k the else branch is unreachable (cut = n) but a
+    // constant-0 divisor would still fail eagerly under ANSI
+    val safeBase = math.max(base, 1L)
+    val tile = expr(
+      s"CASE WHEN __rank <= $cut THEN (__rank + $base) DIV ${base + 1} " +
+        s"ELSE $rem + (__rank - $cut + $safeBase - 1) DIV $safeBase END")
+    ranked
+      .withColumn("bucket", tile.cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+  }
 }

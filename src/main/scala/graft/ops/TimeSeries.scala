@@ -74,6 +74,92 @@ object TimeSeries {
         col("obs_value").isNotNull.as("is_observed"))
   }
 
+  /** Hourly spine per key with LINEAR interpolation across unobserved
+    * hours — the numeric-series completion step (sensor feeds, metric
+    * rollups) where forward-fill's step function biases downstream
+    * aggregates. Output: (key, hour, value, is_observed).
+    *
+    * Per observed hour the deterministic value is the latest (ts, tie)
+    * row's; unobserved hours get
+    * prev + (next − prev) · elapsed/span, with elapsed/span computed on
+    * exact integer hour indices. The spine spans first..last observed
+    * hour per key, so both interpolation endpoints always exist.
+    *
+    * Scale: identical posture to [[gapFillForwardHourly]] — spine
+    * explode is linear in output hours; BOTH direction passes (carry
+    * prev forward, carry next backward) are windows over the same
+    * (key)-partitioning, so the whole completion is one exchange. */
+  def interpolateHourly(df: DataFrame, keyCol: String, tsCol: String,
+                        tieCol: String, valueCol: String): DataFrame = {
+    val hour = date_trunc("hour", col(tsCol))
+    val observed = df.filter(col(valueCol).isNotNull)
+    val obs = observed
+      .groupBy(col(keyCol), hour.as("hour"))
+      .agg(max(struct(col(tsCol), col(tieCol), col(valueCol)))
+        .getField(valueCol).as("obs_value"))
+    val spine = observed
+      .groupBy(col(keyCol))
+      .agg(min(hour).as("h0"), max(hour).as("h1"))
+      .select(col(keyCol),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+          .as("hour"))
+    val wBack = Window.partitionBy(col(keyCol)).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(col(keyCol)).orderBy(col("hour"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val hIdx = (unix_micros(col("hour")) / 3600000000L).cast("long")
+    val obsIdx = when(col("obs_value").isNotNull, hIdx)
+    spine
+      .join(obs, Seq(keyCol, "hour"), "left")
+      .withColumn("__h", hIdx)
+      .withColumn("__pv", last(col("obs_value"), ignoreNulls = true).over(wBack))
+      .withColumn("__ph", last(obsIdx, ignoreNulls = true).over(wBack))
+      .withColumn("__nv", first(col("obs_value"), ignoreNulls = true).over(wFwd))
+      .withColumn("__nh", first(obsIdx, ignoreNulls = true).over(wFwd))
+      .select(col(keyCol), col("hour"),
+        // deliberately UNROUNDED: the four IEEE ops on identical inputs
+        // are bit-identical across engines, while decimal ROUND
+        // functions disagree exactly at the .5 ties midpoint
+        // interpolation mass-produces (half-up on the decimal string vs
+        // round of the scaled binary double)
+        when(col("obs_value").isNotNull, col("obs_value"))
+          .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
+            ((col("__h") - col("__ph")).cast("double") /
+              (col("__nh") - col("__ph")).cast("double"))).as("value"),
+        col("obs_value").isNotNull.as("is_observed"))
+  }
+
+  /** Exponentially time-decayed sum/count per key — the "recency-
+    * weighted activity" score behind freshness ranking and decayed
+    * frequency caps. Each event's weight is 0.5^(age-in-whole-weeks at
+    * `refTs`); whole-week integer exponents keep the weight an EXACT
+    * binary double (2⁻ᵏ), so value·weight is a lossless scaling and the
+    * per-term DECIMAL cast makes the aggregate partition-order-
+    * independent — the same determinism contract as the engine's other
+    * money sums.
+    *
+    * Mergeability (the 100 TB property): decayed sums with a shared
+    * reference time merge by plain addition, and a sum referenced at t₁
+    * re-references to t₂ by one multiplication by 0.5^((t₂−t₁)/hl) — so
+    * per-shard/per-day partial sums roll up without reprocessing
+    * history, the same maintenance shape as [[graft.streaming
+    * .EventStreams.mergeRollups]]. */
+  def decayedSum(df: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String, refTs: org.apache.spark.sql.Column,
+                 halfLifeWeeks: Int = 1): DataFrame = {
+    val ageWeeks = ((unix_micros(refTs) - unix_micros(col(tsCol))) /
+      (halfLifeWeeks * 604800000000L)).cast("int")
+    val w = pow(lit(0.5), ageWeeks)
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(w.cast(DecimalType28)).cast("double").as("decayed_n"),
+        sum((col(valueCol) * w).cast(DecimalType28)).cast("double")
+          .as("decayed_sum"))
+  }
+
+  private val DecimalType28 = org.apache.spark.sql.types.DecimalType(28, 10)
+
   /** SCD2 history from an event log: consecutive runs of the same state
     * per key compress to one row with [valid_from, valid_to) bounds;
     * the current state has a NULL valid_to. Deterministic (ts, tie)

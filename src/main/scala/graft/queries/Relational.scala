@@ -873,4 +873,116 @@ object Relational {
       graft.streaming.EventStreams.hourlyRollup(
         ev.filter(col("ts") >= cut))))
   }
+
+  /** Z-order layout keys ([[graft.functions.InterleaveBits]], native
+    * codegen expression `zorder2`): Morton-interleave the two join/filter
+    * dimensions of lineitem into one clustering key, plus the file-bucket
+    * a z-range writer would route each row to. Sorting the table by
+    * `zval` before the parquet sink gives min/max pruning on BOTH
+    * l_orderkey and l_partkey at once — the multi-dimensional layout
+    * optimization a single-column sort cannot provide. Pure per-row bit
+    * math, zero shuffle; the expression stays inside whole-stage
+    * codegen. */
+  def q149ZorderKey(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+        call_function("zorder2",
+          pmod(col("l_orderkey"), lit(65536)).cast("long"),
+          pmod(col("l_partkey"), lit(65536)).cast("long")).as("zval"))
+      .withColumn("zbucket", shiftright(col("zval"), 24))
+
+  /** Blocked fuzzy self-join ([[graft.ops.FuzzyJoin.nearNames]]): part
+    * names within Levenshtein distance 2, blocked on the name's last
+    * token + length band — the record-linkage primitive, O(block²) not
+    * O(n²). The oracle replicates the declared blocking contract (same
+    * last token) with a plain dominance join. */
+  def q150FuzzyNames(s: SparkSession, dir: String): DataFrame =
+    graft.ops.FuzzyJoin.nearNames(
+      Tables.part(s, dir).select(col("p_partkey"), col("p_name")),
+      "p_partkey", "p_name", maxDist = 2)
+
+  /** 2-D skyline ([[graft.ops.Stats.skyline2d]]): per p_type Pareto
+    * frontier of parts — no other part of the same type is both cheaper
+    * (p_retailprice) and larger (p_size). Sort-scan over distinct cost
+    * points vs the oracle's O(n²) NOT EXISTS dominance formulation. */
+  def q151Skyline(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.skyline2d(
+      Tables.part(s, dir).select(col("p_partkey"), col("p_type"),
+        col("p_retailprice"), col("p_size")),
+      "p_type", "p_retailprice", "p_size")
+
+  /** Join-view incremental maintenance ([[graft.ops.Ivm.joinDelta]]):
+    * the revenue-per-priority join view is maintained under an
+    * orders-delta AND a lineitem-delta at once; the query aggregates
+    * exactly the NEW join rows. Oracle = full-recompute aggregate minus
+    * base aggregate — the algebraic ground truth the delta must equal,
+    * bag-exactly. Both delta joins are |Δ|-driven (broadcastable). */
+  def q152JoinDelta(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val items = Tables.lineitem(s, dir)
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    val cutO = lit("2000-01-01").cast(TimestampType)
+    val cutL = lit("2000-06-01").cast(TimestampType)
+    graft.ops.Ivm.joinDelta(
+        orders.filter(col("o_orderdate") < cutO),
+        orders.filter(col("o_orderdate") >= cutO),
+        items.filter(col("l_shipdate") < cutL),
+        items.filter(col("l_shipdate") >= cutL),
+        Seq("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_new"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("rev_new"))
+  }
+
+  /** Linear gap interpolation
+    * ([[graft.ops.TimeSeries.interpolateHourly]]): per-user hourly
+    * series with unobserved hours linearly interpolated between the
+    * surrounding observations — the numeric completion q86's forward
+    * fill approximates with a step function. */
+  def q153Interpolate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TimeSeries.interpolateHourly(
+      graft.core.Tables.events(s, dir), "user_id", "ts", "event_id",
+      "value")
+
+  /** Bitmap-index exact distinct ([[graft.ops.Sketches.bitmapDistinct]]):
+    * distinct users per event type via 64-key bucket bitmasks — the
+    * first shuffle carries one long per (type, bucket) instead of every
+    * key, and the masks merge across shards by bit_or (exact incremental
+    * distinct maintenance). */
+  def q154BitmapDistinct(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.bitmapDistinct(
+      graft.core.Tables.events(s, dir), "event_type", "user_id")
+
+  /** Exact equi-depth histogram ([[graft.ops.Stats.equiDepthHistogram]]):
+    * 8 NTILE buckets over l_extendedprice with bounds — global ranks
+    * from the range-partitioned dense-id path, never a single-partition
+    * window. */
+  def q155EquidepthHist(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.equiDepthHistogram(
+      Tables.lineitem(s, dir)
+        .select(col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber")),
+      "l_extendedprice", Seq("l_orderkey", "l_linenumber"), k = 8)
+
+  /** Exponentially decayed activity ([[graft.ops.TimeSeries.decayedSum]]):
+    * per-type event mass weighted by 0.5^(age-in-weeks) at the stream's
+    * frontier — whole-week exponents keep every weight an exact binary
+    * double, and decimal term accumulation keeps the sums partition-
+    * order-independent. */
+  def q156DecayedSum(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.core.Tables.events(s, dir)
+    // stream frontier as the reference instant — one driver scalar
+    val ref = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    graft.ops.TimeSeries.decayedSum(ev, "event_type", "ts", "value",
+      lit(ref.toString).cast(TimestampType))
+  }
+
+  /** Mergeable HLL distinct rollup ([[graft.ops.Sketches.hllRollup]]):
+    * per-type user-count sketches plus their union. Engine-specific
+    * estimates — gated by HllSketchSpec (error bound vs exact; merge law
+    * union-of-sketches ≡ sketch-of-union), rows-only here. */
+  def q157HllRollup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.hllRollup(
+      graft.core.Tables.events(s, dir), "event_type", "user_id")
 }

@@ -173,4 +173,51 @@ class SketchesSpec extends SparkSpecBase {
     val r = Sketches.kmvDistinct(df, "grp", col("h"), 8).head()
     assert(r.isNullAt(1) && r.getInt(2) == 5 && r.getLong(3) == 5L)
   }
+
+  test("bitmapDistinct: exact counts incl. word-boundary keys and bit 63") {
+    import spark.implicits._
+    // keys straddle bucket edges (63|64, 127|128) and exercise the sign
+    // bit (63 mod 64 = 63 → 1L << 63 wraps negative; popcount must
+    // still count it)
+    val keys = Seq(0L, 1L, 63L, 63L, 64L, 127L, 128L, 500L, 500L)
+    val df = keys.map(("g", _)).toDF("grp", "k")
+      .unionByName(Seq(("h", 63L)).toDF("grp", "k"))
+    val got = Sketches.bitmapDistinct(df, "grp", "k")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // g buckets: {0 (keys 0,1,63), 1 (64,127), 2 (128), 7 (500)}
+    assert(got("g") == ((4L, 7L)))
+    assert(got("h") == ((1L, 1L)))
+  }
+
+  test("bitmapDistinct matches count(distinct) and nulls are skipped") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 2000).map(i =>
+      (s"g${i % 4}", if (i % 97 == 0) None else Some(rnd.nextInt(400).toLong)))
+    val df = rows.toDF("grp", "k")
+    val got = Sketches.bitmapDistinct(df, "grp", "k")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val expected = rows.collect { case (g, Some(k)) => (g, k) }
+      .distinct.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(got == expected)
+  }
+
+  test("hllRollup: bounded relative error and exact union merge law") {
+    import spark.implicits._
+    val df = (1 to 30000).map(i => (s"s${i % 3}", (i % 9000).toLong))
+      .toDF("grp", "k")
+    val got = Sketches.hllRollup(df, "grp", "k")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // per-group exacts: each group holds 3000 distinct; union = 9000
+    for (g <- Seq("s0", "s1", "s2"))
+      assert(math.abs(got(g) - 3000.0) / 3000.0 < 0.05, s"$g -> ${got(g)}")
+    assert(math.abs(got("__all__") - 9000.0) / 9000.0 < 0.05, got("__all__"))
+    // merge law: union-of-sketches ≡ sketch-of-union — same estimate,
+    // EXACTLY (both paths see the same key set)
+    val direct = df.select(lit("all").as("grp"), col("k"))
+    val directEst = Sketches.hllRollup(direct, "grp", "k")
+      .filter(col("grp") === "all").head().getLong(1)
+    assert(got("__all__") == directEst)
+  }
 }

@@ -111,4 +111,63 @@ class StatsSpec extends SparkSpecBase {
     assert(math.abs(drift.values.sum - 0.75) < 1e-9, drift.toString)
     assert(drift(3L) > 0.3) // the receiving bucket carries the mass
   }
+
+  test("skyline2d equals the O(n²) dominance definition on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 300).map(i =>
+      (i.toLong, s"g${i % 3}", (rnd.nextInt(40) / 4.0), rnd.nextInt(30)))
+    val df = rows.toDF("id", "grp", "cost", "value")
+    val got = Stats.skyline2d(df, "grp", "cost", "value")
+      .select("id").as[Long].collect().toSet
+    val expected = rows.filter { case (_, g, c, v) =>
+      !rows.exists { case (_, g2, c2, v2) =>
+        g2 == g && c2 <= c && v2 >= v && (c2 < c || v2 > v) }
+    }.map(_._1).toSet
+    assert(got == expected)
+  }
+
+  test("skyline2d keeps exact-duplicate frontier points (no strict " +
+      "dominator exists for either copy)") {
+    import spark.implicits._
+    val df = Seq((1L, "g", 1.0, 10), (2L, "g", 1.0, 10), (3L, "g", 2.0, 10),
+      (4L, "g", 0.5, 5)).toDF("id", "grp", "cost", "value")
+    val got = Stats.skyline2d(df, "grp", "cost", "value")
+      .select("id").as[Long].collect().toSet
+    // 3 is dominated (same value, higher cost); 4 survives (cheapest);
+    // both duplicates at (1.0, 10) survive
+    assert(got == Set(1L, 2L, 4L))
+  }
+
+  test("equiDepthHistogram follows the NTILE split law exactly") {
+    import spark.implicits._
+    // n = 19, k = 8: base 2, rem 3 → buckets 1-3 hold 3 rows, 4-8 hold 2
+    val df = (1 to 19).map(i => (i * 1.5, i.toLong, i)).toDF("v", "o", "l")
+    val got = Stats.equiDepthHistogram(df, "v", Seq("o", "l"), 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet == (1L to 8L).toSet)
+    assert((1L to 3L).forall(got(_)._1 == 3L))
+    assert((4L to 8L).forall(got(_)._1 == 2L))
+    assert(got.values.map(_._1).sum == 19L)
+    // bounds tile the sorted domain without overlap
+    val ordered = (1L to 8L).map(got)
+    assert(ordered.head._2 == 1.5 && ordered.last._3 == 19 * 1.5)
+    ordered.sliding(2).foreach { case Seq(a, b) => assert(a._3 < b._2) }
+  }
+
+  test("equiDepthHistogram is partition-invariant and handles n < k") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => ((i * 37 % 100).toDouble, i.toLong, i))
+      .toDF("v", "o", "l")
+    val a = Stats.equiDepthHistogram(df, "v", Seq("o", "l"), 7)
+      .collect().map(_.toSeq).toSet
+    val b = Stats.equiDepthHistogram(df.repartition(13), "v",
+      Seq("o", "l"), 7).collect().map(_.toSeq).toSet
+    assert(a == b)
+    val tiny = Seq((1.0, 1L, 1), (2.0, 2L, 2)).toDF("v", "o", "l")
+    val t = Stats.equiDepthHistogram(tiny, "v", Seq("o", "l"), 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t == Map(1L -> 1L, 2L -> 1L)) // n < k: one row per bucket
+  }
 }

@@ -110,4 +110,62 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(got.toSeq == Seq((1L, ts("2024-01-01 02:30:01"), 7201L)),
       got.mkString(","))
   }
+
+  test("interpolateHourly: exact linear values across the gap, observed " +
+      "hours pass through") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:10:00"), 1L, Some(10.0)),
+      (1L, ts("2024-01-01 04:20:00"), 2L, Some(18.0)), // 4h gap → 3 interp
+      (1L, ts("2024-01-01 04:40:00"), 3L, Some(20.0)), // same hour, later
+      (1L, ts("2024-01-01 02:00:00"), 4L, None))       // null: not an obs
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = TimeSeries.interpolateHourly(ev, "user_id", "ts",
+        "event_id", "value")
+      .orderBy("hour")
+      .collect().map(r => (r.getTimestamp(1).toString.take(13),
+        r.getDouble(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01 00", 10.0, true),
+      ("2024-01-01 01", 12.5, false),
+      ("2024-01-01 02", 15.0, false), // null row claims nothing
+      ("2024-01-01 03", 17.5, false),
+      ("2024-01-01 04", 20.0, true))) // latest (ts, tie) in hour wins
+  }
+
+  test("interpolateHourly spine is bounded by observed hours per key") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 05:00:00"), 1L, Some(1.0)),
+      (2L, ts("2024-01-01 00:00:00"), 2L, Some(2.0)),
+      (2L, ts("2024-01-01 01:00:00"), 3L, Some(4.0)))
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = TimeSeries.interpolateHourly(ev, "user_id", "ts",
+        "event_id", "value")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString))
+    assert(got.length == 3) // 1 hour for key 1, 2 hours for key 2
+  }
+
+  test("decayedSum: exact whole-week halving and merge-by-rescale law") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ref = lit("2024-01-29 00:00:00").cast("timestamp")
+    val ev = Seq(
+      ("a", ts("2024-01-28 23:59:59"), Some(8.0)),  // age 0 wk → w=1
+      ("a", ts("2024-01-21 12:00:00"), Some(8.0)),  // age 1 wk → w=0.5
+      ("a", ts("2024-01-08 00:00:01"), Some(8.0)),  // age 2 wk → w=0.25
+      ("a", ts("2024-01-01 00:00:00"), None))       // null value excluded
+      .toDF("event_type", "ts", "value")
+    val r = TimeSeries.decayedSum(ev, "event_type", "ts", "value", ref)
+      .head()
+    assert(r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 1.75)        // 1 + 0.5 + 0.25
+    assert(r.getDouble(3) == 8.0 * 1.75)  // exact: 2^-k scaling
+    // merge law: a sum referenced 1 week earlier re-references by ×0.5
+    val older = TimeSeries.decayedSum(ev, "event_type", "ts", "value",
+      lit("2024-02-05 00:00:00").cast("timestamp")).head()
+    assert(older.getDouble(3) == r.getDouble(3) * 0.5)
+  }
 }
