@@ -198,6 +198,15 @@ object SparkEntry {
     // spec-gated (HllSketchSpec): DataSketches estimates have no DuckDB
     // twin — gated on error-vs-exact and the union merge law instead
     "q157_hll_rollup"        -> Relational.q157HllRollup _,
+    // evaluation + graph + exact-similarity batch (round 5)
+    "q158_auc"               -> TextQueries.qAuc _,
+    "q159_calibration"       -> TextQueries.qCalibration _,
+    "q160_transitions"       -> Relational.q160Transitions _,
+    "q161_pagerank"          -> TextQueries.qPageRank _,
+    "q162_setsim_join"       -> TextQueries.qSetSimJoin _,
+    "q163_sorted_blocks"     -> TextQueries.qSortedBlocks _,
+    "q164_skipgrams"         -> TextQueries.qSkipgrams _,
+    "q165_welch_ab"          -> Relational.q165WelchAb _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */
@@ -941,5 +950,55 @@ object SparkEntry {
         |  CAST(SUM(CAST(value * wt AS DECIMAL(28,10))) AS DOUBLE)
         |    AS decayed_sum
         |FROM w GROUP BY event_type""".stripMargin,
+
+    "q160_transitions" ->
+      """WITH s AS (SELECT user_id, event_type AS from_state,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_state
+        |  FROM events),
+        |c AS (SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM s WHERE to_state IS NOT NULL
+        |      GROUP BY from_state, to_state)
+        |SELECT from_state, to_state, n,
+        |  ROUND(CAST(n AS DOUBLE) /
+        |        SUM(n) OVER (PARTITION BY from_state), 6) AS prob
+        |FROM c""".stripMargin,
+
+    // arm assignment = the q92 split-hash convention (seed 13); all
+    // accumulation decimal-exact, float ops only in the final readout
+    "q165_welch_ab" -> {
+      val hv = graft.queries.TextOracles.H("CAST(user_id AS VARCHAR) || '#13'")
+      s"""WITH e AS (SELECT event_type, value,
+         |    CASE WHEN ($hv * 2654435761 % 1000000007) % 1000000 < 500000
+         |         THEN 0 ELSE 1 END AS arm
+         |  FROM events WHERE value IS NOT NULL),
+         |a AS (SELECT event_type,
+         |    COUNT(*) FILTER (arm = 0) AS n0,
+         |    COUNT(*) FILTER (arm = 1) AS n1,
+         |    SUM(CAST(value AS DECIMAL(18,4))) FILTER (arm = 0) AS s0,
+         |    SUM(CAST(value AS DECIMAL(18,4))) FILTER (arm = 1) AS s1,
+         |    SUM(CAST(CAST(value AS DECIMAL(18,4))
+         |             * CAST(value AS DECIMAL(18,4)) AS DECIMAL(38,8)))
+         |      FILTER (arm = 0) AS q0,
+         |    SUM(CAST(CAST(value AS DECIMAL(18,4))
+         |             * CAST(value AS DECIMAL(18,4)) AS DECIMAL(38,8)))
+         |      FILTER (arm = 1) AS q1
+         |  FROM e GROUP BY event_type),
+         |d AS (SELECT event_type, n0, n1,
+         |    CAST(s0 AS DOUBLE) / n0 AS m0, CAST(s1 AS DOUBLE) / n1 AS m1,
+         |    (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+         |       / n0) / (n0 - 1) / n0 AS se0,
+         |    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+         |       / n1) / (n1 - 1) / n1 AS se1
+         |  FROM a)
+         |SELECT event_type, n0, n1,
+         |  ROUND(m0, 6) AS mean0, ROUND(m1, 6) AS mean1,
+         |  ROUND(m0 - m1, 6) AS mean_diff,
+         |  ROUND((m0 - m1) / sqrt(se0 + se1), 4) AS t_stat,
+         |  ROUND(power(se0 + se1, 2) /
+         |        (power(se0, 2) / (n0 - 1) + power(se1, 2) / (n1 - 1)), 2)
+         |    AS welch_df
+         |FROM d""".stripMargin
+    },
   )
 }

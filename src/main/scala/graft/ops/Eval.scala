@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Classifier / experiment evaluation over a scored corpus — the readout
+  * side of the curation loop (quality filters, lang-id, mix policies all
+  * produce scores; these operators grade them). Reference analogue: the
+  * reference's QC layer is row-count reconciliation
+  * (`etl_pipeline/etl_main.py` verification queries); a training-data
+  * pipeline additionally needs ranking metrics (AUC), calibration
+  * diagnostics, and experiment significance readouts, so they are
+  * first-class here.
+  *
+  * Everything is built to hold at 100 TB:
+  *   - AUC never sorts rows globally: it aggregates to DISTINCT SCORES
+  *     first (bounded by the score expression's value domain, ≪ corpus),
+  *     then runs the rank arithmetic on that aggregate — the window
+  *     scans score-domain-sized partitions, not the corpus.
+  *   - All accumulation is integer or decimal (exact, order-invariant);
+  *     doubles appear only in final per-group divisions, so results are
+  *     bit-stable under any partitioning and match a single-threaded
+  *     oracle.
+  */
+object Eval {
+
+  /** Tie-aware Mann–Whitney AUC of `scoreCol` ranking `labelCol` (0/1)
+    * within each `groupCol` stratum.
+    *
+    * Exact rank form: with P positives, N negatives, and for each
+    * distinct score s: p_s positives, n_s negatives, and cumNBelow_s =
+    * Σ n_t for t < s,
+    *   2·U = Σ_s p_s · (2·cumNBelow_s + n_s)
+    * (each positive beats every strictly-lower negative and half-beats
+    * same-score negatives), AUC = 2U / (2·P·N). 2U stays integral, so
+    * the only float op is the final division.
+    *
+    * Plan: hash-agg to (group, score) → window over distinct scores
+    * (partitioned by group — never a global sort of raw rows) → hash-agg
+    * to group. Strata with no positives or no negatives yield NULL auc
+    * rather than a division error. */
+  def rankAuc(df: DataFrame, groupCol: String, scoreCol: String,
+              labelCol: String): DataFrame = {
+    val byScore = df.groupBy(col(groupCol), col(scoreCol))
+      .agg(sum(col(labelCol)).cast("long").as("p"),
+        (count(lit(1)) - sum(col(labelCol))).cast("long").as("n"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("cum_n_below", coalesce(sum(col("n")).over(w), lit(0L)))
+      .groupBy(col(groupCol))
+      .agg(sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"),
+        sum(col("p") * (lit(2L) * col("cum_n_below") + col("n"))).as("u2"))
+      .withColumn("auc",
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("u2").cast(DoubleType) /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 6)))
+  }
+
+  /** Reliability-diagram bins: split a [0,1] `scoreCol` into `k`
+    * equal-width bins and report, per bin, the row count, the mean
+    * score, and the empirical positive rate of `labelCol` — the
+    * calibration readout for any probability-shaped quality signal.
+    *
+    * Mean-score accumulation goes through DECIMAL(18,6) (exact,
+    * order-invariant sums); the per-bin divisions at the end are the
+    * only float ops. One hash aggregation, k rows out. */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+                      k: Int = 10): DataFrame =
+    df.select(
+        least(floor(col(scoreCol) * k), lit(k - 1)).cast("long").as("bin"),
+        col(scoreCol).cast(DecimalType(18, 6)).as("s"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        // cast the EXACT decimal sum to double BEFORE dividing: decimal
+        // division rounding rules differ across engines, double division
+        // of identical inputs doesn't
+        round(sum(col("s")).cast(DoubleType) / count(lit(1)), 6)
+          .as("avg_score"),
+        round(sum(col("y")).cast(DoubleType) / count(lit(1)), 6)
+          .as("pos_rate"))
+
+  /** Welch's two-sample t statistic per `groupCol`, comparing
+    * `metricCol` between the two arms of `armCol` (must be 0/1 — e.g. a
+    * deterministic hash-split assignment). Returns per-group counts,
+    * means, the mean difference (arm0 − arm1), and the t statistic with
+    * Welch–Satterthwaite degrees of freedom.
+    *
+    * Sums and sums-of-squares accumulate as DECIMAL (exact at any
+    * partitioning; the metric is cast to DECIMAL(18,4) first, the same
+    * convention the relational money aggregates use), so mean/variance
+    * inputs are bit-identical to a serial oracle before the final float
+    * divisions. One hash aggregation; output is one row per group. */
+  def welchTwoSample(df: DataFrame, groupCol: String, armCol: String,
+                     metricCol: String): DataFrame = {
+    val m = col(metricCol).cast(DecimalType(18, 4))
+    def armAgg(arm: Int, out: String): Seq[(String, Column)] = Seq(
+      s"n$out" -> count(when(col(armCol) === arm, lit(1))),
+      s"sum$out" -> sum(when(col(armCol) === arm, m)),
+      s"sq$out" -> sum(when(col(armCol) === arm, (m * m).cast(DecimalType(38, 8)))))
+    val aggs = (armAgg(0, "0") ++ armAgg(1, "1")).map { case (n, c) => c.as(n) }
+    val a = df.filter(col(metricCol).isNotNull)
+      .groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    def mean(s: String, n: String) = col(s).cast(DoubleType) / col(n)
+    // unbiased variance from exact sums: (Σx² − (Σx)²/n) / (n−1)
+    def variance(s: String, q: String, n: String) =
+      (col(q).cast(DoubleType) -
+        col(s).cast(DoubleType) * col(s).cast(DoubleType) / col(n)) /
+        (col(n) - 1)
+    val v0 = variance("sum0", "sq0", "n0")
+    val v1 = variance("sum1", "sq1", "n1")
+    val se0 = v0 / col("n0")
+    val se1 = v1 / col("n1")
+    a.select(col(groupCol),
+      col("n0"), col("n1"),
+      round(mean("sum0", "n0"), 6).as("mean0"),
+      round(mean("sum1", "n1"), 6).as("mean1"),
+      round(mean("sum0", "n0") - mean("sum1", "n1"), 6).as("mean_diff"),
+      round((mean("sum0", "n0") - mean("sum1", "n1")) / sqrt(se0 + se1), 4)
+        .as("t_stat"),
+      round(pow(se0 + se1, 2) /
+        (pow(se0, 2) / (col("n0") - 1) + pow(se1, 2) / (col("n1") - 1)), 2)
+        .as("welch_df"))
+  }
+
+  /** First-order Markov transition matrix over per-key event sequences:
+    * for each key's events ordered by `orderCols`, count (state → next
+    * state) transitions and attach the per-source-state transition
+    * probability. The window partitions by key — state never leaves its
+    * key's partition, so the shape scales with keys, not with a global
+    * sort. Probability = n / Σn over the source state, computed from two
+    * hash aggregations (transition counts, then a window over the
+    * STATE-DOMAIN-sized aggregate). */
+  def transitionMatrix(df: DataFrame, keyCol: String, stateCol: String,
+                       orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val trans = df
+      .select(col(keyCol), col(stateCol).as("from_state"),
+        lead(col(stateCol), 1).over(w).as("to_state"))
+      .filter(col("to_state").isNotNull)
+      .groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val wSrc = Window.partitionBy(col("from_state"))
+    trans.withColumn("prob",
+      round(col("n").cast(DoubleType) / sum(col("n")).over(wSrc), 6))
+  }
+}

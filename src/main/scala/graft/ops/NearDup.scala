@@ -556,4 +556,91 @@ object NearDup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** EXACT Jaccard-threshold self-join via prefix filtering (the
+    * AllPairs/PPJoin family) — the deterministic alternative to the LSH
+    * cascade: zero false negatives by construction, so it is the tier to
+    * reach for when a dedup pass must be auditable ("every pair ≥ t IS
+    * in the output", no recall argument required).
+    *
+    * Prefix-filter principle: order each doc's shingle set by GLOBAL
+    * document frequency ascending (rarest first, hash tiebreak); two
+    * sets with |A∩B|/|A∪B| ≥ t must share at least one element within
+    * each other's first `|X| − ⌈t·|X|⌉ + 1` elements. So only prefix
+    * shingles are emitted to the bucket join — the frequent-shingle
+    * tail (the quadratic blowup in a naive shared-element join) never
+    * generates candidates. A size filter (⌈t·|A|⌉ ≤ |B| ≤ ⌊|A|/t⌋)
+    * prunes length-incompatible pairs before verification.
+    *
+    * Plan shape: distinct shingles (persisted — referenced by the DF
+    * aggregate, the prefix ranking, and the verify join) → vocabulary-
+    * sized DF aggregate joined back → per-doc rank window (partitioned
+    * by doc, never global) → prefix bucket self-join → exact-intersection
+    * verify in a (doc, hash) join, per-pair work |A∩B|. Candidate volume
+    * is prefix-bounded, not corpus-quadratic; every stage is a hash
+    * shuffle on keys that shrink with rarity. */
+  def setSimJoin(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1], got $threshold")
+    val sh = shingleRows(docs, idCol, textCol, n).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count() // eager stage boundary: three consumers below
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("df").asc, col("h").asc)
+    val ranked = sh.join(dfreq, "h")
+      .select(col(idCol), col("h"),
+        row_number().over(w).as("pos"),
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col(idCol)))
+          .as("sz"))
+    // prefix length |X| − ⌈t·|X|⌉ + 1
+    val prefix = ranked
+      .filter(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col(idCol), col("h"), col("sz"))
+    val cand = prefix.select(col("h"), col(idCol).as("doc_a"),
+        col("sz").as("sz_a"))
+      .join(prefix.select(col("h"), col(idCol).as("doc_b"),
+        col("sz").as("sz_b")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      // size filter: t·max ≤ min  ⇔  both bounds at once
+      .filter(greatest(col("sz_a"), col("sz_b")) * threshold <=
+        least(col("sz_a"), col("sz_b")))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    jaccard(cand, sh, idCol, restrictToPairDocs = true)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+  }
+
+  /** Sorted-neighborhood blocking (Hernández–Stolfo): sort within each
+    * block and emit every pair at sort distance ≤ `w` — the classic
+    * entity-resolution candidate generator for "near in an ordering"
+    * similarity (here: size-adjacent docs of the same language, a cheap
+    * complement to content-based LSH blocking; real deployments sort on
+    * normalized names/addresses the same way).
+    *
+    * The window partitions by the block key — the sort is per-block,
+    * never global. At 100 TB the block key must also bound block size
+    * (e.g. (lang, size-bucket) with a w-row boundary overlap via a
+    * shifted second pass); with language-sized blocks the range
+    * partitioner inside the window exchange spreads rows, and w leads
+    * per row keep state O(w). Emits (id_a, id_b, block, sort-gap). */
+  def sortedNeighborhood(df: DataFrame, idCol: String, blockCol: String,
+                         sortCol: String, w: Int): DataFrame = {
+    require(w >= 1, s"window must be >= 1, got $w")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(blockCol)).orderBy(col(sortCol).asc, col(idCol).asc)
+    val leads = (1 to w).flatMap(i => Seq(
+      lead(col(idCol), i).over(win).as(s"id_$i"),
+      lead(col(sortCol), i).over(win).as(s"sv_$i")))
+    val base = df.select(
+      Seq(col(idCol), col(blockCol), col(sortCol)) ++ leads: _*)
+    val pairs = (1 to w).map(i =>
+      base.filter(col(s"id_$i").isNotNull).select(
+        col(idCol).as("id_a"), col(s"id_$i").as("id_b"),
+        col(blockCol).as("block"),
+        (col(s"sv_$i") - col(sortCol)).as("sort_gap")))
+    pairs.reduce(_ unionByName _)
+  }
 }

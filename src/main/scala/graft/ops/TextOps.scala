@@ -686,4 +686,26 @@ object TextOps {
       when(b.getField("score") > a.getField("score"), b).otherwise(a))
     best.getField("lang")
   }
+
+  /** Skip-gram co-occurrence counts — the (center, context) pair stream
+    * word2vec-style embedding training consumes. Counts every unordered
+    * token co-occurrence within `window` positions, emitted in both
+    * directions (the symmetric-context convention).
+    *
+    * Pair generation is entirely SCAN-SIDE: a nested array transform
+    * (for token i, pair with tokens i+1 … i+window via `slice`) builds
+    * each row's forward pairs in one codegen'd expression — no
+    * posexplode + positional self-join, which would shuffle the token
+    * stream and join it to itself (the naive shape's cost is corpus-
+    * sized exchange × window; this shape's is zero exchanges before the
+    * count aggregation). The groupBy then aggregates to the pair
+    * VOCABULARY (|V|² bounded, ≪ corpus at scale), map-side combined.
+    * `docsCol` MUST be a projected token-array column (same O(tokens²)
+    * re-evaluation hazard as [[bigramsFromTokens]]). */
+  def skipgramPairsFromTokens(t: Column, window: Int): Column = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    flatten(transform(t, (tok, i) =>
+      transform(slice(t, i + 2, lit(window)),
+        ctx => struct(tok.as("a"), ctx.as("b")))))
+  }
 }

@@ -985,4 +985,29 @@ object Relational {
   def q157HllRollup(s: SparkSession, dir: String): DataFrame =
     graft.ops.Sketches.hllRollup(
       graft.core.Tables.events(s, dir), "event_type", "user_id")
+
+  /** q160: first-order Markov transition matrix over per-user event
+    * sequences ([[graft.ops.Eval.transitionMatrix]]) — the "what happens
+    * next" readout behind funnel design and bot detection. Windows
+    * partition by user; the probability normalization runs on the
+    * state-domain-sized aggregate. */
+  def q160Transitions(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.transitionMatrix(
+      graft.core.Tables.events(s, dir), "user_id", "event_type",
+      Seq("ts", "event_id"))
+
+  /** q165: A/B experiment readout — deterministic hash-split of users
+    * into two arms (the q92 split-hash convention, seed 13), then
+    * Welch's t per event type on `value`
+    * ([[graft.ops.Eval.welchTwoSample]]; decimal-exact sums, one hash
+    * aggregation). The synthetic metric is arm-independent by
+    * construction, so |t| should hover near 0 — the gate is the exact
+    * arithmetic, and the spec covers a planted true effect. */
+  def q165WelchAb(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.core.Tables.events(s, dir)
+      .withColumn("arm",
+        when(graft.ops.Sampling.sampleHash(col("user_id"), 13L) <
+          500000L, 0).otherwise(1))
+    graft.ops.Eval.welchTwoSample(ev, "event_type", "arm", "value")
+  }
 }

@@ -1417,5 +1417,150 @@ object TextOracles {
          |JOIN sizes za ON za.doc_id = i.doc_a
          |JOIN sizes zb ON zb.doc_id = i.doc_b
          |WHERE i.inter > 0""".stripMargin,
+
+    "q158_auc" ->
+      s"""WITH sc AS (SELECT source,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         |    CASE WHEN len(tk) = 0 THEN 0.0
+         |         ELSE CAST(len(list_filter(tk, t -> t IN ($stopwords)))
+         |              AS DOUBLE) / len(tk) END AS score
+         |  FROM (SELECT source, lang, $Tk AS tk FROM documents) t),
+         |g AS (SELECT source, score, CAST(SUM(y) AS BIGINT) AS p,
+         |        CAST(COUNT(*) - SUM(y) AS BIGINT) AS n
+         |      FROM sc GROUP BY source, score),
+         |w AS (SELECT source, p, n,
+         |        COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY score
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS cb
+         |      FROM g)
+         |SELECT source, CAST(SUM(p) AS BIGINT) AS n_pos,
+         |  CAST(SUM(n) AS BIGINT) AS n_neg,
+         |  CAST(SUM(p * (2 * cb + n)) AS BIGINT) AS u2,
+         |  CASE WHEN SUM(p) > 0 AND SUM(n) > 0
+         |       THEN ROUND(CAST(SUM(p * (2 * cb + n)) AS DOUBLE)
+         |                  / (2.0 * SUM(p) * SUM(n)), 6) END AS auc
+         |FROM w GROUP BY source""".stripMargin,
+
+    "q159_calibration" ->
+      s"""WITH sc AS (SELECT
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         |    CASE WHEN len(tk) = 0 THEN 0.0
+         |         ELSE CAST(len(list_filter(tk, t -> t IN ($stopwords)))
+         |              AS DOUBLE) / len(tk) END AS score
+         |  FROM (SELECT lang, $Tk AS tk FROM documents) t)
+         |SELECT CAST(LEAST(FLOOR(score * 10), 9) AS BIGINT) AS bin,
+         |  COUNT(*) AS n,
+         |  ROUND(CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE)
+         |        / COUNT(*), 6) AS avg_score,
+         |  ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS pos_rate
+         |FROM sc GROUP BY bin""".stripMargin,
+
+    "q161_pagerank" -> {
+      // unrolled 8-iteration scaled-integer power method — recursive
+      // CTEs can't re-aggregate per round, so the oracle spells each
+      // round out; same `div` arithmetic as Graph.pageRankScaled
+      // every round CTE is MATERIALIZED: DuckDB inlines plain CTEs, so
+      // round k would otherwise expand round k−1 three times (contrib,
+      // dangling, rank join) — exponential plan growth that exhausts
+      // file handles re-opening the parquet scan; materialization makes
+      // the unrolled chain linear, mirroring the Spark side's
+      // per-round localCheckpoint
+      val iters = (1 to 8).map { i =>
+        val prev = s"r${i - 1}"
+        s"""c$i AS MATERIALIZED (
+           |  SELECT e.dst AS id, SUM(p.r // d.outdeg) AS in_sum
+           |  FROM $prev p JOIN deg d ON d.id = p.id AND d.outdeg > 0
+           |  JOIN edges e ON e.src = p.id GROUP BY e.dst),
+           |g$i AS MATERIALIZED (
+           |  SELECT COALESCE(SUM(p.r), 0) AS ds FROM $prev p
+           |  JOIN deg d ON d.id = p.id AND d.outdeg = 0),
+           |r$i AS MATERIALIZED (SELECT d.id,
+           |    (15 * ((SELECT s FROM sn) // (SELECT n FROM nn))
+           |     + 85 * (COALESCE(c.in_sum, 0)
+           |             + (SELECT ds FROM g$i) // (SELECT n FROM nn)))
+           |    // 100 AS r
+           |  FROM deg d LEFT JOIN c$i c ON c.id = d.id)""".stripMargin
+      }.mkString(",\n")
+      s"""$MinhashCtes,
+         |bands AS (SELECT doc_id, i // 4 AS band,
+         |            string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS band_sig
+         |          FROM mh GROUP BY doc_id, i // 4),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b
+         |            ON a.band = b.band AND a.band_sig = b.band_sig
+         |           AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shx GROUP BY doc_id),
+         |inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
+         |          FROM pairs p
+         |          JOIN shx sa ON sa.doc_id = p.doc_a
+         |          JOIN shx sb ON sb.doc_id = p.doc_b AND sa.h = sb.h
+         |          GROUP BY p.doc_a, p.doc_b),
+         |verified AS (SELECT i.doc_a, i.doc_b
+         |             FROM inter i
+         |             JOIN sizes za ON za.doc_id = i.doc_a
+         |             JOIN sizes zb ON zb.doc_id = i.doc_b
+         |             WHERE CAST(i.inter AS DOUBLE)
+         |                   / (za.sz + zb.sz - i.inter) >= 0.3),
+         |edges AS MATERIALIZED (
+         |  SELECT DISTINCT doc_b AS src, doc_a AS dst FROM verified),
+         |nodes AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM edges UNION SELECT dst FROM edges) u),
+         |deg AS MATERIALIZED (
+         |  SELECT n.id, COALESCE(o.outdeg, 0) AS outdeg
+         |  FROM nodes n LEFT JOIN (SELECT src AS id, COUNT(*) AS outdeg
+         |                          FROM edges GROUP BY src) o USING (id)),
+         |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM deg),
+         |sn AS (SELECT CAST(1000000000000 AS BIGINT) AS s),
+         |r0 AS MATERIALIZED (
+         |  SELECT id, (SELECT s FROM sn) // (SELECT n FROM nn) AS r
+         |  FROM deg),
+         |$iters
+         |SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_scaled
+         |FROM r8""".stripMargin
+    },
+
+    "q162_setsim_join" ->
+      s"""$ShingleCtes,
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shx GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |            COUNT(*) AS inter
+         |          FROM shx a JOIN shx b
+         |            ON a.h = b.h AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id)
+         |SELECT i.doc_a, i.doc_b, CAST(i.inter AS BIGINT) AS inter,
+         |  ROUND(CAST(i.inter AS DOUBLE)
+         |        / (za.sz + zb.sz - i.inter), 6) AS jaccard
+         |FROM inter i
+         |JOIN sizes za ON za.doc_id = i.doc_a
+         |JOIN sizes zb ON zb.doc_id = i.doc_b
+         |WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter)
+         |      >= 0.5""".stripMargin,
+
+    "q163_sorted_blocks" -> {
+      val leads = (1 to 3).map(i =>
+        s"""lead(doc_id, $i) OVER w AS id_$i,
+           |  lead(n_chars, $i) OVER w AS sv_$i""".stripMargin).mkString(",\n  ")
+      val arms = (1 to 3).map(i =>
+        s"""SELECT doc_id AS id_a, id_$i AS id_b, lang AS block,
+           |  sv_$i - n_chars AS sort_gap FROM s
+           |WHERE id_$i IS NOT NULL""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH s AS (SELECT doc_id, lang, n_chars,
+         |  $leads
+         |  FROM documents
+         |  WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id))
+         |$arms""".stripMargin
+    },
+
+    "q164_skipgrams" ->
+      s"""WITH tok0 AS (SELECT doc_id, $Tk AS tk FROM documents),
+         |tokx AS (SELECT doc_id, unnest(tk) AS tok,
+         |           unnest(range(1, len(tk) + 1)) AS pos FROM tok0),
+         |p AS (SELECT a.tok AS center, b.tok AS context
+         |      FROM tokx a JOIN tokx b
+         |        ON a.doc_id = b.doc_id AND a.pos <> b.pos
+         |       AND abs(a.pos - b.pos) <= 2)
+         |SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM p GROUP BY center, context
+         |ORDER BY n DESC, center ASC, context ASC LIMIT 30""".stripMargin,
   )
 }

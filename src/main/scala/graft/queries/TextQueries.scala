@@ -1085,4 +1085,87 @@ object TextQueries {
         col("r_len") && col("r_wordlen") && col("r_punct") &&
           col("r_maxtok"))
   }
+
+  /** q158: per-source AUC of the stopword-ratio quality signal ranking
+    * lang='en' — grading a curation score as a classifier
+    * ([[graft.ops.Eval.rankAuc]]; tie-aware Mann–Whitney, integer rank
+    * arithmetic, no global row sort). The corpus' vocabulary is shared
+    * across langs by construction, so the honest readout is ≈0.5 —
+    * the operator's exactness, not the signal's strength, is what's
+    * gated. */
+  def qAuc(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir).select(col("source"),
+      TextOps.wordSetRatio(TextOps.tokens(col("text")), TextOps.Stopwords)
+        .as("score"),
+      when(col("lang") === "en", 1).otherwise(0).as("y"))
+    graft.ops.Eval.rankAuc(scored, "source", "score", "y")
+      .select(col("source"), col("n_pos"), col("n_neg"), col("u2"),
+        col("auc"))
+  }
+
+  /** q159: reliability-diagram bins of the stopword-ratio signal against
+    * lang='en' ([[graft.ops.Eval.calibrationBins]], 10 equal-width bins,
+    * decimal-exact mean accumulation). */
+  def qCalibration(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir).select(
+      TextOps.wordSetRatio(TextOps.tokens(col("text")), TextOps.Stopwords)
+        .as("score"),
+      when(col("lang") === "en", 1).otherwise(0).as("y"))
+    graft.ops.Eval.calibrationBins(scored, "score", "y", 10)
+  }
+
+  /** q161: PageRank over the duplication-provenance graph — verified
+    * near-dup pairs (q28's cascade, ≥0.3) as DIRECTED edges newer-doc →
+    * older-doc ("copied from"), so rank accumulates on the canonical
+    * sources copies point at. Originals have no out-edges, which makes
+    * the dangling-mass machinery live, not decorative. Scaled-integer
+    * fixpoint ([[graft.ops.Graph.pageRankScaled]]); output is the exact
+    * BIGINT rank. */
+  def qPageRank(s: SparkSession, dir: String): DataFrame = {
+    val edges = verifiedNearDupPairs(s, dir)
+      // doc ids are assigned in generation order: doc_b (larger id) is
+      // the later copy, edge points back at its source doc_a
+      .select(col("doc_b").as("src"), col("doc_a").as("dst"))
+    graft.ops.Graph.pageRankScaled(edges, "src", "dst", iters = 8)
+      .select(col("id").as("doc_id"), col("rank_scaled"))
+  }
+
+  /** q162: exact Jaccard-threshold self-join via prefix filtering
+    * ([[NearDup.setSimJoin]]) — the zero-false-negative dedup tier; the
+    * DuckDB oracle computes the UNFILTERED all-pairs join, so the
+    * compare proves the prefix filter is lossless, which is the entire
+    * point of the algorithm. */
+  def qSetSimJoin(s: SparkSession, dir: String): DataFrame =
+    NearDup.setSimJoin(Tables.documents(s, dir), "doc_id", "text",
+        ShingleN, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        round(col("jaccard"), 6).as("jaccard"))
+
+  /** q163: sorted-neighborhood blocking over (lang, n_chars) — the
+    * ordering-based ER candidate tier ([[NearDup.sortedNeighborhood]],
+    * w=3): size-adjacent same-language docs become candidate pairs
+    * without any content scan. */
+  def qSortedBlocks(s: SparkSession, dir: String): DataFrame =
+    NearDup.sortedNeighborhood(Tables.documents(s, dir),
+        "doc_id", "lang", "n_chars", w = 3)
+      .select(col("id_a"), col("id_b"), col("block"), col("sort_gap"))
+
+  /** q164: skip-gram co-occurrence top-30 (window 2, symmetric counts) —
+    * the word2vec training-pair stream. Pair generation is one scan-side
+    * nested array transform ([[TextOps.skipgramPairsFromTokens]]); the
+    * only exchange is the pair-vocabulary count aggregation. */
+  def qSkipgrams(s: SparkSession, dir: String): DataFrame = {
+    val fwd = Tables.documents(s, dir)
+      .select(TextOps.tokens(col("text")).as("tk"))
+      .select(explode(TextOps.skipgramPairsFromTokens(col("tk"), 2))
+        .as("p"))
+    // symmetric-context convention: count (a,b) and (b,a)
+    val both = fwd.select(col("p.a").as("center"), col("p.b").as("context"))
+      .unionByName(
+        fwd.select(col("p.b").as("center"), col("p.a").as("context")))
+    both.groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("center").asc, col("context").asc)
+      .limit(30)
+  }
 }

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+/** [[graft.ops.Eval]] — AUC, calibration, Welch t, transition matrix. */
+class EvalSpec extends SparkSpecBase {
+
+  test("rankAuc: hand-computed tie case") {
+    val s = spark
+    import s.implicits._
+    // scores: negatives at 1,2 — positives at 2,3.
+    // pairs: (p=2 vs n=1) win, (p=2 vs n=2) tie, (p=3 vs n=1) win,
+    // (p=3 vs n=2) win  → U = 3.5 of 4 → AUC = 0.875
+    val df = Seq(("g", 1.0, 0), ("g", 2.0, 0), ("g", 2.0, 1), ("g", 3.0, 1))
+      .toDF("grp", "score", "y")
+    val r = Eval.rankAuc(df, "grp", "score", "y").collect().head
+    assert(r.getAs[Long]("n_pos") === 2L)
+    assert(r.getAs[Long]("n_neg") === 2L)
+    assert(r.getAs[Long]("u2") === 7L) // 2U
+    assert(r.getAs[Double]("auc") === 0.875)
+  }
+
+  test("rankAuc: perfect separation is 1.0; inverted is 0.0") {
+    val s = spark
+    import s.implicits._
+    val perfect = Seq(("g", 1.0, 0), ("g", 2.0, 0), ("g", 3.0, 1),
+      ("g", 4.0, 1)).toDF("grp", "score", "y")
+    assert(Eval.rankAuc(perfect, "grp", "score", "y")
+      .collect().head.getAs[Double]("auc") === 1.0)
+    val inverted = perfect.withColumn("y", lit(1) - col("y"))
+    assert(Eval.rankAuc(inverted, "grp", "score", "y")
+      .collect().head.getAs[Double]("auc") === 0.0)
+  }
+
+  test("rankAuc: degenerate one-class stratum yields NULL, not an error") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("g", 1.0, 1), ("g", 2.0, 1)).toDF("grp", "score", "y")
+    val r = Eval.rankAuc(df, "grp", "score", "y").collect().head
+    assert(r.isNullAt(r.fieldIndex("auc")))
+  }
+
+  test("rankAuc: partitioning-invariant (integer rank arithmetic)") {
+    val s = spark
+    import s.implicits._
+    val rows = (1 to 400).map(i =>
+      ("g" + (i % 3), (i % 17).toDouble, if ((i * 7) % 5 < 2) 1 else 0))
+    val df = rows.toDF("grp", "score", "y")
+    val a = Eval.rankAuc(df, "grp", "score", "y")
+      .orderBy("grp").collect().toSeq
+    val b = Eval.rankAuc(df.repartition(13), "grp", "score", "y")
+      .orderBy("grp").collect().toSeq
+    assert(a === b)
+  }
+
+  test("calibrationBins: bin edges, counts, and rates") {
+    val s = spark
+    import s.implicits._
+    // 0.05 → bin 0; 0.55,0.59 → bin 5; 1.0 clamps into bin 9
+    val df = Seq((0.05, 0), (0.55, 1), (0.59, 0), (1.0, 1))
+      .toDF("score", "y")
+    val m = Eval.calibrationBins(df, "score", "y", 10)
+      .collect().map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("avg_score"),
+          r.getAs[Double]("pos_rate"))).toMap
+    assert(m(0L) === ((1L, 0.05, 0.0)))
+    assert(m(5L) === ((2L, 0.57, 0.5)))
+    assert(m(9L) === ((1L, 1.0, 1.0)))
+  }
+
+  test("welchTwoSample: planted effect recovers the textbook t") {
+    val s = spark
+    import s.implicits._
+    // arm0: 1,2,3,4,5 (mean 3, var 2.5); arm1: 6,7,8,9,10 (mean 8)
+    val df = ((1 to 5).map(v => ("m", 0, v.toDouble)) ++
+      (6 to 10).map(v => ("m", 1, v.toDouble))).toDF("grp", "arm", "v")
+    val r = Eval.welchTwoSample(df, "grp", "arm", "v").collect().head
+    assert(r.getAs[Long]("n0") === 5L && r.getAs[Long]("n1") === 5L)
+    assert(r.getAs[Double]("mean0") === 3.0)
+    assert(r.getAs[Double]("mean1") === 8.0)
+    assert(r.getAs[Double]("mean_diff") === -5.0)
+    // t = -5 / sqrt(2.5/5 + 2.5/5) = -5, df = 8 (equal variances)
+    assert(r.getAs[Double]("t_stat") === -5.0)
+    assert(r.getAs[Double]("welch_df") === 8.0)
+  }
+
+  test("welchTwoSample: identical arms give t = 0") {
+    val s = spark
+    import s.implicits._
+    val df = ((1 to 4) ++ (1 to 4)).zipWithIndex
+      .map { case (v, i) => ("m", i / 4, v.toDouble) }.toDF("grp", "arm", "v")
+    val r = Eval.welchTwoSample(df, "grp", "arm", "v").collect().head
+    assert(r.getAs[Double]("t_stat") === 0.0)
+  }
+
+  test("transitionMatrix: counts and per-source probabilities") {
+    val s = spark
+    import s.implicits._
+    // user 1: a→b→a→b ; user 2: a→b→c
+    val df = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
+      (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "c"))
+      .toDF("user_id", "seq", "state")
+    val m = Eval.transitionMatrix(df, "user_id", "state", Seq("seq"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("prob"))).toMap
+    assert(m(("a", "b")) === ((3L, 1.0)))      // a always → b
+    assert(m(("b", "a")) === ((1L, 0.5)))
+    assert(m(("b", "c")) === ((1L, 0.5)))
+    assert(!m.contains(("b", "b")))
+    // no cross-user transition: user1's last b never pairs with user2's a
+    assert(m.values.map(_._1).sum === 5L)
+  }
+}

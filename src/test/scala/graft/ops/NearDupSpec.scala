@@ -311,4 +311,58 @@ class NearDupSpec extends SparkSpecBase {
     // disjoint docs: zero intersection survives the left join as 0.0
     assert(got((1L, 3L)) == ((0L, 0.0, 0.0)))
   }
+
+  test("setSimJoin: equals the exhaustive all-pairs join (lossless prefix filter)") {
+    import spark.implicits._
+    val base = "a b c d e f g h i j"
+    val docsDf = Seq(
+      1L -> base,
+      2L -> (base + " k"),        // near-identical to 1
+      3L -> "a b c x y z q r s",  // shares a prefix region with 1, low jaccard
+      4L -> "m n o p q r s t u v",
+      5L -> (base + " k")         // exact dup of 2
+    ).toDF("doc_id", "text")
+    val t = 0.5
+    val got = NearDup.setSimJoin(docsDf, "doc_id", "text", 3, t)
+      .select("doc_a", "doc_b", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // exhaustive ground truth: every pair's exact shingle jaccard
+    val sh = NearDup.shingleRows(docsDf, "doc_id", "text", 3)
+    val allPairs = docsDf.select(col("doc_id").as("doc_a"))
+      .crossJoin(docsDf.select(col("doc_id").as("doc_b")))
+      .filter(col("doc_a") < col("doc_b"))
+    val want = NearDup.jaccard(allPairs, sh, "doc_id")
+      .filter(col("jaccard") >= t)
+      .select("doc_a", "doc_b", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(want.nonEmpty) // fixture sanity: threshold pairs exist
+    assert(got === want)
+    assert(got(2L -> 5L) === 1.0) // the exact dup
+  }
+
+  test("sortedNeighborhood: exactly the w-neighborhood per block, gaps ordered") {
+    import spark.implicits._
+    val rows = Seq((1L, "en", 100L), (2L, "en", 105L), (3L, "en", 200L),
+      (4L, "en", 210L), (5L, "de", 100L), (6L, "de", 101L))
+      .toDF("doc_id", "lang", "n_chars")
+    val got = NearDup.sortedNeighborhood(rows, "doc_id", "lang", "n_chars", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet
+    val want = Set(
+      (1L, 2L, "en", 5L), (1L, 3L, "en", 100L),   // 1's two successors
+      (2L, 3L, "en", 95L), (2L, 4L, "en", 105L),
+      (3L, 4L, "en", 10L),
+      (5L, 6L, "de", 1L))                          // blocks never mix
+    assert(got === want)
+  }
+
+  test("setSimJoin threshold bounds: no sub-threshold pair leaks through") {
+    import spark.implicits._
+    val df = docs // the suite's shared fixture
+    val out = NearDup.setSimJoin(df, "doc_id", "text", 3, 0.6)
+      .collect()
+    assert(out.forall(_.getAs[Double]("jaccard") >= 0.6))
+  }
 }

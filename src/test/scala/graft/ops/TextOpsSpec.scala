@@ -416,4 +416,19 @@ class TextOpsSpec extends SparkSpecBase {
       .toMap
     assert(w == w2)
   }
+
+  test("skipgramPairsFromTokens: window-2 forward pairs, scan-side") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d"), (2L, "x"), (3L, "")).toDF("doc_id", "text")
+    val pairs = df.select($"doc_id", TextOps.tokens($"text").as("tk"))
+      .select($"doc_id",
+        explode(TextOps.skipgramPairsFromTokens($"tk", 2)).as("p"))
+      .select($"doc_id", $"p.a", $"p.b")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    // forward pairs at distance 1..2 only; singleton and empty docs
+    // contribute nothing (explode of an empty array emits no row)
+    assert(pairs === Set((1L, "a", "b"), (1L, "a", "c"), (1L, "b", "c"),
+      (1L, "b", "d"), (1L, "c", "d")))
+  }
 }
