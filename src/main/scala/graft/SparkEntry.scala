@@ -207,6 +207,9 @@ object SparkEntry {
     "q163_sorted_blocks"     -> TextQueries.qSortedBlocks _,
     "q164_skipgrams"         -> TextQueries.qSkipgrams _,
     "q165_welch_ab"          -> Relational.q165WelchAb _,
+    "q166_kappa"             -> TextQueries.qKappa _,
+    "q167_ndcg"              -> TextQueries.qNdcg _,
+    "q168_er_scores"         -> TextQueries.qErScores _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */

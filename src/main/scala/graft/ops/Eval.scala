@@ -126,6 +126,95 @@ object Eval {
         .as("welch_df"))
   }
 
+  /** Cohen's kappa — chance-corrected agreement between two label
+    * columns (two annotators, a classifier vs ground truth, a heuristic
+    * vs a model). Returns ONE row: n, agree, observed agreement po,
+    * chance agreement pe, and kappa.
+    *
+    * The whole statistic reduces over the LABEL-PAIR contingency table
+    * (|A|·|B| cells, ≪ corpus): one hash aggregation builds the table,
+    * everything after runs on label-domain-sized frames. Kappa is kept
+    * integral to the last step: kappa = (n·agree − Σ row_a·col_a) /
+    * (n² − Σ row_a·col_a) — exact BIGINT numerator and denominator, one
+    * float division at the end. */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val ct = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = ct.agg(sum(col("c")).as("n"))
+    val agree = ct.filter(col("a") === col("b"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("agree"))
+    // products go through DECIMAL(38,0): n·agree and Σ ra·cb are ~n² and
+    // overflow BIGINT past ~3e9 rows — exactly the corpus sizes this
+    // targets (DuckDB computes the same products in HUGEINT; both exact)
+    def d(c: Column) = c.cast(DecimalType(38, 0))
+    val peNum = ct.groupBy(col("a")).agg(sum(col("c")).as("ra"))
+      .join(ct.groupBy(col("b")).agg(sum(col("c")).as("cb")),
+        col("a") === col("b"))
+      .agg(coalesce(sum(d(col("ra")) * d(col("cb"))),
+        lit(java.math.BigDecimal.ZERO)).as("pe_num"))
+    n.crossJoin(broadcast(agree)).crossJoin(broadcast(peNum))
+      .select(col("n"), col("agree"),
+        round(col("agree").cast(DoubleType) / col("n"), 6).as("po"),
+        round(col("pe_num").cast(DoubleType) /
+          (d(col("n")) * d(col("n"))).cast(DoubleType), 6).as("pe"),
+        round((d(col("n")) * d(col("agree")) - col("pe_num"))
+          .cast(DoubleType) /
+          (d(col("n")) * d(col("n")) - col("pe_num")).cast(DoubleType), 6)
+          .as("kappa"))
+  }
+
+  /** NDCG@k of a ranked retrieval result against graded relevance.
+    * `ranked` carries `rankCol` (1-based positions, ≤ k rows) and
+    * `relCol` (small integer grades); `idealGrades` carries `relCol` for
+    * EVERY candidate document — its top-k grades define the ideal DCG.
+    *
+    * Determinism: gains are integral ((2^rel − 1) via bit shift), and
+    * the position discounts 1/log2(pos+1) are evaluated ONCE here in
+    * Scala, rounded to 9 decimals, and joined in as a k-row literal
+    * table — the oracle interpolates the SAME literals, so no
+    * transcendental ever evaluates inside either engine. DCG/IDCG
+    * accumulate as exact decimals; the one float division is the final
+    * ratio. The ideal ranking is a TakeOrdered top-k, never a global
+    * sort. Returns one row: (k, dcg, idcg, ndcg). */
+  /** The NDCG position discounts 1/log2(pos+1), 9-dp — evaluated here
+    * once so the engine-side literal table and any SQL oracle
+    * interpolate the IDENTICAL decimals. */
+  def ndcgDiscounts(k: Int): Seq[(Int, BigDecimal)] =
+    (1 to k).map(p => (p,
+      BigDecimal(1.0 / (math.log(p + 1) / math.log(2)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)))
+
+  def ndcgAtK(ranked: DataFrame, rankCol: String, relCol: String,
+              idealGrades: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = ranked.sparkSession
+    import spark.implicits._
+    val discounts = ndcgDiscounts(k).toDF("pos", "w")
+    // (2^rel − 1) via bit shift — integral, no float pow (the Scala
+    // shiftleft overload only takes a literal Int, so call by name)
+    def gain(c: Column) =
+      (call_function("shiftleft", lit(1L), c.cast("int")) - 1L)
+        .cast(DecimalType(18, 0))
+    val dcg = ranked.join(broadcast(discounts),
+        ranked(rankCol) === col("pos"))
+      .agg(sum(gain(col(relCol)) * col("w")).as("dcg"))
+    // rank the top-k grades 1..k by grade desc: k rows, driver-scale
+    val idealRanked = idealGrades.select(col(relCol))
+      .orderBy(col(relCol).desc).limit(k)
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col(relCol).desc)))
+    val idcg = idealRanked.join(broadcast(discounts), "pos")
+      .agg(sum(gain(col(relCol)) * col("w")).as("idcg"))
+    dcg.crossJoin(broadcast(idcg))
+      .select(lit(k).as("k"),
+        round(col("dcg").cast(DoubleType), 6).as("dcg"),
+        round(col("idcg").cast(DoubleType), 6).as("idcg"),
+        when(col("idcg") > 0,
+          round(col("dcg").cast(DoubleType) /
+            col("idcg").cast(DoubleType), 6)).as("ndcg"))
+  }
+
   /** First-order Markov transition matrix over per-key event sequences:
     * for each key's events ordered by `orderCols`, count (state → next
     * state) transitions and attach the per-source-state transition

@@ -83,8 +83,11 @@ object Graph {
         .join(contribs, Seq("id"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("id"),
-          expr(s"(15 * $base + 85 * (coalesce(in_sum, 0L) + " +
-            s"(dangling_sum div $n))) div 100").as("rank_scaled"))
+          // the L suffixes matter: a base that happens to fit int32
+          // (e.g. S/475) would otherwise parse as INT and `15 * base`
+          // overflows under ANSI — found at sf0.1, invisible at sf0.01
+          expr(s"(15L * ${base}L + 85L * (coalesce(in_sum, 0L) + " +
+            s"(dangling_sum div ${n}L))) div 100L").as("rank_scaled"))
       ranks = next.localCheckpoint(true)
     }
     val out = ranks.select(col("id"), col("rank_scaled"))

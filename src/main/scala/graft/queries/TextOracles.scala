@@ -1551,6 +1551,129 @@ object TextOracles {
          |$arms""".stripMargin
     },
 
+    "q166_kappa" -> {
+      val markerValues = graft.ops.TextOps.LangMarkers
+        .flatMap { case (l, ws) => ws.map(w => s"('$l', '$w')") }
+        .mkString(", ")
+      val fallback = graft.ops.TextOps.LangMarkers.head._1
+      s"""WITH tok AS (SELECT doc_id, unnest($Tk) AS tok FROM documents),
+         |m(lang_m, w) AS (SELECT * FROM (VALUES $markerValues) v),
+         |hits AS (SELECT t.doc_id, m.lang_m, COUNT(*) AS n_hits
+         |         FROM tok t JOIN m ON t.tok = m.w
+         |         GROUP BY t.doc_id, m.lang_m),
+         |best AS (SELECT doc_id, lang_m,
+         |           row_number() OVER (PARTITION BY doc_id
+         |             ORDER BY n_hits DESC, lang_m ASC) AS rn
+         |         FROM hits),
+         |g AS (SELECT d.lang AS a, COALESCE(b.lang_m, '$fallback') AS b
+         |      FROM documents d
+         |      LEFT JOIN (SELECT doc_id, lang_m FROM best WHERE rn = 1) b
+         |        ON d.doc_id = b.doc_id),
+         |ct AS (SELECT a, b, COUNT(*) AS c FROM g GROUP BY a, b),
+         |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM ct),
+         |ag AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS agree
+         |       FROM ct WHERE a = b),
+         |pe AS (SELECT COALESCE(SUM(r.ra * s.cb), 0) AS pe_num
+         |       FROM (SELECT a, SUM(c) AS ra FROM ct GROUP BY a) r
+         |       JOIN (SELECT b, SUM(c) AS cb FROM ct GROUP BY b) s
+         |         ON r.a = s.b)
+         |SELECT n, agree,
+         |  ROUND(CAST(agree AS DOUBLE) / n, 6) AS po,
+         |  ROUND(CAST(pe_num AS DOUBLE) /
+         |        CAST(CAST(n AS HUGEINT) * n AS DOUBLE), 6) AS pe,
+         |  ROUND(CAST(CAST(n AS HUGEINT) * agree - pe_num AS DOUBLE) /
+         |        CAST(CAST(n AS HUGEINT) * n - pe_num AS DOUBLE), 6)
+         |    AS kappa
+         |FROM nn, ag, pe""".stripMargin
+    },
+
+    "q167_ndcg" -> {
+      val terms = TextQueries.Bm25Terms.map(t => s"'$t'").mkString(", ")
+      val k = TextQueries.Bm25K
+      val disc = graft.ops.Eval.ndcgDiscounts(k)
+        .map { case (p, w) => s"($p, $w)" }.mkString(", ")
+      s"""WITH tok0 AS (SELECT doc_id, $Tk AS tk FROM documents),
+         |st AS (SELECT COUNT(*) AS nd, SUM(len(tk)) AS ntok FROM tok0),
+         |hits AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+         |           unnest(list_filter(tk, t -> t IN ($terms))) AS term
+         |         FROM tok0),
+         |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+         |       FROM hits GROUP BY doc_id, dl, term),
+         |dfp AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT t.doc_id,
+         |         CAST(ROUND(ln((st.nd - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         |           * (t.tf * 2.2)
+         |           / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl * st.nd
+         |                            / st.ntok)), 9)
+         |           AS DECIMAL(18,9)) AS s
+         |       FROM tf t JOIN dfp d USING (term) CROSS JOIN st),
+         |agg AS (SELECT doc_id, ROUND(CAST(SUM(s) AS DOUBLE), 6) AS score
+         |        FROM sc GROUP BY doc_id),
+         |ranked AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+         |      AS INTEGER) AS pos
+         |  FROM agg ORDER BY score DESC, doc_id ASC LIMIT $k),
+         |rel AS (SELECT doc_id,
+         |    len(list_distinct(list_intersect(tk, [$terms]))) AS rel
+         |  FROM tok0),
+         |disc(pos, w) AS (SELECT * FROM (VALUES $disc) v),
+         |dcg AS (SELECT SUM(CAST((1 << r.rel) - 1 AS DECIMAL(18,0)) * d.w)
+         |          AS dcg
+         |        FROM ranked k JOIN rel r USING (doc_id)
+         |        JOIN disc d ON d.pos = k.pos),
+         |ideal AS (SELECT rel,
+         |    CAST(row_number() OVER (ORDER BY rel DESC) AS INTEGER) AS pos
+         |  FROM (SELECT rel FROM rel ORDER BY rel DESC LIMIT $k) t),
+         |idcg AS (SELECT SUM(CAST((1 << i.rel) - 1 AS DECIMAL(18,0)) * d.w)
+         |           AS idcg
+         |         FROM ideal i JOIN disc d USING (pos))
+         |SELECT $k AS k, ROUND(CAST(dcg AS DOUBLE), 6) AS dcg,
+         |  ROUND(CAST(idcg AS DOUBLE), 6) AS idcg,
+         |  CASE WHEN idcg > 0
+         |       THEN ROUND(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6)
+         |  END AS ndcg
+         |FROM dcg, idcg""".stripMargin
+    },
+
+    "q168_er_scores" -> {
+      val fs = TextQueries.erFields
+      def w(i: Int) = (fs(i).wAgree, fs(i).wDisagree)
+      val (sa, sd) = w(0); val (za, zd) = w(1); val (pa, pd) = w(2)
+      val leads = (1 to 3).map(i =>
+        s"""lead(doc_id, $i) OVER w AS id_$i,
+           |    lead(n_chars, $i) OVER w AS sv_$i,
+           |    lead(source, $i) OVER w AS src_$i,
+           |    lead(tok1, $i) OVER w AS tok1_$i""".stripMargin)
+        .mkString(",\n    ")
+      val arms = (1 to 3).map(i =>
+        s"""SELECT doc_id AS id_a, id_$i AS id_b, lang AS block,
+           |  sv_$i - n_chars AS sort_gap, source AS src_a,
+           |  src_$i AS src_b, tok1 AS tok1_a, tok1_$i AS tok1_b
+           |FROM s WHERE id_$i IS NOT NULL""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"""WITH d0 AS (SELECT doc_id, lang, n_chars, source,
+         |    ($Tk)[1] AS tok1 FROM documents),
+         |s AS (SELECT doc_id, lang, n_chars, source, tok1,
+         |    $leads
+         |  FROM d0
+         |  WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)),
+         |p AS ($arms),
+         |sc AS (SELECT id_a, id_b, block,
+         |    CASE WHEN src_a = src_b THEN $sa ELSE $sd END AS w_source,
+         |    CASE WHEN abs(sort_gap) <= 10 THEN $za ELSE $zd END AS w_size,
+         |    CASE WHEN tok1_a IS NOT NULL AND tok1_b IS NOT NULL
+         |              AND tok1_a = tok1_b THEN $pa ELSE $pd END AS w_prefix
+         |  FROM p)
+         |SELECT id_a, id_b, block, w_source, w_size, w_prefix,
+         |  ROUND(w_source + w_size + w_prefix, 6) AS match_weight,
+         |  CASE WHEN ROUND(w_source + w_size + w_prefix, 6)
+         |              >= ${TextQueries.ErUpper} THEN 'match'
+         |       WHEN ROUND(w_source + w_size + w_prefix, 6)
+         |              <= ${TextQueries.ErLower} THEN 'non_match'
+         |       ELSE 'possible' END AS decision
+         |FROM sc""".stripMargin
+    },
+
     "q164_skipgrams" ->
       s"""WITH tok0 AS (SELECT doc_id, $Tk AS tk FROM documents),
          |tokx AS (SELECT doc_id, unnest(tk) AS tok,

@@ -1168,4 +1168,69 @@ object TextQueries {
       .orderBy(col("n").desc, col("center").asc, col("context").asc)
       .limit(30)
   }
+
+  /** q166: Cohen's kappa between the declared lang column and the q24
+    * marker-vote heuristic ([[graft.ops.Eval.cohenKappa]]) — the
+    * chance-corrected version of q118's raw confusion counts. The
+    * corpus' langs share one vocabulary, so kappa ≈ 0 is the honest
+    * readout; the gate is the exact contingency arithmetic. */
+  def qKappa(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.cohenKappa(
+      Tables.documents(s, dir).select(col("lang").as("a"),
+        TextOps.langGuess(col("text")).as("b")), "a", "b")
+
+  /** q167: NDCG@10 of the q107 BM25 ranking against graded relevance =
+    * number of DISTINCT query terms present ([[graft.ops.Eval.ndcgAtK]];
+    * bit-shift gains, Scala-evaluated literal discounts, decimal sums).
+    * The ideal ranking draws from the whole corpus' grades, so a BM25
+    * top-10 stuffed with grade-3 docs scores 1.0 only if grade-3 docs
+    * can actually fill 10 slots. */
+  def qNdcg(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val rel = docs.select(col("doc_id"),
+      size(array_intersect(array_distinct(TextOps.tokens(col("text"))),
+        array(Bm25Terms.map(lit): _*))).as("rel"))
+    val ranked = TextOps.bm25TopK(docs, "doc_id", "text", Bm25Terms, Bm25K)
+      .join(rel, "doc_id")
+    graft.ops.Eval.ndcgAtK(ranked, "rank", "rel", rel.select(col("rel")),
+      Bm25K)
+  }
+
+  /** q168's scored fields, shared with the oracle builder so the m/u →
+    * log-weight conversion happens exactly once (the SQL interpolates
+    * [[graft.ops.Linkage.Field.wAgree]]/[[graft.ops.Linkage.Field.wDisagree]]
+    * as literals). */
+  def erFields: Seq[graft.ops.Linkage.Field] = Seq(
+    graft.ops.Linkage.Field("source",
+      col("src_a") === col("src_b"), m = 0.85, u = 0.05),
+    graft.ops.Linkage.Field("size",
+      abs(col("sort_gap")) <= 10, m = 0.9, u = 0.2),
+    graft.ops.Linkage.Field("prefix",
+      col("tok1_a") === col("tok1_b"), m = 0.6, u = 0.02))
+  val ErUpper = 4.0
+  val ErLower = 0.0
+
+  /** q168: Fellegi–Sunter match weights over the q163 sorted-
+    * neighborhood candidates ([[graft.ops.Linkage.fellegiSunter]]):
+    * agreement on source, size proximity, and first-token equality,
+    * scored with literal log-odds. Blocking bounds the pair count; the
+    * scorer is pure per-row expressions on the candidate sliver. */
+  def qErScores(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cand = NearDup.sortedNeighborhood(docs, "doc_id", "lang",
+      "n_chars", w = 3)
+    val meta = docs.select(col("doc_id"), col("source"),
+      // get(), not element_at(): ANSI mode errors on out-of-bounds
+      // element_at, and empty docs have empty token arrays
+      get(TextOps.tokens(col("text")), lit(0)).as("tok1"))
+    val pairs = cand
+      .join(meta.select(col("doc_id").as("id_a"),
+        col("source").as("src_a"), col("tok1").as("tok1_a")), "id_a")
+      .join(meta.select(col("doc_id").as("id_b"),
+        col("source").as("src_b"), col("tok1").as("tok1_b")), "id_b")
+    graft.ops.Linkage.fellegiSunter(pairs, erFields, ErUpper, ErLower)
+      .select(col("id_a"), col("id_b"), col("block"),
+        col("w_source"), col("w_size"), col("w_prefix"),
+        col("match_weight"), col("decision"))
+  }
 }

@@ -339,4 +339,30 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("AUC never sorts rows globally: windows partition by stratum (q158)") {
+    val p = plan(graft.queries.TextQueries.qAuc(spark, sf))
+    assert(!p.contains("Exchange SinglePartition"), p)
+    // rank arithmetic runs AFTER aggregation to distinct scores: the
+    // window's input is a HashAggregate, not the raw doc stream
+    assert(p.contains("Window"), p)
+  }
+
+  test("transition matrix: no single-partition stage (q160)") {
+    val p = plan(graft.queries.Relational.q160Transitions(spark, sf))
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("skip-gram pairs are scan-side: one shuffle then TakeOrdered (q164)") {
+    val p = plan(graft.queries.TextQueries.qSkipgrams(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // pair generation must not plan a positional self-join
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("welch A/B is a single hash-aggregation pass (q165)") {
+    val p = plan(graft.queries.Relational.q165WelchAb(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).size == 2, p) // partial+final
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
 }

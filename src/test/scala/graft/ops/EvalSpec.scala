@@ -94,6 +94,62 @@ class EvalSpec extends SparkSpecBase {
     assert(r.getAs[Double]("t_stat") === 0.0)
   }
 
+  test("cohenKappa: textbook 2x2 case") {
+    val s = spark
+    import s.implicits._
+    // classic: 20 yes/yes, 5 yes/no, 10 no/yes, 15 no/no
+    // po = 35/50 = 0.7; pe = (25·30 + 25·20)/2500 = 0.5; kappa = 0.4
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val r = Eval.cohenKappa(rows.toDF("a", "b"), "a", "b").collect().head
+    assert(r.getAs[Long]("n") === 50L)
+    assert(r.getAs[Long]("agree") === 35L)
+    assert(r.getAs[Double]("po") === 0.7)
+    assert(r.getAs[Double]("pe") === 0.5)
+    assert(r.getAs[Double]("kappa") === 0.4)
+  }
+
+  test("cohenKappa: perfect agreement = 1, disjoint labels hit the floor") {
+    val s = spark
+    import s.implicits._
+    val perfect = Seq(("a", "a"), ("b", "b"), ("c", "c")).toDF("a", "b")
+    assert(Eval.cohenKappa(perfect, "a", "b")
+      .collect().head.getAs[Double]("kappa") === 1.0)
+    // annotators never agree and never share marginals on the diagonal
+    val disjoint = Seq(("a", "b"), ("a", "b")).toDF("a", "b")
+    val r = Eval.cohenKappa(disjoint, "a", "b").collect().head
+    assert(r.getAs[Long]("agree") === 0L)
+    assert(r.getAs[Double]("kappa") === 0.0) // pe = 0 too: 0/4 ÷ 4/4
+  }
+
+  test("ndcgAtK: hand-computed 3-position case") {
+    val s = spark
+    import s.implicits._
+    // ranking grades by position: 3, 0, 2; ideal multiset {3, 2, 1}
+    // gains 7, 0, 3; discounts 1, 1/log2(3), 0.5
+    val ranked = Seq((1, 3), (2, 0), (3, 2)).toDF("rank", "rel")
+    val ideal = Seq(3, 2, 1, 0, 0).toDF("rel")
+    val r = Eval.ndcgAtK(ranked, "rank", "rel", ideal, 3).collect().head
+    val w2 = BigDecimal(1.0 / (math.log(3) / math.log(2)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dcg = BigDecimal(7 * 1.0 + 0 * w2 + 3 * 0.5)
+    val idcg = BigDecimal(7 * 1.0) + BigDecimal(3) * BigDecimal(w2) +
+      BigDecimal(1) * BigDecimal(0.5)
+    assert(r.getAs[Int]("k") === 3)
+    assert(math.abs(r.getAs[Double]("dcg") - dcg.toDouble) < 1e-6)
+    assert(math.abs(r.getAs[Double]("idcg") - idcg.toDouble) < 1e-6)
+    assert(r.getAs[Double]("ndcg") > 0.7 && r.getAs[Double]("ndcg") < 1.0)
+  }
+
+  test("ndcgAtK: ideal-ordered ranking scores exactly 1.0") {
+    val s = spark
+    import s.implicits._
+    val ranked = Seq((1, 3), (2, 2), (3, 1)).toDF("rank", "rel")
+    val ideal = Seq(3, 2, 1).toDF("rel")
+    assert(Eval.ndcgAtK(ranked, "rank", "rel", ideal, 3)
+      .collect().head.getAs[Double]("ndcg") === 1.0)
+  }
+
   test("transitionMatrix: counts and per-source probabilities") {
     val s = spark
     import s.implicits._
