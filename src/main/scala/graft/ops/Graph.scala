@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Link-analysis over derived graphs (the verified near-dup pair graph,
   * citation-ish provenance edges). Complements [[Components]]: components
@@ -19,6 +18,51 @@ import org.apache.spark.storage.StorageLevel
   * error per iteration is ~1e-12 per node, far below anything a ranking
   * consumer can observe. */
 object Graph {
+
+  /** Rank fixed-point scale: rank_scaled = pagerank · 10^12. */
+  val Scale = 1000000000000L
+
+  /** Driver-side twin of the distributed fixpoint — IDENTICAL integer
+    * recurrence per round (contrib = rank div outdeg summed per target,
+    * dangling_share = danglingSum div n, rank' = (15·base + 85·(in +
+    * share)) div 100), so the two paths are bit-equal and the size gate
+    * is invisible to callers. Edge list is already distinct and
+    * null-free when called. */
+  private def localPageRank(e: DataFrame, iters: Int): DataFrame = {
+    val spark = e.sparkSession
+    val idType = e.schema("src").dataType
+    require(idType == e.schema("dst").dataType,
+      s"endpoint types must match, got $idType vs ${e.schema("dst").dataType}")
+    val edges = e.collect().map(r => (r.get(0), r.get(1)))
+    val nodes: Array[Any] =
+      (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.length.toLong
+    require(n > 0, "pageRankScaled: empty graph")
+    val base = Scale / n
+    val outdeg = scala.collection.mutable.HashMap.empty[Any, Long]
+    edges.foreach { case (s, _) => outdeg(s) = outdeg.getOrElse(s, 0L) + 1 }
+    var ranks = scala.collection.mutable.HashMap[Any, Long](
+      nodes.map(_ -> base): _*)
+    for (_ <- 1 to iters) {
+      val danglingSum = nodes.iterator
+        .filter(id => !outdeg.contains(id)).map(ranks).sum
+      val share = danglingSum / n
+      val in = scala.collection.mutable.HashMap.empty[Any, Long]
+      edges.foreach { case (s, d) =>
+        in(d) = in.getOrElse(d, 0L) + ranks(s) / outdeg(s)
+      }
+      ranks = scala.collection.mutable.HashMap(nodes.map(id =>
+        id -> (15L * base + 85L * (in.getOrElse(id, 0L) + share)) / 100L)
+        : _*)
+    }
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(StructField("id", idType),
+      StructField("rank_scaled", LongType)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(nodes.map(id =>
+        org.apache.spark.sql.Row(id, ranks(id))): _*),
+      schema)
+  }
 
   /** Damped PageRank with uniform dangling-mass redistribution on the
     * DIRECTED graph `edges` (`srcCol` → `dstCol`), run for a fixed
@@ -39,24 +83,39 @@ object Graph {
     * driver-side count before the loop. Returns (id, rank_scaled),
     * rank_scaled ≈ pagerank·10^12, Σ ranks ≈ 10^12. */
   def pageRankScaled(edges: DataFrame, srcCol: String, dstCol: String,
-                     iters: Int = 8): DataFrame = {
-    val S = 1000000000000L
+                     iters: Int = 8,
+                     localThreshold: Long = 1L << 20): DataFrame = {
+    // the loop's two standing inputs go through eager localCheckpoint,
+    // not persist: a persisted frame KEEPS its logical plan, and when
+    // the edge list is itself the output of a heavy derivation (the
+    // LSH-verify cascade in q161), every one of the 8 rounds would
+    // re-analyze/re-optimize that whole tree per job — measured 47 s
+    // for a 250-edge graph, ~2 s after truncation. Checkpointing cuts
+    // the lineage to the materialized blocks once, up front.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
+    // size gate, same reasoning as Components.localThreshold: 8 rounds
+    // of Spark jobs on a sliver-sized graph pay rounds × stages × job
+    // latency (measured ~1.1 s/round on a 500-edge graph) for work one
+    // in-memory pass does exactly; the driver path runs the IDENTICAL
+    // scaled-integer recurrence, so output is bit-equal (spec-pinned).
+    // Set 0 to force the distributed fixpoint.
+    if (e.count() <= localThreshold)
+      return localPageRank(e, iters)
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct()
     val outDeg = e.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("outdeg"))
     // (id, outdeg) for every node; dangling nodes carry outdeg 0. The
-    // loop joins ranks to this frame each round, so persist it once.
+    // loop joins ranks to this frame each round.
     val deg = nodes.join(outDeg, Seq("id"), "left")
       .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val n = deg.count()
     require(n > 0, "pageRankScaled: empty graph")
-    val base = S / n
+    val base = Scale / n
 
     // each round goes through EAGER localCheckpoint, not persist: a
     // persisted frame still carries its full LOGICAL plan, and this
@@ -90,9 +149,10 @@ object Graph {
             s"(dangling_sum div ${n}L))) div 100L").as("rank_scaled"))
       ranks = next.localCheckpoint(true)
     }
-    val out = ranks.select(col("id"), col("rank_scaled"))
-    e.unpersist(blocking = false)
-    deg.unpersist(blocking = false)
-    out
+    // checkpoint blocks (e, deg, per-round ranks) are freed by the
+    // ContextCleaner once the frames are unreachable — no explicit
+    // unpersist exists for localCheckpoint, and the frames are tiny
+    // (ids + longs, never payloads)
+    ranks.select(col("id"), col("rank_scaled"))
   }
 }
