@@ -1520,7 +1520,7 @@ object TextOracles {
     },
 
     "q162_setsim_join" ->
-      s"""$ShingleCtes,
+      s"""${shingleCtes(TextQueries.SetSimN)},
          |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shx GROUP BY doc_id),
          |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |            COUNT(*) AS inter

@@ -1130,6 +1130,16 @@ object TextQueries {
       .select(col("id").as("doc_id"), col("rank_scaled"))
   }
 
+  /** q162 shingle width — 5, NOT the LSH tier's 3: an exact join's
+    * candidate volume is Σ_h C(df_h, 2) over prefix shingles, so the
+    * width must be chosen to make RANDOM shingle collisions rare (the
+    * corpus' 3-shingle space is saturated: df≈7.5 → ~450k candidates
+    * for ~250 true pairs at sf0.1, 8 s; at width 5 the space is ~40⁵
+    * and candidates ≈ true pairs). Same reasoning as the width-8
+    * decontamination n-grams; the first-order knob of every exact
+    * similarity join. */
+  val SetSimN = 5
+
   /** q162: exact Jaccard-threshold self-join via prefix filtering
     * ([[NearDup.setSimJoin]]) — the zero-false-negative dedup tier; the
     * DuckDB oracle computes the UNFILTERED all-pairs join, so the
@@ -1137,7 +1147,7 @@ object TextQueries {
     * point of the algorithm. */
   def qSetSimJoin(s: SparkSession, dir: String): DataFrame =
     NearDup.setSimJoin(Tables.documents(s, dir), "doc_id", "text",
-        ShingleN, threshold = 0.5)
+        SetSimN, threshold = 0.5)
       .select(col("doc_a"), col("doc_b"), col("inter"),
         round(col("jaccard"), 6).as("jaccard"))
 
