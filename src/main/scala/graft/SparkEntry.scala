@@ -210,6 +210,7 @@ object SparkEntry {
     "q166_kappa"             -> TextQueries.qKappa _,
     "q167_ndcg"              -> TextQueries.qNdcg _,
     "q168_er_scores"         -> TextQueries.qErScores _,
+    "q169_rbo"               -> TextQueries.qRbo _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */

@@ -215,6 +215,44 @@ object Eval {
             col("idcg").cast(DoubleType), 6)).as("ndcg"))
   }
 
+  /** Truncated rank-biased overlap (RBO@k, Webber et al.) between two
+    * ranked lists — "how much do two retrieval strategies agree", with
+    * geometric top-weighting p. Uses the closed reshuffle of the
+    * truncated sum: RBO = (1−p) · Σ_pairs W_max(ra,rb), where
+    * W_m = Σ_{d=m..k} p^(d−1)/d is a k-ENTRY LITERAL TABLE evaluated
+    * here in Scala (9-dp decimals) — so the engines run one equi-join
+    * of the two lists, one broadcast lookup on max-rank, and one
+    * decimal sum. No per-depth recount, no transcendental engine-side,
+    * and a SQL oracle interpolating the same literals matches exactly.
+    * Returns one row: (k, p, n_common, rbo). */
+  def rboAtK(a: DataFrame, b: DataFrame, idCol: String, rankCol: String,
+             k: Int, p: Double): DataFrame = {
+    require(k >= 1 && p > 0 && p < 1, s"need k >= 1, 0 < p < 1; got $k, $p")
+    val spark = a.sparkSession
+    import spark.implicits._
+    val weights = rboTailWeights(k, p).toDF("m", "tail_w")
+    val joined = a.select(col(idCol), col(rankCol).cast("int").as("__ra"))
+      .join(b.select(col(idCol), col(rankCol).cast("int").as("__rb")),
+        idCol)
+      .select(greatest(col("__ra"), col("__rb")).as("m"))
+    joined.join(broadcast(weights), "m")
+      .agg(count(lit(1)).as("n_common"),
+        coalesce(sum(col("tail_w")), lit(java.math.BigDecimal.ZERO))
+          .as("wsum"))
+      .select(lit(k).as("k"), lit(p).as("p"), col("n_common"),
+        round(lit(1.0 - p) * col("wsum").cast(DoubleType), 6).as("rbo"))
+  }
+
+  /** W_m = Σ_{d=m..k} p^(d−1)/d, 9-dp — the literal tail-weight table
+    * [[rboAtK]] joins on; public so oracles interpolate the same
+    * values. */
+  def rboTailWeights(k: Int, p: Double): Seq[(Int, BigDecimal)] = {
+    val terms = (1 to k).map(d => math.pow(p, d - 1) / d)
+    (1 to k).map(m => (m,
+      BigDecimal(terms.drop(m - 1).sum)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)))
+  }
+
   /** First-order Markov transition matrix over per-key event sequences:
     * for each key's events ordered by `orderCols`, count (state → next
     * state) transitions and attach the per-source-state transition

@@ -1674,6 +1674,49 @@ object TextOracles {
          |FROM sc""".stripMargin
     },
 
+    "q169_rbo" -> {
+      val terms = TextQueries.Bm25Terms.map(t => s"'$t'").mkString(", ")
+      val k = TextQueries.Bm25K
+      val p = TextQueries.RboP
+      val wvals = graft.ops.Eval.rboTailWeights(k, p)
+        .map { case (m, w) => s"($m, $w)" }.mkString(", ")
+      s"""WITH tok0 AS (SELECT doc_id, $Tk AS tk FROM documents),
+         |st AS (SELECT COUNT(*) AS nd, SUM(len(tk)) AS ntok FROM tok0),
+         |hits AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+         |           unnest(list_filter(tk, t -> t IN ($terms))) AS term
+         |         FROM tok0),
+         |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+         |       FROM hits GROUP BY doc_id, dl, term),
+         |dfp AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT t.doc_id,
+         |         CAST(ROUND(ln((st.nd - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         |           * (t.tf * 2.2)
+         |           / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl * st.nd
+         |                            / st.ntok)), 9)
+         |           AS DECIMAL(18,9)) AS s
+         |       FROM tf t JOIN dfp d USING (term) CROSS JOIN st),
+         |agg AS (SELECT doc_id, ROUND(CAST(SUM(s) AS DOUBLE), 6) AS score
+         |        FROM sc GROUP BY doc_id),
+         |bm AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+         |      AS INTEGER) AS ra
+         |  FROM agg ORDER BY score DESC, doc_id ASC LIMIT $k),
+         |nv AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY n DESC, doc_id ASC)
+         |      AS INTEGER) AS rb
+         |  FROM (SELECT doc_id,
+         |          len(list_filter(tk, t -> t IN ($terms))) AS n
+         |        FROM tok0) t
+         |  ORDER BY n DESC, doc_id ASC LIMIT $k),
+         |w(m, tail_w) AS (SELECT * FROM (VALUES $wvals) v),
+         |j AS (SELECT GREATEST(bm.ra, nv.rb) AS m
+         |      FROM bm JOIN nv USING (doc_id))
+         |SELECT $k AS k, $p AS p, COUNT(*) AS n_common,
+         |  ROUND(${1.0 - p} * CAST(COALESCE(SUM(w.tail_w), 0)
+         |        AS DOUBLE), 6) AS rbo
+         |FROM j JOIN w USING (m)""".stripMargin
+    },
+
     "q164_skipgrams" ->
       s"""WITH tok0 AS (SELECT doc_id, $Tk AS tk FROM documents),
          |tokx AS (SELECT doc_id, unnest(tk) AS tok,

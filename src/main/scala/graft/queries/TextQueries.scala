@@ -1243,4 +1243,30 @@ object TextQueries {
         col("w_source"), col("w_size"), col("w_prefix"),
         col("match_weight"), col("decision"))
   }
+
+  /** q169 RBO top-weighting. */
+  val RboP = 0.9
+
+  /** q169: rank-biased overlap between the q107 BM25 top-10 and the
+    * naive raw-term-count ranking of the same query
+    * ([[graft.ops.Eval.rboAtK]]) — "does length normalization + IDF
+    * actually change what the user sees", the standard A/B readout for
+    * swapping retrieval scorers. One equi-join of two k-row lists + a
+    * literal tail-weight lookup; the closed-form reshuffle means no
+    * per-depth recount. */
+  def qRbo(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bm25 = TextOps.bm25TopK(docs, "doc_id", "text", Bm25Terms, Bm25K)
+      .select(col("doc_id"), col("rank"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("doc_id").asc)
+    val naive = docs
+      .select(col("doc_id"),
+        call_function("count_in", TextOps.tokens(col("text")),
+          array(Bm25Terms.map(lit): _*)).as("n"))
+      .orderBy(col("n").desc, col("doc_id").asc).limit(Bm25K)
+      .withColumn("rank", row_number().over(w))
+      .select(col("doc_id"), col("rank"))
+    graft.ops.Eval.rboAtK(bm25, naive, "doc_id", "rank", Bm25K, RboP)
+  }
 }

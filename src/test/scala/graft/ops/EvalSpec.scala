@@ -150,6 +150,33 @@ class EvalSpec extends SparkSpecBase {
       .collect().head.getAs[Double]("ndcg") === 1.0)
   }
 
+  test("rboAtK: identical lists score (1-p)·ΣW, disjoint lists score 0") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val same = Eval.rboAtK(a, a, "id", "rank", 3, 0.9).collect().head
+    // identical lists: X_d = d at every depth → truncated RBO =
+    // (1−p)·Σ p^(d−1) = (1−p)(1+p+p²)
+    val want = 0.1 * (1 + 0.9 + 0.81)
+    assert(math.abs(same.getAs[Double]("rbo") - want) < 1e-6)
+    assert(same.getAs[Long]("n_common") === 3L)
+    val b = Seq((40L, 1), (50L, 2), (60L, 3)).toDF("id", "rank")
+    val disj = Eval.rboAtK(a, b, "id", "rank", 3, 0.9).collect().head
+    assert(disj.getAs[Long]("n_common") === 0L)
+    assert(disj.getAs[Double]("rbo") === 0.0)
+  }
+
+  test("rboAtK: hand-computed partial overlap") {
+    val s = spark
+    import s.implicits._
+    // A = [x, y], B = [y, x]: X_1 = 0, X_2 = 2
+    // RBO = (1−p)·(0·p⁰/1 + 2·p¹/2) = (1−p)·p = 0.09 at p = 0.9
+    val a = Seq((1L, 1), (2L, 2)).toDF("id", "rank")
+    val b = Seq((2L, 1), (1L, 2)).toDF("id", "rank")
+    val r = Eval.rboAtK(a, b, "id", "rank", 2, 0.9).collect().head
+    assert(math.abs(r.getAs[Double]("rbo") - 0.09) < 1e-6)
+  }
+
   test("transitionMatrix: counts and per-source probabilities") {
     val s = spark
     import s.implicits._
