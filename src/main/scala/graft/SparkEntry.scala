@@ -211,6 +211,10 @@ object SparkEntry {
     "q167_ndcg"              -> TextQueries.qNdcg _,
     "q168_er_scores"         -> TextQueries.qErScores _,
     "q169_rbo"               -> TextQueries.qRbo _,
+    "q170_quantile_norm"     -> TextQueries.qQuantileNorm _,
+    "q171_l_diversity"       -> Relational.q171LDiversity _,
+    "q172_survival"          -> Relational.q172Survival _,
+    "q173_top_paths"         -> Relational.q173TopPaths _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */
@@ -1004,5 +1008,61 @@ object SparkEntry {
          |    AS welch_df
          |FROM d""".stripMargin
     },
+
+    "q171_l_diversity" ->
+      """WITH cells AS (SELECT date_trunc('day', ts) AS day,
+        |    CAST(FLOOR(value / 100) AS BIGINT) AS vbucket,
+        |    event_type, COUNT(*) AS c
+        |  FROM events GROUP BY day, vbucket, event_type),
+        |cls AS (SELECT day, vbucket,
+        |    CAST(SUM(c) AS BIGINT) AS n,
+        |    COUNT(*) AS distinct_l,
+        |    SUM(CAST(c * ROUND(ln(CAST(c AS DOUBLE)), 9)
+        |        AS DECIMAL(28,9))) AS clc
+        |  FROM cells GROUP BY day, vbucket)
+        |SELECT day, vbucket, n, distinct_l,
+        |  ROUND(exp(ROUND(ln(CAST(n AS DOUBLE)), 9)
+        |            - CAST(clc AS DOUBLE) / n), 6) AS entropy_l
+        |FROM cls""".stripMargin,
+
+    "q172_survival" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |f AS (SELECT MAX(us) AS frontier FROM ev),
+        |spans AS (SELECT
+        |    (MAX(us) - MIN(us)) // 86400000000 AS duration,
+        |    CASE WHEN MAX(us) > (SELECT frontier FROM f)
+        |                        - 86400000000 THEN 0
+        |         ELSE 1 END AS event
+        |  FROM ev GROUP BY user_id),
+        |byt AS (SELECT duration AS t, CAST(SUM(event) AS BIGINT) AS d,
+        |    COUNT(*) AS all_at_t
+        |  FROM spans GROUP BY duration),
+        |risk AS (SELECT t, d, SUM(all_at_t) OVER (ORDER BY t DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+        |  FROM byt),
+        |terms AS (SELECT t, d, n_risk,
+        |    CASE WHEN d = n_risk THEN NULL
+        |         ELSE CAST(ROUND(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 9)
+        |              AS DECIMAL(18,9)) END AS lnterm,
+        |    MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |            AND CURRENT ROW) AS zero,
+        |    SUM(CASE WHEN d = n_risk THEN NULL
+        |         ELSE CAST(ROUND(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 9)
+        |              AS DECIMAL(18,9)) END)
+        |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |            AND CURRENT ROW) AS lnsum
+        |  FROM risk WHERE d > 0)
+        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d AS n_events,
+        |  CASE WHEN zero = 1 THEN 0.0
+        |       ELSE ROUND(exp(CAST(lnsum AS DOUBLE)), 6) END AS survival
+        |FROM terms""".stripMargin,
+
+    "q173_top_paths" ->
+      """WITH p AS (SELECT user_id, date_trunc('day', ts) AS day,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM events GROUP BY user_id, day)
+        |SELECT path, COUNT(*) AS n FROM p GROUP BY path
+        |ORDER BY n DESC, path ASC LIMIT 10""".stripMargin,
   )
 }

@@ -52,4 +52,33 @@ object Privacy {
         col("n"))
       .groupBy(col("class_size"))
       .agg(count(lit(1)).as("n_classes"), sum(col("n")).as("n_rows"))
+
+  /** l-diversity audit — the attribute-disclosure complement of
+    * [[anonymityAudit]]: a k-anonymous class whose SENSITIVE column is
+    * constant still leaks ("every row in this class is a cancer
+    * patient"). Per equivalence class over `qiCols`: row count,
+    * distinct-l (how many sensitive values appear), and entropy-l
+    * diversity exp(−Σ p·ln p) — the effective number of sensitive
+    * values, ≤ distinct-l, penalizing skew.
+    *
+    * Two hash aggregations ((QI, sensitive) → QI); entropy terms go
+    * through ROUND(ln, 9) + decimal sums (the q98 discipline) so the
+    * audit is partition-order-free and oracle-exact. */
+  def lDiversityAudit(df: DataFrame, qiCols: Seq[String],
+                      sensitiveCol: String): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    val cells = df.groupBy((qiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    cells.groupBy(qiCols.map(col): _*)
+      .agg(sum(col("__c")).as("n"),
+        count(lit(1)).as("distinct_l"),
+        sum((col("__c").cast("double") *
+          round(log(col("__c").cast("double")), 9))
+          .cast("decimal(28,9)")).as("__clc"))
+      .withColumn("entropy_l",
+        // exp(−Σ p ln p) = exp(ln n − (Σ c·ln c)/n)
+        round(exp(round(log(col("n").cast("double")), 9) -
+          col("__clc").cast("double") / col("n")), 6))
+      .drop("__clc")
+  }
 }

@@ -207,4 +207,48 @@ object Stats {
       .agg(count(lit(1)).as("n_rows"),
         min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
   }
+
+  /** Quantile normalization across groups at B-bucket granularity: map
+    * each row's WITHIN-GROUP ntile bucket onto the POOLED distribution's
+    * exact type-1 percentile for that bucket — the standard move before
+    * thresholding a quality signal measured on heterogeneous sources
+    * ("keep the best 30%" must not mean a different bar per source).
+    *
+    * Scale shape: the within-group rank is an ntile window PARTITIONED
+    * BY GROUP (ties broken by `tieCols` so both engines agree); the
+    * pooled percentile table is derived from the DISTINCT-VALUE
+    * cumulative counts (value-domain-sized window, the AUC trick —
+    * never a global row sort) and reduced to B rows, broadcast back.
+    * percentile(q) is type-1: the smallest value whose cumulative count
+    * reaches ceil(q·N) — pure integer selection, no interpolation, so
+    * the result is a value that EXISTS in the data and both engines
+    * agree bit-for-bit. */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+                        tieCols: Seq[String], buckets: Int = 100)
+      : DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(valueCol) +: tieCols.map(col): _*)
+    val bucketed = df.withColumn("bucket", ntile(buckets).over(w))
+    // pooled type-1 percentiles from distinct-value cumulative counts
+    val byVal = df.groupBy(col(valueCol)).agg(count(lit(1)).as("c"))
+    val wv = org.apache.spark.sql.expressions.Window
+      .orderBy(col(valueCol))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = byVal.withColumn("cum", sum(col("c")).over(wv))
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("__n"))))
+    // bucket b ∈ 1..B → quantile q_b = b/B → target rank ceil(q_b·N);
+    // norm value = min value with cum ≥ target
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qs = (1 to buckets).map(b => (b, b.toLong)).toDF("bucket", "__b")
+    val pooled = cum.crossJoin(broadcast(qs))
+      .filter(col("cum") * buckets >= col("__b") * col("__n"))
+      .groupBy(col("bucket"))
+      .agg(min(col(valueCol)).as("norm_value"))
+    bucketed.join(broadcast(pooled), "bucket")
+  }
 }

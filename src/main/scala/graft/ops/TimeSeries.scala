@@ -181,4 +181,54 @@ object TimeSeries {
       .select(col(keyCol), col(stateCol).as("state"),
         col(tsCol).as("valid_from"), col("valid_to"))
   }
+
+  /** Kaplan–Meier survival curve over (duration, event) observations —
+    * the churn/retention readout that handles CENSORING correctly
+    * (a subject still active at the study frontier must not count as a
+    * death, only as at-risk time; naive retention curves get this
+    * wrong). `durationCol`: non-negative integer durations; `eventCol`:
+    * 1 = the terminal event was observed, 0 = censored.
+    *
+    * Returns one row per distinct EVENT time t: n_risk (subjects with
+    * duration ≥ t), n_events (events AT t), and the product-limit
+    * estimate S(t) = Π_{t_i ≤ t} (1 − d_i/n_i).
+    *
+    * Scale shape: one hash aggregation to (duration, d, c) — the
+    * DURATION-DOMAIN-sized table — then windows over that aggregate
+    * (cumulative at-risk from the tail, log-space running product).
+    * The product is exp of a running sum of ROUND(ln(1−d/n), 9) decimal
+    * terms (the q98 discipline: per-term rounding makes the sum
+    * order-free and oracle-exact); a time where everyone at risk dies
+    * (d = n) forces S = 0 from there on, handled explicitly since
+    * ln(0) must never evaluate. */
+  def kaplanMeier(df: DataFrame, durationCol: String, eventCol: String)
+      : DataFrame = {
+    val byT = df.groupBy(col(durationCol).as("t"))
+      .agg(sum(col(eventCol)).cast("long").as("d"),
+        count(lit(1)).as("all_at_t"))
+    val wAsc = Window.orderBy(col("t"))
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = byT
+      // at-risk at t = subjects with duration >= t: suffix sum
+      .withColumn("n_risk", sum(col("all_at_t")).over(wDesc))
+    val terms = risk.filter(col("d") > 0)
+      .withColumn("__lnterm",
+        when(col("d") === col("n_risk"), lit(null))
+          .otherwise(round(log(lit(1.0) -
+            col("d").cast("double") / col("n_risk")), 9)
+            .cast("decimal(18,9)")))
+      // S = 0 once any prefix factor is 0: track with a running min flag
+      .withColumn("__zero",
+        max(when(col("d") === col("n_risk"), 1).otherwise(0))
+          .over(wAsc.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+      .withColumn("__lnsum",
+        sum(col("__lnterm")).over(wAsc.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+    terms.select(col("t"), col("n_risk"), col("d").as("n_events"),
+      when(col("__zero") === 1, lit(0.0))
+        .otherwise(round(exp(col("__lnsum").cast("double")), 6))
+        .as("survival"))
+  }
 }

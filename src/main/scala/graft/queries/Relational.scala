@@ -996,6 +996,61 @@ object Relational {
       graft.core.Tables.events(s, dir), "user_id", "event_type",
       Seq("ts", "event_id"))
 
+  /** q171: l-diversity audit ([[graft.ops.Privacy.lDiversityAudit]]) —
+    * the attribute-disclosure complement of q135's k-anonymity: per
+    * (day, value-bucket) equivalence class, how many DISTINCT event
+    * types appear and their entropy-l (effective diversity). A class
+    * can be k-anonymous and still leak if every row shares one
+    * sensitive value. */
+  def q171LDiversity(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Privacy.lDiversityAudit(
+      graft.core.Tables.events(s, dir)
+        .select(date_trunc("day", col("ts")).as("day"),
+          floor(col("value") / 100).cast("long").as("vbucket"),
+          col("event_type")),
+      Seq("day", "vbucket"), "event_type")
+
+  /** q172: Kaplan–Meier user-retention curve
+    * ([[graft.ops.TimeSeries.kaplanMeier]]). Duration = whole days
+    * between a user's first and last event (integer-microsecond
+    * arithmetic); users whose last event is within 1 day of the
+    * stream frontier are CENSORED (still active), not churned — the
+    * distinction naive retention curves miss. (Horizon 1 day: the
+    * synthetic stream keeps every user active to within ~1.7 days of
+    * the frontier, so longer horizons censor everyone and the curve
+    * would be vacuously empty.) */
+  def q172Survival(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.core.Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val spans = ev.groupBy(col("user_id"))
+      .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+      .crossJoin(broadcast(ev.agg(max(col("us")).as("frontier_us"))))
+      .select(
+        expr("(last_us - first_us) div 86400000000").as("duration"),
+        when(col("last_us") > col("frontier_us") - lit(86400000000L),
+          0).otherwise(1).as("event"))
+    graft.ops.TimeSeries.kaplanMeier(spans, "duration", "event")
+  }
+
+  /** q173: top user paths — the 10 most common per-(user, day) ordered
+    * event-type sequences. The sequence builds in ONE aggregation via
+    * collect_list + array_sort on (ts, event_id, type) structs (order
+    * imposed inside the group, no window sort over the corpus); the
+    * path table then aggregates to path-domain size and TakeOrdered
+    * picks the head. */
+  def q173TopPaths(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.core.Tables.events(s, dir)
+    ev.groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(concat_ws(">",
+        transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type"))).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(10)
+  }
+
   /** q165: A/B experiment readout — deterministic hash-split of users
     * into two arms (the q92 split-hash convention, seed 13), then
     * Welch's t per event type on `value`

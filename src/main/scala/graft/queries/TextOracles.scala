@@ -1717,6 +1717,24 @@ object TextOracles {
          |FROM j JOIN w USING (m)""".stripMargin
     },
 
+    "q170_quantile_norm" ->
+      """WITH b AS (SELECT doc_id, source, n_chars,
+        |    ntile(10) OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS bucket
+        |  FROM documents),
+        |v AS (SELECT n_chars AS val, COUNT(*) AS c FROM documents
+        |      GROUP BY n_chars),
+        |cum AS (SELECT val, SUM(c) OVER (ORDER BY val
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM v),
+        |nn AS (SELECT COUNT(*) AS n FROM documents),
+        |pooled AS (SELECT q.b AS bucket, MIN(cum.val) AS norm_value
+        |  FROM cum, nn, (SELECT unnest(range(1, 11)) AS b) q
+        |  WHERE cum.cum * 10 >= q.b * nn.n
+        |  GROUP BY q.b)
+        |SELECT b.doc_id, b.source, b.n_chars, b.bucket, p.norm_value
+        |FROM b JOIN pooled p USING (bucket)""".stripMargin,
+
     "q164_skipgrams" ->
       s"""WITH tok0 AS (SELECT doc_id, $Tk AS tk FROM documents),
          |tokx AS (SELECT doc_id, unnest(tk) AS tok,

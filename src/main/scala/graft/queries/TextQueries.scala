@@ -1269,4 +1269,17 @@ object TextQueries {
       .select(col("doc_id"), col("rank"))
     graft.ops.Eval.rboAtK(bm25, naive, "doc_id", "rank", Bm25K, RboP)
   }
+
+  /** q170: quantile-normalize document length across sources
+    * ([[graft.ops.Stats.quantileNormalize]], B=10): each doc's
+    * within-source decile maps onto the POOLED length distribution's
+    * exact type-1 decile value — the prerequisite for one corpus-wide
+    * "keep the longest X%" threshold over heterogeneous sources. */
+  def qQuantileNorm(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.quantileNormalize(
+      Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        col("n_chars")),
+      "source", "n_chars", Seq("doc_id"), buckets = 10)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("bucket"),
+        col("norm_value"))
 }

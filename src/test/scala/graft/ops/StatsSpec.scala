@@ -170,4 +170,36 @@ class StatsSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(t == Map(1L -> 1L, 2L -> 1L)) // n < k: one row per bucket
   }
+
+  test("quantileNormalize: skewed source maps onto pooled deciles") {
+    val s = spark
+    import s.implicits._
+    // source A holds the 10 smallest values, B the 10 largest: A's
+    // top bucket must normalize to the POOLED distribution's top value,
+    // erasing the source offset
+    val rows = (1 to 10).map(v => ("A", v.toLong, v.toLong)) ++
+      (11 to 20).map(v => ("B", v.toLong, v.toLong))
+    val df = rows.toDF("src", "id", "v")
+    val out = Stats.quantileNormalize(df, "src", "v", Seq("id"), 10)
+      .collect().map(r => (r.getAs[String]("src"), r.getAs[Long]("v")) ->
+        (r.getAs[Int]("bucket"), r.getAs[Long]("norm_value"))).toMap
+    // A's value 10 (its own decile 10) → pooled decile 10 = 20
+    assert(out(("A", 10L)) === ((10, 20L)))
+    assert(out(("B", 20L)) === ((10, 20L)))
+    // A's decile 1 and B's decile 1 both map to the pooled 10% point
+    assert(out(("A", 1L))._2 === out(("B", 11L))._2)
+    // pooled type-1 decile b: smallest v with cum ≥ ceil(b·N/10) = 2b
+    assert(out(("A", 1L))._2 === 2L)
+  }
+
+  test("quantileNormalize: norm values always exist in the data") {
+    val s = spark
+    import s.implicits._
+    val rows = (1 to 37).map(i => ("s" + i % 3, i.toLong, (i * 7 % 13).toLong))
+    val df = rows.toDF("src", "id", "v")
+    val vals = df.select("v").collect().map(_.getLong(0)).toSet
+    val out = Stats.quantileNormalize(df, "src", "v", Seq("id"), 10)
+      .select("norm_value").collect().map(_.getLong(0))
+    assert(out.forall(vals.contains))
+  }
 }

@@ -168,4 +168,38 @@ class TimeSeriesSpec extends SparkSpecBase {
       lit("2024-02-05 00:00:00").cast("timestamp")).head()
     assert(older.getDouble(3) == r.getDouble(3) * 0.5)
   }
+
+  test("kaplanMeier: textbook curve with censoring") {
+    val s = spark
+    import s.implicits._
+    // durations (event=1 observed, 0 censored):
+    // 2(e), 3(c), 4(e), 4(e), 5(c), 6(e)
+    val df = Seq((2L, 1), (3L, 0), (4L, 1), (4L, 1), (5L, 0), (6L, 1))
+      .toDF("dur", "ev")
+    val got = TimeSeries.kaplanMeier(df, "dur", "ev")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_risk"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("survival"))).toMap
+    // t=2: risk 6, 1 event → 5/6; t=4: risk 4, 2 events → 5/6·1/2 = 5/12
+    // t=6: risk 1, 1 event → S = 0 (d = n case)
+    assert(got(2L)._1 === 6L && math.abs(got(2L)._3 - 5.0 / 6) < 1e-5)
+    assert(got(4L) === ((4L, 2L, got(4L)._3)))
+    assert(math.abs(got(4L)._3 - 5.0 / 12) < 1e-5)
+    assert(got(6L)._3 === 0.0)
+    // censored-only times (3, 5) emit no curve row
+    assert(!got.contains(3L) && !got.contains(5L))
+  }
+
+  test("kaplanMeier: no censoring reduces to the empirical survivor fn") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 1), (2L, 1), (3L, 1), (4L, 1)).toDF("dur", "ev")
+    val got = TimeSeries.kaplanMeier(df, "dur", "ev")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("survival"))
+      .toMap
+    assert(math.abs(got(1L) - 0.75) < 1e-6)
+    assert(math.abs(got(2L) - 0.5) < 1e-6)
+    assert(math.abs(got(3L) - 0.25) < 1e-6)
+    assert(got(4L) === 0.0)
+  }
 }
