@@ -84,11 +84,14 @@ object ScaleUp {
 
     val emb = src("embeddings")
     val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    // rotate by __r mod dim: factors above the dimensionality (the 100×
+    // run) would otherwise drive the first slice length negative
     write(rep(emb, "vec_id" -> stride(emb, "vec_id"))
+      .withColumn("__shift", pmod(col("__r"), lit(dim)))
       .withColumn("embedding", concat(
-        slice(col("embedding"), col("__r") + 1, lit(dim) - col("__r")),
-        slice(col("embedding"), lit(1), col("__r"))))
-      .drop("__r"), "embeddings")
+        slice(col("embedding"), col("__shift") + 1, lit(dim) - col("__shift")),
+        slice(col("embedding"), lit(1), col("__shift"))))
+      .drop("__r", "__shift"), "embeddings")
 
     for (n <- Tables.names)
       println(s"[scaleup] $n: " +
