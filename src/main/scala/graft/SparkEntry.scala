@@ -215,6 +215,10 @@ object SparkEntry {
     "q171_l_diversity"       -> Relational.q171LDiversity _,
     "q172_survival"          -> Relational.q172Survival _,
     "q173_top_paths"         -> Relational.q173TopPaths _,
+    "q174_table_digest"      -> Relational.q174TableDigest _,
+    "q175_cusum_peak"        -> Relational.q175CusumPeak _,
+    "q176_benford"           -> Relational.q176Benford _,
+    "q177_gini"              -> Relational.q177Gini _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */
@@ -1064,5 +1068,74 @@ object SparkEntry {
         |  FROM events GROUP BY user_id, day)
         |SELECT path, COUNT(*) AS n FROM p GROUP BY path
         |ORDER BY n DESC, path ASC LIMIT 10""".stripMargin,
+
+    "q174_table_digest" -> {
+      val canon = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority").map(c =>
+        s"COALESCE(CAST(length(CAST($c AS VARCHAR)) AS VARCHAR), 'n') " +
+          s"|| '#' || COALESCE(CAST($c AS VARCHAR), '')")
+        .mkString(" || ")
+      s"""SELECT COUNT(*) AS n_rows,
+         |  CAST(SUM(${graft.queries.TextOracles.H(canon)})
+         |       % 1000000007 AS BIGINT) AS digest
+         |FROM orders""".stripMargin
+    },
+
+    "q175_cusum_peak" ->
+      """WITH c AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY event_type, day),
+        |k AS (SELECT event_type, COUNT(*) AS k, SUM(c) AS tot
+        |      FROM c GROUP BY event_type),
+        |s AS (SELECT c.event_type, c.day, k.k, k.tot,
+        |    SUM(c.c * k.k) OVER (PARTITION BY c.event_type ORDER BY c.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    - k.tot * row_number() OVER (PARTITION BY c.event_type
+        |                                 ORDER BY c.day) AS s
+        |  FROM c JOIN k USING (event_type)),
+        |p AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY abs(s) DESC, day ASC) AS rn FROM s)
+        |SELECT event_type, day AS peak_step,
+        |  CAST(s AS BIGINT) AS cusum_scaled,
+        |  ROUND(CAST(abs(s) AS DOUBLE) / CAST(k * tot AS DOUBLE), 6)
+        |    AS peak_norm
+        |FROM p WHERE rn = 1""".stripMargin,
+
+    "q176_benford" -> {
+      val ladder = (-4 to 9).map(e =>
+        s"WHEN v >= 1e$e AND v < 1e${e + 1} " +
+          s"THEN CAST(FLOOR(v / 1e$e) AS INTEGER)").mkString("\n      ")
+      val expected = (1 to 9).map(d =>
+        s"WHEN digit = $d THEN " +
+          BigDecimal(math.log10(1.0 + 1.0 / d))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .mkString("\n      ")
+      s"""WITH v AS (SELECT l_extendedprice AS v FROM lineitem
+         |  WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
+         |d AS (SELECT CASE
+         |      $ladder
+         |      END AS digit FROM v),
+         |g AS (SELECT digit, COUNT(*) AS n FROM d
+         |      WHERE digit IS NOT NULL GROUP BY digit),
+         |t AS (SELECT SUM(n) AS tot FROM g)
+         |SELECT digit, n,
+         |  ROUND(CAST(n AS DOUBLE) / (SELECT tot FROM t), 6) AS frac,
+         |  CAST(CASE
+         |      $expected
+         |      END AS DOUBLE) AS benford_p
+         |FROM g""".stripMargin
+    },
+
+    "q177_gini" ->
+      """WITH s AS (SELECT source, COUNT(*) AS s FROM documents
+        |           GROUP BY source),
+        |r AS (SELECT s, source,
+        |        row_number() OVER (ORDER BY s ASC, source ASC) AS i
+        |      FROM s)
+        |SELECT COUNT(*) AS k, CAST(SUM(s) AS BIGINT) AS total,
+        |  ROUND(2.0 * CAST(SUM(i * s) AS DOUBLE)
+        |          / CAST(COUNT(*) * SUM(s) AS DOUBLE)
+        |        - CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*), 6) AS gini
+        |FROM r""".stripMargin,
   )
 }

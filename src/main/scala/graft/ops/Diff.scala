@@ -49,4 +49,47 @@ object Diff {
                   keyCols: Seq[String], compareCols: Seq[String]): DataFrame =
     snapshotDiff(oldDf, newDf, keyCols, compareCols)
       .groupBy(col("status")).agg(count(lit(1)).as("n"))
+
+  /** ORDER-INVARIANT table digest: Σ rowhash mod p over a canonical
+    * per-row string — one 16-byte answer that two sides of a migration
+    * can compute independently and compare ("did the copy preserve
+    * every row"), the cheap alternative to a full anti-join
+    * reconciliation. Addition commutes, so the digest is identical
+    * under any partitioning, ordering, or engine — which is exactly
+    * why a sum (not a Merkle chain) is the right structure for a
+    * distributed table.
+    *
+    * Canonicalization: each column length-prefixed (the [[Dedup]]
+    * framing — `"ab","c"` never collides with `"a","bc"`), nulls as a
+    * sentinel, polynomial-hashed per row. RESTRICTION, by design: only
+    * integral/string/date-typed columns may participate — float and
+    * timestamp COLUMN RENDERING is engine-specific, and a digest that
+    * depends on formatter trivia would report false drift. The row
+    * hash sum accumulates as DECIMAL(38,0) (exact past any row count)
+    * and reduces mod 10^9+7 at the end.
+    *
+    * Plan: one scan, one partial-aggregated sum — digesting 100 TB
+    * costs exactly one pass, no shuffle beyond the 1-row aggregate. */
+  def tableDigest(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to digest")
+    import org.apache.spark.sql.types._
+    val allowed: Set[DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType, StringType,
+        BooleanType, DateType)
+    cols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(allowed.contains(dt),
+        s"tableDigest: column $c has engine-formatting-dependent type " +
+          s"$dt — cast to string/integral explicitly first")
+    }
+    val canon = concat(cols.flatMap(c => Seq(
+      coalesce(length(col(c).cast("string")).cast("string"), lit("n")),
+      lit("#"),
+      coalesce(col(c).cast("string"), lit("")))): _*)
+    df.select(TextOps.polyHash(canon).as("__h"))
+      .agg(count(lit(1)).as("n_rows"),
+        pmod(coalesce(sum(col("__h").cast(DecimalType(38, 0))),
+          lit(java.math.BigDecimal.ZERO)) % TextOps.HashMod,
+          lit(TextOps.HashMod)).cast("long").as("digest"))
+  }
 }

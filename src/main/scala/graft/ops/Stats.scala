@@ -251,4 +251,94 @@ object Stats {
       .agg(min(col(valueCol)).as("norm_value"))
     bucketed.join(broadcast(pooled), "bucket")
   }
+
+  /** CUSUM changepoint localization over per-(group, step) counts: the
+    * running sum of SCALED deviations S_i = Σ_{j≤i} (c_j·K − total),
+    * where K = number of steps — multiplying through by K keeps every
+    * value integral (c_j − total/K would be a rational), so the curve
+    * is exact and the argmax is unambiguous. The |S| peak estimates
+    * where the level shifted; a series with no shift meanders near 0.
+    *
+    * Returns per group: the peak step, the scaled peak value, and the
+    * normalized peak |S|/(K·total) ∈ [0,1] for cross-group comparison.
+    * Shape: one hash agg to (group, step) — the step-domain table —
+    * then group-partitioned windows over it; one row per group out. */
+  def cusumPeak(df: DataFrame, groupCol: String, stepCol: String)
+      : DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(stepCol))
+      .agg(count(lit(1)).as("c"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    val wRun = wg.orderBy(col(stepCol))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val withS = counts
+      .withColumn("__k", count(lit(1)).over(wg))
+      .withColumn("__tot", sum(col("c")).over(wg))
+      .withColumn("__s",
+        sum(col("c") * col("__k")).over(wRun) -
+          col("__tot") * (row_number().over(wg.orderBy(col(stepCol)))))
+    val wPeak = wg.orderBy(abs(col("__s")).desc, col(stepCol).asc)
+    withS.withColumn("__rn", row_number().over(wPeak))
+      .filter(col("__rn") === 1)
+      .select(col(groupCol), col(stepCol).as("peak_step"),
+        col("__s").as("cusum_scaled"),
+        round(abs(col("__s")).cast("double") /
+          (col("__k") * col("__tot")), 6).as("peak_norm"))
+  }
+
+  /** Benford first-digit audit of a positive numeric column: observed
+    * first-significant-digit shares vs Benford's log10(1+1/d), the
+    * classic fabricated-data screen. Digit extraction is a CASE LADDER
+    * over decades (floor of a division per decade) — NOT
+    * floor(log10(v)), whose 1-ulp engine differences at decade
+    * boundaries would flip digits. Values outside [10^-4, 10^10) or
+    * ≤ 0 are excluded (reported via n_total vs Σn). Expected shares
+    * are Scala-evaluated literals, 6-dp. One hash aggregation. */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    // decade ladder: for 10^e ≤ v < 10^(e+1), digit = floor(v / 10^e)
+    val digit = (-4 to 9).foldLeft(lit(null).cast("int")) { (acc, e) =>
+      // boundaries via string-parsed literals ("1e-4".toDouble), not
+      // math.pow: parse is the same operation a SQL oracle's `1e-4`
+      // literal goes through, so both engines compare against the
+      // IDENTICAL double
+      val lo = s"1e$e".toDouble
+      val hi = s"1e${e + 1}".toDouble
+      when(v >= lo && v < hi, floor(v / lo).cast("int")).otherwise(acc)
+    }
+    val expected = (1 to 9).map(d =>
+      d -> BigDecimal(math.log10(1.0 + 1.0 / d))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    val expCol = (1 to 9).foldLeft(lit(null).cast("double")) { (acc, d) =>
+      when(col("digit") === d, lit(expected(d))).otherwise(acc)
+    }
+    val digits = df.filter(v.isNotNull && v > 0)
+      .select(digit.as("digit")).filter(col("digit").isNotNull)
+    digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(
+        digits.agg(count(lit(1)).as("__tot"))))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("__tot"), 6).as("frac"),
+        expCol.as("benford_p"))
+  }
+
+  /** Gini index of a grouped size distribution ("how concentrated is
+    * the corpus over sources") from exact integer arithmetic:
+    * with sizes s_1 ≤ … ≤ s_k (ties broken by group for a total
+    * order), G = (2·Σ i·s_i) / (k·Σ s_i) − (k+1)/k. The window runs
+    * over the GROUP-domain aggregate (k rows); the two final divisions
+    * are the only float ops. Returns (k, total, gini). */
+  def giniIndex(df: DataFrame, groupCol: String): DataFrame = {
+    val sizes = df.groupBy(col(groupCol)).agg(count(lit(1)).as("s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("s").asc, col(groupCol).asc)
+    sizes.withColumn("__i", row_number().over(w))
+      .agg(count(lit(1)).as("k"), sum(col("s")).as("total"),
+        sum(col("__i") * col("s")).as("__is"))
+      .select(col("k"), col("total"),
+        round(lit(2.0) * col("__is") / (col("k") * col("total")) -
+          (col("k") + 1).cast("double") / col("k"), 6).as("gini"))
+  }
 }

@@ -1051,6 +1051,38 @@ object Relational {
       .limit(10)
   }
 
+  /** q174: order-invariant table digest
+    * ([[graft.ops.Diff.tableDigest]]) over the orders table's
+    * formatter-stable columns — the one-pass migration-reconciliation
+    * check (Σ rowhash mod p; commutative, so identical under any
+    * partitioning or engine). */
+  def q174TableDigest(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Diff.tableDigest(Tables.orders(s, dir),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+
+  /** q175: CUSUM changepoint peak per event type over daily counts
+    * ([[graft.ops.Stats.cusumPeak]]) — integral scaled deviations, the
+    * level-shift monitor for ingest streams. */
+  def q175CusumPeak(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.cusumPeak(
+      graft.core.Tables.events(s, dir)
+        .select(col("event_type"), date_trunc("day", col("ts")).as("day")),
+      "event_type", "day")
+
+  /** q176: Benford first-digit audit of l_extendedprice
+    * ([[graft.ops.Stats.benfordAudit]]) — decade-ladder digit
+    * extraction (no engine-side log10), literal expected shares. */
+  def q176Benford(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.benfordAudit(Tables.lineitem(s, dir),
+      "l_extendedprice")
+
+  /** q177: Gini concentration of documents over sources
+    * ([[graft.ops.Stats.giniIndex]]) — the data-mix inequality
+    * diagnostic; exact integer Lorenz arithmetic. */
+  def q177Gini(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.giniIndex(
+      graft.core.Tables.documents(s, dir), "source")
+
   /** q165: A/B experiment readout — deterministic hash-split of users
     * into two arms (the q92 split-hash convention, seed 13), then
     * Welch's t per event type on `value`

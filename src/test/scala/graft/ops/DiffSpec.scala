@@ -1,5 +1,7 @@
 package graft.ops
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpecBase
 
 class DiffSpec extends SparkSpecBase {
@@ -35,5 +37,35 @@ class DiffSpec extends SparkSpecBase {
     val got = Diff.diffSummary(oldV, newV, Seq("id"), Seq("v"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("removed" -> 1L, "changed" -> 1L, "added" -> 1L))
+  }
+
+  test("tableDigest: order- and partitioning-invariant, change-sensitive") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, null)).toDF("id", "v")
+    def dig(d: org.apache.spark.sql.DataFrame) =
+      Diff.tableDigest(d, Seq("id", "v")).collect().head
+    val base = dig(df)
+    assert(base.getAs[Long]("n_rows") === 3L)
+    assert(dig(df.repartition(7)).getAs[Long]("digest") ===
+      base.getAs[Long]("digest"))
+    assert(dig(df.orderBy(col("v").desc_nulls_last))
+      .getAs[Long]("digest") === base.getAs[Long]("digest"))
+    // any single-value change moves the digest
+    val tweaked = Seq((1L, "a"), (2L, "B"), (3L, null)).toDF("id", "v")
+    assert(dig(tweaked).getAs[Long]("digest") !==
+      base.getAs[Long]("digest"))
+    // framing: ("ab", "c") vs ("a", "bc") must differ
+    val ab = Seq(("ab", "c")).toDF("x", "y")
+    val a = Seq(("a", "bc")).toDF("x", "y")
+    assert(dig2(ab) !== dig2(a))
+  }
+
+  private def dig2(d: org.apache.spark.sql.DataFrame): Long =
+    Diff.tableDigest(d, Seq("x", "y")).collect().head.getAs[Long]("digest")
+
+  test("tableDigest rejects formatter-dependent column types") {
+    val df = Seq((1L, 1.5)).toDF("id", "d")
+    intercept[IllegalArgumentException] {
+      Diff.tableDigest(df, Seq("id", "d"))
+    }
   }
 }

@@ -171,6 +171,56 @@ class StatsSpec extends SparkSpecBase {
     assert(t == Map(1L -> 1L, 2L -> 1L)) // n < k: one row per bucket
   }
 
+  test("cusumPeak: planted level shift peaks at the shift point") {
+    val s = spark
+    import s.implicits._
+    // group "a": 5 steps at 2 rows, then 5 steps at 6 rows — the CUSUM
+    // trough sits at the last low step (step 5)
+    val rows = (1 to 5).flatMap(st => Seq.fill(2)(("a", st))) ++
+      (6 to 10).flatMap(st => Seq.fill(6)(("a", st)))
+    val r = Stats.cusumPeak(rows.toDF("g", "step"), "g", "step")
+      .collect().head
+    assert(r.getAs[Int]("peak_step") === 5)
+    // S_5 = Σc·K − tot·5 = 10·10 − 40·5 = −100; norm = 100/(10·40)
+    assert(r.getAs[Long]("cusum_scaled") === -100L)
+    assert(r.getAs[Double]("peak_norm") === 0.25)
+  }
+
+  test("cusumPeak: a flat series stays near zero") {
+    val s = spark
+    import s.implicits._
+    val rows = (1 to 8).flatMap(st => Seq.fill(3)(("a", st)))
+    val r = Stats.cusumPeak(rows.toDF("g", "step"), "g", "step")
+      .collect().head
+    assert(r.getAs[Long]("cusum_scaled") === 0L)
+  }
+
+  test("benfordAudit: decade ladder extracts first significant digits") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(0.002, 0.91, 1.0, 2.5, 19.0, 95.5, 300.0, 9999.0,
+      -5.0, 0.0).toDF("v") // negatives and zero excluded
+    val got = Stats.benfordAudit(df, "v")
+      .collect().map(r => r.getInt(0) -> r.getAs[Long]("n")).toMap
+    assert(got === Map(1 -> 2L, 2 -> 2L, 3 -> 1L, 9 -> 3L))
+    val p = Stats.benfordAudit(df, "v")
+      .filter(col("digit") === 1).collect().head.getAs[Double]("benford_p")
+    assert(p === 0.30103)
+  }
+
+  test("giniIndex: uniform groups score 0, full concentration nears 1") {
+    val s = spark
+    import s.implicits._
+    val uniform = (1 to 40).map(i => ("g" + i % 4, i)).toDF("g", "x")
+    val g0 = Stats.giniIndex(uniform, "g").collect().head
+    assert(g0.getAs[Double]("gini") === 0.0)
+    // 4 groups: sizes 1,1,1,97 → G = 2(1+2+3+4·97)/(4·100) − 5/4 = 0.72
+    val skew = (Seq.fill(97)("big") ++ Seq("a", "b", "c"))
+      .zipWithIndex.map { case (g, i) => (g, i) }.toDF("g", "x")
+    val g1 = Stats.giniIndex(skew, "g").collect().head
+    assert(g1.getAs[Double]("gini") === 0.72)
+  }
+
   test("quantileNormalize: skewed source maps onto pooled deciles") {
     val s = spark
     import s.implicits._
