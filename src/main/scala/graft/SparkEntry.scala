@@ -219,6 +219,7 @@ object SparkEntry {
     "q175_cusum_peak"        -> Relational.q175CusumPeak _,
     "q176_benford"           -> Relational.q176Benford _,
     "q177_gini"              -> Relational.q177Gini _,
+    "q178_basket_rules"      -> Relational.q178BasketRules _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */
@@ -1137,5 +1138,25 @@ object SparkEntry {
         |          / CAST(COUNT(*) * SUM(s) AS DOUBLE)
         |        - CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*), 6) AS gini
         |FROM r""".stripMargin,
+
+    "q178_basket_rules" ->
+      """WITH b AS (SELECT DISTINCT user_id AS bk, event_type AS it
+        |           FROM events),
+        |nb AS (SELECT COUNT(DISTINCT bk) AS n FROM b),
+        |m AS (SELECT it, COUNT(*) AS m FROM b GROUP BY it),
+        |j AS (SELECT a.it AS antecedent, c.it AS consequent,
+        |        COUNT(*) AS n_joint
+        |      FROM b a JOIN b c ON a.bk = c.bk AND a.it <> c.it
+        |      GROUP BY a.it, c.it)
+        |SELECT j.antecedent, j.consequent,
+        |  CAST(j.n_joint AS BIGINT) AS n_joint,
+        |  ROUND(CAST(j.n_joint AS DOUBLE) / (SELECT n FROM nb), 6)
+        |    AS support,
+        |  ROUND(CAST(j.n_joint AS DOUBLE) / ma.m, 6) AS confidence,
+        |  ROUND(CAST(j.n_joint AS DOUBLE) * (SELECT n FROM nb)
+        |        / (ma.m * mc.m), 6) AS lift
+        |FROM j
+        |JOIN m ma ON ma.it = j.antecedent
+        |JOIN m mc ON mc.it = j.consequent""".stripMargin,
   )
 }

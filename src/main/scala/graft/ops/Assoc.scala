@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Association-rule mining over (basket, item) pairs — the
+  * "users who did X also did Y" readout (co-visitation recommendations,
+  * feature co-occurrence screens). Computes, per ORDERED item pair
+  * (antecedent → consequent): joint basket count, support, confidence,
+  * and lift.
+  *
+  * Scale shape: baskets dedupe to DISTINCT (basket, item) first; the
+  * pair stream comes from a per-basket self-join whose output is
+  * bounded by (items-per-basket)² per basket — with any realistic item
+  * fan-out this is the standard A-priori candidate shape, and the
+  * aggregate lands on the ITEM-PAIR DOMAIN (≪ baskets). Item marginals
+  * and the basket total are broadcast back. All ratios are exact
+  * integer divisions pushed to one final double division each. */
+object Assoc {
+
+  def basketRules(df: DataFrame, basketCol: String, itemCol: String,
+                  minJoint: Long = 1L): DataFrame = {
+    require(minJoint >= 1, s"minJoint must be >= 1, got $minJoint")
+    val b = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBaskets = b.select(col("__b")).distinct()
+      .agg(count(lit(1)).as("__n"))
+    val marg = b.groupBy(col("__i")).agg(count(lit(1)).as("__m"))
+    val joint = b.select(col("__b"), col("__i").as("antecedent"))
+      .join(b.select(col("__b"), col("__i").as("consequent")), "__b")
+      .filter(col("antecedent") =!= col("consequent"))
+      .groupBy(col("antecedent"), col("consequent"))
+      .agg(count(lit(1)).as("n_joint"))
+      .filter(col("n_joint") >= minJoint)
+    joint
+      .join(broadcast(marg.select(col("__i").as("antecedent"),
+        col("__m").as("__ma"))), "antecedent")
+      .join(broadcast(marg.select(col("__i").as("consequent"),
+        col("__m").as("__mc"))), "consequent")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("antecedent"), col("consequent"), col("n_joint"),
+        round(col("n_joint").cast("double") / col("__n"), 6)
+          .as("support"),
+        round(col("n_joint").cast("double") / col("__ma"), 6)
+          .as("confidence"),
+        round(col("n_joint").cast("double") * col("__n") /
+          (col("__ma") * col("__mc")), 6).as("lift"))
+  }
+}

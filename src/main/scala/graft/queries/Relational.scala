@@ -1083,6 +1083,13 @@ object Relational {
     graft.ops.Stats.giniIndex(
       graft.core.Tables.documents(s, dir), "source")
 
+  /** q178: association rules over user event baskets
+    * ([[graft.ops.Assoc.basketRules]]) — support / confidence / lift
+    * per ordered event-type pair, the co-visitation readout. */
+  def q178BasketRules(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Assoc.basketRules(
+      graft.core.Tables.events(s, dir), "user_id", "event_type")
+
   /** q165: A/B experiment readout — deterministic hash-split of users
     * into two arms (the q92 split-hash convention, seed 13), then
     * Welch's t per event type on `value`

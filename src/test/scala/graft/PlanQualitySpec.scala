@@ -365,4 +365,32 @@ class PlanQualitySpec extends SparkSpecBase {
     assert("HashAggregate".r.findAllIn(p).size == 2, p) // partial+final
     assert(!p.contains("Exchange SinglePartition"), p)
   }
+
+  test("table digest is one scan + one partial-agg pass (q174)") {
+    val p = plan(graft.queries.Relational.q174TableDigest(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert("HashAggregate".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("Generate") && !p.contains("Join"), p)
+  }
+
+  test("benford ladder is scan-side: one aggregation, no join on data (q176)") {
+    val p = plan(graft.queries.Relational.q176Benford(spark, sf))
+    // digits groupBy + a 1-row total broadcast back — never a row sort
+    // (the total's SinglePartition exchange carries 9 digit rows, fine)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Sort "), p)
+  }
+
+  test("basket rules aggregate to the item-pair domain (q178)") {
+    val p = plan(graft.queries.Relational.q178BasketRules(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p) // marginals broadcast back
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("quantile normalization windows partition by group (q170)") {
+    val p = plan(graft.queries.TextQueries.qQuantileNorm(spark, sf))
+    // the pooled-CDF window is value-domain-sized by construction; the
+    // per-row window must be group-partitioned
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
