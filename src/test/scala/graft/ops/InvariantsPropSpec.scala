@@ -81,4 +81,105 @@ class InvariantsPropSpec extends SparkSpecBase {
         out.select("prefix_hash").distinct().count())
     }
   }
+
+  test("rankAuc: label complement flips the AUC to 1 - auc exactly") {
+    for (_ <- 1 to 8) {
+      val rows = Seq.fill(20 + rng.nextInt(200))(
+        ("g", rng.nextInt(15).toDouble, rng.nextInt(2)))
+      // ensure both classes present
+      val df = (rows :+ (("g", 1.0, 0)) :+ (("g", 2.0, 1)))
+        .toDF("grp", "score", "y")
+      val auc = Eval.rankAuc(df, "grp", "score", "y")
+        .head().getAs[Double]("auc")
+      val flipped = Eval.rankAuc(
+        df.withColumn("y", lit(1) - col("y")), "grp", "score", "y")
+        .head().getAs[Double]("auc")
+      // 2U_flipped = 2PN − 2U exactly, so the rounded values complement
+      assert(math.abs(auc + flipped - 1.0) < 2e-6, s"$auc $flipped")
+      assert(auc >= 0.0 && auc <= 1.0)
+    }
+  }
+
+  test("cohenKappa is symmetric in its two annotators") {
+    for (_ <- 1 to 8) {
+      val labs = Seq("x", "y", "z")
+      val rows = Seq.fill(30 + rng.nextInt(100))(
+        (labs(rng.nextInt(3)), labs(rng.nextInt(3))))
+      val df = rows.toDF("a", "b")
+      val k1 = Eval.cohenKappa(df, "a", "b").head().getAs[Double]("kappa")
+      val k2 = Eval.cohenKappa(
+        df.select(col("b").as("a"), col("a").as("b")), "a", "b")
+        .head().getAs[Double]("kappa")
+      assert(k1 == k2, s"$k1 vs $k2")
+    }
+  }
+
+  test("rboAtK: symmetric, bounded, and maximal on identical lists") {
+    for (_ <- 1 to 8) {
+      val k = 3 + rng.nextInt(8)
+      val p = 0.5 + rng.nextDouble() * 0.45
+      val ids = rng.shuffle((1L to 50L).toList)
+      val a = ids.take(k).zipWithIndex.map { case (id, i) => (id, i + 1) }
+        .toDF("id", "rank")
+      val b = rng.shuffle(ids).take(k).zipWithIndex
+        .map { case (id, i) => (id, i + 1) }.toDF("id", "rank")
+      val ab = Eval.rboAtK(a, b, "id", "rank", k, p)
+        .head().getAs[Double]("rbo")
+      val ba = Eval.rboAtK(b, a, "id", "rank", k, p)
+        .head().getAs[Double]("rbo")
+      assert(ab == ba, s"k=$k p=$p")
+      val aa = Eval.rboAtK(a, a, "id", "rank", k, p)
+        .head().getAs[Double]("rbo")
+      assert(ab <= aa + 1e-9 && ab >= 0.0, s"ab=$ab aa=$aa")
+    }
+  }
+
+  test("tableDigest: additive over disjoint row sets (merge law)") {
+    for (_ <- 1 to 8) {
+      val n = 5 + rng.nextInt(50)
+      val rows = (1 to n).map(i =>
+        (i.toLong, if (rng.nextBoolean()) null
+        else rng.alphanumeric.take(rng.nextInt(8)).mkString))
+      val cut = 1 + rng.nextInt(n - 1)
+      val (ra, rb) = rows.splitAt(cut)
+      def dig(rs: Seq[(Long, String)]): Long =
+        Diff.tableDigest(rs.toDF("id", "v"), Seq("id", "v"))
+          .head().getAs[Long]("digest")
+      val whole = dig(rows)
+      val sum = (dig(ra) + dig(rb)) % 1000000007L
+      assert(whole == sum, s"n=$n cut=$cut: $whole vs $sum")
+    }
+  }
+
+  test("kaplanMeier: survival is non-increasing and inside [0, 1]") {
+    for (_ <- 1 to 8) {
+      val rows = Seq.fill(20 + rng.nextInt(100))(
+        (rng.nextInt(12).toLong, rng.nextInt(2)))
+      val curve = TimeSeries.kaplanMeier(rows.toDF("dur", "ev"),
+        "dur", "ev")
+        .orderBy("t").collect().map(_.getAs[Double]("survival"))
+      assert(curve.forall(s => s >= 0.0 && s <= 1.0))
+      // rounded at 6dp per step — allow one ulp of rounding slack
+      curve.sliding(2).foreach {
+        case Array(hi, lo) => assert(lo <= hi + 1e-6, curve.mkString(","))
+        case _ =>
+      }
+    }
+  }
+
+  test("transitionMatrix: probabilities sum to 1 per source state") {
+    for (_ <- 1 to 6) {
+      val states = Seq("a", "b", "c", "d")
+      val rows = Seq.fill(100 + rng.nextInt(200))(
+        (rng.nextInt(10).toLong, rng.nextLong(1000000L),
+          states(rng.nextInt(4))))
+      val sums = Eval.transitionMatrix(
+        rows.toDF("user_id", "seq", "state"), "user_id", "state",
+        Seq("seq"))
+        .groupBy("from_state").agg(sum("prob").as("p"))
+        .collect().map(_.getAs[Double]("p"))
+      // per-row 6dp rounding: tolerance scales with fan-out (≤ 4 rows)
+      assert(sums.forall(p => math.abs(p - 1.0) < 1e-5), sums.mkString(","))
+    }
+  }
 }
