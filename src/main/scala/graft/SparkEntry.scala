@@ -220,6 +220,11 @@ object SparkEntry {
     "q176_benford"           -> Relational.q176Benford _,
     "q177_gini"              -> Relational.q177Gini _,
     "q178_basket_rules"      -> Relational.q178BasketRules _,
+    // spec-gated (EvalSpec PAV-vs-quadratic-reference): sequential
+    // pooling has no tractable SQL twin — rows-only check
+    "q179_isotonic"          -> TextQueries.qIsotonic _,
+    "q180_trend"             -> Relational.q180Trend _,
+    "q181_wasserstein"       -> Relational.q181Wasserstein _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */
@@ -1158,5 +1163,45 @@ object SparkEntry {
         |FROM j
         |JOIN m ma ON ma.it = j.antecedent
         |JOIN m mc ON mc.it = j.consequent""".stripMargin,
+
+    "q180_trend" ->
+      """WITH c AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY event_type, day),
+        |n AS (SELECT event_type, COUNT(*) AS n_steps FROM c
+        |      GROUP BY event_type),
+        |p AS (SELECT a.event_type,
+        |        CAST(SUM(SIGN(b.c - a.c)) AS BIGINT) AS s
+        |      FROM c a JOIN c b ON a.event_type = b.event_type
+        |                       AND a.day < b.day
+        |      GROUP BY a.event_type)
+        |SELECT p.event_type, n.n_steps, p.s,
+        |  CASE WHEN p.s > 0 THEN 'rising' WHEN p.s < 0 THEN 'falling'
+        |       ELSE 'flat' END AS direction
+        |FROM p JOIN n USING (event_type)""".stripMargin,
+
+    "q181_wasserstein" ->
+      """WITH m AS (SELECT n_chars AS v,
+        |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS ia,
+        |    CASE WHEN source = 'src1' THEN 1 ELSE 0 END AS ib
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |t AS (SELECT CAST(SUM(ia) AS BIGINT) AS na,
+        |        CAST(SUM(ib) AS BIGINT) AS nb FROM m),
+        |bv AS (SELECT v, SUM(ia) AS ca, SUM(ib) AS cb FROM m GROUP BY v),
+        |cw AS (SELECT v,
+        |    SUM(ca) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |    SUM(cb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+        |    lead(v) OVER (ORDER BY v) - v AS gap
+        |  FROM bv),
+        |terms AS (SELECT
+        |    CAST(ROUND(abs(CAST(cuma AS DOUBLE) / (SELECT na FROM t)
+        |               - CAST(cumb AS DOUBLE) / (SELECT nb FROM t)), 9)
+        |      AS DECIMAL(18,9)) * CAST(gap AS DECIMAL(18,0)) AS term
+        |  FROM cw WHERE gap IS NOT NULL)
+        |SELECT (SELECT na FROM t) AS n_a, (SELECT nb FROM t) AS n_b,
+        |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS emd
+        |FROM terms""".stripMargin,
   )
 }

@@ -83,6 +83,60 @@ object Eval {
         round(sum(col("y")).cast(DoubleType) / count(lit(1)), 6)
           .as("pos_rate"))
 
+  /** Isotonic calibration via pool-adjacent-violators over score bins —
+    * the step that turns a monotone-in-truth quality score into an
+    * actual probability (the reliability diagram from
+    * [[calibrationBins]] shows the miscalibration; this fixes it).
+    *
+    * Scale split: the corpus-sized work is ONE hash aggregation to
+    * (bin, n, positives); PAV itself runs driver-side on the ≤ `k`
+    * bin rows (the same domain-sized-collect license as strata counts),
+    * merging adjacent bins while any bin's rate drops below its
+    * predecessor's — weighted by bin mass, the textbook algorithm.
+    * Returns one row per original bin: n, raw pos_rate, and the
+    * calibrated (non-decreasing) rate. Exact long arithmetic inside
+    * PAV; rates divide once at the end. */
+  def isotonicCalibrate(df: DataFrame, scoreCol: String, labelCol: String,
+                        k: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bins = df.select(
+        least(floor(col(scoreCol) * k), lit(k - 1)).cast("long").as("bin"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // PAV: pools carry (bins, n, pos); merge while rate decreases.
+    // Rate comparison in cross-multiplied longs — no float until output.
+    val pools = scala.collection.mutable.ArrayBuffer
+      .empty[(List[Long], Long, Long)]
+    bins.foreach { case (b, n, pos) =>
+      pools += ((List(b), n, pos))
+      while (pools.length >= 2 && {
+        val (_, n2, p2) = pools(pools.length - 1)
+        val (_, n1, p1) = pools(pools.length - 2)
+        p2 * n1 < p1 * n2 // rate2 < rate1 → violation
+      }) {
+        val (b2, n2, p2) = pools.remove(pools.length - 1)
+        val (b1, n1, p1) = pools.remove(pools.length - 1)
+        pools += ((b1 ++ b2, n1 + n2, p1 + p2))
+      }
+    }
+    val rows = for {
+      (bs, n, pos) <- pools.toSeq
+      b <- bs
+    } yield {
+      val (_, rawN, rawPos) = bins.find(_._1 == b).get
+      (b, rawN,
+        BigDecimal(rawPos.toDouble / rawN)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(pos.toDouble / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    rows.toDF("bin", "n", "pos_rate", "calibrated")
+  }
+
   /** Welch's two-sample t statistic per `groupCol`, comparing
     * `metricCol` between the two arms of `armCol` (must be 0/1 — e.g. a
     * deterministic hash-split assignment). Returns per-group counts,

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Exact distribution statistics over numeric columns — the profiling
   * tier a corpus pipeline runs before choosing filters (e.g. "what does
@@ -322,6 +323,74 @@ object Stats {
       .select(col("digit"), col("n"),
         round(col("n").cast("double") / col("__tot"), 6).as("frac"),
         expCol.as("benford_p"))
+  }
+
+  /** Mann–Kendall trend statistic per group over per-step counts:
+    * S = Σ_{i<j} sign(c_j − c_i) across ordered steps — the
+    * non-parametric "is this series trending" monitor (S ≫ 0 rising,
+    * ≪ 0 falling, near 0 flat), robust to outliers because only SIGNS
+    * enter. Exact integers end to end.
+    *
+    * The pair join runs on the (group, step) AGGREGATE — step-domain²
+    * per group, which is the statistic's intrinsic size (a year of
+    * daily points = 66k sign evaluations), never corpus². */
+  def mannKendall(df: DataFrame, groupCol: String, stepCol: String)
+      : DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(stepCol))
+      .agg(count(lit(1)).as("c"))
+    val a = counts.select(col(groupCol), col(stepCol).as("__s1"),
+      col("c").as("__c1"))
+    val b = counts.select(col(groupCol), col(stepCol).as("__s2"),
+      col("c").as("__c2"))
+    val nSteps = counts.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_steps"))
+    a.join(b, Seq(groupCol.toString))
+      .filter(col("__s1") < col("__s2"))
+      .groupBy(col(groupCol))
+      .agg(sum(signum(col("__c2") - col("__c1")).cast("long")).as("s"))
+      .join(broadcast(nSteps), groupCol)
+      .select(col(groupCol), col("n_steps"), col("s"),
+        when(col("s") > 0, "rising").when(col("s") < 0, "falling")
+          .otherwise(lit("flat")).as("direction"))
+  }
+
+  /** 1-D Wasserstein (earth-mover) distance between two groups'
+    * integer-valued distributions: W₁ = Σ_v |F_a(v) − F_b(v)| · gap(v)
+    * over the merged distinct-value domain. The CDF terms are doubles
+    * (identical divisions in any engine), each term ROUND(·, 9) into a
+    * decimal before the gap-weighted sum — partition-order-free and
+    * oracle-exact, the q98 discipline.
+    *
+    * Shape: one hash agg to (value, count_a, count_b) — value-domain-
+    * sized — then one window over that domain. Returns (n_a, n_b,
+    * emd). */
+  def wasserstein1(df: DataFrame, groupCol: String, valueCol: String,
+                   groupA: String, groupB: String): DataFrame = {
+    val marked = df.filter(col(groupCol).isin(groupA, groupB))
+      .select(col(valueCol).as("v"),
+        when(col(groupCol) === groupA, 1L).otherwise(0L).as("ia"),
+        when(col(groupCol) === groupB, 1L).otherwise(0L).as("ib"))
+    val byVal = marked.groupBy(col("v"))
+      .agg(sum(col("ia")).as("ca"), sum(col("ib")).as("cb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+    val run = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val terms = byVal
+      .withColumn("cuma", sum(col("ca")).over(run))
+      .withColumn("cumb", sum(col("cb")).over(run))
+      .withColumn("gap", lead(col("v"), 1).over(w) - col("v"))
+      .crossJoin(broadcast(marked.agg(sum(col("ia")).as("na"),
+        sum(col("ib")).as("nb"))))
+      .filter(col("gap").isNotNull)
+      .select((round(abs(col("cuma").cast("double") / col("na") -
+          col("cumb").cast("double") / col("nb")), 9)
+        .cast(DecimalType(18, 9)) * col("gap").cast(DecimalType(18, 0)))
+        .as("term"),
+        col("na"), col("nb"))
+    terms.groupBy(col("na"), col("nb"))
+      .agg(round(sum(col("term")).cast(DoubleType), 6).as("emd"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"), col("emd"))
   }
 
   /** Gini index of a grouped size distribution ("how concentrated is

@@ -1083,6 +1083,24 @@ object Relational {
     graft.ops.Stats.giniIndex(
       graft.core.Tables.documents(s, dir), "source")
 
+  /** q180: Mann–Kendall trend per event type over daily counts
+    * ([[graft.ops.Stats.mannKendall]]) — sign-only, outlier-robust
+    * trend monitor; exact integer S. */
+  def q180Trend(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.mannKendall(
+      graft.core.Tables.events(s, dir)
+        .select(col("event_type"), date_trunc("day", col("ts")).as("day")),
+      "event_type", "day")
+
+  /** q181: 1-D Wasserstein distance between src0's and src1's document
+    * length distributions ([[graft.ops.Stats.wasserstein1]]) — "how
+    * much mass must move", the drift readout with units (chars),
+    * complementing q146's TV mass. */
+  def q181Wasserstein(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.wasserstein1(
+      graft.core.Tables.documents(s, dir), "source", "n_chars",
+      "src0", "src1")
+
   /** q178: association rules over user event baskets
     * ([[graft.ops.Assoc.basketRules]]) — support / confidence / lift
     * per ordered event-type pair, the co-visitation readout. */

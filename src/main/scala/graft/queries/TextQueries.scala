@@ -1282,4 +1282,18 @@ object TextQueries {
       "source", "n_chars", Seq("doc_id"), buckets = 10)
       .select(col("doc_id"), col("source"), col("n_chars"), col("bucket"),
         col("norm_value"))
+
+  /** q179: isotonic (PAV) calibration of the stopword-ratio signal
+    * against lang='en' ([[graft.ops.Eval.isotonicCalibrate]]) — turns
+    * q159's reliability diagram into a non-decreasing calibrated rate.
+    * SPEC-GATED (EvalSpec pins PAV against a quadratic reference
+    * implementation); PAV's sequential pooling has no tractable SQL
+    * twin, so the driver records a rows-only check. */
+  def qIsotonic(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir).select(
+      TextOps.wordSetRatio(TextOps.tokens(col("text")), TextOps.Stopwords)
+        .as("score"),
+      when(col("lang") === "en", 1).otherwise(0).as("y"))
+    graft.ops.Eval.isotonicCalibrate(scored, "score", "y", 10)
+  }
 }

@@ -177,6 +177,65 @@ class EvalSpec extends SparkSpecBase {
     assert(math.abs(r.getAs[Double]("rbo") - 0.09) < 1e-6)
   }
 
+  test("isotonicCalibrate: pools adjacent violators, preserves mass") {
+    val s = spark
+    import s.implicits._
+    // bins (score decile, y): rates by bin 0/5: [0.2, 0.8, 0.5, 1.0]
+    // PAV pools bins 1+2 → 0.65; output non-decreasing
+    def mk(bin: Int, pos: Int, neg: Int) =
+      Seq.fill(pos)((bin / 10.0 + 0.05, 1)) ++
+        Seq.fill(neg)((bin / 10.0 + 0.05, 0))
+    val df = (mk(0, 1, 4) ++ mk(1, 4, 1) ++ mk(2, 5, 5) ++ mk(3, 3, 0))
+      .toDF("score", "y")
+    val got = Eval.isotonicCalibrate(df, "score", "y", 10)
+      .collect().map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Double]("pos_rate"), r.getAs[Double]("calibrated")))
+      .toMap
+    assert(got(0L) === ((0.2, 0.2)))
+    assert(got(1L) === ((0.8, 0.6)))  // pooled (4+5)/(5+10)
+    assert(got(2L) === ((0.5, 0.6)))
+    assert(got(3L) === ((1.0, 1.0)))
+    val cal = got.toSeq.sortBy(_._1).map(_._2._2)
+    assert(cal === cal.sorted) // monotone
+  }
+
+  test("isotonicCalibrate equals a quadratic reference PAV on random bins") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(7L)
+    for (_ <- 1 to 5) {
+      val bins = (0 until 10).map(b =>
+        (b, 1 + rng.nextInt(30), rng.nextInt(31)))
+      val rows = bins.flatMap { case (b, n, posCap) =>
+        val pos = math.min(posCap, n)
+        Seq.fill(pos)((b / 10.0 + 0.05, 1)) ++
+          Seq.fill(n - pos)((b / 10.0 + 0.05, 0))
+      }
+      val got = Eval.isotonicCalibrate(rows.toDF("score", "y"), "score",
+          "y", 10)
+        .collect().map(r => r.getAs[Long]("bin") ->
+          r.getAs[Double]("calibrated")).toMap
+      // reference: repeatedly merge ANY adjacent violator until none
+      var pools = bins.map { case (b, n, posCap) =>
+        (List(b), n.toLong, math.min(posCap, n).toLong) }.toList
+      var changed = true
+      while (changed) {
+        changed = false
+        val idx = pools.indices.dropRight(1).find(i =>
+          pools(i + 1)._3 * pools(i)._2 < pools(i)._3 * pools(i + 1)._2)
+        idx.foreach { i =>
+          val (b1, n1, p1) = pools(i); val (b2, n2, p2) = pools(i + 1)
+          pools = pools.patch(i, List((b1 ++ b2, n1 + n2, p1 + p2)), 2)
+          changed = true
+        }
+      }
+      val want = pools.flatMap { case (bs, n, p) =>
+        bs.map(_.toLong -> BigDecimal(p.toDouble / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }.toMap
+      assert(got === want)
+    }
+  }
+
   test("transitionMatrix: counts and per-source probabilities") {
     val s = spark
     import s.implicits._

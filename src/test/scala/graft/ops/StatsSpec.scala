@@ -221,6 +221,40 @@ class StatsSpec extends SparkSpecBase {
     assert(g1.getAs[Double]("gini") === 0.72)
   }
 
+  test("mannKendall: monotone series maxes S, alternating stays near 0") {
+    val s = spark
+    import s.implicits._
+    // rising: counts 1,2,3,4 per step → S = C(4,2) = 6
+    val rising = (1 to 4).flatMap(st => Seq.fill(st)(("up", st)))
+    // alternating 2,1,2,1 → S = -1 (pairs: −1 +0 −1 +1 −1 +0... compute)
+    val alt = Seq(2, 1, 2, 1).zipWithIndex
+      .flatMap { case (c, i) => Seq.fill(c)(("alt", i)) }
+    val got = Stats.mannKendall((rising ++ alt).toDF("g", "step"),
+        "g", "step")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_steps"), r.getAs[Long]("s"),
+          r.getAs[String]("direction"))).toMap
+    assert(got("up") === ((4L, 6L, "rising")))
+    // alt pairs (2,1)(2,2)(2,1)(1,2)(1,1)(2,1): signs -1,0,-1,+1,0,-1
+    assert(got("alt") === ((4L, -2L, "falling")))
+  }
+
+  test("wasserstein1: hand-computed shift and identity") {
+    val s = spark
+    import s.implicits._
+    // A at {0, 10}, B at {5, 15}: shifted by 5 → W1 = 5
+    val df = Seq(("a", 0L), ("a", 10L), ("b", 5L), ("b", 15L))
+      .toDF("g", "v")
+    val r = Stats.wasserstein1(df, "g", "v", "a", "b").collect().head
+    assert(r.getAs[Long]("n_a") === 2L && r.getAs[Long]("n_b") === 2L)
+    assert(r.getAs[Double]("emd") === 5.0)
+    // identical distributions → 0
+    val same = Seq(("a", 1L), ("a", 3L), ("b", 1L), ("b", 3L))
+      .toDF("g", "v")
+    assert(Stats.wasserstein1(same, "g", "v", "a", "b")
+      .collect().head.getAs[Double]("emd") === 0.0)
+  }
+
   test("quantileNormalize: skewed source maps onto pooled deciles") {
     val s = spark
     import s.implicits._
