@@ -225,6 +225,8 @@ object SparkEntry {
     "q179_isotonic"          -> TextQueries.qIsotonic _,
     "q180_trend"             -> Relational.q180Trend _,
     "q181_wasserstein"       -> Relational.q181Wasserstein _,
+    "q182_correlation"       -> Relational.q182Correlation _,
+    "q183_autocorr"          -> Relational.q183Autocorr _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */
@@ -1203,5 +1205,52 @@ object SparkEntry {
         |SELECT (SELECT na FROM t) AS n_a, (SELECT nb FROM t) AS n_b,
         |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS emd
         |FROM terms""".stripMargin,
+
+    "q182_correlation" ->
+      """WITH c AS (SELECT date_trunc('hour', ts) AS bk, event_type AS sr,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY bk, sr),
+        |dense AS (SELECT b.bk, s.sr, COALESCE(c.c, 0) AS c
+        |  FROM (SELECT DISTINCT bk FROM c) b
+        |  CROSS JOIN (SELECT DISTINCT sr FROM c) s
+        |  LEFT JOIN c ON c.bk = b.bk AND c.sr = s.sr),
+        |m AS (SELECT a.sr AS series_a, b.sr AS series_b,
+        |    COUNT(*) AS n,
+        |    SUM(a.c) AS sx, SUM(b.c) AS sy, SUM(a.c * b.c) AS sxy,
+        |    SUM(a.c * a.c) AS sxx, SUM(b.c * b.c) AS syy
+        |  FROM dense a JOIN dense b ON a.bk = b.bk AND a.sr < b.sr
+        |  GROUP BY a.sr, b.sr)
+        |SELECT series_a, series_b, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |            * sqrt(CAST(n * syy - sy * sy AS DOUBLE)) > 0
+        |       THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        |         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+        |  END AS corr
+        |FROM m""".stripMargin,
+
+    "q183_autocorr" ->
+      """WITH c AS (SELECT date_trunc('day', ts) AS bk, event_type AS sr,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY bk, sr),
+        |dense AS (SELECT b.bk, s.sr, COALESCE(c.c, 0) AS x
+        |  FROM (SELECT DISTINCT bk FROM c) b
+        |  CROSS JOIN (SELECT DISTINCT sr FROM c) s
+        |  LEFT JOIN c ON c.bk = b.bk AND c.sr = s.sr),
+        |p AS (SELECT sr, x,
+        |    lead(x) OVER (PARTITION BY sr ORDER BY bk) AS y
+        |  FROM dense),
+        |m AS (SELECT sr AS series, COUNT(*) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+        |    SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM p WHERE y IS NOT NULL GROUP BY sr)
+        |SELECT series, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |            * sqrt(CAST(n * syy - sy * sy AS DOUBLE)) > 0
+        |       THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        |         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+        |  END AS autocorr
+        |FROM m""".stripMargin,
   )
 }

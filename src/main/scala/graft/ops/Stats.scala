@@ -393,6 +393,84 @@ object Stats {
       .select(col("na").as("n_a"), col("nb").as("n_b"), col("emd"))
   }
 
+  /** Pairwise Pearson correlation between series of per-bucket counts
+    * ("do purchases and errors move together hour by hour") — computed
+    * from EXACT INTEGER moment sums (n, Σx, Σy, Σxy, Σx², Σy²) over a
+    * DENSE bucket×series grid (missing buckets count 0 — skipping them
+    * would silently bias every pair toward agreement), with the two
+    * square roots and one division as the only float ops.
+    *
+    * Shape: counts aggregate → bucket-domain × series-domain dense
+    * grid (cross join of two domain frames, both broadcast-scale) →
+    * pair join keyed on bucket → one moment aggregate per series pair.
+    * Nothing scales with the raw row count after the first
+    * aggregation. */
+  def pairwiseCorrelation(df: DataFrame, bucketCol: String,
+                          seriesCol: String): DataFrame = {
+    val counts = df.groupBy(col(bucketCol).as("__bk"),
+        col(seriesCol).as("__sr"))
+      .agg(count(lit(1)).as("__c"))
+    val buckets = counts.select(col("__bk")).distinct()
+    val series = counts.select(col("__sr")).distinct()
+    val dense = buckets.crossJoin(broadcast(series))
+      .join(counts, Seq("__bk", "__sr"), "left")
+      .select(col("__bk"), col("__sr"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+    val a = dense.select(col("__bk"), col("__sr").as("series_a"),
+      col("__c").as("__x"))
+    val b = dense.select(col("__bk"), col("__sr").as("series_b"),
+      col("__c").as("__y"))
+    val moments = a.join(b, "__bk")
+      .filter(col("series_a") < col("series_b"))
+      .groupBy(col("series_a"), col("series_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+        sum(col("__x") * col("__y")).as("sxy"),
+        sum(col("__x") * col("__x")).as("sxx"),
+        sum(col("__y") * col("__y")).as("syy"))
+    def d(c: Column) = c.cast(DoubleType)
+    val num = d(col("n") * col("sxy") - col("sx") * col("sy"))
+    val den = sqrt(d(col("n") * col("sxx") - col("sx") * col("sx"))) *
+      sqrt(d(col("n") * col("syy") - col("sy") * col("sy")))
+    moments.select(col("series_a"), col("series_b"), col("n"),
+      when(den > 0, round(num / den, 6)).as("corr"))
+  }
+
+  /** Lag-1 autocorrelation per series over dense per-bucket counts —
+    * "is today's volume predictive of tomorrow's". Same exact-integer
+    * moment discipline as [[pairwiseCorrelation]]; the (x, y) pairs are
+    * (c_t, c_{t+1}) via a lead window over the DENSE bucket spine
+    * partitioned by series. */
+  def lag1Autocorr(df: DataFrame, bucketCol: String, seriesCol: String)
+      : DataFrame = {
+    val counts = df.groupBy(col(bucketCol).as("__bk"),
+        col(seriesCol).as("__sr"))
+      .agg(count(lit(1)).as("__c"))
+    val dense = counts.select(col("__bk")).distinct()
+      .crossJoin(broadcast(counts.select(col("__sr")).distinct()))
+      .join(counts, Seq("__bk", "__sr"), "left")
+      .select(col("__bk"), col("__sr"),
+        coalesce(col("__c"), lit(0L)).as("__x"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__sr")).orderBy(col("__bk"))
+    val pairs = dense.withColumn("__y", lead(col("__x"), 1).over(w))
+      .filter(col("__y").isNotNull)
+    def d(c: Column) = c.cast(DoubleType)
+    pairs.groupBy(col("__sr").as("series"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+        sum(col("__x") * col("__y")).as("sxy"),
+        sum(col("__x") * col("__x")).as("sxx"),
+        sum(col("__y") * col("__y")).as("syy"))
+      .select(col("series"), col("n"),
+        when(sqrt(d(col("n") * col("sxx") - col("sx") * col("sx"))) *
+          sqrt(d(col("n") * col("syy") - col("sy") * col("sy"))) > 0,
+          round(d(col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(d(col("n") * col("sxx") - col("sx") * col("sx"))) *
+              sqrt(d(col("n") * col("syy") - col("sy") * col("sy")))), 6))
+          .as("autocorr"))
+  }
+
   /** Gini index of a grouped size distribution ("how concentrated is
     * the corpus over sources") from exact integer arithmetic:
     * with sizes s_1 ≤ … ≤ s_k (ties broken by group for a total

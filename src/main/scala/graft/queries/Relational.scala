@@ -1101,6 +1101,25 @@ object Relational {
       graft.core.Tables.documents(s, dir), "source", "n_chars",
       "src0", "src1")
 
+  /** q182: pairwise Pearson correlation between event types over hourly
+    * count series ([[graft.ops.Stats.pairwiseCorrelation]]) — exact
+    * integer moment sums over a dense hour×type grid. */
+  def q182Correlation(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.pairwiseCorrelation(
+      graft.core.Tables.events(s, dir)
+        .select(date_trunc("hour", col("ts")).as("hour"),
+          col("event_type")),
+      "hour", "event_type")
+
+  /** q183: lag-1 autocorrelation of each event type's daily count
+    * series ([[graft.ops.Stats.lag1Autocorr]]). */
+  def q183Autocorr(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.lag1Autocorr(
+      graft.core.Tables.events(s, dir)
+        .select(date_trunc("day", col("ts")).as("day"),
+          col("event_type")),
+      "day", "event_type")
+
   /** q178: association rules over user event baskets
     * ([[graft.ops.Assoc.basketRules]]) — support / confidence / lift
     * per ordered event-type pair, the co-visitation readout. */

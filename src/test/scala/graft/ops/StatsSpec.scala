@@ -255,6 +255,47 @@ class StatsSpec extends SparkSpecBase {
       .collect().head.getAs[Double]("emd") === 0.0)
   }
 
+  test("pairwiseCorrelation: perfect co-movement = 1, opposition = -1") {
+    val s = spark
+    import s.implicits._
+    // buckets 1..3: a counts 1,2,3; b counts 2,4,6 (corr 1)
+    // c counts 3,2,1 (corr −1 with a); missing (d, bucket 3) fills 0
+    def rep(sr: String, bk: Int, n: Int) = Seq.fill(n)((bk, sr))
+    val df = (rep("a", 1, 1) ++ rep("a", 2, 2) ++ rep("a", 3, 3) ++
+      rep("b", 1, 2) ++ rep("b", 2, 4) ++ rep("b", 3, 6) ++
+      rep("c", 1, 3) ++ rep("c", 2, 2) ++ rep("c", 3, 1))
+      .toDF("bk", "sr")
+    val got = Stats.pairwiseCorrelation(df, "bk", "sr")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("corr")).toMap
+    assert(got(("a", "b")) === 1.0)
+    assert(got(("a", "c")) === -1.0)
+    assert(got(("b", "c")) === -1.0)
+  }
+
+  test("pairwiseCorrelation: a constant series yields NULL, not NaN") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1, "a"), (2, "a"), (1, "k"), (2, "k")).toDF("bk", "sr")
+    val r = Stats.pairwiseCorrelation(df, "bk", "sr").collect().head
+    assert(r.isNullAt(r.fieldIndex("corr")))
+  }
+
+  test("lag1Autocorr: alternating series is negatively autocorrelated") {
+    val s = spark
+    import s.implicits._
+    // a: 3,1,3,1,3 → strong negative lag-1; m: 1,2,3,4,5 → positive
+    val alt = Seq(3, 1, 3, 1, 3).zipWithIndex
+      .flatMap { case (n, i) => Seq.fill(n)((i, "alt")) }
+    val mono = (1 to 5).flatMap(i => Seq.fill(i)((i - 1, "mono")))
+    val got = Stats.lag1Autocorr((alt ++ mono).toDF("bk", "sr"),
+        "bk", "sr")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("autocorr"))
+      .toMap
+    assert(got("alt") < -0.9, got.toString)
+    assert(got("mono") > 0.9, got.toString)
+  }
+
   test("quantileNormalize: skewed source maps onto pooled deciles") {
     val s = spark
     import s.implicits._
