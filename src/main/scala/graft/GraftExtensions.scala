@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{AccentFold, CountIn, InterleaveBits, JumpHash, PolyHash, ShingleHashes, VecDot}
+import graft.functions.{AccentFold, CountIn, InterleaveBits, JaroWinkler, JumpHash, PolyHash, ShingleHashes, VecDot}
 
 /** Engine extensions, injected via spark.sql.extensions (set by
   * [[graft.core.Sessions]]). Registers the native expressions so they are
@@ -41,6 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[InterleaveBits].getName, "zorder2"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         InterleaveBits(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        JaroWinkler(children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("jump_hash"),
       new ExpressionInfo(classOf[JumpHash].getName, "jump_hash"),

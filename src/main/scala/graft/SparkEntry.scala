@@ -227,6 +227,14 @@ object SparkEntry {
     "q181_wasserstein"       -> Relational.q181Wasserstein _,
     "q182_correlation"       -> Relational.q182Correlation _,
     "q183_autocorr"          -> Relational.q183Autocorr _,
+    "q184_ewma"              -> Relational.q184Ewma _,
+    "q185_twap"              -> Relational.q185Twap _,
+    "q186_ols_trend"         -> Relational.q186Ols _,
+    "q187_dow_profile"       -> Relational.q187DowProfile _,
+    "q188_jaro_names"        -> Relational.q188JaroNames _,
+    "q189_count_min"         -> Relational.q189CountMin _,
+    "q190_rrf_fusion"        -> Relational.q190Rrf _,
+    "q191_seq_pairs"         -> Relational.q191SeqPairs _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */
@@ -1252,5 +1260,162 @@ object SparkEntry {
         |            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
         |  END AS autocorr
         |FROM m""".stripMargin,
+
+    "q184_ewma" -> {
+      // the weight literals are generated by the SAME function the Spark
+      // plan consumes (TimeSeries.ewmaWeights) — decimal-exact parity by
+      // construction, zero float pow on either engine
+      val ws = graft.ops.TimeSeries.ewmaWeights(BigDecimal("0.25"), 16)
+      val baseCase = ws.zipWithIndex
+        .map { case ((b, _), i) => s"WHEN ${i + 1} THEN $b" }.mkString(" ")
+      val lastCase = ws.zipWithIndex
+        .map { case ((_, l), i) => s"WHEN ${i + 1} THEN $l" }.mkString(" ")
+      s"""WITH r AS (SELECT user_id, value,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id
+         |                       ORDER BY ts DESC, event_id DESC) AS j,
+         |    COUNT(*) OVER (PARTITION BY user_id) AS n
+         |  FROM events),
+         |t AS (SELECT user_id, n,
+         |    CAST(value AS DECIMAL(14,4)) *
+         |      (CASE WHEN j = LEAST(n, 16)
+         |            THEN CASE j $lastCase END
+         |            ELSE CASE j $baseCase END END) AS term
+         |  FROM r WHERE j <= 16)
+         |SELECT user_id, CAST(MIN(n) AS BIGINT) AS n_events,
+         |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS ewma
+         |FROM t GROUP BY user_id""".stripMargin
+    },
+
+    "q185_twap" ->
+      """WITH r AS (SELECT user_id,
+        |    CAST(value AS DECIMAL(14,4)) AS v,
+        |    CAST(lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) - epoch_us(ts)
+        |      AS DECIMAL(18,0)) AS dur
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_segments,
+        |  CASE WHEN SUM(dur) > 0
+        |       THEN ROUND(CAST(SUM(v * dur) AS DOUBLE)
+        |                  / CAST(SUM(dur) AS DOUBLE), 6) END AS twap
+        |FROM r WHERE dur IS NOT NULL GROUP BY user_id""".stripMargin,
+
+    "q186_ols_trend" ->
+      """WITH p AS (SELECT event_type,
+        |    -- DECIMAL(19): DuckDB stores DECIMAL(18) in int64 and its
+        |    -- multiply overflows BEFORE widening; width 19 forces the
+        |    -- int128 path. Same VALUES as Spark's (18,0) x.
+        |    CAST(epoch_us(ts) // 1000000 AS DECIMAL(19,0)) AS x,
+        |    CAST(value AS DECIMAL(14,4)) AS y
+        |  FROM events),
+        |a AS (SELECT event_type, COUNT(*) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+        |    SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM p GROUP BY event_type)
+        |SELECT event_type, n,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |       THEN ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |         * 86400.0, 6) END AS slope,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |       THEN ROUND((CAST(sy AS DOUBLE)
+        |           - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |             * CAST(sx AS DOUBLE))
+        |         / CAST(n AS DOUBLE), 6) END AS intercept,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |        AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+        |       THEN ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |                  * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |         / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |  END AS r2
+        |FROM a""".stripMargin,
+
+    "q187_dow_profile" ->
+      """WITH g AS (SELECT event_type, dayofweek(ts) AS dow,
+        |    COUNT(*) AS n, SUM(CAST(value AS DECIMAL(14,4))) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |    SUM(n) OVER (PARTITION BY event_type) AS tn,
+        |    SUM(sv) OVER (PARTITION BY event_type) AS tv
+        |  FROM g)
+        |SELECT event_type, CAST(dow AS INTEGER) AS dow, n,
+        |  ROUND(CAST(n AS DOUBLE) / CAST(tn AS DOUBLE), 6) AS share,
+        |  ROUND(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_value,
+        |  ROUND(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(tv AS DOUBLE) / CAST(tn AS DOUBLE), 6)
+        |    AS dev_from_mean
+        |FROM w""".stripMargin,
+
+    "q188_jaro_names" ->
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  ROUND(jaro_winkler_similarity(a.name, b.name), 6) AS sim
+        |FROM n a JOIN n b
+        |  ON left(a.name, 1) = left(b.name, 1) AND a.name < b.name
+        |WHERE ROUND(jaro_winkler_similarity(a.name, b.name), 6)
+        |      >= 0.8""".stripMargin,
+
+    "q189_count_min" -> {
+      def h(e: String) = graft.queries.TextOracles.H(e)
+      val bkt = h("CAST(user_id AS VARCHAR) || '#cms' || CAST(j AS VARCHAR)") +
+        " * 2654435761 % 1000000007 % 64"
+      s"""WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+         |sk AS (SELECT j, $bkt AS bucket, COUNT(*) AS cnt
+         |  FROM events CROSS JOIN js GROUP BY 1, 2),
+         |ex AS (SELECT user_id AS key, COUNT(*) AS n_exact
+         |  FROM events GROUP BY 1),
+         |pr AS (SELECT ex.key, ex.n_exact, MIN(sk.cnt) AS n_est
+         |  FROM ex CROSS JOIN js
+         |  JOIN sk ON sk.j = js.j
+         |         AND sk.bucket =
+         |  ${h("CAST(ex.key AS VARCHAR) || '#cms' || CAST(js.j AS VARCHAR)")}
+         |    * 2654435761 % 1000000007 % 64
+         |  GROUP BY 1, 2)
+         |SELECT key, n_exact, n_est, n_est - n_exact AS overcount
+         |FROM pr""".stripMargin
+    },
+
+    "q190_rrf_fusion" ->
+      """WITH rev AS (SELECT o_custkey AS c_custkey,
+        |    SUM(CAST(l_extendedprice * (1 - l_discount)
+        |             AS DECIMAL(18,4))) AS rev
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1),
+        |ra AS (SELECT c_custkey, CAST(ROW_NUMBER() OVER
+        |    (ORDER BY rev DESC, c_custkey ASC) AS INTEGER) AS rank_a
+        |  FROM rev QUALIFY rank_a <= 100),
+        |cnt AS (SELECT o_custkey AS c_custkey, COUNT(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |rb AS (SELECT c_custkey, CAST(ROW_NUMBER() OVER
+        |    (ORDER BY n_orders DESC, c_custkey ASC) AS INTEGER) AS rank_b
+        |  FROM cnt QUALIFY rank_b <= 100)
+        |SELECT COALESCE(ra.c_custkey, rb.c_custkey) AS c_custkey,
+        |  rank_a, rank_b,
+        |  ROUND(COALESCE(1.0 / (60 + rank_a), 0.0)
+        |        + COALESCE(1.0 / (60 + rank_b), 0.0), 9) AS rrf
+        |FROM ra FULL OUTER JOIN rb ON ra.c_custkey = rb.c_custkey""".stripMargin,
+
+    "q191_seq_pairs" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |    MIN(ts) AS first_ts, MAX(ts) AS last_ts
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.event_type AS item_a, b.event_type AS item_b,
+        |  COUNT(*) AS n_both,
+        |  COUNT(CASE WHEN a.first_ts < b.last_ts THEN 1 END) AS n_ordered
+        |FROM s a JOIN s b ON a.user_id = b.user_id
+        |GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -26,12 +26,24 @@ object Verify {
         // throw at plan time, before overwrite touches the directory —
         // leaving last round's (passing) parquet in place would let the
         // DuckDB compare validate stale results and MASK the regression
-        // this dump exists to catch. No output → the checker fails loud.
+        // this dump exists to catch.
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm)
           f.delete()
         }
         rm(new java.io.File(s"$outDir/$name"))
+        // then write an EXPLICIT one-row error marker in its place: a
+        // compare harness that treats "no output" as "skip this name"
+        // (the r4 driver artifact did exactly that) would silently drop
+        // the failing query from the round's correctness board. The
+        // marker's schema can never match any oracle, so every checker
+        // records a loud schema/hash FAIL row instead of an omission.
+        try {
+          import spark.implicits._
+          Seq((name, String.valueOf(e.getMessage)))
+            .toDF("__graft_failed_query__", "__error__")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () } // marker write is best-effort
       }
       // release caches the query's operators persisted internally —
       // across ~100 queries the dead entries would otherwise accumulate

@@ -47,4 +47,29 @@ object Assoc {
         round(col("n_joint").cast("double") * col("__n") /
           (col("__ma") * col("__mc")), 6).as("lift"))
   }
+
+  /** Ordered co-occurrence (sequential-pattern reach) per item pair:
+    * among baskets/users containing both A and B, how many saw A START
+    * before B ENDED (first-A < last-B) — the temporal refinement of
+    * [[basketRules]] ("did X actually lead Y"), and the 2-item core of
+    * sequential-pattern mining. One hash aggregate to the (key, item)
+    * domain (min/max event time — map-side combinable), then a per-key
+    * self-join bounded by (items-per-key)², landing on the item-pair
+    * domain. Timestamp comparisons are exact (microsecond integers
+    * under the hood) — no float anywhere. */
+  def orderedPairReach(df: DataFrame, keyCol: String, itemCol: String,
+                       tsCol: String): DataFrame = {
+    val spans = df.groupBy(col(keyCol).as("__k"), col(itemCol).as("__i"))
+      .agg(min(col(tsCol)).as("__first"), max(col(tsCol)).as("__last"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = spans.select(col("__k"), col("__i").as("item_a"),
+      col("__first").as("__fa"))
+    val b = spans.select(col("__k"), col("__i").as("item_b"),
+      col("__last").as("__lb"))
+    val out = a.join(b, Seq("__k"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_both"),
+        count(when(col("__fa") < col("__lb"), 1)).as("n_ordered"))
+    out
+  }
 }

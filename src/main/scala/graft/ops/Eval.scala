@@ -328,4 +328,26 @@ object Eval {
     trans.withColumn("prob",
       round(col("n").cast(DoubleType) / sum(col("n")).over(wSrc), 6))
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher SIGIR'09) of two
+    * rankings: score(id) = Σ_lists 1/(`k`+rank), absent-from-list
+    * contributing 0 — the standard way to combine heterogeneous
+    * retrieval signals (BM25 + ANN, revenue + frequency) without score
+    * normalization. A full outer join on id plus pure arithmetic; each
+    * input is already a top-N sliver, so the join is shortlist-sized
+    * at any corpus scale. 1/(k+rank) divides identical integers on
+    * any engine — the fused score is float-deterministic, rounded to
+    * 9 for the ordering readout. Output: id, rank_a, rank_b, rrf. */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+              rankCol: String, k: Int = 60): DataFrame = {
+    require(k >= 1, s"k < 1: $k")
+    val fa = a.select(col(idCol), col(rankCol).cast("int").as("rank_a"))
+    val fb = b.select(col(idCol), col(rankCol).cast("int").as("rank_b"))
+    fa.join(fb, Seq(idCol), "full_outer")
+      .select(col(idCol), col("rank_a"), col("rank_b"),
+        round(
+          coalesce(lit(1.0) / (lit(k) + col("rank_a")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(k) + col("rank_b")), lit(0.0)), 9)
+          .as("rrf"))
+  }
 }

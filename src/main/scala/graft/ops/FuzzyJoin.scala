@@ -77,4 +77,37 @@ object FuzzyJoin {
       .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
         col("dist"))
   }
+
+  /** Jaro–Winkler similarity self-join over DISTINCT values of
+    * `nameCol`: pairs (nameA < nameB) sharing a first character whose
+    * rounded JW similarity ≥ `minSim`. The similarity runs through the
+    * native `jaro_winkler` codegen expression
+    * ([[graft.functions.JaroWinkler]]) inside the block join's
+    * generated loop — never a row UDF.
+    *
+    * Blocking contract (deterministic, documented recall trade): only
+    * same-first-character pairs are compared. JW's prefix boost means
+    * every pair it would score ≥ ~0.84 shares its first character
+    * anyway (a first-char mismatch forfeits the 0.1·l boost AND costs a
+    * matching character), so the block loses only low-band pairs —
+    * and bounds candidate volume by the largest letter block instead of
+    * n². The THRESHOLD compares the 6-rounded value (same rounding the
+    * output carries) so the cut is reproducible across engines —
+    * filtering on the raw double would let a last-ulp divergence flip
+    * a boundary pair in one engine only. */
+  def jaroNearNames(df: DataFrame, nameCol: String,
+                    minSim: Double = 0.8): DataFrame = {
+    require(minSim > 0 && minSim <= 1, s"minSim out of (0,1]: $minSim")
+    val names = df.select(col(nameCol).as("__name")).distinct()
+      .withColumn("__blk", substring(col("__name"), 1, 1))
+    names.select(col("__name").as("name_a"), col("__blk"))
+      .join(names.select(col("__name").as("name_b"), col("__blk")),
+        Seq("__blk"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("sim",
+        round(call_function("jaro_winkler", col("name_a"), col("name_b")),
+          6))
+      .filter(col("sim") >= minSim)
+      .select(col("name_a"), col("name_b"), col("sim"))
+  }
 }

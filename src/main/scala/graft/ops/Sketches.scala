@@ -339,4 +339,57 @@ object Sketches {
       .select(col(groupCol),
         hll_sketch_estimate(col("__sk")).cast("long").as("est_distinct"))
   }
+
+  /** Count–min sketch row hash for `key`: the sampleHash family
+    * (poly_hash ∘ Knuth remix — shared arithmetic with the DuckDB
+    * oracle twin) salted per sketch row, folded into `width` buckets. */
+  def cmsBucket(key: Column, row: Column, width: Int): Column =
+    pmod(TextOps.polyHash(concat(key.cast("string"), lit("#cms"),
+      row.cast("string")))
+      * Sampling.Mixer % TextOps.HashMod, lit(width))
+
+  /** Count–min sketch (Cormode–Muthukrishnan) of per-key frequencies,
+    * built RELATIONALLY: the sketch IS a (row, bucket, count) frame of
+    * `depth`×`width` rows produced by one hash aggregate over the
+    * `depth`-exploded key stream — map-side combine collapses each
+    * partition to ≤ depth·width partial rows, so the shuffle is
+    * sketch-sized (KBs) regardless of input rows, the same reason a
+    * custom UDAF buys nothing here. Deterministic salted-polyhash rows
+    * make the sketch REPRODUCIBLE and oracle-checkable (no engine-
+    * private hashing), and two sketches built with the same (depth,
+    * width) merge by adding counts per cell — the distributed-rollup
+    * law SketchesSpec pins. */
+  def countMinSketch(df: DataFrame, keyCol: Column,
+                     depth: Int = 4, width: Int = 64): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth out of [1,8]: $depth")
+    require(width >= 2, s"width < 2: $width")
+    df.select(keyCol.as("__k"))
+      .select(col("__k"),
+        explode(array((0 until depth).map(lit): _*)).as("row"))
+      .groupBy(col("row"),
+        cmsBucket(col("__k"), col("row"), width).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates from a [[countMinSketch]]: for each distinct key,
+    * min over rows of its bucket's count — ≥ the true count ALWAYS
+    * (cells only ever over-count; the spec pins the one-sided bound).
+    * The sketch side of the probe join is depth·width rows, broadcast;
+    * the key side is the distinct-key frame. Output per key: the
+    * estimate and the true count for audit. */
+  def countMinEstimate(df: DataFrame, keyCol: Column,
+                       depth: Int = 4, width: Int = 64): DataFrame = {
+    val sketch = countMinSketch(df, keyCol, depth, width)
+    val exact = df.select(keyCol.as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("n_exact"))
+    exact
+      .select(col("key"), col("n_exact"),
+        explode(array((0 until depth).map(lit): _*)).as("row"))
+      .withColumn("bucket", cmsBucket(col("key"), col("row"), width))
+      .join(broadcast(sketch), Seq("row", "bucket"))
+      .groupBy(col("key"), col("n_exact"))
+      .agg(min(col("cnt")).as("n_est"))
+      .select(col("key"), col("n_exact"), col("n_est"),
+        (col("n_est") - col("n_exact")).as("overcount"))
+  }
 }

@@ -471,6 +471,73 @@ object Stats {
           .as("autocorr"))
   }
 
+  /** Per-group simple linear regression (OLS) of `yCol` on `xCol` via
+    * the closed-form normal equations over EXACT decimal sums: x is
+    * integer-cast to DECIMAL(18,0), y to DECIMAL(14,4), and n/Σx/Σy/
+    * Σxy/Σx²/Σy² accumulate exactly (partitioning-invariant) in one
+    * map-side-combinable hash aggregate — the only float ops are the
+    * final slope/intercept/r² divisions, whose operand ORDER the oracle
+    * mirrors term for term. Slope is reported per `slopeUnit` of x
+    * (e.g. 86400 for per-day when x is epoch seconds) so a 6-decimal
+    * rounding keeps resolution. Σx² of epoch-second x stays inside
+    * DECIMAL(38) up to ~10^18 rows — beyond any single aggregate's
+    * reach. Output: group, n, slope, intercept, r2. */
+  def groupOls(df: DataFrame, groupCol: String, xCol: Column,
+               yCol: Column, slopeUnit: Double = 1.0): DataFrame = {
+    def d(c: Column) = c.cast(DoubleType)
+    val x = xCol.cast(DecimalType(18, 0))
+    val y = yCol.cast(DecimalType(14, 4))
+    val agg = df.select(col(groupCol), x.as("__x"), y.as("__y"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+        sum(col("__x") * col("__y")).as("sxy"),
+        sum(col("__x") * col("__x")).as("sxx"),
+        sum(col("__y") * col("__y")).as("syy"))
+    // every sum enters the float stage via ONE cast; the products and
+    // differences below are pure double, op order matching the SQL twin
+    val nD = d(col("n"))
+    val sxD = d(col("sx")); val syD = d(col("sy"))
+    val sxyD = d(col("sxy")); val sxxD = d(col("sxx"))
+    val syyD = d(col("syy"))
+    val denX = nD * sxxD - sxD * sxD
+    val denY = nD * syyD - syD * syD
+    val num = nD * sxyD - sxD * syD
+    val slope = num / denX
+    agg.select(col(groupCol), col("n"),
+      when(denX > 0, round(slope * slopeUnit, 6)).as("slope"),
+      when(denX > 0, round((syD - slope * sxD) / nD, 6)).as("intercept"),
+      when(denX > 0 && denY > 0, round(num * num / (denX * denY), 6))
+        .as("r2"))
+  }
+
+  /** Day-of-week seasonal profile per group: event count, share of the
+    * group's events, mean value, and the deviation of that mean from
+    * the group's overall mean — the seasonality decomposition readout
+    * ("is Saturday's metric level or mix different"). One hash
+    * aggregate to (group, dow) plus a group-partitioned window over ≤7
+    * rows per group; value sums are exact decimal, so the final double
+    * divisions (order mirrored by the oracle) are engine-portable.
+    * `dowCol` must be 0=Sunday..6=Saturday (Spark `dayofweek(ts)-1`,
+    * DuckDB `dayofweek(ts)`). */
+  def dowProfile(df: DataFrame, groupCol: String, dowCol: Column,
+                 valueCol: Column): DataFrame = {
+    def d(c: Column) = c.cast(DoubleType)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    df.select(col(groupCol), dowCol.as("dow"),
+        valueCol.cast(DecimalType(14, 4)).as("__v"))
+      .groupBy(col(groupCol), col("dow"))
+      .agg(count(lit(1)).as("n"), sum(col("__v")).as("__sv"))
+      .withColumn("__tn", sum(col("n")).over(w))
+      .withColumn("__tv", sum(col("__sv")).over(w))
+      .select(col(groupCol), col("dow"), col("n"),
+        round(d(col("n")) / d(col("__tn")), 6).as("share"),
+        round(d(col("__sv")) / d(col("n")), 6).as("mean_value"),
+        round(d(col("__sv")) / d(col("n")) -
+          d(col("__tv")) / d(col("__tn")), 6).as("dev_from_mean"))
+  }
+
   /** Gini index of a grouped size distribution ("how concentrated is
     * the corpus over sources") from exact integer arithmetic:
     * with sizes s_1 ≤ … ≤ s_k (ties broken by group for a total

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -159,6 +159,97 @@ object TimeSeries {
   }
 
   private val DecimalType28 = org.apache.spark.sql.types.DecimalType(28, 10)
+
+  /** Exact decimal EWMA weights for a trailing window of `k`
+    * observations: position j (1 = newest) carries α(1−α)^(j−1), except
+    * the OLDEST in-window observation, which carries the init mass
+    * (1−α)^(m−1) so the truncated recursion y_t = αx_t + (1−α)y_{t−1}
+    * with y_1 = x_1 is reproduced exactly over the last m = min(n, k)
+    * points. Weights are exact powers of a decimal α (unlimited
+    * BigDecimal, then ONE half-up rounding to 18 fractional digits) and
+    * are emitted as literal strings — the Spark plan and the DuckDB
+    * oracle both consume the same text, so the arithmetic is
+    * decimal-exact on both engines with zero float-pow involvement.
+    * Returns (baseWeight, initWeight) per position 1..k. */
+  def ewmaWeights(alpha: BigDecimal, k: Int): Seq[(String, String)] = {
+    require(alpha > 0 && alpha < 1, s"alpha out of (0,1): $alpha")
+    require(k >= 1 && k <= 64, s"window out of [1,64]: $k")
+    val one = BigDecimal(1)
+    (1 to k).map { j =>
+      val decay = (one - alpha).pow(j - 1)
+      def s(x: BigDecimal) =
+        x.setScale(18, BigDecimal.RoundingMode.HALF_UP)
+          .underlying.toPlainString
+      (s(alpha * decay), s(decay))
+    }
+  }
+
+  /** Trailing-window EWMA per key: the last value of the exponentially
+    * weighted moving average over each key's final min(n, `k`)
+    * observations — the smoothed "current level" readout of a metric
+    * stream. One descending window rank per key partition plus one hash
+    * aggregate; nothing beyond the key partitioning shuffles, and the
+    * window never materializes more than `k` weighted terms per key.
+    *
+    * Truncating at `k` is what makes the result exact and portable:
+    * weights beyond position 16 at α = ¼ are < 1e-4·α and the infinite
+    * form would force float `pow` (whose last ulp differs across
+    * engines); here every weight is a shared decimal literal
+    * ([[ewmaWeights]]) and the sum is exact decimal at any
+    * partitioning. */
+  def ewmaTrailing(df: DataFrame, keyCol: String, tsCol: String,
+                   tieCol: String, valueCol: String,
+                   alpha: BigDecimal = BigDecimal("0.25"),
+                   k: Int = 16): DataFrame = {
+    val wDesc = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    val wAll = Window.partitionBy(col(keyCol))
+    val weights = ewmaWeights(alpha, k)
+    def caseOf(pick: ((String, String)) => String): Column =
+      weights.zipWithIndex.foldLeft(lit(null).cast("decimal(19,18)")) {
+        case (acc, (ws, i)) =>
+          when(col("__j") === (i + 1),
+            lit(new java.math.BigDecimal(pick(ws)))).otherwise(acc)
+      }
+    df.select(col(keyCol), col(tsCol), col(tieCol),
+        col(valueCol).cast("decimal(14,4)").as("__v"))
+      .withColumn("__j", row_number().over(wDesc))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("__j") <= k)
+      .withColumn("__w",
+        when(col("__j") === least(col("__n"), lit(k)), caseOf(_._2))
+          .otherwise(caseOf(_._1)))
+      .groupBy(col(keyCol))
+      .agg(max(col("__n")).as("n_events"),
+        round(sum(col("__v") * col("__w")).cast("double"), 6).as("ewma"))
+  }
+
+  /** Time-weighted average per key: each observation's value is weighted
+    * by the duration until the NEXT observation (the standard TWAP /
+    * time-in-state average — a plain AVG over an irregular series
+    * over-weights bursts). The last observation per key carries no
+    * duration and is excluded. Durations in exact integer microseconds,
+    * values in exact decimal; one lead window on the key partitioning +
+    * one hash aggregate. */
+  def timeWeightedAvg(df: DataFrame, keyCol: String, tsCol: String,
+                      tieCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    df.select(col(keyCol), col(tsCol), col(tieCol),
+        col(valueCol).cast("decimal(14,4)").as("__v"))
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__dur",
+        (lead(col("__us"), 1).over(w) - col("__us")).cast("decimal(18,0)"))
+      .filter(col("__dur").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("__v") * col("__dur")).as("__svd"),
+        sum(col("__dur")).as("__sd"))
+      .select(col(keyCol), col("n_segments"),
+        when(col("__sd") > 0,
+          round(col("__svd").cast("double") / col("__sd").cast("double"), 6))
+          .as("twap"))
+  }
 
   /** SCD2 history from an event log: consecutive runs of the same state
     * per key compress to one row with [valid_from, valid_to) bounds;

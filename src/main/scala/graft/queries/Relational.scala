@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1141,4 +1141,83 @@ object Relational {
           500000L, 0).otherwise(1))
     graft.ops.Eval.welchTwoSample(ev, "event_type", "arm", "value")
   }
+
+  /** q184: trailing-window EWMA level per user
+    * ([[TimeSeries.ewmaTrailing]], α = ¼ over the last 16 events) —
+    * exact decimal weights shared as literals with the oracle. */
+  def q184Ewma(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.ewmaTrailing(Tables.events(s, dir),
+      "user_id", "ts", "event_id", "value")
+
+  /** q185: time-weighted average value per user
+    * ([[TimeSeries.timeWeightedAvg]]) — duration-weighted in exact
+    * integer microseconds. */
+  def q185Twap(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.timeWeightedAvg(Tables.events(s, dir),
+      "user_id", "ts", "event_id", "value")
+
+  /** q186: per-event-type OLS trend of `value` on event time
+    * ([[Stats.groupOls]]; x = epoch seconds, slope per day) — the
+    * metric-drift readout with exact decimal normal-equation sums. */
+  def q186Ols(s: SparkSession, dir: String): DataFrame =
+    Stats.groupOls(Tables.events(s, dir), "event_type",
+      expr("unix_micros(ts) div 1000000"), col("value"),
+      slopeUnit = 86400.0)
+
+  /** q187: day-of-week seasonal profile per event type
+    * ([[Stats.dowProfile]]) — count share, mean value, and deviation
+    * from the type's overall mean, per (type, dow). */
+  def q187DowProfile(s: SparkSession, dir: String): DataFrame =
+    Stats.dowProfile(Tables.events(s, dir), "event_type",
+      (dayofweek(col("ts")) - 1).as("dow"), col("value"))
+
+  /** q188: Jaro–Winkler near-name pairs over distinct part names
+    * ([[graft.ops.FuzzyJoin.jaroNearNames]], native codegen
+    * expression, first-character blocking, 6-rounded threshold). */
+  def q188JaroNames(s: SparkSession, dir: String): DataFrame =
+    graft.ops.FuzzyJoin.jaroNearNames(
+      Tables.part(s, dir).select(col("p_name")), "p_name", 0.8)
+
+  /** q189: count–min sketch audit over user event counts
+    * ([[graft.ops.Sketches.countMinEstimate]], depth 4 × width 64) —
+    * per-user exact count, CMS estimate, and the (always ≥ 0)
+    * overcount; the sketch itself is a 256-row frame. */
+  def q189CountMin(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.countMinEstimate(
+      Tables.events(s, dir), col("user_id"))
+
+  /** q190: reciprocal-rank fusion of the revenue-top-100 and
+    * order-count-top-100 customer rankings
+    * ([[graft.ops.Eval.rrfFuse]], k = 60) — rank joins on exact
+    * decimal revenue; ties broken by custkey on both engines. */
+  def q190Rrf(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val ord = Tables.orders(s, dir)
+    // top-100 via distributed TakeOrderedAndProject FIRST; the
+    // single-partition rank window then runs over 100 rows, not the
+    // customer domain — the bounded-window shape that survives scale
+    def top100(df: DataFrame, metric: Column, rankName: String) =
+      df.orderBy(metric.desc, col("c_custkey").asc).limit(100)
+        .withColumn(rankName, row_number().over(
+          Window.orderBy(metric.desc, col("c_custkey").asc)))
+    val rev = top100(
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4))).as("rev")),
+      col("rev"), "rank")
+    val cnt = top100(
+      ord.groupBy(col("o_custkey").as("c_custkey"))
+        .agg(count(lit(1)).as("n_orders")),
+      col("n_orders"), "rank")
+    graft.ops.Eval.rrfFuse(rev, cnt, "c_custkey", "rank", 60)
+  }
+
+  /** q191: ordered event-type co-occurrence per user
+    * ([[graft.ops.Assoc.orderedPairReach]]) — for each type pair, how
+    * many users have both, and for how many the first A preceded the
+    * last B. */
+  def q191SeqPairs(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Assoc.orderedPairReach(Tables.events(s, dir),
+      "user_id", "event_type", "ts")
 }

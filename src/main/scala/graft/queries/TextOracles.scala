@@ -1746,5 +1746,39 @@ object TextOracles {
          |SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n
          |FROM p GROUP BY center, context
          |ORDER BY n DESC, center ASC, context ASC LIMIT 30""".stripMargin,
+
+    // PAV ≡ minimax: the isotonic-regression fit at bin i equals
+    // max_{j≤i} min_{k≥i} weightedRate(j..k) (Ayer et al. 1955; the
+    // standard closed form of pool-adjacent-violators). The sequential
+    // pooling loop the Spark op runs driver-side is therefore
+    // expressible as a triangular segment aggregate over the ≤10 bin
+    // rows — O(k³) in BIN COUNT, data-size-free, exactly what a SQL
+    // oracle can afford. Double min/max over segment rates matches the
+    // op's exact cross-multiplied ordering to well below the 6-decimal
+    // readout.
+    "q179_isotonic" ->
+      s"""WITH sc AS (SELECT
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         |    CASE WHEN len(tk) = 0 THEN 0.0
+         |         ELSE CAST(len(list_filter(tk, t -> t IN ($stopwords)))
+         |              AS DOUBLE) / len(tk) END AS score
+         |  FROM (SELECT lang, $Tk AS tk FROM documents) t),
+         |g AS (SELECT CAST(LEAST(FLOOR(score * 10), 9) AS BIGINT) AS bin,
+         |    COUNT(*) AS n, SUM(y) AS pos
+         |  FROM sc GROUP BY bin),
+         |seg AS (SELECT j.bin AS j, k.bin AS k,
+         |    SUM(m.n) AS n, SUM(m.pos) AS pos
+         |  FROM g j JOIN g k ON j.bin <= k.bin
+         |  JOIN g m ON m.bin BETWEEN j.bin AND k.bin
+         |  GROUP BY j.bin, k.bin),
+         |mm AS (SELECT i.bin AS bin, s.j,
+         |    MIN(CAST(s.pos AS DOUBLE) / s.n) AS mn
+         |  FROM g i JOIN seg s ON s.j <= i.bin AND s.k >= i.bin
+         |  GROUP BY i.bin, s.j),
+         |cal AS (SELECT bin, MAX(mn) AS cal FROM mm GROUP BY bin)
+         |SELECT g.bin, g.n,
+         |  ROUND(CAST(g.pos AS DOUBLE) / g.n, 6) AS pos_rate,
+         |  ROUND(cal.cal, 6) AS calibrated
+         |FROM g JOIN cal ON g.bin = cal.bin""".stripMargin,
   )
 }

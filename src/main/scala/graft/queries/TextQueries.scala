@@ -1286,9 +1286,10 @@ object TextQueries {
   /** q179: isotonic (PAV) calibration of the stopword-ratio signal
     * against lang='en' ([[graft.ops.Eval.isotonicCalibrate]]) — turns
     * q159's reliability diagram into a non-decreasing calibrated rate.
-    * SPEC-GATED (EvalSpec pins PAV against a quadratic reference
-    * implementation); PAV's sequential pooling has no tractable SQL
-    * twin, so the driver records a rows-only check. */
+    * Oracle-gated via the PAV ≡ minimax closed form (the sequential
+    * pooling loop equals max_{j≤i} min_{k≥i} of segment rates — an
+    * O(bins³) triangular aggregate a SQL oracle can afford);
+    * EvalSpec additionally pins PAV against a quadratic reference. */
   def qIsotonic(s: SparkSession, dir: String): DataFrame = {
     val scored = Tables.documents(s, dir).select(
       TextOps.wordSetRatio(TextOps.tokens(col("text")), TextOps.Stopwords)

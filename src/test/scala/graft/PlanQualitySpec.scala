@@ -393,4 +393,46 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("Window"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("ewma window and aggregate share the key partitioning (q184)") {
+    val p = plan(graft.queries.Relational.q184Ewma(spark, sf))
+    // rank window partitions by key; the final groupBy(key) must reuse
+    // that exchange, and nothing may collapse to a single partition
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("twap lead-window and aggregate share one exchange (q185)") {
+    val p = plan(graft.queries.Relational.q185Twap(spark, sf))
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("grouped OLS is one partial-agg pass, no window (q186)") {
+    val p = plan(graft.queries.Relational.q186Ols(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+  }
+
+  test("jaro-winkler pairs come from a block equi-join, codegen'd (q188)") {
+    val p = plan(graft.queries.Relational.q188JaroNames(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the native expression must appear inside the generated stage,
+    // not as a BatchEvalPython/ScalaUDF row step
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("count-min probe broadcasts the sketch (q189)") {
+    val p = plan(graft.queries.Relational.q189CountMin(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("rrf rank windows run over limit-bounded input (q190)") {
+    val p = plan(graft.queries.Relational.q190Rrf(spark, sf))
+    // distributed top-k first; the single-partition stages after it
+    // carry <= 100 rows each
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }

@@ -1,0 +1,211 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Assoc, Eval, FuzzyJoin, Sketches, Stats, TimeSeries}
+
+/** Round-5 operator family: trailing EWMA, time-weighted average,
+  * grouped OLS, day-of-week profile, Jaro–Winkler linkage, count–min
+  * sketch, RRF fusion, ordered pair reach. Each op's value-level gate
+  * is the DuckDB oracle (q184–q191); these specs pin the algebraic
+  * contracts a value compare can't see (invariance, bounds, merge
+  * laws) plus reference-implementation parity on adversarial
+  * fixtures. */
+class Round5OpsSpec extends SparkSpecBase {
+  import org.apache.spark.sql.DataFrame
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private lazy val series: DataFrame = {
+    import spark.implicits._
+    // key A: 20 events (longer than the 16-window), key B: 1, key C: 3
+    val a = (1 to 20).map(i =>
+      ("A", ts(f"2024-01-01 00:$i%02d:00"), i.toLong, i * 1.5))
+    val b = Seq(("B", ts("2024-01-01 05:00:00"), 100L, 7.25))
+    val c = Seq(
+      ("C", ts("2024-01-02 00:00:00"), 200L, 10.0),
+      ("C", ts("2024-01-02 00:10:00"), 201L, 20.0),
+      ("C", ts("2024-01-02 00:40:00"), 202L, 40.0))
+    (a ++ b ++ c).toDF("k", "t", "tie", "v")
+  }
+
+  // reference EWMA: the textbook recursion over the last min(n,16) points
+  private def refEwma(xs: Seq[Double], alpha: Double = 0.25): Double = {
+    val w = xs.takeRight(16)
+    w.tail.foldLeft(w.head)((y, x) => alpha * x + (1 - alpha) * y)
+  }
+
+  test("ewmaWeights: in-window weights sum to exactly 1 for every m") {
+    (1 to 16).foreach { m =>
+      val ws = TimeSeries.ewmaWeights(BigDecimal("0.25"), 16)
+      // positions 1..m-1 carry base weight, position m the init weight
+      val sum = (1 until m).map(j => BigDecimal(ws(j - 1)._1)).sum +
+        BigDecimal(ws(m - 1)._2)
+      assert((sum - 1).abs < BigDecimal("1e-15"),
+        s"m=$m weight sum $sum")
+    }
+  }
+
+  test("ewmaTrailing matches the sequential recursion per key") {
+    val got = TimeSeries.ewmaTrailing(series, "k", "t", "tie", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(got("A")._1 == 20L)
+    val expA = refEwma((1 to 20).map(_ * 1.5))
+    assert(math.abs(got("A")._2 - expA) < 2e-6, s"A: ${got("A")} vs $expA")
+    assert(got("B") == ((1L, 7.25)), "singleton series = its value")
+    val expC = refEwma(Seq(10.0, 20.0, 40.0))
+    assert(math.abs(got("C")._2 - expC) < 2e-6)
+  }
+
+  test("ewmaTrailing is partitioning-invariant") {
+    val base = TimeSeries.ewmaTrailing(series, "k", "t", "tie", "v")
+      .collect().map(_.toSeq).toSet
+    val shuffled = TimeSeries.ewmaTrailing(
+      series.repartition(7, col("v")), "k", "t", "tie", "v")
+      .collect().map(_.toSeq).toSet
+    assert(base == shuffled)
+  }
+
+  test("timeWeightedAvg weights by duration and drops the last event") {
+    val got = TimeSeries.timeWeightedAvg(series, "k", "t", "tie", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    // C: 10.0 for 10min, 20.0 for 30min → (10*10+20*30)/40 = 17.5
+    assert(got("C") == ((2L, 17.5)))
+    // B has a single event: no duration, no output row
+    assert(!got.contains("B"))
+    // constant-value key: twap = the constant
+    import spark.implicits._
+    val const = Seq(("K", ts("2024-01-01 00:00:00"), 1L, 5.0),
+      ("K", ts("2024-01-01 09:00:00"), 2L, 5.0),
+      ("K", ts("2024-01-03 00:00:00"), 3L, 5.0))
+      .toDF("k", "t", "tie", "v")
+    val r = TimeSeries.timeWeightedAvg(const, "k", "t", "tie", "v")
+      .collect().head
+    assert(r.getDouble(2) == 5.0)
+  }
+
+  test("groupOls recovers a planted exact line with r2 = 1") {
+    import spark.implicits._
+    // y = 2x + 3 exactly, x integer seconds
+    val df = (1 to 50).map(i => ("g", i.toLong, 2.0 * i + 3)).toDF("g", "x", "y")
+    val r = Stats.groupOls(df, "g", col("x"), col("y")).collect().head
+    assert(r.getAs[Double]("slope") == 2.0)
+    assert(r.getAs[Double]("intercept") == 3.0)
+    assert(r.getAs[Double]("r2") == 1.0)
+    // degenerate group (single x value): null slope, not a crash
+    val deg = Seq(("d", 5L, 1.0), ("d", 5L, 2.0)).toDF("g", "x", "y")
+    val rd = Stats.groupOls(deg, "g", col("x"), col("y")).collect().head
+    assert(rd.isNullAt(rd.fieldIndex("slope")))
+  }
+
+  test("groupOls is partitioning-invariant (exact decimal sums)") {
+    val ev = graft.core.Tables.events(spark, sf)
+    def run(d: DataFrame) = Stats.groupOls(d, "event_type",
+      expr("unix_micros(ts) div 1000000"), col("value"), 86400.0)
+      .collect().map(_.toSeq).toSet
+    assert(run(ev) == run(ev.repartition(13, col("value"))))
+  }
+
+  test("dowProfile: shares sum to 1, count-weighted deviations sum to 0") {
+    val prof = Stats.dowProfile(graft.core.Tables.events(spark, sf),
+      "event_type", (dayofweek(col("ts")) - 1).as("dow"), col("value"))
+      .collect()
+    prof.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val shares = rows.map(_.getDouble(3)).sum
+      assert(math.abs(shares - 1.0) < 1e-4)
+      val wdev = rows.map(r => r.getLong(2) * r.getDouble(5)).sum
+      val n = rows.map(_.getLong(2)).sum
+      assert(math.abs(wdev / n) < 1e-5, s"weighted dev $wdev")
+    }
+  }
+
+  test("jaro_winkler: DuckDB-verified constants, codegen = interpreted") {
+    import graft.functions.JaroWinklerFn
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String) =
+      JaroWinklerFn.sim(UTF8String.fromString(a), UTF8String.fromString(b))
+    // constants cross-checked against DuckDB jaro_winkler_similarity
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-15)
+    assert(math.abs(jw("dwayne", "duane") - 0.8400000000000001) < 1e-15)
+    assert(math.abs(jw("dixon", "dicksonx") - 0.8133333333333332) < 1e-15)
+    assert(jw("same", "same") == 1.0)
+    assert(jw("", "") == 0.0, "empty-empty is 0.0 — DuckDB convention")
+    assert(jw("", "x") == 0.0 && jw("x", "") == 0.0)
+    assert(jw("abc", "xyz") == 0.0, "no matches")
+    // expression path (via SQL function) agrees with the kernel
+    val viaSql = spark.sql(
+      "SELECT jaro_winkler('martha', 'marhta')").collect().head.getDouble(0)
+    assert(viaSql == jw("martha", "marhta"))
+    // null in → null out
+    val r = spark.sql("SELECT jaro_winkler(CAST(NULL AS STRING), 'x')")
+      .collect().head
+    assert(r.isNullAt(0))
+  }
+
+  test("jaroNearNames: finds planted near-pair, respects block + threshold") {
+    import spark.implicits._
+    val df = Seq("red widget", "red widgget", "blue bolt", "rod widget")
+      .toDF("nm")
+    val pairs = FuzzyJoin.jaroNearNames(df, "nm", 0.9)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.contains(("red widget", "red widgget")))
+    // cross-letter pair never compared, regardless of similarity
+    assert(!pairs.exists(p => p._1.startsWith("b") ^ p._2.startsWith("b")))
+  }
+
+  test("countMin: estimate >= exact for every key (one-sided error)") {
+    val est = Sketches.countMinEstimate(
+      graft.core.Tables.events(spark, sf), col("user_id"))
+    val bad = est.filter(col("n_est") < col("n_exact")).count()
+    assert(bad == 0)
+    // and every key gets exactly one estimate row
+    val users = graft.core.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(est.count() == users)
+  }
+
+  test("countMin merge law: sketch(A ++ B) = cellwise sum of sketches") {
+    val ev = graft.core.Tables.events(spark, sf)
+    val a = ev.filter(col("event_id") % 2 === 0)
+    val b = ev.filter(col("event_id") % 2 === 1)
+    def cells(d: DataFrame) = Sketches.countMinSketch(d, col("user_id"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = cells(ev)
+    val merged = (cells(a).toSeq ++ cells(b).toSeq)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    assert(whole == merged)
+  }
+
+  test("rrfFuse: both-lists ids sum both terms, single-list ids one") {
+    import spark.implicits._
+    val a = Seq((1L, 1), (2L, 2)).toDF("id", "rank")
+    val b = Seq((1L, 3), (9L, 1)).toDF("id", "rank")
+    val got = Eval.rrfFuse(a, b, "id", "rank", 60)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    def t(r: Int) = 1.0 / (60 + r)
+    assert(math.abs(got(1L) - (t(1) + t(3))) < 1e-9)
+    assert(math.abs(got(2L) - t(2)) < 1e-9)
+    assert(math.abs(got(9L) - t(1)) < 1e-9)
+  }
+
+  test("orderedPairReach: order constraint separates A→B from B→A") {
+    import spark.implicits._
+    // user 1: A then B. user 2: B only. user 3: B then A.
+    val df = Seq(
+      (1L, "A", ts("2024-01-01 00:00:00")),
+      (1L, "B", ts("2024-01-01 01:00:00")),
+      (2L, "B", ts("2024-01-01 00:00:00")),
+      (3L, "B", ts("2024-01-01 00:00:00")),
+      (3L, "A", ts("2024-01-01 01:00:00"))).toDF("u", "it", "t")
+    val got = Assoc.orderedPairReach(df, "u", "it", "t")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got(("A", "B")) == ((2L, 1L)), "both=2 users, ordered only u1")
+    assert(got(("B", "A")) == ((2L, 1L)), "ordered only u3")
+    // diagonal: first<last needs >=2 events of the type
+    assert(got(("B", "B")) == ((3L, 0L)))
+  }
+}
