@@ -235,6 +235,11 @@ object SparkEntry {
     "q189_count_min"         -> Relational.q189CountMin _,
     "q190_rrf_fusion"        -> Relational.q190Rrf _,
     "q191_seq_pairs"         -> Relational.q191SeqPairs _,
+    "q192_dow_anomalies"     -> Relational.q192DowAnomalies _,
+    "q193_theil_sen"         -> Relational.q193TheilSen _,
+    "q194_entropy"           -> Relational.q194Entropy _,
+    "q195_seq_loglik"        -> Relational.q195SeqLogLik _,
+    "q196_dp_counts"         -> Relational.q196DpCounts _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */
@@ -1417,5 +1422,94 @@ object SparkEntry {
         |  COUNT(CASE WHEN a.first_ts < b.last_ts THEN 1 END) AS n_ordered
         |FROM s a JOIN s b ON a.user_id = b.user_id
         |GROUP BY 1, 2""".stripMargin,
+
+    "q192_dow_anomalies" ->
+      """WITH r AS (SELECT event_type, dayofweek(ts) AS dow,
+        |    event_id, value FROM events),
+        |m AS (SELECT event_type, dow, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(14,4))) AS sv
+        |  FROM r GROUP BY 1, 2),
+        |j AS (SELECT r.event_type, r.dow, r.event_id, r.value,
+        |    CAST(m.sv AS DOUBLE) / CAST(m.n AS DOUBLE) AS mean
+        |  FROM r JOIN m ON r.event_type = m.event_type
+        |              AND r.dow = m.dow),
+        |k AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY abs(value - mean) DESC, event_id ASC) AS INTEGER)
+        |    AS rank FROM j)
+        |SELECT event_type, CAST(dow AS INTEGER) AS dow, event_id, value,
+        |  ROUND(mean, 6) AS expected,
+        |  ROUND(value - mean, 6) AS residual, rank
+        |FROM k WHERE rank <= 5""".stripMargin,
+
+    "q193_theil_sen" ->
+      """WITH s AS (SELECT event_type,
+        |    epoch_us(date_trunc('day', ts)) // 86400000000 AS x,
+        |    COUNT(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS sl
+        |  FROM s a JOIN s b ON a.event_type = b.event_type
+        |                   AND a.x < b.x),
+        |r AS (SELECT event_type, sl,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |                       ORDER BY sl ASC) AS rk,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS np
+        |  FROM p)
+        |SELECT event_type, np AS n_pairs, ROUND(sl, 6) AS ts_slope
+        |FROM r WHERE rk = (np - 1) // 2 + 1""".stripMargin,
+
+    "q194_entropy" ->
+      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT user_id, SUM(c) AS n_events, COUNT(*) AS n_items,
+        |    CAST(SUM(CAST(ROUND(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)),
+        |      9) AS DECIMAL(18,9))) AS DOUBLE) AS clnc
+        |  FROM c GROUP BY 1)
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events, n_items,
+        |  ROUND(ln(CAST(n_events AS DOUBLE))
+        |        - clnc / CAST(n_events AS DOUBLE), 6) AS entropy,
+        |  CASE WHEN n_items > 1
+        |       THEN ROUND((ln(CAST(n_events AS DOUBLE))
+        |                   - clnc / CAST(n_events AS DOUBLE))
+        |         / ln(CAST(n_items AS DOUBLE)), 6) END AS norm_entropy
+        |FROM g""".stripMargin,
+
+    "q195_seq_loglik" ->
+      """WITH p AS (SELECT user_id, event_type AS from_state,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS to_state
+        |  FROM events),
+        |t AS (SELECT from_state, to_state, COUNT(*) AS n
+        |  FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT from_state, to_state,
+        |    ROUND(CAST(n AS DOUBLE)
+        |          / SUM(n) OVER (PARTITION BY from_state), 6) AS prob
+        |  FROM t),
+        |j AS (SELECT p.user_id, m.prob
+        |  FROM p JOIN m ON p.from_state = m.from_state
+        |             AND p.to_state = m.to_state),
+        |g AS (SELECT user_id, COUNT(*) AS n_trans,
+        |    CAST(SUM(CAST(ROUND(ln(prob), 9) AS DECIMAL(18,9)))
+        |      AS DOUBLE) AS lls
+        |  FROM j GROUP BY 1)
+        |SELECT user_id, n_trans,
+        |  ROUND(lls / CAST(n_trans AS DOUBLE), 6) AS avg_ll,
+        |  ROUND(exp(-(lls / CAST(n_trans AS DOUBLE))), 6) AS perplexity
+        |FROM g""".stripMargin,
+
+    "q196_dp_counts" -> {
+      def h(e: String) = graft.queries.TextOracles.H(e)
+      s"""WITH g AS (SELECT event_type, COUNT(*) AS n_true
+         |  FROM events GROUP BY 1),
+         |u AS (SELECT event_type, n_true,
+         |    (CAST(${h("event_type || '#99'")}
+         |        * 2654435761 % 1000000007 % 1000000 AS DOUBLE)
+         |     + 0.5) / 1000000.0 - 0.5 AS uu
+         |  FROM g)
+         |SELECT event_type, n_true,
+         |  ROUND(CAST(n_true AS DOUBLE)
+         |    + (-2.0) * sign(uu) * ln(1.0 - 2.0 * abs(uu)), 6) AS n_noisy
+         |FROM u""".stripMargin
+    },
   )
 }

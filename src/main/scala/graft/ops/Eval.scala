@@ -329,6 +329,37 @@ object Eval {
       round(col("n").cast(DoubleType) / sum(col("n")).over(wSrc), 6))
   }
 
+  /** Per-key sequence log-likelihood under the self-trained first-order
+    * Markov model ([[transitionMatrix]]): avg_ll = Σ ln(p(from→to))/n
+    * over the key's transitions, plus perplexity = exp(−avg_ll) — the
+    * "how typical is this user's path" score (anomalous sessions rank
+    * low). The model is a ≤|states|² frame broadcast into the pair
+    * stream; ln terms are 9-rounded into DECIMAL before summing (the
+    * dsum rule — raw double sums are partition-order-dependent). Uses
+    * the model's 6-rounded probabilities so both engines take ln of
+    * identical doubles. Every observed transition has nonzero count in
+    * a self-trained model — no smoothing needed. */
+  def sequenceLogLik(df: DataFrame, keyCol: String, stateCol: String,
+                     orderCols: Seq[String]): DataFrame = {
+    val model = transitionMatrix(df, keyCol, stateCol, orderCols)
+      .select(col("from_state"), col("to_state"), col("prob"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val pairs = df
+      .select(col(keyCol), col(stateCol).as("from_state"),
+        lead(col(stateCol), 1).over(w).as("to_state"))
+      .filter(col("to_state").isNotNull)
+    pairs.join(broadcast(model), Seq("from_state", "to_state"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_trans"),
+        sum(round(log(col("prob")), 9).cast(DecimalType(18, 9)))
+          .cast(DoubleType).as("__lls"))
+      .select(col(keyCol), col("n_trans"),
+        round(col("__lls") / col("n_trans").cast(DoubleType), 6)
+          .as("avg_ll"),
+        round(exp(-(col("__lls") / col("n_trans").cast(DoubleType))), 6)
+          .as("perplexity"))
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher SIGIR'09) of two
     * rankings: score(id) = Σ_lists 1/(`k`+rank), absent-from-list
     * contributing 0 — the standard way to combine heterogeneous

@@ -81,4 +81,34 @@ object Privacy {
           col("__clc").cast("double") / col("n")), 6))
       .drop("__clc")
   }
+
+  /** Differentially-private release of grouped counts: true count +
+    * Laplace(scale) noise via inverse-CDF sampling from the engine's
+    * DETERMINISTIC uniform (the sampleHash family seeded per group key)
+    * — u ∈ (−½, ½), noise = −scale·sign(u)·ln(1 − 2|u|). For count
+    * queries sensitivity is 1, so scale = 1/ε.
+    *
+    * Determinism is a deliberate trade, and the privacy caveat is
+    * load-bearing: a keyed-hash noise draw means REPEATED releases of
+    * the same partition add the SAME noise (good: no averaging attack
+    * across re-runs; the release is idempotent) but the seed must stay
+    * private like a key, and changing it spends fresh ε. What it buys:
+    * reproducible pipelines, partitioning invariance, and an oracle
+    * twin — a true RNG draw would be none of these. One hash aggregate
+    * + pure row arithmetic. */
+  def dpNoisyCounts(df: DataFrame, groupCol: String, epsilon: Double,
+                    seed: Long): DataFrame = {
+    require(epsilon > 0, s"epsilon <= 0: $epsilon")
+    val scale = 1.0 / epsilon
+    val u = (Sampling.sampleHash(col(groupCol), seed).cast("double")
+      + lit(0.5)) / lit(1000000.0) - lit(0.5)
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("__u", u)
+      .select(col(groupCol), col("n_true"),
+        round(col("n_true").cast("double") +
+          lit(-scale) * signum(col("__u")) *
+            log(lit(1.0) - lit(2.0) * abs(col("__u"))), 6)
+          .as("n_noisy"))
+  }
 }

@@ -538,6 +538,98 @@ object Stats {
           d(col("__tv")) / d(col("__tn")), 6).as("dev_from_mean"))
   }
 
+  /** Seasonal residual anomalies: rows whose value deviates most from
+    * their (group, day-of-week) expected level — the "which Tuesday
+    * broke the pattern" readout on top of [[dowProfile]]. Expected
+    * level per (group, dow) comes from exact decimal sums broadcast
+    * back onto the stream (a ≤ 7·|groups| frame at any scale);
+    * residual ranking is a per-group window that Spark prunes to the
+    * top-`topK` per partition map-side (WindowGroupLimit), so the sort
+    * never materializes a group's full stream. `tieCol` makes the
+    * ranking total. */
+  def dowAnomalies(df: DataFrame, groupCol: String, dowCol: Column,
+                   tieCol: String, valueCol: String,
+                   topK: Int = 5): DataFrame = {
+    def d(c: Column) = c.cast(DoubleType)
+    val rows = df.select(col(groupCol), dowCol.as("dow"), col(tieCol),
+      col(valueCol), col(valueCol).cast(DecimalType(14, 4)).as("__v"))
+    val means = rows.groupBy(col(groupCol), col("dow"))
+      .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__sv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(abs(d(col(valueCol)) - d(col("__sv")) / d(col("__n"))).desc,
+        col(tieCol).asc)
+    rows.join(broadcast(means), Seq(groupCol, "dow"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= topK)
+      .select(col(groupCol), col("dow"), col(tieCol), col(valueCol),
+        round(d(col("__sv")) / d(col("__n")), 6).as("expected"),
+        round(d(col(valueCol)) - d(col("__sv")) / d(col("__n")), 6)
+          .as("residual"),
+        col("__rk").as("rank"))
+  }
+
+  /** Theil–Sen robust slope per group: the MEDIAN of all pairwise
+    * slopes (y_j − y_i)/(x_j − x_i), i < j — breakdown point 29%,
+    * where OLS ([[groupOls]]) is dragged by a single outlier. Runs on
+    * an already-AGGREGATED series frame (e.g. daily counts — pair
+    * count is series-length², so the caller controls cost by choosing
+    * the series grain; 365 daily points = 66k pairs per group, a
+    * within-group self-join that never crosses groups). The median is
+    * the DISCRETE lower median (sorted rank ⌊(n−1)/2⌋+1) — exact and
+    * engine-portable where interpolated quantiles are not. */
+  def theilSen(series: DataFrame, groupCol: String, xCol: String,
+               yCol: String): DataFrame = {
+    def d(c: Column) = c.cast(DoubleType)
+    val a = series.select(col(groupCol), col(xCol).as("__xa"),
+      col(yCol).as("__ya"))
+    val b = series.select(col(groupCol), col(xCol).as("__xb"),
+      col(yCol).as("__yb"))
+    val slopes = a.join(b, Seq(groupCol))
+      .filter(col("__xa") < col("__xb"))
+      .select(col(groupCol),
+        (d(col("__yb") - col("__ya")) / d(col("__xb") - col("__xa")))
+          .as("__s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__s").asc)
+    val wn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    slopes
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__np", count(lit(1)).over(wn))
+      .filter(col("__rk") === expr("(__np - 1) div 2 + 1"))
+      .select(col(groupCol), col("__np").as("n_pairs"),
+        round(col("__s"), 6).as("ts_slope"))
+  }
+
+  /** Shannon entropy of each key's item distribution (e.g. how varied
+    * a user's event mix is): H = ln(n) − Σ c·ln(c) / n, plus the
+    * ln(k)-normalized form. Two hash aggregates — (key, item) counts,
+    * then per-key — both map-side combinable; the identity avoids
+    * per-item division so the only float ops are |items-per-key| logs
+    * and two divisions, order mirrored by the oracle. Each c·ln(c)
+    * term is 9-rounded into DECIMAL before summing — a raw double sum
+    * is addition-order-dependent across partitionings (the dsum rule),
+    * the decimal sum is exact. */
+  def groupEntropy(df: DataFrame, keyCol: String,
+                   itemCol: String): DataFrame = {
+    def d(c: Column) = c.cast(DoubleType)
+    df.groupBy(col(keyCol), col(itemCol))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__c")).as("n_events"),
+        count(lit(1)).as("n_items"),
+        sum(round(d(col("__c")) * log(d(col("__c"))), 9)
+          .cast(DecimalType(18, 9))).cast(DoubleType).as("__clnc"))
+      .select(col(keyCol), col("n_events"), col("n_items"),
+        round(log(d(col("n_events"))) -
+          col("__clnc") / d(col("n_events")), 6).as("entropy"),
+        when(col("n_items") > 1,
+          round((log(d(col("n_events"))) -
+            col("__clnc") / d(col("n_events"))) /
+            log(d(col("n_items"))), 6)).as("norm_entropy"))
+  }
+
   /** Gini index of a grouped size distribution ("how concentrated is
     * the corpus over sources") from exact integer arithmetic:
     * with sizes s_1 ≤ … ≤ s_k (ties broken by group for a total

@@ -1220,4 +1220,42 @@ object Relational {
   def q191SeqPairs(s: SparkSession, dir: String): DataFrame =
     graft.ops.Assoc.orderedPairReach(Tables.events(s, dir),
       "user_id", "event_type", "ts")
+
+  /** q192: top-5 seasonal residual anomalies per event type
+    * ([[Stats.dowAnomalies]]) — rows furthest from their (type, dow)
+    * expected level. */
+  def q192DowAnomalies(s: SparkSession, dir: String): DataFrame =
+    Stats.dowAnomalies(Tables.events(s, dir), "event_type",
+      (dayofweek(col("ts")) - 1).as("dow"), "event_id", "value", 5)
+
+  /** q193: Theil–Sen robust trend per event type over the daily count
+    * series ([[Stats.theilSen]]) — the outlier-immune complement of
+    * q186's OLS slope. */
+  def q193TheilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+          .as("day"))
+      .agg(count(lit(1)).as("c"))
+    Stats.theilSen(daily, "event_type", "day", "c")
+  }
+
+  /** q194: event-mix Shannon entropy per user
+    * ([[Stats.groupEntropy]]) — behavioral-diversity score. */
+  def q194Entropy(s: SparkSession, dir: String): DataFrame =
+    Stats.groupEntropy(Tables.events(s, dir), "user_id", "event_type")
+
+  /** q195: sequence log-likelihood per user under the self-trained
+    * Markov transition model ([[graft.ops.Eval.sequenceLogLik]]) —
+    * path-typicality / session-anomaly score. */
+  def q195SeqLogLik(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.sequenceLogLik(Tables.events(s, dir),
+      "user_id", "event_type", Seq("ts", "event_id"))
+
+  /** q196: differentially-private event-type counts
+    * ([[graft.ops.Privacy.dpNoisyCounts]], ε = 0.5, seeded
+    * deterministic Laplace). */
+  def q196DpCounts(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Privacy.dpNoisyCounts(Tables.events(s, dir),
+      "event_type", 0.5, 99L)
 }

@@ -191,6 +191,82 @@ class Round5OpsSpec extends SparkSpecBase {
     assert(math.abs(got(9L) - t(1)) < 1e-9)
   }
 
+  test("dowAnomalies: ranks bounded, rank 1 is the group's max |residual|") {
+    val got = Stats.dowAnomalies(graft.core.Tables.events(spark, sf),
+      "event_type", (dayofweek(col("ts")) - 1).as("dow"),
+      "event_id", "value", 5).collect()
+    assert(got.nonEmpty)
+    got.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+      val byRank = rows.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).toSeq ==
+        (1 to rows.length))
+      val resid = byRank.map(r => math.abs(r.getAs[Double]("residual")))
+      assert(resid.zip(resid.tail).forall { case (a, b) => a >= b - 1e-6 })
+    }
+  }
+
+  test("theilSen shrugs off the outlier that drags OLS") {
+    import spark.implicits._
+    // clean line y = 3x, one wild outlier at x=50
+    val pts = (1 to 20).map(i => ("g", i.toLong, 3L * i)) :+
+      (("g", 50L, 100000L))
+    val df = pts.toDF("g", "x", "y")
+    val ts = Stats.theilSen(df, "g", "x", "y").collect().head
+    assert(ts.getAs[Double]("ts_slope") == 3.0, ts.toString)
+    val ols = Stats.groupOls(df, "g", col("x"), col("y").cast("double"))
+      .collect().head
+    assert(ols.getAs[Double]("slope") > 100, "OLS should be dragged")
+  }
+
+  test("groupEntropy: 0 for pure keys, ln(2) for a uniform 2-mix") {
+    import spark.implicits._
+    val df = (Seq.fill(8)(("pure", "A")) ++
+      Seq.fill(4)(("mix", "A")) ++ Seq.fill(4)(("mix", "B")))
+      .toDF("k", "it")
+    val got = Stats.groupEntropy(df, "k", "it")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("entropy"), r.getAs[Any]("norm_entropy"))).toMap
+    assert(got("pure")._1 == 0.0)
+    assert(got("pure")._2 == null, "single item: normalized undefined")
+    assert(math.abs(got("mix")._1 - math.log(2)) < 1e-5)
+    assert(math.abs(got("mix")._2.asInstanceOf[Double] - 1.0) < 1e-5)
+  }
+
+  test("sequenceLogLik: a deterministic path scores avg_ll 0, ppl 1") {
+    import spark.implicits._
+    // two users, both strictly A→B→A→B: every transition has prob 1
+    val rows = for (u <- 1 to 2; i <- 0 until 6)
+      yield (u.toLong, if (i % 2 == 0) "A" else "B",
+        ts(f"2024-01-01 00:0$i:00"), i.toLong)
+    val df = rows.toDF("u", "st", "t", "tie")
+    val got = Eval.sequenceLogLik(df, "u", "st", Seq("t", "tie"))
+      .collect()
+    assert(got.length == 2)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_trans") == 5L)
+      assert(r.getAs[Double]("avg_ll") == 0.0)
+      assert(r.getAs[Double]("perplexity") == 1.0)
+    }
+  }
+
+  test("dpNoisyCounts: deterministic, partitioning-invariant, seed-sensitive") {
+    import graft.ops.Privacy
+    val ev = graft.core.Tables.events(spark, sf)
+    def run(d: org.apache.spark.sql.DataFrame, seed: Long) =
+      Privacy.dpNoisyCounts(d, "event_type", 0.5, seed)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2))).toMap
+    val a = run(ev, 99L)
+    assert(a == run(ev.repartition(9, col("value")), 99L))
+    val b = run(ev, 100L)
+    assert(a.keySet == b.keySet)
+    assert(a.exists { case (k, (_, noisy)) => noisy != b(k)._2 },
+      "different seed must draw different noise")
+    // noise is real: some released count differs from truth
+    assert(a.exists { case (_, (t, noisy)) => noisy != t.toDouble })
+  }
+
   test("orderedPairReach: order constraint separates A→B from B→A") {
     import spark.implicits._
     // user 1: A then B. user 2: B only. user 3: B then A.
