@@ -240,6 +240,10 @@ object SparkEntry {
     "q194_entropy"           -> Relational.q194Entropy _,
     "q195_seq_loglik"        -> Relational.q195SeqLogLik _,
     "q196_dp_counts"         -> Relational.q196DpCounts _,
+    "q197_mmr_rerank"        -> VectorQueries.qMmrRerank _,
+    "q198_zipf_fit"          -> TextQueries.qZipfFit _,
+    "q199_neyman_alloc"      -> TextQueries.qNeymanAlloc _,
+    "q200_clustering_coeff"  -> TextQueries.qClusteringCoeff _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */
@@ -1511,5 +1515,28 @@ object SparkEntry {
          |    + (-2.0) * sign(uu) * ln(1.0 - 2.0 * abs(uu)), 6) AS n_noisy
          |FROM u""".stripMargin
     },
+
+    "q199_neyman_alloc" ->
+      """WITH m AS (SELECT source AS stratum, COUNT(*) AS n_rows,
+        |    SUM(CAST(n_chars AS DECIMAL(19,4))) AS s,
+        |    SUM(CAST(n_chars AS DECIMAL(19,4))
+        |        * CAST(n_chars AS DECIMAL(19,4))) AS s2
+        |  FROM documents GROUP BY 1),
+        |sd AS (SELECT stratum, n_rows,
+        |    sqrt(CAST(n_rows AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |      / CAST(n_rows AS DOUBLE) AS sdv
+        |  FROM m),
+        |w AS (SELECT stratum, n_rows, sdv,
+        |    CAST(ROUND(CAST(n_rows AS DOUBLE) * sdv, 6)
+        |      AS DECIMAL(24,6)) AS nsd
+        |  FROM sd),
+        |t AS (SELECT *, SUM(nsd) OVER () AS tot FROM w)
+        |SELECT stratum, n_rows, ROUND(sdv, 6) AS sd,
+        |  CAST(FLOOR(10000.0 * CAST(nsd AS DOUBLE)
+        |             / CAST(tot AS DOUBLE)) AS BIGINT) AS alloc,
+        |  ROUND(10000.0 * CAST(nsd AS DOUBLE) / CAST(tot AS DOUBLE)
+        |        / CAST(n_rows AS DOUBLE), 6) AS frac
+        |FROM t""".stripMargin,
   )
 }

@@ -155,4 +155,41 @@ object Graph {
     // (ids + longs, never payloads)
     ranks.select(col("id"), col("rank_scaled"))
   }
+
+  /** Local clustering coefficient per node over an undirected edge list
+    * (edges as aCol < bCol, distinct): cc = 2·T / (d·(d−1)) where T =
+    * triangles through the node — "how clique-like is this node's
+    * duplicate neighborhood", the per-node refinement of the q141
+    * transitivity readout (cc 1 = clean clique cluster, cc → 0 = chain
+    * / hub, a different dedup-resolution decision). Triangles enumerate
+    * once via the a<b<c ordered triple join on the edge sliver (the
+    * same shape q141 plans), then each triangle credits its 3 corners
+    * through one explode — edge-domain work throughout; degrees come
+    * from one count over the symmetrized list. The only float op is
+    * the final ratio (exact integers in, identical on any engine).
+    * Output: (node, degree, n_tri, cc); degree-1 nodes report cc 0. */
+  def clusteringCoefficient(edges: DataFrame, aCol: String,
+                            bCol: String): DataFrame = {
+    val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val tri = e.as("ab")
+      .join(e.as("bc"), col("bc.a") === col("ab.b"))
+      .join(e.as("ac"), col("ac.a") === col("ab.a") &&
+        col("ac.b") === col("bc.b"))
+      .select(col("ab.a").as("v1"), col("ab.b").as("v2"),
+        col("bc.b").as("v3"))
+    val triPerNode = tri
+      .select(explode(array(col("v1"), col("v2"), col("v3"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.join(triPerNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+            (col("degree") * (col("degree") - 1)).cast("double"), 6))
+          .otherwise(lit(0.0)).as("cc"))
+  }
 }

@@ -322,6 +322,47 @@ object Sampling {
             col("avail_tokens").cast("double"), 6)))
   }
 
+  /** Neyman (minimum-variance) sample allocation: given a total row
+    * `budget`, allocate per stratum ∝ N_h·σ_h — big AND internally
+    * varied strata get more of the budget than proportional allocation
+    * gives them; the survey-sampling optimum for estimating a mean of
+    * `valueCol`. The design-time companion of [[rebalanceToMix]]
+    * (that op applies a chosen mix; this one derives the mix from
+    * dispersion). One exact-decimal moment aggregate to the strata
+    * domain, a strata-domain window for the normalizer, then pure
+    * float arithmetic (op order mirrored by the oracle). σ is the
+    * population σ (÷N); allocations floor, so Σ alloc ≤ budget (the
+    * remainder is the caller's largest-remainder step if exactness
+    * matters). Zero-variance strata get weight 0 — matching Neyman
+    * (one probe suffices); callers wanting a floor compose max(1, ·).
+    * Output: (stratum, n_rows, sd, alloc, frac). */
+  def neymanAllocation(df: DataFrame, strataCol: Column, valueCol: Column,
+                       budget: Long): DataFrame = {
+    require(budget > 0, s"budget <= 0: $budget")
+    def d(c: Column) = c.cast("double")
+    val m = df.select(strataCol.as("stratum"),
+        valueCol.cast("decimal(18,4)").as("__v"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__v")).as("__s"),
+        sum(col("__v") * col("__v")).as("__s2"))
+      // population sd from exact sums: σ = sqrt(n·Σx² − (Σx)²) / n
+      .withColumn("__sd",
+        sqrt(d(col("n_rows")) * d(col("__s2")) -
+          d(col("__s")) * d(col("__s"))) / d(col("n_rows")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy() // strata-domain frame: one global normalizer
+    m.withColumn("__nsd",
+        round(d(col("n_rows")) * col("__sd"), 6)
+          .cast("decimal(24,6)"))
+      .withColumn("__tot", sum(col("__nsd")).over(w))
+      .select(col("stratum"), col("n_rows"),
+        round(col("__sd"), 6).as("sd"),
+        floor(lit(budget.toDouble) * d(col("__nsd")) / d(col("__tot")))
+          .cast("long").as("alloc"),
+        round(lit(budget.toDouble) * d(col("__nsd")) / d(col("__tot")) /
+          d(col("n_rows")), 6).as("frac"))
+  }
+
   def weightedSample(df: DataFrame, keyCol: Column, weightCol: Column,
                      k: Int, seed: Long): DataFrame = {
     val M = TextOps.HashMod

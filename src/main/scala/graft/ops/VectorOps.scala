@@ -568,4 +568,72 @@ object VectorOps {
       .filter(col("cos") >= minCos)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
   }
+
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein,
+    * SIGIR'98): greedily pick `selectK` results per query from a
+    * relevance shortlist, each step maximizing λ·rel − (1−λ)·max-sim-
+    * to-already-picked — the diversity step retrieval/sampling needs
+    * when a near-dup corpus would otherwise fill top-k with copies.
+    *
+    * Scale shape: the greedy loop is inherently sequential in k but
+    * only k-deep — each step is one anti-join + one bounded aggregate
+    * + one rank-1 window over the SHORTLIST sliver (≤ shortlistK rows
+    * per query, pairwise sims precomputed once, shortlistK²-bounded
+    * per query). Every step is distributed across queries; steps are
+    * localCheckpointed so the k-step lineage doesn't re-execute
+    * (pageRank's round discipline). Rel and sims are 6-rounded BEFORE
+    * scoring and λ is dyadic, so the greedy argmax (score desc, id
+    * asc) picks identically on any engine — the unrolled-CTE oracle
+    * replays it step for step. */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, shortlistK: Int,
+                selectK: Int, lambda: Double = 0.5,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(selectK >= 1 && selectK <= shortlistK,
+      s"selectK $selectK out of [1, $shortlistK]")
+    val sl = bruteForceTopK(queries, corpus, shortlistK, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim").as("rel"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vecs = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"))
+    val slv = sl.join(vecs, "neighbor_id")
+    val ps = slv.select(col("query_id"), col("neighbor_id").as("ca"),
+        col("__cv").as("__va"))
+      .join(slv.select(col("query_id"), col("neighbor_id").as("cb"),
+        col("__cv").as("__vb")), Seq("query_id"))
+      .filter(col("ca") =!= col("cb"))
+      .select(col("query_id"), col("ca"), col("cb"),
+        round(cosine(col("__va"), col("__vb")), 6).as("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+    var all = sl
+      .withColumn("__rk", row_number().over(
+        wq.orderBy(col("rel").desc, col("neighbor_id").asc)))
+      .filter(col("__rk") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("rel"),
+        lit(1).as("step"))
+      .localCheckpoint(true)
+    for (i <- 2 to selectK) {
+      val cand = sl.join(
+        all.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val ms = ps.join(
+          all.select(col("query_id"), col("neighbor_id").as("cb")),
+          Seq("query_id", "cb"))
+        .groupBy(col("query_id"), col("ca").as("neighbor_id"))
+        .agg(max(col("sim")).as("__ms"))
+      val pick = cand.join(ms, Seq("query_id", "neighbor_id"))
+        .withColumn("__score",
+          round(lit(lambda) * col("rel") -
+            lit(1.0 - lambda) * col("__ms"), 9))
+        .withColumn("__rk", row_number().over(
+          wq.orderBy(col("__score").desc, col("neighbor_id").asc)))
+        .filter(col("__rk") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("rel"),
+          lit(i).as("step"))
+      all = all.unionByName(pick).localCheckpoint(true)
+    }
+    all
+  }
 }

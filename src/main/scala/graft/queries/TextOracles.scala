@@ -1780,5 +1780,82 @@ object TextOracles {
          |  ROUND(CAST(g.pos AS DOUBLE) / g.n, 6) AS pos_rate,
          |  ROUND(cal.cal, 6) AS calibrated
          |FROM g JOIN cal ON g.bin = cal.bin""".stripMargin,
+
+    "q198_zipf_fit" ->
+      s"""WITH tok0 AS (SELECT doc_id, $Tk AS tk FROM documents),
+         |tc AS (SELECT w, COUNT(*) AS c
+         |       FROM (SELECT unnest(tk) AS w FROM tok0) GROUP BY w),
+         |topk AS (SELECT w, c FROM tc ORDER BY c DESC, w ASC LIMIT 1024),
+         |f AS (SELECT
+         |    CAST(ROUND(ln(CAST(row_number() OVER
+         |      (ORDER BY c DESC, w ASC) AS DOUBLE)), 9)
+         |      AS DECIMAL(18,9)) AS x,
+         |    CAST(ROUND(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+         |  FROM topk),
+         |a AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         |    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+         |  FROM f)
+         |SELECT n AS n_types,
+         |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+         |    AS zipf_slope,
+         |  ROUND((CAST(sy AS DOUBLE)
+         |      - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |        * CAST(sx AS DOUBLE))
+         |    / CAST(n AS DOUBLE), 6) AS intercept,
+         |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |        * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |       * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+         |FROM a""".stripMargin,
+
+    "q200_clustering_coeff" ->
+      s"""$MinhashCtes,
+         |bands AS (SELECT doc_id, i // 4 AS band,
+         |            string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS band_sig
+         |          FROM mh GROUP BY doc_id, i // 4),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b
+         |            ON a.band = b.band AND a.band_sig = b.band_sig
+         |           AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shx GROUP BY doc_id),
+         |inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
+         |          FROM pairs p
+         |          JOIN shx sa ON sa.doc_id = p.doc_a
+         |          JOIN shx sb ON sb.doc_id = p.doc_b AND sa.h = sb.h
+         |          GROUP BY p.doc_a, p.doc_b),
+         |v AS (SELECT i.doc_a, i.doc_b
+         |      FROM inter i
+         |      JOIN sizes za ON za.doc_id = i.doc_a
+         |      JOIN sizes zb ON zb.doc_id = i.doc_b
+         |      WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter)
+         |            >= 0.3),
+         |deg AS (SELECT node, COUNT(*) AS degree
+         |        FROM (SELECT doc_a AS node FROM v
+         |              UNION ALL SELECT doc_b FROM v) GROUP BY 1),
+         |tri AS (SELECT ab.doc_a AS v1, ab.doc_b AS v2, bc.doc_b AS v3
+         |        FROM v ab
+         |        JOIN v bc ON bc.doc_a = ab.doc_b
+         |        JOIN v ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b),
+         |tpn AS (SELECT node, COUNT(*) AS n_tri
+         |        FROM (SELECT v1 AS node FROM tri
+         |              UNION ALL SELECT v2 FROM tri
+         |              UNION ALL SELECT v3 FROM tri) GROUP BY 1)
+         |SELECT deg.node, deg.degree,
+         |  COALESCE(tpn.n_tri, 0) AS n_tri,
+         |  CASE WHEN deg.degree >= 2
+         |       THEN ROUND(2.0 * COALESCE(tpn.n_tri, 0)
+         |         / CAST(deg.degree * (deg.degree - 1) AS DOUBLE), 6)
+         |       ELSE 0.0 END AS cc
+         |FROM deg LEFT JOIN tpn ON tpn.node = deg.node""".stripMargin,
   )
 }

@@ -1297,4 +1297,55 @@ object TextQueries {
       when(col("lang") === "en", 1).otherwise(0).as("y"))
     graft.ops.Eval.isotonicCalibrate(scored, "score", "y", 10)
   }
+
+  /** q198: Zipf power-law fit of the token frequency spectrum — OLS of
+    * ln(freq) on ln(rank) over the top-1024 types (slope ≈ −1 on
+    * natural text; how far off the corpus sits is a synthetic-vs-real
+    * diagnostic, and the exponent feeds tokenizer-vocab sizing next to
+    * q117's coverage curve). Vocab-sized count agg, distributed
+    * TakeOrdered(1024), then a 1024-row fit with ln terms 9-rounded
+    * into DECIMAL sums (partitioning-invariant; final divisions mirror
+    * the oracle's op order). */
+  def qZipfFit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def d(c: Column) = c.cast("double")
+    val types = Tables.documents(s, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val topk = types.orderBy(col("c").desc, col("w").asc).limit(1024)
+    val fitRows = topk
+      .withColumn("k", row_number().over(
+        Window.orderBy(col("c").desc, col("w").asc)))
+      .select(round(log(d(col("k"))), 9).cast("decimal(18,9)").as("x"),
+        round(log(d(col("c"))), 9).cast("decimal(18,9)").as("y"))
+    val a = fitRows.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val num = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val denX = d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val denY = d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))
+    a.select(col("n").as("n_types"),
+      round(num / denX, 6).as("zipf_slope"),
+      round((d(col("sy")) - num / denX * d(col("sx"))) / d(col("n")), 6)
+        .as("intercept"),
+      round(num * num / (denX * denY), 6).as("r2"))
+  }
+
+  /** q199: Neyman minimum-variance sample allocation over sources
+    * ([[graft.ops.Sampling.neymanAllocation]]) — a 10k-row budget
+    * split ∝ N_h·σ_h of doc length. */
+  def qNeymanAlloc(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.neymanAllocation(Tables.documents(s, dir),
+      col("source"), col("n_chars"), 10000L)
+
+  /** q200: local clustering coefficient over the verified near-dup
+    * graph ([[graft.ops.Graph.clusteringCoefficient]]) — per-doc
+    * clique-ness of its duplicate neighborhood (cc 1 = clean dup
+    * cluster; low cc = chain/hub needing different resolution). */
+  def qClusteringCoeff(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.clusteringCoefficient(
+      verifiedNearDupPairs(s, dir).select(col("doc_a"), col("doc_b")),
+      "doc_a", "doc_b")
 }

@@ -328,5 +328,57 @@ object VectorOracles {
          |  ROUND((CAST(sc.cosd AS DOUBLE) - mean) / sd, 6) AS z
          |FROM sc JOIN mo ON mo.label = sc.label
          |WHERE CAST(sc.cosd AS DOUBLE) < mean - 2.0 * sd""".stripMargin,
+
+    // MMR greedy re-rank, unrolled: the Spark op's k sequential argmax
+    // steps replay as k CTE stages (the q161 unrolled-rounds pattern —
+    // recursive CTEs can't re-aggregate per step). rel and pairwise sims
+    // are 6-rounded before scoring and λ=½ is dyadic, so each stage's
+    // (score DESC, id ASC) pick is engine-identical.
+    "q197_mmr_rerank" -> {
+      val steps = (2 to 5).map { i =>
+        val p = i - 1
+        s"""cand$i AS (SELECT sl.* FROM sl WHERE NOT EXISTS
+           |    (SELECT 1 FROM a$p WHERE a$p.query_id = sl.query_id
+           |       AND a$p.neighbor_id = sl.neighbor_id)),
+           |ms$i AS (SELECT ps.query_id, ps.ca AS neighbor_id,
+           |    MAX(ps.sim) AS ms
+           |  FROM ps JOIN a$p ON a$p.query_id = ps.query_id
+           |                  AND a$p.neighbor_id = ps.cb
+           |  GROUP BY 1, 2),
+           |s$i AS (SELECT cd.query_id, cd.neighbor_id, cd.rel, $i AS step
+           |  FROM cand$i cd JOIN ms$i m ON m.query_id = cd.query_id
+           |                AND m.neighbor_id = cd.neighbor_id
+           |  QUALIFY ROW_NUMBER() OVER (PARTITION BY cd.query_id
+           |    ORDER BY ROUND(0.5 * cd.rel - 0.5 * m.ms, 9) DESC,
+           |             cd.neighbor_id ASC) = 1),
+           |a$i AS (SELECT * FROM a$p UNION ALL SELECT * FROM s$i)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings
+         |           WHERE vec_id < ${VectorQueries.NumQueryVecs}),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+         |      FROM embeddings),
+         |scored AS (SELECT query_id, neighbor_id, ${cos("qv", "cv")} AS cos
+         |           FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |      FROM scored),
+         |sl AS (SELECT query_id, neighbor_id, ROUND(cos, 6) AS rel
+         |       FROM r WHERE rank <= 20),
+         |sv AS (SELECT sl.query_id, sl.neighbor_id, c.cv
+         |       FROM sl JOIN c ON c.neighbor_id = sl.neighbor_id),
+         |ps AS (SELECT x.query_id, x.neighbor_id AS ca,
+         |         y.neighbor_id AS cb,
+         |         ROUND(${cos("x.cv", "y.cv")}, 6) AS sim
+         |       FROM sv x JOIN sv y ON x.query_id = y.query_id
+         |         AND x.neighbor_id <> y.neighbor_id),
+         |a1 AS (SELECT query_id, neighbor_id, rel, 1 AS step FROM sl
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY rel DESC, neighbor_id ASC) = 1),
+         |$steps
+         |SELECT query_id, neighbor_id, rel, step FROM a5""".stripMargin
+    },
   )
 }

@@ -274,4 +274,12 @@ object VectorQueries {
         round((col("cosd").cast("double") - col("mean")) / col("sd"), 6)
           .as("z"))
   }
+
+  /** q197: MMR diversified re-rank ([[VectorOps.mmrRerank]]) — top-5
+    * diverse picks per query from the cosine top-20 shortlist, λ=½. */
+  def qMmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    VectorOps.mmrRerank(emb.filter(col("vec_id") < NumQueryVecs), emb,
+      shortlistK = 20, selectK = 5, lambda = 0.5)
+  }
 }

@@ -267,6 +267,86 @@ class Round5OpsSpec extends SparkSpecBase {
     assert(a.exists { case (_, (t, noisy)) => noisy != t.toDouble })
   }
 
+  test("mmrRerank diversifies across planted clusters; top-k would not") {
+    import spark.implicits._
+    // query q points midway between two tight clusters; cluster A is
+    // marginally closer, so pure relevance top-3 is all-A; MMR(λ=.5)
+    // must break out to cluster B by step 2
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val corpus = Seq(
+      (10L, v(1.0, 0.10)), (11L, v(1.0, 0.11)), (12L, v(1.0, 0.09)),
+      (20L, v(0.10, 1.0)), (21L, v(0.11, 1.0)), (22L, v(0.09, 1.0)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((0L, v(1.0, 0.8))).toDF("vec_id", "embedding")
+    val picks = graft.ops.VectorOps
+      .mmrRerank(q, corpus, shortlistK = 6, selectK = 3)
+      .collect().sortBy(_.getAs[Int]("step"))
+      .map(_.getAs[Long]("neighbor_id"))
+    assert(picks.length == 3)
+    assert(picks.toSet.size == 3, "no repeats")
+    val clusters = picks.map(_ / 10).toSet
+    assert(clusters == Set(1L, 2L),
+      s"MMR must cover both clusters, picked ${picks.toSeq}")
+    // contrast: relevance-only top-3 stays in one cluster
+    val top3 = graft.ops.VectorOps
+      .bruteForceTopK(q, corpus, 3).collect().map(_.getAs[Long]("neighbor_id"))
+    assert(top3.map(_ / 10).toSet.size == 1)
+  }
+
+  test("zipfFit recovers a planted exact power law") {
+    // corpus where type t_k appears round(C·k^-1) times → slope ≈ -1
+    import spark.implicits._
+    val docs = (1 to 50).flatMap { k =>
+      val c = math.max(1, math.round(1000.0 * math.pow(k, -1.0)).toInt)
+      Seq.fill(c)(s"w$k")
+    }
+    // single doc containing the whole stream
+    val df = Seq((1L, docs.mkString(" "))).toDF("doc_id", "text")
+    val spy = new java.io.File("/tmp/zipf_docs_spec"); spy.mkdirs()
+    df.write.mode("overwrite").parquet("/tmp/zipf_docs_spec/documents.parquet")
+    val r = graft.queries.TextQueries.qZipfFit(spark, "/tmp/zipf_docs_spec")
+      .collect().head
+    val slope = r.getAs[Double]("zipf_slope")
+    assert(math.abs(slope - (-1.0)) < 0.05, s"slope $slope")
+    assert(r.getAs[Double]("r2") > 0.99)
+  }
+
+  test("neymanAllocation: equal-sd strata split by size; zero-variance gets 0") {
+    import spark.implicits._
+    // strata A (100 rows) and B (50 rows) share the same value pattern
+    // (sd equal); C is constant (sd 0)
+    val rows = (1 to 100).map(i => ("A", (i % 10) * 10.0)) ++
+      (1 to 50).map(i => ("B", (i % 10) * 10.0)) ++
+      (1 to 30).map(_ => ("C", 42.0))
+    val df = rows.toDF("src", "v")
+    val got = graft.ops.Sampling
+      .neymanAllocation(df, col("src"), col("v"), 1000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getAs[Double]("sd"), r.getLong(3))).toMap
+    assert(got("C")._3 == 0L, "zero-variance stratum gets nothing")
+    assert(got("A")._2 == got("B")._2, "same pattern, same sd")
+    // A gets double B's allocation (2× the rows, same sd), ±1 for floor
+    assert(math.abs(got("A")._3 - 2L * got("B")._3) <= 2,
+      s"${got("A")._3} vs ${got("B")._3}")
+    assert(got.values.map(_._3).sum <= 1000L)
+  }
+
+  test("clusteringCoefficient: clique cc=1, path interior cc=0") {
+    import spark.implicits._
+    // triangle 1-2-3 plus a pendant path 3-4-5
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val got = graft.ops.Graph.clusteringCoefficient(edges, "a", "b")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((2L, 1L, 1.0)))
+    assert(got(2L) == ((2L, 1L, 1.0)))
+    assert(got(3L)._1 == 3L && got(3L)._2 == 1L)
+    assert(math.abs(got(3L)._3 - 1.0 / 3.0) < 1e-6)
+    assert(got(4L) == ((2L, 0L, 0.0)), "path interior: no triangles")
+    assert(got(5L)._3 == 0.0, "degree-1 endpoint reports 0")
+  }
+
   test("orderedPairReach: order constraint separates A→B from B→A") {
     import spark.implicits._
     // user 1: A then B. user 2: B only. user 3: B then A.
