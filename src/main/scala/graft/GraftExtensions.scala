@@ -46,6 +46,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         JaroWinkler(children(0), children(1))))
+    // optimizer tier: naive |a−b| <= c joins become banded equi-joins
+    ext.injectOptimizerRule(_ => graft.plans.ProximityJoinRewrite)
     ext.injectFunction((
       FunctionIdentifier("jump_hash"),
       new ExpressionInfo(classOf[JumpHash].getName, "jump_hash"),

@@ -244,6 +244,7 @@ object SparkEntry {
     "q198_zipf_fit"          -> TextQueries.qZipfFit _,
     "q199_neyman_alloc"      -> TextQueries.qNeymanAlloc _,
     "q200_clustering_coeff"  -> TextQueries.qClusteringCoeff _,
+    "q201_auto_range_join"   -> Relational.q201AutoRangeJoin _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */
@@ -1538,5 +1539,13 @@ object SparkEntry {
         |  ROUND(10000.0 * CAST(nsd AS DOUBLE) / CAST(tot AS DOUBLE)
         |        / CAST(n_rows AS DOUBLE), 6) AS frac
         |FROM t""".stripMargin,
+
+    "q201_auto_range_join" ->
+      """SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  COUNT(*) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
+        | AND a.event_id < b.event_id
+        |GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -1258,4 +1258,22 @@ object Relational {
   def q196DpCounts(s: SparkSession, dir: String): DataFrame =
     graft.ops.Privacy.dpNoisyCounts(Tables.events(s, dir),
       "event_type", 0.5, 99L)
+
+  /** q201: co-occurring event pairs within 5 minutes, written as the
+    * NAIVE abs-difference self-join — no manual banding. The
+    * [[graft.plans.ProximityJoinRewrite]] optimizer rule turns it into
+    * the banded equi-join q53 builds by hand (plan-pinned: no nested
+    * loop), so the natural spelling is also the scalable one. */
+  def q201AutoRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"))
+    val a = e.select(col("event_id").as("id_a"),
+      col("event_type").as("type_a"), col("us").as("us_a"))
+    val b = e.select(col("event_id").as("id_b"),
+      col("event_type").as("type_b"), col("us").as("us_b"))
+    a.join(b, abs(col("us_a") - col("us_b")) <= lit(300000000L) &&
+        col("id_a") < col("id_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 }

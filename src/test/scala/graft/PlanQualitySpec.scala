@@ -429,6 +429,13 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("naive proximity join auto-plans as banded equi-join (q201)") {
+    val p = plan(graft.queries.Relational.q201AutoRangeJoin(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(p.contains("Expand"), p) // the 3-band probe replication
+  }
+
   test("rrf rank windows run over limit-bounded input (q190)") {
     val p = plan(graft.queries.Relational.q190Rrf(spark, sf))
     // distributed top-k first; the single-partition stages after it
