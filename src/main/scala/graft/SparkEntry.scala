@@ -245,6 +245,10 @@ object SparkEntry {
     "q199_neyman_alloc"      -> TextQueries.qNeymanAlloc _,
     "q200_clustering_coeff"  -> TextQueries.qClusteringCoeff _,
     "q201_auto_range_join"   -> Relational.q201AutoRangeJoin _,
+    "q202_pr_curve"          -> TextQueries.qPrCurve _,
+    "q203_weighted_median"   -> Relational.q203WeightedMedian _,
+    "q204_topn_other"        -> TextQueries.qTopNWithOther _,
+    "q205_mutual_info"       -> Relational.q205MutualInfo _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */
@@ -1547,5 +1551,37 @@ object SparkEntry {
         |  ON abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
         | AND a.event_id < b.event_id
         |GROUP BY 1, 2""".stripMargin,
+
+    "q203_weighted_median" ->
+      """WITH r AS (SELECT event_type, value, event_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS w
+        |  FROM events),
+        |f AS (SELECT * FROM r WHERE w > 0),
+        |c AS (SELECT event_type, value,
+        |    SUM(w) OVER (PARTITION BY event_type
+        |                 ORDER BY value, event_id) AS cw,
+        |    SUM(w) OVER (PARTITION BY event_type) AS tw
+        |  FROM f)
+        |SELECT event_type, CAST(MAX(tw) AS BIGINT) AS total_w,
+        |  MIN(value) AS w_median
+        |FROM c WHERE cw * 2 >= tw GROUP BY 1""".stripMargin,
+
+    "q205_mutual_info" ->
+      """WITH j AS (SELECT event_type AS x, dayofweek(ts) AS y,
+        |    COUNT(*) AS nxy
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT nxy,
+        |    SUM(nxy) OVER (PARTITION BY x) AS nx,
+        |    SUM(nxy) OVER (PARTITION BY y) AS ny,
+        |    SUM(nxy) OVER () AS n
+        |  FROM j),
+        |t AS (SELECT CAST(ROUND(CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE)
+        |    * ln(CAST(n AS DOUBLE) * CAST(nxy AS DOUBLE)
+        |         / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))), 9)
+        |    AS DECIMAL(18,9)) AS term
+        |  FROM w)
+        |SELECT COUNT(*) AS n_cells,
+        |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS mi
+        |FROM t""".stripMargin,
   )
 }

@@ -329,6 +329,42 @@ object Eval {
       round(col("n").cast(DoubleType) / sum(col("n")).over(wSrc), 6))
   }
 
+  /** Precision/recall/F1 sweep over a threshold grid — the operating-
+    * point readout that turns a ranked score ([[rankAuc]] grades the
+    * ranking; this picks the cutoff a filter will actually ship with).
+    * One threshold-exploded hash aggregate (rows × |grid| collapses
+    * map-side to |grid| rows); total positives ride the same pass via
+    * a grid-independent conditional sum. Thresholds arrive as exact
+    * double literals shared with the oracle; counts are exact, the
+    * three ratios are the only float ops (order mirrored). */
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: String,
+              thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "empty threshold grid")
+    def d(c: Column) = c.cast(DoubleType)
+    val exploded = df.select(col(scoreCol).as("__s"),
+        col(labelCol).cast("long").as("__y"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+    exploded.groupBy(col("threshold"))
+      .agg(
+        count(when(col("__s") >= col("threshold") && col("__y") === 1, 1))
+          .as("tp"),
+        count(when(col("__s") >= col("threshold") && col("__y") === 0, 1))
+          .as("fp"),
+        count(when(col("__s") < col("threshold") && col("__y") === 1, 1))
+          .as("fn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0,
+          round(d(col("tp")) / d(col("tp") + col("fp")), 6))
+          .as("precision"),
+        when(col("tp") + col("fn") > 0,
+          round(d(col("tp")) / d(col("tp") + col("fn")), 6))
+          .as("recall"),
+        when(col("tp") > 0,
+          round(lit(2.0) * d(col("tp")) /
+            (lit(2.0) * d(col("tp")) + d(col("fp")) + d(col("fn"))), 6))
+          .otherwise(lit(0.0)).as("f1"))
+  }
+
   /** Per-key sequence log-likelihood under the self-trained first-order
     * Markov model ([[transitionMatrix]]): avg_ll = Σ ln(p(from→to))/n
     * over the key's transitions, plus perplexity = exp(−avg_ll) — the

@@ -630,6 +630,90 @@ object Stats {
             log(d(col("n_items"))), 6)).as("norm_entropy"))
   }
 
+  /** Weighted (lower) median of `valueCol` per group under integer
+    * weights: the smallest value v whose cumulative weight reaches half
+    * the group total (2·cw ≥ W in exact integers — no float boundary).
+    * One value-ordered window per group partition plus one aggregate;
+    * rows with non-positive weight are excluded (they carry no mass,
+    * and a 0-weight row at the boundary would make the pick
+    * order-dependent). Output: (group, total_w, w_median). */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+                     weightCol: Column, tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(valueCol).asc, col(tieCol).asc)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    df.select(col(groupCol), col(valueCol), col(tieCol),
+        weightCol.cast("long").as("__w"))
+      .filter(col("__w") > 0)
+      .withColumn("__cw", sum(col("__w")).over(w))
+      .withColumn("__tw", sum(col("__w")).over(wAll))
+      .filter(col("__cw") * 2 >= col("__tw"))
+      .groupBy(col(groupCol))
+      .agg(max(col("__tw")).as("total_w"),
+        min(col(valueCol)).as("w_median"))
+  }
+
+  /** Collapse each group's item long tail into one `__other__` row,
+    * keeping the top `n` items by count (ties broken by item) — the
+    * report-shaping op that stops a 100k-item domain from exploding a
+    * dashboard while keeping the mass accounted. Item-domain-sized
+    * aggregate, a per-group rank window over it, then a second
+    * aggregate over the SAME group partitioning. Output: (group, item,
+    * cnt, share), share against the group total. */
+  def topNWithOther(df: DataFrame, groupCol: String, itemCol: String,
+                    n: Int): DataFrame = {
+    require(n >= 1, s"n < 1: $n")
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("cnt").desc, col(itemCol).asc)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    df.groupBy(col(groupCol), col(itemCol))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("__rk", row_number().over(wRank))
+      .withColumn("__item",
+        when(col("__rk") <= n, col(itemCol).cast("string"))
+          .otherwise(lit("__other__")))
+      .groupBy(col(groupCol), col("__item").as(itemCol))
+      .agg(sum(col("cnt")).as("cnt"))
+      .withColumn("share",
+        round(col("cnt").cast(DoubleType) /
+          sum(col("cnt")).over(wAll).cast(DoubleType), 6))
+  }
+
+  /** Mutual information between two categorical columns — the
+    * dependence readout correlation can't give discrete pairs
+    * ("does event mix actually shift by weekday"). MI = Σ_xy
+    * (n_xy/N)·ln(N·n_xy/(n_x·n_y)) over exact counts; each term is
+    * 9-rounded into DECIMAL before the final sum (the dsum rule), and
+    * the ln argument is assembled in one mirrored order. Cell-domain
+    * aggregates throughout (|X|·|Y| cells). Output: one row
+    * (n_cells, mi). */
+  def mutualInformation(df: DataFrame, xCol: Column,
+                        yCol: Column): DataFrame = {
+    def d(c: Column) = c.cast(DoubleType)
+    val joint = df.select(xCol.as("__x"), yCol.as("__y"))
+      .groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("__nxy"))
+    val wx = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__x"))
+    val wy = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__y"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    joint
+      .withColumn("__nx", sum(col("__nxy")).over(wx))
+      .withColumn("__ny", sum(col("__nxy")).over(wy))
+      .withColumn("__n", sum(col("__nxy")).over(wAll))
+      .withColumn("__term",
+        round(d(col("__nxy")) / d(col("__n")) *
+          log(d(col("__n")) * d(col("__nxy")) /
+            (d(col("__nx")) * d(col("__ny")))), 9)
+          .cast(DecimalType(18, 9)))
+      .agg(count(lit(1)).as("n_cells"),
+        round(sum(col("__term")).cast(DoubleType), 6).as("mi"))
+  }
+
   /** Gini index of a grouped size distribution ("how concentrated is
     * the corpus over sources") from exact integer arithmetic:
     * with sizes s_1 ≤ … ≤ s_k (ties broken by group for a total

@@ -1276,4 +1276,18 @@ object Relational {
       .groupBy(col("type_a"), col("type_b"))
       .agg(count(lit(1)).as("n_pairs"))
   }
+
+  /** q203: duration-free weighted median of `value` per event type,
+    * weighted by the payload's integer k ([[Stats.weightedMedian]]) —
+    * exact integer half-mass boundary, no float percentile. */
+  def q203WeightedMedian(s: SparkSession, dir: String): DataFrame =
+    Stats.weightedMedian(Tables.events(s, dir), "event_type", "value",
+      get_json_object(col("props"), "$.k").cast("long"), "event_id")
+
+  /** q205: mutual information between event type and day-of-week
+    * ([[Stats.mutualInformation]]) — the categorical dependence
+    * readout behind "does the event mix shift by weekday". */
+  def q205MutualInfo(s: SparkSession, dir: String): DataFrame =
+    Stats.mutualInformation(Tables.events(s, dir),
+      col("event_type"), dayofweek(col("ts")) - 1)
 }

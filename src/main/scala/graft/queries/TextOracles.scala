@@ -1781,6 +1781,53 @@ object TextOracles {
          |  ROUND(cal.cal, 6) AS calibrated
          |FROM g JOIN cal ON g.bin = cal.bin""".stripMargin,
 
+    "q202_pr_curve" ->
+      s"""WITH sc AS (SELECT
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         |    CASE WHEN len(tk) = 0 THEN 0.0
+         |         ELSE CAST(len(list_filter(tk, t -> t IN ($stopwords)))
+         |              AS DOUBLE) / len(tk) END AS score
+         |  FROM (SELECT lang, $Tk AS tk FROM documents) t),
+         |g AS (SELECT CAST(t AS DOUBLE) AS threshold, score, y
+         |  FROM sc CROSS JOIN (SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5,
+         |    0.6, 0.7, 0.8, 0.9]) AS t)),
+         |a AS (SELECT threshold,
+         |    COUNT(CASE WHEN score >= threshold AND y = 1 THEN 1 END) AS tp,
+         |    COUNT(CASE WHEN score >= threshold AND y = 0 THEN 1 END) AS fp,
+         |    COUNT(CASE WHEN score < threshold AND y = 1 THEN 1 END) AS fn
+         |  FROM g GROUP BY threshold)
+         |SELECT threshold, tp, fp, fn,
+         |  CASE WHEN tp + fp > 0
+         |       THEN ROUND(CAST(tp AS DOUBLE)
+         |                  / CAST(tp + fp AS DOUBLE), 6) END AS precision,
+         |  CASE WHEN tp + fn > 0
+         |       THEN ROUND(CAST(tp AS DOUBLE)
+         |                  / CAST(tp + fn AS DOUBLE), 6) END AS recall,
+         |  CASE WHEN tp > 0
+         |       THEN ROUND(2.0 * CAST(tp AS DOUBLE)
+         |         / (2.0 * CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)
+         |            + CAST(fn AS DOUBLE)), 6)
+         |       ELSE 0.0 END AS f1
+         |FROM a""".stripMargin,
+
+    "q204_topn_other" ->
+      s"""WITH tok0 AS (SELECT source, $Tk AS tk FROM documents),
+         |t AS (SELECT source, unnest(tk) AS token FROM tok0),
+         |c AS (SELECT source, token, COUNT(*) AS cnt
+         |      FROM t GROUP BY 1, 2),
+         |r AS (SELECT source,
+         |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY source
+         |           ORDER BY cnt DESC, token ASC) <= 3
+         |         THEN token ELSE '__other__' END AS token, cnt
+         |  FROM c),
+         |g AS (SELECT source, token, CAST(SUM(cnt) AS BIGINT) AS cnt
+         |      FROM r GROUP BY 1, 2)
+         |SELECT source, token, cnt,
+         |  ROUND(CAST(cnt AS DOUBLE)
+         |    / CAST(SUM(cnt) OVER (PARTITION BY source) AS DOUBLE), 6)
+         |    AS share
+         |FROM g""".stripMargin,
+
     "q198_zipf_fit" ->
       s"""WITH tok0 AS (SELECT doc_id, $Tk AS tk FROM documents),
          |tc AS (SELECT w, COUNT(*) AS c

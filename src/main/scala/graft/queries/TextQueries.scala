@@ -1348,4 +1348,27 @@ object TextQueries {
     graft.ops.Graph.clusteringCoefficient(
       verifiedNearDupPairs(s, dir).select(col("doc_a"), col("doc_b")),
       "doc_a", "doc_b")
+
+  /** q202: precision/recall/F1 operating points for the stopword-ratio
+    * vs lang='en' signal across a 0.1…0.9 threshold grid
+    * ([[graft.ops.Eval.prCurve]]) — turns q159's reliability diagram
+    * into the cutoff table a filter ships with. */
+  def qPrCurve(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir).select(
+      TextOps.wordSetRatio(TextOps.tokens(col("text")), TextOps.Stopwords)
+        .as("score"),
+      when(col("lang") === "en", 1).otherwise(0).as("y"))
+    graft.ops.Eval.prCurve(scored, "score", "y",
+      (1 to 9).map(_ / 10.0))
+  }
+
+  /** q204: per-source top-3 tokens with the long tail collapsed to
+    * `__other__` ([[graft.ops.Stats.topNWithOther]]) — mass-accounted
+    * report shaping over the vocabulary domain. */
+  def qTopNWithOther(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.topNWithOther(
+      Tables.documents(s, dir)
+        .select(col("source"), explode(TextOps.tokens(col("text")))
+          .as("token")),
+      "source", "token", 3)
 }

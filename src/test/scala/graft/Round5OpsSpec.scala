@@ -347,6 +347,71 @@ class Round5OpsSpec extends SparkSpecBase {
     assert(got(5L)._3 == 0.0, "degree-1 endpoint reports 0")
   }
 
+  test("prCurve: perfect separator hits P=R=1 at its threshold") {
+    import spark.implicits._
+    // scores: positives in [0.7, 1.0], negatives in [0.0, 0.3]
+    val df = ((1 to 10).map(i => (0.7 + i * 0.03, 1)) ++
+      (1 to 10).map(i => (i * 0.03, 0))).toDF("s", "y")
+    val pts = Eval.prCurve(df, "s", "y", Seq(0.1, 0.5, 0.9))
+      .collect().map(r => r.getDouble(0) ->
+        (r.getAs[Any]("precision"), r.getAs[Any]("recall"))).toMap
+    assert(pts(0.5) == ((1.0, 1.0)), pts.toString)
+    // at 0.1 everything passes: recall 1, precision = 10/ (10 + fp)
+    assert(pts(0.1)._2 == 1.0)
+    assert(pts(0.1)._1.asInstanceOf[Double] < 1.0)
+    // at 0.9 precision stays 1, recall drops
+    assert(pts(0.9)._1 == 1.0)
+    assert(pts(0.9)._2.asInstanceOf[Double] < 1.0)
+  }
+
+  test("weightedMedian: integer half-mass boundary on a hand fixture") {
+    import spark.implicits._
+    // weights: 1@v=1, 1@v=2, 6@v=3, 1@v=4 → W=9, half-mass at v=3
+    val df = Seq(("g", 1.0, 1L, 1L), ("g", 2.0, 1L, 2L),
+      ("g", 3.0, 6L, 3L), ("g", 4.0, 1L, 4L),
+      ("h", 5.0, 0L, 5L), ("h", 6.0, 2L, 6L)).toDF("k", "v", "w", "id")
+    val got = Stats.weightedMedian(df, "k", "v", col("w"), "id")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(got("g") == ((9L, 3.0)))
+    // zero-weight row carries no mass: h's median is 6, total 2
+    assert(got("h") == ((2L, 6.0)))
+  }
+
+  test("topNWithOther: shares sum to 1, at most n+1 rows per group") {
+    import spark.implicits._
+    val rows = Seq.fill(50)(("s1", "a")) ++ Seq.fill(30)(("s1", "b")) ++
+      Seq.fill(20)(("s1", "c")) ++ Seq.fill(5)(("s1", "d")) ++
+      Seq.fill(5)(("s1", "e")) ++ Seq.fill(3)(("s2", "z"))
+    val got = Stats.topNWithOther(rows.toDF("src", "it"), "src", "it", 3)
+      .collect()
+    val s1 = got.filter(_.getString(0) == "s1")
+    assert(s1.length == 4)
+    assert(s1.map(_.getAs[Double]("share")).sum > 0.9999)
+    val other = s1.find(_.getString(1) == "__other__").get
+    assert(other.getAs[Long]("cnt") == 10L)
+    // a group with <= n items has no __other__ row
+    assert(got.filter(_.getString(0) == "s2").map(_.getString(1)).toSeq ==
+      Seq("z"))
+  }
+
+  test("mutualInformation: 0 for independence, ln(2) for a copy") {
+    import spark.implicits._
+    // independent: x uniform over {a,b}, y uniform over {0,1}, all 4
+    // cells equal
+    val ind = (for (x <- Seq("a", "b"); y <- Seq(0, 1); _ <- 1 to 25)
+      yield (x, y)).toDF("x", "y")
+    val mi0 = Stats.mutualInformation(ind, col("x"), col("y"))
+      .collect().head.getDouble(1)
+    assert(mi0 == 0.0)
+    // y == x: MI = H(X) = ln 2
+    val dep = (for (x <- Seq("a", "b"); _ <- 1 to 50)
+      yield (x, x)).toDF("x", "y")
+    val mi1 = Stats.mutualInformation(dep, col("x"), col("y"))
+      .collect().head.getDouble(1)
+    assert(math.abs(mi1 - math.log(2)) < 1e-5)
+  }
+
   test("orderedPairReach: order constraint separates A→B from B→A") {
     import spark.implicits._
     // user 1: A then B. user 2: B only. user 3: B then A.
