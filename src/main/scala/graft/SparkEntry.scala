@@ -249,6 +249,8 @@ object SparkEntry {
     "q203_weighted_median"   -> Relational.q203WeightedMedian _,
     "q204_topn_other"        -> TextQueries.qTopNWithOther _,
     "q205_mutual_info"       -> Relational.q205MutualInfo _,
+    "q206_bootstrap_ci"      -> Relational.q206BootstrapCI _,
+    "q207_audience_overlap"  -> Relational.q207AudienceOverlap _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */
@@ -1583,5 +1585,63 @@ object SparkEntry {
         |SELECT COUNT(*) AS n_cells,
         |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS mi
         |FROM t""".stripMargin,
+
+    "q206_bootstrap_ci" -> {
+      def h(e: String) = graft.queries.TextOracles.H(e)
+      val cdf = graft.ops.Stats.BootstrapCdf
+      s"""WITH r AS (SELECT event_type, event_id,
+         |    CAST(value AS DECIMAL(14,4)) AS v FROM events),
+         |e AS (SELECT r.*, b FROM r
+         |      CROSS JOIN (SELECT unnest(range(0, 32)) AS b)),
+         |h AS (SELECT event_type, b, v,
+         |    ${h("CAST(event_id AS VARCHAR) || '#bs' || " +
+               "CAST(b AS VARCHAR) || '#7'")}
+         |      * 2654435761 % 1000000007 % 1000000 AS hv
+         |  FROM e),
+         |wt AS (SELECT event_type, b, v,
+         |    CASE WHEN hv < ${cdf(0)} THEN 0
+         |         WHEN hv < ${cdf(1)} THEN 1
+         |         WHEN hv < ${cdf(2)} THEN 2
+         |         WHEN hv < ${cdf(3)} THEN 3
+         |         WHEN hv < ${cdf(4)} THEN 4
+         |         ELSE 5 END AS w
+         |  FROM h),
+         |g AS (SELECT event_type, b, SUM(w * v) AS ws, SUM(w) AS wn
+         |  FROM wt GROUP BY 1, 2),
+         |m AS (SELECT event_type, b,
+         |    CAST(ws AS DOUBLE) / CAST(wn AS DOUBLE) AS mean
+         |  FROM g WHERE wn > 0),
+         |rk AS (SELECT event_type, b, mean,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type
+         |                       ORDER BY mean ASC, b ASC) AS rk,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS nb
+         |  FROM m),
+         |ci AS (SELECT event_type,
+         |    CAST(MAX(nb) AS BIGINT) AS n_replicates,
+         |    MAX(CASE WHEN rk = 2 THEN mean END) AS lo,
+         |    MAX(CASE WHEN rk = nb - 1 THEN mean END) AS hi
+         |  FROM rk GROUP BY 1),
+         |f AS (SELECT event_type, COUNT(*) AS n_rows, SUM(v) AS s
+         |  FROM r GROUP BY 1)
+         |SELECT f.event_type, f.n_rows,
+         |  ROUND(CAST(f.s AS DOUBLE) / CAST(f.n_rows AS DOUBLE), 6)
+         |    AS mean,
+         |  ci.n_replicates, ROUND(ci.lo, 6) AS ci_lo,
+         |  ROUND(ci.hi, 6) AS ci_hi
+         |FROM f JOIN ci ON ci.event_type = f.event_type""".stripMargin
+    },
+
+    "q207_audience_overlap" ->
+      """WITH d AS (SELECT DISTINCT event_type AS i, user_id AS k
+        |  FROM events),
+        |s AS (SELECT i, COUNT(*) AS n FROM d GROUP BY 1),
+        |c AS (SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS n_common
+        |      FROM d a JOIN d b ON a.k = b.k AND a.i < b.i
+        |      GROUP BY 1, 2)
+        |SELECT c.item_a, c.item_b, sa.n AS n_a, sb.n AS n_b, c.n_common,
+        |  ROUND(CAST(c.n_common AS DOUBLE)
+        |    / CAST(sa.n + sb.n - c.n_common AS DOUBLE), 6) AS jaccard
+        |FROM c JOIN s sa ON sa.i = c.item_a
+        |       JOIN s sb ON sb.i = c.item_b""".stripMargin,
   )
 }

@@ -714,6 +714,106 @@ object Stats {
         round(sum(col("__term")).cast(DoubleType), 6).as("mi"))
   }
 
+  /** Poisson-bootstrap cutpoints: P(Poisson(1) ≤ k) scaled to the
+    * sampleHash [0, 1e6) lattice — the inverse-CDF lookup that turns a
+    * deterministic uniform into a replicate weight. Shared with the
+    * oracle as integer literals. */
+  val BootstrapCdf: Seq[Long] = Seq(367879L, 735758L, 919698L, 981011L,
+    996340L)
+
+  /** Poisson bootstrap confidence interval for each group's mean
+    * (Chamandy et al., "Estimating Uncertainty for Massive Data
+    * Streams" — the bootstrap that works WITHOUT materializing
+    * resamples): every row contributes Poisson(1)-many copies to each
+    * of `b` replicates, with the weight drawn DETERMINISTICALLY from
+    * the seeded sampleHash of (row key, replicate) — so the whole
+    * resampling plan is one explode(b) + one exact-decimal hash
+    * aggregate to (group, replicate), map-side combinable, zero
+    * shuffles beyond the group key, reproducible anywhere. The CI is
+    * the discrete rank-2 / rank-(b−1) envelope of the replicate means
+    * (≈5th/95th percentile at b = 32 — discrete picks, engine-portable
+    * where interpolated quantiles are not). Replicates that draw no
+    * rows (vanishing probability beyond toy groups) are dropped and
+    * reported via n_replicates. Output: (group, n_rows, mean,
+    * n_replicates, ci_lo, ci_hi). */
+  def bootstrapMeanCI(df: DataFrame, groupCol: String, valueCol: String,
+                      keyCol: Column, b: Int = 32,
+                      seed: Long = 7L): DataFrame = {
+    require(b >= 4 && b <= 256, s"replicates out of [4,256]: $b")
+    def d(c: Column) = c.cast(DoubleType)
+    val rows = df.select(col(groupCol), keyCol.as("__k"),
+      col(valueCol).cast(DecimalType(14, 4)).as("__v"))
+    val hv = Sampling.sampleHash(
+      concat(col("__k").cast("string"), lit("#bs"), col("__rep")), seed)
+    // ascending when-chain: the FIRST matching cut decides, exactly the
+    // inverse-CDF step lookup the oracle mirrors
+    val weight = when(hv < BootstrapCdf(0), 0L)
+      .when(hv < BootstrapCdf(1), 1L)
+      .when(hv < BootstrapCdf(2), 2L)
+      .when(hv < BootstrapCdf(3), 3L)
+      .when(hv < BootstrapCdf(4), 4L)
+      .otherwise(5L)
+    val reps = rows
+      .withColumn("__rep", explode(array((0 until b).map(lit): _*)))
+      .withColumn("__w", weight)
+      .groupBy(col(groupCol), col("__rep"))
+      .agg(sum(col("__w") * col("__v")).as("__ws"),
+        sum(col("__w")).as("__wn"))
+      .filter(col("__wn") > 0)
+      .withColumn("__mean", d(col("__ws")) / d(col("__wn")))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("__mean").asc, col("__rep").asc)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    val ci = reps
+      .withColumn("__rk", row_number().over(wOrd))
+      .withColumn("__nb", count(lit(1)).over(wAll))
+      .groupBy(col(groupCol))
+      .agg(max(col("__nb")).as("n_replicates"),
+        max(when(col("__rk") === 2, col("__mean"))).as("__lo"),
+        max(when(col("__rk") === col("__nb") - 1, col("__mean")))
+          .as("__hi"))
+    val full = rows.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__v")).as("__s"))
+    full.join(broadcast(ci), Seq(groupCol))
+      .select(col(groupCol), col("n_rows"),
+        round(d(col("__s")) / d(col("n_rows")), 6).as("mean"),
+        col("n_replicates"),
+        round(col("__lo"), 6).as("ci_lo"),
+        round(col("__hi"), 6).as("ci_hi"))
+  }
+
+  /** Pairwise audience overlap between item groups sharing a key
+    * domain ("which event types reach the same users"): exact distinct
+    * (item, key) sets, intersection via a key-equi self-join of the
+    * deduped frame, Jaccard on exact counts. The join lands on the
+    * item-pair domain; per-key fan-out is items-per-key-bounded (the
+    * A-priori candidate shape). Output: (item_a, item_b, n_a, n_b,
+    * n_common, jaccard), item_a < item_b. */
+  def audienceOverlap(df: DataFrame, itemCol: String,
+                      keyCol: String): DataFrame = {
+    def d(c: Column) = c.cast(DoubleType)
+    val pairsIn = df.select(col(itemCol).as("__i"), col(keyCol).as("__k"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = pairsIn.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
+    val common = pairsIn.select(col("__i").as("item_a"), col("__k"))
+      .join(pairsIn.select(col("__i").as("item_b"), col("__k")), Seq("__k"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(sizes.select(col("__i").as("item_a"),
+        col("__n").as("n_a"))), Seq("item_a"))
+      .join(broadcast(sizes.select(col("__i").as("item_b"),
+        col("__n").as("n_b"))), Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        round(d(col("n_common")) /
+          d(col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
+  }
+
   /** Gini index of a grouped size distribution ("how concentrated is
     * the corpus over sources") from exact integer arithmetic:
     * with sizes s_1 ≤ … ≤ s_k (ties broken by group for a total

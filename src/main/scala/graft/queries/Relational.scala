@@ -1290,4 +1290,18 @@ object Relational {
   def q205MutualInfo(s: SparkSession, dir: String): DataFrame =
     Stats.mutualInformation(Tables.events(s, dir),
       col("event_type"), dayofweek(col("ts")) - 1)
+
+  /** q206: Poisson-bootstrap CI for each event type's mean value
+    * ([[Stats.bootstrapMeanCI]], 32 deterministic replicates) —
+    * uncertainty quantification without materializing resamples. */
+  def q206BootstrapCI(s: SparkSession, dir: String): DataFrame =
+    Stats.bootstrapMeanCI(Tables.events(s, dir), "event_type", "value",
+      col("event_id"), b = 32, seed = 7L)
+
+  /** q207: pairwise audience overlap between event types
+    * ([[Stats.audienceOverlap]]) — exact distinct-user intersections
+    * and Jaccard per type pair. */
+  def q207AudienceOverlap(s: SparkSession, dir: String): DataFrame =
+    Stats.audienceOverlap(Tables.events(s, dir),
+      "event_type", "user_id")
 }

@@ -61,4 +61,24 @@ object SketchStream {
   /** Batch twin for parity checks. */
   def kmvBatch(rows: DataFrame, k: Int): DataFrame =
     Sketches.kmvDistinct(rows, "key", col("h"), k)
+
+  /** Streaming count–min sketch: the running (row, bucket) cell counts
+    * of [[Sketches.countMinSketch]] maintained as a plain streaming
+    * aggregation — CMS cells are counters, so the built-in stateful
+    * agg IS the right state machine (state = depth·width longs total,
+    * independent of stream length; update-mode emits refreshed cells
+    * per batch). After any exactly-once prefix the cell table equals
+    * the batch sketch of that prefix exactly, so estimates probed from
+    * it inherit the batch one-sided bound. Input: a `key` column. */
+  def cmsStream(rows: DataFrame, depth: Int = 4,
+                width: Int = 64): DataFrame =
+    rows.select(col("key"),
+        explode(array((0 until depth).map(lit): _*)).as("row"))
+      .groupBy(col("row"),
+        Sketches.cmsBucket(col("key"), col("row"), width).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Batch twin for the CMS parity spec. */
+  def cmsBatch(rows: DataFrame, depth: Int = 4, width: Int = 64): DataFrame =
+    Sketches.countMinSketch(rows, col("key"), depth, width)
 }

@@ -412,6 +412,37 @@ class Round5OpsSpec extends SparkSpecBase {
     assert(math.abs(mi1 - math.log(2)) < 1e-5)
   }
 
+  test("bootstrapMeanCI: CI brackets the mean, deterministic, invariant") {
+    val ev = graft.core.Tables.events(spark, sf)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.bootstrapMeanCI(d, "event_type", "value", col("event_id"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), r.getLong(3),
+            r.getDouble(4), r.getDouble(5))).toMap
+    val a = run(ev)
+    a.foreach { case (k, (n, mean, nb, lo, hi)) =>
+      assert(nb == 32L, s"$k lost replicates")
+      assert(lo <= hi, s"$k inverted CI")
+      assert(lo <= mean && mean <= hi,
+        s"$k CI [$lo,$hi] misses mean $mean (possible but wild at n=$n)")
+    }
+    assert(a == run(ev.repartition(11, col("value"))),
+      "resampling must be partitioning-invariant")
+  }
+
+  test("audienceOverlap: exact intersections on a hand fixture") {
+    import spark.implicits._
+    // A users {1,2,3}, B users {2,3,4,5}, C users {9}
+    val df = (Seq(("A", 1L), ("A", 2L), ("A", 3L), ("A", 2L)) ++
+      Seq(("B", 2L), ("B", 3L), ("B", 4L), ("B", 5L)) ++
+      Seq(("C", 9L))).toDF("it", "u")
+    val got = Stats.audienceOverlap(df, "it", "u")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got(("A", "B")) == ((3L, 4L, 2L, 0.4)))
+    assert(!got.contains(("A", "C")), "disjoint pairs drop out")
+  }
+
   test("orderedPairReach: order constraint separates A→B from B→A") {
     import spark.implicits._
     // user 1: A then B. user 2: B only. user 3: B then A.

@@ -8,6 +8,36 @@ import graft.SparkSpecBase
 class SketchStreamSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("streaming CMS cells equal the batch sketch after each prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val sdf = mem.toDF.toDF("key")
+    val q = SketchStream.cmsStream(sdf, depth = 4, width = 16)
+      .writeStream.format("memory").queryName("cms_sink")
+      .outputMode(OutputMode.Update).start()
+    def cells(): Map[(Int, Long), Long] = {
+      // update mode re-emits refreshed cells; latest emission per cell
+      // is the current state — take the max (counts only grow)
+      spark.table("cms_sink").collect()
+        .groupBy(r => (r.getInt(0), r.getLong(1)))
+        .map { case (k, rs) => k -> rs.map(_.getLong(2)).max }
+    }
+    def batch(data: Seq[Long]): Map[(Int, Long), Long] =
+      SketchStream.cmsBatch(data.toDF("key"), 4, 16)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    val b1 = (1L to 40L).map(_ % 7)
+    val b2 = (1L to 25L).map(_ % 3)
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      assert(cells() == batch(b1))
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      assert(cells() == batch(b1 ++ b2))
+    } finally q.stop()
+  }
+
   test("streaming KMV: per-batch updates match the batch sketch; " +
       "replay never corrupts") {
     implicit val sqlCtx = spark.sqlContext
