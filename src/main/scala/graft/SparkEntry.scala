@@ -251,6 +251,8 @@ object SparkEntry {
     "q205_mutual_info"       -> Relational.q205MutualInfo _,
     "q206_bootstrap_ci"      -> Relational.q206BootstrapCI _,
     "q207_audience_overlap"  -> Relational.q207AudienceOverlap _,
+    "q208_attribution"       -> Relational.q208Attribution _,
+    "q209_bounded_funnel"    -> Relational.q209BoundedFunnel _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */
@@ -1643,5 +1645,51 @@ object SparkEntry {
         |    / CAST(sa.n + sb.n - c.n_common AS DOUBLE), 6) AS jaccard
         |FROM c JOIN s sa ON sa.i = c.item_a
         |       JOIN s sb ON sb.i = c.item_b""".stripMargin,
+
+    "q208_attribution" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, ts, event_type FROM events
+        |      WHERE event_type IN ('click', 'view')),
+        |a AS (SELECT p.event_id, p.value, p.ts, t.ts AS asof_ts,
+        |        t.event_type AS touch
+        |      FROM p ASOF LEFT JOIN t
+        |        ON p.user_id = t.user_id AND p.ts >= t.ts),
+        |c AS (SELECT CASE WHEN asof_ts IS NOT NULL
+        |        AND epoch_us(ts) - epoch_us(asof_ts) <= 86400000000
+        |        THEN touch ELSE 'direct' END AS channel, value
+        |      FROM a),
+        |g AS (SELECT channel, COUNT(*) AS n_purchases,
+        |    ROUND(CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE), 4)
+        |      AS revenue
+        |  FROM c GROUP BY 1)
+        |SELECT channel, n_purchases, revenue,
+        |  ROUND(CAST(n_purchases AS DOUBLE)
+        |    / CAST(SUM(n_purchases) OVER () AS DOUBLE), 6) AS share
+        |FROM g""".stripMargin,
+
+    "q209_bounded_funnel" ->
+      """WITH t1 AS (SELECT user_id, MIN(ts) AS ts1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, MIN(e.ts) AS ts2 FROM events e
+        |       JOIN t1 ON t1.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > t1.ts1
+        |         AND epoch_us(e.ts) - epoch_us(t1.ts1) <= 86400000000
+        |       GROUP BY 1),
+        |t3 AS (SELECT e.user_id, MIN(e.ts) AS ts3 FROM events e
+        |       JOIN t2 ON t2.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+        |         AND epoch_us(e.ts) - epoch_us(t2.ts2) <= 86400000000
+        |       GROUP BY 1),
+        |n AS (SELECT (SELECT COUNT(*) FROM t1) AS n1,
+        |        (SELECT COUNT(*) FROM t2) AS n2,
+        |        (SELECT COUNT(*) FROM t3) AS n3)
+        |SELECT 1 AS stage, 'signup' AS step,
+        |  CAST(n1 AS BIGINT) AS n_users,
+        |  ROUND(CAST(n1 AS DOUBLE) / n1, 6) AS rate FROM n
+        |UNION ALL SELECT 2, 'click_24h', CAST(n2 AS BIGINT),
+        |  ROUND(CAST(n2 AS DOUBLE) / n1, 6) FROM n
+        |UNION ALL SELECT 3, 'purchase_24h', CAST(n3 AS BIGINT),
+        |  ROUND(CAST(n3 AS DOUBLE) / n1, 6) FROM n""".stripMargin,
   )
 }

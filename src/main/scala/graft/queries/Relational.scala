@@ -1304,4 +1304,68 @@ object Relational {
   def q207AudienceOverlap(s: SparkSession, dir: String): DataFrame =
     Stats.audienceOverlap(Tables.events(s, dir),
       "event_type", "user_id")
+
+  /** q208: last-touch attribution — each purchase credits the latest
+    * prior click/view by the same user within a 24 h lookback, else
+    * `direct`; per-channel purchase counts, exact-decimal revenue, and
+    * share. Composes [[graft.ops.AsOf.asofJoin]] (one key-partitioned
+    * window, no per-user collect) with pure arithmetic — the marketing
+    * readout and the OMOP visit-linkage shape are the same operator. */
+  def q208Attribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val touches = ev
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val att = graft.ops.AsOf.asofJoin(purchases, touches,
+      "user_id", "ts", Seq("event_type"))
+    val channel = when(col("asof_ts").isNotNull &&
+      unix_micros(col("ts")) - unix_micros(col("asof_ts"))
+        <= lit(86400000000L),
+      col("asof_event_type")).otherwise(lit("direct"))
+    val w = Window.partitionBy()
+    att.select(channel.as("channel"),
+        col("value").cast(DecimalType(14, 4)).as("__v"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("__v")).cast("double"), 4).as("revenue"))
+      .withColumn("share",
+        round(col("n_purchases").cast("double") /
+          sum(col("n_purchases")).over(w).cast("double"), 6))
+  }
+
+  /** q209: time-bounded funnel — signup → first click within 24 h →
+    * first purchase within 24 h of that click (the q119 shape with the
+    * conversion-window constraint real funnels carry). Stage-wise
+    * conditional-min aggregation on monotonically shrinking user
+    * tables; no per-user event collect. */
+  def q209BoundedFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val dayUs = 86400000000L
+    def stage(tpe: String) = ev.filter(col("event_type") === tpe)
+      .select(col("user_id"), col("ts"))
+    val t1 = stage("signup").groupBy(col("user_id"))
+      .agg(min(col("ts")).as("ts1"))
+    val t2 = stage("click").join(t1, "user_id")
+      .filter(col("ts") > col("ts1") &&
+        unix_micros(col("ts")) - unix_micros(col("ts1")) <= dayUs)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("ts2"))
+    val t3 = stage("purchase").join(t2, "user_id")
+      .filter(col("ts") > col("ts2") &&
+        unix_micros(col("ts")) - unix_micros(col("ts2")) <= dayUs)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("ts3"))
+    val n1 = t1.agg(count(lit(1)).as("n_users"))
+    val stages = n1.withColumn("stage", lit(1))
+      .withColumn("step", lit("signup"))
+      .unionByName(t2.agg(count(lit(1)).as("n_users"))
+        .withColumn("stage", lit(2)).withColumn("step", lit("click_24h")))
+      .unionByName(t3.agg(count(lit(1)).as("n_users"))
+        .withColumn("stage", lit(3))
+        .withColumn("step", lit("purchase_24h")))
+    stages.crossJoin(broadcast(n1.select(col("n_users").as("__base"))))
+      .select(col("stage"), col("step"), col("n_users"),
+        round(col("n_users").cast("double") / col("__base").cast("double"),
+          6).as("rate"))
+  }
 }
