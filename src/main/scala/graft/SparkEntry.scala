@@ -253,6 +253,7 @@ object SparkEntry {
     "q207_audience_overlap"  -> Relational.q207AudienceOverlap _,
     "q208_attribution"       -> Relational.q208Attribution _,
     "q209_bounded_funnel"    -> Relational.q209BoundedFunnel _,
+    "q210_auto_fuzzy_join"   -> Relational.q210AutoFuzzyJoin _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */
@@ -1691,5 +1692,13 @@ object SparkEntry {
         |  ROUND(CAST(n2 AS DOUBLE) / n1, 6) FROM n
         |UNION ALL SELECT 3, 'purchase_24h', CAST(n3 AS BIGINT),
         |  ROUND(CAST(n3 AS DOUBLE) / n1, 6) FROM n""".stripMargin,
+
+    "q210_auto_fuzzy_join" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM n a JOIN n b
+        |  ON levenshtein(a.p_name, b.p_name) <= 2
+        | AND a.p_name < b.p_name""".stripMargin,
   )
 }

@@ -8,21 +8,26 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Optimizer rule: plan a naive proximity join as a banded equi-join.
   *
-  * A user writing the natural form of "events within c of each other" —
+  * A user writing the natural form of "rows within c of each other" —
   *
   *   a JOIN b ON abs(a.t - b.t) <= c [AND more]
+  *   a JOIN b ON levenshtein(a.s, b.s) <= k [AND more]
   *
   * hands Spark a join with NO equality conjunct, which the planner can
   * only execute as BroadcastNestedLoopJoin / cartesian — O(|a|·|b|)
-  * comparisons, a non-starter at scale. But |x − y| ≤ c implies
-  * floor-div bands of width c+1 differ by at most 1, so the join is
+  * comparisons, a non-starter at scale. Both predicates are Lipschitz
+  * bounds on an integral DERIVED KEY — the value itself for the abs
+  * form, string LENGTH for edit distance (levenshtein ≤ k ⇒
+  * |len(a)−len(b)| ≤ k) — and any such bound means floor-div bands of
+  * width c+1 over that key differ by at most 1. The join is therefore
   * equivalent to a shuffled EQUI-join on band id with the probe side
-  * expanded to its three adjacent bands and the original predicate kept
-  * as a post-filter — the same rewrite [[graft.ops.Intervals]] performs
-  * by hand (q53), done here INSIDE the optimizer so the naive SQL gets
-  * the scalable plan automatically. This is the tier-(c) customization
-  * SURVEY §7.3 reserves for semantics the built-in planner genuinely
-  * cannot reach: no DataFrame-level rewrite can fix a plan the user has
+  * expanded to its three adjacent bands and the original predicate
+  * kept as a post-filter — the same rewrite [[graft.ops.Intervals]]
+  * (q53) and [[graft.ops.FuzzyJoin]] (q150) perform by hand, done here
+  * INSIDE the optimizer so the naive SQL gets the scalable plan
+  * automatically. This is the tier-(c) customization SURVEY §7.3
+  * reserves for semantics the built-in planner genuinely cannot
+  * reach: no DataFrame-level rewrite can fix a plan the user has
   * already declared.
   *
   * Scope guards (all load-bearing):
@@ -31,15 +36,19 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *    equi key the built-in hash join is already right, and the guard
   *    is also what makes the rule idempotent (the rewritten join HAS an
   *    equality conjunct, so it can never re-fire on its own output);
-  *  - both compared expressions integral (long/int), literal bound ≥ 0;
+  *  - banded key integral (long/int), literal bound ≥ 0;
   *  - band = (x − pmod(x, w)) div w, i.e. true FLOOR division — a bare
   *    `div` truncates toward zero and mis-bands negative values.
   *
   * The original condition survives verbatim as part of the new join
   * condition, so the rewrite can never change results — only the plan
   * shape (3× probe replication buys hash partitioning; band width c+1
-  * bounds per-band fan-in). ProximityJoinSpec pins plan + result parity
-  * against both the nested-loop original and the hand-banded op. */
+  * bounds per-band fan-in). Note the levenshtein band is coarser than
+  * the predicate (equal-length strings can still be k edits apart), so
+  * its win depends on length dispersion — but the REWRITE is always
+  * sound, and the verify still runs only inside length-compatible
+  * bands instead of everywhere. ProximityJoinSpec pins plan + result
+  * parity against the nested-loop originals and the hand-banded op. */
 object ProximityJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
@@ -50,21 +59,29 @@ object ProximityJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         case EqualNullSafe(a, b) => crossSides(a, b, j)
         case _ => false
       }
+      // (bandable key on one side, key on the other side, band width):
+      // abs-distance bands the compared value; edit-distance bands the
+      // string length (|len(a)−len(b)| ≤ k whenever levenshtein ≤ k)
       val prox = if (hasEqui) None else conjuncts.collectFirst {
-        case p @ LessThanOrEqual(Abs(Subtract(x, y, _), _), Literal(c, t))
+        case LessThanOrEqual(Abs(Subtract(x, y, _), _), Literal(c, t))
             if integral(x) && integral(y) && bound(c, t) >= 0 &&
               crossSides(x, y, j) =>
-          (x, y, bound(c, t))
-        case p @ GreaterThanOrEqual(Literal(c, t), Abs(Subtract(x, y, _), _))
+          (x, y, bound(c, t) + 1)
+        case GreaterThanOrEqual(Literal(c, t), Abs(Subtract(x, y, _), _))
             if integral(x) && integral(y) && bound(c, t) >= 0 &&
               crossSides(x, y, j) =>
-          (x, y, bound(c, t))
+          (x, y, bound(c, t) + 1)
+        case LessThanOrEqual(Levenshtein(x, y, None), Literal(c, t))
+            if bound(c, t) >= 0 && crossSides(x, y, j) =>
+          (Length(x), Length(y), bound(c, t) + 1)
+        case GreaterThanOrEqual(Literal(c, t), Levenshtein(x, y, None))
+            if bound(c, t) >= 0 && crossSides(x, y, j) =>
+          (Length(x), Length(y), bound(c, t) + 1)
       }
       prox match {
-        case Some((x, y, c)) =>
+        case Some((x, y, width)) =>
           val (lx, ry) =
             if (x.references.subsetOf(left.outputSet)) (x, y) else (y, x)
-          val width = c + 1
           val bandL = AttributeReference("__prox_band_l", LongType)()
           val bandR = Alias(bandOf(ry, width), "__prox_band_r")()
           val expandedLeft = Expand(

@@ -1368,4 +1368,21 @@ object Relational {
         round(col("n_users").cast("double") / col("__base").cast("double"),
           6).as("rate"))
   }
+
+  /** q210: NAIVE edit-distance self-join over distinct part names —
+    * `levenshtein(a, b) <= 2` with no manual blocking. The
+    * [[graft.plans.ProximityJoinRewrite]] levenshtein pattern bands it
+    * on string LENGTH automatically (edit distance ≤ k bounds the
+    * length gap by k), so the exact-recall spelling also hash-
+    * partitions — where q150's hand blocking trades recall for its
+    * block key, this keeps every true pair. */
+  def q210AutoFuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(s, dir).select(col("p_name")).distinct()
+    val a = names.select(col("p_name").as("name_a"))
+    val b = names.select(col("p_name").as("name_b"))
+    a.join(b, levenshtein(col("name_a"), col("name_b")) <= lit(2) &&
+        col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).as("dist"))
+  }
 }

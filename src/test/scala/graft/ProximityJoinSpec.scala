@@ -46,6 +46,37 @@ class ProximityJoinSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("naive levenshtein join bands on length, results exact") {
+    import spark.implicits._
+    val words = Seq("cat", "cart", "carts", "dog", "dig", "dug",
+      "elephant", "elephants", "relevant", "xy", "xyz", "wxyz")
+    val a = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("id_a", "w_a")
+    val b = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("id_b", "w_b")
+    val joined = a.join(b,
+      levenshtein(col("w_a"), col("w_b")) <= 2 && col("id_a") < col("id_b"))
+    val p = plan(joined)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(p.contains("__prox_band"), p)
+    def lev(s: String, t: String): Int = {
+      val d = Array.tabulate(s.length + 1, t.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to s.length; j <- 1 to t.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1))
+      d(s.length)(t.length)
+    }
+    val got = joined.select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      i <- words.indices; j <- words.indices
+      if i < j && lev(words(i), words(j)) <= 2
+    } yield (i.toLong, j.toLong)).toSet
+    assert(got == want, s"got ${got.size} want ${want.size}")
+  }
+
   test("extra conjuncts survive; equi-keyed joins are left alone") {
     import spark.implicits._
     val a = (1L to 100L).map(i => (i, i * 5L, i % 3)).toDF("id_a", "t_a", "k_a")
