@@ -452,16 +452,26 @@ object SparkEntry {
         |  EXCEPT
         |  SELECT user_id FROM events WHERE event_type = 'error') b""".stripMargin,
 
+    // the two window stages MUST sort identically, so the ORDER BY
+    // carries a unique (orderkey, linenumber) tiebreak: with duplicate
+    // (s, e) rows and a non-total order, DuckDB's x and y stages may
+    // place the tied rows differently, pairing one row's new-island
+    // flag with the other's prefix position — at sf0.1 that assigned a
+    // duplicate to the WRONG era and produced overlapping output eras.
+    // (Spark computes both windows in ONE operator over one sort, so
+    // any tie order is self-consistent and the island assignment of
+    // exact duplicates is order-insensitive.)
     "q52_interval_merge" ->
-      """WITH iv AS (SELECT l_suppkey, l_shipdate AS s,
+      """WITH iv AS (SELECT l_suppkey, l_orderkey AS ok,
+        |              l_linenumber AS ln, l_shipdate AS s,
         |              l_shipdate + INTERVAL 7 DAY AS e FROM lineitem),
-        |x AS (SELECT l_suppkey, s, e,
-        |        MAX(e) OVER (PARTITION BY l_suppkey ORDER BY s, e
+        |x AS (SELECT l_suppkey, ok, ln, s, e,
+        |        MAX(e) OVER (PARTITION BY l_suppkey ORDER BY s, e, ok, ln
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
         |      FROM iv),
         |y AS (SELECT l_suppkey, s, e,
         |        SUM(CASE WHEN pme IS NOT NULL AND pme >= s THEN 0 ELSE 1 END)
-        |          OVER (PARTITION BY l_suppkey ORDER BY s, e
+        |          OVER (PARTITION BY l_suppkey ORDER BY s, e, ok, ln
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
         |      FROM x)
         |SELECT l_suppkey, MIN(s) AS era_start, MAX(e) AS era_end,

@@ -619,7 +619,13 @@ object TextOps {
       .filter(col("__rn") === 1)
       .select(col(idCol), col(labelCol),
         col("__l").as("pred"),
-        round(col("__s").cast("double"), 6).as("score"))
+        // round the EXACT decimal, THEN cast: rounding the double
+        // instead diverges from the oracle when a score lands exactly
+        // on a 0.5e-6 boundary (Spark rounds the binary expansion,
+        // DuckDB rounds x*1e6 — they disagree on ties; one doc in 5000
+        // hit it at sf0.1). Decimal rounding is half-up on both
+        // engines, so the tie is decided identically.
+        round(col("__s"), 6).cast("double").as("score"))
   }
 
   /** Overlapping fixed-width chunking — the context-window prep step of

@@ -1010,7 +1010,9 @@ object TextOracles {
     "q110_nb_langid" ->
       s"""WITH $NbCtes
          |SELECT doc_id, lang, pred,
-         |  ROUND(CAST(s AS DOUBLE), 6) AS score
+         |  -- round the DECIMAL (exact half-up, same as Spark), THEN
+         |  -- cast: double-rounding ties diverge between engines
+         |  CAST(ROUND(s, 6) AS DOUBLE) AS score
          |FROM pred""".stripMargin,
 
     // confusion matrix over the q110 classifier: argmax predictions
