@@ -1240,7 +1240,7 @@ object SparkEntry {
         |      AS DECIMAL(18,9)) * CAST(gap AS DECIMAL(18,0)) AS term
         |  FROM cw WHERE gap IS NOT NULL)
         |SELECT (SELECT na FROM t) AS n_a, (SELECT nb FROM t) AS n_b,
-        |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS emd
+        |  CAST(ROUND(SUM(term), 6) AS DOUBLE) AS emd
         |FROM terms""".stripMargin,
 
     "q182_correlation" ->
@@ -1596,7 +1596,7 @@ object SparkEntry {
         |    AS DECIMAL(18,9)) AS term
         |  FROM w)
         |SELECT COUNT(*) AS n_cells,
-        |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS mi
+        |  CAST(ROUND(SUM(term), 6) AS DOUBLE) AS mi
         |FROM t""".stripMargin,
 
     "q206_bootstrap_ci" -> {

@@ -262,8 +262,10 @@ object Eval {
       .agg(sum(gain(col(relCol)) * col("w")).as("idcg"))
     dcg.crossJoin(broadcast(idcg))
       .select(lit(k).as("k"),
-        round(col("dcg").cast(DoubleType), 6).as("dcg"),
-        round(col("idcg").cast(DoubleType), 6).as("idcg"),
+        // decimal-first rounding: double-round ties diverge between
+        // engines (the q110 class)
+        round(col("dcg"), 6).cast(DoubleType).as("dcg"),
+        round(col("idcg"), 6).cast(DoubleType).as("idcg"),
         when(col("idcg") > 0,
           round(col("dcg").cast(DoubleType) /
             col("idcg").cast(DoubleType), 6)).as("ndcg"))

@@ -389,7 +389,7 @@ object Stats {
         .as("term"),
         col("na"), col("nb"))
     terms.groupBy(col("na"), col("nb"))
-      .agg(round(sum(col("term")).cast(DoubleType), 6).as("emd"))
+      .agg(round(sum(col("term")), 6).cast(DoubleType).as("emd"))
       .select(col("na").as("n_a"), col("nb").as("n_b"), col("emd"))
   }
 
@@ -711,7 +711,8 @@ object Stats {
             (d(col("__nx")) * d(col("__ny")))), 9)
           .cast(DecimalType(18, 9)))
       .agg(count(lit(1)).as("n_cells"),
-        round(sum(col("__term")).cast(DoubleType), 6).as("mi"))
+        // decimal-first rounding (the q110 tie class)
+        round(sum(col("__term")), 6).cast(DoubleType).as("mi"))
   }
 
   /** Poisson-bootstrap cutpoints: P(Poisson(1) ≤ k) scaled to the

@@ -267,7 +267,9 @@ object TextOps {
       .join(broadcast(dfFrame), "term")
       .crossJoin(broadcast(stats))
       .groupBy(col(idCol))
-      .agg(round(sum(s).cast("double"), 6).as("score"))
+      // round the exact DECIMAL then cast (double-round ties diverge
+      // between engines; see the q110 note)
+      .agg(round(sum(s), 6).cast("double").as("score"))
       .withColumn("__g", lit(0L))
     TopK.topKPerGroup(scored, "__g", idCol, "score", k)
       .select(col(idCol), col("rank").cast("int").as("rank"), col("score"))

@@ -888,7 +888,7 @@ object TextOracles {
          |                            / st.ntok)), 9)
          |           AS DECIMAL(18,9)) AS s
          |       FROM tf t JOIN dfp d USING (term) CROSS JOIN st),
-         |agg AS (SELECT doc_id, ROUND(CAST(SUM(s) AS DOUBLE), 6) AS score
+         |agg AS (SELECT doc_id, CAST(ROUND(SUM(s), 6) AS DOUBLE) AS score
          |        FROM sc GROUP BY doc_id)
          |SELECT doc_id,
          |  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
@@ -1609,7 +1609,7 @@ object TextOracles {
          |                            / st.ntok)), 9)
          |           AS DECIMAL(18,9)) AS s
          |       FROM tf t JOIN dfp d USING (term) CROSS JOIN st),
-         |agg AS (SELECT doc_id, ROUND(CAST(SUM(s) AS DOUBLE), 6) AS score
+         |agg AS (SELECT doc_id, CAST(ROUND(SUM(s), 6) AS DOUBLE) AS score
          |        FROM sc GROUP BY doc_id),
          |ranked AS (SELECT doc_id,
          |    CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
@@ -1629,8 +1629,8 @@ object TextOracles {
          |idcg AS (SELECT SUM(CAST((1 << i.rel) - 1 AS DECIMAL(18,0)) * d.w)
          |           AS idcg
          |         FROM ideal i JOIN disc d USING (pos))
-         |SELECT $k AS k, ROUND(CAST(dcg AS DOUBLE), 6) AS dcg,
-         |  ROUND(CAST(idcg AS DOUBLE), 6) AS idcg,
+         |SELECT $k AS k, CAST(ROUND(dcg, 6) AS DOUBLE) AS dcg,
+         |  CAST(ROUND(idcg, 6) AS DOUBLE) AS idcg,
          |  CASE WHEN idcg > 0
          |       THEN ROUND(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6)
          |  END AS ndcg
@@ -1697,7 +1697,7 @@ object TextOracles {
          |                            / st.ntok)), 9)
          |           AS DECIMAL(18,9)) AS s
          |       FROM tf t JOIN dfp d USING (term) CROSS JOIN st),
-         |agg AS (SELECT doc_id, ROUND(CAST(SUM(s) AS DOUBLE), 6) AS score
+         |agg AS (SELECT doc_id, CAST(ROUND(SUM(s), 6) AS DOUBLE) AS score
          |        FROM sc GROUP BY doc_id),
          |bm AS (SELECT doc_id,
          |    CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
