@@ -443,6 +443,80 @@ class Round5OpsSpec extends SparkSpecBase {
     assert(!got.contains(("A", "C")), "disjoint pairs drop out")
   }
 
+  // ---- algebraic invariances: properties a value-level oracle compare
+  // cannot see, pinned per family ----
+
+  test("ewmaTrailing is affine-equivariant: ewma(a·x + b) = a·ewma(x) + b") {
+    import spark.implicits._
+    val base = (1 to 25).map(i =>
+      ("k", ts(f"2024-01-01 00:$i%02d:00"), i.toLong, i * 3.7))
+    val df = base.toDF("k", "t", "tie", "v")
+    val scaled = base.map { case (k, t, tie, v) => (k, t, tie, 2.5 * v + 10) }
+      .toDF("k", "t", "tie", "v")
+    def level(d: org.apache.spark.sql.DataFrame) =
+      TimeSeries.ewmaTrailing(d, "k", "t", "tie", "v")
+        .collect().head.getDouble(2)
+    assert(math.abs(level(scaled) - (2.5 * level(df) + 10)) < 1e-4)
+  }
+
+  test("mutualInformation is symmetric in its arguments") {
+    val ev = graft.core.Tables.events(spark, sf)
+    def mi(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      Stats.mutualInformation(ev, a, b).collect().head.getDouble(1)
+    assert(mi(col("event_type"), dayofweek(col("ts"))) ==
+      mi(dayofweek(col("ts")), col("event_type")))
+  }
+
+  test("theilSen slope scales linearly with y") {
+    import spark.implicits._
+    val pts = (1 to 15).map(i => ("g", i.toLong, 2L + 5L * i + (i % 3)))
+    val df = pts.toDF("g", "x", "y")
+    val doubled = pts.map { case (g, x, y) => (g, x, 2 * y) }
+      .toDF("g", "x", "y")
+    val s1 = Stats.theilSen(df, "g", "x", "y")
+      .collect().head.getAs[Double]("ts_slope")
+    val s2 = Stats.theilSen(doubled, "g", "x", "y")
+      .collect().head.getAs[Double]("ts_slope")
+    assert(s2 == 2 * s1, s"$s2 != 2*$s1")
+  }
+
+  test("rrfFuse is symmetric: swapping lists swaps ranks, same score") {
+    import spark.implicits._
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
+    val b = Seq((2L, 1), (9L, 2)).toDF("id", "rank")
+    val ab = Eval.rrfFuse(a, b, "id", "rank")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val ba = Eval.rrfFuse(b, a, "id", "rank")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(ab == ba)
+  }
+
+  test("dpNoisyCounts: doubling epsilon exactly halves the noise") {
+    import graft.ops.Privacy
+    val ev = graft.core.Tables.events(spark, sf)
+    def noise(eps: Double) = Privacy.dpNoisyCounts(ev, "event_type", eps, 5L)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2) - r.getLong(1))).toMap
+    val n1 = noise(0.5)
+    val n2 = noise(1.0)
+    // same seed → same uniform draw; scale = 1/eps → exactly half
+    n1.foreach { case (k, v) =>
+      assert(math.abs(v - 2 * n2(k)) < 2e-6, s"$k: $v vs ${n2(k)}")
+    }
+  }
+
+  test("countMin estimates are monotone in the stream (prefix <= full)") {
+    val ev = graft.core.Tables.events(spark, sf)
+    def est(d: org.apache.spark.sql.DataFrame) =
+      Sketches.countMinEstimate(d, col("user_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val half = est(ev.filter(col("event_id") % 2 === 0))
+    val full = est(ev)
+    half.foreach { case (k, e) =>
+      assert(e <= full(k), s"user $k: prefix est $e > full ${full(k)}")
+    }
+  }
+
   test("orderedPairReach: order constraint separates A→B from B→A") {
     import spark.implicits._
     // user 1: A then B. user 2: B only. user 3: B then A.
