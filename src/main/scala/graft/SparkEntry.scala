@@ -254,6 +254,8 @@ object SparkEntry {
     "q208_attribution"       -> Relational.q208Attribution _,
     "q209_bounded_funnel"    -> Relational.q209BoundedFunnel _,
     "q210_auto_fuzzy_join"   -> Relational.q210AutoFuzzyJoin _,
+    "q211_ks_test"           -> Relational.q211Ks _,
+    "q212_chi_square"        -> Relational.q212ChiSquare _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */
@@ -1710,5 +1712,47 @@ object SparkEntry {
         |FROM n a JOIN n b
         |  ON levenshtein(a.p_name, b.p_name) <= 2
         | AND a.p_name < b.p_name""".stripMargin,
+
+    "q211_ks_test" ->
+      """WITH m AS (SELECT value AS v,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+        |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS ib
+        |  FROM events WHERE event_type IN ('click', 'error')),
+        |t AS (SELECT CAST(SUM(ia) AS BIGINT) AS na,
+        |        CAST(SUM(ib) AS BIGINT) AS nb FROM m),
+        |bv AS (SELECT v, SUM(ia) AS ca, SUM(ib) AS cb FROM m GROUP BY v),
+        |cw AS (SELECT v,
+        |    SUM(ca) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |    SUM(cb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+        |  FROM bv)
+        |SELECT (SELECT na FROM t) AS n_a, (SELECT nb FROM t) AS n_b,
+        |  ROUND(MAX(abs(CAST(cuma AS DOUBLE) / (SELECT na FROM t)
+        |                - CAST(cumb AS DOUBLE) / (SELECT nb FROM t))), 6)
+        |    AS ks
+        |FROM cw""".stripMargin,
+
+    "q212_chi_square" ->
+      """WITH j AS (SELECT event_type AS x, dayofweek(ts) AS y,
+        |    COUNT(*) AS nxy
+        |  FROM events GROUP BY 1, 2),
+        |mx AS (SELECT x, SUM(nxy) AS nx FROM j GROUP BY 1),
+        |my AS (SELECT y, SUM(nxy) AS ny FROM j GROUP BY 1),
+        |n AS (SELECT SUM(nxy) AS n FROM j),
+        |dense AS (SELECT mx.x, my.y, mx.nx, my.ny,
+        |    COALESCE(j.nxy, 0) AS o,
+        |    CAST(mx.nx AS DOUBLE) * CAST(my.ny AS DOUBLE)
+        |      / CAST((SELECT n FROM n) AS DOUBLE) AS e
+        |  FROM mx CROSS JOIN my
+        |  LEFT JOIN j ON j.x = mx.x AND j.y = my.y),
+        |t AS (SELECT CAST(ROUND((CAST(o AS DOUBLE) - e)
+        |    * (CAST(o AS DOUBLE) - e) / e, 9) AS DECIMAL(18,9)) AS term,
+        |    x, y
+        |  FROM dense)
+        |SELECT COUNT(*) AS n_cells,
+        |  (COUNT(DISTINCT x) - 1) * (COUNT(DISTINCT y) - 1) AS dof,
+        |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS chi2
+        |FROM t""".stripMargin,
   )
 }

@@ -815,6 +815,67 @@ object Stats {
           d(col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic between `valueCol`
+    * distributions of two groups: max |F_a(v) − F_b(v)| over the
+    * pooled distinct values — the distribution-shift test that reacts
+    * to ANY difference (location, scale, shape), complementing
+    * [[wasserstein1]] (magnitude) and [[distributionDrift]] (bucketed
+    * shares). One pooled aggregate to the distinct-value domain, one
+    * ordered window over it, one max — the CDF diffs are double
+    * divisions of exact counts, and MAX of identical doubles is
+    * engine-stable. Output: (n_a, n_b, ks). */
+  def ksTwoSample(df: DataFrame, groupCol: String, valueCol: String,
+                  groupA: String, groupB: String): DataFrame = {
+    def d(c: Column) = c.cast(DoubleType)
+    val marked = df.filter(col(groupCol).isin(groupA, groupB))
+      .select(col(valueCol).as("__v"),
+        when(col(groupCol) === groupA, 1L).otherwise(0L).as("__ia"),
+        when(col(groupCol) === groupB, 1L).otherwise(0L).as("__ib"))
+    val byV = marked.groupBy(col("__v"))
+      .agg(sum(col("__ia")).as("__ca"), sum(col("__ib")).as("__cb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    byV
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+      .crossJoin(broadcast(marked.agg(sum(col("__ia")).as("na"),
+        sum(col("__ib")).as("nb"))))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        round(max(abs(d(col("__cuma")) / d(col("na")) -
+          d(col("__cumb")) / d(col("nb")))), 6).as("ks"))
+  }
+
+  /** Chi-square independence test over two categorical columns: the
+    * significance companion of [[mutualInformation]] — χ² =
+    * Σ (o − e)²/e with e = n_x·n_y/N, plus the (|X|−1)(|Y|−1) degrees
+    * of freedom. Cell-domain work only; each cell's term is 9-rounded
+    * into DECIMAL before summing (the dsum rule), expected counts are
+    * double ratios of exact counts with mirrored op order. Cells with
+    * an observed zero still contribute (o−e)²/e — the dense grid comes
+    * from the cross of the observed margins. */
+  def chiSquare(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    def d(c: Column) = c.cast(DoubleType)
+    val joint = df.select(xCol.as("__x"), yCol.as("__y"))
+      .groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("__nxy"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mx = joint.groupBy(col("__x")).agg(sum(col("__nxy")).as("__nx"))
+    val my = joint.groupBy(col("__y")).agg(sum(col("__nxy")).as("__ny"))
+    val n = joint.agg(sum(col("__nxy")).as("__n"))
+    val dense = mx.crossJoin(my).crossJoin(broadcast(n))
+      .join(joint, Seq("__x", "__y"), "left")
+      .withColumn("__o", coalesce(col("__nxy"), lit(0L)))
+      .withColumn("__e", d(col("__nx")) * d(col("__ny")) / d(col("__n")))
+    dense
+      .withColumn("__term",
+        round((d(col("__o")) - col("__e")) * (d(col("__o")) - col("__e"))
+          / col("__e"), 9).cast(DecimalType(18, 9)))
+      .agg(count(lit(1)).as("n_cells"),
+        ((countDistinct(col("__x")) - 1) *
+          (countDistinct(col("__y")) - 1)).as("dof"),
+        round(sum(col("__term")).cast(DoubleType), 6).as("chi2"))
+  }
+
   /** Gini index of a grouped size distribution ("how concentrated is
     * the corpus over sources") from exact integer arithmetic:
     * with sizes s_1 ≤ … ≤ s_k (ties broken by group for a total

@@ -1385,4 +1385,19 @@ object Relational {
       .select(col("name_a"), col("name_b"),
         levenshtein(col("name_a"), col("name_b")).as("dist"))
   }
+
+  /** q211: two-sample Kolmogorov–Smirnov distance between the click
+    * and error value distributions ([[Stats.ksTwoSample]]) — the
+    * any-difference shift test beside q181's magnitude and q146's
+    * bucketed drift. */
+  def q211Ks(s: SparkSession, dir: String): DataFrame =
+    Stats.ksTwoSample(Tables.events(s, dir), "event_type", "value",
+      "click", "error")
+
+  /** q212: chi-square independence of event type × day-of-week
+    * ([[Stats.chiSquare]]) — the significance companion of q205's
+    * mutual information. */
+  def q212ChiSquare(s: SparkSession, dir: String): DataFrame =
+    Stats.chiSquare(Tables.events(s, dir),
+      col("event_type"), dayofweek(col("ts")) - 1)
 }

@@ -443,6 +443,32 @@ class Round5OpsSpec extends SparkSpecBase {
     assert(!got.contains(("A", "C")), "disjoint pairs drop out")
   }
 
+  test("ksTwoSample: 0 on identical samples, 1 on disjoint supports") {
+    import spark.implicits._
+    val same = ((1 to 50).map(i => ("a", i * 1.0)) ++
+      (1 to 50).map(i => ("b", i * 1.0))).toDF("g", "v")
+    assert(Stats.ksTwoSample(same, "g", "v", "a", "b")
+      .collect().head.getDouble(2) == 0.0)
+    val disjoint = ((1 to 30).map(i => ("a", i * 1.0)) ++
+      (1 to 30).map(i => ("b", 1000.0 + i))).toDF("g", "v")
+    assert(Stats.ksTwoSample(disjoint, "g", "v", "a", "b")
+      .collect().head.getDouble(2) == 1.0)
+  }
+
+  test("chiSquare: 0 under exact independence, dof correct") {
+    import spark.implicits._
+    val ind = (for (x <- Seq("a", "b", "c"); y <- Seq(0, 1); _ <- 1 to 10)
+      yield (x, y)).toDF("x", "y")
+    val r = Stats.chiSquare(ind, col("x"), col("y")).collect().head
+    assert(r.getAs[Long]("dof") == 2L)
+    assert(r.getAs[Double]("chi2") == 0.0)
+    // a dependent table scores positive
+    val dep = (for (x <- Seq("a", "b"); _ <- 1 to 20)
+      yield (x, if (x == "a") 0 else 1)).toDF("x", "y")
+    assert(Stats.chiSquare(dep, col("x"), col("y"))
+      .collect().head.getAs[Double]("chi2") > 10)
+  }
+
   // ---- algebraic invariances: properties a value-level oracle compare
   // cannot see, pinned per family ----
 
