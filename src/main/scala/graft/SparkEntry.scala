@@ -256,6 +256,8 @@ object SparkEntry {
     "q210_auto_fuzzy_join"   -> Relational.q210AutoFuzzyJoin _,
     "q211_ks_test"           -> Relational.q211Ks _,
     "q212_chi_square"        -> Relational.q212ChiSquare _,
+    "q213_spearman"          -> Relational.q213Spearman _,
+    "q214_cramers_v"         -> Relational.q214CramersV _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */
@@ -1753,6 +1755,57 @@ object SparkEntry {
         |SELECT COUNT(*) AS n_cells,
         |  (COUNT(DISTINCT x) - 1) * (COUNT(DISTINCT y) - 1) AS dof,
         |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS chi2
+        |FROM t""".stripMargin,
+
+    "q213_spearman" ->
+      """WITH r AS (SELECT l_returnflag AS g,
+        |    2 * rank() OVER (PARTITION BY l_returnflag
+        |                     ORDER BY l_quantity)
+        |      + COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity)
+        |      - 1 AS rx,
+        |    2 * rank() OVER (PARTITION BY l_returnflag
+        |                     ORDER BY l_extendedprice)
+        |      + COUNT(*) OVER (PARTITION BY l_returnflag,
+        |                       l_extendedprice) - 1 AS ry
+        |  FROM lineitem),
+        |m AS (SELECT g, COUNT(*) AS n,
+        |    SUM(CAST(rx AS HUGEINT)) AS sx,
+        |    SUM(CAST(ry AS HUGEINT)) AS sy,
+        |    SUM(CAST(rx * ry AS HUGEINT)) AS sxy,
+        |    SUM(CAST(rx * rx AS HUGEINT)) AS sxx,
+        |    SUM(CAST(ry * ry AS HUGEINT)) AS syy
+        |  FROM r GROUP BY g)
+        |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+        |       THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        |         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+        |  END AS rho
+        |FROM m""".stripMargin,
+
+    "q214_cramers_v" ->
+      """WITH j AS (SELECT event_type AS x, hour(ts) AS y,
+        |    COUNT(*) AS nxy
+        |  FROM events GROUP BY 1, 2),
+        |mx AS (SELECT x, SUM(nxy) AS nx FROM j GROUP BY 1),
+        |my AS (SELECT y, SUM(nxy) AS ny FROM j GROUP BY 1),
+        |n AS (SELECT SUM(nxy) AS n FROM j),
+        |dense AS (SELECT mx.x, my.y, COALESCE(j.nxy, 0) AS o,
+        |    CAST(mx.nx AS DOUBLE) * CAST(my.ny AS DOUBLE)
+        |      / CAST((SELECT n FROM n) AS DOUBLE) AS e
+        |  FROM mx CROSS JOIN my
+        |  LEFT JOIN j ON j.x = mx.x AND j.y = my.y),
+        |t AS (SELECT CAST(ROUND((CAST(o AS DOUBLE) - e)
+        |    * (CAST(o AS DOUBLE) - e) / e, 9) AS DECIMAL(18,9)) AS term,
+        |    x, y
+        |  FROM dense)
+        |SELECT CAST((SELECT n FROM n) AS BIGINT) AS n,
+        |  COUNT(DISTINCT x) AS r, COUNT(DISTINCT y) AS c,
+        |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS chi2,
+        |  ROUND(sqrt(CAST(SUM(term) AS DOUBLE)
+        |    / CAST((SELECT n FROM n)
+        |        * (LEAST(COUNT(DISTINCT x), COUNT(DISTINCT y)) - 1)
+        |      AS DOUBLE)), 6) AS v
         |FROM t""".stripMargin,
   )
 }

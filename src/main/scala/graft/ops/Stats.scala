@@ -876,6 +876,82 @@ object Stats {
         round(sum(col("__term")).cast(DoubleType), 6).as("chi2"))
   }
 
+  /** Spearman rank correlation of two numeric columns per group: the
+    * Pearson correlation of FRACTIONAL ranks (ties get the average of
+    * their positions — the standard midrank convention), the
+    * monotone-association companion of q182's linear Pearson. Every
+    * aggregate is EXACT: the doubled midrank 2r = 2·rank + (ties − 1)
+    * is an integer, per-row products of doubled ranks stay in int64
+    * (safe to ~1.5e9 rows per group), and the moment sums accumulate
+    * as DECIMAL(38,0) so no group size the cluster can hold overflows
+    * them; the only float op is the final per-group formula
+    * (division-shaped, so plain double rounding is cross-engine safe).
+    * ρ = (n·Σxy − Σx·Σy) / (√(n·Σxx − Σx²) · √(n·Σyy − Σy²)) over the
+    * doubled ranks — correlation is scale-free, so the doubling
+    * cancels. Cost: two window sorts partitioned by group + one hash
+    * aggregation; output is group-domain-sized. Constant-valued
+    * columns (zero rank variance) yield NULL ρ. */
+  def spearman(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = col(groupCol)
+    def doubledRank(c: String, out: String) =
+      (rank().over(Window.partitionBy(g).orderBy(col(c))) * 2 +
+        count(lit(1)).over(Window.partitionBy(g, col(c))) - 1).as(out)
+    val dec = DecimalType(38, 0)
+    def d(c: Column) = c.cast(DoubleType)
+    val m = df
+      .select(g, doubledRank(xCol, "__rx"), doubledRank(yCol, "__ry"))
+      .groupBy(g).agg(
+        count(lit(1)).as("n"),
+        sum(col("__rx").cast(dec)).as("__sx"),
+        sum(col("__ry").cast(dec)).as("__sy"),
+        sum((col("__rx") * col("__ry")).cast(dec)).as("__sxy"),
+        sum((col("__rx") * col("__rx")).cast(dec)).as("__sxx"),
+        sum((col("__ry") * col("__ry")).cast(dec)).as("__syy"))
+    val nDec = col("n").cast(dec)
+    val vx = nDec * col("__sxx") - col("__sx") * col("__sx")
+    val vy = nDec * col("__syy") - col("__sy") * col("__sy")
+    val cov = nDec * col("__sxy") - col("__sx") * col("__sy")
+    m.select(g, col("n"),
+      when(vx > 0 && vy > 0,
+        round(d(cov) / (sqrt(d(vx)) * sqrt(d(vy))), 6)).as("rho"))
+  }
+
+  /** Cramér's V effect size for a two-way contingency table: the
+    * magnitude companion of [[chiSquare]]'s significance —
+    * V = √(χ² / (N · min(|X|−1, |Y|−1))) ∈ [0, 1], comparable across
+    * table shapes where raw χ² is not. Same dense-grid construction
+    * and 9-rounded DECIMAL term sum as [[chiSquare]]; V divides the
+    * UNROUNDED χ² by exact integer counts before the single sqrt.
+    * Cell-domain work only — safe at any corpus size. */
+  def cramersV(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    def d(c: Column) = c.cast(DoubleType)
+    val joint = df.select(xCol.as("__x"), yCol.as("__y"))
+      .groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("__nxy"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mx = joint.groupBy(col("__x")).agg(sum(col("__nxy")).as("__nx"))
+    val my = joint.groupBy(col("__y")).agg(sum(col("__nxy")).as("__ny"))
+    val n = joint.agg(sum(col("__nxy")).as("__n"))
+    val dense = mx.crossJoin(my).crossJoin(broadcast(n))
+      .join(joint, Seq("__x", "__y"), "left")
+      .withColumn("__o", coalesce(col("__nxy"), lit(0L)))
+      .withColumn("__e", d(col("__nx")) * d(col("__ny")) / d(col("__n")))
+    dense
+      .withColumn("__term",
+        round((d(col("__o")) - col("__e")) * (d(col("__o")) - col("__e"))
+          / col("__e"), 9).cast(DecimalType(18, 9)))
+      .agg(max(col("__n")).as("n"),
+        countDistinct(col("__x")).as("r"),
+        countDistinct(col("__y")).as("c"),
+        round(sum(col("__term")).cast(DoubleType), 6).as("chi2"),
+        round(sqrt(sum(col("__term")).cast(DoubleType) /
+          (max(col("__n")) *
+            (least(countDistinct(col("__x")),
+              countDistinct(col("__y"))) - 1)).cast(DoubleType)), 6)
+          .as("v"))
+  }
+
   /** Gini index of a grouped size distribution ("how concentrated is
     * the corpus over sources") from exact integer arithmetic:
     * with sizes s_1 ≤ … ≤ s_k (ties broken by group for a total

@@ -1400,4 +1400,19 @@ object Relational {
   def q212ChiSquare(s: SparkSession, dir: String): DataFrame =
     Stats.chiSquare(Tables.events(s, dir),
       col("event_type"), dayofweek(col("ts")) - 1)
+
+  /** q213: Spearman rank correlation of quantity vs extended price per
+    * return flag ([[Stats.spearman]]) — the monotone-association
+    * companion of q182's Pearson, exact midrank moments. */
+  def q213Spearman(s: SparkSession, dir: String): DataFrame =
+    Stats.spearman(Tables.lineitem(s, dir),
+      "l_returnflag", "l_quantity", "l_extendedprice")
+
+  /** q214: Cramér's V of event type × hour-of-day
+    * ([[Stats.cramersV]]) — the effect-size companion of q212's
+    * significance: is the event mix time-of-day dependent, and by
+    * how much on a [0,1] scale. */
+  def q214CramersV(s: SparkSession, dir: String): DataFrame =
+    Stats.cramersV(Tables.events(s, dir),
+      col("event_type"), hour(col("ts")))
 }

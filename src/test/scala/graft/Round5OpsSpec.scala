@@ -469,6 +469,38 @@ class Round5OpsSpec extends SparkSpecBase {
       .collect().head.getAs[Double]("chi2") > 10)
   }
 
+  test("spearman: ±1 on monotone data, midranks match the closed form") {
+    import spark.implicits._
+    // any strictly monotone map has rank corr exactly ±1 — the
+    // invariance Pearson lacks
+    val mono = (1 to 40).map(i => ("g", i * 1.0, math.exp(i * 0.1))) ++
+      (1 to 40).map(i => ("h", i * 1.0, -i * 3.0))
+    val r = Stats.spearman(mono.toDF("k", "x", "y"), "k", "x", "y")
+      .collect().map(row => row.getString(0) -> row.getDouble(2)).toMap
+    assert(r("g") == 1.0 && r("h") == -1.0)
+    // tie fixture: x = (1,2,2,3) midranks (1, 2.5, 2.5, 4),
+    // y = (1,3,2,4) ranks (1,3,2,4) → ρ = √(72·72/(72·80)) = √0.9
+    val tied = Seq(("t", 1.0, 1.0), ("t", 2.0, 3.0),
+      ("t", 2.0, 2.0), ("t", 3.0, 4.0))
+    val rho = Stats.spearman(tied.toDF("k", "x", "y"), "k", "x", "y")
+      .collect().head.getDouble(2)
+    assert(rho == 0.948683, s"midrank rho $rho")
+  }
+
+  test("cramersV: 1 on perfect association, 0 under independence") {
+    import spark.implicits._
+    val perfect = (for (x <- Seq("a", "b"); _ <- 1 to 20)
+      yield (x, if (x == "a") 0 else 1)).toDF("x", "y")
+    val p = Stats.cramersV(perfect, col("x"), col("y")).collect().head
+    assert(p.getAs[Double]("v") == 1.0 &&
+      p.getAs[Double]("chi2") == 40.0 && p.getAs[Long]("n") == 40L)
+    val ind = (for (x <- Seq("a", "b", "c"); y <- 0 to 3; _ <- 1 to 5)
+      yield (x, y)).toDF("x", "y")
+    val i = Stats.cramersV(ind, col("x"), col("y")).collect().head
+    assert(i.getAs[Double]("v") == 0.0 && i.getAs[Long]("r") == 3L &&
+      i.getAs[Long]("c") == 4L)
+  }
+
   // ---- algebraic invariances: properties a value-level oracle compare
   // cannot see, pinned per family ----
 
