@@ -258,6 +258,12 @@ object SparkEntry {
     "q212_chi_square"        -> Relational.q212ChiSquare _,
     "q213_spearman"          -> Relational.q213Spearman _,
     "q214_cramers_v"         -> Relational.q214CramersV _,
+    "q215_mann_whitney"      -> Relational.q215MannWhitney _,
+    "q216_bh_fdr"            -> Relational.q216BhFdr _,
+    "q217_anova_f"           -> Relational.q217AnovaF _,
+    "q218_log_rank"          -> Relational.q218LogRank _,
+    "q219_matryoshka"        -> VectorQueries.qMatryoshka _,
+    "q220_pca_project"       -> VectorQueries.qPcaProject _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */
@@ -1807,5 +1813,147 @@ object SparkEntry {
         |        * (LEAST(COUNT(DISTINCT x), COUNT(DISTINCT y)) - 1)
         |      AS DOUBLE)), 6) AS v
         |FROM t""".stripMargin,
+
+    "q215_mann_whitney" -> mannWhitneyOracle(
+      strata = "event_type", srcCols = "event_type"),
+
+    "q216_bh_fdr" -> {
+      val tests = mannWhitneyOracle(strata = "event_type, hr",
+        srcCols = "event_type, CAST(hour(ts) AS INTEGER) AS hr")
+      s"""WITH tests AS ($tests),
+         |b AS (SELECT event_type, hr, p_two,
+         |    CAST(row_number() OVER (ORDER BY p_two ASC, event_type ASC,
+         |      hr ASC) AS INTEGER) AS i,
+         |    COUNT(*) OVER () AS m
+         |  FROM tests WHERE p_two IS NOT NULL),
+         |f AS (SELECT event_type, hr, p_two, i, m,
+         |    p_two * m / i AS q FROM b)
+         |SELECT event_type, hr, p_two, i AS rank, m,
+         |  ROUND(q, 6) AS q,
+         |  ROUND(LEAST(1.0, MIN(q) OVER (ORDER BY p_two DESC,
+         |    event_type DESC, hr DESC ROWS BETWEEN UNBOUNDED PRECEDING
+         |    AND CURRENT ROW)), 6) AS p_adj
+         |FROM f""".stripMargin
+    },
+
+    "q217_anova_f" ->
+      """WITH g AS (SELECT event_type, COUNT(*) AS ng,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS sg,
+        |    SUM(CAST(CAST(value AS DECIMAL(18,4))
+        |             * CAST(value AS DECIMAL(18,4)) AS DECIMAL(38,8)))
+        |      AS qg
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type),
+        |t AS (SELECT COUNT(*) AS k, SUM(ng) AS n, SUM(sg) AS s,
+        |    SUM(qg) AS q,
+        |    SUM(CAST(ROUND(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng,
+        |      9) AS DECIMAL(28,9))) AS b
+        |  FROM g),
+        |d AS (SELECT k, n,
+        |    CAST(b AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n
+        |      AS ssb,
+        |    CAST(q AS DOUBLE) - CAST(b AS DOUBLE) AS ssw
+        |  FROM t)
+        |SELECT k, CAST(n AS BIGINT) AS n,
+        |  CAST(k - 1 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2,
+        |  ROUND((ssb / (k - 1)) / (ssw / (n - k)), 4) AS f,
+        |  ROUND(ssb / (ssb + ssw), 6) AS eta_sq
+        |FROM d""".stripMargin,
+
+    "q218_log_rank" -> {
+      val hu = graft.queries.TextOracles.H(
+        "CAST(user_id AS VARCHAR) || '#13'")
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+         |fr AS (SELECT MAX(us) AS frontier FROM ev),
+         |spans AS (SELECT user_id,
+         |    (MAX(us) - MIN(us)) // 86400000000 AS duration,
+         |    CASE WHEN MAX(us) > (SELECT frontier FROM fr)
+         |                        - 86400000000 THEN 0 ELSE 1 END AS event
+         |  FROM ev GROUP BY user_id),
+         |sp AS (SELECT duration, event,
+         |    CASE WHEN ($hu * 2654435761 % 1000000007) % 1000000 < 500000
+         |         THEN 0 ELSE 1 END AS arm
+         |  FROM spans),
+         |byt AS (SELECT duration AS t,
+         |    CAST(SUM(CASE WHEN arm = 0 THEN event ELSE 0 END) AS BIGINT)
+         |      AS d0,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN event ELSE 0 END) AS BIGINT)
+         |      AS d1,
+         |    COUNT(*) FILTER (arm = 0) AS c0,
+         |    COUNT(*) FILTER (arm = 1) AS c1
+         |  FROM sp GROUP BY duration),
+         |risk AS (SELECT t, d0, d1,
+         |    SUM(c0) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW) AS n0,
+         |    SUM(c1) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW) AS n1
+         |  FROM byt),
+         |terms AS (SELECT d0,
+         |    CAST(ROUND((CAST(d0 AS DOUBLE) + CAST(d1 AS DOUBLE))
+         |      * CAST(n0 AS DOUBLE) / (CAST(n0 AS DOUBLE)
+         |        + CAST(n1 AS DOUBLE)), 9) AS DECIMAL(28,9)) AS e0,
+         |    CAST(CASE WHEN n0 + n1 > 1 THEN
+         |      ROUND(((CAST(d0 AS DOUBLE) + CAST(d1 AS DOUBLE))
+         |          * CAST(n0 AS DOUBLE) / (CAST(n0 AS DOUBLE)
+         |            + CAST(n1 AS DOUBLE)))
+         |        * (CAST(n1 AS DOUBLE) / (CAST(n0 AS DOUBLE)
+         |            + CAST(n1 AS DOUBLE)))
+         |        * (((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE))
+         |            - (CAST(d0 AS DOUBLE) + CAST(d1 AS DOUBLE)))
+         |           / ((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) - 1.0)),
+         |        9) ELSE 0.0 END AS DECIMAL(28,9)) AS v
+         |  FROM risk WHERE d0 + d1 > 0)
+         |SELECT COUNT(*) AS n_times, CAST(SUM(d0) AS BIGINT) AS o0,
+         |  CAST(ROUND(SUM(e0), 6) AS DOUBLE) AS e0,
+         |  ROUND((CAST(SUM(d0) AS DOUBLE) - CAST(SUM(e0) AS DOUBLE))
+         |    * (CAST(SUM(d0) AS DOUBLE) - CAST(SUM(e0) AS DOUBLE))
+         |    / CAST(SUM(v) AS DOUBLE), 6) AS chi2
+         |FROM terms""".stripMargin
+    },
   )
+
+  /** Shared Mann–Whitney oracle chain (q215/q216): `srcCols` projects
+    * the stratum columns out of `events` (may alias expressions),
+    * `strata` names them for GROUP BY / PARTITION BY. Mirrors
+    * [[graft.ops.Eval.mannWhitneyU]] operation-for-operation, including
+    * the Abramowitz–Stegun erfc polynomial for the p-value. */
+  private def mannWhitneyOracle(strata: String, srcCols: String): String = {
+    val hv = graft.queries.TextOracles.H("CAST(user_id AS VARCHAR) || '#13'")
+    s"""WITH e AS (SELECT $srcCols, value,
+       |    CASE WHEN ($hv * 2654435761 % 1000000007) % 1000000 < 500000
+       |         THEN 0 ELSE 1 END AS arm
+       |  FROM events WHERE value IS NOT NULL),
+       |r AS (SELECT $strata, arm,
+       |    2 * rank() OVER (PARTITION BY $strata ORDER BY value)
+       |      + COUNT(*) OVER (PARTITION BY $strata, value) - 1 AS r2,
+       |    COUNT(*) OVER (PARTITION BY $strata, value) AS tc
+       |  FROM e),
+       |m AS (SELECT $strata,
+       |    COUNT(*) FILTER (arm = 0) AS n0,
+       |    COUNT(*) FILTER (arm = 1) AS n1,
+       |    SUM(CAST(r2 AS HUGEINT)) FILTER (arm = 0) AS r0d,
+       |    SUM(CAST(tc * tc - 1 AS HUGEINT)) AS ties
+       |  FROM r GROUP BY $strata),
+       |s AS (SELECT $strata, n0, n1,
+       |    (CAST(r0d AS DOUBLE) - CAST(n0 AS DOUBLE)
+       |      * (CAST(n0 AS DOUBLE) + 1.0)) / 2.0 AS u,
+       |    CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 2.0 AS mu,
+       |    CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0
+       |      * ((CAST(n0 + n1 AS DOUBLE) + 1.0) - CAST(ties AS DOUBLE)
+       |         / (CAST(n0 + n1 AS DOUBLE)
+       |            * (CAST(n0 + n1 AS DOUBLE) - 1.0))) AS vr
+       |  FROM m),
+       |z AS (SELECT $strata, n0, n1, u,
+       |    CASE WHEN n0 > 0 AND n1 > 0 AND vr > 0
+       |         THEN (u - mu) / sqrt(vr) END AS zr
+       |  FROM s),
+       |p AS (SELECT $strata, n0, n1, u, zr,
+       |    abs(zr) / sqrt(2.0) AS x,
+       |    1.0 / (1.0 + 0.3275911 * (abs(zr) / sqrt(2.0))) AS t
+       |  FROM z)
+       |SELECT $strata, n0, n1, u, ROUND(zr, 4) AS z,
+       |  ROUND(((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+       |    - 0.284496736) * t + 0.254829592) * t * exp(-(x * x)), 6)
+       |    AS p_two
+       |FROM p""".stripMargin
+  }
 }

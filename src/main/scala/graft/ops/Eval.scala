@@ -419,4 +419,106 @@ object Eval {
             coalesce(lit(1.0) / (lit(k) + col("rank_b")), lit(0.0)), 9)
           .as("rrf"))
   }
+
+  /** Abramowitz–Stegun 7.1.26 complementary-error-function approximation
+    * for x ≥ 0 (|abs error| < 1.5e-7 — plenty for a 6-decimal p-value
+    * readout). Every operation is a plain double multiply/add/divide in
+    * a FIXED order so a SQL oracle spelling the identical expression
+    * evaluates bit-identically (exp() may differ by ≤ 1 ulp across
+    * libm implementations; the 6-decimal rounding absorbs that). */
+  def erfcApprox(x: Column): Column = {
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly =
+      ((((lit(1.061405429) * t - lit(1.453152027)) * t + lit(1.421413741))
+        * t - lit(0.284496736)) * t + lit(0.254829592)) * t
+    poly * exp(-(x * x))
+  }
+
+  /** Mann–Whitney U test of `metricCol` between the two arms of
+    * `armCol` (0/1) within each stratum of `groupCols` — the
+    * nonparametric companion of [[welchTwoSample]]: compares the whole
+    * rank distribution, not means, so it survives heavy tails and
+    * outliers that sink the t-test.
+    *
+    * Exactness: midranks are carried DOUBLED (2r = 2·rank + ties − 1,
+    * an integer), their sums accumulate as DECIMAL(38,0), and the tie
+    * correction Σ(t³−t) falls out of the SAME window pass — each row of
+    * a t-way tie contributes t²−1, so one decimal row-sum gives the
+    * value with no second aggregation. U itself is exact in half-units;
+    * floats appear only in the final z/p formula. z uses the normal
+    * approximation WITHOUT continuity correction (documented choice —
+    * keeps the formula engine-portable); the two-sided p is
+    * erfc(|z|/√2) via [[erfcApprox]].
+    *
+    * Plan: one window sort per stratum (rank + tie counts share the
+    * partition) → one hash aggregation; output is stratum-domain-sized.
+    * Strata with an empty arm or zero rank variance yield NULL z/p. */
+  def mannWhitneyU(df: DataFrame, groupCols: Seq[String], armCol: String,
+                   metricCol: String): DataFrame = {
+    val gs = groupCols.map(col)
+    val dec = DecimalType(38, 0)
+    def d(c: Column) = c.cast(DoubleType)
+    val w = Window.partitionBy(gs: _*).orderBy(col(metricCol))
+    val wTie = Window.partitionBy(gs :+ col(metricCol): _*)
+    val ranked = df.filter(col(metricCol).isNotNull)
+      .select(gs ++ Seq(col(armCol).as("__arm"),
+        (rank().over(w) * 2 + count(lit(1)).over(wTie) - 1)
+          .as("__r2"),
+        count(lit(1)).over(wTie).as("__tc")): _*)
+    val m = ranked.groupBy(gs: _*).agg(
+      count(when(col("__arm") === 0, lit(1))).as("n0"),
+      count(when(col("__arm") === 1, lit(1))).as("n1"),
+      sum(when(col("__arm") === 0, col("__r2")).cast(dec)).as("__r0d"),
+      // Σ_values t·(t²−1) = Σ_t (t³−t): each tied row contributes t²−1
+      sum((col("__tc") * col("__tc") - 1).cast(dec)).as("__ties"))
+    val n = col("n0") + col("n1")
+    // 2·U0 = Σ(2r | arm0) − n0·(n0+1); U0 exact in half-units
+    val u0 = (d(col("__r0d")) - d(col("n0")) * (d(col("n0")) + 1.0)) / 2.0
+    val mu = d(col("n0")) * d(col("n1")) / 2.0
+    val variance = d(col("n0")) * d(col("n1")) / 12.0 *
+      ((d(n) + 1.0) - d(col("__ties")) / (d(n) * (d(n) - 1.0)))
+    val z = (u0 - mu) / sqrt(variance)
+    m.select(gs ++ Seq(col("n0"), col("n1"), u0.as("u"),
+      when(col("n0") > 0 && col("n1") > 0 && variance > 0,
+        round(z, 4)).as("z"),
+      when(col("n0") > 0 && col("n1") > 0 && variance > 0,
+        round(erfcApprox(abs(z) / sqrt(lit(2.0))), 6)).as("p_two")): _*)
+  }
+
+  /** One-way ANOVA F across the groups of `groupCol`: does the mean of
+    * `metricCol` differ across k groups — the k-arm generalization of
+    * [[welchTwoSample]] (equal-variance form). Returns ONE row:
+    * k, n, df1 = k−1, df2 = n−k, f, and the effect size
+    * eta² = SSB/(SSB+SSW).
+    *
+    * Sum discipline: per-group Σx / Σx² accumulate as exact DECIMAL;
+    * each group's between-term x̄ contribution rounds to 9 decimals and
+    * decimal-sums (order-free across engines); the grand terms divide
+    * exactly once. Two hash aggregations (corpus → group domain →
+    * scalar); no windows, no shuffle beyond the group agg. */
+  def anovaF(df: DataFrame, groupCol: String, metricCol: String)
+      : DataFrame = {
+    def d(c: Column) = c.cast(DoubleType)
+    val m = col(metricCol).cast(DecimalType(18, 4))
+    val per = df.filter(col(metricCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__ng"), sum(m).as("__sg"),
+        sum((m * m).cast(DecimalType(38, 8))).as("__qg"))
+    val tot = per.agg(
+      count(lit(1)).as("k"),
+      sum(col("__ng")).as("n"),
+      sum(col("__sg")).as("__s"),
+      sum(col("__qg")).as("__q"),
+      // Σ_g round(S_g²/n_g, 9): the between-group raw moment, exact
+      sum(round(d(col("__sg")) * d(col("__sg")) / col("__ng"), 9)
+        .cast(DecimalType(28, 9))).as("__b"))
+    val ssb = d(col("__b")) - d(col("__s")) * d(col("__s")) / col("n")
+    val ssw = d(col("__q")) - d(col("__b"))
+    tot.select(col("k"), col("n").cast("long").as("n"),
+      (col("k") - 1).cast("long").as("df1"),
+      (col("n") - col("k")).cast("long").as("df2"),
+      round((ssb / (col("k") - 1)) / (ssw / (col("n") - col("k"))), 4)
+        .as("f"),
+      round(ssb / (ssb + ssw), 6).as("eta_sq"))
+  }
 }

@@ -952,6 +952,43 @@ object Stats {
           .as("v"))
   }
 
+  /** Benjamini–Hochberg FDR adjustment over a table of per-stratum
+    * p-values (one row per hypothesis): sort ascending, q_i = m·p_i/i,
+    * adjusted p = the running minimum of q from the LARGEST p down,
+    * capped at 1 — the standard step-up procedure that controls the
+    * expected false-discovery rate when a sweep runs one test per
+    * stratum. NULL p rows (untestable strata) are excluded from m and
+    * from the output.
+    *
+    * The input is a TEST table — one row per stratum, already reduced
+    * from the corpus — so the single-partition windows here order
+    * hypothesis-domain rows (hundreds), never data. `keyCols` break
+    * p-ties so both window stages see one total order (cross-engine
+    * window determinism; see q52's lesson). Output adds rank i,
+    * q = m·p/i, and p_adj, all rounded to 6. */
+  def bhFdr(tests: DataFrame, pCol: String, keyCols: Seq[String])
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ks = keyCols.map(col)
+    val tested = tests.filter(col(pCol).isNotNull)
+    val ordAsc = col(pCol).asc +: ks.map(_.asc)
+    val wRank = Window.orderBy(ordAsc: _*)
+    val wAll = wRank.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val wTail = Window.orderBy((col(pCol).desc +: ks.map(_.desc)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = tested
+      .withColumn("__i", row_number().over(wRank))
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .withColumn("__q",
+        col(pCol) * col("__m") / col("__i"))
+    ranked
+      .withColumn("__padj", least(lit(1.0), min(col("__q")).over(wTail)))
+      .select(ks ++ Seq(col(pCol), col("__i").as("rank"),
+        col("__m").as("m"), round(col("__q"), 6).as("q"),
+        round(col("__padj"), 6).as("p_adj")): _*)
+  }
+
   /** Gini index of a grouped size distribution ("how concentrated is
     * the corpus over sources") from exact integer arithmetic:
     * with sizes s_1 ≤ … ≤ s_k (ties broken by group for a total

@@ -322,4 +322,59 @@ object TimeSeries {
         .otherwise(round(exp(col("__lnsum").cast("double")), 6))
         .as("survival"))
   }
+
+  /** Two-group log-rank test: do the survival curves of `armCol`'s two
+    * arms (0/1) differ — the significance companion of [[kaplanMeier]]
+    * (which only draws the curves). Same duration/censor input contract.
+    *
+    * At each distinct event time t with d_t total events, n_t subjects
+    * at risk and n0_t of them in arm 0:
+    *   E0_t = d_t·n0_t/n_t,
+    *   V_t  = (d_t·n0_t/n_t)·(n1_t/n_t)·((n_t−d_t)/(n_t−1)),
+    * χ² = (O0 − ΣE0)² / ΣV with O0 = Σd0_t (exact integer). E0/V are
+    * division-shaped per-time values, so each rounds to 9 decimals and
+    * decimal-sums (order-free, oracle-exact); single-subject times
+    * (n_t = 1) contribute zero variance and are excluded from V.
+    *
+    * Plan: one hash aggregation to the DURATION domain (d0/d1/at-risk
+    * counts per t), suffix-sum windows over that aggregate for the two
+    * at-risk series, one scalar aggregation. Returns ONE row:
+    * n_times, o0, e0, chi2. */
+  def logRank(df: DataFrame, durationCol: String, eventCol: String,
+              armCol: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val byT = df.groupBy(col(durationCol).as("t"))
+      .agg(
+        sum(when(col(armCol) === 0, col(eventCol)).otherwise(0))
+          .cast("long").as("d0"),
+        sum(when(col(armCol) === 1, col(eventCol)).otherwise(0))
+          .cast("long").as("d1"),
+        count(when(col(armCol) === 0, lit(1))).as("c0"),
+        count(when(col(armCol) === 1, lit(1))).as("c1"))
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = byT
+      .withColumn("n0_risk", sum(col("c0")).over(wDesc))
+      .withColumn("n1_risk", sum(col("c1")).over(wDesc))
+      .filter(col("d0") + col("d1") > 0)
+    val dAll = d(col("d0")) + d(col("d1"))
+    val nAll = d(col("n0_risk")) + d(col("n1_risk"))
+    val e0 = dAll * d(col("n0_risk")) / nAll
+    val v = (dAll * d(col("n0_risk")) / nAll) *
+      (d(col("n1_risk")) / nAll) * ((nAll - dAll) / (nAll - lit(1.0)))
+    val terms = risk.select(col("d0"),
+      round(e0, 9).cast("decimal(28,9)").as("__e0"),
+      when(col("n0_risk") + col("n1_risk") > 1, round(v, 9))
+        .otherwise(lit(0.0)).cast("decimal(28,9)").as("__v"))
+    terms.agg(count(lit(1)).as("n_times"),
+        sum(col("d0")).as("o0"), sum(col("__e0")).as("__e0s"),
+        sum(col("__v")).as("__vs"))
+      .select(col("n_times"), col("o0"),
+        // decimal-sourced → round as DECIMAL then cast (rounding-mode
+        // parity with the oracle; see q107's lesson)
+        round(col("__e0s"), 6).cast("double").as("e0"),
+        round((d(col("o0")) - col("__e0s").cast("double")) *
+          (d(col("o0")) - col("__e0s").cast("double")) /
+          col("__vs").cast("double"), 6).as("chi2"))
+  }
 }

@@ -636,4 +636,132 @@ object VectorOps {
     }
     all
   }
+
+  /** Matryoshka retrieval: rank neighbors by the cosine of the FIRST
+    * `dims` dimensions only (matryoshka-trained embeddings pack the
+    * coarse signal into the prefix, so a prefix search reads 1/4 the
+    * bytes), then report the full-dimension cosine alongside — the
+    * ranking-drift readout that tells you whether the truncation is
+    * safe for first-stage retrieval. Renormalization is a no-op under
+    * cosine, so the prefix slice IS the truncated model's score.
+    *
+    * Plan: the truncated top-k reuses [[bruteForceTopK]]'s bounded
+    * aggregator (shuffle ≤ k rows per query×partition); the full-dim
+    * rescore then touches only the k·|queries| winners — a broadcast
+    * join back to the corpus, never a second scan-wide score. */
+  def matryoshkaTopK(queries: DataFrame, corpus: DataFrame, dims: Int,
+                     k: Int, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(dims >= 1, s"dims < 1: $dims")
+    def trunc(df: DataFrame) =
+      df.select(col(idCol), slice(col(vecCol), 1, dims).as(vecCol))
+    val top = bruteForceTopK(trunc(queries), trunc(corpus), k,
+        idCol, vecCol)
+      .withColumnRenamed("cos_sim", "cos_trunc")
+    val qv = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"))
+    broadcast(top.join(broadcast(qv), "query_id"))
+      .join(cv, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("cos_trunc"),
+        round(cosine(col("__qv"), col("__cv")), 6).as("cos_full"))
+  }
+
+  /** Top-k principal components of the embedding cloud by driver-side
+    * power iteration over a DISTRIBUTED covariance matrix — the
+    * whitening/compression front-end (semantic dedup pipelines whiten
+    * before cosine; PQ variants rotate into the PCA basis first).
+    *
+    * The cluster computes the d×d covariance: exact-decimal dimension
+    * means, then the upper triangle via a double position-explode whose
+    * d²-per-row stream collapses in MAP-SIDE partial aggregation to
+    * d(d+1)/2 keys — nothing data-sized ever shuffles (d = 64 here;
+    * for d in the thousands you'd block the matrix instead). Each
+    * centered product rounds to 9 decimals and decimal-sums, so the
+    * collected matrix — and every eigenvector derived from it — is
+    * bit-deterministic under any partitioning. The d×d eigenproblem is
+    * driver arithmetic BY DESIGN (the matrix is ~32 KB; no cluster
+    * cost), deflated power iteration from a fixed start, sign fixed by
+    * making each component's largest-|coordinate| positive.
+    *
+    * Returns (mean, eigenvalues, components); project with
+    * [[pcaProject]]. */
+  def pcaComponents(df: DataFrame, vecCol: String, k: Int,
+                    iters: Int = 300)
+      : (Array[Double], Array[Double], Array[Array[Double]]) = {
+    val n = df.count()
+    require(n >= 2, s"need >= 2 vectors, got $n")
+    val mean = df
+      .select(posexplode(col(vecCol)).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg((sum(col("x").cast("decimal(28,10)")).cast("double") /
+        count(lit(1))).as("m"))
+      .collect().map(r => r.getAs[Int]("i") -> r.getAs[Double]("m"))
+      .sortBy(_._1).map(_._2)
+    val d = mean.length
+    val mLit = typedlit(mean.toSeq)
+    val ci = col("xi").cast("double") - element_at(mLit, col("i") + 1)
+    val cj = col("xj").cast("double") - element_at(mLit, col("j") + 1)
+    val cov = df
+      .select(col(vecCol).as("__v"),
+        posexplode(col(vecCol)).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"),
+        posexplode(col("__v")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(round(ci * cj, 9).cast("decimal(28,9)")).as("s"))
+      .collect()
+    val a = Array.ofDim[Double](d, d)
+    cov.foreach { r =>
+      val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
+      val v = r.getAs[java.math.BigDecimal]("s").doubleValue() / (n - 1)
+      a(i)(j) = v; a(j)(i) = v
+    }
+    def matVec(m: Array[Array[Double]], v: Array[Double]) =
+      m.map(row => row.zip(v).map { case (x, y) => x * y }.sum)
+    def dotV(x: Array[Double], y: Array[Double]) =
+      x.zip(y).map { case (p, q) => p * q }.sum
+    val comps = Array.ofDim[Double](k, d)
+    val eigvals = new Array[Double](k)
+    val work = a.map(_.clone())
+    for (c <- 0 until k) {
+      // fixed asymmetric start (never orthogonal to a generic eigvec)
+      var v = Array.tabulate(d)(i => 1.0 + (i % 7) * 0.01)
+      var nv = math.sqrt(dotV(v, v)); v = v.map(_ / nv)
+      var it = 0; var delta = 1.0
+      while (it < iters && delta > 1e-13) {
+        val w = matVec(work, v)
+        val nw = math.sqrt(dotV(w, w))
+        val vNew = if (nw == 0) v else w.map(_ / nw)
+        delta = math.sqrt(dotV(vNew.zip(v).map { case (x, y) => x - y },
+          vNew.zip(v).map { case (x, y) => x - y }))
+        v = vNew; it += 1
+      }
+      val lam = dotV(v, matVec(work, v))
+      val maxIdx = v.indices.maxBy(i => math.abs(v(i)))
+      val sign = if (v(maxIdx) < 0) -1.0 else 1.0
+      comps(c) = v.map(_ * sign)
+      eigvals(c) = lam
+      for (i <- 0 until d; j <- 0 until d)
+        work(i)(j) -= lam * v(i) * v(j)
+    }
+    (mean, eigvals, comps)
+  }
+
+  /** Project each vector onto principal components: pc_c = ⟨v − μ, w_c⟩
+    * = ⟨v, w_c⟩ − ⟨μ, w_c⟩, the second term a driver constant — so the
+    * scan-side work is one codegen'd sequential-fold dot per component,
+    * no centering materialization. Output: idCols*, pc1..pck. */
+  def pcaProject(df: DataFrame, idCols: Seq[String], vecCol: String,
+                 mean: Array[Double], comps: Array[Array[Double]])
+      : DataFrame = {
+    val pcs = comps.zipWithIndex.map { case (w, c) =>
+      val off = mean.zip(w).map { case (m, x) => m * x }.sum
+      (dot(col(vecCol), typedlit(w.toSeq)) - lit(off))
+        .as(s"pc${c + 1}")
+    }
+    df.select(idCols.map(col) ++ pcs: _*)
+  }
 }

@@ -1415,4 +1415,54 @@ object Relational {
   def q214CramersV(s: SparkSession, dir: String): DataFrame =
     Stats.cramersV(Tables.events(s, dir),
       col("event_type"), hour(col("ts")))
+
+  /** The q92/q165 deterministic A/B arm: hash-split on user id, seed 13. */
+  private def withArm(ev: DataFrame): DataFrame =
+    ev.withColumn("arm",
+      when(graft.ops.Sampling.sampleHash(col("user_id"), 13L) <
+        500000L, 0).otherwise(1))
+
+  /** q215: Mann–Whitney U test of `value` between the q165 hash-split
+    * arms per event type ([[Eval.mannWhitneyU]]) — the nonparametric
+    * twin of q165's Welch t: rank-based, so heavy tails can't fake or
+    * mask a treatment effect. */
+  def q215MannWhitney(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.mannWhitneyU(withArm(Tables.events(s, dir)),
+      Seq("event_type"), "arm", "value")
+
+  /** q216: Benjamini–Hochberg FDR adjustment ([[Stats.bhFdr]]) over the
+    * q215 test run per (event_type, hour) stratum — the multiple-
+    * comparisons discipline every per-stratum significance sweep needs
+    * before anyone acts on its "discoveries". */
+  def q216BhFdr(s: SparkSession, dir: String): DataFrame = {
+    val tests = graft.ops.Eval.mannWhitneyU(
+      withArm(Tables.events(s, dir)).withColumn("hr", hour(col("ts"))),
+      Seq("event_type", "hr"), "arm", "value")
+    Stats.bhFdr(tests.select(col("event_type"), col("hr"), col("p_two")),
+      "p_two", Seq("event_type", "hr"))
+  }
+
+  /** q217: one-way ANOVA F across event types ([[Eval.anovaF]]) — does
+    * mean `value` differ by type at all, the k-group gate run before
+    * any pairwise test sweep. */
+  def q217AnovaF(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.anovaF(Tables.events(s, dir), "event_type", "value")
+
+  /** q218: two-group log-rank test ([[TimeSeries.logRank]]) on the q172
+    * user-span construction, arms from the q165 hash split — are the
+    * two cohorts' churn curves different, with significance (q172 only
+    * draws the curves). */
+  def q218LogRank(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val spans = ev.groupBy(col("user_id"))
+      .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+      .crossJoin(broadcast(ev.agg(max(col("us")).as("frontier_us"))))
+      .select(col("user_id"),
+        expr("(last_us - first_us) div 86400000000").as("duration"),
+        when(col("last_us") > col("frontier_us") - lit(86400000000L),
+          lit(0)).otherwise(lit(1)).as("event"))
+    graft.ops.TimeSeries.logRank(withArm(spans), "duration", "event",
+      "arm")
+  }
 }

@@ -127,6 +127,27 @@ object VectorOracles {
          |  ROUND(cos, 6) AS cos_sim
          |FROM r WHERE rank <= ${VectorQueries.TopK}""".stripMargin,
 
+    // matryoshka: rank by prefix-16 cosine, rescore winners at full dim
+    "q219_matryoshka" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+         |             embedding[1:${VectorQueries.MatryoshkaDims}] AS qt
+         |           FROM embeddings
+         |           WHERE vec_id < ${VectorQueries.NumQueryVecs}),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+         |        embedding[1:${VectorQueries.MatryoshkaDims}] AS ct
+         |      FROM embeddings),
+         |scored AS (SELECT query_id, neighbor_id, qv, cv,
+         |             ${cos("qt", "ct")} AS cos
+         |           FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, qv, cv, cos,
+         |        CAST(row_number() OVER (PARTITION BY query_id
+         |               ORDER BY cos DESC, neighbor_id ASC) AS INTEGER)
+         |          AS rank
+         |      FROM scored)
+         |SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS cos_trunc,
+         |  ROUND(${cos("qv", "cv")}, 6) AS cos_full
+         |FROM r WHERE rank <= ${VectorQueries.TopK}""".stripMargin,
+
     "q31_ann_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
          |           FROM embeddings WHERE vec_id < ${VectorQueries.NumQueryVecs}),

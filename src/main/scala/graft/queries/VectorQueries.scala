@@ -282,4 +282,32 @@ object VectorQueries {
     VectorOps.mmrRerank(emb.filter(col("vec_id") < NumQueryVecs), emb,
       shortlistK = 20, selectK = 5, lambda = 0.5)
   }
+
+  /** Matryoshka prefix width for q219 (the coarse first-stage model:
+    * first 16 of 64 dims = 1/4 the read bytes). */
+  val MatryoshkaDims = 16
+
+  /** q219: matryoshka retrieval drift ([[VectorOps.matryoshkaTopK]]) —
+    * top-5 by prefix-16 cosine, rescored at full dimension. */
+  def qMatryoshka(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    VectorOps.matryoshkaTopK(emb.filter(col("vec_id") < NumQueryVecs),
+      emb, MatryoshkaDims, TopK)
+  }
+
+  /** q220: PCA projection ([[VectorOps.pcaComponents]] +
+    * [[VectorOps.pcaProject]]) — every vector scored on the top-2
+    * principal axes of the corpus. Spec-gated (the d×d eigenproblem
+    * has no SQL oracle): orthonormality, descending eigenvalues, and
+    * per-axis projected variance ≈ eigenvalue are pinned in
+    * Round5OpsSpec; the oracle board checks rows/schema only. */
+  def qPcaProject(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val (mean, _, comps) =
+      VectorOps.pcaComponents(emb, "embedding", k = 2)
+    VectorOps.pcaProject(emb, Seq("vec_id", "label"), "embedding",
+        mean, comps)
+      .select(col("vec_id"), col("label"),
+        round(col("pc1"), 6).as("pc1"), round(col("pc2"), 6).as("pc2"))
+  }
 }

@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Eval, Stats, TimeSeries, VectorOps}
+
+/** Round-6 operator family: Mann–Whitney U, one-way ANOVA F,
+  * Benjamini–Hochberg FDR, two-group log-rank, matryoshka retrieval,
+  * PCA power iteration. The value gate for q215–q219 is the DuckDB
+  * oracle; these specs pin closed-form fixtures and the algebraic
+  * contracts a value compare can't see. q220 (PCA) has NO oracle — the
+  * spectral assertions here are its primary gate. */
+class SignificanceAndPcaSpec extends SparkSpecBase {
+
+  test("mannWhitneyU: separated arms match the closed form, U0+U1=n0·n1") {
+    import spark.implicits._
+    // arm0 = {1,2,3}, arm1 = {4,5,6}: U0 = 0, z = −4.5/√5.25
+    val df = Seq(("g", 0, 1.0), ("g", 0, 2.0), ("g", 0, 3.0),
+      ("g", 1, 4.0), ("g", 1, 5.0), ("g", 1, 6.0))
+      .toDF("k", "arm", "v")
+    val r = Eval.mannWhitneyU(df, Seq("k"), "arm", "v").collect().head
+    assert(r.getAs[Double]("u") == 0.0)
+    val zExp = math.rint(-4.5 / math.sqrt(5.25) * 1e4) / 1e4
+    assert(r.getAs[Double]("z") == zExp, s"z ${r.getAs[Double]("z")}")
+    // p ≈ 2(1−Φ(1.96..)) ≈ 0.0496 — A&S poly is good to 1.5e-7
+    assert(math.abs(r.getAs[Double]("p_two") - 0.049535) < 1e-3)
+    // tie-heavy fixture: U from direct pair counting (wins + half-ties)
+    val a0 = Seq(1.0, 2.0, 2.0, 3.0, 7.0)
+    val a1 = Seq(2.0, 3.0, 3.0, 5.0)
+    val uRef = (for (x <- a0; y <- a1) yield
+      if (x > y) 1.0 else if (x == y) 0.5 else 0.0).sum
+    val df2 = (a0.map(("g", 0, _)) ++ a1.map(("g", 1, _)))
+      .toDF("k", "arm", "v")
+    val r2 = Eval.mannWhitneyU(df2, Seq("k"), "arm", "v").collect().head
+    assert(r2.getAs[Double]("u") == uRef, s"u ${r2.getAs[Double]("u")} ref $uRef")
+    // complement law: swapping arms gives n0·n1 − U
+    val df2s = df2.withColumn("arm", lit(1) - col("arm"))
+    val r2s = Eval.mannWhitneyU(df2s, Seq("k"), "arm", "v").collect().head
+    assert(r2.getAs[Double]("u") + r2s.getAs[Double]("u") ==
+      a0.size.toDouble * a1.size)
+    // degenerate strata: empty arm and zero variance → NULL z/p
+    val deg = Seq(("e", 0, 1.0), ("e", 0, 2.0),
+      ("c", 0, 5.0), ("c", 1, 5.0)).toDF("k", "arm", "v")
+    Eval.mannWhitneyU(deg, Seq("k"), "arm", "v").collect().foreach { row =>
+      assert(row.isNullAt(row.fieldIndex("z")), s"expected null z: $row")
+    }
+  }
+
+  test("anovaF: textbook fixture F=3, eta²=1/2; equal groups give F=0") {
+    import spark.implicits._
+    val df = (Seq(1, 2, 3).map(("a", _)) ++ Seq(2, 3, 4).map(("b", _)) ++
+      Seq(3, 4, 5).map(("c", _))).map { case (g, v) => (g, v.toDouble) }
+      .toDF("g", "v")
+    val r = Eval.anovaF(df, "g", "v").collect().head
+    assert(r.getAs[Long]("n") == 9L && r.getAs[Long]("df1") == 2L &&
+      r.getAs[Long]("df2") == 6L)
+    assert(r.getAs[Double]("f") == 3.0 && r.getAs[Double]("eta_sq") == 0.5)
+    val same = (Seq("a", "b", "c").flatMap(g =>
+      Seq(1.0, 2.0, 3.0).map((g, _)))).toDF("g", "v")
+    assert(Eval.anovaF(same, "g", "v").collect().head
+      .getAs[Double]("f") == 0.0)
+  }
+
+  test("bhFdr: step-up running min matches the hand calculation") {
+    import spark.implicits._
+    val df = Seq(("s1", 0.005), ("s2", 0.009), ("s3", 0.05), ("s4", 0.5))
+      .toDF("k", "p")
+    val got = Stats.bhFdr(df, "p", Seq("k")).collect()
+      .map(r => r.getAs[String]("k") ->
+        (r.getAs[Int]("rank"), r.getAs[Double]("p_adj"))).toMap
+    // q = [0.02, 0.018, 0.066667, 0.5]; running min from the top:
+    assert(got("s1") == ((1, 0.018)) && got("s2") == ((2, 0.018)))
+    assert(got("s3") == ((3, 0.066667)) && got("s4") == ((4, 0.5)))
+    // NULL p rows (untestable strata) are excluded from m and output
+    val withNull = Seq(("s1", Some(0.005)), ("s2", Some(0.009)),
+      ("s3", Some(0.05)), ("s4", Some(0.5)), ("s5", None: Option[Double]))
+      .toDF("k", "p")
+    val adj = Stats.bhFdr(withNull, "p", Seq("k"))
+    assert(adj.count() == 4 &&
+      adj.agg(max(col("m"))).collect().head.getLong(0) == 4L)
+  }
+
+  test("logRank: mirrored arms give chi2=0; single-arm death excess is large") {
+    import spark.implicits._
+    // identical duration/event profiles in both arms → O0 = E0 exactly
+    val base = Seq((3L, 1), (5L, 1), (5L, 0), (9L, 1), (12L, 0))
+    val mirrored = (base.map { case (t, e) => (t, e, 0) } ++
+      base.map { case (t, e) => (t, e, 1) }).toDF("dur", "ev", "arm")
+    val r = TimeSeries.logRank(mirrored, "dur", "ev", "arm").collect().head
+    assert(r.getAs[Double]("chi2") == 0.0, s"chi2 ${r}")
+    assert(r.getAs[Long]("o0") == 3L &&
+      math.abs(r.getAs[Double]("e0") - 3.0) < 1e-8)
+    // arm0 dies early, arm1 survives long → chi2 clearly > 3.84 (5% cut)
+    val split = ((1 to 12).map(i => (i.toLong, 1, 0)) ++
+      (30 to 41).map(i => (i.toLong, 1, 1))).toDF("dur", "ev", "arm")
+    assert(TimeSeries.logRank(split, "dur", "ev", "arm").collect().head
+      .getAs[Double]("chi2") > 3.84)
+  }
+
+  test("matryoshkaTopK: prefix ranks, full-dim cosine rescored exactly") {
+    import spark.implicits._
+    // prefix (first 2 dims) ranking disagrees with full ranking:
+    // query q: prefix favors b, full favors c
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)), // query
+      (1L, Array(0.9f, 0.1f, 0.9f, 0.9f)), // b: best prefix, weak full
+      (2L, Array(0.6f, 0.3f, 0.05f, 0.05f)) // c: weaker prefix, strong full
+    ).toDF("vec_id", "embedding")
+    val r = VectorOps.matryoshkaTopK(
+        vecs.filter(col("vec_id") === 0), vecs, dims = 2, k = 2)
+      .orderBy("rank").collect()
+    assert(r.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L))
+    // full-dim rescore matches a direct cosine computation
+    def cosRef(a: Array[Float], b: Array[Float]): Double = {
+      def d(x: Array[Float], y: Array[Float]) =
+        x.zip(y).foldLeft(0.0) { case (s, (p, q)) =>
+          s + p.toDouble * q.toDouble }
+      d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+    }
+    val full1 = math.rint(cosRef(Array(1.0f, 0.0f, 0.0f, 0.0f),
+      Array(0.9f, 0.1f, 0.9f, 0.9f)) * 1e6) / 1e6
+    assert(r(0).getAs[Double]("cos_full") == full1)
+    // and the full ordering is indeed inverted vs the prefix ordering
+    assert(r(0).getAs[Double]("cos_full") < r(1).getAs[Double]("cos_full"))
+    assert(r(0).getAs[Double]("cos_trunc") > r(1).getAs[Double]("cos_trunc"))
+  }
+
+  test("pcaComponents: recovers planted axes; projections carry the eigenvalues") {
+    import spark.implicits._
+    // plant a 2-factor covariance in 6 dims: u with sd 3, v with sd 1,
+    // iid noise 0.01 — spectrum is unambiguous
+    val d = 6
+    val u = Array(1.0, 1.0, 1.0, 1.0, 1.0, 1.0).map(_ / math.sqrt(6.0))
+    val v = Array(1.0, -1.0, 1.0, -1.0, 1.0, -1.0).map(_ / math.sqrt(6.0))
+    // splitmix64 finalizer: decorrelated deterministic uniforms in
+    // (−0.5, 0.5) — a raw LCG step of sequential seeds is affine in i
+    // and visibly tilts the sample axes
+    def mix(s0: Long): Double = {
+      var z = s0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      ((z >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+    }
+    val rows = (0 until 400).map { i =>
+      val a = 3.0 * mix(i)
+      val b = 1.0 * mix(i + 1000000)
+      val x = Array.tabulate(d) { j =>
+        (a * u(j) + b * v(j) + 0.01 * mix(i * d + j + 2000000)).toFloat
+      }
+      (i.toLong, x)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (mean, eig, comps) = VectorOps.pcaComponents(df, "embedding", k = 2)
+    assert(mean.length == d && comps.forall(_.length == d))
+    def dot(x: Array[Double], y: Array[Double]) =
+      x.zip(y).map { case (p, q) => p * q }.sum
+    // orthonormal, ordered spectrum
+    assert(math.abs(dot(comps(0), comps(0)) - 1.0) < 1e-9)
+    assert(math.abs(dot(comps(1), comps(1)) - 1.0) < 1e-9)
+    assert(math.abs(dot(comps(0), comps(1))) < 1e-7)
+    assert(eig(0) > eig(1) && eig(1) > 0)
+    // recovered axes align with the planted ones (sign-free)
+    assert(math.abs(dot(comps(0), u)) > 0.995, s"pc1 vs u: ${dot(comps(0), u)}")
+    assert(math.abs(dot(comps(1), v)) > 0.995, s"pc2 vs v: ${dot(comps(1), v)}")
+    // sample variance of each projection ≈ its eigenvalue
+    val proj = VectorOps.pcaProject(df, Seq("vec_id"), "embedding",
+      mean, comps)
+    val stats = proj.agg(
+      variance(col("pc1")).as("v1"), variance(col("pc2")).as("v2"),
+      avg(col("pc1")).as("m1")).collect().head
+    assert(math.abs(stats.getAs[Double]("v1") - eig(0)) < 1e-6 * eig(0) + 1e-9)
+    assert(math.abs(stats.getAs[Double]("v2") - eig(1)) < 1e-6 * eig(1) + 1e-9)
+    // centered: projections average to ~0
+    assert(math.abs(stats.getAs[Double]("m1")) < 1e-9)
+  }
+}
