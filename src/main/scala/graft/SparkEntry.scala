@@ -264,6 +264,10 @@ object SparkEntry {
     "q218_log_rank"          -> Relational.q218LogRank _,
     "q219_matryoshka"        -> VectorQueries.qMatryoshka _,
     "q220_pca_project"       -> VectorQueries.qPcaProject _,
+    "q221_two_proportion"    -> Relational.q221TwoProportion _,
+    "q222_cmh"               -> Relational.q222Cmh _,
+    "q223_jsd"               -> Relational.q223Jsd _,
+    "q224_kendall_tau"       -> Relational.q224KendallTau _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */
@@ -1909,7 +1913,149 @@ object SparkEntry {
          |    / CAST(SUM(v) AS DOUBLE), 6) AS chi2
          |FROM terms""".stripMargin
     },
+
+    "q221_two_proportion" ->
+      s"""WITH src AS ($convCte),
+         |m AS (SELECT event_type,
+         |    COUNT(*) FILTER (arm = 0) AS n0,
+         |    CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+         |      AS s0,
+         |    COUNT(*) FILTER (arm = 1) AS n1,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+         |      AS s1
+         |  FROM src GROUP BY event_type),
+         |d AS (SELECT event_type, n0, s0, n1, s1,
+         |    CAST(s0 AS DOUBLE) / n0 AS p0v,
+         |    CAST(s1 AS DOUBLE) / n1 AS p1v,
+         |    (CAST(s0 AS DOUBLE) + CAST(s1 AS DOUBLE))
+         |      / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) AS pp
+         |  FROM m),
+         |zc AS (SELECT event_type, n0, s0, n1, s1, p0v, p1v,
+         |    CASE WHEN n0 > 0 AND n1 > 0 AND s0 + s1 > 0
+         |              AND s0 + s1 < n0 + n1
+         |         THEN (p0v - p1v) / sqrt((pp * (1.0 - pp))
+         |                * (1.0 / n0 + 1.0 / n1)) END AS zr
+         |  FROM d),
+         |pc AS (SELECT event_type, n0, s0, n1, s1, p0v, p1v, zr,
+         |    abs(zr) / sqrt(2.0) AS x,
+         |    1.0 / (1.0 + 0.3275911 * (abs(zr) / sqrt(2.0))) AS t
+         |  FROM zc)
+         |SELECT event_type, n0, s0, n1, s1,
+         |  ROUND(p0v, 6) AS p0, ROUND(p1v, 6) AS p1,
+         |  ROUND(zr, 4) AS z,
+         |  ROUND(((((1.061405429 * t - 1.453152027) * t + 1.421413741)
+         |    * t - 0.284496736) * t + 0.254829592) * t * exp(-(x * x)),
+         |    6) AS p_two
+         |FROM pc""".stripMargin,
+
+    "q222_cmh" ->
+      s"""WITH src AS ($convCte),
+         |st AS (SELECT CAST(hour(ts) AS INTEGER) AS hr,
+         |    COUNT(*) FILTER (arm = 0) AS n0,
+         |    CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+         |      AS a,
+         |    COUNT(*) FILTER (arm = 1) AS n1,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+         |      AS c
+         |  FROM src GROUP BY hr),
+         |tm AS (SELECT a,
+         |    CAST(ROUND(CAST(n0 AS DOUBLE)
+         |      * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+         |      / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)), 9)
+         |      AS DECIMAL(28,9)) AS ee,
+         |    CAST(CASE WHEN n0 + n1 > 1 THEN
+         |      ROUND((((CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE))
+         |          * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE)))
+         |        * ((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE))
+         |           - (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))))
+         |        / (((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE))
+         |            * (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)))
+         |           * ((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) - 1.0)),
+         |        9) ELSE 0.0 END AS DECIMAL(28,9)) AS v
+         |  FROM st)
+         |SELECT COUNT(*) AS n_strata, CAST(SUM(a) AS BIGINT) AS o,
+         |  CAST(ROUND(SUM(ee), 6) AS DOUBLE) AS e,
+         |  ROUND((CAST(SUM(a) AS DOUBLE) - CAST(SUM(ee) AS DOUBLE))
+         |    * (CAST(SUM(a) AS DOUBLE) - CAST(SUM(ee) AS DOUBLE))
+         |    / CAST(SUM(v) AS DOUBLE), 6) AS chi2
+         |FROM tm""".stripMargin,
+
+    "q223_jsd" -> {
+      val hv = graft.queries.TextOracles.H(
+        "CAST(user_id AS VARCHAR) || '#13'")
+      s"""WITH e AS (SELECT CAST(dayofweek(ts) AS INTEGER) AS dow,
+         |    event_type,
+         |    CASE WHEN ($hv * 2654435761 % 1000000007) % 1000000 < 500000
+         |         THEN 0 ELSE 1 END AS arm
+         |  FROM events),
+         |cells AS (SELECT dow, event_type,
+         |    COUNT(*) FILTER (arm = 0) AS c0,
+         |    COUNT(*) FILTER (arm = 1) AS c1
+         |  FROM e GROUP BY dow, event_type),
+         |tot AS (SELECT *,
+         |    SUM(c0) OVER (PARTITION BY dow) AS t0,
+         |    SUM(c1) OVER (PARTITION BY dow) AS t1
+         |  FROM cells),
+         |terms AS (SELECT dow, t0, t1,
+         |    CAST(CASE WHEN c0 > 0 THEN ROUND(0.5
+         |        * (CAST(c0 AS DOUBLE) / t0)
+         |        * ln((CAST(c0 AS DOUBLE) / t0)
+         |             / ((CAST(c0 AS DOUBLE) / t0
+         |                 + CAST(c1 AS DOUBLE) / t1) / 2.0)), 9)
+         |      ELSE 0.0 END AS DECIMAL(28,9)) AS tp,
+         |    CAST(CASE WHEN c1 > 0 THEN ROUND(0.5
+         |        * (CAST(c1 AS DOUBLE) / t1)
+         |        * ln((CAST(c1 AS DOUBLE) / t1)
+         |             / ((CAST(c0 AS DOUBLE) / t0
+         |                 + CAST(c1 AS DOUBLE) / t1) / 2.0)), 9)
+         |      ELSE 0.0 END AS DECIMAL(28,9)) AS tq
+         |  FROM tot),
+         |agg AS (SELECT dow, COUNT(*) AS k,
+         |    CAST(MAX(t0) AS BIGINT) AS n0, CAST(MAX(t1) AS BIGINT) AS n1,
+         |    SUM(tp) AS sp, SUM(tq) AS sq
+         |  FROM terms GROUP BY dow)
+         |SELECT dow, k, n0, n1,
+         |  CASE WHEN n0 > 0 AND n1 > 0
+         |       THEN CAST(ROUND(sp + sq, 6) AS DOUBLE) END AS jsd,
+         |  CASE WHEN n0 > 0 AND n1 > 0
+         |       THEN ROUND(sqrt(CAST(ROUND(sp + sq, 6) AS DOUBLE)), 6)
+         |    END AS js_dist
+         |FROM agg""".stripMargin
+    },
+
+    "q224_kendall_tau" ->
+      """WITH series AS (SELECT date_trunc('hour', ts) AS h,
+        |    COUNT(*) FILTER (event_type = 'click') AS x,
+        |    COUNT(*) FILTER (event_type = 'purchase') AS y
+        |  FROM events GROUP BY h),
+        |pr AS (SELECT
+        |    sign(CAST(a.x AS DOUBLE) - CAST(b.x AS DOUBLE)) AS sx,
+        |    sign(CAST(a.y AS DOUBLE) - CAST(b.y AS DOUBLE)) AS sy
+        |  FROM series a JOIN series b ON a.h < b.h),
+        |agg AS (SELECT COUNT(*) AS pairs,
+        |    COUNT(*) FILTER (sx * sy > 0) AS concordant,
+        |    COUNT(*) FILTER (sx * sy < 0) AS discordant,
+        |    COUNT(*) FILTER (sx = 0) AS tx,
+        |    COUNT(*) FILTER (sy = 0) AS ty
+        |  FROM pr)
+        |SELECT pairs, concordant, discordant,
+        |  CASE WHEN pairs > tx AND pairs > ty THEN
+        |    ROUND((CAST(concordant AS DOUBLE) - CAST(discordant AS DOUBLE))
+        |      / sqrt(CAST(pairs - tx AS DOUBLE)
+        |             * CAST(pairs - ty AS DOUBLE)), 6) END AS tau_b
+        |FROM agg""".stripMargin,
   )
+
+  /** Shared q221/q222 source CTE body: NULL-value rows out, arm from
+    * the q165 hash split, conversion = value > 50. */
+  private def convCte: String = {
+    val hv = graft.queries.TextOracles.H("CAST(user_id AS VARCHAR) || '#13'")
+    s"""SELECT event_type, ts,
+       |    CASE WHEN value > 50 THEN 1 ELSE 0 END AS conv,
+       |    CASE WHEN ($hv * 2654435761 % 1000000007) % 1000000 < 500000
+       |         THEN 0 ELSE 1 END AS arm
+       |  FROM events WHERE value IS NOT NULL""".stripMargin
+  }
 
   /** Shared Mann–Whitney oracle chain (q215/q216): `srcCols` projects
     * the stratum columns out of `events` (may alias expressions),

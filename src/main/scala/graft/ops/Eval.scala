@@ -485,6 +485,83 @@ object Eval {
         round(erfcApprox(abs(z) / sqrt(lit(2.0))), 6)).as("p_two")): _*)
   }
 
+  /** Two-proportion z-test of a 0/1 `successCol` between the arms of
+    * `armCol` per stratum — the conversion-rate A/B readout
+    * ([[welchTwoSample]] compares means of a metric; this compares
+    * rates of an outcome). Pooled-variance z:
+    *   z = (p0 − p1) / √(p̂(1−p̂)(1/n0 + 1/n1)),  p̂ pooled.
+    * Counts are exact longs; every float op is a fixed-order division/
+    * sqrt so a SQL oracle matches bit-for-bit; two-sided p from
+    * [[erfcApprox]]. One hash aggregation, stratum-domain output.
+    * Degenerate strata (empty arm, all-success or all-failure pool)
+    * yield NULL z/p. */
+  def twoProportionZ(df: DataFrame, groupCols: Seq[String],
+                     armCol: String, successCol: String): DataFrame = {
+    val gs = groupCols.map(col)
+    def d(c: Column) = c.cast(DoubleType)
+    val m = df.groupBy(gs: _*).agg(
+      count(when(col(armCol) === 0, lit(1))).as("n0"),
+      sum(when(col(armCol) === 0, col(successCol)).otherwise(0))
+        .cast("long").as("s0"),
+      count(when(col(armCol) === 1, lit(1))).as("n1"),
+      sum(when(col(armCol) === 1, col(successCol)).otherwise(0))
+        .cast("long").as("s1"))
+    val p0 = d(col("s0")) / col("n0")
+    val p1 = d(col("s1")) / col("n1")
+    val pp = (d(col("s0")) + d(col("s1"))) / (d(col("n0")) + d(col("n1")))
+    val z = (p0 - p1) /
+      sqrt((pp * (lit(1.0) - pp)) * (lit(1.0) / col("n0") + lit(1.0) / col("n1")))
+    val ok = col("n0") > 0 && col("n1") > 0 &&
+      col("s0") + col("s1") > 0 && col("s0") + col("s1") < col("n0") + col("n1")
+    m.select(gs ++ Seq(col("n0"), col("s0"), col("n1"), col("s1"),
+      round(p0, 6).as("p0"), round(p1, 6).as("p1"),
+      when(ok, round(z, 4)).as("z"),
+      when(ok, round(erfcApprox(abs(z) / sqrt(lit(2.0))), 6))
+        .as("p_two")): _*)
+  }
+
+  /** Cochran–Mantel–Haenszel test: association between a 0/1 arm and a
+    * 0/1 outcome POOLED ACROSS STRATA — the guard against Simpson's
+    * paradox that a collapsed 2×2 (q221 on the whole table) walks into.
+    * Per stratum h with arm-0 row (a, n0−a), arm-1 row (c, n1−c),
+    * n = n0+n1, col0 = a+c:
+    *   E_h = n0·col0/n,  V_h = n0·n1·col0·(n−col0) / (n²·(n−1)),
+    * χ² = (ΣA − ΣE)² / ΣV (no continuity correction — documented
+    * choice, same policy as [[mannWhitneyU]]).
+    *
+    * ΣA is an exact long; E/V are division-shaped per-stratum values →
+    * round 9 → decimal sum (order-free, oracle-exact). One hash
+    * aggregation to the stratum domain, one scalar aggregation.
+    * Single-subject strata (n = 1) contribute zero V. Returns ONE row:
+    * n_strata, o (=ΣA), e, chi2. */
+  def cmhTest(df: DataFrame, strataCols: Seq[String], armCol: String,
+              successCol: String): DataFrame = {
+    def d(c: Column) = c.cast(DoubleType)
+    val byStratum = df.groupBy(strataCols.map(col): _*).agg(
+      count(when(col(armCol) === 0, lit(1))).as("n0"),
+      sum(when(col(armCol) === 0, col(successCol)).otherwise(0))
+        .cast("long").as("a"),
+      count(when(col(armCol) === 1, lit(1))).as("n1"),
+      sum(when(col(armCol) === 1, col(successCol)).otherwise(0))
+        .cast("long").as("c"))
+    val n = d(col("n0")) + d(col("n1"))
+    val col0 = d(col("a")) + d(col("c"))
+    val e = d(col("n0")) * col0 / n
+    val v = (((d(col("n0")) * d(col("n1"))) * col0) * (n - col0)) /
+      ((n * n) * (n - lit(1.0)))
+    val terms = byStratum.select(col("a"),
+      round(e, 9).cast("decimal(28,9)").as("__e"),
+      when(col("n0") + col("n1") > 1, round(v, 9)).otherwise(lit(0.0))
+        .cast("decimal(28,9)").as("__v"))
+    terms.agg(count(lit(1)).as("n_strata"), sum(col("a")).as("o"),
+        sum(col("__e")).as("__es"), sum(col("__v")).as("__vs"))
+      .select(col("n_strata"), col("o"),
+        round(col("__es"), 6).cast("double").as("e"),
+        round((d(col("o")) - col("__es").cast("double")) *
+          (d(col("o")) - col("__es").cast("double")) /
+          col("__vs").cast("double"), 6).as("chi2"))
+  }
+
   /** One-way ANOVA F across the groups of `groupCol`: does the mean of
     * `metricCol` differ across k groups — the k-arm generalization of
     * [[welchTwoSample]] (equal-variance form). Returns ONE row:

@@ -952,6 +952,92 @@ object Stats {
           .as("v"))
   }
 
+  /** Jensen–Shannon divergence between the two arms' distributions of
+    * `keyCol` within each `groupCols` stratum — the SYMMETRIC, bounded
+    * ([0, ln 2] nats) companion of [[mutualInformation]]/q146's drift:
+    * "how differently do the arms distribute over categories".
+    * JSD = ½·KL(P‖M) + ½·KL(Q‖M), M = (P+Q)/2.
+    *
+    * Counts are exact; each term ½·p·ln(p/m) is division-shaped per
+    * CATEGORY (rounds to 9, decimal-sums — order-free), and the final
+    * JSD is a sum of two exact decimals rounded AS DECIMAL (the q107
+    * rounding-mode rule: never double-round a decimal-grid value).
+    * Zero-count categories contribute exactly 0 (the 0·ln 0 limit) —
+    * never an ln(0). One hash aggregation to (stratum, category), a
+    * stratum-partitioned total window, one stratum aggregation.
+    * Output per stratum: k categories, n0, n1, jsd, js_dist = √jsd. */
+  def jsDivergence(df: DataFrame, groupCols: Seq[String], armCol: String,
+                   keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def d(c: Column) = c.cast(DoubleType)
+    val gs = groupCols.map(col)
+    val cells = df.groupBy(gs :+ col(keyCol): _*).agg(
+      count(when(col(armCol) === 0, lit(1))).as("c0"),
+      count(when(col(armCol) === 1, lit(1))).as("c1"))
+    val wG = Window.partitionBy(gs: _*)
+    val tot = cells
+      .withColumn("t0", sum(col("c0")).over(wG))
+      .withColumn("t1", sum(col("c1")).over(wG))
+    val p = d(col("c0")) / col("t0")
+    val q = d(col("c1")) / col("t1")
+    val mm = (p + q) / lit(2.0)
+    def term(pc: Column, cnt: Column) =
+      when(cnt > 0, round(lit(0.5) * pc * log(pc / mm), 9))
+        .otherwise(lit(0.0)).cast(DecimalType(28, 9))
+    val agg = tot.groupBy(gs: _*).agg(
+      count(lit(1)).as("k"),
+      max(col("t0")).as("n0"), max(col("t1")).as("n1"),
+      sum(term(p, col("c0"))).as("__sp"),
+      sum(term(q, col("c1"))).as("__sq"))
+    // js_dist takes the sqrt of the ALREADY-6-ROUNDED jsd: decimal
+    // rounding agrees exactly across engines, so the sqrt input is an
+    // identical double — sqrt of the raw sum would amplify a 1e-9
+    // term-rounding tie through the 1/(2√x) derivative into the 6th
+    // decimal (observed at sf0.1 before this formulation)
+    val jsdR = round(col("__sp") + col("__sq"), 6).cast(DoubleType)
+    agg.select(gs ++ Seq(col("k"), col("n0"), col("n1"),
+      when(col("n0") > 0 && col("n1") > 0, jsdR).as("jsd"),
+      when(col("n0") > 0 && col("n1") > 0, round(sqrt(jsdR), 6))
+        .as("js_dist")): _*)
+  }
+
+  /** Kendall τ-b rank association between two columns of a
+    * DOMAIN-SIZED series (daily aggregates, stratum summaries — one
+    * row per `keyCol`): exact concordant/discordant/tie counts from a
+    * key-ordered pair self-join, τ-b = (C−D)/√((P−Tx)(P−Ty)) with
+    * P = n(n−1)/2 and Tx/Ty = pairs tied in x/y. Everything is exact
+    * 64-bit integers until the single final division — the strongest
+    * oracle shape there is.
+    *
+    * SCALE CONTRACT: the pair join is |domain|²/2 — built for series
+    * of up to ~10⁵ rows (a decade of days, thousands of strata), NEVER
+    * raw corpus rows; corpus-scale monotone association is [[spearman]]
+    * (q213), which needs no pair join. The input should already be the
+    * product of a corpus-reducing aggregation. */
+  def kendallTauB(series: DataFrame, keyCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    def d(c: Column) = c.cast(DoubleType)
+    val a = series.select(col(keyCol).as("__ka"), col(xCol).as("__xa"),
+      col(yCol).as("__ya"))
+    val b = series.select(col(keyCol).as("__kb"), col(xCol).as("__xb"),
+      col(yCol).as("__yb"))
+    val sx = signum(d(col("__xa")) - d(col("__xb")))
+    val sy = signum(d(col("__ya")) - d(col("__yb")))
+    val pairs = a.join(b, col("__ka") < col("__kb"))
+      .select((sx * sy).as("__s"), sx.as("__sx"), sy.as("__sy"))
+    val agg = pairs.agg(
+      count(lit(1)).as("pairs"),
+      count(when(col("__s") > 0, lit(1))).as("concordant"),
+      count(when(col("__s") < 0, lit(1))).as("discordant"),
+      count(when(col("__sx") === 0, lit(1))).as("__tx"),
+      count(when(col("__sy") === 0, lit(1))).as("__ty"))
+    agg.select(col("pairs"), col("concordant"), col("discordant"),
+      when(col("pairs") > col("__tx") && col("pairs") > col("__ty"),
+        round((d(col("concordant")) - d(col("discordant"))) /
+          sqrt(d(col("pairs") - col("__tx")) *
+            d(col("pairs") - col("__ty"))), 6)).as("tau_b"))
+  }
+
   /** Benjamini–Hochberg FDR adjustment over a table of per-stratum
     * p-values (one row per hypothesis): sort ascending, q_i = m·p_i/i,
     * adjusted p = the running minimum of q from the LARGEST p down,

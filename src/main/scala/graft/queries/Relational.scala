@@ -1465,4 +1465,50 @@ object Relational {
     graft.ops.TimeSeries.logRank(withArm(spans), "duration", "event",
       "arm")
   }
+
+  /** The q221/q222 outcome: a high-value event (value > 50 ≈ top
+    * quartile of the synthetic distribution), NULL-value rows excluded
+    * (the q165 convention). */
+  private def withConversion(ev: DataFrame): DataFrame =
+    withArm(ev).filter(col("value").isNotNull)
+      .withColumn("conv", when(col("value") > 50.0, 1).otherwise(0))
+
+  /** q221: two-proportion z-test per event type
+    * ([[Eval.twoProportionZ]]) — does the high-value-event RATE differ
+    * between the hash-split arms (q165 compares means; this is the
+    * conversion readout). */
+  def q221TwoProportion(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.twoProportionZ(withConversion(Tables.events(s, dir)),
+      Seq("event_type"), "arm", "conv")
+
+  /** q222: Cochran–Mantel–Haenszel test of arm × conversion pooled
+    * over hour-of-day strata ([[Eval.cmhTest]]) — the
+    * Simpson's-paradox-proof version of q221's collapsed 2×2. */
+  def q222Cmh(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.cmhTest(
+      withConversion(Tables.events(s, dir))
+        .withColumn("hr", hour(col("ts"))),
+      Seq("hr"), "arm", "conv")
+
+  /** q223: Jensen–Shannon divergence of the arms' event-type mixes per
+    * day-of-week ([[Stats.jsDivergence]]) — a bounded, symmetric
+    * drift score (a correct split should sit at ≈ 0 every day). */
+  def q223Jsd(s: SparkSession, dir: String): DataFrame =
+    Stats.jsDivergence(
+      withArm(Tables.events(s, dir))
+        // Spark dayofweek is 1-based Sunday; −1 matches DuckDB's 0-based
+        .withColumn("dow", dayofweek(col("ts")) - 1),
+      Seq("dow"), "arm", "event_type")
+
+  /** q224: Kendall τ-b between hourly click and purchase volumes
+    * ([[Stats.kendallTauB]]) — exact concordance counts over the
+    * hour-domain series (720 points; the corpus reduces first, per the
+    * operator's scale contract). */
+  def q224KendallTau(s: SparkSession, dir: String): DataFrame = {
+    val series = Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(when(col("event_type") === "click", lit(1))).as("x"),
+        count(when(col("event_type") === "purchase", lit(1))).as("y"))
+    Stats.kendallTauB(series, "h", "x", "y")
+  }
 }

@@ -97,6 +97,86 @@ class SignificanceAndPcaSpec extends SparkSpecBase {
       .getAs[Double]("chi2") > 3.84)
   }
 
+  test("twoProportionZ: closed form on a 10/40 vs 20/40 table; degenerate → NULL") {
+    import spark.implicits._
+    val df = ((1 to 40).map(i => ("g", 0, if (i <= 10) 1 else 0)) ++
+      (1 to 40).map(i => ("g", 1, if (i <= 20) 1 else 0)))
+      .toDF("k", "arm", "conv")
+    val r = Eval.twoProportionZ(df, Seq("k"), "arm", "conv").collect().head
+    assert(r.getAs[Double]("p0") == 0.25 && r.getAs[Double]("p1") == 0.5)
+    val zExp = math.rint((0.25 - 0.5) /
+      math.sqrt((0.375 * 0.625) * (1.0 / 40 + 1.0 / 40)) * 1e4) / 1e4
+    assert(r.getAs[Double]("z") == zExp)
+    // all-success pool is untestable → NULL z/p
+    val deg = Seq(("g", 0, 1), ("g", 1, 1)).toDF("k", "arm", "conv")
+    val dr = Eval.twoProportionZ(deg, Seq("k"), "arm", "conv")
+      .collect().head
+    assert(dr.isNullAt(dr.fieldIndex("z")))
+  }
+
+  test("cmhTest: single-stratum closed form; stratified o>e survives a Simpson flip") {
+    import spark.implicits._
+    // one stratum: arm0 10/20, arm1 5/20 → E=7.5, V=2.403846154,
+    // chi2 = 6.25/V = 2.6
+    val one = ((1 to 20).map(i => ("h", 0, if (i <= 10) 1 else 0)) ++
+      (1 to 20).map(i => ("h", 1, if (i <= 5) 1 else 0)))
+      .toDF("s", "arm", "conv")
+    val r = Eval.cmhTest(one, Seq("s"), "arm", "conv").collect().head
+    assert(r.getAs[Long]("o") == 10L && r.getAs[Double]("e") == 7.5)
+    assert(r.getAs[Double]("chi2") == 2.6, s"chi2 $r")
+    // Simpson: arm0 beats arm1 inside each stratum, but arm0 is
+    // concentrated in the hard stratum so the COLLAPSED rate reverses
+    val s1 = (1 to 10).map(i => ("easy", 0, if (i <= 9) 1 else 0)) ++
+      (1 to 90).map(i => ("easy", 1, if (i <= 72) 1 else 0))
+    val s2 = (1 to 90).map(i => ("hard", 0, if (i <= 27) 1 else 0)) ++
+      (1 to 10).map(i => ("hard", 1, if (i <= 2) 1 else 0))
+    val df = (s1 ++ s2).toDF("s", "arm", "conv")
+    // collapsed: arm0 36/100 < arm1 74/100; stratified: arm0 better
+    val c = Eval.cmhTest(df, Seq("s"), "arm", "conv").collect().head
+    assert(c.getAs[Long]("o") > math.round(c.getAs[Double]("e")),
+      s"stratified direction lost: $c")
+  }
+
+  test("jsDivergence: 0 for identical arms, ln 2 for disjoint supports") {
+    import spark.implicits._
+    val same = (for (a <- 0 to 1; k <- Seq("x", "y", "z"); _ <- 1 to 5)
+      yield ("g", a, k)).toDF("grp", "arm", "key")
+    val r0 = Stats.jsDivergence(same, Seq("grp"), "arm", "key")
+      .collect().head
+    assert(r0.getAs[Double]("jsd") == 0.0 &&
+      r0.getAs[Double]("js_dist") == 0.0)
+    val disjoint = ((1 to 8).map(_ => ("g", 0, "a")) ++
+      (1 to 6).map(_ => ("g", 1, "b"))).toDF("grp", "arm", "key")
+    val r1 = Stats.jsDivergence(disjoint, Seq("grp"), "arm", "key")
+      .collect().head
+    assert(r1.getAs[Double]("jsd") == 0.693147, s"jsd $r1")
+  }
+
+  test("kendallTauB: ±1 on monotone series, tie fixture matches closed form") {
+    import spark.implicits._
+    val mono = (1 to 30).map(i => (i, i.toLong, (i * i).toLong))
+      .toDF("k", "x", "y")
+    assert(Stats.kendallTauB(mono, "k", "x", "y").collect().head
+      .getAs[Double]("tau_b") == 1.0)
+    val rev = (1 to 30).map(i => (i, i.toLong, (100 - i).toLong))
+      .toDF("k", "x", "y")
+    assert(Stats.kendallTauB(rev, "k", "x", "y").collect().head
+      .getAs[Double]("tau_b") == -1.0)
+    // x=(1,1,2), y=(1,2,3): C=2, D=0, tx=1, ty=0 → 2/√6
+    val tied = Seq((1, 1L, 1L), (2, 1L, 2L), (3, 2L, 3L))
+      .toDF("k", "x", "y")
+    val r = Stats.kendallTauB(tied, "k", "x", "y").collect().head
+    assert(r.getAs[Long]("concordant") == 2L &&
+      r.getAs[Long]("discordant") == 0L)
+    assert(r.getAs[Double]("tau_b") ==
+      math.rint(2.0 / math.sqrt(6.0) * 1e6) / 1e6)
+    // constant x → undefined (every pair x-tied) → NULL
+    val const = Seq((1, 5L, 1L), (2, 5L, 2L), (3, 5L, 3L))
+      .toDF("k", "x", "y")
+    val cr = Stats.kendallTauB(const, "k", "x", "y").collect().head
+    assert(cr.isNullAt(cr.fieldIndex("tau_b")))
+  }
+
   test("matryoshkaTopK: prefix ranks, full-dim cosine rescored exactly") {
     import spark.implicits._
     // prefix (first 2 dims) ranking disagrees with full ranking:
