@@ -268,6 +268,9 @@ object SparkEntry {
     "q222_cmh"               -> Relational.q222Cmh _,
     "q223_jsd"               -> Relational.q223Jsd _,
     "q224_kendall_tau"       -> Relational.q224KendallTau _,
+    "q225_chi_residuals"     -> Relational.q225ChiResiduals _,
+    "q226_mde"               -> Relational.q226Mde _,
+    "q227_sprt"              -> Relational.q227Sprt _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */
@@ -2044,13 +2047,79 @@ object SparkEntry {
         |      / sqrt(CAST(pairs - tx AS DOUBLE)
         |             * CAST(pairs - ty AS DOUBLE)), 6) END AS tau_b
         |FROM agg""".stripMargin,
+
+    "q225_chi_residuals" ->
+      """WITH j AS (SELECT event_type AS x,
+        |    CAST(dayofweek(ts) AS INTEGER) AS y, COUNT(*) AS nxy
+        |  FROM events GROUP BY 1, 2),
+        |mx AS (SELECT x, SUM(nxy) AS nx FROM j GROUP BY 1),
+        |my AS (SELECT y, SUM(nxy) AS ny FROM j GROUP BY 1),
+        |nn AS (SELECT SUM(nxy) AS n FROM j),
+        |dense AS (SELECT mx.x, my.y, COALESCE(j.nxy, 0) AS o, nx, ny
+        |  FROM mx CROSS JOIN my
+        |  LEFT JOIN j ON j.x = mx.x AND j.y = my.y)
+        |SELECT x, y, CAST(o AS BIGINT) AS o,
+        |  ROUND(CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)
+        |    / CAST((SELECT n FROM nn) AS DOUBLE), 6) AS e,
+        |  ROUND((CAST(o AS DOUBLE)
+        |      - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)
+        |        / CAST((SELECT n FROM nn) AS DOUBLE))
+        |    / sqrt(((CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)
+        |        / CAST((SELECT n FROM nn) AS DOUBLE))
+        |      * (1.0 - CAST(nx AS DOUBLE)
+        |         / CAST((SELECT n FROM nn) AS DOUBLE)))
+        |      * (1.0 - CAST(ny AS DOUBLE)
+        |         / CAST((SELECT n FROM nn) AS DOUBLE))), 4) AS resid
+        |FROM dense""".stripMargin,
+
+    "q226_mde" ->
+      s"""WITH src AS ($convCte),
+         |m AS (SELECT event_type, COUNT(*) AS n,
+         |    CAST(SUM(conv) AS BIGINT) AS s
+         |  FROM src GROUP BY event_type),
+         |d AS (SELECT event_type, n, s,
+         |    CAST(s AS DOUBLE) / n AS p,
+         |    CAST(n AS DOUBLE) / 2.0 AS half
+         |  FROM m)
+         |SELECT event_type, n, s, ROUND(p, 6) AS p_pool,
+         |  CASE WHEN s > 0 AND s < n THEN
+         |    ROUND(2.801585 * sqrt((p * (1.0 - p))
+         |      * (1.0 / half + 1.0 / half)), 6) END AS mde
+         |FROM d""".stripMargin,
+
+    "q227_sprt" ->
+      s"""WITH src AS ($convCte),
+         |w AS (SELECT event_type, ts, event_id,
+         |    SUM(CASE WHEN conv = 1 THEN CAST(0.405465108 AS DECIMAL(28,9))
+         |        ELSE CAST(-0.133531393 AS DECIMAL(28,9)) END)
+         |      OVER (PARTITION BY event_type ORDER BY ts, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS llr,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY ts, event_id) AS i
+         |  FROM src),
+         |c AS (SELECT event_type, i, ts, llr,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY i ASC)
+         |      AS rn
+         |  FROM w
+         |  WHERE llr >= CAST(2.944438979 AS DECIMAL(28,9))
+         |     OR llr <= CAST(-2.944438979 AS DECIMAL(28,9))),
+         |t AS (SELECT event_type, COUNT(*) AS n FROM src
+         |      GROUP BY event_type)
+         |SELECT t.event_type, t.n, COALESCE(f.i, t.n) AS n_seen,
+         |  f.ts AS decided_at,
+         |  CASE WHEN f.llr >= CAST(2.944438979 AS DECIMAL(28,9))
+         |       THEN 'h1'
+         |       WHEN f.llr IS NOT NULL THEN 'h0' END AS decision
+         |FROM t LEFT JOIN (SELECT * FROM c WHERE rn = 1) f
+         |  USING (event_type)""".stripMargin,
   )
 
   /** Shared q221/q222 source CTE body: NULL-value rows out, arm from
     * the q165 hash split, conversion = value > 50. */
   private def convCte: String = {
     val hv = graft.queries.TextOracles.H("CAST(user_id AS VARCHAR) || '#13'")
-    s"""SELECT event_type, ts,
+    s"""SELECT event_type, ts, event_id,
        |    CASE WHEN value > 50 THEN 1 ELSE 0 END AS conv,
        |    CASE WHEN ($hv * 2654435761 % 1000000007) % 1000000 < 500000
        |         THEN 0 ELSE 1 END AS arm

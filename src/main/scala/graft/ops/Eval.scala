@@ -562,6 +562,84 @@ object Eval {
           col("__vs").cast("double"), 6).as("chi2"))
   }
 
+  /** Minimum detectable effect for a two-proportion test at the
+    * CURRENT sample sizes — the experiment-planning readout ("how small
+    * a rate lift could this split even see"): for two-sided α = 0.05
+    * and power 0.8,
+    *   MDE = (z_{0.975} + z_{0.8})·√(p̂(1−p̂)(1/n0 + 1/n1)),
+    * with the standard-normal quantiles as fixed literals (1.959964,
+    * 0.841621 — Moivre quantiles to 6 places; no inverse-CDF needed at
+    * runtime). Counts exact; one hash aggregation. */
+  def minDetectableEffect(df: DataFrame, groupCols: Seq[String],
+                          successCol: String): DataFrame = {
+    val gs = groupCols.map(col)
+    def d(c: Column) = c.cast(DoubleType)
+    // both-arm pooled rate from the SAME table the test would run on;
+    // arm sizes approximated as an even split of the stratum
+    val m = df.groupBy(gs: _*).agg(count(lit(1)).as("n"),
+      sum(col(successCol)).cast("long").as("s"))
+    val p = d(col("s")) / col("n")
+    val half = d(col("n")) / 2.0
+    // single literal (1.959964 + 0.841621), NOT a runtime sum — the SQL
+    // oracle parses the same decimal literal to the same double
+    val mde = lit(2.801585) *
+      sqrt((p * (lit(1.0) - p)) * (lit(1.0) / half + lit(1.0) / half))
+    m.select(gs ++ Seq(col("n"), col("s"), round(p, 6).as("p_pool"),
+      when(col("s") > 0 && col("s") < col("n"), round(mde, 6))
+        .as("mde")): _*)
+  }
+
+  /** Sequential probability ratio test (SPRT) boundary crossing per
+    * stratum: walk the events in time order accumulating the Bernoulli
+    * log-likelihood ratio of H1: rate = p1 vs H0: rate = p0, and stop
+    * at the first crossing of the Wald boundaries ln((1−β)/α) /
+    * ln(β/(1−α)) — the "peeking-safe" alternative to running q221
+    * daily. Returns one row per stratum: total n, n_seen at the
+    * decision (total if no crossing), decided_at timestamp (null if
+    * none), decision ('h1' | 'h0' | null).
+    *
+    * DETERMINISM: the two per-event LLR increments and both boundaries
+    * are 9-decimal literals computed ONCE (no runtime ln at all), the
+    * running sum is an exact decimal window over a TOTAL order
+    * (tsCol, tieCol), and crossings compare decimals — bit-identical
+    * on any engine, any partitioning. The window sorts within stratum
+    * partitions (never global). */
+  def sprtBoundary(df: DataFrame, groupCols: Seq[String], tsCol: String,
+                   tieCol: String, successCol: String, p0: Double,
+                   p1: Double, alpha: Double = 0.05,
+                   beta: Double = 0.05): DataFrame = {
+    val gs = groupCols.map(col)
+    def dec9(x: Double): Column =
+      lit(java.math.BigDecimal.valueOf(math.rint(x * 1e9).toLong, 9))
+        .cast(DecimalType(28, 9))
+    val l1 = dec9(math.log(p1 / p0))
+    val l0 = dec9(math.log((1.0 - p1) / (1.0 - p0)))
+    val a = dec9(math.log((1.0 - beta) / alpha))
+    val b = dec9(math.log(beta / (1.0 - alpha)))
+    val w = Window.partitionBy(gs: _*)
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val walked = df.select(gs ++ Seq(col(tsCol), col(tieCol),
+      col(successCol).as("__c")): _*)
+      .withColumn("__llr", sum(
+        when(col("__c") === 1, l1).otherwise(l0)).over(w))
+      .withColumn("__i", count(lit(1)).over(w))
+    val crossings = walked
+      .filter(col("__llr") >= a || col("__llr") <= b)
+      .groupBy(gs: _*)
+      .agg(min(struct(col("__i"), col(tsCol), col("__llr")))
+        .as("__first"))
+      .select(gs ++ Seq(col("__first.__i").as("n_seen"),
+        col(s"__first.$tsCol").as("decided_at"),
+        when(col("__first.__llr") >= a, lit("h1")).otherwise(lit("h0"))
+          .as("decision")): _*)
+    val totals = walked.groupBy(gs: _*).agg(count(lit(1)).as("n"))
+    totals.join(crossings, groupCols, "left")
+      .select(gs ++ Seq(col("n"),
+        coalesce(col("n_seen"), col("n")).as("n_seen"),
+        col("decided_at"), col("decision")): _*)
+  }
+
   /** One-way ANOVA F across the groups of `groupCol`: does the mean of
     * `metricCol` differ across k groups — the k-arm generalization of
     * [[welchTwoSample]] (equal-variance form). Returns ONE row:

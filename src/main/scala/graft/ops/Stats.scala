@@ -1038,6 +1038,32 @@ object Stats {
             d(col("pairs") - col("__ty"))), 6)).as("tau_b"))
   }
 
+  /** Adjusted standardized residuals of a two-way contingency table —
+    * WHICH cells drive a significant [[chiSquare]]:
+    *   r_xy = (o − e) / √(e·(1 − row/n)·(1 − col/n)),
+    * approximately N(0,1) under independence, so |r| > 2 flags a cell.
+    * Same dense-grid construction as [[chiSquare]] (zero cells
+    * included); counts exact, every float op a fixed-order division.
+    * Output: one row per (x, y) cell with o, e, resid. */
+  def chiResiduals(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    def d(c: Column) = c.cast(DoubleType)
+    val joint = df.select(xCol.as("x"), yCol.as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("__nxy"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mx = joint.groupBy(col("x")).agg(sum(col("__nxy")).as("__nx"))
+    val my = joint.groupBy(col("y")).agg(sum(col("__nxy")).as("__ny"))
+    val n = joint.agg(sum(col("__nxy")).as("__n"))
+    val dense = mx.crossJoin(my).crossJoin(broadcast(n))
+      .join(joint, Seq("x", "y"), "left")
+      .withColumn("__o", coalesce(col("__nxy"), lit(0L)))
+    val e = d(col("__nx")) * d(col("__ny")) / d(col("__n"))
+    val resid = (d(col("__o")) - e) /
+      sqrt((e * (lit(1.0) - d(col("__nx")) / d(col("__n")))) *
+        (lit(1.0) - d(col("__ny")) / d(col("__n"))))
+    dense.select(col("x"), col("y"), col("__o").as("o"),
+      round(e, 6).as("e"), round(resid, 4).as("resid"))
+  }
+
   /** Benjamini–Hochberg FDR adjustment over a table of per-stratum
     * p-values (one row per hypothesis): sort ascending, q_i = m·p_i/i,
     * adjusted p = the running minimum of q from the LARGEST p down,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.Tables
-import graft.ops.{ConceptMap, Dedup, DenseId, SafeCast, Stats, Sweep, TimeSeries}
+import graft.ops.{ConceptMap, Dedup, DenseId, Eval, SafeCast, Stats, Sweep, TimeSeries}
 
 /** Relational operator suite over the driver test tables (TESTDATA.md).
   *
@@ -1511,4 +1511,27 @@ object Relational {
         count(when(col("event_type") === "purchase", lit(1))).as("y"))
     Stats.kendallTauB(series, "h", "x", "y")
   }
+
+  /** q225: adjusted standardized residuals of event type × day-of-week
+    * ([[Stats.chiResiduals]]) — WHICH cells drive q212's chi-square,
+    * |resid| > 2 ≈ significant at the cell level. */
+  def q225ChiResiduals(s: SparkSession, dir: String): DataFrame =
+    Stats.chiResiduals(Tables.events(s, dir),
+      col("event_type"), dayofweek(col("ts")) - 1)
+
+  /** q226: minimum detectable effect per event type at current volume
+    * ([[Eval.minDetectableEffect]]) — experiment planning: the
+    * smallest conversion-rate lift an even split could resolve at
+    * α=0.05 / power 0.8. */
+  def q226Mde(s: SparkSession, dir: String): DataFrame =
+    Eval.minDetectableEffect(
+      withConversion(Tables.events(s, dir)), Seq("event_type"), "conv")
+
+  /** q227: SPRT boundary walk per event type
+    * ([[Eval.sprtBoundary]], H0 rate 0.2 vs H1 rate 0.3, α=β=0.05) —
+    * the peeking-safe sequential test: first timestamp where the
+    * evidence crosses a Wald boundary. */
+  def q227Sprt(s: SparkSession, dir: String): DataFrame =
+    Eval.sprtBoundary(withConversion(Tables.events(s, dir)),
+      Seq("event_type"), "ts", "event_id", "conv", p0 = 0.2, p1 = 0.3)
 }

@@ -177,6 +177,59 @@ class SignificanceAndPcaSpec extends SparkSpecBase {
     assert(cr.isNullAt(cr.fieldIndex("tau_b")))
   }
 
+  test("chiResiduals: zero under independence, 10/√5 on the classic 2×2") {
+    import spark.implicits._
+    val ind = (for (x <- Seq("a", "b"); y <- 0 to 2; _ <- 1 to 4)
+      yield (x, y)).toDF("xx", "yy")
+    Stats.chiResiduals(ind, col("xx"), col("yy")).collect().foreach { r =>
+      assert(r.getAs[Double]("resid") == 0.0, s"$r")
+    }
+    // [[30,10],[10,30]]: e = 20 each, resid = ±10/√(20·¼) = ±4.4721
+    val assoc = ((1 to 30).map(_ => ("a", 0)) ++ (1 to 10).map(_ => ("a", 1)) ++
+      (1 to 10).map(_ => ("b", 0)) ++ (1 to 30).map(_ => ("b", 1)))
+      .toDF("xx", "yy")
+    val got = Stats.chiResiduals(assoc, col("xx"), col("yy")).collect()
+      .map(r => (r.getAs[String]("x"), r.getAs[Int]("y")) ->
+        (r.getAs[Double]("e"), r.getAs[Double]("resid"))).toMap
+    val rExp = math.rint(10.0 / math.sqrt(5.0) * 1e4) / 1e4
+    assert(got(("a", 0)) == ((20.0, rExp)))
+    assert(got(("a", 1)) == ((20.0, -rExp)))
+  }
+
+  test("minDetectableEffect: closed form at p=0.25, n=400; degenerate NULL") {
+    import spark.implicits._
+    val df = (1 to 400).map(i => ("g", if (i <= 100) 1 else 0))
+      .toDF("k", "conv")
+    val r = Eval.minDetectableEffect(df, Seq("k"), "conv").collect().head
+    val exp = math.rint(2.801585 *
+      math.sqrt((0.25 * 0.75) * (1.0 / 200 + 1.0 / 200)) * 1e6) / 1e6
+    assert(r.getAs[Double]("p_pool") == 0.25 &&
+      r.getAs[Double]("mde") == exp, s"$r")
+    val allConv = (1 to 10).map(_ => ("g", 1)).toDF("k", "conv")
+    val d = Eval.minDetectableEffect(allConv, Seq("k"), "conv")
+      .collect().head
+    assert(d.isNullAt(d.fieldIndex("mde")))
+  }
+
+  test("sprtBoundary: deterministic crossing counts for pure streams") {
+    import spark.implicits._
+    def stream(k: String, convs: Seq[Int]) = convs.zipWithIndex.map {
+      case (c, i) => (k, i.toLong, i.toLong, c) }
+    // p0=0.2, p1=0.3: +0.405465108 per success, −0.133531393 per
+    // failure; +A = 2.944438979 crossed at the 8th success,
+    // −A at the 23rd failure
+    val df = (stream("allwin", Seq.fill(40)(1)) ++
+      stream("alllose", Seq.fill(40)(0)) ++
+      stream("short", Seq(1, 0, 1, 0))).toDF("k", "t", "tie", "conv")
+    val got = Eval.sprtBoundary(df, Seq("k"), "t", "tie", "conv",
+      p0 = 0.2, p1 = 0.3).collect()
+      .map(r => r.getAs[String]("k") ->
+        (r.getAs[Long]("n_seen"), r.getAs[String]("decision"))).toMap
+    assert(got("allwin") == ((8L, "h1")), s"$got")
+    assert(got("alllose") == ((23L, "h0")), s"$got")
+    assert(got("short") == ((4L, null)), s"$got")
+  }
+
   test("matryoshkaTopK: prefix ranks, full-dim cosine rescored exactly") {
     import spark.implicits._
     // prefix (first 2 dims) ranking disagrees with full ranking:
