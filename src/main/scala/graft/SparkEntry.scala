@@ -271,6 +271,8 @@ object SparkEntry {
     "q225_chi_residuals"     -> Relational.q225ChiResiduals _,
     "q226_mde"               -> Relational.q226Mde _,
     "q227_sprt"              -> Relational.q227Sprt _,
+    "q228_holt"              -> Relational.q228Holt _,
+    "q229_mase"              -> Relational.q229Mase _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */
@@ -2113,6 +2115,64 @@ object SparkEntry {
          |       WHEN f.llr IS NOT NULL THEN 'h0' END AS decision
          |FROM t LEFT JOIN (SELECT * FROM c WHERE rn = 1) f
          |  USING (event_type)""".stripMargin,
+
+    // Holt fold: ARRAY accumulator on purpose — DuckDB 1.0's
+    // list_reduce writes STRUCT accumulator fields in place, so a
+    // struct form lets the trend expression read the freshly-written
+    // level (verified divergence); the array form evaluates both
+    // elements before constructing. Same recursion as
+    // TimeSeries.holtLinear, decimal-exact.
+    "q228_holt" ->
+      """WITH s AS (SELECT user_id,
+        |    list(CAST(CAST(value AS DECIMAL(14,4)) AS DECIMAL(18,9))
+        |         ORDER BY ts, event_id) AS xs
+        |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+        |f AS (SELECT user_id, len(xs) AS n,
+        |  CASE WHEN len(xs) = 1
+        |    THEN [xs[1], CAST(0 AS DECIMAL(18,9))]
+        |    ELSE list_reduce(
+        |      list_prepend([CAST(xs[2] AS DECIMAL(18,9)),
+        |                    CAST(xs[2] - xs[1] AS DECIMAL(18,9))],
+        |        list_transform(xs[3:],
+        |          x -> [x, CAST(NULL AS DECIMAL(18,9))])),
+        |      (acc, x) -> [
+        |        CAST(ROUND(CAST(0.3 AS DECIMAL(2,1)) * x[1]
+        |          + CAST(0.7 AS DECIMAL(2,1)) * (acc[1] + acc[2]), 9)
+        |          AS DECIMAL(18,9)),
+        |        CAST(ROUND(CAST(0.1 AS DECIMAL(2,1))
+        |            * (CAST(ROUND(CAST(0.3 AS DECIMAL(2,1)) * x[1]
+        |                + CAST(0.7 AS DECIMAL(2,1)) * (acc[1] + acc[2]),
+        |                9) AS DECIMAL(18,9)) - acc[1])
+        |          + CAST(0.9 AS DECIMAL(2,1)) * acc[2], 9)
+        |          AS DECIMAL(18,9))])
+        |  END AS st
+        |  FROM s)
+        |SELECT user_id, CAST(n AS BIGINT) AS n,
+        |  CAST(ROUND(st[1], 6) AS DOUBLE) AS level,
+        |  CAST(ROUND(st[2], 6) AS DOUBLE) AS trend,
+        |  CAST(ROUND(st[1] + 7 * st[2], 6) AS DOUBLE) AS forecast
+        |FROM f""".stripMargin,
+
+    "q229_mase" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |      / COUNT(*) AS m
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY event_type, day),
+        |lagged AS (SELECT event_type, m,
+        |    lag(m, 1) OVER (PARTITION BY event_type ORDER BY day) AS p1,
+        |    lag(m, 7) OVER (PARTITION BY event_type ORDER BY day) AS p7
+        |  FROM daily),
+        |e AS (SELECT event_type,
+        |    CAST(ROUND(abs(m - p1), 9) AS DECIMAL(28,9)) AS e1,
+        |    CAST(ROUND(abs(m - p7), 9) AS DECIMAL(28,9)) AS e7
+        |  FROM lagged WHERE p1 IS NOT NULL AND p7 IS NOT NULL)
+        |SELECT event_type, COUNT(*) AS n_days,
+        |  ROUND(CAST(SUM(e1) AS DOUBLE) / COUNT(*), 6) AS mae_naive,
+        |  ROUND(CAST(SUM(e7) AS DOUBLE) / COUNT(*), 6) AS mae_seasonal,
+        |  ROUND((CAST(SUM(e7) AS DOUBLE) / COUNT(*))
+        |        / (CAST(SUM(e1) AS DOUBLE) / COUNT(*)), 6) AS mase
+        |FROM e GROUP BY event_type""".stripMargin,
   )
 
   /** Shared q221/q222 source CTE body: NULL-value rows out, arm from

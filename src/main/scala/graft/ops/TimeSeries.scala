@@ -323,6 +323,115 @@ object TimeSeries {
         .as("survival"))
   }
 
+  /** Holt linear (double-exponential) smoothing per key: level + trend,
+    * the one-parameter-richer sibling of [[ewmaTrailing]] that can
+    * FORECAST (ŷ_{t+h} = l_t + h·b_t). Textbook recursion, made exact:
+    *   l_t = round9(α·x_t + (1−α)·(l_{t−1} + b_{t−1}))
+    *   b_t = round9(β·(l_t − l_{t−1}) + (1−β)·b_{t−1})
+    * with α, β decimal literals and every state a DECIMAL(18,9) — the
+    * recursion is pure decimal arithmetic, so any engine that follows
+    * the same fold (the DuckDB oracle does, via list_reduce) reproduces
+    * it bit-for-bit. Init: l₂ = x₂, b₂ = x₂ − x₁ (n = 1 → level x₁,
+    * trend 0).
+    *
+    * SCALE CONTRACT: the per-key series is collected and folded as an
+    * array inside one codegen'd `aggregate` higher-order function — the
+    * same bounded-series posture as [[ewmaTrailing]]'s window (per-user
+    * event runs, not corpus-length sequences). One hash aggregation,
+    * key-domain output: key, n, level, trend, forecast (h = `horizon`).
+    *
+    * The fold's accumulator is an ARRAY of two decimals, not a struct,
+    * on BOTH engines: DuckDB 1.0's list_reduce writes struct fields
+    * in place, so a struct accumulator lets field 2's expression read
+    * field 1's NEW value (verified; the array form evaluates both
+    * elements before constructing). */
+  def holtLinear(df: DataFrame, keyCol: String, tsCol: String,
+                 tieCol: String, valueCol: String,
+                 alpha: BigDecimal = BigDecimal("0.3"),
+                 beta: BigDecimal = BigDecimal("0.1"),
+                 horizon: Int = 7): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+    // smoothing constants at scale (10,9): a (18,9)-typed constant would
+    // push the (1−α)·(l+b) product past decimal precision 38
+    val cdec = org.apache.spark.sql.types.DecimalType(10, 9)
+    def d9(c: Column) = round(c, 9).cast(dec)
+    val al = lit(alpha.bigDecimal).cast(cdec)
+    val be = lit(beta.bigDecimal).cast(cdec)
+    val one = lit(java.math.BigDecimal.ONE).cast(cdec)
+    val sorted = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol),
+        struct(col(tsCol), col(tieCol),
+          col(valueCol).cast("decimal(14,4)").cast(dec).as("__v"))
+          .as("__s"))
+      .groupBy(col(keyCol))
+      .agg(array_sort(collect_list(col("__s"))).as("__xs"))
+      .select(col(keyCol),
+        transform(col("__xs"), s => s.getField("__v")).as("__xs"))
+    val xs = col("__xs")
+    val n = size(xs)
+    val x1 = element_at(xs, 1)
+    // try_: a 1-element series must not trip ANSI bounds in the (unused
+    // for that row) init expression
+    val x2 = try_element_at(xs, lit(2))
+    val init = array(x2.cast(dec), (x2 - x1).cast(dec))
+    val folded = aggregate(
+      when(n >= 3, slice(xs, lit(3), n - 2))
+        .otherwise(slice(xs, lit(1), lit(0))),
+      init,
+      (acc, x) => {
+        val l = element_at(acc, 1)
+        val b = element_at(acc, 2)
+        val lNew = d9(al * x + (one - al) * (l + b))
+        array(lNew, d9(be * (lNew - l) + (one - be) * b))
+      })
+    val level = when(n === 1, x1.cast(dec))
+      .otherwise(element_at(folded, 1))
+    val trend = when(n === 1, lit(java.math.BigDecimal.ZERO).cast(dec))
+      .otherwise(element_at(folded, 2))
+    sorted.select(col(keyCol), n.cast("long").as("n"),
+      round(level, 6).cast("double").as("level"),
+      round(trend, 6).cast("double").as("trend"),
+      round(level + lit(horizon) * trend, 6).cast("double")
+        .as("forecast"))
+  }
+
+  /** Seasonal-naive forecast evaluation (MASE) per group over a DAILY
+    * mean series: score "this day looks like the same weekday last
+    * week" (lag 7) against the naive "like yesterday" scale (lag 1) —
+    * MASE < 1 means weekly seasonality beats persistence, the
+    * go/no-go check before any fancier forecaster. Row-lags over the
+    * day-domain aggregate; only days where BOTH references exist are
+    * scored. Per-day absolute errors are division-shaped doubles →
+    * round 9 → decimal mean (order-free, oracle-exact). Output:
+    * group, n_days, mae_naive, mae_seasonal, mase. */
+  def maseEval(df: DataFrame, groupCol: String, dayCol: Column,
+               valueCol: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val daily = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), dayCol.as("__day"))
+      .agg((sum(col(valueCol).cast("decimal(18,4)")).cast("double") /
+        count(lit(1))).as("__m"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__day"))
+    val lagged = daily
+      .withColumn("__p1", lag(col("__m"), 1).over(w))
+      .withColumn("__p7", lag(col("__m"), 7).over(w))
+      .filter(col("__p1").isNotNull && col("__p7").isNotNull)
+    lagged
+      .select(col(groupCol),
+        round(abs(col("__m") - col("__p1")), 9).cast("decimal(28,9)")
+          .as("__e1"),
+        round(abs(col("__m") - col("__p7")), 9).cast("decimal(28,9)")
+          .as("__e7"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_days"), sum(col("__e1")).as("__s1"),
+        sum(col("__e7")).as("__s7"))
+      .select(col(groupCol), col("n_days"),
+        round(d(col("__s1")) / col("n_days"), 6).as("mae_naive"),
+        round(d(col("__s7")) / col("n_days"), 6).as("mae_seasonal"),
+        round((d(col("__s7")) / col("n_days")) /
+          (d(col("__s1")) / col("n_days")), 6).as("mase"))
+  }
+
   /** Two-group log-rank test: do the survival curves of `armCol`'s two
     * arms (0/1) differ — the significance companion of [[kaplanMeier]]
     * (which only draws the curves). Same duration/censor input contract.

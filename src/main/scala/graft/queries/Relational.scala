@@ -1534,4 +1534,19 @@ object Relational {
   def q227Sprt(s: SparkSession, dir: String): DataFrame =
     Eval.sprtBoundary(withConversion(Tables.events(s, dir)),
       Seq("event_type"), "ts", "event_id", "conv", p0 = 0.2, p1 = 0.3)
+
+  /** q228: Holt linear level + trend + 7-step forecast per user
+    * ([[TimeSeries.holtLinear]], α=0.3, β=0.1) — the forecasting
+    * extension of q184's EWMA level, bit-exact decimal recursion on
+    * both engines. */
+  def q228Holt(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.holtLinear(Tables.events(s, dir),
+      "user_id", "ts", "event_id", "value")
+
+  /** q229: seasonal-naive forecast evaluation per event type
+    * ([[TimeSeries.maseEval]]) — MASE of "same weekday last week"
+    * against the "like yesterday" scale over the daily mean series. */
+  def q229Mase(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.maseEval(Tables.events(s, dir), "event_type",
+      date_trunc("day", col("ts")), "value")
 }

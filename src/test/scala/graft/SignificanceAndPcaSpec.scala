@@ -230,6 +230,60 @@ class SignificanceAndPcaSpec extends SparkSpecBase {
     assert(got("short") == ((4L, null)), s"$got")
   }
 
+  test("holtLinear: hand-computed recursion, short-series inits, reference fold") {
+    import spark.implicits._
+    // 10,12,15,11 @ α=.3 β=.1: init (12,2) → (14.3,2.03) → (14.731,1.8701)
+    val df = Seq(("a", 1L, 1L, 10.0), ("a", 2L, 2L, 12.0),
+      ("a", 3L, 3L, 15.0), ("a", 4L, 4L, 11.0),
+      ("one", 1L, 1L, 5.5), ("two", 1L, 1L, 3.0), ("two", 2L, 2L, 7.0))
+      .toDF("k", "t", "tie", "v")
+    val got = TimeSeries.holtLinear(df, "k", "t", "tie", "v")
+      .collect().map(r => r.getAs[String]("k") ->
+        (r.getAs[Double]("level"), r.getAs[Double]("trend"),
+          r.getAs[Double]("forecast"))).toMap
+    assert(got("a") == ((14.731, 1.8701, 27.8217)), s"$got")
+    assert(got("one") == ((5.5, 0.0, 5.5)))
+    assert(got("two") == ((7.0, 4.0, 35.0)))
+    // longer series vs an independent BigDecimal reference fold
+    val xs = (1 to 25).map(i => ((i * 37) % 11 + 0.25 * i))
+    val longDf = xs.zipWithIndex.map { case (x, i) =>
+      ("z", i.toLong, i.toLong, x) }.toDF("k", "t", "tie", "v")
+    def r9(x: BigDecimal) = x.setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def d4(x: Double) = BigDecimal(x).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP)
+    val (al, be) = (BigDecimal("0.3"), BigDecimal("0.1"))
+    val (lf, bf) = xs.drop(2).foldLeft((d4(xs(1)), d4(xs(1)) - d4(xs(0)))) {
+      case ((l, b), x) =>
+        val ln = r9(al * d4(x) + (1 - al) * (l + b))
+        (ln, r9(be * (ln - l) + (1 - be) * b))
+    }
+    val zGot = TimeSeries.holtLinear(longDf, "k", "t", "tie", "v")
+      .filter(col("k") === "z").collect().head
+    assert(zGot.getAs[Double]("level") ==
+      lf.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(zGot.getAs[Double]("trend") ==
+      bf.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("maseEval: 0 under perfect weekly seasonality, 7 on a linear ramp") {
+    import spark.implicits._
+    // weekly-periodic series: seasonal-naive error 0, naive error > 0
+    val weekly = (0 until 28).map(d =>
+      ("g", d, Seq(10.0, 20.0, 15.0, 30.0, 25.0, 5.0, 40.0)(d % 7)))
+      .toDF("k", "d", "v")
+    val r = TimeSeries.maseEval(weekly, "k", col("d"), "v")
+      .collect().head
+    assert(r.getAs[Long]("n_days") == 21L &&
+      r.getAs[Double]("mae_seasonal") == 0.0 &&
+      r.getAs[Double]("mase") == 0.0, s"$r")
+    // linear ramp: |Δ1| = 1, |Δ7| = 7 → mase = 7
+    val ramp = (0 until 28).map(d => ("g", d, d.toDouble))
+      .toDF("k", "d", "v")
+    val rr = TimeSeries.maseEval(ramp, "k", col("d"), "v").collect().head
+    assert(rr.getAs[Double]("mae_naive") == 1.0 &&
+      rr.getAs[Double]("mase") == 7.0, s"$rr")
+  }
+
   test("matryoshkaTopK: prefix ranks, full-dim cosine rescored exactly") {
     import spark.implicits._
     // prefix (first 2 dims) ranking disagrees with full ranking:
