@@ -273,6 +273,8 @@ object SparkEntry {
     "q227_sprt"              -> Relational.q227Sprt _,
     "q228_holt"              -> Relational.q228Holt _,
     "q229_mase"              -> Relational.q229Mase _,
+    "q230_conformal"         -> Relational.q230Conformal _,
+    "q231_profile"           -> Relational.q231Profile _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */
@@ -2173,6 +2175,46 @@ object SparkEntry {
         |  ROUND((CAST(SUM(e7) AS DOUBLE) / COUNT(*))
         |        / (CAST(SUM(e1) AS DOUBLE) / COUNT(*)), 6) AS mase
         |FROM e GROUP BY event_type""".stripMargin,
+
+    "q230_conformal" -> {
+      val he = graft.queries.TextOracles.H(
+        "CAST(event_id AS VARCHAR) || '#21'")
+      s"""WITH src AS (SELECT event_type,
+         |    CAST(hour(ts) AS INTEGER) AS bin, value AS v,
+         |    CASE WHEN ($he * 2654435761 % 1000000007) % 1000000 < 500000
+         |         THEN 0 ELSE 1 END AS split
+         |  FROM events WHERE value IS NOT NULL),
+         |model AS (SELECT event_type, bin,
+         |    CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+         |      AS mean
+         |  FROM src WHERE split = 0 GROUP BY event_type, bin),
+         |cal AS (SELECT s.event_type,
+         |    abs(CAST(s.v AS DOUBLE) - m.mean) AS r
+         |  FROM src s JOIN model m
+         |    ON s.event_type = m.event_type AND s.bin = m.bin
+         |  WHERE s.split = 1),
+         |rk AS (SELECT event_type, r,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY r)
+         |      AS rk
+         |  FROM cal)
+         |SELECT event_type, CAST(n AS BIGINT) AS n_cal,
+         |  CAST(LEAST(ceil((n + 1) * 0.9), n) AS BIGINT) AS k,
+         |  ROUND(r, 6) AS width
+         |FROM rk
+         |WHERE rk = CAST(LEAST(ceil((n + 1) * 0.9), n) AS BIGINT)"""
+        .stripMargin
+    },
+
+    "q231_profile" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority").map { c =>
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n,
+         |  COUNT(*) - COUNT($c) AS n_null,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS min_value,
+         |  CAST(MAX($c) AS VARCHAR) AS max_value
+         |FROM orders""".stripMargin
+    }.mkString("\nUNION ALL\n"),
   )
 
   /** Shared q221/q222 source CTE body: NULL-value rows out, arm from

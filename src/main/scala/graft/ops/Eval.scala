@@ -640,6 +640,45 @@ object Eval {
         col("decided_at"), col("decision")): _*)
   }
 
+  /** Split-conformal interval width per stratum: fit a point predictor
+    * on the TRAIN split (here: the (stratum, binCol) mean), take the
+    * ⌈(n+1)(1−α)⌉-th smallest absolute residual on the CALIBRATION
+    * split — the distribution-free width w such that
+    * "prediction ± w" covers ≥ 1−α of future points under
+    * exchangeability. The modern ML answer to "how wrong is this score
+    * allowed to be", with zero model assumptions.
+    *
+    * Exactness: an order statistic of deterministic doubles — no sums,
+    * no rounding chains; the rank is computed from exact counts. The
+    * model table is bin-domain-sized (broadcast join); the residual
+    * rank runs in stratum-partitioned windows. Calibration rows whose
+    * bin never occurs in train are dropped (no prediction to score). */
+  def conformalWidth(df: DataFrame, groupCol: String, binCol: Column,
+                     valueCol: String, splitCol: String,
+                     alpha: Double = 0.1): DataFrame = {
+    def d(c: Column) = c.cast(DoubleType)
+    val src = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), binCol.as("__bin"),
+        col(valueCol).as("__v"), col(splitCol).as("__split"))
+    val model = src.filter(col("__split") === 0)
+      .groupBy(col(groupCol), col("__bin"))
+      .agg((sum(col("__v").cast(DecimalType(18, 4))).cast(DoubleType) /
+        count(lit(1))).as("__mean"))
+    val cal = src.filter(col("__split") === 1)
+      .join(broadcast(model), Seq(groupCol, "__bin"))
+      .withColumn("__r", abs(d(col("__v")) - col("__mean")))
+    val w = Window.partitionBy(col(groupCol))
+    val ranked = cal
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("__r"))))
+      .withColumn("__k",
+        least(ceil((col("__n") + 1) * lit(1.0 - alpha)), col("__n")))
+    ranked.filter(col("__rk") === col("__k"))
+      .select(col(groupCol), col("__n").as("n_cal"),
+        col("__k").cast("long").as("k"), round(col("__r"), 6).as("width"))
+  }
+
   /** One-way ANOVA F across the groups of `groupCol`: does the mean of
     * `metricCol` differ across k groups — the k-arm generalization of
     * [[welchTwoSample]] (equal-variance form). Returns ONE row:

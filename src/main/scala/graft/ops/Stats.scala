@@ -1038,6 +1038,30 @@ object Stats {
             d(col("pairs") - col("__ty"))), 6)).as("tau_b"))
   }
 
+  /** One-pass table profiler: per column — row count, null count,
+    * exact distinct count, min/max rendered as strings — the
+    * data-quality summary every ingest audit starts from (the
+    * reference's QC layer counts rows per table; this is the
+    * column-grained version). One aggregation over the table (Spark
+    * expands the multi-distinct into grouped partials itself), then a
+    * literal explode to one row per column; nothing is collected. */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__cnt_$c"),
+        countDistinct(col(c)).as(s"__d_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    } :+ count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    one.select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"), col("__n").as("n"),
+        (col("__n") - col(s"__cnt_$c")).as("n_null"),
+        col(s"__d_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_value"),
+        col(s"__mx_$c").as("max_value"))): _*)).as("__p"))
+      .select(col("__p.*"))
+  }
+
   /** Adjusted standardized residuals of a two-way contingency table —
     * WHICH cells drive a significant [[chiSquare]]:
     *   r_xy = (o − e) / √(e·(1 − row/n)·(1 − col/n)),

@@ -1549,4 +1549,23 @@ object Relational {
   def q229Mase(s: SparkSession, dir: String): DataFrame =
     TimeSeries.maseEval(Tables.events(s, dir), "event_type",
       date_trunc("day", col("ts")), "value")
+
+  /** q230: split-conformal 90% interval width per event type
+    * ([[Eval.conformalWidth]]) — train/cal split on a seed-21 event
+    * hash, predictor = (type, hour) train mean, width = the
+    * ⌈(n+1)·0.9⌉-th smallest calibration residual. */
+  def q230Conformal(s: SparkSession, dir: String): DataFrame =
+    Eval.conformalWidth(
+      Tables.events(s, dir).withColumn("split",
+        when(graft.ops.Sampling.sampleHash(col("event_id"), 21L) <
+          500000L, 0).otherwise(1)),
+      "event_type", hour(col("ts")), "value", "split")
+
+  /** q231: one-pass column profile of `orders`
+    * ([[Stats.profileColumns]]) — null counts, exact distincts,
+    * min/max per column, the ingest-audit summary. */
+  def q231Profile(s: SparkSession, dir: String): DataFrame =
+    Stats.profileColumns(Tables.orders(s, dir),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))
 }

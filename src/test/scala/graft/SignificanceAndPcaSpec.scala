@@ -284,6 +284,42 @@ class SignificanceAndPcaSpec extends SparkSpecBase {
       rr.getAs[Double]("mase") == 7.0, s"$rr")
   }
 
+  test("conformalWidth: order-statistic rank matches ⌈(n+1)(1−α)⌉") {
+    import spark.implicits._
+    // train: constant 10 → mean 10; cal: residuals exactly 1..10
+    val train = (1 to 20).map(_ => ("g", 0, 10.0, 0))
+    val cal = (1 to 10).map(i => ("g", 0, 10.0 + i, 1))
+    val df = (train ++ cal).toDF("k", "bin", "v", "split")
+    val r = Eval.conformalWidth(df, "k", col("bin"), "v", "split",
+      alpha = 0.1).collect().head
+    // k = ceil(11·0.9) = 10 → width = the largest residual
+    assert(r.getAs[Long]("n_cal") == 10L && r.getAs[Long]("k") == 10L &&
+      r.getAs[Double]("width") == 10.0, s"$r")
+    val r5 = Eval.conformalWidth(df, "k", col("bin"), "v", "split",
+      alpha = 0.5).collect().head
+    assert(r5.getAs[Long]("k") == 6L && r5.getAs[Double]("width") == 6.0)
+    // cal rows in bins unseen at train time are dropped
+    val extra = df.union(Seq(("g", 99, 50.0, 1)).toDF("k", "bin", "v",
+      "split"))
+    assert(Eval.conformalWidth(extra, "k", col("bin"), "v", "split")
+      .collect().head.getAs[Long]("n_cal") == 10L)
+  }
+
+  test("profileColumns: nulls, distincts, and stringified extremes per column") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a"), Some(2.5)), (2L, Some("b"), None),
+      (3L, None, Some(1.5)), (4L, Some("a"), Some(9.0)))
+      .toDF("id", "s", "x")
+    val got = Stats.profileColumns(df, Seq("id", "s", "x")).collect()
+      .map(r => r.getAs[String]("col_name") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_null"),
+          r.getAs[Long]("n_distinct"), r.getAs[String]("min_value"),
+          r.getAs[String]("max_value")))).toMap
+    assert(got("id") == ((4L, 0L, 4L, "1", "4")))
+    assert(got("s") == ((4L, 1L, 2L, "a", "b")))
+    assert(got("x") == ((4L, 1L, 3L, "1.5", "9.0")))
+  }
+
   test("matryoshkaTopK: prefix ranks, full-dim cosine rescored exactly") {
     import spark.implicits._
     // prefix (first 2 dims) ranking disagrees with full ranking:
