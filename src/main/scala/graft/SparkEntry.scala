@@ -275,6 +275,8 @@ object SparkEntry {
     "q229_mase"              -> Relational.q229Mase _,
     "q230_conformal"         -> Relational.q230Conformal _,
     "q231_profile"           -> Relational.q231Profile _,
+    "q232_target_encoding"   -> Relational.q232TargetEncoding _,
+    "q233_neg_sampling"      -> Relational.q233NegSampling _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */
@@ -2215,6 +2217,49 @@ object SparkEntry {
          |  CAST(MAX($c) AS VARCHAR) AS max_value
          |FROM orders""".stripMargin
     }.mkString("\nUNION ALL\n"),
+
+    "q232_target_encoding" -> {
+      val hk = graft.queries.TextOracles.H(
+        "CAST(o_orderkey AS VARCHAR) || '#31'")
+      s"""WITH src AS (SELECT o_orderpriority,
+         |    ($hk * 2654435761 % 1000000007) % 1000000 % 5 AS fold,
+         |    CAST(o_totalprice AS DECIMAL(18,4)) AS t
+         |  FROM orders WHERE o_totalprice IS NOT NULL),
+         |bf AS (SELECT o_orderpriority, fold, COUNT(*) AS nf,
+         |    SUM(t) AS sf
+         |  FROM src GROUP BY o_orderpriority, fold),
+         |bc AS (SELECT o_orderpriority, CAST(SUM(nf) AS BIGINT) AS nc,
+         |    SUM(sf) AS sc
+         |  FROM bf GROUP BY o_orderpriority),
+         |p AS (SELECT CAST(SUM(t) AS DOUBLE) / COUNT(*) AS prior
+         |      FROM src)
+         |SELECT bf.o_orderpriority, CAST(fold AS BIGINT) AS fold,
+         |  CAST(nc - nf AS BIGINT) AS n_oof,
+         |  ROUND((CAST(sc AS DOUBLE) - CAST(sf AS DOUBLE)
+         |      + 20.0 * (SELECT prior FROM p))
+         |    / (CAST(nc AS DOUBLE) - CAST(nf AS DOUBLE) + 20.0), 6)
+         |    AS encoded
+         |FROM bf JOIN bc USING (o_orderpriority)""".stripMargin
+    },
+
+    "q233_neg_sampling" ->
+      """WITH c AS (SELECT l_partkey, COUNT(*) AS n FROM lineitem
+        |           GROUP BY l_partkey),
+        |w AS (SELECT l_partkey, n,
+        |    CAST(ROUND(sqrt(CAST(n AS DOUBLE) * sqrt(CAST(n AS DOUBLE))),
+        |      9) AS DECIMAL(28,9)) AS wt
+        |  FROM c),
+        |s AS (SELECT l_partkey, n, wt,
+        |    SUM(wt) OVER (ORDER BY n DESC, l_partkey ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(wt) OVER () AS tot
+        |  FROM w)
+        |SELECT l_partkey, n,
+        |  ROUND(CAST(wt AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS prob,
+        |  ROUND(CAST(cum - wt AS DOUBLE) / CAST(tot AS DOUBLE), 9)
+        |    AS lo,
+        |  ROUND(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 9) AS hi
+        |FROM s""".stripMargin,
   )
 
   /** Shared q221/q222 source CTE body: NULL-value rows out, arm from

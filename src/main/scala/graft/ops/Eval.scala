@@ -679,6 +679,39 @@ object Eval {
         col("__k").cast("long").as("k"), round(col("__r"), 6).as("width"))
   }
 
+  /** Leakage-free K-fold target encoding table: for every
+    * (category, fold), the m-estimate-smoothed mean of `targetCol`
+    * computed from the OTHER folds only —
+    *   enc = (S_cat − S_fold + m·prior) / (N_cat − N_fold + m),
+    * prior = the out-of-fold-agnostic global mean. The standard way to
+    * feed a high-cardinality categorical to a model without the
+    * encoding memorizing each row's own label.
+    *
+    * All sums are exact decimals; each output is one fixed-order
+    * division (the prior itself divides once, then joins in as a
+    * value). Two hash aggregations to the (category, fold) domain —
+    * the encoding TABLE is emitted (join it back to rows at feature
+    * time), so nothing row-sized leaves the aggregation. */
+  def targetEncoding(df: DataFrame, catCol: String, foldCol: Column,
+                     targetCol: String, m: Double = 20.0): DataFrame = {
+    def d(c: Column) = c.cast(DoubleType)
+    val dec = DecimalType(18, 4)
+    val src = df.filter(col(targetCol).isNotNull)
+      .select(col(catCol), foldCol.as("__fold"),
+        col(targetCol).cast(dec).as("__t"))
+    val byFold = src.groupBy(col(catCol), col("__fold"))
+      .agg(count(lit(1)).as("__nf"), sum(col("__t")).as("__sf"))
+    val byCat = byFold.groupBy(col(catCol))
+      .agg(sum(col("__nf")).as("__nc"), sum(col("__sf")).as("__sc"))
+    val prior = src.agg(
+      (d(sum(col("__t"))) / count(lit(1))).as("__prior"))
+    byFold.join(byCat, catCol).crossJoin(broadcast(prior))
+      .select(col(catCol), col("__fold").as("fold"),
+        (col("__nc") - col("__nf")).cast("long").as("n_oof"),
+        round((d(col("__sc")) - d(col("__sf")) + lit(m) * col("__prior"))
+          / (d(col("__nc")) - d(col("__nf")) + lit(m)), 6).as("encoded"))
+  }
+
   /** One-way ANOVA F across the groups of `groupCol`: does the mean of
     * `metricCol` differ across k groups — the k-arm generalization of
     * [[welchTwoSample]] (equal-variance form). Returns ONE row:

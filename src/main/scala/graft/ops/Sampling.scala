@@ -379,4 +379,39 @@ object Sampling {
       .limit(k)
       .drop("__priority")
   }
+
+  /** Popularity-smoothed negative-sampling table (the word2vec
+    * unigram^0.75 scheme): per item, weight = count^¾, probability
+    * = weight / Σweight, and the item's half-open cumulative range
+    * [lo, hi) over a TOTAL order (count desc, item asc) — the table a
+    * sampler inverts with one uniform draw per negative.
+    *
+    * n^¾ is computed as √(n·√n), NOT pow(n, 0.75): IEEE sqrt is
+    * correctly rounded on every engine, pow is not — a 1-ulp pow skew
+    * against the oracle's libm turns into a 9-decimal rounding tie
+    * about once per 10⁴ items. Each weight rounds to 9 decimals and
+    * all sums/cumsums run as exact decimals over the total order, so
+    * the ranges are deterministic under any partitioning (a raw double
+    * Σ would reorder across partitions). Item-domain-sized output; the
+    * window orders the item domain, never rows. */
+  def negativeSamplingTable(df: DataFrame, itemCol: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val counts = df.groupBy(col(itemCol))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__w",
+        round(sqrt(d(col("n")) * sqrt(d(col("n")))), 9)
+          .cast("decimal(28,9)"))
+    val wOrd = Window.orderBy(col("n").desc, col(itemCol).asc)
+    val wAll = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    counts
+      .withColumn("__cum", sum(col("__w")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__tot", sum(col("__w")).over(wAll))
+      .select(col(itemCol), col("n"),
+        round(d(col("__w")) / d(col("__tot")), 6).as("prob"),
+        round(d(col("__cum") - col("__w")) / d(col("__tot")), 9)
+          .as("lo"),
+        round(d(col("__cum")) / d(col("__tot")), 9).as("hi"))
+  }
 }

@@ -1568,4 +1568,21 @@ object Relational {
     Stats.profileColumns(Tables.orders(s, dir),
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority"))
+
+  /** q232: leakage-free 5-fold target encoding of order priority →
+    * mean total price ([[Eval.targetEncoding]], m = 20 smoothing) —
+    * the (category, fold) table a feature join consumes, each value
+    * computed without its own fold's labels. */
+  def q232TargetEncoding(s: SparkSession, dir: String): DataFrame =
+    Eval.targetEncoding(Tables.orders(s, dir), "o_orderpriority",
+      graft.ops.Sampling.sampleHash(col("o_orderkey"), 31L) % 5,
+      "o_totalprice")
+
+  /** q233: word2vec-style negative-sampling table over part
+    * popularity ([[Sampling.negativeSamplingTable]], count^¾ via
+    * exact sqrt composition) — deterministic cumulative ranges a
+    * sampler inverts with one uniform draw. */
+  def q233NegSampling(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.negativeSamplingTable(
+      Tables.lineitem(s, dir), "l_partkey")
 }

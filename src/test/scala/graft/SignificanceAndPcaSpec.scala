@@ -320,6 +320,40 @@ class SignificanceAndPcaSpec extends SparkSpecBase {
     assert(got("x") == ((4L, 1L, 3L, "1.5", "9.0")))
   }
 
+  test("targetEncoding: out-of-fold means match the m-estimate closed form") {
+    import spark.implicits._
+    // cat A: fold0 = (10, 20), fold1 = (30); cat B: fold0 = (100)
+    val df = Seq(("A", 0, 10.0), ("A", 0, 20.0), ("A", 1, 30.0),
+      ("B", 0, 100.0)).toDF("cat", "f", "y")
+    val prior = (10.0 + 20.0 + 30.0 + 100.0) / 4 // 40
+    val got = Eval.targetEncoding(df, "cat", col("f"), "y", m = 20.0)
+      .collect().map(r => (r.getAs[String]("cat"), r.getAs[Int]("fold"))
+        -> (r.getAs[Long]("n_oof"), r.getAs[Double]("encoded"))).toMap
+    def enc(scOof: Double, nOof: Long) =
+      math.rint((scOof + 20.0 * prior) / (nOof + 20.0) * 1e6) / 1e6
+    assert(got(("A", 0)) == ((1L, enc(30.0, 1))), s"$got")
+    assert(got(("A", 1)) == ((2L, enc(30.0, 2))))
+    // a category seen only in one fold: n_oof = 0 → pure prior
+    assert(got(("B", 0)) == ((0L, enc(0.0, 0))))
+    assert(got(("B", 0))._2 == 40.0) // (0 + 20·40)/(0 + 20)
+  }
+
+  test("negativeSamplingTable: unigram^0.75 probs and contiguous ranges") {
+    import spark.implicits._
+    // counts 16 and 1: weights 8 and 1 → probs 8/9, 1/9
+    val df = ((1 to 16).map(_ => "hot") ++ Seq("cold")).toDF("item")
+    val rows = graft.ops.Sampling.negativeSamplingTable(df, "item")
+      .orderBy(col("lo")).collect()
+    assert(rows.map(_.getAs[String]("item")).toSeq == Seq("hot", "cold"))
+    val hot = rows(0); val cold = rows(1)
+    assert(hot.getAs[Double]("prob") ==
+      math.rint(8.0 / 9.0 * 1e6) / 1e6)
+    assert(hot.getAs[Double]("lo") == 0.0 &&
+      cold.getAs[Double]("hi") == 1.0)
+    // half-open ranges tile [0, 1): each lo equals the previous hi
+    assert(cold.getAs[Double]("lo") == hot.getAs[Double]("hi"))
+  }
+
   test("matryoshkaTopK: prefix ranks, full-dim cosine rescored exactly") {
     import spark.implicits._
     // prefix (first 2 dims) ranking disagrees with full ranking:
