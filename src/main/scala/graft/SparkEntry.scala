@@ -277,6 +277,7 @@ object SparkEntry {
     "q231_profile"           -> Relational.q231Profile _,
     "q232_target_encoding"   -> Relational.q232TargetEncoding _,
     "q233_neg_sampling"      -> Relational.q233NegSampling _,
+    "q234_qini"              -> Relational.q234Qini _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */
@@ -2260,13 +2261,51 @@ object SparkEntry {
         |    AS lo,
         |  ROUND(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 9) AS hi
         |FROM s""".stripMargin,
+
+    "q234_qini" ->
+      s"""WITH src AS ($convCte),
+         |b AS (SELECT event_type, arm, conv,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY value DESC, event_id ASC) AS rn,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS nr
+         |  FROM src),
+         |per AS (SELECT event_type,
+         |    CAST((rn - 1) * 10 // nr AS INTEGER) AS decile,
+         |    COUNT(*) FILTER (arm = 0) AS n0,
+         |    CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+         |      AS s0,
+         |    COUNT(*) FILTER (arm = 1) AS n1,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+         |      AS s1
+         |  FROM b GROUP BY event_type, decile),
+         |c AS (SELECT *,
+         |    SUM(n0) OVER (PARTITION BY event_type ORDER BY decile)
+         |      AS cn0,
+         |    SUM(s0) OVER (PARTITION BY event_type ORDER BY decile)
+         |      AS cs0,
+         |    SUM(n1) OVER (PARTITION BY event_type ORDER BY decile)
+         |      AS cn1,
+         |    SUM(s1) OVER (PARTITION BY event_type ORDER BY decile)
+         |      AS cs1
+         |  FROM per)
+         |SELECT event_type, decile, n0, n1,
+         |  CASE WHEN n0 > 0 AND n1 > 0 THEN
+         |    ROUND(CAST(s0 AS DOUBLE) / n0 - CAST(s1 AS DOUBLE) / n1, 6)
+         |      + 0.0
+         |  END AS uplift,
+         |  CASE WHEN cn1 > 0 THEN
+         |    ROUND(CAST(cs0 AS DOUBLE)
+         |      - CAST(cs1 AS DOUBLE) * (CAST(cn0 AS DOUBLE) / cn1), 6)
+         |      + 0.0
+         |  END AS qini
+         |FROM c""".stripMargin,
   )
 
   /** Shared q221/q222 source CTE body: NULL-value rows out, arm from
     * the q165 hash split, conversion = value > 50. */
   private def convCte: String = {
     val hv = graft.queries.TextOracles.H("CAST(user_id AS VARCHAR) || '#13'")
-    s"""SELECT event_type, ts, event_id,
+    s"""SELECT event_type, ts, event_id, value,
        |    CASE WHEN value > 50 THEN 1 ELSE 0 END AS conv,
        |    CASE WHEN ($hv * 2654435761 % 1000000007) % 1000000 < 500000
        |         THEN 0 ELSE 1 END AS arm

@@ -652,7 +652,13 @@ object Eval {
     * no rounding chains; the rank is computed from exact counts. The
     * model table is bin-domain-sized (broadcast join); the residual
     * rank runs in stratum-partitioned windows. Calibration rows whose
-    * bin never occurs in train are dropped (no prediction to score). */
+    * bin never occurs in train are dropped (no prediction to score).
+    *
+    * Scale note: the per-stratum rank sorts CALIBRATION rows — exact
+    * by design (it is the oracle-gated definition). At corpus scale,
+    * cap the calibration split (a conformal quantile stabilizes at
+    * ~10⁴–10⁵ points; q54's deterministic sampler bounds it) rather
+    * than sorting a full stratum. */
   def conformalWidth(df: DataFrame, groupCol: String, binCol: Column,
                      valueCol: String, splitCol: String,
                      alpha: Double = 0.1): DataFrame = {
@@ -710,6 +716,56 @@ object Eval {
         (col("__nc") - col("__nf")).cast("long").as("n_oof"),
         round((d(col("__sc")) - d(col("__sf")) + lit(m) * col("__prior"))
           / (d(col("__nc")) - d(col("__nf")) + lit(m)), 6).as("encoded"))
+  }
+
+  /** Qini / uplift deciles per stratum: rank rows by a targeting score,
+    * cut into `buckets` equal slices, and per slice report the arm-0 −
+    * arm-1 conversion-rate lift plus the CUMULATIVE Qini value
+    *   Q(d) = S0(≤d) − S1(≤d)·N0(≤d)/N1(≤d)
+    * (incremental conversions attributable to treating the top-d
+    * slices, control scaled to treatment size) — the standard uplift-
+    * model acceptance curve; a useless score gives Q ≈ 0 everywhere.
+    *
+    * Counts are exact; bucket assignment is integer arithmetic over a
+    * TOTAL (score, tie) order; the only float ops are the final
+    * per-bucket divisions. One stratum-partitioned window sort (rank)
+    * + two hash aggregations; the cumulative window runs on the
+    * bucket-domain aggregate. */
+  def qiniDeciles(df: DataFrame, groupCols: Seq[String], armCol: String,
+                  successCol: String, scoreCol: String, tieCol: String,
+                  buckets: Int = 10): DataFrame = {
+    val gs = groupCols.map(col)
+    def d(c: Column) = c.cast(DoubleType)
+    val w = Window.partitionBy(gs: _*)
+      .orderBy(col(scoreCol).desc, col(tieCol).asc)
+    val wAll = Window.partitionBy(gs: _*)
+    val bucketed = df
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__nr", count(lit(1)).over(wAll))
+      .withColumn("__b",
+        expr(s"CAST(((__rn - 1) * $buckets) DIV __nr AS INT)"))
+    val per = bucketed.groupBy(gs :+ col("__b"): _*).agg(
+      count(when(col(armCol) === 0, lit(1))).as("n0"),
+      sum(when(col(armCol) === 0, col(successCol)).otherwise(0))
+        .cast("long").as("s0"),
+      count(when(col(armCol) === 1, lit(1))).as("n1"),
+      sum(when(col(armCol) === 1, col(successCol)).otherwise(0))
+        .cast("long").as("s1"))
+    val wCum = Window.partitionBy(gs: _*).orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .withColumn("__cn0", sum(col("n0")).over(wCum))
+      .withColumn("__cs0", sum(col("s0")).over(wCum))
+      .withColumn("__cn1", sum(col("n1")).over(wCum))
+      .withColumn("__cs1", sum(col("s1")).over(wCum))
+      .select(gs ++ Seq(col("__b").as("decile"), col("n0"), col("n1"),
+        when(col("n0") > 0 && col("n1") > 0,
+          round(d(col("s0")) / col("n0") - d(col("s1")) / col("n1"), 6))
+          .as("uplift"),
+        when(col("__cn1") > 0,
+          round(d(col("__cs0")) -
+            d(col("__cs1")) * (d(col("__cn0")) / col("__cn1")), 6))
+          .as("qini")): _*)
   }
 
   /** One-way ANOVA F across the groups of `groupCol`: does the mean of

@@ -1585,4 +1585,12 @@ object Relational {
   def q233NegSampling(s: SparkSession, dir: String): DataFrame =
     graft.ops.Sampling.negativeSamplingTable(
       Tables.lineitem(s, dir), "l_partkey")
+
+  /** q234: Qini / uplift deciles per event type
+    * ([[Eval.qiniDeciles]]) — value as the targeting score, the q165
+    * hash arms, high-value conversion as the outcome; the acceptance
+    * curve uplift modeling is judged on. */
+  def q234Qini(s: SparkSession, dir: String): DataFrame =
+    Eval.qiniDeciles(withConversion(Tables.events(s, dir)),
+      Seq("event_type"), "arm", "conv", "value", "event_id")
 }

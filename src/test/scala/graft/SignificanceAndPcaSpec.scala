@@ -354,6 +354,25 @@ class SignificanceAndPcaSpec extends SparkSpecBase {
     assert(cold.getAs[Double]("lo") == hot.getAs[Double]("hi"))
   }
 
+  test("qiniDeciles: a perfectly-targeted score builds the ideal curve") {
+    import spark.implicits._
+    // 20 rows, 2 per decile (one per arm); treatment converts only in
+    // the top half → uplift 1 in deciles 0-4, 0 after; qini climbs to
+    // 5 and plateaus
+    val df = (1 to 20).map { i =>
+      val arm = i % 2
+      ("g", arm, if (arm == 0 && i <= 10) 1 else 0, (21 - i).toDouble,
+        i.toLong)
+    }.toDF("k", "arm", "conv", "score", "tie")
+    val got = Eval.qiniDeciles(df, Seq("k"), "arm", "conv", "score",
+      "tie").collect()
+      .map(r => r.getAs[Int]("decile") ->
+        (r.getAs[Double]("uplift"), r.getAs[Double]("qini"))).toMap
+    (0 to 4).foreach(d => assert(got(d) == ((1.0, (d + 1).toDouble)),
+      s"decile $d: ${got(d)}"))
+    (5 to 9).foreach(d => assert(got(d) == ((0.0, 5.0))))
+  }
+
   test("matryoshkaTopK: prefix ranks, full-dim cosine rescored exactly") {
     import spark.implicits._
     // prefix (first 2 dims) ranking disagrees with full ranking:
