@@ -278,6 +278,8 @@ object SparkEntry {
     "q232_target_encoding"   -> Relational.q232TargetEncoding _,
     "q233_neg_sampling"      -> Relational.q233NegSampling _,
     "q234_qini"              -> Relational.q234Qini _,
+    "q235_embed_cov"         -> VectorQueries.qEmbedCov _,
+    "q236_novelty_curve"     -> TextQueries.qNoveltyCurve _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */

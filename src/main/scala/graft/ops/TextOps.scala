@@ -716,4 +716,40 @@ object TextOps {
       transform(slice(t, i + 2, lit(window)),
         ctx => struct(tok.as("a"), ctx.as("b")))))
   }
+
+  /** Corpus novelty curve over ingestion order: cut the id space into
+    * `buckets` equal slices and report, per slice, how many of its
+    * distinct shingles appear THERE FOR THE FIRST TIME — the
+    * diminishing-returns readout of continued scraping ("bucket 9 is
+    * 85% repeats of buckets 0–8"), and the aggregate twin of q64's
+    * per-batch incremental dedup.
+    *
+    * Plan: the shingle stream hash-aggregates straight to
+    * (bucket, shingle) / first-seen-bucket frames — shingle-domain
+    * sized, no windows, no sorts; bucket assignment is integer
+    * arithmetic off a broadcast max-id. Output: bucket, n_docs,
+    * n_shingles (distinct in bucket), n_new (first seen here),
+    * novelty = n_new / n_shingles. */
+  def noveltyCurve(docs: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, buckets: Int = 10): DataFrame = {
+    val maxId = broadcast(docs.agg((max(col(idCol)) + 1).as("__maxid")))
+    def bucketOf(src: DataFrame) = src.crossJoin(maxId)
+      .withColumn("__b",
+        expr(s"CAST(($idCol * $buckets) DIV __maxid AS INT)"))
+    val shb = bucketOf(
+        NearDup.shingleRows(docs, idCol, textCol, shingleN)
+          .distinct())
+      .select(col("__b"), col("h"))
+    val inBucket = shb.distinct()
+      .groupBy(col("__b")).agg(count(lit(1)).as("n_shingles"))
+    val newPer = shb.groupBy(col("h")).agg(min(col("__b")).as("__fb"))
+      .groupBy(col("__fb").as("__b")).agg(count(lit(1)).as("n_new"))
+    val docsPer = bucketOf(docs.select(col(idCol)))
+      .groupBy(col("__b")).agg(count(lit(1)).as("n_docs"))
+    docsPer.join(inBucket, "__b").join(newPer, Seq("__b"), "left")
+      .select(col("__b").as("bucket"), col("n_docs"),
+        col("n_shingles"), coalesce(col("n_new"), lit(0L)).as("n_new"),
+        round(coalesce(col("n_new"), lit(0L)).cast("double") /
+          col("n_shingles"), 6).as("novelty"))
+  }
 }

@@ -688,18 +688,49 @@ object VectorOps {
     *
     * Returns (mean, eigenvalues, components); project with
     * [[pcaProject]]. */
-  def pcaComponents(df: DataFrame, vecCol: String, k: Int,
-                    iters: Int = 300)
-      : (Array[Double], Array[Double], Array[Array[Double]]) = {
-    val n = df.count()
-    require(n >= 2, s"need >= 2 vectors, got $n")
-    val mean = df
-      .select(posexplode(col(vecCol)).as(Seq("i", "x")))
+  /** Per-dimension exact-decimal means of the vector column, collected
+    * driver-side (d values). */
+  private[ops] def dimensionMeans(df: DataFrame, vecCol: String)
+      : Array[Double] =
+    df.select(posexplode(col(vecCol)).as(Seq("i", "x")))
       .groupBy(col("i"))
       .agg((sum(col("x").cast("decimal(28,10)")).cast("double") /
         count(lit(1))).as("m"))
       .collect().map(r => r.getAs[Int]("i") -> r.getAs[Double]("m"))
       .sortBy(_._1).map(_._2)
+
+  /** Upper-triangle covariance of the embedding dimensions as a
+    * DataFrame: (i, j ≥ i, n, cov) — the distributed input the PCA
+    * eigensolve consumes, exposed so the matrix itself is
+    * ORACLE-CHECKABLE (the eigenproblem is not SQL; its input is).
+    * Same discipline as [[pcaComponents]]: exact-decimal means, each
+    * centered product 9-rounded into a decimal sum (bit-deterministic
+    * under any partitioning), the d²-per-row explode collapsing
+    * map-side to d(d+1)/2 keys. */
+  def covarianceMatrix(df: DataFrame, vecCol: String): DataFrame = {
+    val n = df.count()
+    require(n >= 2, s"need >= 2 vectors, got $n")
+    val mean = dimensionMeans(df, vecCol)
+    val mLit = typedlit(mean.toSeq)
+    val ci = col("xi").cast("double") - element_at(mLit, col("i") + 1)
+    val cj = col("xj").cast("double") - element_at(mLit, col("j") + 1)
+    df.select(col(vecCol).as("__v"),
+        posexplode(col(vecCol)).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"),
+        posexplode(col("__v")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(round(ci * cj, 9).cast("decimal(28,9)")).as("__s"))
+      .select(col("i"), col("j"), lit(n).as("n"),
+        round(col("__s").cast("double") / (n - 1), 6).as("cov"))
+  }
+
+  def pcaComponents(df: DataFrame, vecCol: String, k: Int,
+                    iters: Int = 300)
+      : (Array[Double], Array[Double], Array[Array[Double]]) = {
+    val n = df.count()
+    require(n >= 2, s"need >= 2 vectors, got $n")
+    val mean = dimensionMeans(df, vecCol)
     val d = mean.length
     val mLit = typedlit(mean.toSeq)
     val ci = col("xi").cast("double") - element_at(mLit, col("i") + 1)

@@ -1906,5 +1906,26 @@ object TextOracles {
          |         / CAST(deg.degree * (deg.degree - 1) AS DOUBLE), 6)
          |       ELSE 0.0 END AS cc
          |FROM deg LEFT JOIN tpn ON tpn.node = deg.node""".stripMargin,
+
+    "q236_novelty_curve" ->
+      s"""$ShingleCtes,
+         |mx AS (SELECT MAX(doc_id) + 1 AS maxid FROM documents),
+         |shb AS (SELECT DISTINCT
+         |    CAST((doc_id * 10) // (SELECT maxid FROM mx) AS INTEGER)
+         |      AS b, h
+         |  FROM shx),
+         |ib AS (SELECT b, COUNT(*) AS n_shingles FROM shb GROUP BY b),
+         |fs AS (SELECT h, MIN(b) AS fb FROM shb GROUP BY h),
+         |np AS (SELECT fb AS b, COUNT(*) AS n_new FROM fs GROUP BY fb),
+         |dp AS (SELECT
+         |    CAST((doc_id * 10) // (SELECT maxid FROM mx) AS INTEGER)
+         |      AS b, COUNT(*) AS n_docs
+         |  FROM documents GROUP BY b)
+         |SELECT dp.b AS bucket, n_docs, n_shingles,
+         |  COALESCE(n_new, 0) AS n_new,
+         |  ROUND(CAST(COALESCE(n_new, 0) AS DOUBLE) / n_shingles, 6)
+         |    AS novelty
+         |FROM dp JOIN ib ON dp.b = ib.b
+         |LEFT JOIN np ON dp.b = np.b""".stripMargin,
   )
 }

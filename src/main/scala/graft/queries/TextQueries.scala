@@ -1371,4 +1371,11 @@ object TextQueries {
         .select(col("source"), explode(TextOps.tokens(col("text")))
           .as("token")),
       "source", "token", 3)
+
+  /** q236: corpus novelty curve over ingestion deciles
+    * ([[TextOps.noveltyCurve]], 3-shingles) — what fraction of each
+    * slice's distinct shingles is first seen there, the
+    * diminishing-returns readout of continued collection. */
+  def qNoveltyCurve(s: SparkSession, dir: String): DataFrame =
+    TextOps.noveltyCurve(Tables.documents(s, dir), "doc_id", "text")
 }

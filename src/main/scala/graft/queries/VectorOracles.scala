@@ -127,6 +127,30 @@ object VectorOracles {
          |  ROUND(cos, 6) AS cos_sim
          |FROM r WHERE rank <= ${VectorQueries.TopK}""".stripMargin,
 
+    // mirrors covarianceMatrix: the mean is recomputed in SQL but is
+    // the same deterministic division the Spark literal was collected
+    // from; centered products round to 9 into decimal sums
+    "q235_embed_cov" ->
+      """WITH e1 AS (SELECT vec_id, unnest(embedding) AS x,
+        |    CAST(unnest(range(1, len(embedding) + 1)) - 1 AS INTEGER)
+        |      AS i
+        |  FROM embeddings),
+        |nn AS (SELECT COUNT(*) AS n FROM embeddings),
+        |m AS (SELECT i,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*)
+        |      AS mu
+        |  FROM e1 GROUP BY i),
+        |p AS (SELECT a.i AS i, b.i AS j,
+        |    CAST(ROUND((CAST(a.x AS DOUBLE) - ma.mu)
+        |      * (CAST(b.x AS DOUBLE) - mb.mu), 9) AS DECIMAL(28,9)) AS t
+        |  FROM e1 a JOIN e1 b ON a.vec_id = b.vec_id AND b.i >= a.i
+        |  JOIN m ma ON ma.i = a.i
+        |  JOIN m mb ON mb.i = b.i)
+        |SELECT i, j, CAST((SELECT n FROM nn) AS BIGINT) AS n,
+        |  ROUND(CAST(SUM(t) AS DOUBLE)
+        |    / ((SELECT n FROM nn) - 1), 6) + 0.0 AS cov
+        |FROM p GROUP BY i, j""".stripMargin,
+
     // matryoshka: rank by prefix-16 cosine, rescore winners at full dim
     "q219_matryoshka" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,

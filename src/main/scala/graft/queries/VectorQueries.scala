@@ -295,6 +295,13 @@ object VectorQueries {
       emb, MatryoshkaDims, TopK)
   }
 
+  /** q235: the d×d dimension-covariance matrix of the corpus
+    * ([[VectorOps.covarianceMatrix]]) — the ORACLE-GATED input of
+    * q220's (spec-gated) eigensolve: exact-decimal means, 9-rounded
+    * centered products, map-side d(d+1)/2 collapse. */
+  def qEmbedCov(s: SparkSession, dir: String): DataFrame =
+    VectorOps.covarianceMatrix(Tables.embeddings(s, dir), "embedding")
+
   /** q220: PCA projection ([[VectorOps.pcaComponents]] +
     * [[VectorOps.pcaProject]]) — every vector scored on the top-2
     * principal axes of the corpus. Spec-gated (the d×d eigenproblem

@@ -401,6 +401,34 @@ class SignificanceAndPcaSpec extends SparkSpecBase {
     assert(r(0).getAs[Double]("cos_trunc") > r(1).getAs[Double]("cos_trunc"))
   }
 
+  test("covarianceMatrix: hand-computed 2-dim fixture, upper triangle only") {
+    import spark.implicits._
+    val df = Seq((0L, Array(1.0f, 2.0f)), (1L, Array(3.0f, 6.0f)),
+      (2L, Array(5.0f, 10.0f))).toDF("vec_id", "embedding")
+    val got = VectorOps.covarianceMatrix(df, "embedding").collect()
+      .map(r => (r.getAs[Int]("i"), r.getAs[Int]("j")) ->
+        r.getAs[Double]("cov")).toMap
+    assert(got == Map((0, 0) -> 4.0, (0, 1) -> 8.0, (1, 1) -> 16.0),
+      s"$got")
+  }
+
+  test("noveltyCurve: repeats score 0, fresh content scores 1") {
+    import spark.implicits._
+    // 10 docs → 10 buckets of one doc; doc1 repeats doc0, doc2 is new
+    val texts = Seq("alpha beta gamma delta", "alpha beta gamma delta",
+      "epsilon zeta eta theta") ++
+      (3 until 10).map(i => s"w$i x$i y$i z$i")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextOps.noveltyCurve(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Int]("bucket") ->
+        (r.getAs[Long]("n_new"), r.getAs[Double]("novelty"))).toMap
+    assert(got(0)._2 == 1.0) // first bucket is all-new by definition
+    assert(got(1) == ((0L, 0.0)), s"repeat bucket: ${got(1)}")
+    assert(got(2)._2 == 1.0, s"fresh bucket: ${got(2)}")
+    assert(got.size == 10)
+  }
+
   test("pcaComponents: recovers planted axes; projections carry the eigenvalues") {
     import spark.implicits._
     // plant a 2-factor covariance in 6 dims: u with sd 3, v with sd 1,
