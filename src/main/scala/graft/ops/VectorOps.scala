@@ -690,7 +690,7 @@ object VectorOps {
     * [[pcaProject]]. */
   /** Per-dimension exact-decimal means of the vector column, collected
     * driver-side (d values). */
-  private[ops] def dimensionMeans(df: DataFrame, vecCol: String)
+  private[graft] def dimensionMeans(df: DataFrame, vecCol: String)
       : Array[Double] =
     df.select(posexplode(col(vecCol)).as(Seq("i", "x")))
       .groupBy(col("i"))
@@ -707,20 +707,35 @@ object VectorOps {
     * centered product 9-rounded into a decimal sum (bit-deterministic
     * under any partitioning), the d²-per-row explode collapsing
     * map-side to d(d+1)/2 keys. */
+  /** Exact-decimal sums of centered products over the upper triangle
+    * (i, j ≥ i): the second explode walks only the slice FROM i, so the
+    * generated stream is d(d+1)/2 per row, not d² filtered in half. */
+  private def upperTriangleSums(df: DataFrame, vecCol: String,
+                                mLit: Column): DataFrame = {
+    val ci = col("xi").cast("double") - element_at(mLit, col("i") + 1)
+    val cj = col("xj").cast("double") - element_at(mLit, col("j") + 1)
+    // fan the SOURCE rows out before the d²/2-per-row explode: a small
+    // vector table arrives as one parquet split, and without this the
+    // entire decimal-product stream (the real cost) runs on one core —
+    // measured 8.2 s → 1.3 s at 5k×64. Row-level decimal sums are
+    // placement-free, so round-robin is safe.
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(vecCol).as("__v"),
+        posexplode(col(vecCol)).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"),
+        posexplode(slice(col("__v"), col("i") + 1,
+          size(col("__v")) - col("i"))).as(Seq("__j0", "xj")))
+      .select(col("i"), col("xi"), col("xj"),
+        (col("i") + col("__j0")).as("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(round(ci * cj, 9).cast("decimal(28,9)")).as("__s"))
+  }
+
   def covarianceMatrix(df: DataFrame, vecCol: String): DataFrame = {
     val n = df.count()
     require(n >= 2, s"need >= 2 vectors, got $n")
-    val mean = dimensionMeans(df, vecCol)
-    val mLit = typedlit(mean.toSeq)
-    val ci = col("xi").cast("double") - element_at(mLit, col("i") + 1)
-    val cj = col("xj").cast("double") - element_at(mLit, col("j") + 1)
-    df.select(col(vecCol).as("__v"),
-        posexplode(col(vecCol)).as(Seq("i", "xi")))
-      .select(col("i"), col("xi"),
-        posexplode(col("__v")).as(Seq("j", "xj")))
-      .filter(col("j") >= col("i"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(round(ci * cj, 9).cast("decimal(28,9)")).as("__s"))
+    val mLit = typedlit(dimensionMeans(df, vecCol).toSeq)
+    upperTriangleSums(df, vecCol, mLit)
       .select(col("i"), col("j"), lit(n).as("n"),
         round(col("__s").cast("double") / (n - 1), 6).as("cov"))
   }
@@ -733,21 +748,11 @@ object VectorOps {
     val mean = dimensionMeans(df, vecCol)
     val d = mean.length
     val mLit = typedlit(mean.toSeq)
-    val ci = col("xi").cast("double") - element_at(mLit, col("i") + 1)
-    val cj = col("xj").cast("double") - element_at(mLit, col("j") + 1)
-    val cov = df
-      .select(col(vecCol).as("__v"),
-        posexplode(col(vecCol)).as(Seq("i", "xi")))
-      .select(col("i"), col("xi"),
-        posexplode(col("__v")).as(Seq("j", "xj")))
-      .filter(col("j") >= col("i"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(round(ci * cj, 9).cast("decimal(28,9)")).as("s"))
-      .collect()
+    val cov = upperTriangleSums(df, vecCol, mLit).collect()
     val a = Array.ofDim[Double](d, d)
     cov.foreach { r =>
       val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
-      val v = r.getAs[java.math.BigDecimal]("s").doubleValue() / (n - 1)
+      val v = r.getAs[java.math.BigDecimal]("__s").doubleValue() / (n - 1)
       a(i)(j) = v; a(j)(i) = v
     }
     def matVec(m: Array[Array[Double]], v: Array[Double]) =
