@@ -429,6 +429,128 @@ class SignificanceAndPcaSpec extends SparkSpecBase {
     assert(got.size == 10)
   }
 
+  // ---- algebraic invariances: properties a value-level oracle compare
+  // cannot see, pinned per family ----
+
+  test("invariance: Mann-Whitney z is exactly invariant under monotone transforms") {
+    import spark.implicits._
+    val df = (1 to 60).map(i =>
+      ("g", i % 2, (i * 37 % 23).toDouble)).toDF("k", "arm", "v")
+    val base = Eval.mannWhitneyU(df, Seq("k"), "arm", "v")
+      .collect().head
+    // exp is strictly monotone → identical ranks → identical U/z/p
+    val mono = Eval.mannWhitneyU(
+      df.withColumn("v", exp(col("v") / 10)), Seq("k"), "arm", "v")
+      .collect().head
+    assert(base.getAs[Double]("u") == mono.getAs[Double]("u"))
+    assert(base.getAs[Double]("z") == mono.getAs[Double]("z"))
+    assert(base.getAs[Double]("p_two") == mono.getAs[Double]("p_two"))
+  }
+
+  test("invariance: BH adjusted p is monotone in raw p and bounded by 1") {
+    import spark.implicits._
+    val ps = Seq(0.001, 0.02, 0.02, 0.3, 0.7, 0.97, 0.99)
+    val df = ps.zipWithIndex.map { case (p, i) => (s"s$i", p) }
+      .toDF("k", "p")
+    val rows = Stats.bhFdr(df, "p", Seq("k")).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    val adj = rows.map(_.getAs[Double]("p_adj"))
+    assert(adj.zip(adj.tail).forall { case (a, b) => a <= b },
+      s"not monotone: ${adj.toSeq}")
+    assert(adj.forall(p => p > 0 && p <= 1.0))
+    // the largest raw p is its own adjustment
+    assert(adj.last == 0.99)
+  }
+
+  test("invariance: JSD is symmetric in the arms and bounded by ln 2") {
+    import spark.implicits._
+    val df = (1 to 200).map(i =>
+      ("g", i % 2, s"k${i % 7 + (i % 2) * 3}")).toDF("grp", "arm", "key")
+    val a = Stats.jsDivergence(df, Seq("grp"), "arm", "key")
+      .collect().head.getAs[Double]("jsd")
+    val b = Stats.jsDivergence(
+      df.withColumn("arm", lit(1) - col("arm")), Seq("grp"), "arm",
+      "key").collect().head.getAs[Double]("jsd")
+    assert(a == b, s"asymmetric: $a vs $b")
+    assert(a >= 0 && a <= 0.693148)
+  }
+
+  test("invariance: Kendall tau-b is invariant under monotone transforms of either axis") {
+    import spark.implicits._
+    val df = (1 to 40).map(i =>
+      (i, ((i * 13) % 17).toLong, ((i * 7) % 11).toLong))
+      .toDF("k", "x", "y")
+    val base = Stats.kendallTauB(df, "k", "x", "y").collect().head
+      .getAs[Double]("tau_b")
+    val tx = Stats.kendallTauB(
+      df.withColumn("x", col("x") * col("x") * 3 + 1), "k", "x", "y")
+      .collect().head.getAs[Double]("tau_b")
+    assert(base == tx)
+  }
+
+  test("invariance: CMH single stratum equals itself under arm+outcome double flip") {
+    import spark.implicits._
+    // flipping BOTH arm labels and outcome labels preserves the 2x2
+    // association structure: chi2 identical
+    val df = (1 to 80).map(i =>
+      ("h", i % 2, if ((i * 31) % 5 < 2 != (i % 2 == 1)) 1 else 0))
+      .toDF("s", "arm", "conv")
+    val a = Eval.cmhTest(df, Seq("s"), "arm", "conv").collect().head
+      .getAs[Double]("chi2")
+    val flipped = df.select(col("s"), (lit(1) - col("arm")).as("arm"),
+      (lit(1) - col("conv")).as("conv"))
+    val b = Eval.cmhTest(flipped, Seq("s"), "arm", "conv")
+      .collect().head.getAs[Double]("chi2")
+    assert(a == b, s"$a vs $b")
+  }
+
+  test("invariance: qini decile counts partition the stratum; final qini matches totals") {
+    import spark.implicits._
+    val df = (1 to 97).map(i =>
+      ("g", i % 2, if ((i * 13) % 7 < 3) 1 else 0, (i * 29 % 41).toDouble,
+        i.toLong)).toDF("k", "arm", "conv", "score", "tie")
+    val rows = Eval.qiniDeciles(df, Seq("k"), "arm", "conv", "score",
+      "tie").collect()
+    assert(rows.map(r => r.getAs[Long]("n0") + r.getAs[Long]("n1")).sum
+      == 97L)
+    // last decile's qini = S0_total − S1_total·N0/N1 computed directly
+    val (s0, n0t) = (df.filter("arm = 0 and conv = 1").count(),
+      df.filter("arm = 0").count())
+    val (s1, n1t) = (df.filter("arm = 1 and conv = 1").count(),
+      df.filter("arm = 1").count())
+    val expect = math.rint((s0 -
+      s1.toDouble * (n0t.toDouble / n1t)) * 1e6) / 1e6
+    val last = rows.maxBy(_.getAs[Int]("decile")).getAs[Double]("qini")
+    assert(last == expect, s"$last vs $expect")
+  }
+
+  test("invariance: profile counts obey n = n_null + non-null, distinct <= non-null") {
+    import spark.implicits._
+    val df = Seq((1L, Option("a")), (2L, None), (3L, Option("a")),
+      (4L, Option("b")), (5L, None)).toDF("id", "s")
+    Stats.profileColumns(df, Seq("id", "s")).collect().foreach { r =>
+      val nonNull = r.getAs[Long]("n") - r.getAs[Long]("n_null")
+      assert(r.getAs[Long]("n_distinct") <= nonNull)
+    }
+  }
+
+  test("invariance: Holt forecast is affine-equivariant (shift and scale)") {
+    import spark.implicits._
+    val df = (1 to 15).map(i =>
+      ("s", i.toLong, i.toLong, ((i * 11) % 13).toDouble))
+      .toDF("k", "t", "tie", "v")
+    val base = TimeSeries.holtLinear(df, "k", "t", "tie", "v")
+      .collect().head
+    // x → 2x + 5: level' = 2·level + 5, trend' = 2·trend (exact: the
+    // decimal recursion is linear and 2x+5 stays on the 1e-4 grid)
+    val aff = TimeSeries.holtLinear(
+      df.withColumn("v", col("v") * 2 + 5), "k", "t", "tie", "v")
+      .collect().head
+    assert(aff.getAs[Double]("level") ==
+      2 * base.getAs[Double]("level") + 5)
+    assert(aff.getAs[Double]("trend") == 2 * base.getAs[Double]("trend"))
+  }
+
   test("pcaComponents: recovers planted axes; projections carry the eigenvalues") {
     import spark.implicits._
     // plant a 2-factor covariance in 6 dims: u with sd 3, v with sd 1,
