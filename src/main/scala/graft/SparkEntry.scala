@@ -280,6 +280,9 @@ object SparkEntry {
     "q234_qini"              -> Relational.q234Qini _,
     "q235_embed_cov"         -> VectorQueries.qEmbedCov _,
     "q236_novelty_curve"     -> TextQueries.qNoveltyCurve _,
+    "q237_wilcoxon"          -> Relational.q237Wilcoxon _,
+    "q238_cohens_d"          -> Relational.q238CohensD _,
+    "q239_mh_odds"           -> Relational.q239MhOdds _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */
@@ -2301,6 +2304,115 @@ object SparkEntry {
          |      + 0.0
          |  END AS qini
          |FROM c""".stripMargin,
+
+    "q237_wilcoxon" ->
+      """WITH halves AS (SELECT event_type, user_id,
+        |    SUM(CAST(value AS DECIMAL(18,4)))
+        |      FILTER (dayofmonth(ts) <= 15) AS s1,
+        |    COUNT(*) FILTER (dayofmonth(ts) <= 15) AS c1,
+        |    SUM(CAST(value AS DECIMAL(18,4)))
+        |      FILTER (dayofmonth(ts) > 15) AS s2,
+        |    COUNT(*) FILTER (dayofmonth(ts) > 15) AS c2
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY event_type, user_id),
+        |pairs AS (SELECT event_type,
+        |    CAST(s1 AS DOUBLE) / c1 AS m1,
+        |    CAST(s2 AS DOUBLE) / c2 AS m2
+        |  FROM halves WHERE c1 > 0 AND c2 > 0),
+        |diffs AS (SELECT event_type, m2 - m1 AS dd,
+        |    abs(m2 - m1) AS ad
+        |  FROM pairs WHERE m2 - m1 <> 0),
+        |r AS (SELECT event_type, dd,
+        |    2 * rank() OVER (PARTITION BY event_type ORDER BY ad)
+        |      + COUNT(*) OVER (PARTITION BY event_type, ad) - 1 AS r2,
+        |    COUNT(*) OVER (PARTITION BY event_type, ad) AS tc
+        |  FROM diffs),
+        |m AS (SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(CASE WHEN dd > 0 THEN r2 ELSE 0 END AS HUGEINT))
+        |      AS wpd,
+        |    SUM(CAST(tc * tc - 1 AS HUGEINT)) AS ties
+        |  FROM r GROUP BY event_type),
+        |s AS (SELECT event_type, n,
+        |    CAST(wpd AS DOUBLE) / 2.0 AS wp,
+        |    CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0 AS mu,
+        |    CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+        |      * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+        |      - CAST(ties AS DOUBLE) / 48.0 AS vr
+        |  FROM m),
+        |z AS (SELECT event_type, n, wp,
+        |    CASE WHEN vr > 0 THEN (wp - mu) / sqrt(vr) END AS zr
+        |  FROM s),
+        |p AS (SELECT event_type, n, wp, zr,
+        |    abs(zr) / sqrt(2.0) AS x,
+        |    1.0 / (1.0 + 0.3275911 * (abs(zr) / sqrt(2.0))) AS t
+        |  FROM z)
+        |SELECT event_type, n, wp AS w_plus, ROUND(zr, 4) AS z,
+        |  ROUND(((((1.061405429 * t - 1.453152027) * t + 1.421413741)
+        |    * t - 0.284496736) * t + 0.254829592) * t * exp(-(x * x)),
+        |    6) AS p_two
+        |FROM p""".stripMargin,
+
+    "q238_cohens_d" -> {
+      val hv = graft.queries.TextOracles.H(
+        "CAST(user_id AS VARCHAR) || '#13'")
+      s"""WITH e AS (SELECT event_type, value,
+         |    CASE WHEN ($hv * 2654435761 % 1000000007) % 1000000 < 500000
+         |         THEN 0 ELSE 1 END AS arm
+         |  FROM events WHERE value IS NOT NULL),
+         |a AS (SELECT event_type,
+         |    COUNT(*) FILTER (arm = 0) AS n0,
+         |    SUM(CAST(value AS DECIMAL(18,4))) FILTER (arm = 0) AS s0,
+         |    SUM(CAST(CAST(value AS DECIMAL(18,4))
+         |             * CAST(value AS DECIMAL(18,4)) AS DECIMAL(38,8)))
+         |      FILTER (arm = 0) AS q0,
+         |    COUNT(*) FILTER (arm = 1) AS n1,
+         |    SUM(CAST(value AS DECIMAL(18,4))) FILTER (arm = 1) AS s1,
+         |    SUM(CAST(CAST(value AS DECIMAL(18,4))
+         |             * CAST(value AS DECIMAL(18,4)) AS DECIMAL(38,8)))
+         |      FILTER (arm = 1) AS q1
+         |  FROM e GROUP BY event_type),
+         |d AS (SELECT event_type, n0, n1,
+         |    sqrt(((CAST(q0 AS DOUBLE)
+         |        - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / n0)
+         |      + (CAST(q1 AS DOUBLE)
+         |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1))
+         |      / (n0 + n1 - 2)) AS sp,
+         |    CAST(s0 AS DOUBLE) / n0 - CAST(s1 AS DOUBLE) / n1 AS md
+         |  FROM a)
+         |SELECT event_type, n0, n1,
+         |  CASE WHEN n0 > 1 AND n1 > 1
+         |       THEN ROUND(md / sp, 4) END AS cohen_d,
+         |  CASE WHEN n0 > 1 AND n1 > 1
+         |       THEN ROUND(md / sp * (1.0 - 3.0 / (4.0 * (n0 + n1)
+         |         - 9.0)), 4) END AS hedges_g
+         |FROM d""".stripMargin
+    },
+
+    "q239_mh_odds" ->
+      s"""WITH src AS ($convCte),
+         |st AS (SELECT CAST(hour(ts) AS INTEGER) AS hr,
+         |    CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+         |      AS a,
+         |    COUNT(*) FILTER (arm = 0) AS n0,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+         |      AS c,
+         |    COUNT(*) FILTER (arm = 1) AS n1
+         |  FROM src GROUP BY hr),
+         |tm AS (SELECT
+         |    CAST(ROUND(CAST(a AS DOUBLE) * CAST(n1 - c AS DOUBLE)
+         |      / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)), 9)
+         |      AS DECIMAL(28,9)) AS num,
+         |    CAST(ROUND(CAST(n0 - a AS DOUBLE) * CAST(c AS DOUBLE)
+         |      / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)), 9)
+         |      AS DECIMAL(28,9)) AS den
+         |  FROM st)
+         |SELECT COUNT(*) AS n_strata,
+         |  CAST(ROUND(SUM(num), 6) AS DOUBLE) AS num,
+         |  CAST(ROUND(SUM(den), 6) AS DOUBLE) AS den,
+         |  CASE WHEN SUM(den) > 0 THEN
+         |    ROUND(CAST(SUM(num) AS DOUBLE) / CAST(SUM(den) AS DOUBLE),
+         |      4) END AS or_mh
+         |FROM tm""".stripMargin,
   )
 
   /** Shared q221/q222 source CTE body: NULL-value rows out, arm from

@@ -768,6 +768,118 @@ object Eval {
           .as("qini")): _*)
   }
 
+  /** Wilcoxon signed-rank test per stratum on a PAIRED table (one row
+    * per subject with both measurements): ranks |after − before| with
+    * midranks, W⁺ = Σ ranks of positive differences,
+    * z = (W⁺ − n(n+1)/4) / √(n(n+1)(2n+1)/24 − Σ(t³−t)/48) — the
+    * paired companion of [[mannWhitneyU]] (same-subject before/after,
+    * where the unpaired test wastes the pairing). Zero differences are
+    * dropped (standard practice, symmetric on both engines).
+    *
+    * Same exactness machinery as mannWhitneyU: DOUBLED midranks stay
+    * integral, sums accumulate as DECIMAL(38,0), the tie term rides
+    * the same window (each t-tied row contributes t²−1), and the only
+    * float ops are the final z formula and [[erfcApprox]] p. */
+  def wilcoxonSignedRank(df: DataFrame, groupCols: Seq[String],
+                         beforeCol: String, afterCol: String)
+      : DataFrame = {
+    val gs = groupCols.map(col)
+    val dec = DecimalType(38, 0)
+    def d(c: Column) = c.cast(DoubleType)
+    val diffs = df
+      .withColumn("__d", d(col(afterCol)) - d(col(beforeCol)))
+      .filter(col("__d") =!= 0.0 && col("__d").isNotNull)
+      .withColumn("__ad", abs(col("__d")))
+    val w = Window.partitionBy(gs: _*).orderBy(col("__ad"))
+    val wTie = Window.partitionBy(gs :+ col("__ad"): _*)
+    val ranked = diffs.select(gs ++ Seq(col("__d"),
+      (rank().over(w) * 2 + count(lit(1)).over(wTie) - 1).as("__r2"),
+      count(lit(1)).over(wTie).as("__tc")): _*)
+    val m = ranked.groupBy(gs: _*).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("__d") > 0, col("__r2")).otherwise(0).cast(dec))
+        .as("__wpd"),
+      sum((col("__tc") * col("__tc") - 1).cast(dec)).as("__ties"))
+    val n = d(col("n"))
+    val wPlus = d(col("__wpd")) / 2.0
+    val mu = n * (n + 1.0) / 4.0
+    val variance = n * (n + 1.0) * (lit(2.0) * n + 1.0) / 24.0 -
+      d(col("__ties")) / 48.0
+    val z = (wPlus - mu) / sqrt(variance)
+    m.select(gs ++ Seq(col("n"), wPlus.as("w_plus"),
+      when(variance > 0, round(z, 4)).as("z"),
+      when(variance > 0,
+        round(erfcApprox(abs(z) / sqrt(lit(2.0))), 6)).as("p_two")): _*)
+  }
+
+  /** Cohen's d (and small-sample-corrected Hedges' g) per stratum:
+    * the standardized mean difference between the two arms —
+    * (m0 − m1) / s_pooled — the effect-size line every test readout
+    * (q165's t, q215's z) should ship next to, since significance
+    * without magnitude is how dashboards lie. Exact decimal moment
+    * sums (the [[welchTwoSample]] discipline); pooled variance uses
+    * the equal-variance form by definition. */
+  def cohensD(df: DataFrame, groupCols: Seq[String], armCol: String,
+              metricCol: String): DataFrame = {
+    val gs = groupCols.map(col)
+    def d(c: Column) = c.cast(DoubleType)
+    val m = col(metricCol).cast(DecimalType(18, 4))
+    val a = df.filter(col(metricCol).isNotNull).groupBy(gs: _*).agg(
+      count(when(col(armCol) === 0, lit(1))).as("n0"),
+      sum(when(col(armCol) === 0, m)).as("__s0"),
+      sum(when(col(armCol) === 0, (m * m).cast(DecimalType(38, 8))))
+        .as("__q0"),
+      count(when(col(armCol) === 1, lit(1))).as("n1"),
+      sum(when(col(armCol) === 1, m)).as("__s1"),
+      sum(when(col(armCol) === 1, (m * m).cast(DecimalType(38, 8))))
+        .as("__q1"))
+    def ss(s: String, q: String, nn: String) =
+      d(col(q)) - d(col(s)) * d(col(s)) / col(nn)
+    val sp = sqrt((ss("__s0", "__q0", "n0") + ss("__s1", "__q1", "n1")) /
+      (col("n0") + col("n1") - 2))
+    val dEff = (d(col("__s0")) / col("n0") - d(col("__s1")) / col("n1")) / sp
+    val g = dEff * (lit(1.0) -
+      lit(3.0) / (lit(4.0) * (col("n0") + col("n1")) - 9.0))
+    val ok = col("n0") > 1 && col("n1") > 1
+    a.select(gs ++ Seq(col("n0"), col("n1"),
+      when(ok, round(dEff, 4)).as("cohen_d"),
+      when(ok, round(g, 4)).as("hedges_g")): _*)
+  }
+
+  /** Mantel–Haenszel pooled odds ratio across strata (the ESTIMATE
+    * companion of [[cmhTest]]'s significance):
+    * OR_MH = Σ_h(a_h·d_h/n_h) / Σ_h(b_h·c_h/n_h) — the
+    * confounder-adjusted effect size a stratified 2×2 sweep reports.
+    * Per-stratum terms are division-shaped → 9-rounded → decimal sums;
+    * the final ratio divides two exact decimals. */
+  def mhOddsRatio(df: DataFrame, strataCols: Seq[String],
+                  armCol: String, successCol: String): DataFrame = {
+    def d(c: Column) = c.cast(DoubleType)
+    val byStratum = df.groupBy(strataCols.map(col): _*).agg(
+      sum(when(col(armCol) === 0, col(successCol)).otherwise(0))
+        .cast("long").as("a"),
+      count(when(col(armCol) === 0, lit(1))).as("n0"),
+      sum(when(col(armCol) === 1, col(successCol)).otherwise(0))
+        .cast("long").as("c"),
+      count(when(col(armCol) === 1, lit(1))).as("n1"))
+    val n = d(col("n0")) + d(col("n1"))
+    val b = col("n0") - col("a")
+    val cc = col("n1") - col("c")
+    val terms = byStratum.select(
+      round(d(col("a")) * d(cc) / n, 9).cast("decimal(28,9)")
+        .as("__num"),
+      round(d(b) * d(col("c")) / n, 9).cast("decimal(28,9)")
+        .as("__den"))
+    terms.agg(count(lit(1)).as("n_strata"),
+        sum(col("__num")).as("__ns"), sum(col("__den")).as("__ds"))
+      .select(col("n_strata"),
+        round(col("__ns"), 6).cast("double").as("num"),
+        round(col("__ds"), 6).cast("double").as("den"),
+        when(col("__ds") > 0,
+          round(col("__ns").cast("double") /
+            col("__ds").cast("double"), 4)).as("or_mh"))
+  }
+
   /** One-way ANOVA F across the groups of `groupCol`: does the mean of
     * `metricCol` differ across k groups — the k-arm generalization of
     * [[welchTwoSample]] (equal-variance form). Returns ONE row:

@@ -1593,4 +1593,41 @@ object Relational {
   def q234Qini(s: SparkSession, dir: String): DataFrame =
     Eval.qiniDeciles(withConversion(Tables.events(s, dir)),
       Seq("event_type"), "arm", "conv", "value", "event_id")
+
+  /** q237: Wilcoxon signed-rank per event type
+    * ([[Eval.wilcoxonSignedRank]]) — paired before/after: each user's
+    * mean value in the first vs second half of the month; did the
+    * typical user's level SHIFT, pairing out between-user variance. */
+  def q237Wilcoxon(s: SparkSession, dir: String): DataFrame = {
+    val dec = col("value").cast("decimal(18,4)")
+    val firstHalf = dayofmonth(col("ts")) <= 15
+    val halves = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(when(firstHalf, dec)).as("__s1"),
+        count(when(firstHalf, lit(1))).as("__c1"),
+        sum(when(!firstHalf, dec)).as("__s2"),
+        count(when(!firstHalf, lit(1))).as("__c2"))
+      .filter(col("__c1") > 0 && col("__c2") > 0)
+      .select(col("event_type"),
+        (col("__s1").cast("double") / col("__c1")).as("m1"),
+        (col("__s2").cast("double") / col("__c2")).as("m2"))
+    Eval.wilcoxonSignedRank(halves, Seq("event_type"), "m1", "m2")
+  }
+
+  /** q238: Cohen's d / Hedges' g per event type ([[Eval.cohensD]]) —
+    * the standardized-magnitude line next to q165's t and q215's z. */
+  def q238CohensD(s: SparkSession, dir: String): DataFrame =
+    Eval.cohensD(withArm(Tables.events(s, dir))
+      .filter(col("value").isNotNull), Seq("event_type"), "arm",
+      "value")
+
+  /** q239: Mantel–Haenszel pooled odds ratio over hour strata
+    * ([[Eval.mhOddsRatio]]) — the adjusted effect ESTIMATE beside
+    * q222's significance. */
+  def q239MhOdds(s: SparkSession, dir: String): DataFrame =
+    Eval.mhOddsRatio(
+      withConversion(Tables.events(s, dir))
+        .withColumn("hr", hour(col("ts"))),
+      Seq("hr"), "arm", "conv")
 }
