@@ -283,6 +283,11 @@ object SparkEntry {
     "q237_wilcoxon"          -> Relational.q237Wilcoxon _,
     "q238_cohens_d"          -> Relational.q238CohensD _,
     "q239_mh_odds"           -> Relational.q239MhOdds _,
+    "q240_mcnemar"           -> Relational.q240McNemar _,
+    "q241_ivm_aggstate"      -> Relational.q241IvmAggState _,
+    "q242_golden_record"     -> TextQueries.qGoldenRecord _,
+    "q243_zone_prune"        -> Relational.q243ZonePrune _,
+    "q244_cliffs_delta"      -> Relational.q244CliffsDelta _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */
@@ -2413,6 +2418,98 @@ object SparkEntry {
          |    ROUND(CAST(SUM(num) AS DOUBLE) / CAST(SUM(den) AS DOUBLE),
          |      4) END AS or_mh
          |FROM tm""".stripMargin,
+
+    "q240_mcnemar" ->
+      """WITH e AS (SELECT event_type, user_id, ts,
+        |    CASE WHEN value > 50 THEN 1 ELSE 0 END AS conv
+        |  FROM events WHERE value IS NOT NULL),
+        |pr AS (SELECT event_type, user_id,
+        |    MAX(CASE WHEN dayofmonth(ts) <= 15 THEN conv END) AS bf,
+        |    MAX(CASE WHEN dayofmonth(ts) > 15 THEN conv END) AS af
+        |  FROM e GROUP BY event_type, user_id),
+        |q AS (SELECT event_type, bf, af FROM pr
+        |  WHERE bf IS NOT NULL AND af IS NOT NULL),
+        |m AS (SELECT event_type, COUNT(*) AS n_pairs,
+        |    COUNT(*) FILTER (bf = 0 AND af = 1) AS b,
+        |    COUNT(*) FILTER (bf = 1 AND af = 0) AS c
+        |  FROM q GROUP BY event_type),
+        |s AS (SELECT event_type, n_pairs, b, c,
+        |    CAST(GREATEST(abs(b - c) - 1, 0) AS DOUBLE)
+        |      * CAST(GREATEST(abs(b - c) - 1, 0) AS DOUBLE)
+        |      / CAST(b + c AS DOUBLE) AS chi
+        |  FROM m),
+        |p AS (SELECT event_type, n_pairs, b, c, chi,
+        |    sqrt(chi / 2.0) AS x,
+        |    1.0 / (1.0 + 0.3275911 * sqrt(chi / 2.0)) AS t
+        |  FROM s)
+        |SELECT event_type, n_pairs, b, c,
+        |  CASE WHEN b + c > 0 THEN ROUND(chi, 4) END AS chi2,
+        |  CASE WHEN b + c > 0 THEN
+        |    ROUND(((((1.061405429 * t - 1.453152027) * t + 1.421413741)
+        |      * t - 0.284496736) * t + 0.254829592) * t * exp(-(x * x)),
+        |      6) END AS p_two
+        |FROM p""".stripMargin,
+
+    // direct recompute of what the maintained state must equal:
+    // days 1-2 retracted, days 20+ inserted on top of the day<20 state
+    "q241_ivm_aggstate" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM events
+        |WHERE value IS NOT NULL AND dayofmonth(ts) >= 3
+        |GROUP BY event_type""".stripMargin,
+
+    "q243_zone_prune" ->
+      """WITH z AS (
+        |  SELECT 'hash_by_user' AS layout, user_id % 32 AS shard,
+        |    MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi
+        |  FROM events GROUP BY layout, shard
+        |  UNION ALL
+        |  SELECT 'clustered_by_day' AS layout, dayofmonth(ts) - 1 AS shard,
+        |    MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi
+        |  FROM events GROUP BY layout, shard)
+        |SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_shards,
+        |  CAST(COUNT(*) FILTER (hi < 1704844800000000
+        |    OR lo > 1705103999999999) AS BIGINT) AS pruned,
+        |  ROUND(CAST(COUNT(*) FILTER (hi < 1704844800000000
+        |      OR lo > 1705103999999999) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 4) AS pruned_frac
+        |FROM z GROUP BY layout""".stripMargin,
+
+    "q244_cliffs_delta" -> {
+      val hv = graft.queries.TextOracles.H(
+        "CAST(user_id AS VARCHAR) || '#13'")
+      s"""WITH e AS (SELECT event_type, value,
+         |    CASE WHEN ($hv * 2654435761 % 1000000007) % 1000000 < 500000
+         |         THEN 0 ELSE 1 END AS arm
+         |  FROM events WHERE value IS NOT NULL),
+         |r AS (SELECT event_type, arm,
+         |    2 * rank() OVER (PARTITION BY event_type ORDER BY value)
+         |      + COUNT(*) OVER (PARTITION BY event_type, value) - 1 AS r2
+         |  FROM e),
+         |m AS (SELECT event_type,
+         |    COUNT(*) FILTER (arm = 0) AS n0,
+         |    COUNT(*) FILTER (arm = 1) AS n1,
+         |    SUM(CAST(r2 AS HUGEINT)) FILTER (arm = 0) AS r0d
+         |  FROM r GROUP BY event_type),
+         |s AS (SELECT event_type, n0, n1,
+         |    (CAST(r0d AS DOUBLE) - CAST(n0 AS DOUBLE)
+         |      * (CAST(n0 AS DOUBLE) + 1.0)) / 2.0 AS u0
+         |  FROM m),
+         |d AS (SELECT event_type, n0, n1,
+         |    2.0 * u0 / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) - 1.0
+         |      AS dd
+         |  FROM s)
+         |SELECT event_type, n0, n1,
+         |  CASE WHEN n0 > 0 AND n1 > 0
+         |       THEN ROUND(dd, 4) + 0.0 END AS delta,
+         |  CASE WHEN n0 > 0 AND n1 > 0 THEN
+         |    CASE WHEN abs(ROUND(dd, 4)) < 0.147 THEN 'negligible'
+         |         WHEN abs(ROUND(dd, 4)) < 0.33 THEN 'small'
+         |         WHEN abs(ROUND(dd, 4)) < 0.474 THEN 'medium'
+         |         ELSE 'large' END END AS magnitude
+         |FROM d""".stripMargin
+    },
   )
 
   /** Shared q221/q222 source CTE body: NULL-value rows out, arm from

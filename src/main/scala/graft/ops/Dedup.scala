@@ -141,4 +141,43 @@ object Dedup {
       .withColumn("rep", min(col(idCol)).over(w))
       .withColumn("is_kept", col(idCol) === col("rep"))
   }
+
+  /** Golden-record survivorship: after entity resolution has grouped
+    * records into clusters ([[exactDupGroups]], [[prefixDedup]],
+    * [[graft.ops.Components.connectedComponents]],
+    * [[graft.ops.Linkage.fellegiSunter]] — any of them), pick the
+    * CANONICAL value of each attribute per cluster: the modal non-null
+    * value, ties broken deterministically (higher support first, then
+    * smaller value — so two engines and two runs agree). Output is
+    * long-format, one row per (cluster, attr): canonical value (as
+    * string; survivorship is a per-attribute vote, not a typed merge),
+    * its support count, and the cluster's non-null count for that
+    * attribute — the consolidation step that turns "these N rows are
+    * the same entity" into ONE row a downstream join can use.
+    *
+    * Scale shape: two hash aggregations — (cluster, attr, value) counts,
+    * then an argmax per (cluster, attr) via min(struct(−cnt, value)) so
+    * NO window pass and no re-sort; both shuffles are vote-domain-sized,
+    * never corpus-row-sized, and the melt (one array of attr structs per
+    * row) happens scan-side. */
+  def goldenRecord(df: DataFrame, clusterCol: Column,
+                   attrs: Seq[String]): DataFrame = {
+    val melted = df.select(clusterCol.as("cluster"),
+      explode(array(attrs.map(a =>
+        struct(lit(a).as("attr"), col(a).cast("string").as("v"))): _*))
+        .as("kv"))
+      .select(col("cluster"), col("kv.attr").as("attr"),
+        col("kv.v").as("v"))
+      .filter(col("v").isNotNull)
+    melted.groupBy(col("cluster"), col("attr"), col("v"))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(col("cluster"), col("attr"))
+      .agg(min(struct((-col("__cnt")).as("nc"), col("v").as("v")))
+        .as("__pick"),
+        sum(col("__cnt")).cast("long").as("n_nonnull"))
+      .select(col("cluster"), col("attr"),
+        col("__pick.v").as("canonical"),
+        (-col("__pick.nc")).cast("long").as("support"),
+        col("n_nonnull"))
+  }
 }

@@ -880,6 +880,73 @@ object Eval {
             col("__ds").cast("double"), 4)).as("or_mh"))
   }
 
+  /** McNemar's test per stratum on PAIRED binary outcomes (one row per
+    * subject with a before/after 0-1 flag): only the DISCORDANT cells
+    * matter — b = #(0→1), c = #(1→0) — and the continuity-corrected
+    * statistic is χ²₁ = (|b−c|−1)²/(b+c). The binary companion of
+    * [[wilcoxonSignedRank]] (paired metric → signed ranks; paired
+    * FLAG → McNemar): "did the same users who didn't convert before
+    * start converting after", with each user as their own control.
+    *
+    * Exactness: b and c are exact longs from one hash aggregation; the
+    * statistic is two fixed-order float ops and the two-sided p is
+    * P(χ²₁ > x) = erfc(√(x/2)) via [[erfcApprox]] — textually
+    * mirrored in the oracle. Strata with b+c = 0 (no discordance)
+    * yield NULL statistic/p. Output is stratum-domain-sized; the only
+    * shuffle is the count aggregation. */
+  def mcNemar(df: DataFrame, groupCols: Seq[String],
+              beforeCol: String, afterCol: String): DataFrame = {
+    val gs = groupCols.map(col)
+    def d(c: Column) = c.cast(DoubleType)
+    val m = df.groupBy(gs: _*).agg(
+      count(when(col(beforeCol) === 0 && col(afterCol) === 1, lit(1)))
+        .as("b"),
+      count(when(col(beforeCol) === 1 && col(afterCol) === 0, lit(1)))
+        .as("c"),
+      count(lit(1)).as("n_pairs"))
+    // continuity-corrected; clamp |b−c|−1 at 0 so b=c gives χ²=0, not 1
+    val diff = greatest(abs(col("b") - col("c")) - 1, lit(0L))
+    val chi = d(diff) * d(diff) / d(col("b") + col("c"))
+    m.select(gs ++ Seq(col("n_pairs"), col("b"), col("c"),
+      when(col("b") + col("c") > 0, round(chi, 4)).as("chi2"),
+      when(col("b") + col("c") > 0,
+        round(erfcApprox(sqrt(chi / 2.0)), 6)).as("p_two")): _*)
+  }
+
+  /** Cliff's delta per stratum: the nonparametric effect size behind
+    * [[mannWhitneyU]]'s significance — δ = P(X₀ > X₁) − P(X₀ < X₁) =
+    * 2·U₀/(n₀·n₁) − 1 ∈ [−1, 1], with ties splitting half-and-half via
+    * midranks. [[cohensD]] standardizes a MEAN difference (parametric);
+    * δ is pure dominance probability, immune to any monotone transform
+    * of the metric. Same doubled-midrank machinery as mannWhitneyU, so
+    * U₀ is exact in half-units; |δ| is labeled with Romano's
+    * conventional thresholds (0.147/0.33/0.474) as literals. */
+  def cliffsDelta(df: DataFrame, groupCols: Seq[String], armCol: String,
+                  metricCol: String): DataFrame = {
+    val gs = groupCols.map(col)
+    val dec = DecimalType(38, 0)
+    def d(c: Column) = c.cast(DoubleType)
+    val w = Window.partitionBy(gs: _*).orderBy(col(metricCol))
+    val wTie = Window.partitionBy(gs :+ col(metricCol): _*)
+    val ranked = df.filter(col(metricCol).isNotNull)
+      .select(gs ++ Seq(col(armCol).as("__arm"),
+        (rank().over(w) * 2 + count(lit(1)).over(wTie) - 1)
+          .as("__r2")): _*)
+    val m = ranked.groupBy(gs: _*).agg(
+      count(when(col("__arm") === 0, lit(1))).as("n0"),
+      count(when(col("__arm") === 1, lit(1))).as("n1"),
+      sum(when(col("__arm") === 0, col("__r2")).cast(dec)).as("__r0d"))
+    val u0 = (d(col("__r0d")) - d(col("n0")) * (d(col("n0")) + 1.0)) / 2.0
+    val delta = lit(2.0) * u0 / (d(col("n0")) * d(col("n1"))) - 1.0
+    val ad = abs(round(delta, 4))
+    m.select(gs ++ Seq(col("n0"), col("n1"),
+      when(col("n0") > 0 && col("n1") > 0, round(delta, 4)).as("delta"),
+      when(col("n0") > 0 && col("n1") > 0,
+        when(ad < 0.147, "negligible").when(ad < 0.33, "small")
+          .when(ad < 0.474, "medium").otherwise("large"))
+        .as("magnitude")): _*)
+  }
+
   /** One-way ANOVA F across the groups of `groupCol`: does the mean of
     * `metricCol` differ across k groups — the k-arm generalization of
     * [[welchTwoSample]] (equal-variance form). Returns ONE row:

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.Tables
-import graft.ops.{ConceptMap, Dedup, DenseId, Eval, SafeCast, Stats, Sweep, TimeSeries}
+import graft.ops.{ConceptMap, Dedup, DenseId, Eval, Ivm, SafeCast, Sharding, Stats, Sweep, TimeSeries}
 
 /** Relational operator suite over the driver test tables (TESTDATA.md).
   *
@@ -1630,4 +1630,69 @@ object Relational {
       withConversion(Tables.events(s, dir))
         .withColumn("hr", hour(col("ts"))),
       Seq("hr"), "arm", "conv")
+
+  /** q240: McNemar's paired-proportion test per event type
+    * ([[Eval.mcNemar]]): each user's "ever converted" flag in the first
+    * vs second half of the month — the binary twin of q237's
+    * signed-rank (did users who weren't converting START, pairing out
+    * user identity). Only users active in both halves pair. */
+  def q240McNemar(s: SparkSession, dir: String): DataFrame = {
+    val firstHalf = dayofmonth(col("ts")) <= 15
+    val paired = withConversion(Tables.events(s, dir))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(max(when(firstHalf, col("conv"))).as("before"),
+        max(when(!firstHalf, col("conv"))).as("after"))
+      .filter(col("before").isNotNull && col("after").isNotNull)
+    Eval.mcNemar(paired, Seq("event_type"), "before", "after")
+  }
+
+  /** q241: incremental aggregate maintenance ([[Ivm.aggState]] /
+    * [[Ivm.mergeAggState]]): the standing per-type (count, sum) rollup
+    * built from days 1–19, maintained with a delta batch of inserts
+    * (days 20+) AND retractions (days 1–2 erased, weight −1 — the
+    * GDPR-purge shape) — the oracle recomputes days 3+ from scratch,
+    * so the gate IS the maintenance-equals-recompute contract. */
+  def q241IvmAggState(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+    val day = dayofmonth(col("ts"))
+    val state = Ivm.aggState(ev.filter(day < 20),
+      Seq("event_type"), "value", lit(1L))
+    val delta = Ivm.aggState(
+      ev.filter(day >= 20).withColumn("__w", lit(1L))
+        .unionByName(ev.filter(day <= 2).withColumn("__w", lit(-1L))),
+      Seq("event_type"), "value", col("__w"))
+    Ivm.mergeAggState(state, delta, Seq("event_type"))
+      .select(col("event_type"), col("cnt"),
+        col("total").cast("double").as("total"))
+  }
+
+  /** q243: zone-map prunability under two layouts of the SAME rows
+    * ([[Sharding.zoneMap]] / [[Sharding.prunedShards]]): events hash-
+    * sharded by user (32 shards) vs clustered by event day; a 3-day
+    * ts-range predicate prunes ~90% of the clustered layout's shards
+    * and ZERO of the hashed one — the data-layout decision that
+    * governs what fraction of a 100 TB scan ever touches disk,
+    * measured as a number. */
+  def q243ZonePrune(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val micros = unix_micros(col("ts"))
+    val stats = Seq("ts_micros" -> micros)
+    val hashed = Sharding.zoneMap(
+      ev, pmod(col("user_id"), lit(32)).cast("int"), stats)
+    val clustered = Sharding.zoneMap(
+      ev, (dayofmonth(col("ts")) - 1).cast("int"), stats)
+    // predicate: days 10-12 of 2024-01 (UTC), bounds in epoch micros
+    val lo = 1704844800000000L
+    val hi = 1705104000000000L - 1L
+    Sharding.prunedShards(hashed, "ts_micros", lo, hi, "hash_by_user")
+      .unionByName(Sharding.prunedShards(
+        clustered, "ts_micros", lo, hi, "clustered_by_day"))
+  }
+
+  /** q244: Cliff's delta per event type ([[Eval.cliffsDelta]]) — the
+    * dominance-probability effect size beside q215's Mann–Whitney
+    * significance and q238's parametric d. */
+  def q244CliffsDelta(s: SparkSession, dir: String): DataFrame =
+    Eval.cliffsDelta(withArm(Tables.events(s, dir)), Seq("event_type"),
+      "arm", "value")
 }

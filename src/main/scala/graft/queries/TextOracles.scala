@@ -435,6 +435,42 @@ object TextOracles {
          |FROM pr""".stripMargin
     },
 
+    // golden record over the q132 prefix clusters (2+ members): modal
+    // value per attribute, ties by (count desc, value asc) — the window
+    // ORDER BY is total because v is unique within (cluster, attr)
+    "q242_golden_record" -> {
+      val p = TextQueries.PrefixTokens
+      s"""WITH t AS (SELECT doc_id, lang, source, n_chars, $Tk AS tk
+         |       FROM documents),
+         |pr AS (SELECT doc_id, lang, source, n_chars,
+         |         ${H(s"array_to_string(tk[1:$p], ' ')")} AS ph
+         |       FROM t),
+         |g AS (SELECT *,
+         |        COUNT(*) OVER (PARTITION BY ph) AS group_n,
+         |        MIN(doc_id) OVER (PARTITION BY ph) AS rep
+         |      FROM pr),
+         |c AS (SELECT rep AS cluster, lang, source, n_chars
+         |      FROM g WHERE group_n > 1),
+         |m AS (SELECT cluster, 'lang' AS attr, CAST(lang AS VARCHAR) AS v
+         |        FROM c WHERE lang IS NOT NULL
+         |      UNION ALL
+         |      SELECT cluster, 'source', CAST(source AS VARCHAR)
+         |        FROM c WHERE source IS NOT NULL
+         |      UNION ALL
+         |      SELECT cluster, 'n_chars', CAST(n_chars AS VARCHAR)
+         |        FROM c WHERE n_chars IS NOT NULL),
+         |v AS (SELECT cluster, attr, v, COUNT(*) AS cnt
+         |      FROM m GROUP BY cluster, attr, v),
+         |r AS (SELECT cluster, attr, v, cnt,
+         |        row_number() OVER (PARTITION BY cluster, attr
+         |          ORDER BY cnt DESC, v ASC) AS rn,
+         |        SUM(cnt) OVER (PARTITION BY cluster, attr) AS nn
+         |      FROM v)
+         |SELECT cluster, attr, v AS canonical,
+         |  CAST(cnt AS BIGINT) AS support, CAST(nn AS BIGINT) AS n_nonnull
+         |FROM r WHERE rn = 1""".stripMargin
+    },
+
     // rule-bundle filter: every rule a scalar over the token array;
     // thresholds inside the corpus' observed range (tokens 10..99,
     // chars/token 4.7..6.2, max token len ≤ 8) so the flags split it

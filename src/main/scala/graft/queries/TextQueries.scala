@@ -1378,4 +1378,21 @@ object TextQueries {
     * diminishing-returns readout of continued collection. */
   def qNoveltyCurve(s: SparkSession, dir: String): DataFrame =
     TextOps.noveltyCurve(Tables.documents(s, dir), "doc_id", "text")
+
+  /** q242: golden-record survivorship ([[Dedup.goldenRecord]]) over the
+    * q132 prefix-dedup clusters with 2+ members: per cluster, the modal
+    * lang / source / n_chars — the consolidation step that turns
+    * "these docs are one entity" into the single row to keep. Only
+    * multi-doc clusters (the 1-doc ones are their own golden record). */
+  def qGoldenRecord(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val groups = Dedup.prefixDedup(docs, "doc_id", "text", PrefixTokens)
+      .filter(col("group_n") > 1)
+      .select(col("doc_id"), col("rep"))
+    Dedup.goldenRecord(
+        docs.join(groups, "doc_id"), col("rep"),
+        Seq("lang", "source", "n_chars"))
+      .select(col("cluster"), col("attr"), col("canonical"),
+        col("support"), col("n_nonnull"))
+  }
 }

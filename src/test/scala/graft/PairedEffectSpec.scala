@@ -80,6 +80,41 @@ class PairedEffectSpec extends SparkSpecBase {
     assert(r.getAs[Double]("or_mh") == math.rint(1.9 / 2.4 * 1e4) / 1e4)
   }
 
+  test("mcNemar: discordant-cell fixture, continuity correction, b=c edge") {
+    // 10 pairs: b = #(0→1) = 3, c = #(1→0) = 1 → χ² = (|3−1|−1)²/4 = 0.25
+    val rows = Seq((0, 1), (0, 1), (0, 1), (1, 0), (1, 1), (1, 1),
+      (0, 0), (0, 0), (1, 1), (0, 0))
+    val df = rows.toDF("bf", "af").withColumn("k", lit("g"))
+    val r = Eval.mcNemar(df, Seq("k"), "bf", "af").collect().head
+    assert(r.getAs[Long]("n_pairs") == 10L)
+    assert(r.getAs[Long]("b") == 3L && r.getAs[Long]("c") == 1L)
+    assert(r.getAs[Double]("chi2") == 0.25)
+    // b = c → clamp keeps χ² at 0 (not (−1)² = 1)
+    val bal = Seq((0, 1), (1, 0), (0, 0)).toDF("bf", "af")
+      .withColumn("k", lit("e"))
+    val rb = Eval.mcNemar(bal, Seq("k"), "bf", "af").collect().head
+    assert(rb.getAs[Double]("chi2") == 0.0)
+    // no discordance at all → NULL statistic, not NaN
+    val con = Seq((1, 1), (0, 0)).toDF("bf", "af").withColumn("k", lit("c"))
+    val rc = Eval.mcNemar(con, Seq("k"), "bf", "af").collect().head
+    assert(rc.isNullAt(rc.fieldIndex("chi2")))
+  }
+
+  test("cliffsDelta: separated arms hit ±1, ties give 0, labels correct") {
+    // arm0 all above arm1 → every pair won by arm0 → δ = +1
+    val sep = Seq((0, 10.0), (0, 11.0), (1, 1.0), (1, 2.0))
+      .toDF("arm", "v").withColumn("k", lit("s"))
+    val rs = Eval.cliffsDelta(sep, Seq("k"), "arm", "v").collect().head
+    assert(rs.getAs[Double]("delta") == 1.0)
+    assert(rs.getAs[String]("magnitude") == "large")
+    // identical distributions → δ = 0, negligible
+    val tie = Seq((0, 5.0), (0, 7.0), (1, 5.0), (1, 7.0))
+      .toDF("arm", "v").withColumn("k", lit("t"))
+    val rt = Eval.cliffsDelta(tie, Seq("k"), "arm", "v").collect().head
+    assert(rt.getAs[Double]("delta") == 0.0)
+    assert(rt.getAs[String]("magnitude") == "negligible")
+  }
+
   test("paired/effect family is partitioning-invariant") {
     val base = spark.read.parquet(s"$sf/events.parquet")
       .filter(col("value").isNotNull)
