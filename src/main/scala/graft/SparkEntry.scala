@@ -288,6 +288,9 @@ object SparkEntry {
     "q242_golden_record"     -> TextQueries.qGoldenRecord _,
     "q243_zone_prune"        -> Relational.q243ZonePrune _,
     "q244_cliffs_delta"      -> Relational.q244CliffsDelta _,
+    "q245_seasonal_decomp"   -> Relational.q245SeasonalDecomp _,
+    "q246_mutual_neighbors"  -> VectorQueries.qMutualNeighbors _,
+    "q247_attribution"       -> Relational.q247Attribution _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */
@@ -2510,6 +2513,55 @@ object SparkEntry {
          |         ELSE 'large' END END AS magnitude
          |FROM d""".stripMargin
     },
+
+    "q245_seasonal_decomp" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+        |      AS y
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY event_type, day),
+        |tr AS (SELECT event_type, day, n, y,
+        |    CASE WHEN COUNT(*) OVER w7 = 7 THEN
+        |      CAST(SUM(CAST(ROUND(y, 9) AS DECIMAL(28,9))) OVER w7
+        |        AS DOUBLE) / 7.0 END AS trend
+        |  FROM daily
+        |  WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+        |                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |dv AS (SELECT *, dayofweek(day) AS dow, y - trend AS dev
+        |       FROM tr),
+        |se AS (SELECT event_type, dow,
+        |    CAST(SUM(CAST(ROUND(dev, 9) AS DECIMAL(28,9))) AS DOUBLE)
+        |      / COUNT(*) AS seasonal
+        |  FROM dv WHERE dev IS NOT NULL GROUP BY event_type, dow)
+        |SELECT d.event_type, d.day, d.n, ROUND(d.y, 6) AS y,
+        |  ROUND(d.trend, 6) + 0.0 AS trend,
+        |  ROUND(s.seasonal, 6) + 0.0 AS seasonal,
+        |  ROUND(d.y - d.trend - s.seasonal, 6) + 0.0 AS resid
+        |FROM dv d LEFT JOIN se s
+        |  ON d.event_type = s.event_type AND d.dow = s.dow""".stripMargin,
+
+    "q247_attribution" ->
+      """WITH t AS (SELECT user_id, ts, event_id, event_type AS channel
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |c AS (SELECT user_id, ts AS cts, event_id AS conv_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |p AS (SELECT c.user_id, c.conv_id, t.event_id AS touch_id,
+        |    t.channel, t.ts AS tts
+        |  FROM c JOIN t ON c.user_id = t.user_id
+        |  WHERE t.ts <= c.cts AND t.ts >= c.cts - INTERVAL 86400 SECOND),
+        |cr AS (SELECT channel, COUNT(*) OVER w AS n_touches,
+        |    CASE WHEN row_number() OVER (PARTITION BY user_id, conv_id
+        |      ORDER BY tts ASC, touch_id ASC) = 1 THEN 1 ELSE 0 END AS cf,
+        |    CASE WHEN row_number() OVER (PARTITION BY user_id, conv_id
+        |      ORDER BY tts DESC, touch_id DESC) = 1 THEN 1 ELSE 0 END AS cl
+        |  FROM p WINDOW w AS (PARTITION BY user_id, conv_id))
+        |SELECT channel, CAST(SUM(cf) AS BIGINT) AS first_touch,
+        |  CAST(SUM(cl) AS BIGINT) AS last_touch,
+        |  CAST(ROUND(SUM(CAST(ROUND(1.0 / n_touches, 9)
+        |    AS DECIMAL(18,9))), 6) AS DOUBLE) AS linear_touch,
+        |  COUNT(*) AS n_attributed
+        |FROM cr GROUP BY channel""".stripMargin,
   )
 
   /** Shared q221/q222 source CTE body: NULL-value rows out, arm from

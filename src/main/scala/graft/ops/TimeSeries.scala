@@ -486,4 +486,54 @@ object TimeSeries {
           (d(col("o0")) - col("__e0s").cast("double")) /
           col("__vs").cast("double"), 6).as("chi2"))
   }
+
+  /** Classical additive seasonal decomposition of a daily series per
+    * key: y = trend + seasonal + residual — [[holtLinear]] forecasts
+    * the series; this EXPLAINS it (is Monday structurally low, or was
+    * that week a real dip?). Trend = centered 7-day moving average
+    * (only full windows — the series' 3-day edges get NULL trend, the
+    * standard convention); seasonal = mean detrended deviation per
+    * day-of-week, so the seasonal row sums to ≈0 by construction;
+    * residual = what neither explains.
+    *
+    * Contract: the daily spine must be DENSE per key (gap-fill first
+    * if the log can go dark — [[gapFillForwardHourly]] is the hourly
+    * tool); a missing day would silently misalign the rows-window.
+    * Exactness: daily mean and trend are division-shaped doubles
+    * (fixed op order); deviations are 9-rounded into exact decimal
+    * sums before the per-dow mean, so the group aggregation is
+    * partitioning-invariant (the window frame itself sums in frame
+    * order — deterministic on both engines).
+    *
+    * Plan: one key-partitioned window pass (the daily agg and the
+    * moving average share the key partitioning) + one dow-domain
+    * aggregate broadcast back; nothing corpus-sized shuffles twice. */
+  def seasonalDecompose(df: DataFrame, keyCol: String, tsCol: String,
+                        valueCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+    val daily = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col(valueCol).cast(dec)).cast("double") / count(lit(1)))
+          .as("__y"))
+    val w7 = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val trended = daily.withColumn("__trend",
+      when(count(lit(1)).over(w7) === 7,
+        sum(round(col("__y"), 9).cast("decimal(28,9)")).over(w7)
+          .cast("double") / 7.0))
+    val dev = trended.withColumn("__dow", dayofweek(col("day")))
+      .withColumn("__dev", col("__y") - col("__trend"))
+    val seasonal = dev.filter(col("__dev").isNotNull)
+      .groupBy(col(keyCol), col("__dow"))
+      .agg((sum(round(col("__dev"), 9).cast("decimal(28,9)"))
+        .cast("double") / count(lit(1))).as("__seasonal"))
+    dev.join(seasonal, Seq(keyCol, "__dow"), "left")
+      .select(col(keyCol), col("day"), col("n"),
+        round(col("__y"), 6).as("y"),
+        round(col("__trend"), 6).as("trend"),
+        round(col("__seasonal"), 6).as("seasonal"),
+        round(col("__y") - col("__trend") - col("__seasonal"), 6)
+          .as("resid"))
+  }
 }

@@ -569,6 +569,49 @@ object VectorOps {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Mutual-nearest-neighbor pairs ACROSS groups — the bitext/alignment
+    * miner: for each vector, its best cross-`labelCol` partner among
+    * SRP-bucket candidates; keep only pairs where the choice is MUTUAL
+    * (a's best is b AND b's best is a) — the asymmetric-best filter
+    * that makes margin-based parallel-corpus mining precise where a
+    * one-directional top-1 pairs every source with some target.
+    *
+    * Scale shape: candidates come from the shared-signature bucket join
+    * (cost ∝ Σ bucket², never corpus²; same defense as [[srpNearDupPairs]]),
+    * the per-vector argmax is a WindowGroupLimit-prunable rank-1 window
+    * over candidate slivers, and the mutuality check is a self-join of
+    * the (src → best) frame with itself flipped — two vector-domain
+    * rows per edge, no re-scan. Argmax ranks on cosine ROUNDED to 6
+    * with an id tiebreak (the [[assignToCentroids]] discipline), so
+    * the pick is engine- and partitioning-invariant. */
+  def mutualNeighbors(vecs: DataFrame, numPlanes: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      labelCol: String = "label"): DataFrame = {
+    val sig = vecs.select(col(idCol), col(vecCol), col(labelCol),
+      srpSignatureAuto(vecs, vecCol, numPlanes).as("sig"))
+    val l = sig.select(col(idCol).as("__src"), col(vecCol).as("__sv"),
+      col(labelCol).as("__sl"), col("sig"))
+    val r = sig.select(col(idCol).as("__dst"), col(vecCol).as("__dv"),
+      col(labelCol).as("__dl"), col("sig"))
+    val cand = l.join(r, "sig")
+      .filter(col("__sl") =!= col("__dl"))
+      .select(col("__src"), col("__dst"),
+        round(cosine(col("__sv"), col("__dv")), 6).as("__cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__src"))
+      .orderBy(col("__cos").desc, col("__dst").asc)
+    val best = cand.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val flipped = best.select(col("__src").as("__dst2"),
+      col("__dst").as("__src2"))
+    best.join(flipped,
+        col("__src") === col("__src2") && col("__dst") === col("__dst2"))
+      .filter(col("__src") < col("__dst"))
+      .select(col("__src").as("vec_a"), col("__dst").as("vec_b"),
+        col("__cos").as("cos_sim"))
+  }
+
   /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein,
     * SIGIR'98): greedily pick `selectK` results per query from a
     * relevance shortlist, each step maximizing λ·rel − (1−λ)·max-sim-

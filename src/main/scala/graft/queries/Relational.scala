@@ -1695,4 +1695,29 @@ object Relational {
   def q244CliffsDelta(s: SparkSession, dir: String): DataFrame =
     Eval.cliffsDelta(withArm(Tables.events(s, dir)), Seq("event_type"),
       "arm", "value")
+
+  /** q245: additive seasonal decomposition of the daily mean value per
+    * event type ([[TimeSeries.seasonalDecompose]]): trend (centered
+    * 7-day MA) + day-of-week seasonal + residual — q228 forecasts the
+    * series, this explains it. The events spine is dense (every type
+    * fires daily), satisfying the operator's contract. */
+  def q245SeasonalDecomp(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.seasonalDecompose(Tables.events(s, dir), "event_type",
+      "ts", "value")
+
+  /** q247: multi-touch attribution ([[Attribution.touchCredit]] →
+    * [[Attribution.channelCredit]]): purchases credited to the
+    * view/click touches of the same user in the preceding 24 h, rolled
+    * up per channel under first/last/linear models — which acquisition
+    * channel gets paid, with the three models' disagreement visible in
+    * one row per channel. */
+  def q247Attribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val credits = graft.ops.Attribution.touchCredit(
+      ev.filter(col("event_type").isin("view", "click")),
+      ev.filter(col("event_type") === "purchase"),
+      "user_id", "ts", "event_id", "event_type",
+      windowSeconds = 86400L)
+    graft.ops.Attribution.channelCredit(credits)
+  }
 }

@@ -199,6 +199,25 @@ object VectorOracles {
          |FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
          |WHERE ${cos("a.embedding", "b.embedding")} >= 0.2""".stripMargin,
 
+    // mutual-nearest-neighbor mining: per-vector best cross-label
+    // partner among shared-bucket candidates (argmax on ROUNDED cosine
+    // with id tiebreak — a total order), mutual pairs only
+    "q246_mutual_neighbors" ->
+      s"""WITH s AS (SELECT vec_id, embedding, label,
+         |             ${srpSig("embedding", VectorQueries.SrpPlanes)} AS sig
+         |           FROM embeddings),
+         |cand AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    ROUND(${cos("a.embedding", "b.embedding")}, 6) AS cs
+         |  FROM s a JOIN s b ON a.sig = b.sig AND a.label <> b.label),
+         |best AS (SELECT src, dst, cs,
+         |    row_number() OVER (PARTITION BY src
+         |      ORDER BY cs DESC, dst ASC) AS rn
+         |  FROM cand),
+         |b1 AS (SELECT src, dst, cs FROM best WHERE rn = 1)
+         |SELECT x.src AS vec_a, x.dst AS vec_b, x.cs AS cos_sim
+         |FROM b1 x JOIN b1 y ON x.src = y.dst AND x.dst = y.src
+         |WHERE x.src < x.dst""".stripMargin,
+
     // one Lloyd round from deterministic seeds: same Knuth-remixed seed
     // order (Sampling.sampleHash twin), same cosine assignment with
     // centroid_id tiebreak, same exact-decimal means; seeds with no

@@ -317,4 +317,11 @@ object VectorQueries {
       .select(col("vec_id"), col("label"),
         round(col("pc1"), 6).as("pc1"), round(col("pc2"), 6).as("pc2"))
   }
+
+  /** q246: mutual-nearest-neighbor pairs across labels
+    * ([[VectorOps.mutualNeighbors]]) — the bitext/alignment miner:
+    * SRP-bucket candidates, per-vector best cross-label partner,
+    * mutual-only filter. */
+  def qMutualNeighbors(s: SparkSession, dir: String): DataFrame =
+    VectorOps.mutualNeighbors(Tables.embeddings(s, dir), SrpPlanes)
 }
