@@ -291,6 +291,9 @@ object SparkEntry {
     "q245_seasonal_decomp"   -> Relational.q245SeasonalDecomp _,
     "q246_mutual_neighbors"  -> VectorQueries.qMutualNeighbors _,
     "q247_attribution"       -> Relational.q247Attribution _,
+    "q248_monthly_accrual"   -> Relational.q248MonthlyAccrual _,
+    "q249_cohort_ltv"        -> Relational.q249CohortLtv _,
+    "q250_eb_shrink"         -> Relational.q250EbShrink _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */
@@ -2562,6 +2565,84 @@ object SparkEntry {
         |    AS DECIMAL(18,9))), 6) AS DOUBLE) AS linear_touch,
         |  COUNT(*) AS n_attributed
         |FROM cr GROUP BY channel""".stripMargin,
+
+    "q248_monthly_accrual" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(o_orderdate AS DATE) AS s,
+        |    CAST(o_orderdate AS DATE)
+        |      + CAST(o_orderkey % 45 AS INTEGER) AS e,
+        |    CAST(o_totalprice AS DOUBLE) AS v
+        |  FROM orders),
+        |m AS (SELECT o_orderkey, v, s, e,
+        |    date_diff('day', s, e) + 1 AS span,
+        |    unnest(generate_series(date_trunc('month', s),
+        |      date_trunc('month', e), INTERVAL 1 MONTH)) AS mo
+        |  FROM o),
+        |a AS (SELECT CAST(mo AS DATE) AS month,
+        |    CAST(ROUND(v * (CAST(date_diff('day',
+        |        GREATEST(s, CAST(mo AS DATE)),
+        |        LEAST(e, last_day(CAST(mo AS DATE)))) + 1 AS DOUBLE)
+        |      / CAST(span AS DOUBLE)), 9) AS DECIMAL(18,9)) AS alloc
+        |  FROM m)
+        |SELECT month, COUNT(*) AS n_slices,
+        |  CAST(ROUND(SUM(alloc), 6) AS DOUBLE) AS accrued
+        |FROM a GROUP BY month""".stripMargin,
+
+    "q249_cohort_ltv" ->
+      """WITH ev AS (SELECT user_id, event_type, value,
+        |    CAST(CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS INT)
+        |      AS wk
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(wk) AS cw FROM ev GROUP BY 1),
+        |cells AS (SELECT f.cw, ev.wk - f.cw AS off,
+        |    SUM(CASE WHEN ev.event_type = 'purchase'
+        |             THEN CAST(ev.value AS DECIMAL(18,4)) END) AS rev
+        |  FROM ev JOIN f ON f.user_id = ev.user_id
+        |  GROUP BY 1, 2),
+        |b AS (SELECT cw, CAST(COUNT(*) AS BIGINT) AS base FROM f
+        |      GROUP BY 1),
+        |c AS (SELECT cw, off,
+        |    SUM(COALESCE(rev, CAST(0 AS DECIMAL(18,4)))) OVER (
+        |      PARTITION BY cw ORDER BY off
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM cells)
+        |SELECT c.cw AS cohort_week, c.off AS week_offset,
+        |  b.base AS cohort_users,
+        |  CAST(ROUND(c.cum, 6) AS DOUBLE) AS cum_revenue,
+        |  ROUND(CAST(c.cum AS DOUBLE) / b.base, 6) AS ltv_per_user
+        |FROM c JOIN b ON b.cw = c.cw""".stripMargin,
+
+    "q250_eb_shrink" ->
+      s"""WITH e AS (SELECT event_type, user_id,
+         |    CASE WHEN value > 50 THEN 1 ELSE 0 END AS conv
+         |  FROM events WHERE value IS NOT NULL),
+         |u AS (SELECT event_type, user_id, COUNT(*) AS n,
+         |    CAST(SUM(conv) AS BIGINT) AS x
+         |  FROM e GROUP BY event_type, user_id),
+         |ur AS (SELECT *, CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS r
+         |       FROM u),
+         |pr AS (SELECT event_type, COUNT(*) AS uu,
+         |    SUM(CAST(ROUND(r, 9) AS DECIMAL(28,9))) AS sr,
+         |    SUM(CAST(ROUND(r * r, 9) AS DECIMAL(28,9))) AS sr2
+         |  FROM ur GROUP BY event_type),
+         |pk AS (SELECT event_type, uu,
+         |    CAST(sr AS DOUBLE) / CAST(uu AS DOUBLE) AS mu,
+         |    (CAST(sr2 AS DOUBLE) - CAST(uu AS DOUBLE)
+         |      * (CAST(sr AS DOUBLE) / CAST(uu AS DOUBLE))
+         |      * (CAST(sr AS DOUBLE) / CAST(uu AS DOUBLE)))
+         |      / (CAST(uu AS DOUBLE) - 1.0) AS vr
+         |  FROM pr),
+         |pp AS (SELECT event_type,
+         |    CASE WHEN uu > 1 AND vr > 0 THEN mu END AS mu,
+         |    CASE WHEN uu > 1 AND vr > 0 THEN
+         |      GREATEST(mu * (1.0 - mu) / vr - 1.0, 0.0) END AS k
+         |  FROM pk)
+         |SELECT ur.event_type, ur.user_id, ur.n, ur.x,
+         |  ROUND(ur.r, 6) AS raw_rate,
+         |  ROUND(pp.k, 4) AS prior_k,
+         |  ROUND(COALESCE((CAST(ur.x AS DOUBLE) + pp.k * pp.mu)
+         |    / (CAST(ur.n AS DOUBLE) + pp.k), ur.r), 6) AS shrunk_rate
+         |FROM ur JOIN pp ON ur.event_type = pp.event_type""".stripMargin,
   )
 
   /** Shared q221/q222 source CTE body: NULL-value rows out, arm from

@@ -96,4 +96,45 @@ object Intervals {
       .filter(delta >= lowerSec * 1000000L && delta <= upperSec * 1000000L)
       .drop("__band")
   }
+
+  /** Pro-rata calendar allocation: spread each [start, end] interval's
+    * value across the MONTHS it touches, weighted by overlapping days —
+    * the accrual/amortization shape (contract revenue per month, plan
+    * coverage per period, capacity per billing cycle) that a plain
+    * date_trunc GROUP BY gets wrong the moment an interval crosses a
+    * month boundary. Inclusive day semantics on both ends.
+    *
+    * Per-row expansion via `sequence(trunc start, trunc end, 1 month)`
+    * + explode — scan-side, shuffle-free, bounded by interval length
+    * (≤ span/28 + 1 rows per input); at 100 TB the expansion is the
+    * flat per-row cost, and the only shuffle is whatever aggregation
+    * the caller runs on the result. frac is a fixed-order division;
+    * the allocated value is 9-rounded into DECIMAL so downstream sums
+    * are partitioning-invariant and the accounting identity
+    * Σ alloc ≈ value holds to 1e-9 per interval (exactly the rounding
+    * budget, spec-pinned).
+    *
+    * Output: keyCols + (month, overlap_days, span_days, frac 6-rounded,
+    * alloc DECIMAL(18,9)). */
+  def allocateMonthly(df: DataFrame, keyCols: Seq[Column],
+                      startCol: Column, endCol: Column,
+                      valueCol: Column): DataFrame = {
+    val start = startCol.cast("date")
+    val end = endCol.cast("date")
+    val span = (datediff(end, start) + 1).as("span_days")
+    val month = explode(sequence(trunc(start, "MM"), trunc(end, "MM"),
+      expr("INTERVAL 1 MONTH"))).as("month")
+    val base = df.filter(start <= end)
+      .select(keyCols ++ Seq(start.as("__s"), end.as("__e"),
+        valueCol.cast("double").as("__v"), span, month): _*)
+    val ovl = (datediff(least(col("__e"), last_day(col("month"))),
+      greatest(col("__s"), col("month"))) + 1).as("overlap_days")
+    val frac = col("overlap_days").cast("double") /
+      col("span_days").cast("double")
+    base.withColumn("overlap_days", ovl)
+      .select(keyCols ++ Seq(col("month"), col("overlap_days"),
+        col("span_days"), round(frac, 6).as("frac"),
+        round(col("__v") * frac, 9).cast("decimal(18,9)")
+          .as("alloc")): _*)
+  }
 }

@@ -1142,4 +1142,51 @@ object Stats {
         round(lit(2.0) * col("__is") / (col("k") * col("total")) -
           (col("k") + 1).cast("double") / col("k"), 6).as("gini"))
   }
+
+  /** Empirical-Bayes (beta-binomial, method-of-moments) shrinkage of
+    * per-unit success rates toward their stratum prior: a unit with 3
+    * conversions in 4 events should NOT outrank one with 60 in 100 —
+    * the small-sample ranking fix every "best sources / best users /
+    * best variants" readout needs. Prior strength per stratum
+    * K = μ(1−μ)/Var(rates) − 1 (MoM on the unit-rate distribution),
+    * clamped at 0; shrunk_i = (x_i + K·μ)/(n_i + K). Degenerate strata
+    * (a single unit, or zero rate variance — nothing to learn a prior
+    * from) fall back to the raw rate with NULL prior_k, never a
+    * division blow-up.
+    *
+    * Exactness: counts are exact longs; unit rates and their squares
+    * are 9-rounded into DECIMAL sums (partitioning-invariant moments,
+    * the [[groupOls]] discipline); μ, Var, K, and the shrunk rate are
+    * fixed-order double ops. Two hash aggregations (unit, then
+    * stratum) + one broadcast-sized join back — stratum state is
+    * 4 numbers. */
+  def ebShrinkRates(df: DataFrame, strataCols: Seq[String],
+                    unitCol: String, successCol: Column): DataFrame = {
+    val gs = strataCols.map(col)
+    def d(c: Column) = c.cast("double")
+    val dec = org.apache.spark.sql.types.DecimalType(28, 9)
+    val units = df.groupBy(gs :+ col(unitCol): _*).agg(
+      count(lit(1)).as("n"),
+      sum(successCol.cast("long")).as("x"))
+      .withColumn("__r", d(col("x")) / d(col("n")))
+    val prior = units.groupBy(gs: _*).agg(
+      count(lit(1)).as("__u"),
+      sum(round(col("__r"), 9).cast(dec)).as("__sr"),
+      sum(round(col("__r") * col("__r"), 9).cast(dec)).as("__sr2"))
+    val mu = d(col("__sr")) / d(col("__u"))
+    val variance = (d(col("__sr2")) - d(col("__u")) * mu * mu) /
+      (d(col("__u")) - 1.0)
+    val k = greatest(mu * (lit(1.0) - mu) / variance - 1.0, lit(0.0))
+    val priors = prior.select(gs ++ Seq(
+      when(col("__u") > 1 && variance > 0, mu).as("__mu"),
+      when(col("__u") > 1 && variance > 0, k).as("__k")): _*)
+    units.join(priors, strataCols)
+      .select(gs ++ Seq(col(unitCol), col("n"), col("x"),
+        round(col("__r"), 6).as("raw_rate"),
+        round(col("__k"), 4).as("prior_k"),
+        round(coalesce(
+          (d(col("x")) + col("__k") * col("__mu")) /
+            (d(col("n")) + col("__k")),
+          col("__r")), 6).as("shrunk_rate")): _*)
+  }
 }

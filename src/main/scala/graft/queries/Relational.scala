@@ -1720,4 +1720,57 @@ object Relational {
       windowSeconds = 86400L)
     graft.ops.Attribution.channelCredit(credits)
   }
+
+  /** q248: monthly revenue accrual ([[graft.ops.Intervals
+    * .allocateMonthly]]): each order's contract interval (orderdate +
+    * deterministic 0–44-day term) pro-rated across the calendar months
+    * it touches — the accrual readout a plain date_trunc GROUP BY gets
+    * wrong at every month boundary. */
+  def q248MonthlyAccrual(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val start = to_date(col("o_orderdate"))
+    val end = date_add(start, (col("o_orderkey") % 45).cast("int"))
+    graft.ops.Intervals.allocateMonthly(o, Seq(col("o_orderkey")),
+        start, end, col("o_totalprice"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_slices"),
+        round(sum(col("alloc")), 6).cast("double").as("accrued"))
+  }
+
+  /** q249: cohort LTV curves — q120's retention matrix with VALUE on
+    * it: cumulative purchase revenue per cohort user by week offset
+    * (the "when does a cohort pay back" readout). Same epoch-week
+    * construction; revenue decimal-summed, cumulated over the
+    * cohort-domain offset window. */
+  def q249CohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val wk = expr("cast(ts as long) div 604800").cast("int")
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        wk.as("wk"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cw"))
+    val withOff = ev.join(first, "user_id")
+      .withColumn("off", col("wk") - col("cw"))
+    val cells = withOff.groupBy(col("cw"), col("off")).agg(
+      sum(when(col("event_type") === "purchase",
+        col("value").cast(DecimalType(18, 4)))).as("__rev"))
+    val base = first.groupBy(col("cw")).agg(count(lit(1)).as("base"))
+    val wCum = Window.partitionBy(col("cw")).orderBy(col("off"))
+    cells.withColumn("__cum",
+        sum(coalesce(col("__rev"),
+          lit(BigDecimal(0)).cast(DecimalType(18, 4)))).over(wCum))
+      .join(broadcast(base), "cw")
+      .select(col("cw").as("cohort_week"), col("off").as("week_offset"),
+        col("base").as("cohort_users"),
+        round(col("__cum"), 6).cast("double").as("cum_revenue"),
+        round(col("__cum").cast("double") / col("base"), 6)
+          .as("ltv_per_user"))
+  }
+
+  /** q250: empirical-Bayes shrunk conversion rates per (event type,
+    * user) ([[Stats.ebShrinkRates]]) — the small-sample ranking fix: a
+    * user's rate pulled toward the type prior with strength learned
+    * from the across-user rate variance. */
+  def q250EbShrink(s: SparkSession, dir: String): DataFrame =
+    Stats.ebShrinkRates(withConversion(Tables.events(s, dir)),
+      Seq("event_type"), "user_id", col("conv"))
 }
