@@ -579,11 +579,13 @@ object VectorOps {
     * Scale shape: candidates come from the shared-signature bucket join
     * (cost ∝ Σ bucket², never corpus²; same defense as [[srpNearDupPairs]]),
     * the per-vector argmax is a WindowGroupLimit-prunable rank-1 window
-    * over candidate slivers, and the mutuality check is a self-join of
-    * the (src → best) frame with itself flipped — two vector-domain
-    * rows per edge, no re-scan. Argmax ranks on cosine ROUNDED to 6
-    * with an id tiebreak (the [[assignToCentroids]] discipline), so
-    * the pick is engine- and partitioning-invariant. */
+    * over candidate slivers, and mutuality is ONE canonical-pair count
+    * aggregate over the vector-domain best-edge frame — (a,b) is mutual
+    * iff the unordered pair appears twice — so the candidate cascade
+    * runs exactly once (a best-vs-flipped self-join would replay it).
+    * Argmax ranks on cosine ROUNDED to 6 with an id tiebreak (the
+    * [[assignToCentroids]] discipline), so the pick is engine- and
+    * partitioning-invariant. */
   def mutualNeighbors(vecs: DataFrame, numPlanes: Int,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding",
@@ -603,13 +605,13 @@ object VectorOps {
       .orderBy(col("__cos").desc, col("__dst").asc)
     val best = cand.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-    val flipped = best.select(col("__src").as("__dst2"),
-      col("__dst").as("__src2"))
-    best.join(flipped,
-        col("__src") === col("__src2") && col("__dst") === col("__dst2"))
-      .filter(col("__src") < col("__dst"))
-      .select(col("__src").as("vec_a"), col("__dst").as("vec_b"),
-        col("__cos").as("cos_sim"))
+    best.select(least(col("__src"), col("__dst")).as("vec_a"),
+        greatest(col("__src"), col("__dst")).as("vec_b"), col("__cos"))
+      .groupBy(col("vec_a"), col("vec_b"))
+      // cos(a,b) = cos(b,a) bit-for-bit (the fold runs over the same
+      // element pairs), so max() just collapses the two equal copies
+      .agg(count(lit(1)).as("__n"), max(col("__cos")).as("cos_sim"))
+      .filter(col("__n") === 2).drop("__n")
   }
 
   /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein,

@@ -213,10 +213,11 @@ object VectorOracles {
          |    row_number() OVER (PARTITION BY src
          |      ORDER BY cs DESC, dst ASC) AS rn
          |  FROM cand),
-         |b1 AS (SELECT src, dst, cs FROM best WHERE rn = 1)
-         |SELECT x.src AS vec_a, x.dst AS vec_b, x.cs AS cos_sim
-         |FROM b1 x JOIN b1 y ON x.src = y.dst AND x.dst = y.src
-         |WHERE x.src < x.dst""".stripMargin,
+         |b1 AS (SELECT LEAST(src, dst) AS vec_a,
+         |         GREATEST(src, dst) AS vec_b, cs
+         |       FROM best WHERE rn = 1)
+         |SELECT vec_a, vec_b, MAX(cs) AS cos_sim
+         |FROM b1 GROUP BY vec_a, vec_b HAVING COUNT(*) = 2""".stripMargin,
 
     // one Lloyd round from deterministic seeds: same Knuth-remixed seed
     // order (Sampling.sampleHash twin), same cosine assignment with
