@@ -294,6 +294,8 @@ object SparkEntry {
     "q248_monthly_accrual"   -> Relational.q248MonthlyAccrual _,
     "q249_cohort_ltv"        -> Relational.q249CohortLtv _,
     "q250_eb_shrink"         -> Relational.q250EbShrink _,
+    "q251_rolling_active"    -> Relational.q251RollingActive _,
+    "q252_cms_join_size"     -> Relational.q252CmsJoinSize _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */
@@ -2643,6 +2645,45 @@ object SparkEntry {
          |  ROUND(COALESCE((CAST(ur.x AS DOUBLE) + pp.k * pp.mu)
          |    / (CAST(ur.n AS DOUBLE) + pp.k), ur.r), 6) AS shrunk_rate
          |FROM ur JOIN pp ON ur.event_type = pp.event_type""".stripMargin,
+
+    "q251_rolling_active" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |  FROM events),
+        |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du
+        |        GROUP BY 1),
+        |r AS (SELECT du.day + o AS day, du.user_id
+        |  FROM du CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS o)
+        |    os),
+        |w AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        |      FROM r GROUP BY 1)
+        |SELECT d.day, d.dau, w.wau,
+        |  ROUND(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+        |FROM dau d JOIN w ON d.day = w.day""".stripMargin,
+
+    "q252_cms_join_size" -> {
+      def h(e: String) = graft.queries.TextOracles.H(e)
+      def bkt(key: String) =
+        h(s"CAST($key AS VARCHAR) || '#cms' || CAST(j AS VARCHAR)") +
+          " * 2654435761 % 1000000007 % 8192"
+      s"""WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+         |sa AS (SELECT j, ${bkt("user_id")} AS bucket, COUNT(*) AS ca
+         |  FROM events CROSS JOIN js GROUP BY 1, 2),
+         |sb AS (SELECT j, ${bkt("o_custkey")} AS bucket, COUNT(*) AS cb
+         |  FROM orders CROSS JOIN js GROUP BY 1, 2),
+         |ip AS (SELECT sa.j, SUM(sa.ca * sb.cb) AS ip
+         |  FROM sa JOIN sb ON sa.j = sb.j AND sa.bucket = sb.bucket
+         |  GROUP BY 1),
+         |est AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(MIN(ip) AS BIGINT) AS est FROM ip),
+         |ex AS (SELECT CAST(SUM(e.n * o.n) AS BIGINT) AS exact
+         |  FROM (SELECT user_id AS k, COUNT(*) AS n FROM events
+         |        GROUP BY 1) e
+         |  JOIN (SELECT o_custkey AS k, COUNT(*) AS n FROM orders
+         |        GROUP BY 1) o ON e.k = o.k)
+         |SELECT est.n_rows, est.est, ex.exact, est.est - ex.exact
+         |  AS overcount
+         |FROM est, ex""".stripMargin
+    },
   )
 
   /** Shared q221/q222 source CTE body: NULL-value rows out, arm from

@@ -392,4 +392,39 @@ object Sketches {
       .select(col("key"), col("n_exact"), col("n_est"),
         (col("n_est") - col("n_exact")).as("overcount"))
   }
+
+  /** Equi-join cardinality estimate from two [[countMinSketch]]es
+    * (AGMS/CM inner product, Cormode–Muthukrishnan §4.2): per sketch
+    * row, Σ_bucket cntA·cntB ≥ Σ_key fA(k)·fB(k) = |A ⋈ B| (hash
+    * collisions only ADD cross terms), and the estimate is the min
+    * over rows — the join-size statistic a planner wants BEFORE paying
+    * the join, from two sketch-sized (depth·width-row) frames that
+    * were built with one pass over each side. The sketch join itself
+    * touches 2·depth·width rows — driver-trivial at any corpus size;
+    * both sides must share (depth, width) and the salt family (they
+    * do, by construction).
+    *
+    * SIZING: expected overcount per row ≈ (Σf_A · Σf_B − true)/width,
+    * so width must be ≳ |A|·|B| / (ε · true-join-size) for relative
+    * error ε — point queries get away with width 64; inner products
+    * need thousands (q252 uses 8192 and measures the residual). A
+    * too-narrow sketch degrades GRACEFULLY to an upper bound (never
+    * under), which is the safe direction for a planner deciding
+    * whether a join is broadcastable.
+    *
+    * Output: one row — (n_rows = depth, est = the min inner product).
+    * The one-sided bound est ≥ true size is spec-pinned; the oracle
+    * (q252) carries the exact size for audit. */
+  def cmsJoinSize(a: DataFrame, keyA: Column, b: DataFrame, keyB: Column,
+                  depth: Int = 4, width: Int = 64): DataFrame = {
+    val sa = countMinSketch(a, keyA, depth, width)
+      .withColumnRenamed("cnt", "__ca")
+    val sb = countMinSketch(b, keyB, depth, width)
+      .withColumnRenamed("cnt", "__cb")
+    sa.join(sb, Seq("row", "bucket"))
+      .groupBy(col("row"))
+      .agg(sum(col("__ca") * col("__cb")).as("__ip"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        min(col("__ip")).cast("long").as("est"))
+  }
 }

@@ -487,6 +487,34 @@ object TimeSeries {
           col("__vs").cast("double"), 6).as("chi2"))
   }
 
+  /** Rolling active users — DAU / trailing-N-day AU / stickiness per
+    * day, the engagement headline every event log gets asked for. The
+    * naive form (per-day COUNT(DISTINCT user) over a sliding range
+    * window) re-scans N days of raw events per output day; this one
+    * dedups to the (day, user) SLIVER first (≪ events — the only
+    * corpus-sized shuffle), then fans each sliver row out to the ≤ N
+    * report days it supports and distinct-counts per day — cost
+    * N·|day-user|, independent of per-user event volume. Report days
+    * are restricted to days with actual activity (the trailing window
+    * after the last observed day is a phantom). */
+  def rollingActive(df: DataFrame, tsCol: String, userCol: String,
+                    windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val du = df.select(to_date(col(tsCol)).as("day"),
+      col(userCol).as("__u")).distinct()
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val rolled = du
+      .select(explode(sequence(lit(0), lit(windowDays - 1))).as("__o"),
+        col("day"), col("__u"))
+      .select(date_add(col("day"), col("__o")).as("day"), col("__u"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("__u")).as("wau"))
+    dau.join(rolled, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6)
+          .as("stickiness"))
+  }
+
   /** Classical additive seasonal decomposition of a daily series per
     * key: y = trend + seasonal + residual — [[holtLinear]] forecasts
     * the series; this EXPLAINS it (is Monday structurally low, or was

@@ -1773,4 +1773,32 @@ object Relational {
   def q250EbShrink(s: SparkSession, dir: String): DataFrame =
     Stats.ebShrinkRates(withConversion(Tables.events(s, dir)),
       Seq("event_type"), "user_id", col("conv"))
+
+  /** q251: rolling engagement ([[TimeSeries.rollingActive]]): DAU,
+    * trailing-7-day AU, and DAU/WAU stickiness per day, computed on
+    * the deduped (day, user) sliver — never a sliding re-scan of raw
+    * events. */
+  def q251RollingActive(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.rollingActive(Tables.events(s, dir), "ts", "user_id", 7)
+
+  /** q252: CMS join-cardinality estimate ([[graft.ops.Sketches
+    * .cmsJoinSize]]): |events ⋈ orders| on user↔cust key predicted
+    * from two depth-4 × width-8192 sketches (inner products need wide
+    * sketches — see the op's sizing note), with the exact size for
+    * audit — the planner statistic that prices a join without running
+    * it. */
+  def q252CmsJoinSize(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val o = Tables.orders(s, dir)
+    val est = graft.ops.Sketches.cmsJoinSize(
+      ev, col("user_id"), o, col("o_custkey"), depth = 4, width = 8192)
+    val exact = ev.groupBy(col("user_id").as("k"))
+      .agg(count(lit(1)).as("__na"))
+      .join(o.groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("__nb")), "k")
+      .agg(sum(col("__na") * col("__nb")).cast("long").as("exact"))
+    est.crossJoin(exact)
+      .select(col("n_rows"), col("est"), col("exact"),
+        (col("est") - col("exact")).as("overcount"))
+  }
 }

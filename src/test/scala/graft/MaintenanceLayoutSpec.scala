@@ -89,6 +89,45 @@ class MaintenanceLayoutSpec extends SparkSpecBase {
     assert(prunedIds.intersect(hits).isEmpty)
   }
 
+  test("cmsJoinSize: one-sided bound, exact when collision-free, width law") {
+    import graft.ops.Sketches
+    // join size = Σ fA·fB = 2·3 + 1·1 = 7
+    val a = Seq("x", "x", "y", "z").toDF("k")
+    val b = Seq("x", "x", "x", "y", "w").toDF("k")
+    val exact = 7L
+    val wide = Sketches.cmsJoinSize(a, col("k"), b, col("k"),
+      depth = 4, width = 1024).collect().head
+    assert(wide.getAs[Long]("est") >= exact, "never under-estimates")
+    assert(wide.getAs[Long]("est") == exact,
+      "4 keys in 1024 buckets: collision-free, estimate exact")
+    // width law: narrower sketch over-counts more, never less
+    val narrow = Sketches.cmsJoinSize(a, col("k"), b, col("k"),
+      depth = 4, width = 2).collect().head
+    assert(narrow.getAs[Long]("est") >= wide.getAs[Long]("est"))
+  }
+
+  test("rollingActive: window coverage, dedup, and observed-day gate") {
+    import java.sql.Timestamp
+    import graft.ops.TimeSeries
+    def t(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    // u1 active day 1 (twice) and day 5; u2 active day 5 only
+    val df = Seq((t(1, 9), 1L), (t(1, 17), 1L), (t(5, 9), 1L),
+      (t(5, 10), 2L)).toDF("ts", "u")
+    val out = TimeSeries.rollingActive(df, "ts", "u", 3).collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("wau"))).toMap
+    // only observed days appear (no phantom day-6/7 rows)
+    assert(out.keySet == Set("2024-01-01", "2024-01-05"))
+    assert(out("2024-01-01") == ((1L, 1L)), "double event counts once")
+    // day 5 trailing-3 window [3,5] contains only day-5 activity
+    assert(out("2024-01-05") == ((2L, 2L)))
+    // widen to 5 days: day 5 window [1,5] picks up u1's day-1 activity
+    // but wau still dedups u1 across days → 2, not 3
+    val wide = TimeSeries.rollingActive(df, "ts", "u", 5).collect()
+      .map(r => r.getDate(0).toString -> r.getAs[Long]("wau")).toMap
+    assert(wide("2024-01-05") == 2L)
+  }
+
   test("zoneMap: all-null stat shard has NULL bounds, never prunes") {
     val df = Seq((0, Some(5L)), (1, None), (1, None))
       .toDF("shard", "x")
