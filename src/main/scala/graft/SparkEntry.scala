@@ -296,6 +296,8 @@ object SparkEntry {
     "q250_eb_shrink"         -> Relational.q250EbShrink _,
     "q251_rolling_active"    -> Relational.q251RollingActive _,
     "q252_cms_join_size"     -> Relational.q252CmsJoinSize _,
+    "q253_expectations"      -> Relational.q253Expectations _,
+    "q254_top_paths"         -> Relational.q254TopPaths _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */
@@ -2684,6 +2686,49 @@ object SparkEntry {
          |  AS overcount
          |FROM est, ex""".stripMargin
     },
+
+    "q253_expectations" ->
+      """WITH w AS (SELECT COUNT(*) AS n,
+        |    COUNT(*) FILTER (o_custkey IS NULL) AS v_nn,
+        |    COUNT(*) FILTER (o_totalprice IS NOT NULL
+        |      AND (o_totalprice < 0 OR o_totalprice > 480000)) AS v_rng,
+        |    COUNT(*) FILTER (o_orderstatus IS NOT NULL
+        |      AND o_orderstatus NOT IN ('O', 'F', 'P')) AS v_acc,
+        |    COUNT(*) FILTER (o_orderpriority IS NOT NULL AND NOT
+        |      regexp_matches(o_orderpriority, '^[1-5]-')) AS v_rx,
+        |    COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS v_uq
+        |  FROM orders),
+        |fk AS (SELECT COUNT(*) AS n, COUNT(*) FILTER (
+        |    l_orderkey IS NOT NULL AND l_orderkey NOT IN
+        |      (SELECT o_orderkey FROM orders)) AS v
+        |  FROM lineitem),
+        |rows_ AS (
+        |  SELECT 'not_null' AS check_, 'o_custkey' AS col_,
+        |    n, v_nn AS v, 0.0 AS maxf FROM w
+        |  UNION ALL SELECT 'in_range', 'o_totalprice', n, v_rng, 0.05
+        |    FROM w
+        |  UNION ALL SELECT 'accepted_values', 'o_orderstatus', n,
+        |    v_acc, 0.0 FROM w
+        |  UNION ALL SELECT 'matches', 'o_orderpriority', n, v_rx, 0.0
+        |    FROM w
+        |  UNION ALL SELECT 'unique', 'o_orderkey', n, v_uq, 0.0 FROM w
+        |  UNION ALL SELECT 'fk_covered', 'l_orderkey->o_orderkey', n,
+        |    v, 0.0 FROM fk)
+        |SELECT check_ AS "check", col_ AS "column",
+        |  CAST(n AS BIGINT) AS n_rows,
+        |  CAST(v AS BIGINT) AS n_violations,
+        |  ROUND(CAST(v AS DOUBLE) / n, 6) AS viol_frac,
+        |  CAST(v AS DOUBLE) / n <= maxf AS pass
+        |FROM rows_""".stripMargin,
+
+    "q254_top_paths" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM events GROUP BY 1, 2)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY 1
+        |ORDER BY n_sessions DESC, path ASC
+        |LIMIT 20""".stripMargin,
   )
 
   /** Shared q221/q222 source CTE body: NULL-value rows out, arm from

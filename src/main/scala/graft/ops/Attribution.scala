@@ -71,4 +71,36 @@ object Attribution {
       round(sum(col("credit_linear")), 6).cast("double")
         .as("linear_touch"),
       count(lit(1)).as("n_attributed"))
+
+  /** Top-k behavioral paths: per (user, sessionKey) the ORDERED step
+    * sequence rendered as a `a>b>c` string, counted across sessions,
+    * top k by frequency — the journey-analysis readout behind every
+    * "what do users do before X" question (the pairwise
+    * [[graft.ops.Eval.transitionMatrix]] loses order beyond length 2;
+    * paths keep it).
+    *
+    * Scale shape: one hash aggregation collects each session's steps —
+    * per-group state is session-length-bounded (the [[graft.ops
+    * .TimeSeries.holtLinear]] posture: bounded per-entity runs), and
+    * `array_sort` over (ts, tie, step) structs makes the order
+    * deterministic regardless of collect order — then a path-domain
+    * count and a TakeOrdered top-k (count desc, path asc: total
+    * order). The shuffle carries (session, step) rows once and path
+    * strings once; nothing is ever globally sorted. */
+  def topPaths(df: DataFrame, sessionCols: Seq[Column], tsCol: String,
+               tieCol: String, stepCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val path = array_join(
+      transform(
+        array_sort(collect_list(struct(col(tsCol).as("t"),
+          col(tieCol).as("i"), col(stepCol).as("s")))),
+        x => x.getField("s")),
+      ">")
+    df.groupBy(sessionCols: _*)
+      .agg(path.as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(k)
+  }
 }

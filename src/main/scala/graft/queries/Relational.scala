@@ -1801,4 +1801,33 @@ object Relational {
       .select(col("n_rows"), col("est"), col("exact"),
         (col("est") - col("exact")).as("overcount"))
   }
+
+  /** q253: declarative expectations suite
+    * ([[graft.etl.Expectations]]): not-null / range / domain / pattern
+    * / unique over orders in ONE aggregate pass, plus the
+    * lineitem→orders referential check — the generic publish gate the
+    * reference's row-count QC doesn't have. The range check carries a
+    * 5% tolerance so both threshold branches are exercised. */
+  def q253Expectations(s: SparkSession, dir: String): DataFrame = {
+    import graft.etl.Expectations
+    val o = Tables.orders(s, dir)
+    Expectations.run(o, Seq(
+        Expectations.notNull("o_custkey"),
+        Expectations.inRange("o_totalprice", 0.0, 480000.0,
+          maxFrac = 0.05),
+        Expectations.accepted("o_orderstatus", Seq("O", "F", "P")),
+        Expectations.matches("o_orderpriority", "^[1-5]-")),
+      unique = Seq("o_orderkey"))
+      .unionByName(Expectations.fkCovered(
+        Tables.lineitem(s, dir), "l_orderkey", o, "o_orderkey"))
+  }
+
+  /** q254: top-20 behavioral paths per user-day
+    * ([[graft.ops.Attribution.topPaths]]) — ordered step sequences
+    * counted across sessions; q191's transition matrix keeps only
+    * pairs, this keeps the whole journey. */
+  def q254TopPaths(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Attribution.topPaths(Tables.events(s, dir),
+      Seq(col("user_id"), to_date(col("ts")).as("day")),
+      "ts", "event_id", "event_type", 20)
 }
