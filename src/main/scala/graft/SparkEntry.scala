@@ -298,6 +298,8 @@ object SparkEntry {
     "q252_cms_join_size"     -> Relational.q252CmsJoinSize _,
     "q253_expectations"      -> Relational.q253Expectations _,
     "q254_top_paths"         -> Relational.q254TopPaths _,
+    "q255_matched_att"       -> Relational.q255MatchedAtt _,
+    "q256_did"               -> Relational.q256Did _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */
@@ -2729,6 +2731,73 @@ object SparkEntry {
         |FROM p GROUP BY 1
         |ORDER BY n_sessions DESC, path ASC
         |LIMIT 20""".stripMargin,
+
+    "q255_matched_att" ->
+      s"""WITH src AS ($convCte),
+         |c0 AS (SELECT event_type, event_id AS control_id,
+         |    CAST(value AS DOUBLE) AS x0, conv AS y0,
+         |    CAST(FLOOR(CAST(value AS DOUBLE) / 1.0) AS BIGINT) AS b
+         |  FROM src WHERE arm = 0),
+         |t1 AS (SELECT event_type, event_id AS treated_id,
+         |    CAST(value AS DOUBLE) AS x1, conv AS y1,
+         |    CAST(FLOOR(CAST(value AS DOUBLE) / 1.0) AS BIGINT)
+         |      + unnest([-1, 0, 1]) AS b
+         |  FROM src WHERE arm = 1),
+         |cand AS (SELECT t1.event_type, treated_id, control_id,
+         |    ROUND(abs(x1 - x0), 9) AS gap, y1, y0
+         |  FROM t1 JOIN c0 ON t1.event_type = c0.event_type
+         |                 AND t1.b = c0.b
+         |  WHERE ROUND(abs(x1 - x0), 9) <= 1.0),
+         |best AS (SELECT *,
+         |    row_number() OVER (PARTITION BY event_type, treated_id
+         |      ORDER BY gap ASC, control_id ASC) AS rn
+         |  FROM cand)
+         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_matched,
+         |  ROUND(CAST(SUM(CAST(gap AS DECIMAL(28,9))) AS DOUBLE)
+         |    / COUNT(*), 6) AS mean_gap,
+         |  ROUND(CAST(SUM(CAST(ROUND(CAST(y1 AS DOUBLE)
+         |      - CAST(y0 AS DOUBLE), 9) AS DECIMAL(28,9))) AS DOUBLE)
+         |    / COUNT(*), 6) AS att
+         |FROM best WHERE rn = 1 GROUP BY event_type""".stripMargin,
+
+    "q256_did" -> {
+      val hv = graft.queries.TextOracles.H(
+        "CAST(user_id AS VARCHAR) || '#13'")
+      def cell(a: Int, p: Int, s: String) =
+        s"""COUNT(*) FILTER (arm = $a AND period = $p) AS n$s,
+           |    SUM(CAST(value AS DECIMAL(18,4)))
+           |      FILTER (arm = $a AND period = $p) AS s$s,
+           |    SUM(CAST(CAST(value AS DECIMAL(18,4))
+           |             * CAST(value AS DECIMAL(18,4)) AS DECIMAL(38,8)))
+           |      FILTER (arm = $a AND period = $p) AS q$s""".stripMargin
+      def vn(s: String) =
+        s"(CAST(q$s AS DOUBLE) - CAST(s$s AS DOUBLE) * CAST(s$s AS DOUBLE)" +
+          s" / n$s) / (n$s - 1) / n$s"
+      s"""WITH e AS (SELECT event_type, value,
+         |    CASE WHEN ($hv * 2654435761 % 1000000007) % 1000000 < 500000
+         |         THEN 0 ELSE 1 END AS arm,
+         |    CASE WHEN dayofmonth(ts) > 15 THEN 1 ELSE 0 END AS period
+         |  FROM events WHERE value IS NOT NULL),
+         |a AS (SELECT event_type,
+         |    ${cell(1, 0, "t0")},
+         |    ${cell(1, 1, "t1")},
+         |    ${cell(0, 0, "c0")},
+         |    ${cell(0, 1, "c1")}
+         |  FROM e GROUP BY event_type),
+         |d AS (SELECT event_type, nt0, nt1, nc0, nc1,
+         |    (CAST(st1 AS DOUBLE) / nt1 - CAST(st0 AS DOUBLE) / nt0)
+         |      - (CAST(sc1 AS DOUBLE) / nc1 - CAST(sc0 AS DOUBLE) / nc0)
+         |      AS did,
+         |    sqrt(${vn("t1")} + ${vn("t0")} + ${vn("c1")} + ${vn("c0")})
+         |      AS se,
+         |    nt0 > 1 AND nt1 > 1 AND nc0 > 1 AND nc1 > 1 AS ok
+         |  FROM a)
+         |SELECT event_type, nt0, nt1, nc0, nc1,
+         |  CASE WHEN ok THEN ROUND(did, 6) + 0.0 END AS did,
+         |  CASE WHEN ok THEN ROUND(se, 6) END AS se,
+         |  CASE WHEN ok THEN ROUND(did / se, 4) + 0.0 END AS z
+         |FROM d""".stripMargin
+    },
   )
 
   /** Shared q221/q222 source CTE body: NULL-value rows out, arm from

@@ -947,6 +947,107 @@ object Eval {
         .as("magnitude")): _*)
   }
 
+  /** Nearest-neighbor covariate matching with a caliper (the matching
+    * estimator of the causal tier): every treated row (arm = 1) is
+    * paired to its nearest control (arm = 0) on `xCol` within
+    * `caliper`, WITH replacement — the deterministic variant (greedy
+    * without-replacement depends on processing order, which no
+    * distributed engine should promise). Output: one row per matched
+    * treated unit with its control, the covariate gap, and both
+    * outcomes; feed to [[attEstimate]] for the treatment-effect line.
+    *
+    * Scale shape: the candidate join is BANDED on floor(x/caliper)
+    * (each treated row probes its own and the two adjacent buckets —
+    * the [[graft.ops.Intervals.bandedRangeJoin]] trick on a covariate
+    * axis instead of time), so cost is per-bucket density², never
+    * treated×control. The per-treated argmin ranks on the 9-rounded
+    * gap with a control-id tiebreak (total order → engine- and
+    * partitioning-invariant pick), pruned map-side by
+    * WindowGroupLimit. */
+  def nnMatch(df: DataFrame, groupCols: Seq[String], armCol: String,
+              idCol: String, xCol: String, yCol: String,
+              caliper: Double): DataFrame = {
+    require(caliper > 0, s"caliper must be > 0, got $caliper")
+    val gs = groupCols.map(col)
+    def bucket(c: Column) = floor(c.cast("double") / caliper)
+    val controls = df.filter(col(armCol) === 0).select(
+      gs ++ Seq(col(idCol).as("control_id"),
+        col(xCol).cast("double").as("__x0"),
+        col(yCol).as("y_control"),
+        bucket(col(xCol)).as("__b")): _*)
+    val treated = df.filter(col(armCol) === 1).select(
+      gs ++ Seq(col(idCol).as("treated_id"),
+        col(xCol).cast("double").as("__x1"), col(yCol).as("y_treated"),
+        explode(sequence(bucket(col(xCol)) - 1, bucket(col(xCol)) + 1))
+          .as("__b")): _*)
+    val keys = groupCols :+ "__b"
+    val cand = treated.join(controls, keys)
+      .withColumn("__gap", round(abs(col("__x1") - col("__x0")), 9))
+      .filter(col("__gap") <= caliper)
+    val w = Window.partitionBy(gs :+ col("treated_id"): _*)
+      .orderBy(col("__gap").asc, col("control_id").asc)
+    cand.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(gs ++ Seq(col("treated_id"), col("control_id"),
+        col("__gap").as("gap"), col("y_treated"), col("y_control")): _*)
+  }
+
+  /** ATT from [[nnMatch]] pairs: mean(y_treated − y_control) per
+    * stratum, with the matched count and the (treated-side) match rate
+    * when `nTreated` is joined in by the caller. Differences are
+    * 9-rounded into exact decimal sums. */
+  def attEstimate(pairs: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val gs = groupCols.map(col)
+    val d9 = round(col("y_treated").cast("double") -
+      col("y_control").cast("double"), 9).cast(DecimalType(28, 9))
+    pairs.groupBy(gs: _*).agg(
+      count(lit(1)).as("n_matched"),
+      // gap is already 9-rounded → the decimal cast is exact, so the
+      // mean is partitioning-invariant (a raw double avg is not)
+      round(sum(col("gap").cast(DecimalType(28, 9))).cast("double") /
+        count(lit(1)), 6).as("mean_gap"),
+      round(sum(d9).cast("double") / count(lit(1)), 6).as("att"))
+  }
+
+  /** 2×2 difference-in-differences: (ȳ_T,post − ȳ_T,pre) −
+    * (ȳ_C,post − ȳ_C,pre) per stratum, with the large-sample SE from
+    * the four cell variances — the pre-trend-adjusted effect estimate
+    * when treatment switches on at a known time. `periodCol` is 0
+    * (pre) / 1 (post); outcomes are decimal-summed per cell (exact
+    * moments, the [[welchTwoSample]] discipline); the DiD and SE are
+    * fixed-order float arithmetic over the 8 cell statistics. Strata
+    * with any empty or degenerate (n ≤ 1) cell yield NULL. */
+  def didEstimate(df: DataFrame, groupCols: Seq[String], armCol: String,
+                  periodCol: String, yCol: String): DataFrame = {
+    val gs = groupCols.map(col)
+    def d(c: Column) = c.cast(DoubleType)
+    val m = col(yCol).cast(DecimalType(18, 4))
+    def cell(a: Int, p: Int, suf: String) = Seq(
+      count(when(col(armCol) === a && col(periodCol) === p, lit(1)))
+        .as(s"n$suf"),
+      sum(when(col(armCol) === a && col(periodCol) === p, m))
+        .as(s"__s$suf"),
+      sum(when(col(armCol) === a && col(periodCol) === p,
+        (m * m).cast(DecimalType(38, 8)))).as(s"__q$suf"))
+    val agg = df.filter(col(yCol).isNotNull).groupBy(gs: _*).agg(
+      cell(1, 0, "t0").head,
+      (cell(1, 0, "t0").tail ++ cell(1, 1, "t1") ++ cell(0, 0, "c0") ++
+        cell(0, 1, "c1")): _*)
+    def mean(s: String) = d(col(s"__s$s")) / col(s"n$s")
+    def varOverN(s: String) =
+      (d(col(s"__q$s")) - d(col(s"__s$s")) * d(col(s"__s$s")) /
+        col(s"n$s")) / (col(s"n$s") - 1) / col(s"n$s")
+    val did = (mean("t1") - mean("t0")) - (mean("c1") - mean("c0"))
+    val se = sqrt(varOverN("t1") + varOverN("t0") + varOverN("c1") +
+      varOverN("c0"))
+    val ok = Seq("t0", "t1", "c0", "c1")
+      .map(s => col(s"n$s") > 1).reduce(_ && _)
+    agg.select(gs ++ Seq(col("nt0"), col("nt1"), col("nc0"), col("nc1"),
+      when(ok, round(did, 6)).as("did"),
+      when(ok, round(se, 6)).as("se"),
+      when(ok, round(did / se, 4)).as("z")): _*)
+  }
+
   /** One-way ANOVA F across the groups of `groupCol`: does the mean of
     * `metricCol` differ across k groups — the k-arm generalization of
     * [[welchTwoSample]] (equal-variance form). Returns ONE row:

@@ -1830,4 +1830,27 @@ object Relational {
     graft.ops.Attribution.topPaths(Tables.events(s, dir),
       Seq(col("user_id"), to_date(col("ts")).as("day")),
       "ts", "event_id", "event_type", 20)
+
+  /** q255: nearest-neighbor matched treatment effect
+    * ([[Eval.nnMatch]] → [[Eval.attEstimate]]): each treated event
+    * matched with replacement to the nearest control on the value
+    * covariate (caliper 1.0, banded-bucket join), ATT on the
+    * conversion outcome per event type — the matching estimator of
+    * the causal tier beside q234's uplift deciles. */
+  def q255MatchedAtt(s: SparkSession, dir: String): DataFrame = {
+    val ev = withConversion(Tables.events(s, dir))
+    val pairs = Eval.nnMatch(ev, Seq("event_type"), "arm", "event_id",
+      "value", "conv", caliper = 1.0)
+    Eval.attEstimate(pairs, Seq("event_type"))
+  }
+
+  /** q256: difference-in-differences ([[Eval.didEstimate]]): arm ×
+    * (first/second half of month) 2×2 on value per event type —
+    * the pre-trend-adjusted effect line (q165's t assumes no
+    * pre-period; DiD subtracts it). */
+  def q256Did(s: SparkSession, dir: String): DataFrame =
+    Eval.didEstimate(
+      withArm(Tables.events(s, dir))
+        .withColumn("period", (dayofmonth(col("ts")) > 15).cast("int")),
+      Seq("event_type"), "arm", "period", "value")
 }
