@@ -300,6 +300,7 @@ object SparkEntry {
     "q254_top_paths"         -> Relational.q254TopPaths _,
     "q255_matched_att"       -> Relational.q255MatchedAtt _,
     "q256_did"               -> Relational.q256Did _,
+    "q257_cuped"             -> Relational.q257Cuped _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */
@@ -2796,6 +2797,59 @@ object SparkEntry {
          |  CASE WHEN ok THEN ROUND(did, 6) + 0.0 END AS did,
          |  CASE WHEN ok THEN ROUND(se, 6) END AS se,
          |  CASE WHEN ok THEN ROUND(did / se, 4) + 0.0 END AS z
+         |FROM d""".stripMargin
+    },
+
+    "q257_cuped" -> {
+      val hv = graft.queries.TextOracles.H(
+        "CAST(user_id AS VARCHAR) || '#13'")
+      def d9(e: String) = s"SUM(CAST(ROUND($e, 9) AS DECIMAL(28,9)))"
+      s"""WITH halves AS (SELECT event_type, user_id,
+         |    CASE WHEN ($hv * 2654435761 % 1000000007) % 1000000 < 500000
+         |         THEN 0 ELSE 1 END AS arm,
+         |    SUM(CAST(value AS DECIMAL(18,4)))
+         |      FILTER (dayofmonth(ts) <= 15) AS s1,
+         |    COUNT(*) FILTER (dayofmonth(ts) <= 15) AS c1,
+         |    SUM(CAST(value AS DECIMAL(18,4)))
+         |      FILTER (dayofmonth(ts) > 15) AS s2,
+         |    COUNT(*) FILTER (dayofmonth(ts) > 15) AS c2
+         |  FROM events WHERE value IS NOT NULL
+         |  GROUP BY 1, 2, 3),
+         |u AS (SELECT event_type, arm,
+         |    CAST(s1 AS DOUBLE) / c1 AS x, CAST(s2 AS DOUBLE) / c2 AS y
+         |  FROM halves WHERE c1 > 0 AND c2 > 0),
+         |a AS (SELECT event_type,
+         |    COUNT(*) FILTER (arm = 0) AS n0,
+         |    COUNT(*) FILTER (arm = 1) AS n1,
+         |    ${d9("x")} FILTER (arm = 0) AS sx0,
+         |    ${d9("y")} FILTER (arm = 0) AS sy0,
+         |    ${d9("x")} FILTER (arm = 1) AS sx1,
+         |    ${d9("y")} FILTER (arm = 1) AS sy1,
+         |    ${d9("x")} AS sx, ${d9("y")} AS sy,
+         |    ${d9("x * y")} AS sxy, ${d9("x * x")} AS sxx,
+         |    ${d9("y * y")} AS syy
+         |  FROM u GROUP BY 1),
+         |d AS (SELECT event_type, n0, n1,
+         |    CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+         |      / CAST(n0 + n1 AS DOUBLE) AS cxx,
+         |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+         |      / CAST(n0 + n1 AS DOUBLE) AS cyy,
+         |    CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+         |      / CAST(n0 + n1 AS DOUBLE) AS cxy,
+         |    CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0 AS dr,
+         |    CAST(sx1 AS DOUBLE) / n1 - CAST(sx0 AS DOUBLE) / n0 AS dx
+         |  FROM a)
+         |SELECT event_type, n0, n1,
+         |  CASE WHEN n0 > 0 AND n1 > 0 AND cxx > 0 AND cyy > 0
+         |       THEN ROUND(cxy / cxx, 6) + 0.0 END AS theta,
+         |  CASE WHEN n0 > 0 AND n1 > 0
+         |       THEN ROUND(dr, 6) + 0.0 END AS diff_raw,
+         |  CASE WHEN n0 > 0 AND n1 > 0 AND cxx > 0 AND cyy > 0
+         |       THEN ROUND(dr - (cxy / cxx) * dx, 6) + 0.0
+         |       END AS diff_cuped,
+         |  CASE WHEN n0 > 0 AND n1 > 0 AND cxx > 0 AND cyy > 0
+         |       THEN ROUND((cyy - cxy * cxy / cxx) / cyy, 6) + 0.0
+         |       END AS var_ratio
          |FROM d""".stripMargin
     },
   )

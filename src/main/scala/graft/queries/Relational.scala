@@ -1853,4 +1853,26 @@ object Relational {
       withArm(Tables.events(s, dir))
         .withColumn("period", (dayofmonth(col("ts")) > 15).cast("int")),
       Seq("event_type"), "arm", "period", "value")
+
+  /** q257: CUPED-adjusted treatment difference ([[Eval.cupedAdjust]]):
+    * per (event_type, user), the first-half mean value is the
+    * pre-period covariate and the second-half mean the experiment
+    * metric (the q237 pairing re-used for variance REDUCTION instead
+    * of a paired test); θ pooled arm-blind, variance ratio reported. */
+  def q257Cuped(s: SparkSession, dir: String): DataFrame = {
+    val dec = col("value").cast(DecimalType(18, 4))
+    val firstHalf = dayofmonth(col("ts")) <= 15
+    val units = withArm(Tables.events(s, dir))
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), col("user_id"), col("arm"))
+      .agg(sum(when(firstHalf, dec)).as("__s1"),
+        count(when(firstHalf, lit(1))).as("__c1"),
+        sum(when(!firstHalf, dec)).as("__s2"),
+        count(when(!firstHalf, lit(1))).as("__c2"))
+      .filter(col("__c1") > 0 && col("__c2") > 0)
+      .select(col("event_type"), col("arm"),
+        (col("__s1").cast("double") / col("__c1")).as("x"),
+        (col("__s2").cast("double") / col("__c2")).as("y"))
+    Eval.cupedAdjust(units, Seq("event_type"), "arm", "x", "y")
+  }
 }

@@ -40,6 +40,30 @@ class CausalSpec extends SparkSpecBase {
     assert(att.getAs[Double]("att") == 1.0) // 3.0 − 2.0
   }
 
+  test("cupedAdjust: perfect covariate kills variance, effect unbiased") {
+    // zero-effect experiment, y = x exactly, arms drawn imbalanced:
+    // θ = Cov(x,x)/Var(x) = 1, var_ratio = 0, and CUPED recovers the
+    // TRUE null effect while the raw diff reads the x imbalance as +1
+    val rows = Seq((0, 1.0), (0, 3.0), (0, 5.0), (1, 2.0), (1, 4.0),
+      (1, 6.0)).map { case (arm, x) => ("k", arm, x, x) }
+    val r = Eval.cupedAdjust(rows.toDF("g", "arm", "x", "y"),
+      Seq("g"), "arm", "x", "y").collect().head
+    assert(r.getAs[Double]("theta") == 1.0)
+    assert(r.getAs[Double]("var_ratio") == 0.0)
+    assert(r.getAs[Double]("diff_raw") == 1.0,
+      "raw diff reads pure covariate imbalance as an effect")
+    assert(r.getAs[Double]("diff_cuped") == 0.0,
+      "CUPED subtracts the imbalance and reports the true null")
+    // uncorrelated covariate → θ≈0, adjustment is a no-op; zero
+    // covariate variance → NULL θ, raw diff still reported
+    val flat = Seq(("k", 0, 5.0, 1.0), ("k", 0, 5.0, 3.0),
+      ("k", 1, 5.0, 2.0), ("k", 1, 5.0, 6.0)).toDF("g", "arm", "x", "y")
+    val rf = Eval.cupedAdjust(flat, Seq("g"), "arm", "x", "y")
+      .collect().head
+    assert(rf.isNullAt(rf.fieldIndex("theta")))
+    assert(rf.getAs[Double]("diff_raw") == 2.0)
+  }
+
   test("didEstimate: recovers a planted additive effect exactly") {
     // control: pre 10, post 12 (trend +2); treated: pre 20, post 25
     // (trend +2 plus effect +3) → DiD = 3
