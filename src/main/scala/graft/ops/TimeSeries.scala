@@ -502,14 +502,19 @@ object TimeSeries {
     require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
     val du = df.select(to_date(col(tsCol)).as("day"),
       col(userCol).as("__u")).distinct()
-    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
-    val rolled = du
-      .select(explode(sequence(lit(0), lit(windowDays - 1))).as("__o"),
+    // ONE pass over the sliver: the offset-0 fan-out rows ARE the
+    // original (day, user) pairs, so DAU is a conditional distinct in
+    // the same aggregate as WAU — a separate dau branch would scan and
+    // dedup the corpus twice (caught in plan review)
+    du.select(explode(sequence(lit(0), lit(windowDays - 1))).as("__o"),
         col("day"), col("__u"))
-      .select(date_add(col("day"), col("__o")).as("day"), col("__u"))
+      .select(date_add(col("day"), col("__o")).as("day"), col("__u"),
+        col("__o"))
       .groupBy(col("day"))
-      .agg(countDistinct(col("__u")).as("wau"))
-    dau.join(rolled, "day")
+      .agg(countDistinct(when(col("__o") === 0, col("__u"))).as("dau"),
+        countDistinct(col("__u")).as("wau"))
+      .filter(col("dau") > 0) // the trailing window past the last
+      // observed day is a phantom; only days with own activity report
       .select(col("day"), col("dau"), col("wau"),
         round(col("dau").cast("double") / col("wau"), 6)
           .as("stickiness"))
