@@ -2733,33 +2733,62 @@ object SparkEntry {
         |ORDER BY n_sessions DESC, path ASC
         |LIMIT 20""".stripMargin,
 
+    // sort-merge nearest-neighbor mirror: the nearest control is the
+    // closest control at-or-below or at-or-above in x-order; controls
+    // deduped to min id per exact x (only that row can win the
+    // (gap, id) argmin); the two sides compared lexicographically
     "q255_matched_att" ->
       s"""WITH src AS ($convCte),
-         |c0 AS (SELECT event_type, event_id AS control_id,
-         |    CAST(value AS DOUBLE) AS x0, conv AS y0,
-         |    CAST(FLOOR(CAST(value AS DOUBLE) / 1.0) AS BIGINT) AS b
-         |  FROM src WHERE arm = 0),
-         |t1 AS (SELECT event_type, event_id AS treated_id,
-         |    CAST(value AS DOUBLE) AS x1, conv AS y1,
-         |    CAST(FLOOR(CAST(value AS DOUBLE) / 1.0) AS BIGINT)
-         |      + unnest([-1, 0, 1]) AS b
-         |  FROM src WHERE arm = 1),
-         |cand AS (SELECT t1.event_type, treated_id, control_id,
-         |    ROUND(abs(x1 - x0), 9) AS gap, y1, y0
-         |  FROM t1 JOIN c0 ON t1.event_type = c0.event_type
-         |                 AND t1.b = c0.b
-         |  WHERE ROUND(abs(x1 - x0), 9) <= 1.0),
-         |best AS (SELECT *,
-         |    row_number() OVER (PARTITION BY event_type, treated_id
-         |      ORDER BY gap ASC, control_id ASC) AS rn
-         |  FROM cand)
+         |pts AS (SELECT event_type, arm, event_id AS id,
+         |    CAST(value AS DOUBLE) AS x, CAST(conv AS DOUBLE) AS y
+         |  FROM src),
+         |cd AS (SELECT event_type, x, id AS cid, y AS cy,
+         |    row_number() OVER (PARTITION BY event_type, x
+         |      ORDER BY id ASC) AS rn
+         |  FROM pts WHERE arm = 0),
+         |u AS (SELECT event_type, x, 0 AS tag,
+         |    CAST(NULL AS BIGINT) AS id, CAST(NULL AS DOUBLE) AS ty,
+         |    cid, cy
+         |  FROM cd WHERE rn = 1
+         |  UNION ALL
+         |  SELECT event_type, x, 1, id, y, NULL, NULL
+         |  FROM pts WHERE arm = 1),
+         |s AS (SELECT *,
+         |    last_value(CASE WHEN tag = 0 THEN
+         |        struct_pack(cx := x, cid := cid, cy := cy) END
+         |      IGNORE NULLS) OVER (PARTITION BY event_type
+         |      ORDER BY x ASC, tag ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prv,
+         |    last_value(CASE WHEN tag = 0 THEN
+         |        struct_pack(cx := x, cid := cid, cy := cy) END
+         |      IGNORE NULLS) OVER (PARTITION BY event_type
+         |      ORDER BY x DESC, tag ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nxt
+         |  FROM u),
+         |t AS (SELECT event_type, id AS treated_id, ty,
+         |    ROUND(abs(x - (prv).cx), 9) AS gp, (prv).cid AS pid,
+         |    (prv).cy AS pcy,
+         |    ROUND(abs(x - (nxt).cx), 9) AS gn, (nxt).cid AS nid,
+         |    (nxt).cy AS ncy
+         |  FROM s WHERE tag = 1),
+         |m AS (SELECT event_type, treated_id, ty,
+         |    CASE WHEN gn IS NOT NULL AND gn <= 1.0
+         |          AND (gp IS NULL OR gp > 1.0 OR gn < gp
+         |               OR (gn = gp AND nid < pid))
+         |         THEN gn ELSE gp END AS gap,
+         |    CASE WHEN gn IS NOT NULL AND gn <= 1.0
+         |          AND (gp IS NULL OR gp > 1.0 OR gn < gp
+         |               OR (gn = gp AND nid < pid))
+         |         THEN ncy ELSE pcy END AS cy
+         |  FROM t
+         |  WHERE (gp IS NOT NULL AND gp <= 1.0)
+         |     OR (gn IS NOT NULL AND gn <= 1.0))
          |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_matched,
          |  ROUND(CAST(SUM(CAST(gap AS DECIMAL(28,9))) AS DOUBLE)
          |    / COUNT(*), 6) AS mean_gap,
-         |  ROUND(CAST(SUM(CAST(ROUND(CAST(y1 AS DOUBLE)
-         |      - CAST(y0 AS DOUBLE), 9) AS DECIMAL(28,9))) AS DOUBLE)
-         |    / COUNT(*), 6) AS att
-         |FROM best WHERE rn = 1 GROUP BY event_type""".stripMargin,
+         |  ROUND(CAST(SUM(CAST(ROUND(ty - cy, 9) AS DECIMAL(28,9)))
+         |    AS DOUBLE) / COUNT(*), 6) AS att
+         |FROM m GROUP BY event_type""".stripMargin,
 
     "q256_did" -> {
       val hv = graft.queries.TextOracles.H(

@@ -956,40 +956,66 @@ object Eval {
     * treated unit with its control, the covariate gap, and both
     * outcomes; feed to [[attEstimate]] for the treatment-effect line.
     *
-    * Scale shape: the candidate join is BANDED on floor(x/caliper)
-    * (each treated row probes its own and the two adjacent buckets —
-    * the [[graft.ops.Intervals.bandedRangeJoin]] trick on a covariate
-    * axis instead of time), so cost is per-bucket density², never
-    * treated×control. The per-treated argmin ranks on the 9-rounded
-    * gap with a control-id tiebreak (total order → engine- and
-    * partitioning-invariant pick), pruned map-side by
-    * WindowGroupLimit. */
+    * Scale shape: SORT-MERGE, not a candidate join — the nearest
+    * control of a treated unit is either the closest control at-or-
+    * below or at-or-above it in the per-stratum x-order, so matching
+    * is two window passes over the unioned point set (O(n log n)),
+    * where a banded candidate join pays per-bucket density² and
+    * detonates on clumped covariates (measured: 23 s → sub-second at
+    * sf0.1 on the exponential-ish value column). Controls are first
+    * deduped to the min-id row per EXACT x — lossless, because under
+    * the (gap, control-id) argmin only that row can ever win (same
+    * side + same gap ⇒ same x). The final pick compares the two
+    * sides' (9-rounded gap, control id) lexicographically — a total
+    * order, so the match is engine- and partitioning-invariant. */
   def nnMatch(df: DataFrame, groupCols: Seq[String], armCol: String,
               idCol: String, xCol: String, yCol: String,
               caliper: Double): DataFrame = {
     require(caliper > 0, s"caliper must be > 0, got $caliper")
     val gs = groupCols.map(col)
-    def bucket(c: Column) = floor(c.cast("double") / caliper)
-    val controls = df.filter(col(armCol) === 0).select(
-      gs ++ Seq(col(idCol).as("control_id"),
-        col(xCol).cast("double").as("__x0"),
-        col(yCol).as("y_control"),
-        bucket(col(xCol)).as("__b")): _*)
-    val treated = df.filter(col(armCol) === 1).select(
-      gs ++ Seq(col(idCol).as("treated_id"),
-        col(xCol).cast("double").as("__x1"), col(yCol).as("y_treated"),
-        explode(sequence(bucket(col(xCol)) - 1, bucket(col(xCol)) + 1))
-          .as("__b")): _*)
-    val keys = groupCols :+ "__b"
-    val cand = treated.join(controls, keys)
-      .withColumn("__gap", round(abs(col("__x1") - col("__x0")), 9))
-      .filter(col("__gap") <= caliper)
-    val w = Window.partitionBy(gs :+ col("treated_id"): _*)
-      .orderBy(col("__gap").asc, col("control_id").asc)
-    cand.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(gs ++ Seq(col("treated_id"), col("control_id"),
-        col("__gap").as("gap"), col("y_treated"), col("y_control")): _*)
+    val pts = df.filter(col(xCol).isNotNull).select(
+      gs ++ Seq(col(armCol).as("__arm"), col(idCol).as("__id"),
+        col(xCol).cast("double").as("__x"), col(yCol).as("__y")): _*)
+    val ctrl = pts.filter(col("__arm") === 0)
+      .groupBy(gs :+ col("__x"): _*)
+      .agg(min(struct(col("__id"), col("__y"))).as("__c"))
+      .select(gs ++ Seq(col("__x"), lit(0).as("__tag"),
+        lit(null).cast("long").as("__id"),
+        lit(null).cast("double").as("__ty"),
+        col("__c.__id").as("__cid"),
+        col("__c.__y").cast("double").as("__cy")): _*)
+    val treat = pts.filter(col("__arm") === 1)
+      .select(gs ++ Seq(col("__x"), lit(1).as("__tag"),
+        col("__id"), col("__y").cast("double").as("__ty"),
+        lit(null).cast("long").as("__cid"),
+        lit(null).cast("double").as("__cy")): _*)
+    val unioned = ctrl.unionByName(treat)
+    val cpoint = when(col("__tag") === 0,
+      struct(col("__x").as("cx"), col("__cid").as("cid"),
+        col("__cy").as("cy")))
+    def pass(w: org.apache.spark.sql.expressions.WindowSpec) =
+      last(cpoint, ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val scanned = unioned
+      .withColumn("__prev", pass(Window.partitionBy(gs: _*)
+        .orderBy(col("__x").asc, col("__tag").asc)))
+      .withColumn("__next", pass(Window.partitionBy(gs: _*)
+        .orderBy(col("__x").desc, col("__tag").asc)))
+      .filter(col("__tag") === 1)
+    def gapOf(s: String) = round(abs(col("__x") - col(s"$s.cx")), 9)
+    val (gp, gn) = (gapOf("__prev"), gapOf("__next"))
+    val pOk = col("__prev").isNotNull && gp <= caliper
+    val nOk = col("__next").isNotNull && gn <= caliper
+    val useNext = nOk && (!pOk || gn < gp ||
+      (gn === gp && col("__next.cid") < col("__prev.cid")))
+    scanned.filter(pOk || nOk)
+      .select(gs ++ Seq(col("__id").as("treated_id"),
+        when(useNext, col("__next.cid")).otherwise(col("__prev.cid"))
+          .as("control_id"),
+        when(useNext, gn).otherwise(gp).as("gap"),
+        col("__ty").as("y_treated"),
+        when(useNext, col("__next.cy")).otherwise(col("__prev.cy"))
+          .as("y_control")): _*)
   }
 
   /** ATT from [[nnMatch]] pairs: mean(y_treated − y_control) per
