@@ -297,7 +297,6 @@ object SparkEntry {
     "q251_rolling_active"    -> Relational.q251RollingActive _,
     "q252_cms_join_size"     -> Relational.q252CmsJoinSize _,
     "q253_expectations"      -> Relational.q253Expectations _,
-    "q254_top_paths"         -> Relational.q254TopPaths _,
     "q255_matched_att"       -> Relational.q255MatchedAtt _,
     "q256_did"               -> Relational.q256Did _,
     "q257_cuped"             -> Relational.q257Cuped _,
@@ -2723,16 +2722,6 @@ object SparkEntry {
         |  ROUND(CAST(v AS DOUBLE) / n, 6) AS viol_frac,
         |  CAST(v AS DOUBLE) / n <= maxf AS pass
         |FROM rows_""".stripMargin,
-
-    "q254_top_paths" ->
-      """WITH p AS (SELECT user_id, CAST(ts AS DATE) AS day,
-        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
-        |  FROM events GROUP BY 1, 2)
-        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
-        |FROM p GROUP BY 1
-        |ORDER BY n_sessions DESC, path ASC
-        |LIMIT 20""".stripMargin,
-
     // sort-merge nearest-neighbor mirror: the nearest control is the
     // closest control at-or-below or at-or-above in x-order; controls
     // deduped to min id per exact x (only that row can win the

@@ -1038,18 +1038,11 @@ object Relational {
     * imposed inside the group, no window sort over the corpus); the
     * path table then aggregates to path-domain size and TakeOrdered
     * picks the head. */
-  def q173TopPaths(s: SparkSession, dir: String): DataFrame = {
-    val ev = graft.core.Tables.events(s, dir)
-    ev.groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
-      .agg(concat_ws(">",
-        transform(
-          array_sort(collect_list(struct(col("ts"), col("event_id"),
-            col("event_type")))),
-          x => x.getField("event_type"))).as("path"))
-      .groupBy(col("path")).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("path").asc)
-      .limit(10)
-  }
+  def q173TopPaths(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Attribution.topPaths(graft.core.Tables.events(s, dir),
+        Seq(col("user_id"), date_trunc("day", col("ts")).as("day")),
+        "ts", "event_id", "event_type", 10)
+      .select(col("path"), col("n_sessions").as("n"))
 
   /** q174: order-invariant table digest
     * ([[graft.ops.Diff.tableDigest]]) over the orders table's
@@ -1821,15 +1814,6 @@ object Relational {
       .unionByName(Expectations.fkCovered(
         Tables.lineitem(s, dir), "l_orderkey", o, "o_orderkey"))
   }
-
-  /** q254: top-20 behavioral paths per user-day
-    * ([[graft.ops.Attribution.topPaths]]) — ordered step sequences
-    * counted across sessions; q191's transition matrix keeps only
-    * pairs, this keeps the whole journey. */
-  def q254TopPaths(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Attribution.topPaths(Tables.events(s, dir),
-      Seq(col("user_id"), to_date(col("ts")).as("day")),
-      "ts", "event_id", "event_type", 20)
 
   /** q255: nearest-neighbor matched treatment effect
     * ([[Eval.nnMatch]] → [[Eval.attEstimate]]): each treated event
