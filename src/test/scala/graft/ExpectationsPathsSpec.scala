@@ -8,7 +8,7 @@ import graft.etl.Expectations
 import graft.ops.Attribution
 
 /** Round-5 batch 5: declarative expectations (q253), behavioral paths
-  * (q254). */
+  * (q173). */
 class ExpectationsPathsSpec extends SparkSpecBase {
   import spark.implicits._
 
