@@ -300,6 +300,9 @@ object SparkEntry {
     "q255_matched_att"       -> Relational.q255MatchedAtt _,
     "q256_did"               -> Relational.q256Did _,
     "q257_cuped"             -> Relational.q257Cuped _,
+    "q258_nelson_aalen"      -> Relational.q258NelsonAalen _,
+    "q259_rfm"               -> Relational.q259Rfm _,
+    "q260_abc"               -> Relational.q260Abc _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */
@@ -2870,6 +2873,81 @@ object SparkEntry {
          |       END AS var_ratio
          |FROM d""".stripMargin
     },
+    "q258_nelson_aalen" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |f AS (SELECT MAX(us) AS frontier FROM ev),
+        |spans AS (SELECT
+        |    (MAX(us) - MIN(us)) // 86400000000 AS duration,
+        |    CASE WHEN MAX(us) > (SELECT frontier FROM f)
+        |                        - 86400000000 THEN 0
+        |         ELSE 1 END AS event
+        |  FROM ev GROUP BY user_id),
+        |byt AS (SELECT duration AS t, CAST(SUM(event) AS BIGINT) AS d,
+        |    COUNT(*) AS all_at_t
+        |  FROM spans GROUP BY duration),
+        |risk AS (SELECT t, d, SUM(all_at_t) OVER (ORDER BY t DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+        |  FROM byt),
+        |terms AS (SELECT t, d, n_risk,
+        |    SUM(CAST(ROUND(CAST(d AS DOUBLE) / n_risk, 9)
+        |        AS DECIMAL(18,9)))
+        |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |            AND CURRENT ROW) AS ch
+        |  FROM risk WHERE d > 0)
+        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d AS n_events,
+        |  CAST(ROUND(ch, 6) AS DOUBLE) AS cum_hazard,
+        |  ROUND(exp(-CAST(ch AS DOUBLE)), 6) AS survival
+        |FROM terms""".stripMargin,
+
+    "q259_rfm" ->
+      """WITH tx AS (SELECT user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |k AS (SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS frequency,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS m
+        |  FROM tx GROUP BY 1),
+        |fr AS (SELECT MAX(ts) AS frontier FROM tx),
+        |b AS (SELECT user_id,
+        |    date_diff('day', CAST(last_ts AS DATE),
+        |      CAST((SELECT frontier FROM fr) AS DATE)) AS recency_days,
+        |    frequency,
+        |    CAST(ROUND(m, 4) AS DOUBLE) AS monetary
+        |  FROM k),
+        |sc AS (SELECT *,
+        |    ntile(5) OVER (ORDER BY recency_days DESC, user_id ASC)
+        |      AS r_score,
+        |    ntile(5) OVER (ORDER BY frequency ASC, user_id ASC)
+        |      AS f_score,
+        |    ntile(5) OVER (ORDER BY monetary ASC, user_id ASC)
+        |      AS m_score
+        |  FROM b)
+        |SELECT user_id, CAST(recency_days AS INTEGER) AS recency_days,
+        |  frequency, monetary,
+        |  CAST(r_score AS INTEGER) AS r_score,
+        |  CAST(f_score AS INTEGER) AS f_score,
+        |  CAST(m_score AS INTEGER) AS m_score,
+        |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+        |    || CAST(m_score AS VARCHAR) AS rfm
+        |FROM sc""".stripMargin,
+
+    "q260_abc" ->
+      """WITH items AS (SELECT l_partkey,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |        AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS v
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT l_partkey, v,
+        |    SUM(v) OVER (ORDER BY v DESC, l_partkey ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    (SELECT SUM(v) FROM items) AS tot
+        |  FROM items)
+        |SELECT l_partkey, CAST(ROUND(v, 4) AS DOUBLE) AS value,
+        |  ROUND(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+        |    AS cum_share,
+        |  CASE WHEN ROUND(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+        |            <= 0.8 THEN 'A'
+        |       WHEN ROUND(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+        |            <= 0.95 THEN 'B'
+        |       ELSE 'C' END AS abc
+        |FROM c""".stripMargin,
   )
 
   /** Shared q221/q222 source CTE body: NULL-value rows out, arm from

@@ -1143,6 +1143,75 @@ object Stats {
           (col("k") + 1).cast("double") / col("k"), 6).as("gini"))
   }
 
+  /** RFM segmentation over a transaction log: per entity, recency
+    * (days since last transaction, against the log's frontier),
+    * frequency (transaction count), monetary (exact decimal sum), each
+    * scored 1–5 by ntile with the entity id as tiebreak — a TOTAL
+    * order, so the quintile assignment is engine- and run-stable
+    * (plain ntile over a non-unique sort key is not). Score direction:
+    * 5 is always "best" (most recent / most frequent / highest spend).
+    *
+    * Scale: one corpus aggregation to the ENTITY domain; the three
+    * ntile windows are single-partition BY DESIGN over that domain
+    * (quintiles are a global rank) — entity domains are orders of
+    * magnitude below transaction counts, and at the billions-of-
+    * entities extreme the swap is approx-percentile boundaries +
+    * bucketing, the q115 pattern. */
+  def rfmScores(tx: DataFrame, keyCol: String, tsCol: String,
+                amountCol: Column, nTiles: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nTiles >= 2, s"nTiles must be >= 2, got $nTiles")
+    val perKey = tx.groupBy(col(keyCol)).agg(
+      max(col(tsCol)).as("__last"),
+      count(lit(1)).as("frequency"),
+      sum(amountCol.cast(DecimalType(18, 4))).as("__m"))
+    val frontier = tx.agg(max(col(tsCol)).as("__frontier"))
+    def tile(order: Seq[Column]) =
+      ntile(nTiles).over(Window.orderBy(order: _*))
+    perKey.crossJoin(broadcast(frontier))
+      .select(col(keyCol),
+        datediff(to_date(col("__frontier")), to_date(col("__last")))
+          .as("recency_days"),
+        col("frequency"),
+        round(col("__m"), 4).cast("double").as("monetary"))
+      .select(col(keyCol), col("recency_days"), col("frequency"),
+        col("monetary"),
+        tile(Seq(col("recency_days").desc, col(keyCol).asc))
+          .as("r_score"),
+        tile(Seq(col("frequency").asc, col(keyCol).asc)).as("f_score"),
+        tile(Seq(col("monetary").asc, col(keyCol).asc)).as("m_score"))
+      .withColumn("rfm", concat(col("r_score"), col("f_score"),
+        col("m_score")))
+  }
+
+  /** ABC (Pareto) classification: order items by descending value,
+    * classify by CUMULATIVE value share — A up to `aCut` (default
+    * 80%), B up to `bCut` (95%), C the tail — the inventory/catalog
+    * prioritization readout. The order is (value desc, key asc) — a
+    * total order — and the running sum accumulates exact decimals, so
+    * the class boundary cannot flip with partitioning. The cumulative
+    * window is single-partition over the ITEM domain (aggregated
+    * first; never raw transactions). */
+  def abcClassify(df: DataFrame, keyCol: String, valueCol: Column,
+                  aCut: Double = 0.8, bCut: Double = 0.95): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(aCut > 0 && aCut < bCut && bCut < 1,
+      s"need 0 < aCut < bCut < 1, got $aCut/$bCut")
+    val dec = DecimalType(28, 4)
+    val items = df.groupBy(col(keyCol))
+      .agg(sum(valueCol.cast(DecimalType(18, 4))).cast(dec).as("__v"))
+    val w = Window.orderBy(col("__v").desc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    items
+      .withColumn("__cum", sum(col("__v")).over(w))
+      .crossJoin(broadcast(items.agg(sum(col("__v")).as("__tot"))))
+      .select(col(keyCol), round(col("__v"), 4).cast("double").as("value"),
+        round(col("__cum").cast("double") / col("__tot").cast("double"),
+          6).as("cum_share"))
+      .withColumn("abc", when(col("cum_share") <= aCut, "A")
+        .when(col("cum_share") <= bCut, "B").otherwise("C"))
+  }
+
   /** Empirical-Bayes (beta-binomial, method-of-moments) shrinkage of
     * per-unit success rates toward their stratum prior: a unit with 3
     * conversions in 4 events should NOT outrank one with 60 in 100 —

@@ -323,6 +323,35 @@ object TimeSeries {
         .as("survival"))
   }
 
+  /** Nelson–Aalen cumulative hazard (and the Fleming–Harrington
+    * survival exp(−H)) — the estimator dual of [[kaplanMeier]]: KM
+    * multiplies survival factors, NA sums hazard increments d/n, which
+    * is the better-behaved quantity in small risk sets and the one
+    * hazard-ratio readouts build on. Same single-aggregation + two
+    * window passes over the DURATION DOMAIN as KM (never corpus rows);
+    * per-time increments are division-shaped → 9-rounded → exact
+    * decimal cumulative sums, so the curve is partitioning-invariant
+    * and oracle-exact. Rows at event times only. */
+  def nelsonAalen(df: DataFrame, durationCol: String, eventCol: String)
+      : DataFrame = {
+    val byT = df.groupBy(col(durationCol).as("t"))
+      .agg(sum(col(eventCol)).cast("long").as("d"),
+        count(lit(1)).as("all_at_t"))
+    val wAsc = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT.withColumn("n_risk", sum(col("all_at_t")).over(wDesc))
+      .filter(col("d") > 0)
+      .withColumn("__h",
+        round(col("d").cast("double") / col("n_risk"), 9)
+          .cast("decimal(18,9)"))
+      .withColumn("__H", sum(col("__h")).over(wAsc))
+      .select(col("t"), col("n_risk"), col("d").as("n_events"),
+        round(col("__H"), 6).cast("double").as("cum_hazard"),
+        round(exp(-col("__H").cast("double")), 6).as("survival"))
+  }
+
   /** Holt linear (double-exponential) smoothing per key: level + trend,
     * the one-parameter-richer sibling of [[ewmaTrailing]] that can
     * FORECAST (ŷ_{t+h} = l_t + h·b_t). Textbook recursion, made exact:

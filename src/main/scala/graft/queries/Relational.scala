@@ -1859,4 +1859,37 @@ object Relational {
         (col("__s2").cast("double") / col("__c2")).as("y"))
     Eval.cupedAdjust(units, Seq("event_type"), "arm", "x", "y")
   }
+
+  /** q258: Nelson–Aalen cumulative hazard ([[TimeSeries.nelsonAalen]])
+    * on the q172 span construction — the hazard-sum dual of q172's KM
+    * product, sharing one duration-domain machinery. */
+  def q258NelsonAalen(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.core.Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val spans = ev.groupBy(col("user_id"))
+      .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+      .crossJoin(broadcast(ev.agg(max(col("us")).as("frontier_us"))))
+      .select(
+        expr("(last_us - first_us) div 86400000000").as("duration"),
+        when(col("last_us") > col("frontier_us") - lit(86400000000L),
+          0).otherwise(1).as("event"))
+    TimeSeries.nelsonAalen(spans, "duration", "event")
+  }
+
+  /** q259: RFM segmentation ([[Stats.rfmScores]]) over purchase
+    * transactions — recency/frequency/monetary quintiles per user,
+    * tiebreak-total ntiles, 5 = best on every axis. */
+  def q259Rfm(s: SparkSession, dir: String): DataFrame =
+    Stats.rfmScores(
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase" &&
+          col("value").isNotNull),
+      "user_id", "ts", col("value"))
+
+  /** q260: ABC / Pareto classification ([[Stats.abcClassify]]) of
+    * parts by lineitem revenue — cumulative-share classes over the
+    * item domain (the inventory-prioritization readout). */
+  def q260Abc(s: SparkSession, dir: String): DataFrame =
+    Stats.abcClassify(Tables.lineitem(s, dir), "l_partkey",
+      col("l_extendedprice") * (lit(1) - col("l_discount")))
 }
