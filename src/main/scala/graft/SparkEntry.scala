@@ -303,6 +303,8 @@ object SparkEntry {
     "q258_nelson_aalen"      -> Relational.q258NelsonAalen _,
     "q259_rfm"               -> Relational.q259Rfm _,
     "q260_abc"               -> Relational.q260Abc _,
+    "q261_session_metrics"   -> Relational.q261SessionMetrics _,
+    "q262_bounded_funnel"    -> Relational.q262ConstrainedFunnel _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */
@@ -2948,6 +2950,53 @@ object SparkEntry {
         |            <= 0.95 THEN 'B'
         |       ELSE 'C' END AS abc
         |FROM c""".stripMargin,
+    "q261_session_metrics" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev IS NULL
+        |           OR epoch_us(ts) - epoch_us(prev) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM (SELECT user_id, ts,
+        |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |        FROM events) t),
+        |s AS (SELECT user_id, ts,
+        |        CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |      FROM g),
+        |sess AS (SELECT CAST(MIN(ts) AS DATE) AS day, COUNT(*) AS ne,
+        |    (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS dur
+        |  FROM s GROUP BY user_id, session_idx)
+        |SELECT day, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  ROUND(CAST(COUNT(*) FILTER (ne = 1) AS DOUBLE) / COUNT(*), 6)
+        |    AS bounce_rate,
+        |  ROUND(CAST(SUM(CAST(ne AS DECIMAL(18,4))) AS DOUBLE)
+        |    / COUNT(*), 6) AS mean_events,
+        |  ROUND(CAST(SUM(CAST(dur AS DECIMAL(18,4))) AS DOUBLE)
+        |    / COUNT(*), 6) AS mean_dur_sec,
+        |  ROUND(quantile_cont(dur, 0.5), 4) AS median_dur_sec
+        |FROM sess GROUP BY day""".stripMargin,
+
+    "q262_bounded_funnel" ->
+      """WITH t1 AS (SELECT user_id, MIN(ts) AS ts1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, MIN(e.ts) AS ts2
+        |  FROM events e JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > t1.ts1
+        |    AND epoch_us(e.ts) <= epoch_us(t1.ts1) + 3600000000
+        |  GROUP BY 1),
+        |t3 AS (SELECT e.user_id, MIN(e.ts) AS ts3
+        |  FROM events e JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+        |    AND epoch_us(e.ts) <= epoch_us(t2.ts2) + 3600000000
+        |  GROUP BY 1),
+        |n1 AS (SELECT COUNT(*) AS n_users FROM t1),
+        |st AS (
+        |  SELECT 1 AS stage, 'signup' AS step, n_users FROM n1
+        |  UNION ALL SELECT 2, 'click', COUNT(*) FROM t2
+        |  UNION ALL SELECT 3, 'purchase', COUNT(*) FROM t3)
+        |SELECT stage, step, CAST(st.n_users AS BIGINT) AS n_users,
+        |  ROUND(CAST(st.n_users AS DOUBLE) / n1.n_users, 6) AS conv_rate
+        |FROM st, n1""".stripMargin,
   )
 
   /** Shared q221/q222 source CTE body: NULL-value rows out, arm from

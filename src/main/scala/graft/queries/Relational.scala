@@ -1892,4 +1892,64 @@ object Relational {
   def q260Abc(s: SparkSession, dir: String): DataFrame =
     Stats.abcClassify(Tables.lineitem(s, dir), "l_partkey",
       col("l_extendedprice") * (lit(1) - col("l_discount")))
+
+  /** q261: daily session-quality metrics over the q41 sessionization
+    * ([[graft.streaming.EventStreams.sessionizeBatch]]): sessions
+    * started, bounce rate (single-event sessions), mean events and
+    * mean/median duration — the product-analytics rollup a session
+    * table exists to feed. Duration percentile is the exact
+    * `percentile` aggregate (the q12-proven portable form); means ride
+    * decimal sums. */
+  def q261SessionMetrics(s: SparkSession, dir: String): DataFrame = {
+    val sess = graft.streaming.EventStreams
+      .sessionizeBatch(Tables.events(s, dir))
+      .select(to_date(col("session_start")).as("day"),
+        col("n_events"),
+        ((unix_micros(col("session_end")) -
+          unix_micros(col("session_start"))) / lit(1000000L))
+          .cast("long").as("dur_sec"))
+    sess.groupBy(col("day")).agg(
+      count(lit(1)).as("n_sessions"),
+      round(count(when(col("n_events") === 1, lit(1)))
+        .cast("double") / count(lit(1)), 6).as("bounce_rate"),
+      round(sum(col("n_events").cast(DecimalType(18, 4)))
+        .cast("double") / count(lit(1)), 6).as("mean_events"),
+      round(sum(col("dur_sec").cast(DecimalType(18, 4)))
+        .cast("double") / count(lit(1)), 6).as("mean_dur_sec"),
+      round(percentile(col("dur_sec"), lit(0.5)), 4)
+        .as("median_dur_sec"))
+  }
+
+  /** q262: time-constrained funnel — q119's signup→click→purchase
+    * where each step must follow the previous within ONE HOUR (the
+    * conversion-window semantics of real funnel products; the
+    * unconstrained q119 counts a purchase weeks later). Same
+    * stage-wise conditional-min joins on monotonically shrinking user
+    * tables — the constraint is one extra band predicate per stage. */
+  def q262ConstrainedFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val hourUs = 3600L * 1000000L
+    def stage(tpe: String) = ev.filter(col("event_type") === tpe)
+    val t1 = stage("signup").groupBy(col("user_id"))
+      .agg(min(col("ts")).as("ts1"))
+    val t2 = stage("click").join(t1, "user_id")
+      .filter(col("ts") > col("ts1") &&
+        unix_micros(col("ts")) <= unix_micros(col("ts1")) + hourUs)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("ts2"))
+    val t3 = stage("purchase").join(t2, "user_id")
+      .filter(col("ts") > col("ts2") &&
+        unix_micros(col("ts")) <= unix_micros(col("ts2")) + hourUs)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("ts3"))
+    val n1 = t1.agg(count(lit(1)).as("n_users"))
+    val stages = n1.withColumn("stage", lit(1))
+      .withColumn("step", lit("signup"))
+      .unionByName(t2.agg(count(lit(1)).as("n_users"))
+        .withColumn("stage", lit(2)).withColumn("step", lit("click")))
+      .unionByName(t3.agg(count(lit(1)).as("n_users"))
+        .withColumn("stage", lit(3)).withColumn("step", lit("purchase")))
+    stages.crossJoin(broadcast(n1.select(col("n_users").as("base"))))
+      .select(col("stage"), col("step"), col("n_users"),
+        round(col("n_users").cast("double") / col("base"), 6)
+          .as("conv_rate"))
+  }
 }

@@ -51,6 +51,19 @@ class SegmentationSpec extends SparkSpecBase {
     assert(rec.getAs[Int]("recency_days") == 0)
   }
 
+  test("q262 bounded funnel: stages shrink and are subsets of q119's") {
+    val free = graft.queries.Relational.q119Funnel(spark, sf).collect()
+      .map(r => r.getAs[Int]("stage") -> r.getAs[Long]("n_users")).toMap
+    val bound = graft.queries.Relational
+      .q262ConstrainedFunnel(spark, sf).collect()
+      .map(r => r.getAs[Int]("stage") -> r.getAs[Long]("n_users")).toMap
+    assert(bound(1) == free(1), "stage 1 has no window to constrain")
+    assert(bound(2) <= free(2) && bound(3) <= free(3),
+      s"window can only remove conversions: $bound vs $free")
+    assert(bound(1) >= bound(2) && bound(2) >= bound(3),
+      "funnel stages are monotone")
+  }
+
   test("abcClassify: cumulative shares and class cuts are exact") {
     // values 50, 30, 15, 5 → cum shares .5, .8, .95, 1.0
     val df = Seq(("w", 50.0), ("x", 30.0), ("y", 15.0), ("z", 5.0))
