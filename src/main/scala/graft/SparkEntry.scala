@@ -1496,6 +1496,7 @@ object SparkEntry {
         |  COUNT(*) AS n_both,
         |  COUNT(CASE WHEN a.first_ts < b.last_ts THEN 1 END) AS n_ordered
         |FROM s a JOIN s b ON a.user_id = b.user_id
+        |  AND a.event_type <> b.event_type
         |GROUP BY 1, 2""".stripMargin,
 
     "q192_dow_anomalies" ->
@@ -1564,12 +1565,17 @@ object SparkEntry {
         |  FROM p JOIN m ON p.from_state = m.from_state
         |             AND p.to_state = m.to_state),
         |g AS (SELECT user_id, COUNT(*) AS n_trans,
-        |    CAST(SUM(CAST(ROUND(ln(prob), 9) AS DECIMAL(18,9)))
-        |      AS DOUBLE) AS lls
+        |    COUNT(CASE WHEN prob <= 0 THEN 1 END) AS nzero,
+        |    CAST(SUM(CAST(ROUND(ln(CASE WHEN prob > 0 THEN prob
+        |                             ELSE 1 END), 9)
+        |      AS DECIMAL(18,9))) AS DOUBLE) AS lls
         |  FROM j GROUP BY 1)
         |SELECT user_id, n_trans,
-        |  ROUND(lls / CAST(n_trans AS DOUBLE), 6) AS avg_ll,
-        |  ROUND(exp(-(lls / CAST(n_trans AS DOUBLE))), 6) AS perplexity
+        |  CASE WHEN nzero = 0
+        |    THEN ROUND(lls / CAST(n_trans AS DOUBLE), 6) END AS avg_ll,
+        |  CASE WHEN nzero = 0
+        |    THEN ROUND(exp(-(lls / CAST(n_trans AS DOUBLE))), 6)
+        |  END AS perplexity
         |FROM g""".stripMargin,
 
     "q196_dp_counts" -> {

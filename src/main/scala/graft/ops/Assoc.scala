@@ -56,7 +56,9 @@ object Assoc {
     * domain (min/max event time — map-side combinable), then a per-key
     * self-join bounded by (items-per-key)², landing on the item-pair
     * domain. Timestamp comparisons are exact (microsecond integers
-    * under the hood) — no float anywhere. */
+    * under the hood) — no float anywhere. A and B are DISTINCT items
+    * (self-pairs are filtered before the aggregate — a self-pair row
+    * would just count multi-event keys, which is not a pair fact). */
   def orderedPairReach(df: DataFrame, keyCol: String, itemCol: String,
                        tsCol: String): DataFrame = {
     val spans = df.groupBy(col(keyCol).as("__k"), col(itemCol).as("__i"))
@@ -67,6 +69,7 @@ object Assoc {
     val b = spans.select(col("__k"), col("__i").as("item_b"),
       col("__last").as("__lb"))
     val out = a.join(b, Seq("__k"))
+      .filter(col("item_a") =!= col("item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_both"),
         count(when(col("__fa") < col("__lb"), 1)).as("n_ordered"))

@@ -386,15 +386,25 @@ object Eval {
       .select(col(keyCol), col(stateCol).as("from_state"),
         lead(col(stateCol), 1).over(w).as("to_state"))
       .filter(col("to_state").isNotNull)
+    // guard against prob == 0: the model's prob is 6-rounded, so a
+    // transition with share < 5e-7 of its from-state rounds to 0.000000
+    // and log(0) = NULL in Spark — sum() would silently SKIP the term
+    // and report avg_ll over fewer terms than n_trans. Instead count
+    // zero-prob transitions and NULL the key's readouts when any exist:
+    // an underflowed likelihood should fail loudly, not quietly shrink.
     pairs.join(broadcast(model), Seq("from_state", "to_state"))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_trans"),
-        sum(round(log(col("prob")), 9).cast(DecimalType(18, 9)))
+        count(when(col("prob") <= 0, 1)).as("__nzero"),
+        sum(when(col("prob") > 0, round(log(col("prob")), 9))
+          .otherwise(lit(0)).cast(DecimalType(18, 9)))
           .cast(DoubleType).as("__lls"))
       .select(col(keyCol), col("n_trans"),
-        round(col("__lls") / col("n_trans").cast(DoubleType), 6)
+        when(col("__nzero") === 0,
+          round(col("__lls") / col("n_trans").cast(DoubleType), 6))
           .as("avg_ll"),
-        round(exp(-(col("__lls") / col("n_trans").cast(DoubleType))), 6)
+        when(col("__nzero") === 0,
+          round(exp(-(col("__lls") / col("n_trans").cast(DoubleType))), 6))
           .as("perplexity"))
   }
 

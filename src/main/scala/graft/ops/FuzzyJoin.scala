@@ -86,12 +86,18 @@ object FuzzyJoin {
     * generated loop — never a row UDF.
     *
     * Blocking contract (deterministic, documented recall trade): only
-    * same-first-character pairs are compared. JW's prefix boost means
-    * every pair it would score ≥ ~0.84 shares its first character
-    * anyway (a first-char mismatch forfeits the 0.1·l boost AND costs a
-    * matching character), so the block loses only low-band pairs —
-    * and bounds candidate volume by the largest letter block instead of
-    * n². The THRESHOLD compares the 6-rounded value (same rounding the
+    * same-first-character pairs are compared. NOTE what the block
+    * actually loses: any pair whose FIRST characters differ is dropped
+    * at ANY similarity — and such pairs can score high (a leading
+    * transposition only forfeits the 0.1·l prefix boost:
+    * jaro_winkler("abcd","bacd") ≈ 0.917, well above typical
+    * thresholds). The trade is therefore "no cross-first-letter
+    * matches", NOT "no pairs above ~0.84"; if leading-transposition /
+    * first-char-substitution recall matters, block on a looser key
+    * (e.g. the sorted first two characters) at ~2× the candidate
+    * volume. What the block buys is bounding candidates by the largest
+    * letter block instead of n².
+    * The THRESHOLD compares the 6-rounded value (same rounding the
     * output carries) so the cut is reproducible across engines —
     * filtering on the raw double would let a last-ulp divergence flip
     * a boundary pair in one engine only. */

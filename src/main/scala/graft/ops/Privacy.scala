@@ -89,13 +89,29 @@ object Privacy {
     * queries sensitivity is 1, so scale = 1/ε.
     *
     * Determinism is a deliberate trade, and the privacy caveat is
-    * load-bearing: a keyed-hash noise draw means REPEATED releases of
-    * the same partition add the SAME noise (good: no averaging attack
-    * across re-runs; the release is idempotent) but the seed must stay
-    * private like a key, and changing it spends fresh ε. What it buys:
-    * reproducible pipelines, partitioning invariance, and an oracle
-    * twin — a true RNG draw would be none of these. One hash aggregate
-    * + pure row arithmetic. */
+    * load-bearing — read it before trusting the ε label:
+    *
+    *   - This is at best COMPUTATIONAL DP under a secret seed, not
+    *     formal ε-DP: the noise is a deterministic function of
+    *     (group key, seed), so an adversary who learns the seed can
+    *     subtract the noise exactly and recover the true counts. The
+    *     seed must be held as secret as the data itself.
+    *   - Noise is REUSED across releases of the same partition: if the
+    *     underlying data changes and the release is re-run, unchanged
+    *     groups carry the SAME noise draw, so consecutive releases are
+    *     correlated — the pair reveals the true count DELTA exactly.
+    *     Formal DP composition accounting does not apply across such
+    *     releases; treat the (seed, group-domain) pair as a single
+    *     release budget, and rotate the seed (spending fresh ε) when a
+    *     fresh independent release is required.
+    *
+    * What determinism buys (and why this op exists in this form):
+    * idempotent re-runs with no averaging attack across retries,
+    * partitioning invariance, and an exact oracle twin — a true RNG
+    * draw would be none of these. Callers needing formal ε-DP against
+    * a seed-knowing adversary should swap the hash draw for a real
+    * RNG and give up the oracle. One hash aggregate + pure row
+    * arithmetic. */
   def dpNoisyCounts(df: DataFrame, groupCol: String, epsilon: Double,
                     seed: Long): DataFrame = {
     require(epsilon > 0, s"epsilon <= 0: $epsilon")

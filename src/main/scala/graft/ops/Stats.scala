@@ -639,9 +639,17 @@ object Stats {
     * order-dependent). Output: (group, total_w, w_median). */
   def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
                      weightCol: Column, tieCol: String): DataFrame = {
+    // ROWS frame pinned explicitly: the default RANGE frame makes ORDER
+    // BY peers share the frame-end cumulative weight, so if (value, tie)
+    // were not unique the half-mass boundary pick would silently shift.
+    // Under ROWS the result is well-defined for ANY total order the
+    // (value, tie) sort produces; with a unique tieCol the two frames
+    // agree, so this is a hardening, not a behavior change.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(col(valueCol).asc, col(tieCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     val wAll = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
     df.select(col(groupCol), col(valueCol), col(tieCol),

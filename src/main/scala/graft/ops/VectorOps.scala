@@ -175,6 +175,37 @@ object VectorOps {
     srpSignature(col(vecCol), numPlanes,
       df.select(size(col(vecCol))).head().getInt(0))
 
+  /** Default mean-bucket-size target for [[autoPlaneCount]]: small
+    * enough that per-bucket verify work (∝ bucket²) is trivial, large
+    * enough that true neighbors still collide on all bits. */
+  val DefaultTargetBucket = 8
+
+  /** SRP plane count sized to the corpus: the smallest p ≥ `minPlanes`
+    * with n ≤ targetBucket·2^p, i.e. planes ≈ log₂n − log₂targetBucket
+    * — computed in INTEGER arithmetic (no float log2, whose 1-ulp slop
+    * at exact powers of two would flip the count between engines).
+    *
+    * This is the knob that keeps SRP candidate volume LINEAR in n:
+    * with a pinned plane count, candidate pairs grow ∝ n²/2^planes
+    * (measured 18.6× at 10× data on the mutual-neighbor gate before
+    * this existed); with the target-bucket rule the mean bucket stays
+    * ≤ targetBucket, so Σ bucket² ≈ n·targetBucket. The recall trade
+    * is explicit: more planes = finer buckets = only closer pairs
+    * collide — the SAME trade every LSH deployment tunes, made
+    * deterministic and oracle-replayable (the oracle derives p from
+    * COUNT(*) with the identical rule). */
+  def autoPlaneCount(n: Long, targetBucket: Int = DefaultTargetBucket,
+                     minPlanes: Int = 4): Int = {
+    require(targetBucket >= 1, s"targetBucket < 1: $targetBucket")
+    require(minPlanes >= 1 && minPlanes <= 63,
+      s"minPlanes out of [1,63]: $minPlanes")
+    // n ≤ target·2^p  ⟺  (n−1) >> p < target — the right-shift form
+    // never overflows (target << p would at p ≥ 61)
+    var p = minPlanes
+    while (p < 63 && ((n - 1) >> p) >= targetBucket) p += 1
+    p
+  }
+
   /** IVF-style coarse quantization: assign every vector to its nearest
     * centroid (broadcast centroids — the "coarse codebook"), search only
     * the `nprobe` nearest lists per query. At 100 TB the corpus is
@@ -569,6 +600,17 @@ object VectorOps {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** [[srpNearDupPairs]] with the plane count sized to the corpus by
+    * [[autoPlaneCount]] (one metadata-cheap count job) — the production
+    * spelling: candidate volume stays linear in n at any scale. */
+  def srpNearDupPairsAuto(vecs: DataFrame, minCos: Double,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          targetBucket: Int = DefaultTargetBucket)
+      : DataFrame =
+    srpNearDupPairs(vecs, autoPlaneCount(vecs.count(), targetBucket),
+      minCos, idCol, vecCol)
+
   /** Mutual-nearest-neighbor pairs ACROSS groups — the bitext/alignment
     * miner: for each vector, its best cross-`labelCol` partner among
     * SRP-bucket candidates; keep only pairs where the choice is MUTUAL
@@ -613,6 +655,19 @@ object VectorOps {
       .agg(count(lit(1)).as("__n"), max(col("__cos")).as("cos_sim"))
       .filter(col("__n") === 2).drop("__n")
   }
+
+  /** [[mutualNeighbors]] with the plane count sized to the corpus by
+    * [[autoPlaneCount]] — the production spelling (a pinned plane count
+    * makes candidate volume grow n²/2^planes; this keeps it linear).
+    * The count() is one metadata-cheap job (parquet row counts). */
+  def mutualNeighborsAuto(vecs: DataFrame,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          labelCol: String = "label",
+                          targetBucket: Int = DefaultTargetBucket)
+      : DataFrame =
+    mutualNeighbors(vecs, autoPlaneCount(vecs.count(), targetBucket),
+      idCol, vecCol, labelCol)
 
   /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein,
     * SIGIR'98): greedily pick `selectK` results per query from a

@@ -32,6 +32,32 @@ object VectorOracles {
     s"CAST(${terms.mkString(" + ")} AS BIGINT)"
   }
 
+  /** CTE computing the AUTO-SIZED plane count from COUNT(*) — the same
+    * integer rule as [[graft.ops.VectorOps.autoPlaneCount]]: smallest
+    * p ≥ minPlanes with (n−1) >> p < targetBucket (right-shift form,
+    * overflow-free; no float log2, whose 1-ulp slop at exact powers of
+    * two could flip the count between engines). */
+  def planesCte(table: String, targetBucket: Int = 8,
+                minPlanes: Int = 4): String =
+    s"pl AS (SELECT COALESCE(MIN(p), 63) AS planes FROM " +
+      s"(SELECT unnest(range($minPlanes, 64)) AS p) ps " +
+      s"WHERE (((SELECT COUNT(*) FROM $table) - 1) >> p) < $targetBucket)"
+
+  /** [[srpSig]] with the plane count as a COLUMN reference (`planes`,
+    * from [[planesCte]]): the bit terms build via a list comprehension
+    * over range(0, planes) instead of compile-time unrolling — same
+    * bit layout, same per-plane projection fold. */
+  def srpSigDyn(vec: String, planes: String = "planes"): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(0, $planes), j -> " +
+      s"CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(1, len($vec) + 1), " +
+      s"i -> CAST($vec[i] AS DOUBLE) * " +
+      s"(CASE WHEN ((j * 131 + (i - 1)) * 2654435761 % 1000000007) % 2 = 0 " +
+      s"THEN 1.0 ELSE -1.0 END))), (x, y) -> x + y) > 0 " +
+      s"THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)), " +
+      s"(x, y) -> x + y)"
+
   /** Shared CTE chain for the PQ-ADC tier (q65/q102): label-mean
     * codebooks per 32-dim subspace → L2 encode → per-query lookup table →
     * summed approximate scores `sc(query_id, neighbor_id, approx)`.
@@ -190,10 +216,13 @@ object VectorOracles {
          |  COUNT(*) AS n_vecs
          |FROM embeddings GROUP BY sig""".stripMargin,
 
+    // plane count auto-sized from COUNT(*) (planesCte — the
+    // autoPlaneCount twin), signature built dynamically over it
     "q33_embed_neardup" ->
-      s"""WITH s AS (SELECT vec_id, embedding,
-         |             ${srpSig("embedding", VectorQueries.SrpPlanes)} AS sig
-         |           FROM embeddings)
+      s"""WITH ${planesCte("embeddings")},
+         |s AS (SELECT vec_id, embedding,
+         |        ${srpSigDyn("embedding")} AS sig
+         |      FROM embeddings CROSS JOIN pl)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  ROUND(${cos("a.embedding", "b.embedding")}, 6) AS cos_sim
          |FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
@@ -201,11 +230,13 @@ object VectorOracles {
 
     // mutual-nearest-neighbor mining: per-vector best cross-label
     // partner among shared-bucket candidates (argmax on ROUNDED cosine
-    // with id tiebreak — a total order), mutual pairs only
+    // with id tiebreak — a total order), mutual pairs only; plane
+    // count auto-sized from COUNT(*) exactly as the engine does
     "q246_mutual_neighbors" ->
-      s"""WITH s AS (SELECT vec_id, embedding, label,
-         |             ${srpSig("embedding", VectorQueries.SrpPlanes)} AS sig
-         |           FROM embeddings),
+      s"""WITH ${planesCte("embeddings")},
+         |s AS (SELECT vec_id, embedding, label,
+         |        ${srpSigDyn("embedding")} AS sig
+         |      FROM embeddings CROSS JOIN pl),
          |cand AS (SELECT a.vec_id AS src, b.vec_id AS dst,
          |    ROUND(${cos("a.embedding", "b.embedding")}, 6) AS cs
          |  FROM s a JOIN s b ON a.sig = b.sig AND a.label <> b.label),

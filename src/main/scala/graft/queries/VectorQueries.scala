@@ -55,9 +55,11 @@ object VectorQueries {
 
   /** Embedding near-dup pairs: SRP bucket candidates verified at cos ≥ 0.2
     * (synthetic corpus has no true near-dups; threshold set to exercise
-    * the verify path with a non-empty result). */
+    * the verify path with a non-empty result). Plane count AUTO-SIZED to
+    * the corpus ([[VectorOps.autoPlaneCount]]) so candidate volume stays
+    * linear in n — the oracle derives the same count from COUNT(*). */
   def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
-    VectorOps.srpNearDupPairs(Tables.embeddings(s, dir), SrpPlanes, 0.2)
+    VectorOps.srpNearDupPairsAuto(Tables.embeddings(s, dir), 0.2)
 
   /** Exact-decimal per-label mean vectors (partition-order-independent,
     * unlike avg(double) whose partial sums reorder across shuffles) —
@@ -319,9 +321,13 @@ object VectorQueries {
   }
 
   /** q246: mutual-nearest-neighbor pairs across labels
-    * ([[VectorOps.mutualNeighbors]]) — the bitext/alignment miner:
+    * ([[VectorOps.mutualNeighborsAuto]]) — the bitext/alignment miner:
     * SRP-bucket candidates, per-vector best cross-label partner,
-    * mutual-only filter. */
+    * mutual-only filter. Plane count auto-sized to the corpus
+    * ([[VectorOps.autoPlaneCount]]): with pinned planes this query's
+    * candidate volume grew ∝ n²/2^planes (18.6× at 10× data); the
+    * target-bucket rule keeps it linear, and the oracle replays the
+    * same integer rule from COUNT(*). */
   def qMutualNeighbors(s: SparkSession, dir: String): DataFrame =
-    VectorOps.mutualNeighbors(Tables.embeddings(s, dir), SrpPlanes)
+    VectorOps.mutualNeighborsAuto(Tables.embeddings(s, dir))
 }
