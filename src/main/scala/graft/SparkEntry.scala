@@ -1059,6 +1059,40 @@ object SparkEntry {
         |    AS decayed_sum
         |FROM w GROUP BY event_type""".stripMargin,
 
+    // deterministic relational HLL: registers, harmonic sum, and the
+    // linear-counting branch replayed in the SAME integer/literal
+    // arithmetic as Sketches.hllRelational — the rho CASE text and the
+    // α·m²·2^50 numerator literal are the identical Scala constants
+    "q157_hll_rollup" -> {
+      import graft.ops.Sketches.{HllM, HllP, HllScale, HllNumerator,
+        HllLog2Scale, hllRhoSql, hllMixSql}
+      s"""WITH h0 AS (SELECT event_type,
+         |    ${TextOracles.H("CAST(user_id AS VARCHAR)")} AS h0
+         |  FROM events WHERE user_id IS NOT NULL),
+         |h AS (SELECT event_type, ${hllMixSql("h0")} AS h FROM h0),
+         |rr AS (SELECT event_type, h & ${HllM - 1} AS b,
+         |    MAX(${hllRhoSql(s"(h >> $HllP)")}) AS m
+         |  FROM h GROUP BY event_type, b),
+         |regs AS (SELECT event_type, b, m FROM rr
+         |  UNION ALL
+         |  SELECT '__all__' AS event_type, b, MAX(m) AS m
+         |  FROM rr GROUP BY b),
+         |st AS (SELECT event_type,
+         |    CAST($HllM - COUNT(*) AS BIGINT) AS n_zero,
+         |    CAST(SUM(CAST(1 AS BIGINT) << ($HllLog2Scale - m))
+         |         + ($HllM - COUNT(*)) * CAST($HllScale AS BIGINT)
+         |      AS BIGINT) AS harm_scaled
+         |  FROM regs GROUP BY event_type)
+         |SELECT event_type, n_zero, harm_scaled,
+         |  CASE WHEN $HllNumerator / CAST(harm_scaled AS DOUBLE)
+         |            <= ${2.5 * HllM} AND n_zero > 0
+         |       THEN ROUND(${HllM.toDouble} *
+         |              ROUND(ln(${HllM.toDouble} / n_zero), 9), 6)
+         |       ELSE ROUND($HllNumerator / CAST(harm_scaled AS DOUBLE), 6)
+         |  END AS est_distinct
+         |FROM st""".stripMargin
+    },
+
     "q160_transitions" ->
       """WITH s AS (SELECT user_id, event_type AS from_state,
         |    lead(event_type) OVER (PARTITION BY user_id

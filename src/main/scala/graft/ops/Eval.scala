@@ -375,8 +375,12 @@ object Eval {
     * stream; ln terms are 9-rounded into DECIMAL before summing (the
     * dsum rule — raw double sums are partition-order-dependent). Uses
     * the model's 6-rounded probabilities so both engines take ln of
-    * identical doubles. Every observed transition has nonzero count in
-    * a self-trained model — no smoothing needed. */
+    * identical doubles. Every observed transition has nonzero COUNT in
+    * a self-trained model, but its 6-rounded prob can still underflow
+    * to 0.000000 (share < 5e-7 of its from-state) — which is exactly
+    * why the aggregate below NULLs a key's readouts when any zero-prob
+    * transition appears, instead of letting log(0) = NULL silently
+    * shrink the sum. */
   def sequenceLogLik(df: DataFrame, keyCol: String, stateCol: String,
                      orderCols: Seq[String]): DataFrame = {
     val model = transitionMatrix(df, keyCol, stateCol, orderCols)

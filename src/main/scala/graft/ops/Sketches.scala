@@ -427,4 +427,116 @@ object Sketches {
       .agg(count(lit(1)).cast("long").as("n_rows"),
         min(col("__ip")).cast("long").as("est"))
   }
+
+  // ---- deterministic relational HLL (the oracle-checkable HLL tier) ----
+
+  /** Register-index bits of the relational HLL: m = 2^9 = 512 registers
+    * (standard error 1.04/√512 ≈ 4.6%). The [[TextOps.polyHash]] domain
+    * is [0, 1e9+7) ⊂ [0, 2^30), so after peeling `HllP` bucket bits the
+    * rank field has 30 − 9 = 21 usable bits ([[HllWBits]]). */
+  val HllP = 9
+  val HllM: Int = 1 << HllP
+  val HllWBits: Int = 30 - HllP
+
+  /** Exponent scale that turns the harmonic sum Σ 2^−M into an EXACT
+    * integer: Σ 2^(HllLog2Scale − M) (M ≤ 22 < 50 always). Worst case
+    * 512·2^50 = 2^59 < 2^63 — no BIGINT overflow on either engine. */
+  val HllLog2Scale = 50
+  val HllScale: Long = 1L << HllLog2Scale
+
+  /** Flajolet et al. 2007 bias constant for m = 512, pre-multiplied into
+    * the raw-estimate numerator α·m²·2^50 so BOTH engines consume ONE
+    * decimal literal (a runtime α·m²·scale product could differ in the
+    * last ulp between evaluation orders — the q226 lesson). */
+  val HllAlpha: Double = 0.7213 / (1.0 + 1.079 / HllM)
+  val HllNumerator: Double =
+    HllAlpha * HllM.toDouble * HllM.toDouble * HllScale.toDouble
+
+  /** Rank-of-first-set-bit CASE over the `wBits`-wide rank field, as SQL
+    * TEXT shared verbatim by the Spark side (`expr`) and the DuckDB
+    * oracle — pure integer comparisons, no float log2 (whose 1-ulp slop
+    * at exact powers of two could flip a register between engines).
+    * w ∈ [2^(wBits−r), 2^(wBits−r+1)) ⇒ rho = r; w = 0 ⇒ wBits+1. */
+  def hllRhoSql(wExpr: String, wBits: Int = HllWBits): String =
+    (1 to wBits).map(r =>
+      s"WHEN $wExpr >= ${1L << (wBits - r)} THEN $r")
+      .mkString("CASE ", " ", s" ELSE ${wBits + 1} END")
+
+  /** NONLINEAR finalizer over a [[TextOps.polyHash]] value, shared SQL
+    * text for both engines: mid-square then affine,
+    * ((h² mod P)·K1 + K2) mod P.
+    *
+    * Why the square is load-bearing: HLL reads bucket AND rank bits off
+    * one hash, and the poly hash of short/structured keys (decimal ids,
+    * sequential codes) occupies a low-bit LATTICE — h is ~31^len·c, so
+    * high rank bits are systematically empty. Every AFFINE remix
+    * (h·K mod P, the minhash family) preserves that lattice exactly —
+    * measured: +417% estimate error on 3k sequential ids with no mix,
+    * −33% with the Knuth multiply alone. Squaring is the cheapest
+    * nonlinearity both engines evaluate identically in BIGINT
+    * ((h² < 2^60, then ·K1 < 2^62 — no overflow under ANSI); with it the
+    * raw-tier error sits inside ±11% across 100–20k ids (≈ 2σ of the
+    * 1.04/√512 bound; the truncated [0,P) rank domain contributes a
+    * known ≈ +4% of it). */
+  def hllMixSql(hExpr: String): String =
+    s"(($hExpr * $hExpr) % ${TextOps.HashMod} * ${Sampling.Mixer}" +
+      s" + 2246822519) % ${TextOps.HashMod}"
+
+  /** Deterministic HLL distinct rollup over a shared-family hash column
+    * (caller supplies [[TextOps.polyHash]] output — the same replayable
+    * hash the KMV/minhash/CMS tiers use; it is finalized through the
+    * nonlinear [[hllMixSql]] internally, see there): per-group register
+    * frames, the
+    * "__all__" union row via per-register MAX (the HLL merge law,
+    * expressed RELATIONALLY — union-of-sketches ≡ sketch-of-union is a
+    * groupBy(bucket).max, visible to the oracle instead of buried in
+    * binary sketch state), and the standard estimator in cross-engine-
+    * exact arithmetic: integer registers, an integer-scaled harmonic sum,
+    * one literal numerator, and linear counting below 2.5·m with the ln
+    * 9-rounded then scaled by m = 512 (a power of two, so the multiply is
+    * float-EXACT on both engines).
+    *
+    * Scale shape: the shuffle carries ≤ m rows per group (register
+    * partials, map-side combinable) regardless of input rows — the same
+    * O(k)-state contract as the datasketches tier [[hllRollup]], which
+    * remains the production spelling (6-bit packed registers, lgK up to
+    * 21); this tier exists because its every intermediate is a BIGINT a
+    * DuckDB oracle can recompute, so the correctness gate covers the
+    * whole estimator, not just rows/schema.
+    *
+    * Output: (group, n_zero, harm_scaled, est_distinct) per group plus
+    * one "__all__" union row. n_zero and harm_scaled are integer-exact
+    * register summaries (they pin the sketch, not just the estimate). */
+  def hllRelational(df: DataFrame, groupCol: String,
+                    hashCol: Column): DataFrame = {
+    val regs = df.filter(hashCol.isNotNull)
+      .select(col(groupCol).as("__g"), hashCol.as("__h0"))
+      .select(col("__g"), expr(hllMixSql("__h0")).as("__h"))
+      .select(col("__g"),
+        col("__h").bitwiseAND(lit((HllM - 1).toLong)).as("__b"),
+        shiftright(col("__h"), HllP).as("__w"))
+      .select(col("__g"), col("__b"), expr(hllRhoSql("__w")).as("__rho"))
+      .groupBy(col("__g"), col("__b"))
+      .agg(max(col("__rho")).as("__m"))
+    // merge law as relational algebra: the union sketch's register j is
+    // max over groups of register j — one bucket-domain aggregate
+    val union = regs.groupBy(col("__b")).agg(max(col("__m")).as("__m"))
+      .select(lit("__all__").as("__g"), col("__b"), col("__m"))
+    val stats = regs.unionByName(union)
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__occ"),
+        sum(expr(
+          s"shiftleft(CAST(1 AS BIGINT), CAST($HllLog2Scale - __m AS INT))"))
+          .as("__hocc"))
+      .select(col("__g"),
+        (lit(HllM.toLong) - col("__occ")).as("n_zero"),
+        (col("__hocc") +
+          (lit(HllM.toLong) - col("__occ")) * lit(HllScale)).as("harm_scaled"))
+    val raw = lit(HllNumerator) / col("harm_scaled").cast("double")
+    stats.select(col("__g").as(groupCol), col("n_zero"), col("harm_scaled"),
+      when(raw <= lit(2.5 * HllM) && col("n_zero") > 0,
+        round(lit(HllM.toDouble) *
+          round(log(lit(HllM.toDouble) / col("n_zero").cast("double")), 9), 6))
+        .otherwise(round(raw, 6)).as("est_distinct"))
+  }
 }

@@ -177,8 +177,19 @@ object VectorOps {
 
   /** Default mean-bucket-size target for [[autoPlaneCount]]: small
     * enough that per-bucket verify work (∝ bucket²) is trivial, large
-    * enough that true neighbors still collide on all bits. */
+    * enough that true neighbors still collide on all bits.
+    *
+    * PARITY CONTRACT: these two defaults are the single source of truth
+    * for the sizing rule — [[graft.queries.VectorOracles.planesCte]]
+    * reads them as ITS defaults, so an engine-side caller and the
+    * DuckDB oracle can never size planes differently unless both are
+    * overridden together. */
   val DefaultTargetBucket = 8
+
+  /** Default floor for [[autoPlaneCount]] (see the parity contract on
+    * [[DefaultTargetBucket]]): even a tiny corpus gets ≥ 4 planes so a
+    * bucket join never degenerates toward all-pairs. */
+  val DefaultMinPlanes = 4
 
   /** SRP plane count sized to the corpus: the smallest p ≥ `minPlanes`
     * with n ≤ targetBucket·2^p, i.e. planes ≈ log₂n − log₂targetBucket
@@ -195,7 +206,7 @@ object VectorOps {
     * deterministic and oracle-replayable (the oracle derives p from
     * COUNT(*) with the identical rule). */
   def autoPlaneCount(n: Long, targetBucket: Int = DefaultTargetBucket,
-                     minPlanes: Int = 4): Int = {
+                     minPlanes: Int = DefaultMinPlanes): Int = {
     require(targetBucket >= 1, s"targetBucket < 1: $targetBucket")
     require(minPlanes >= 1 && minPlanes <= 63,
       s"minPlanes out of [1,63]: $minPlanes")
@@ -601,14 +612,19 @@ object VectorOps {
   }
 
   /** [[srpNearDupPairs]] with the plane count sized to the corpus by
-    * [[autoPlaneCount]] (one metadata-cheap count job) — the production
-    * spelling: candidate volume stays linear in n at any scale. */
+    * [[autoPlaneCount]] — the production spelling: candidate volume
+    * stays linear in n at any scale. Pass `knownN` when the caller has
+    * already counted (or sized) the corpus — it skips the one count job
+    * this convenience otherwise runs (metadata-cheap on parquet, but a
+    * job per ANN call adds up in a loop). */
   def srpNearDupPairsAuto(vecs: DataFrame, minCos: Double,
                           idCol: String = "vec_id",
                           vecCol: String = "embedding",
-                          targetBucket: Int = DefaultTargetBucket)
+                          targetBucket: Int = DefaultTargetBucket,
+                          knownN: Option[Long] = None)
       : DataFrame =
-    srpNearDupPairs(vecs, autoPlaneCount(vecs.count(), targetBucket),
+    srpNearDupPairs(vecs,
+      autoPlaneCount(knownN.getOrElse(vecs.count()), targetBucket),
       minCos, idCol, vecCol)
 
   /** Mutual-nearest-neighbor pairs ACROSS groups — the bitext/alignment
@@ -659,14 +675,17 @@ object VectorOps {
   /** [[mutualNeighbors]] with the plane count sized to the corpus by
     * [[autoPlaneCount]] — the production spelling (a pinned plane count
     * makes candidate volume grow n²/2^planes; this keeps it linear).
-    * The count() is one metadata-cheap job (parquet row counts). */
+    * `knownN` skips the sizing count() when the caller already has the
+    * corpus size (otherwise one metadata-cheap parquet count job). */
   def mutualNeighborsAuto(vecs: DataFrame,
                           idCol: String = "vec_id",
                           vecCol: String = "embedding",
                           labelCol: String = "label",
-                          targetBucket: Int = DefaultTargetBucket)
+                          targetBucket: Int = DefaultTargetBucket,
+                          knownN: Option[Long] = None)
       : DataFrame =
-    mutualNeighbors(vecs, autoPlaneCount(vecs.count(), targetBucket),
+    mutualNeighbors(vecs,
+      autoPlaneCount(knownN.getOrElse(vecs.count()), targetBucket),
       idCol, vecCol, labelCol)
 
   /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein,

@@ -978,13 +978,20 @@ object Relational {
       lit(ref.toString).cast(TimestampType))
   }
 
-  /** Mergeable HLL distinct rollup ([[graft.ops.Sketches.hllRollup]]):
-    * per-type user-count sketches plus their union. Engine-specific
-    * estimates — gated by HllSketchSpec (error bound vs exact; merge law
-    * union-of-sketches ≡ sketch-of-union), rows-only here. */
-  def q157HllRollup(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Sketches.hllRollup(
-      graft.core.Tables.events(s, dir), "event_type", "user_id")
+  /** Deterministic HLL distinct rollup
+    * ([[graft.ops.Sketches.hllRelational]]): per-type user-count register
+    * sketches plus their "__all__" union via per-register MAX — the HLL
+    * merge law expressed relationally, so the DuckDB oracle replays the
+    * WHOLE estimator (registers, harmonic sum, linear-counting branch)
+    * value-exactly. The datasketches tier ([[graft.ops.Sketches.hllRollup]],
+    * binary 6-bit registers) remains the production spelling and stays
+    * gated by HllSketchSpec (error bound vs exact; merge law). */
+  def q157HllRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.core.Tables.events(s, dir)
+      .select(col("event_type"),
+        graft.ops.TextOps.polyHash(col("user_id").cast("string")).as("__h"))
+    graft.ops.Sketches.hllRelational(ev, "event_type", col("__h"))
+  }
 
   /** q160: first-order Markov transition matrix over per-user event
     * sequences ([[graft.ops.Eval.transitionMatrix]]) — the "what happens

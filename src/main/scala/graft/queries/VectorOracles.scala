@@ -36,9 +36,14 @@ object VectorOracles {
     * integer rule as [[graft.ops.VectorOps.autoPlaneCount]]: smallest
     * p ≥ minPlanes with (n−1) >> p < targetBucket (right-shift form,
     * overflow-free; no float log2, whose 1-ulp slop at exact powers of
-    * two could flip the count between engines). */
-  def planesCte(table: String, targetBucket: Int = 8,
-                minPlanes: Int = 4): String =
+    * two could flip the count between engines). Defaults are READ FROM
+    * [[graft.ops.VectorOps.DefaultTargetBucket]]/[[graft.ops.VectorOps.DefaultMinPlanes]]
+    * — the engine/oracle parity contract lives in one place, so the two
+    * sizing rules cannot drift independently. */
+  def planesCte(table: String,
+                targetBucket: Int = graft.ops.VectorOps.DefaultTargetBucket,
+                minPlanes: Int = graft.ops.VectorOps.DefaultMinPlanes)
+      : String =
     s"pl AS (SELECT COALESCE(MIN(p), 63) AS planes FROM " +
       s"(SELECT unnest(range($minPlanes, 64)) AS p) ps " +
       s"WHERE (((SELECT COUNT(*) FROM $table) - 1) >> p) < $targetBucket)"
@@ -176,6 +181,28 @@ object VectorOracles {
         |  ROUND(CAST(SUM(t) AS DOUBLE)
         |    / ((SELECT n FROM nn) - 1), 6) + 0.0 AS cov
         |FROM p GROUP BY i, j""".stripMargin,
+
+    // q220: projection onto the FROZEN gate-corpus principal axes
+    // (VectorQueries.PcaAxis1/2 literals — the train-once/apply-
+    // everywhere split). Axis lists and the mean·axis offsets are the
+    // SAME Scala constants the engine consumes; the dot is the same
+    // sequential double fold, so values are bit-identical pre-round.
+    "q220_pca_project" -> {
+      def dlist(a: Seq[Double]): String = a.mkString("[", ", ", "]")
+      // identical fold order to VectorOps.pcaProject's offset sum
+      def off(w: Seq[Double]): Double =
+        VectorQueries.PcaMean.zip(w).map { case (m, x) => m * x }.sum
+      s"""WITH ax AS (SELECT CAST(${dlist(VectorQueries.PcaAxis1)}
+         |              AS DOUBLE[]) AS w1,
+         |            CAST(${dlist(VectorQueries.PcaAxis2)}
+         |              AS DOUBLE[]) AS w2)
+         |SELECT vec_id, label,
+         |  ROUND(${dot("embedding", "w1")} - (${off(VectorQueries.PcaAxis1)}), 6)
+         |    + 0.0 AS pc1,
+         |  ROUND(${dot("embedding", "w2")} - (${off(VectorQueries.PcaAxis2)}), 6)
+         |    + 0.0 AS pc2
+         |FROM embeddings CROSS JOIN ax""".stripMargin
+    },
 
     // matryoshka: rank by prefix-16 cosine, rescore winners at full dim
     "q219_matryoshka" ->

@@ -15,9 +15,17 @@ object SrpProfile {
     val spark = graft.core.Sessions.local()
     spark.sparkContext.setLogLevel("WARN")
     args.foreach { arg =>
-      val (dir, planeOverride) = arg.split(":") match {
-        case Array(d, p) => (d, Some(p.toInt))
-        case _           => (arg, None)
+      // split on the LAST ':' and only treat the suffix as a plane
+      // override when it parses as an integer — "s3://bucket/dir" and
+      // other colon-bearing paths fall through to (arg, None) instead
+      // of throwing on "//bucket/dir".toInt
+      val (dir, planeOverride) = arg.lastIndexOf(':') match {
+        case i if i > 0 =>
+          scala.util.Try(arg.substring(i + 1).toInt).toOption match {
+            case Some(p) => (arg.substring(0, i), Some(p))
+            case None    => (arg, None)
+          }
+        case _ => (arg, None)
       }
       val vecs = graft.core.Tables.embeddings(spark, dir)
       val n = vecs.count()

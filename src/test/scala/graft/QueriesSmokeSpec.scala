@@ -15,13 +15,11 @@ class QueriesSmokeSpec extends SparkSpecBase {
     // an argmax-per-round training loop); the driver records them as
     // rows-only checks. Anything else added without an oracle must
     // either join this documented list or carry the _noracle suffix.
-    // q157: DataSketches HLL estimates have no DuckDB twin; gated by
-    // SketchesSpec's error-bound + union-merge-law tests instead.
-    // q220: the PCA eigenproblem has no SQL form; gated by
-    // SignificanceAndPcaSpec's spectral assertions (planted-axis
-    // recovery, orthonormality, projection variance = eigenvalue)
-    val specGated = Set("q134_bpe_merges", "q137_bpe_encode",
-      "q157_hll_rollup", "q220_pca_project")
+    // (q157 moved to the deterministic relational HLL and q220 to
+    // frozen literal axes in round 7 — both now carry full oracles;
+    // the datasketches hllRollup tier stays gated by SketchesSpec and
+    // the eigensolve by SignificanceAndPcaSpec.)
+    val specGated = Set("q134_bpe_merges", "q137_bpe_encode")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val undocumented = missing -- specGated
     assert(undocumented.isEmpty ||

@@ -589,7 +589,10 @@ class Round5OpsSpec extends SparkSpecBase {
         (r.getLong(2), r.getLong(3))).toMap
     assert(got(("A", "B")) == ((2L, 1L)), "both=2 users, ordered only u1")
     assert(got(("B", "A")) == ((2L, 1L)), "ordered only u3")
-    // diagonal: first<last needs >=2 events of the type
-    assert(got(("B", "B")) == ((3L, 0L)))
+    // Self-pairs are filtered before the aggregate (a diagonal row would
+    // just count multi-event keys, not a pair fact) — the round-6
+    // contract; off-diagonal counts above are unchanged by the filter.
+    assert(!got.contains(("B", "B")), "diagonal pairs are filtered out")
+    assert(!got.contains(("A", "A")), "diagonal pairs are filtered out")
   }
 }
