@@ -1065,7 +1065,7 @@ object SparkEntry {
     // α·m²·2^50 numerator literal are the identical Scala constants
     "q157_hll_rollup" -> {
       import graft.ops.Sketches.{HllM, HllP, HllScale, HllNumerator,
-        HllLog2Scale, hllRhoSql, hllMixSql}
+        HllLog2Scale, hllRhoSql, hllMixSql, hllLnListSql}
       s"""WITH h0 AS (SELECT event_type,
          |    ${TextOracles.H("CAST(user_id AS VARCHAR)")} AS h0
          |  FROM events WHERE user_id IS NOT NULL),
@@ -1087,7 +1087,7 @@ object SparkEntry {
          |  CASE WHEN $HllNumerator / CAST(harm_scaled AS DOUBLE)
          |            <= ${2.5 * HllM} AND n_zero > 0
          |       THEN ROUND(${HllM.toDouble} *
-         |              ROUND(ln(${HllM.toDouble} / n_zero), 9), 6)
+         |              ($hllLnListSql)[n_zero], 6)
          |       ELSE ROUND($HllNumerator / CAST(harm_scaled AS DOUBLE), 6)
          |  END AS est_distinct
          |FROM st""".stripMargin

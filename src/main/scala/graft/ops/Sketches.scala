@@ -332,9 +332,17 @@ object Sketches {
     val perGroup = df.filter(col(keyCol).isNotNull)
       .groupBy(col(groupCol))
       .agg(hll_sketch_agg(col(keyCol), lit(lgK)).as("__sk"))
+      // the rollup label is RESERVED: a data group literally named
+      // "__all__" would silently alias the union row. Guard on the
+      // per-group frame (|groups| rows, post-aggregation — no scan
+      // cost), failing the job instead of shipping an ambiguous result.
+      .withColumn(groupCol, when(col(groupCol) === lit(AllLabel),
+        raise_error(lit(s"hllRollup: data group collides with the " +
+          s"reserved rollup label '$AllLabel' in column '$groupCol'")))
+        .otherwise(col(groupCol)))
     val union = perGroup
       .agg(hll_union_agg(col("__sk")).as("__sk"))
-      .select(lit("__all__").as(groupCol), col("__sk"))
+      .select(lit(AllLabel).as(groupCol), col("__sk"))
     perGroup.unionByName(union)
       .select(col(groupCol),
         hll_sketch_estimate(col("__sk")).cast("long").as("est_distinct"))
@@ -452,6 +460,36 @@ object Sketches {
   val HllNumerator: Double =
     HllAlpha * HllM.toDouble * HllM.toDouble * HllScale.toDouble
 
+  /** Linear-counting ln lookup: ln(m/z) for z = 1..m, 9-rounded ONCE on
+    * the driver and rendered as decimal strings both engines parse (a
+    * 9-decimal literal parses to the identical double under correctly-
+    * rounded strtod everywhere). A runtime `ROUND(ln(x), 9)` on each
+    * engine risks the last-ulp boundary: when ln(m/z) sits within one
+    * ulp of a 9th-decimal rounding boundary, two libm implementations
+    * can round to DIFFERENT 9-decimal values — the only remaining
+    * cross-engine float hazard in the estimator (ADVICE r7). The domain
+    * is finite (n_zero ∈ [1, m]), so a literal table removes the libm
+    * dependency entirely. */
+  /** Reserved rollup-row label shared by [[hllRollup]] and
+    * [[hllRelational]]; both guard against a data group carrying this
+    * exact value (ADVICE r7 — silent union-row aliasing). */
+  val AllLabel = "__all__"
+
+  val HllLnLiterals: IndexedSeq[String] = (1 to HllM).map { z =>
+    java.math.BigDecimal.valueOf(math.log(HllM.toDouble / z))
+      .setScale(9, java.math.RoundingMode.HALF_UP).toPlainString
+  }
+
+  /** The table as a Spark 1-indexed array literal (element_at(arr, z)
+    * reads ln(m/z)) — m doubles folded into the plan, evaluated only on
+    * per-group rows. */
+  def hllLnArray: Column =
+    array(HllLnLiterals.map(s => lit(s.toDouble)): _*)
+
+  /** The same table as a DuckDB list literal (1-indexed: `(list)[z]`),
+    * byte-identical decimal strings to what the Spark side parsed. */
+  def hllLnListSql: String = HllLnLiterals.mkString("[", ", ", "]")
+
   /** Rank-of-first-set-bit CASE over the `wBits`-wide rank field, as SQL
     * TEXT shared verbatim by the Spark side (`expr`) and the DuckDB
     * oracle — pure integer comparisons, no float log2 (whose 1-ulp slop
@@ -493,8 +531,9 @@ object Sketches {
     * binary sketch state), and the standard estimator in cross-engine-
     * exact arithmetic: integer registers, an integer-scaled harmonic sum,
     * one literal numerator, and linear counting below 2.5·m with the ln
-    * 9-rounded then scaled by m = 512 (a power of two, so the multiply is
-    * float-EXACT on both engines).
+    * read from the shared literal table [[HllLnLiterals]] (no runtime
+    * libm ln on either engine) then scaled by m = 512 (a power of two,
+    * so the multiply is float-EXACT on both engines).
     *
     * Scale shape: the shuffle carries ≤ m rows per group (register
     * partials, map-side combinable) regardless of input rows — the same
@@ -518,10 +557,16 @@ object Sketches {
       .select(col("__g"), col("__b"), expr(hllRhoSql("__w")).as("__rho"))
       .groupBy(col("__g"), col("__b"))
       .agg(max(col("__rho")).as("__m"))
+      // reserved-label guard on the post-aggregation register frame
+      // (≤ m rows per group — no scan-path cost); see [[hllRollup]]
+      .withColumn("__g", when(col("__g") === lit(AllLabel),
+        raise_error(lit(s"hllRelational: data group collides with the " +
+          s"reserved rollup label '$AllLabel' in column '$groupCol'")))
+        .otherwise(col("__g")))
     // merge law as relational algebra: the union sketch's register j is
     // max over groups of register j — one bucket-domain aggregate
     val union = regs.groupBy(col("__b")).agg(max(col("__m")).as("__m"))
-      .select(lit("__all__").as("__g"), col("__b"), col("__m"))
+      .select(lit(AllLabel).as("__g"), col("__b"), col("__m"))
     val stats = regs.unionByName(union)
       .groupBy(col("__g"))
       .agg(count(lit(1)).as("__occ"),
@@ -536,7 +581,7 @@ object Sketches {
     stats.select(col("__g").as(groupCol), col("n_zero"), col("harm_scaled"),
       when(raw <= lit(2.5 * HllM) && col("n_zero") > 0,
         round(lit(HllM.toDouble) *
-          round(log(lit(HllM.toDouble) / col("n_zero").cast("double")), 9), 6))
+          element_at(hllLnArray, col("n_zero").cast("int")), 6))
         .otherwise(round(raw, 6)).as("est_distinct"))
   }
 }

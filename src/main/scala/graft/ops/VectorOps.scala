@@ -622,10 +622,26 @@ object VectorOps {
                           vecCol: String = "embedding",
                           targetBucket: Int = DefaultTargetBucket,
                           knownN: Option[Long] = None)
-      : DataFrame =
+      : DataFrame = {
+    knownN.foreach(validateKnownN(_, "srpNearDupPairsAuto"))
     srpNearDupPairs(vecs,
       autoPlaneCount(knownN.getOrElse(vecs.count()), targetBucket),
       minCos, idCol, vecCol)
+  }
+
+  /** knownN is a PARITY-SENSITIVE shortcut: the oracle derives the plane
+    * count from COUNT(*) with the same [[autoPlaneCount]] rule, so a
+    * knownN in a different power-of-two band than the true count silently
+    * changes bucket granularity (different candidate set → different
+    * pairs vs the oracle). The contract is knownN = the exact corpus row
+    * count; this guard rejects the unconditionally-wrong values (≤ 0,
+    * where the sizing loop would degenerate to minPlanes) and documents
+    * the band-parity hazard where a full validation would cost the very
+    * count() the parameter exists to skip (ADVICE r7). */
+  private def validateKnownN(n: Long, caller: String): Unit =
+    require(n > 0,
+      s"$caller: knownN must be the positive exact corpus count, got $n" +
+        " — pass None to let the engine count")
 
   /** Mutual-nearest-neighbor pairs ACROSS groups — the bitext/alignment
     * miner: for each vector, its best cross-`labelCol` partner among
@@ -683,10 +699,12 @@ object VectorOps {
                           labelCol: String = "label",
                           targetBucket: Int = DefaultTargetBucket,
                           knownN: Option[Long] = None)
-      : DataFrame =
+      : DataFrame = {
+    knownN.foreach(validateKnownN(_, "mutualNeighborsAuto"))
     mutualNeighbors(vecs,
       autoPlaneCount(knownN.getOrElse(vecs.count()), targetBucket),
       idCol, vecCol, labelCol)
+  }
 
   /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein,
     * SIGIR'98): greedily pick `selectK` results per query from a

@@ -136,7 +136,63 @@ object TextOracles {
        |          $P - 1 - (key % $P) AS pos FROM fp)""".stripMargin
   }
 
+  /** q137 oracle: the WHOLE BPE pipeline — training included — replayed
+    * in DuckDB. The trainer ([[graft.ops.Bpe.train]]) is an iterative
+    * driver argmax, but the merge COUNT is a compile-time constant
+    * ([[TextQueries.BpeMerges]] = 8), so the rounds unroll into a static
+    * CTE chain: pair-count aggregate → 1-row argmax (same count-desc,
+    * left-asc, right-asc tie-break; binary string order on both engines)
+    * → merge applied as the identical left-to-right non-overlapping
+    * list fold (the q228 list_reduce pattern: seed prepended because
+    * DuckDB's list_reduce has no initial-accumulator form). The encode
+    * step folds each DISTINCT word through the learned rounds once and
+    * joins back to the (doc, word) stream — value-identical to the
+    * engine's per-occurrence fold, since the fold is a pure function of
+    * the word. */
+  def bpeEncodeSql(numMerges: Int): String = {
+    def chars(e: String) = s"list_filter(string_split($e, ''), c -> c <> '')"
+    // one merge round applied to a syms column, merge pair read from the
+    // correlated 1-row t{k} CTE (DuckDB lambdas capture outer columns)
+    def applyMerge(k: Int) =
+      s"""CASE WHEN len(syms) <= 1 THEN syms
+         |      ELSE list_reduce(
+         |        list_prepend([syms[1]],
+         |          list_transform(syms[2:], c -> [c])),
+         |        (acc, x) -> CASE
+         |          WHEN acc[-1] = l$k AND x[1] = r$k
+         |          THEN list_append(acc[:len(acc) - 1], acc[-1] || x[1])
+         |          ELSE list_append(acc, x[1]) END) END""".stripMargin
+    def round(k: Int) =
+      s"""p$k AS (SELECT syms[i] AS l, syms[i + 1] AS r, SUM(n) AS c
+         |  FROM (SELECT syms, n, unnest(range(1, len(syms))) AS i
+         |        FROM v${k - 1})
+         |  GROUP BY 1, 2),
+         |t$k AS (SELECT l AS l$k, r AS r$k FROM p$k
+         |        ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+         |v$k AS (SELECT ${applyMerge(k)} AS syms, n
+         |        FROM v${k - 1} CROSS JOIN t$k)""".stripMargin
+    def enc(k: Int) =
+      s"""e$k AS (SELECT w, ${applyMerge(k)} AS syms
+         |        FROM e${k - 1} CROSS JOIN t$k)""".stripMargin
+    val rounds = (1 to numMerges).map(round).mkString(",\n")
+    val encs = (1 to numMerges).map(enc).mkString(",\n")
+    s"""WITH tok0 AS (SELECT doc_id, $Tk AS tk FROM documents),
+       |wd AS (SELECT doc_id, unnest(tk) AS w FROM tok0),
+       |wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM wd GROUP BY w),
+       |v0 AS (SELECT ${chars("w")} AS syms, n FROM wf),
+       |$rounds,
+       |uw AS (SELECT DISTINCT w FROM wd),
+       |e0 AS (SELECT w, ${chars("w")} AS syms FROM uw),
+       |$encs
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(len(syms)) AS BIGINT) AS n_subwords,
+       |  ROUND(CAST(SUM(len(syms)) AS DOUBLE) / COUNT(*), 6) AS fertility
+       |FROM wd JOIN e$numMerges USING (w)
+       |GROUP BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q137_bpe_encode" -> bpeEncodeSql(graft.queries.TextQueries.BpeMerges),
     "q69_heavy_hitters" ->
       s"""WITH tok0 AS (SELECT doc_id, $Tk AS tk FROM documents),
          |toks AS (SELECT unnest(tk) AS token FROM tok0),

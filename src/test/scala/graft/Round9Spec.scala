@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Sketches, VectorOps}
+
+/** Round-9 hardening: the three ADVICE r7 findings — reserved rollup
+  * label collision, libm-ln cross-engine risk in the HLL linear-counting
+  * branch, and the knownN parity contract on the auto-sized ANN entry
+  * points. */
+class Round9Spec extends SparkSpecBase {
+
+  // ---- reserved "__all__" rollup label guard ----
+
+  test("hllRelational: a data group named __all__ fails fast instead " +
+      "of silently aliasing the union row") {
+    import spark.implicits._
+    val df = Seq(("__all__", "k1"), ("g", "k2")).toDF("grp", "k")
+      .select(col("grp"), graft.ops.TextOps.polyHash(col("k")).as("h"))
+    val e = intercept[Exception] {
+      Sketches.hllRelational(df, "grp", col("h")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        Option(x.getCause).toSeq.flatMap(msgs))
+    assert(msgs(e).exists(_.contains("__all__")), e.getMessage)
+  }
+
+  test("hllRollup: same guard on the datasketches tier") {
+    import spark.implicits._
+    val df = Seq(("__all__", 1L), ("g", 2L)).toDF("grp", "k")
+    val e = intercept[Exception] {
+      Sketches.hllRollup(df, "grp", "k").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        Option(x.getCause).toSeq.flatMap(msgs))
+    assert(msgs(e).exists(_.contains("__all__")), e.getMessage)
+  }
+
+  test("hll rollups: clean groups still produce the union row (guard " +
+      "must not fire on non-colliding labels)") {
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("b", 2L), ("b", 3L)).toDF("grp", "k")
+    val labels = Sketches.hllRollup(df, "grp", "k")
+      .select("grp").collect().map(_.getString(0)).toSet
+    assert(labels == Set("a", "b", Sketches.AllLabel))
+  }
+
+  // ---- HLL linear-counting ln literal table ----
+
+  test("HllLnLiterals: one entry per n_zero, each the 9-rounded ln(m/z) " +
+      "and parseable back to the double the engines consume") {
+    val m = Sketches.HllM
+    assert(Sketches.HllLnLiterals.size == m)
+    for (z <- Seq(1, 2, 7, 100, 511, m)) {
+      val want = java.math.BigDecimal.valueOf(math.log(m.toDouble / z))
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+      assert(Sketches.HllLnLiterals(z - 1).toDouble == want, s"z=$z")
+    }
+    // the DuckDB list literal carries the same decimal strings verbatim
+    val sqlList = Sketches.hllLnListSql
+    assert(sqlList.startsWith("[") && sqlList.endsWith("]"))
+    assert(sqlList.split(", ").length == m)
+  }
+
+  test("hllRelational linear-counting branch: estimate equals " +
+      "m * table[n_zero] (table lookup, no runtime libm ln)") {
+    import spark.implicits._
+    val df = spark.range(1, 101L).select(lit("g").as("grp"),
+      graft.ops.TextOps.polyHash(col("id").cast("string")).as("h"))
+    val r = Sketches.hllRelational(df, "grp", col("h"))
+      .filter(col("grp") === "g").head()
+    val nZero = r.getLong(1).toInt
+    assert(nZero > 0, "n=100 at m=512 must leave zero registers")
+    val want = BigDecimal(Sketches.HllM.toDouble *
+        Sketches.HllLnLiterals(nZero - 1).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(3) == want,
+      s"est ${r.getDouble(3)} vs table-derived $want (n_zero=$nZero)")
+  }
+
+  // ---- knownN parity contract ----
+
+  test("srpNearDupPairsAuto/mutualNeighborsAuto: non-positive knownN " +
+      "is rejected at call time") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val e1 = intercept[IllegalArgumentException] {
+      VectorOps.srpNearDupPairsAuto(vecs, 0.9, knownN = Some(0L))
+    }
+    assert(e1.getMessage.contains("knownN"))
+    val e2 = intercept[IllegalArgumentException] {
+      VectorOps.mutualNeighborsAuto(vecs, knownN = Some(-5L))
+    }
+    assert(e2.getMessage.contains("knownN"))
+  }
+
+  test("srpNearDupPairsAuto: a correct knownN is plan-identical to the " +
+      "counted path (the parity contract holds when honored)") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val n = vecs.count()
+    val counted = VectorOps.srpNearDupPairsAuto(vecs, 0.8)
+      .collect().toSet
+    val hinted = VectorOps.srpNearDupPairsAuto(vecs, 0.8,
+      knownN = Some(n)).collect().toSet
+    assert(hinted == counted)
+  }
+}
