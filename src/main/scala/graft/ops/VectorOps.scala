@@ -137,17 +137,33 @@ object VectorOps {
   }
 
   /** Deterministic ±1 pseudo-random hyperplane component for (plane j,
-    * dim i): parity of an affine mix mod the hash prime. Shared with the
-    * oracle SQL — no RNG state, reproducible anywhere. */
+    * dim i): parity of (a_j·(i+1) + b_j) mod the hash prime, with
+    * PER-PLANE Knuth-mixed coefficients a_j = 2654435761·(j+1) mod m,
+    * b_j = 2246822519·(j+1) mod m — the same independent-per-row hash
+    * family as the minhash tier (its r3 fix). The earlier form
+    * parity((j·131 + i)·c mod m) gave every plane the SAME stride c with
+    * only a per-plane OFFSET — shifted copies of one parity sequence,
+    * sign-vector correlations up to 0.94 between planes (measured), so
+    * p planes carried far fewer than p bits of bucket entropy and
+    * Σ bucket² ran 6–38× above the uniform model (SURVEY §8.19). With
+    * per-plane strides the 24-plane family measures max |corr| 0.375 /
+    * mean 0.06, and bucket mass lands on the uniform prediction at both
+    * sf0.1 and sf1. Shared with the oracle SQL — no RNG state; all
+    * products bounded by m·dim < 2^63 (overflow-free in Spark longs and
+    * DuckDB BIGINT alike). */
   def planeSign(j: Column, i: Column): Column =
-    when(((j * 131 + i) * 2654435761L % TextOps.HashMod) % 2 === 0,
+    when(((lit(2654435761L) * (j + 1) % TextOps.HashMod) * (i + 1)
+        + lit(2246822519L) * (j + 1) % TextOps.HashMod)
+        % TextOps.HashMod % 2 === 0,
       lit(1.0)).otherwise(lit(-1.0))
 
   /** The ±1 plane component as a plain Scala value (same formula as
     * [[planeSign]]) for pre-materialized plane vectors. */
-  def planeSignValue(j: Int, i: Int): Double =
-    if (((j * 131L + i) * 2654435761L % TextOps.HashMod) % 2 == 0) 1.0
-    else -1.0
+  def planeSignValue(j: Int, i: Int): Double = {
+    val a = 2654435761L * (j + 1) % TextOps.HashMod
+    val b = 2246822519L * (j + 1) % TextOps.HashMod
+    if ((a * (i + 1) + b) % TextOps.HashMod % 2 == 0) 1.0 else -1.0
+  }
 
   /** Sign-random-projection LSH signature (numPlanes bits) per vector:
     * bit j = [dot(v, plane_j) > 0]. The scale path for near-dup/ANN:
@@ -174,6 +190,39 @@ object VectorOps {
                        numPlanes: Int): Column =
     srpSignature(col(vecCol), numPlanes,
       df.select(size(col(vecCol))).head().getInt(0))
+
+  /** MEAN-CENTERED SRP signature — what the production bucket operators
+    * ([[srpNearDupPairs]], [[mutualNeighbors]]) hash on: the sign
+    * projections of v − μ, with μ the exact-decimal per-dimension mean
+    * ([[dimensionMeans]], collected driver-side — d values, codebook-
+    * sized) baked into the expression as a literal array.
+    *
+    * WHY CENTERING IS THE SIZING RULE'S OTHER HALF: [[autoPlaneCount]]
+    * assumes each plane splits a random pair with probability 1/2, so
+    * p ≈ log₂(n/target) keeps candidate volume ≈ n·target. On a corpus
+    * whose coordinates are all non-negative (every embedding model with
+    * ReLU-ish outputs; this testdata too) the vectors concentrate in ONE
+    * orthant: random-pair cosine ≈ 0.75, a random hyperplane through the
+    * origin separates such a pair with probability θ/π ≈ 1/4, and
+    * candidate volume grows ∝ C(n,2)·(3/4)^p — measured 45× for 10× data
+    * at sf1 (SrpProfile, SURVEY §8.19), where adding planes from 12 to 18
+    * (64× more buckets) only halved it. Centering moves the cone onto
+    * the origin, random pairs decorrelate to the assumed 1/2-split, and
+    * measured Σ bucket² returns to ≈ n·target at both scales. True
+    * near-dups keep colliding: for ||x−y|| small, x−μ ≈ y−μ, so the
+    * centered cosine stays ≈ 1 unless both vectors sit within noise of μ
+    * itself. Cross-engine exactness: μ uses the proven decimal-mean
+    * pattern (q34/q104 oracles), the subtraction and fold are the same
+    * IEEE double ops in the same order on both engines. */
+  def srpSignatureCentered(df: DataFrame, vecCol: String,
+                           numPlanes: Int): Column = {
+    val mu = dimensionMeans(df, vecCol)
+    require(mu.nonEmpty, "srpSignatureCentered: empty corpus")
+    val centered = zip_with(col(vecCol),
+      array(mu.map(lit(_)): _*),
+      (x, m) => x.cast(DoubleType) - m)
+    srpSignature(centered, numPlanes, mu.length)
+  }
 
   /** Default mean-bucket-size target for [[autoPlaneCount]]: small
     * enough that per-bucket verify work (∝ bucket²) is trivial, large
@@ -596,13 +645,15 @@ object VectorOps {
       .withColumn("kept", col("anchor_id").isNull.cast("int"))
   }
 
-  /** Candidate near-dup pairs from shared SRP buckets, verified with exact
-    * cosine ≥ minCos. */
+  /** Candidate near-dup pairs from shared MEAN-CENTERED SRP buckets
+    * ([[srpSignatureCentered]] — centering keeps candidate volume at the
+    * sizing rule's n·targetBucket on one-orthant corpora), verified with
+    * exact cosine ≥ minCos on the ORIGINAL vectors. */
   def srpNearDupPairs(vecs: DataFrame, numPlanes: Int, minCos: Double,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
     val sig = vecs.select(col(idCol), col(vecCol),
-      srpSignatureAuto(vecs, vecCol, numPlanes).as("sig"))
+      srpSignatureCentered(vecs, vecCol, numPlanes).as("sig"))
     val l = sig.select(col(idCol).as("vec_a"), col(vecCol).as("va"), col("sig"))
     val r = sig.select(col(idCol).as("vec_b"), col(vecCol).as("vb"), col("sig"))
     l.join(r, "sig").filter(col("vec_a") < col("vec_b"))
@@ -665,7 +716,7 @@ object VectorOps {
                       vecCol: String = "embedding",
                       labelCol: String = "label"): DataFrame = {
     val sig = vecs.select(col(idCol), col(vecCol), col(labelCol),
-      srpSignatureAuto(vecs, vecCol, numPlanes).as("sig"))
+      srpSignatureCentered(vecs, vecCol, numPlanes).as("sig"))
     val l = sig.select(col(idCol).as("__src"), col(vecCol).as("__sv"),
       col(labelCol).as("__sl"), col("sig"))
     val r = sig.select(col(idCol).as("__dst"), col(vecCol).as("__dv"),

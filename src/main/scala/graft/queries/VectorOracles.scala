@@ -15,12 +15,18 @@ object VectorOracles {
   def cos(a: String, b: String): String =
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
 
-  /** ±1 pseudo-random hyperplane component; i here is the 1-based DuckDB
-    * list index, so the dimension index is (i-1) — matching planeSign's
-    * 0-based i. */
-  def planeSign(j: Int, i: String): String =
-    s"(CASE WHEN (($j * 131 + ($i - 1)) * 2654435761 % 1000000007) % 2 = 0 " +
+  /** ±1 pseudo-random hyperplane component — the
+    * [[graft.ops.VectorOps.planeSignValue]] twin: parity of
+    * (a_j·(i+1) + b_j) mod m with per-plane Knuth-mixed coefficients.
+    * i here is the 1-based DuckDB list index, so the engine's 0-based
+    * dimension-index-plus-one is exactly this i. With j a compile-time
+    * Int the coefficients fold to literals here. */
+  def planeSign(j: Int, i: String): String = {
+    val a = 2654435761L * (j + 1) % 1000000007L
+    val b = 2246822519L * (j + 1) % 1000000007L
+    s"(CASE WHEN (($a * $i + $b) % 1000000007) % 2 = 0 " +
       s"THEN 1.0 ELSE -1.0 END)"
+  }
 
   def srpSig(vec: String, planes: Int): String = {
     val terms = (0 until planes).map { j =>
@@ -48,6 +54,39 @@ object VectorOracles {
       s"(SELECT unnest(range($minPlanes, 64)) AS p) ps " +
       s"WHERE (((SELECT COUNT(*) FROM $table) - 1) >> p) < $targetBucket)"
 
+  /** CTE computing the exact-decimal per-dimension mean of `table`'s
+    * embedding column as a one-row list `mu` — the oracle twin of
+    * [[graft.ops.VectorOps.dimensionMeans]]: the same DECIMAL(28,10)
+    * sum → DOUBLE cast → /COUNT(*) as the q34/q104 centroid CTEs, so
+    * the engine's literal μ array and this list hold identical
+    * doubles. */
+  def muCte(table: String): String =
+    s"""mu AS (SELECT list(c ORDER BY i) AS mu FROM (
+       |  SELECT i,
+       |    CAST(SUM(CAST(CAST(emb[i] AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
+       |      / COUNT(*) AS c
+       |  FROM (SELECT embedding AS emb,
+       |          unnest(range(1, len(embedding) + 1)) AS i FROM $table) z
+       |  GROUP BY i) g)""".stripMargin
+
+  /** [[srpSigDyn]] over the MEAN-CENTERED vector — the oracle twin of
+    * [[graft.ops.VectorOps.srpSignatureCentered]]: each projection term
+    * is (v[i] − μ[i])·sign, the identical IEEE double ops in the same
+    * sequential fold as the engine's zip_with subtraction + vec_dot.
+    * `mu` is the list column from [[muCte]] (cross-joined). */
+  def srpSigDynCentered(vec: String, planes: String = "planes",
+                        mu: String = "mu"): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(0, $planes), j -> " +
+      s"CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(1, len($vec) + 1), " +
+      s"i -> (CAST($vec[i] AS DOUBLE) - $mu[i]) * " +
+      s"(CASE WHEN (((2654435761 * (j + 1) % 1000000007) * i " +
+      s"+ 2246822519 * (j + 1) % 1000000007) % 1000000007) % 2 = 0 " +
+      s"THEN 1.0 ELSE -1.0 END))), (x, y) -> x + y) > 0 " +
+      s"THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)), " +
+      s"(x, y) -> x + y)"
+
   /** [[srpSig]] with the plane count as a COLUMN reference (`planes`,
     * from [[planesCte]]): the bit terms build via a list comprehension
     * over range(0, planes) instead of compile-time unrolling — same
@@ -58,7 +97,8 @@ object VectorOracles {
       s"CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
       s"list_transform(range(1, len($vec) + 1), " +
       s"i -> CAST($vec[i] AS DOUBLE) * " +
-      s"(CASE WHEN ((j * 131 + (i - 1)) * 2654435761 % 1000000007) % 2 = 0 " +
+      s"(CASE WHEN (((2654435761 * (j + 1) % 1000000007) * i " +
+      s"+ 2246822519 * (j + 1) % 1000000007) % 1000000007) % 2 = 0 " +
       s"THEN 1.0 ELSE -1.0 END))), (x, y) -> x + y) > 0 " +
       s"THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)), " +
       s"(x, y) -> x + y)"
@@ -244,12 +284,14 @@ object VectorOracles {
          |FROM embeddings GROUP BY sig""".stripMargin,
 
     // plane count auto-sized from COUNT(*) (planesCte — the
-    // autoPlaneCount twin), signature built dynamically over it
+    // autoPlaneCount twin); signature over the MEAN-CENTERED vector
+    // (muCte + srpSigDynCentered — the srpSignatureCentered twin)
     "q33_embed_neardup" ->
       s"""WITH ${planesCte("embeddings")},
+         |${muCte("embeddings")},
          |s AS (SELECT vec_id, embedding,
-         |        ${srpSigDyn("embedding")} AS sig
-         |      FROM embeddings CROSS JOIN pl)
+         |        ${srpSigDynCentered("embedding")} AS sig
+         |      FROM embeddings CROSS JOIN pl CROSS JOIN mu)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  ROUND(${cos("a.embedding", "b.embedding")}, 6) AS cos_sim
          |FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
@@ -258,12 +300,15 @@ object VectorOracles {
     // mutual-nearest-neighbor mining: per-vector best cross-label
     // partner among shared-bucket candidates (argmax on ROUNDED cosine
     // with id tiebreak — a total order), mutual pairs only; plane
-    // count auto-sized from COUNT(*) exactly as the engine does
+    // count auto-sized from COUNT(*) exactly as the engine does, and
+    // buckets over the MEAN-CENTERED signature (the engine's
+    // srpSignatureCentered)
     "q246_mutual_neighbors" ->
       s"""WITH ${planesCte("embeddings")},
+         |${muCte("embeddings")},
          |s AS (SELECT vec_id, embedding, label,
-         |        ${srpSigDyn("embedding")} AS sig
-         |      FROM embeddings CROSS JOIN pl),
+         |        ${srpSigDynCentered("embedding")} AS sig
+         |      FROM embeddings CROSS JOIN pl CROSS JOIN mu),
          |cand AS (SELECT a.vec_id AS src, b.vec_id AS dst,
          |    ROUND(${cos("a.embedding", "b.embedding")}, 6) AS cs
          |  FROM s a JOIN s b ON a.sig = b.sig AND a.label <> b.label),

@@ -30,8 +30,11 @@ object SrpProfile {
       val vecs = graft.core.Tables.embeddings(spark, dir)
       val n = vecs.count()
       val planes = planeOverride.getOrElse(VectorOps.autoPlaneCount(n))
+      // the CENTERED signature — what srpNearDupPairs/mutualNeighbors
+      // bucket on (srpSignatureCentered); profiling the raw signature
+      // here would measure a bucket structure production never joins on
       val sig = vecs.select(
-        VectorOps.srpSignatureAuto(vecs, "embedding", planes).as("sig"),
+        VectorOps.srpSignatureCentered(vecs, "embedding", planes).as("sig"),
         col("label"))
       val buckets = sig.groupBy("sig").agg(count(lit(1)).as("sz"))
         .agg(count(lit(1)).as("n_buckets"),

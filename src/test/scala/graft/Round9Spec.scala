@@ -95,6 +95,51 @@ class Round9Spec extends SparkSpecBase {
     assert(e2.getMessage.contains("knownN"))
   }
 
+  // ---- SRP plane family quality + mean-centered signatures ----
+
+  test("planeSignValue: per-plane-stride family has low pairwise " +
+      "sign-vector correlation (the old shared-stride family hit 0.94)") {
+    val dim = 64
+    val planes = (0 until 24).map(j =>
+      (0 until dim).map(i => VectorOps.planeSignValue(j, i)))
+    val corrs = for {
+      a <- 0 until 24; b <- (a + 1) until 24
+    } yield math.abs(
+      (0 until dim).map(i => planes(a)(i) * planes(b)(i)).sum / dim)
+    assert(corrs.max <= 0.4, s"max |corr| ${corrs.max}")
+    assert(corrs.sum / corrs.size <= 0.1,
+      s"mean |corr| ${corrs.sum / corrs.size}")
+  }
+
+  test("srpSignatureCentered equals srpSignature over explicitly " +
+      "mean-centered vectors (the centering is pure translation)") {
+    import org.apache.spark.sql.types.DoubleType
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val mu = graft.ops.VectorOps.dimensionMeans(vecs, "embedding")
+    val manual = vecs.select(col("vec_id"),
+      VectorOps.srpSignature(
+        zip_with(col("embedding"), array(mu.map(lit(_)): _*),
+          (x, m) => x.cast(DoubleType) - m), 10, mu.length).as("sig"))
+    val viaOp = vecs.select(col("vec_id"),
+      VectorOps.srpSignatureCentered(vecs, "embedding", 10).as("sig"))
+    assert(manual.except(viaOp).isEmpty && viaOp.except(manual).isEmpty)
+  }
+
+  test("centered buckets on an off-center corpus: shifting every vector " +
+      "by a constant leaves the bucket STRUCTURE invariant (sizes match)") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val shifted = vecs.withColumn("embedding",
+      transform(col("embedding"), x => x.cast("double") + lit(5.0)))
+    def sizes(df: org.apache.spark.sql.DataFrame) =
+      df.select(VectorOps.srpSignatureCentered(df, "embedding", 8).as("s"))
+        .groupBy($"s").count().select($"count")
+        .collect().map(_.getLong(0)).sorted.toSeq
+    // translation cancels in v − μ exactly only when the shift is exactly
+    // representable; 5.0f is, so signatures are identical buckets
+    assert(sizes(vecs) == sizes(shifted))
+  }
+
   test("srpNearDupPairsAuto: a correct knownN is plan-identical to the " +
       "counted path (the parity contract holds when honored)") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
