@@ -305,6 +305,7 @@ object SparkEntry {
     "q260_abc"               -> Relational.q260Abc _,
     "q261_session_metrics"   -> Relational.q261SessionMetrics _,
     "q262_bounded_funnel"    -> Relational.q262ConstrainedFunnel _,
+    "q263_banded_srp_neardup" -> VectorQueries.qBandedSrpNearDup _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */

@@ -87,6 +87,25 @@ object VectorOracles {
       s"THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)), " +
       s"(x, y) -> x + y)"
 
+  /** [[srpSigDynCentered]] for band `band` of the banded operator: bit k
+    * of the band signature projects on family plane band·planes + k —
+    * the [[graft.ops.VectorOps.srpBandedNearDupPairs]] twin (same
+    * per-plane Knuth coefficients at the shifted index, same centered
+    * fold). */
+  def srpSigDynCenteredBanded(vec: String, planes: String = "planes",
+                              band: String = "band",
+                              mu: String = "mu"): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(0, $planes), k -> " +
+      s"CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(1, len($vec) + 1), " +
+      s"i -> (CAST($vec[i] AS DOUBLE) - $mu[i]) * " +
+      s"(CASE WHEN (((2654435761 * ($band * $planes + k + 1) % 1000000007) * i " +
+      s"+ 2246822519 * ($band * $planes + k + 1) % 1000000007) % 1000000007) % 2 = 0 " +
+      s"THEN 1.0 ELSE -1.0 END))), (x, y) -> x + y) > 0 " +
+      s"THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END)), " +
+      s"(x, y) -> x + y)"
+
   /** [[srpSig]] with the plane count as a COLUMN reference (`planes`,
     * from [[planesCte]]): the bit terms build via a list comprehension
     * over range(0, planes) instead of compile-time unrolling — same
@@ -296,6 +315,29 @@ object VectorOracles {
          |  ROUND(${cos("a.embedding", "b.embedding")}, 6) AS cos_sim
          |FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
          |WHERE ${cos("a.embedding", "b.embedding")} >= 0.2""".stripMargin,
+
+    // banded SRP: candidates from ANY of the DefaultBands band joins
+    // (band b = family planes [b*r, (b+1)*r)), deduped, then exact-
+    // cosine verified on the original vectors — the engine's
+    // srpBandedNearDupPairsAuto twin (bands read from the engine
+    // constant; planes-per-band from COUNT(*) via planesCte)
+    "q263_banded_srp_neardup" ->
+      s"""WITH ${planesCte("embeddings")},
+         |${muCte("embeddings")},
+         |bd AS (SELECT unnest(range(0,
+         |         ${graft.ops.VectorOps.DefaultBands})) AS band),
+         |s AS (SELECT vec_id, band,
+         |        ${srpSigDynCenteredBanded("embedding")} AS sig
+         |      FROM embeddings CROSS JOIN pl CROSS JOIN mu CROSS JOIN bd),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM s a JOIN s b ON a.band = b.band AND a.sig = b.sig
+         |    AND a.vec_id < b.vec_id)
+         |SELECT c.vec_a, c.vec_b,
+         |  ROUND(${cos("ea.embedding", "eb.embedding")}, 6) AS cos_sim
+         |FROM cand c
+         |JOIN embeddings ea ON ea.vec_id = c.vec_a
+         |JOIN embeddings eb ON eb.vec_id = c.vec_b
+         |WHERE ${cos("ea.embedding", "eb.embedding")} >= 0.2""".stripMargin,
 
     // mutual-nearest-neighbor mining: per-vector best cross-label
     // partner among shared-bucket candidates (argmax on ROUNDED cosine

@@ -61,6 +61,15 @@ object VectorQueries {
   def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
     VectorOps.srpNearDupPairsAuto(Tables.embeddings(s, dir), 0.2)
 
+  /** q263: BANDED SRP near-dup pairs ([[VectorOps.srpBandedNearDupPairsAuto]],
+    * [[VectorOps.DefaultBands]] bands, planes-per-band auto-sized) — the
+    * high-recall multiple-hash-table form: a pair is a candidate when it
+    * collides in ANY band, so the result is a SUPERSET of q33's
+    * single-table pairs (band 0 IS q33's table). The oracle unions the
+    * same band joins from COUNT(*)-derived plane counts. */
+  def qBandedSrpNearDup(s: SparkSession, dir: String): DataFrame =
+    VectorOps.srpBandedNearDupPairsAuto(Tables.embeddings(s, dir), 0.2)
+
   /** Exact-decimal per-label mean vectors (partition-order-independent,
     * unlike avg(double) whose partial sums reorder across shuffles) —
     * the coarse-quantizer codebook for the IVF tier. */

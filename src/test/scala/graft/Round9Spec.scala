@@ -140,6 +140,43 @@ class Round9Spec extends SparkSpecBase {
     assert(sizes(vecs) == sizes(shifted))
   }
 
+  // ---- banded SRP (multiple hash tables) ----
+
+  test("srpBandedNearDupPairs: band 0 is the single-table operator, so " +
+      "banded pairs are a SUPERSET of srpNearDupPairs at equal planes") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val single = VectorOps.srpNearDupPairs(vecs, 8, 0.2)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = VectorOps.srpBandedNearDupPairs(vecs, 4, 8, 0.2)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(single.subsetOf(banded),
+      s"missing: ${single.diff(banded).take(5)}")
+  }
+
+  test("srpBandedNearDupPairs: bands lift recall on planted near-dups " +
+      "above one table's (the knob the operator exists to sell)") {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // plant: for every vector, a perturbed twin (id + 1e6) built by
+    // deterministically blending 70/30 with the dimension-reversed self
+    // — cosine lands ~0.75-0.9, the regime where one table's recall
+    // visibly decays but banding recovers pairs
+    val planted = base.select((col("vec_id") + 1000000L).as("vec_id"),
+      zip_with(col("embedding"), reverse(col("embedding")),
+        (a, b) => a * lit(0.7f) + b * lit(0.3f)).as("embedding"))
+    val corpus = base.unionByName(planted)
+    def plantedFound(pairs: org.apache.spark.sql.DataFrame): Long =
+      pairs.filter(col("vec_b") - col("vec_a") === 1000000L).count()
+    val single = plantedFound(VectorOps.srpNearDupPairs(corpus, 10, 0.5))
+    val banded = plantedFound(
+      VectorOps.srpBandedNearDupPairs(corpus, 4, 10, 0.5))
+    assert(banded > single,
+      s"banded $banded should beat single-table $single")
+  }
+
   test("srpNearDupPairsAuto: a correct knownN is plan-identical to the " +
       "counted path (the parity contract holds when honored)") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
