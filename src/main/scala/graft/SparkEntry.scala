@@ -306,6 +306,7 @@ object SparkEntry {
     "q261_session_metrics"   -> Relational.q261SessionMetrics _,
     "q262_bounded_funnel"    -> Relational.q262ConstrainedFunnel _,
     "q263_banded_srp_neardup" -> VectorQueries.qBandedSrpNearDup _,
+    "q264_paragraph_dedup"   -> TextQueries.qParagraphDedup _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */

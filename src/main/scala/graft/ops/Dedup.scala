@@ -115,6 +115,66 @@ object Dedup {
       Seq(col("__h")), Seq(tiebreak)
     ).drop("__h")
 
+  /** PARAGRAPH-level exact dedup — the C4/CCNet/Dolma pipeline stage
+    * that doc-level dedup cannot express: boilerplate paragraphs
+    * (headers, license blocks, navigation text) repeat across millions
+    * of otherwise-distinct pages. Split each doc on `sepRegex`, keep
+    * each distinct paragraph ONLY at its first occurrence — minimal
+    * (doc, position) over the whole corpus, both aggregates map-side
+    * combinable — and reassemble every doc from its surviving
+    * paragraphs in original order.
+    *
+    * Scale shape: one shuffle keyed on the paragraph STRING (exact
+    * semantics — no hash-collision merges; the shuffle carries each
+    * distinct paragraph once per partition thanks to partial
+    * aggregation), a second (paragraph, doc)-keyed min, a semi-join
+    * back, and a doc-keyed reassembly agg. Nothing is corpus-quadratic
+    * and nothing collects. The keep rule is a total order, so output
+    * is partitioning-invariant (oracle-exact).
+    *
+    * Output: one row per input doc — (id, n_pars, n_kept,
+    * text_deduped); docs whose every paragraph was removed (or that
+    * had none) come back with n_kept = 0 and empty text. */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+                     sepRegex: String = "\\n{2,}",
+                     joiner: String = "\n\n"): DataFrame = {
+    val pars = docs
+      .select(col(idCol), posexplode(split(col(textCol), sepRegex))
+        .as(Seq("__pos", "__par")))
+      .filter(length(trim(col("__par"))) > 0)
+    // first occurrence = lexicographic min (doc, pos), computed as two
+    // stacked map-side-combinable mins (no window, no struct-order
+    // subtleties to keep in sync with the oracle); intermediates rename
+    // their keys so the lineage-sharing joins below stay unambiguous
+    val keepDoc = pars.groupBy(col("__par"))
+      .agg(min(col(idCol)).as("__kd"))
+      .select(col("__par").as("__dpar"), col("__kd"))
+    val keepPos = pars
+      .join(keepDoc, col("__par") === col("__dpar") &&
+        col(idCol) === col("__kd"))
+      .groupBy(col("__dpar"), col("__kd"))
+      .agg(min(col("__pos")).as("__kp"))
+      .select(col("__dpar").as("__kpar"), col("__kd"), col("__kp"))
+    val kept = pars.join(keepPos,
+      col("__par") === col("__kpar") &&
+        col(idCol) === col("__kd") && col("__pos") === col("__kp"))
+      .select(col(idCol), col("__pos"), col("__par"))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__par")))),
+          s => s.getField("__par")), joiner).as("text_deduped"))
+    val counts = pars.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_pars"))
+    docs.select(col(idCol))
+      .join(counts, Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_pars"), lit(0L)).as("n_pars"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_deduped"), lit("")).as("text_deduped"))
+  }
+
   /** Prefix dedup: documents sharing the same first-`prefixTokens`-token
     * prefix are one group — the crawl-pipeline middle ground between
     * exact dedup (whole-content hash; misses appended-boilerplate copies)

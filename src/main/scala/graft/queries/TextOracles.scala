@@ -191,7 +191,51 @@ object TextOracles {
        |GROUP BY doc_id""".stripMargin
   }
 
+  /** q264 oracle: the whole paragraph-dedup pipeline — paragraphize into
+    * [[TextQueries.ParagraphTokens]]-token chunks joined by blank lines,
+    * keep each distinct paragraph only at its corpus-minimal (doc, pos)
+    * (two stacked MIN aggregates, the engine's exact rule), reassemble
+    * per doc in position order, left-join so paragraph-less docs come
+    * back with zero counts and empty text. */
+  def paragraphDedupSql(p: Int): String = {
+    val sep = "chr(10) || chr(10)"
+    s"""WITH tok0 AS (SELECT doc_id, $Tk AS tk FROM documents),
+       |pt AS (SELECT doc_id, CASE WHEN len(tk) = 0 THEN ''
+       |    ELSE array_to_string(list_transform(
+       |      range(0, (len(tk) - 1) // $p + 1),
+       |      i -> array_to_string(tk[i*$p+1 : i*$p+$p], ' ')), $sep)
+       |  END AS t FROM tok0),
+       |pars AS (SELECT doc_id, pos, par FROM (
+       |    SELECT doc_id,
+       |      unnest(string_split_regex(t, '\\n{2,}')) AS par,
+       |      unnest(range(0, len(string_split_regex(t, '\\n{2,}')))) AS pos
+       |    FROM pt) z
+       |  WHERE length(trim(par)) > 0),
+       |kd AS (SELECT par, MIN(doc_id) AS kdoc FROM pars GROUP BY par),
+       |kp AS (SELECT q.par, q.doc_id AS kdoc, MIN(q.pos) AS kpos
+       |       FROM pars q JOIN kd ON q.par = kd.par AND q.doc_id = kd.kdoc
+       |       GROUP BY q.par, q.doc_id),
+       |kept AS (SELECT q.doc_id, q.pos, q.par FROM pars q
+       |         JOIN kp ON q.par = kp.par AND q.doc_id = kp.kdoc
+       |           AND q.pos = kp.kpos),
+       |reb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |          array_to_string(list(par ORDER BY pos), $sep)
+       |            AS text_deduped
+       |        FROM kept GROUP BY doc_id),
+       |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pars
+       |        FROM pars GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(cnt.n_pars, 0) AS n_pars,
+       |  COALESCE(reb.n_kept, 0) AS n_kept,
+       |  COALESCE(reb.text_deduped, '') AS text_deduped
+       |FROM documents d
+       |LEFT JOIN cnt USING (doc_id)
+       |LEFT JOIN reb USING (doc_id)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q264_paragraph_dedup" ->
+      paragraphDedupSql(graft.queries.TextQueries.ParagraphTokens),
     "q137_bpe_encode" -> bpeEncodeSql(graft.queries.TextQueries.BpeMerges),
     "q69_heavy_hitters" ->
       s"""WITH tok0 AS (SELECT doc_id, $Tk AS tk FROM documents),

@@ -50,6 +50,9 @@ object TextQueries {
   val MixTotal = 1000L
   // q131 containment threshold (max of the two directions)
   val ContainmentMin = 0.5
+  // q264 paragraphizer chunk width (tokens)
+  val ParagraphTokens = 3
+
   // q132 prefix-dedup width (tokens)
   val PrefixTokens = 8
   // q134 BPE merge rounds
@@ -894,6 +897,27 @@ object TextQueries {
         PrefixTokens)
       .select(col("doc_id"), col("prefix_hash"), col("group_n"),
         col("rep"), col("is_kept"))
+
+  /** q264: paragraph-level exact dedup ([[Dedup.paragraphDedup]]) — the
+    * C4/CCNet/Dolma stage doc-level dedup cannot express (boilerplate
+    * paragraphs repeating across distinct pages). The flat synthetic
+    * corpus has no paragraph breaks, so the query first paragraphizes
+    * each doc into [[ParagraphTokens]]-token chunks (the ~40-word
+    * vocabulary makes 3-token chunks repeat heavily across docs — real
+    * dedup action, deterministic); each distinct paragraph survives only
+    * at its corpus-minimal (doc, position) and docs reassemble in
+    * original order. */
+  def qParagraphDedup(s: SparkSession, dir: String): DataFrame = {
+    val P = ParagraphTokens
+    val tk = graft.ops.TextOps.tokens(col("text"))
+    val withPars = Tables.documents(s, dir).select(col("doc_id"),
+      when(size(tk) === 0, lit("")).otherwise(
+        array_join(transform(
+          sequence(lit(0), floor((size(tk) - 1) / lit(P)).cast("int")),
+          i => array_join(slice(tk, i * P + 1, lit(P)), " ")), "\n\n"))
+        .as("text"))
+    graft.ops.Dedup.paragraphDedup(withPars, "doc_id", "text")
+  }
 
   /** Per-source CDF normalization of a quality signal (stopword ratio):
     * percent_rank within source, so a downstream "keep the best X%"

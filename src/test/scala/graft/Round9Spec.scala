@@ -140,6 +140,43 @@ class Round9Spec extends SparkSpecBase {
     assert(sizes(vecs) == sizes(shifted))
   }
 
+  // ---- paragraph-level exact dedup ----
+
+  test("paragraphDedup: each distinct paragraph survives only at its " +
+      "corpus-minimal (doc, pos); docs reassemble in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha\n\nshared one\n\nbeta"),
+      (2L, "shared one\n\ngamma\n\nshared one"), // both copies removed
+      (3L, "delta\n\ndelta\n\nepsilon"),         // within-doc dup: first kept
+      (4L, ""),                                  // no paragraphs
+      (5L, "alpha")                              // whole doc is a dup par
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.paragraphDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((3L, 3L, "alpha\n\nshared one\n\nbeta")))
+    assert(got(2L) == ((3L, 1L, "gamma")))
+    assert(got(3L) == ((3L, 2L, "delta\n\nepsilon")))
+    assert(got(4L) == ((0L, 0L, "")))
+    assert(got(5L) == ((1L, 0L, "")))
+  }
+
+  test("paragraphDedup: conservation — kept paragraphs corpus-wide equal " +
+      "distinct paragraphs, and output is one row per input doc") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        regexp_replace(col("text"), " ", "\n\n").as("text"))
+    val out = graft.ops.Dedup.paragraphDedup(docs, "doc_id", "text")
+    assert(out.count() == docs.count())
+    val kept = out.agg(sum("n_kept")).head().getLong(0)
+    val distinctPars = docs
+      .select(explode(split(col("text"), "\\n{2,}")).as("p"))
+      .filter(length(trim(col("p"))) > 0)
+      .select("p").distinct().count()
+    assert(kept == distinctPars, s"kept $kept vs distinct $distinctPars")
+  }
+
   // ---- banded SRP (multiple hash tables) ----
 
   test("srpBandedNearDupPairs: band 0 is the single-table operator, so " +
