@@ -1,0 +1,64 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.VectorOps
+
+/** Recall profiler for the SRP near-dup tier: plants one deterministic
+  * near-twin per corpus vector (70/30 blend with the dimension-reversed
+  * self — planted cosine lands ≈ 0.75–0.95, the regime where bucketing
+  * recall is the question), then measures what fraction of planted pairs
+  * the single-table operator vs the banded operator actually emits, with
+  * wall time — so the banded tier's recall claim is a measured number
+  * per scale, not a formula (SURVEY §8.19).
+  *
+  *   runMain graft.tools.SrpRecall dir1 [dir2 ...]
+  */
+object SrpRecall {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.Sessions.local()
+    spark.sparkContext.setLogLevel("WARN")
+    val minCos = 0.5
+    args.foreach { dir =>
+      val base = graft.core.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      val offset = 1000000000000L
+      val planted = base.select((col("vec_id") + offset).as("vec_id"),
+        zip_with(col("embedding"), reverse(col("embedding")),
+          (a, b) => a * lit(0.7f) + b * lit(0.3f)).as("embedding"))
+      val corpus = base.unionByName(planted)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = corpus.count()
+      // denominator: planted pairs whose TRUE cosine clears the verify
+      // threshold (bucketing recall is measured against pairs the exact
+      // verify would keep)
+      val truePairs = base.join(
+          planted.select((col("vec_id") - offset).as("vec_id"),
+            col("embedding").as("__e2")), "vec_id")
+        .filter(VectorOps.cosine(col("embedding"), col("__e2")) >= minCos)
+        .count()
+      def plantedFound(df: org.apache.spark.sql.DataFrame): Long =
+        df.filter(col("vec_b") - col("vec_a") === offset).count()
+      def timed(f: => Long): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val r = f
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val (s1, t1) = timed(plantedFound(
+        VectorOps.srpNearDupPairsAuto(corpus, minCos, knownN = Some(n))))
+      val (sb, tb) = timed(plantedFound(
+        VectorOps.srpBandedNearDupPairsAuto(corpus, minCos,
+          knownN = Some(n))))
+      def d3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
+        Double.box(v))
+      println(s"""{"srp_recall":{"dir":"$dir","n":$n,""" +
+        s""""planted":$truePairs,"single_found":$s1,""" +
+        s""""single_recall":${d3(s1.toDouble / truePairs)},""" +
+        s""""banded_found":$sb,""" +
+        s""""banded_recall":${d3(sb.toDouble / truePairs)},""" +
+        s""""single_secs":${d3(t1)},"banded_secs":${d3(tb)}}}""")
+      corpus.unpersist()
+    }
+    spark.stop()
+  }
+}
