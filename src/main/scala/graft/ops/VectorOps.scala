@@ -218,12 +218,23 @@ object VectorOps {
     * IEEE double ops in the same order on both engines. */
   def srpSignatureCentered(df: DataFrame, vecCol: String,
                            numPlanes: Int): Column = {
+    val (centered, dim) = centeredColumn(df, vecCol)
+    srpSignature(centered, numPlanes, dim)
+  }
+
+  /** The centering expression (v − μ as array<double>) + the corpus
+    * dimensionality, shared by [[srpSignatureCentered]] and the bucket
+    * operators. NOTE for operators: materialize this ONCE per row in a
+    * child project (select it as a column, then compute signatures from
+    * the attribute) — zip_with is a non-codegen higher-order function,
+    * and inlining it into every plane projection re-evaluates it per
+    * dot (measured 2.4× on the banded operator at sf1). */
+  private def centeredColumn(df: DataFrame, vecCol: String)
+      : (Column, Int) = {
     val mu = dimensionMeans(df, vecCol)
-    require(mu.nonEmpty, "srpSignatureCentered: empty corpus")
-    val centered = zip_with(col(vecCol),
-      array(mu.map(lit(_)): _*),
-      (x, m) => x.cast(DoubleType) - m)
-    srpSignature(centered, numPlanes, mu.length)
+    require(mu.nonEmpty, "centered SRP: empty corpus")
+    (zip_with(col(vecCol), array(mu.map(lit(_)): _*),
+      (x, m) => x.cast(DoubleType) - m), mu.length)
   }
 
   /** Default mean-bucket-size target for [[autoPlaneCount]]: small
@@ -654,8 +665,10 @@ object VectorOps {
   def srpNearDupPairs(vecs: DataFrame, numPlanes: Int, minCos: Double,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
-    val sig = vecs.select(col(idCol), col(vecCol),
-      srpSignatureCentered(vecs, vecCol, numPlanes).as("sig"))
+    val (centered, dim) = centeredColumn(vecs, vecCol)
+    val sig = vecs.select(col(idCol), col(vecCol), centered.as("__c"))
+      .select(col(idCol), col(vecCol),
+        srpSignature(col("__c"), numPlanes, dim).as("sig"))
     val l = sig.select(col(idCol).as("vec_a"), col(vecCol).as("va"), col("sig"))
     val r = sig.select(col(idCol).as("vec_b"), col(vecCol).as("vb"), col("sig"))
     l.join(r, "sig").filter(col("vec_a") < col("vec_b"))
@@ -712,16 +725,17 @@ object VectorOps {
     // per-band plane count is bounded by srpSignature's [1, 63]; the
     // band count only moves the family offset (the family is unbounded)
     require(bands >= 1, s"bands must be >= 1, got $bands")
-    val mu = dimensionMeans(vecs, vecCol)
-    require(mu.nonEmpty, "srpBandedNearDupPairs: empty corpus")
-    val centered = zip_with(col(vecCol),
-      array(mu.map(lit(_)): _*),
-      (x, m) => x.cast(org.apache.spark.sql.types.DoubleType) - m)
-    val sigs = vecs.select(col(idCol), explode(array(
-      (0 until bands).map(b => struct(
-        lit(b).as("band"),
-        srpSignature(centered, planesPerBand, mu.length,
-          planeOffset = b * planesPerBand).as("sig"))): _*)).as("bs"))
+    val (centered, dim) = centeredColumn(vecs, vecCol)
+    // materialize the centered array ONCE per row in a child project:
+    // the bands·planes projections in the Generate node then read the
+    // attribute instead of re-evaluating the (non-codegen higher-order)
+    // zip_with once per plane dot (see centeredColumn)
+    val sigs = vecs.select(col(idCol), centered.as("__c"))
+      .select(col(idCol), explode(array(
+        (0 until bands).map(b => struct(
+          lit(b).as("band"),
+          srpSignature(col("__c"), planesPerBand, dim,
+            planeOffset = b * planesPerBand).as("sig"))): _*)).as("bs"))
       .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val cand = sigs.select(col(idCol).as("vec_a"), col("band"), col("sig"))
       .join(sigs.select(col(idCol).as("vec_b"), col("band"), col("sig")),
@@ -793,8 +807,11 @@ object VectorOps {
                       idCol: String = "vec_id",
                       vecCol: String = "embedding",
                       labelCol: String = "label"): DataFrame = {
-    val sig = vecs.select(col(idCol), col(vecCol), col(labelCol),
-      srpSignatureCentered(vecs, vecCol, numPlanes).as("sig"))
+    val (centered, dim) = centeredColumn(vecs, vecCol)
+    val sig = vecs
+      .select(col(idCol), col(vecCol), col(labelCol), centered.as("__c"))
+      .select(col(idCol), col(vecCol), col(labelCol),
+        srpSignature(col("__c"), numPlanes, dim).as("sig"))
     val l = sig.select(col(idCol).as("__src"), col(vecCol).as("__sv"),
       col(labelCol).as("__sl"), col("sig"))
     val r = sig.select(col(idCol).as("__dst"), col(vecCol).as("__dv"),
