@@ -752,25 +752,86 @@ object VectorOps {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
   }
 
-  /** [[srpBandedNearDupPairs]] with planes-per-band sized to the corpus
-    * by [[autoPlaneCount]] — cost stays ≈ bands · n · targetBucket at
-    * any n; `bands` is the explicit recall knob. */
+  /** [[srpBandedNearDupPairs]] with BOTH knobs sized to the corpus —
+    * the production spelling with a DECLARED RECALL CONTRACT: a pair at
+    * centered cosine ≥ `designCos` is emitted with probability ≥
+    * `recallTarget` at ANY corpus size. Planes-per-band stays
+    * [[autoPlaneCount]] (each band is a linear-volume bucket join);
+    * the band count grows with n via [[srpBandCount]] to pay for the
+    * per-band recall that finer buckets give up — the classic LSH
+    * n^(1+ρ) trade (Charikar STOC'02 / Indyk–Motwani), with ρ =
+    * −log₂(1 − acos(designCos)/π) ≈ 0.20 at the 0.92 default.
+    *
+    * WHY NOT fixed planes-per-band + growing bands alone (the minhash
+    * tier's 4×4 shape): a minhash band key is r hash VALUES from a
+    * 2^64 domain, so a RANDOM pair's per-band collision probability is
+    * ≈ Jaccard^r ≈ 0 and fixed r stays linear. An SRP band key is r
+    * SIGN BITS — bucket entropy is capped at r bits, a random centered
+    * pair collides with probability exactly 2^−r, and per-band
+    * candidate volume is C(n,2)·2^−r: QUADRATIC in n for any fixed r
+    * (n = 10⁹, r = 10 → 5·10¹⁴ candidates per band). Growing r with
+    * log n is the only linear-cost choice; growing b alongside it is
+    * what keeps recall flat (measured flat ±0.02 across n = 4k/40k/400k,
+    * SURVEY §8.20, vs 0.924→0.763 decay for the old fixed-b default). */
   def srpBandedNearDupPairsAuto(vecs: DataFrame, minCos: Double,
-                                bands: Int = DefaultBands,
                                 idCol: String = "vec_id",
                                 vecCol: String = "embedding",
+                                designCos: Double = DefaultDesignCos,
+                                recallTarget: Double = DefaultRecallTarget,
                                 targetBucket: Int = DefaultTargetBucket,
                                 knownN: Option[Long] = None): DataFrame = {
     knownN.foreach(validateKnownN(_, "srpBandedNearDupPairsAuto"))
-    srpBandedNearDupPairs(vecs, bands,
-      autoPlaneCount(knownN.getOrElse(vecs.count()), targetBucket),
-      minCos, idCol, vecCol)
+    val p = autoPlaneCount(knownN.getOrElse(vecs.count()), targetBucket)
+    srpBandedNearDupPairs(vecs, srpBandCountForPlanes(p, designCos,
+      recallTarget), p, minCos, idCol, vecCol)
   }
 
-  /** Default band count for [[srpBandedNearDupPairsAuto]] — matches the
-    * minhash LSH tier's band count; at r = 8 planes it lifts recall on
-    * a cosine-0.9 pair from 0.29 (one table) to 0.75. */
-  val DefaultBands = 4
+  /** The banded tier's declared recall contract, default half 1: pairs
+    * at CENTERED cosine ≥ this are the ones the near-dup stage must not
+    * lose. 0.92 sits at the top of the near-duplicate regime (the
+    * SrpRecall planted twins land ≈ 0.92 centered). */
+  val DefaultDesignCos = 0.92
+
+  /** Contract half 2: minimum probability that a ≥ designCos pair
+    * survives bucketing, at any corpus size. */
+  val DefaultRecallTarget = 0.90
+
+  /** Band count holding the recall contract at corpus size n (planes
+    * per band from [[autoPlaneCount]]). See [[srpBandCountForPlanes]]. */
+  def srpBandCount(n: Long, designCos: Double = DefaultDesignCos,
+                   recallTarget: Double = DefaultRecallTarget,
+                   targetBucket: Int = DefaultTargetBucket,
+                   minPlanes: Int = DefaultMinPlanes): Int =
+    srpBandCountForPlanes(autoPlaneCount(n, targetBucket, minPlanes),
+      designCos, recallTarget)
+
+  /** Smallest band count b with 1 − (1 − q^p)^b ≥ recallTarget for
+    * q = 1 − acos(designCos)/π (a plane splits a designCos pair with
+    * probability acos(c)/π — Goemans–Williamson): b = ⌈ln(1/(1−R))/q^p⌉
+    * via the (1−x)^b ≤ e^(−bx) bound, so the ceiling is always
+    * sufficient, never just close. b grows as n^ρ (ρ = −log₂ q) — the
+    * declared price of flat recall; at the 0.92/0.90 defaults b = 7 at
+    * n = 2k, 12 at 20k, 21 at 400k, 94 at 10⁹.
+    *
+    * PARITY: transcendentals (acos/pow/log) run ONCE, here, driver-side;
+    * the oracle renders this function's Int output per plane count as
+    * SQL literals ([[graft.queries.VectorOracles.bandsCte]]), so both
+    * engines bucket with identical integers — no runtime libm on either
+    * side of the compare. */
+  def srpBandCountForPlanes(planes: Int,
+                            designCos: Double = DefaultDesignCos,
+                            recallTarget: Double = DefaultRecallTarget)
+      : Int = {
+    require(designCos > 0.0 && designCos < 1.0,
+      s"designCos out of (0,1): $designCos")
+    require(recallTarget > 0.0 && recallTarget < 1.0,
+      s"recallTarget out of (0,1): $recallTarget")
+    val q = 1.0 - math.acos(designCos) / math.Pi
+    val b = math.ceil(math.log(1.0 / (1.0 - recallTarget)) /
+      math.pow(q, planes))
+    require(b <= Int.MaxValue, s"band count overflow at planes=$planes")
+    math.max(1L, b.toLong).toInt
+  }
 
   /** knownN is a PARITY-SENSITIVE shortcut: the oracle derives the plane
     * count from COUNT(*) with the same [[autoPlaneCount]] rule, so a

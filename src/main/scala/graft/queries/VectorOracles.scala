@@ -54,6 +54,25 @@ object VectorOracles {
       s"(SELECT unnest(range($minPlanes, 64)) AS p) ps " +
       s"WHERE (((SELECT COUNT(*) FROM $table) - 1) >> p) < $targetBucket)"
 
+  /** CTE mapping the auto-sized plane count (`pl.planes` from
+    * [[planesCte]]) to the recall-contract band count — the oracle twin
+    * of [[graft.ops.VectorOps.srpBandCount]]. The transcendental math
+    * (acos/pow/log) runs ONCE, in the engine's own
+    * [[graft.ops.VectorOps.srpBandCountForPlanes]], and this CTE renders
+    * its Int output per possible plane count as SQL CASE literals — the
+    * two engines cannot derive different band counts, and DuckDB never
+    * touches libm for the sizing. */
+  def bandsCte(designCos: Double = graft.ops.VectorOps.DefaultDesignCos,
+               recallTarget: Double =
+                 graft.ops.VectorOps.DefaultRecallTarget,
+               minPlanes: Int = graft.ops.VectorOps.DefaultMinPlanes)
+      : String = {
+    val arms = (minPlanes to 63).map { p =>
+      s"WHEN $p THEN ${graft.ops.VectorOps.srpBandCountForPlanes(p, designCos, recallTarget)}"
+    }.mkString(" ")
+    s"bc AS (SELECT CASE planes $arms END AS bands FROM pl)"
+  }
+
   /** CTE computing the exact-decimal per-dimension mean of `table`'s
     * embedding column as a one-row list `mu` — the oracle twin of
     * [[graft.ops.VectorOps.dimensionMeans]]: the same DECIMAL(28,10)
@@ -316,16 +335,17 @@ object VectorOracles {
          |FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
          |WHERE ${cos("a.embedding", "b.embedding")} >= 0.2""".stripMargin,
 
-    // banded SRP: candidates from ANY of the DefaultBands band joins
-    // (band b = family planes [b*r, (b+1)*r)), deduped, then exact-
-    // cosine verified on the original vectors — the engine's
-    // srpBandedNearDupPairsAuto twin (bands read from the engine
-    // constant; planes-per-band from COUNT(*) via planesCte)
+    // banded SRP: candidates from ANY of the band joins (band b =
+    // family planes [b*r, (b+1)*r)), deduped, then exact-cosine
+    // verified on the original vectors — the engine's
+    // srpBandedNearDupPairsAuto twin (planes-per-band from COUNT(*)
+    // via planesCte; band count from the plane count via bandsCte,
+    // the recall-contract law rendered as literals)
     "q263_banded_srp_neardup" ->
       s"""WITH ${planesCte("embeddings")},
          |${muCte("embeddings")},
-         |bd AS (SELECT unnest(range(0,
-         |         ${graft.ops.VectorOps.DefaultBands})) AS band),
+         |${bandsCte()},
+         |bd AS (SELECT unnest(range(0, bands)) AS band FROM bc),
          |s AS (SELECT vec_id, band,
          |        ${srpSigDynCenteredBanded("embedding")} AS sig
          |      FROM embeddings CROSS JOIN pl CROSS JOIN mu CROSS JOIN bd),

@@ -62,11 +62,12 @@ object VectorQueries {
     VectorOps.srpNearDupPairsAuto(Tables.embeddings(s, dir), 0.2)
 
   /** q263: BANDED SRP near-dup pairs ([[VectorOps.srpBandedNearDupPairsAuto]],
-    * [[VectorOps.DefaultBands]] bands, planes-per-band auto-sized) — the
-    * high-recall multiple-hash-table form: a pair is a candidate when it
-    * collides in ANY band, so the result is a SUPERSET of q33's
-    * single-table pairs (band 0 IS q33's table). The oracle unions the
-    * same band joins from COUNT(*)-derived plane counts. */
+    * planes-per-band auto-sized, band count from the recall contract
+    * [[VectorOps.srpBandCount]]) — the high-recall multiple-hash-table
+    * form: a pair is a candidate when it collides in ANY band, so the
+    * result is a SUPERSET of q33's single-table pairs (band 0 IS q33's
+    * table). The oracle derives planes from COUNT(*) and bands from the
+    * plane count via the same literal-rendered law. */
   def qBandedSrpNearDup(s: SparkSession, dir: String): DataFrame =
     VectorOps.srpBandedNearDupPairsAuto(Tables.embeddings(s, dir), 0.2)
 

@@ -10,7 +10,9 @@ import graft.ops.VectorOps
   * recall is the question), then measures what fraction of planted pairs
   * the single-table operator vs the banded operator actually emits, with
   * wall time — so the banded tier's recall claim is a measured number
-  * per scale, not a formula (SURVEY §8.19).
+  * per scale, not a formula (SURVEY §8.19/§8.20). Prints the auto-sized
+  * planes and band count so the n^ρ cost law is on the record next to
+  * the recall it buys.
   *
   *   runMain graft.tools.SrpRecall dir1 [dir2 ...]
   */
@@ -29,6 +31,8 @@ object SrpRecall {
       val corpus = base.unionByName(planted)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n = corpus.count()
+      val planes = VectorOps.autoPlaneCount(n)
+      val bands = VectorOps.srpBandCountForPlanes(planes)
       // denominator: planted pairs whose TRUE cosine clears the verify
       // threshold (bucketing recall is measured against pairs the exact
       // verify would keep)
@@ -37,26 +41,34 @@ object SrpRecall {
             col("embedding").as("__e2")), "vec_id")
         .filter(VectorOps.cosine(col("embedding"), col("__e2")) >= minCos)
         .count()
-      def plantedFound(df: org.apache.spark.sql.DataFrame): Long =
-        df.filter(col("vec_b") - col("vec_a") === offset).count()
-      def timed(f: => Long): (Long, Double) = {
-        val t0 = System.nanoTime()
-        val r = f
-        (r, (System.nanoTime() - t0) / 1e9)
+      if (truePairs == 0) {
+        // a degenerate corpus has no recall to measure; emitting 0/0
+        // would print NaN into the JSON line (ADVICE r9)
+        System.err.println(s"SrpRecall: $dir has no planted pair above " +
+          s"cosine $minCos — skipping")
+      } else {
+        def plantedFound(df: org.apache.spark.sql.DataFrame): Long =
+          df.filter(col("vec_b") - col("vec_a") === offset).count()
+        def timed(f: => Long): (Long, Double) = {
+          val t0 = System.nanoTime()
+          val r = f
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val (s1, t1) = timed(plantedFound(
+          VectorOps.srpNearDupPairsAuto(corpus, minCos, knownN = Some(n))))
+        val (sb, tb) = timed(plantedFound(
+          VectorOps.srpBandedNearDupPairsAuto(corpus, minCos,
+            knownN = Some(n))))
+        def d3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
+          Double.box(v))
+        println(s"""{"srp_recall":{"dir":"$dir","n":$n,""" +
+          s""""planes":$planes,"bands":$bands,""" +
+          s""""planted":$truePairs,"single_found":$s1,""" +
+          s""""single_recall":${d3(s1.toDouble / truePairs)},""" +
+          s""""banded_found":$sb,""" +
+          s""""banded_recall":${d3(sb.toDouble / truePairs)},""" +
+          s""""single_secs":${d3(t1)},"banded_secs":${d3(tb)}}}""")
       }
-      val (s1, t1) = timed(plantedFound(
-        VectorOps.srpNearDupPairsAuto(corpus, minCos, knownN = Some(n))))
-      val (sb, tb) = timed(plantedFound(
-        VectorOps.srpBandedNearDupPairsAuto(corpus, minCos,
-          knownN = Some(n))))
-      def d3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
-        Double.box(v))
-      println(s"""{"srp_recall":{"dir":"$dir","n":$n,""" +
-        s""""planted":$truePairs,"single_found":$s1,""" +
-        s""""single_recall":${d3(s1.toDouble / truePairs)},""" +
-        s""""banded_found":$sb,""" +
-        s""""banded_recall":${d3(sb.toDouble / truePairs)},""" +
-        s""""single_secs":${d3(t1)},"banded_secs":${d3(tb)}}}""")
       corpus.unpersist()
     }
     spark.stop()

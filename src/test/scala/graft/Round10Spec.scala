@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.VectorOps
+
+/** Round-10 hardening: the banded-SRP recall contract — the r9 verdict's
+  * headline defect. The old default (fixed b = 4, planes-per-band =
+  * autoPlaneCount) let recall decay with n (measured 0.924@4k →
+  * 0.763@40k, extrapolating to ~0.06 at n = 10⁹); the new law holds
+  * recall ≥ DefaultRecallTarget at centered cosine ≥ DefaultDesignCos at
+  * ANY n by growing the band count as n^ρ ([[VectorOps.srpBandCount]]).
+  */
+class Round10Spec extends SparkSpecBase {
+
+  // ---- the sizing law itself (pure function, no Spark) ----
+
+  test("srpBandCountForPlanes: the ceiling bound is SUFFICIENT — " +
+      "1-(1-q^p)^b >= recallTarget at every plane count") {
+    val q = 1.0 - math.acos(VectorOps.DefaultDesignCos) / math.Pi
+    var prev = 0
+    (VectorOps.DefaultMinPlanes to 40).foreach { p =>
+      val b = VectorOps.srpBandCountForPlanes(p)
+      val recall = 1.0 - math.pow(1.0 - math.pow(q, p), b)
+      assert(recall >= VectorOps.DefaultRecallTarget,
+        s"p=$p b=$b recall=$recall")
+      assert(b >= prev, s"band count must be monotone in planes: p=$p")
+      prev = b
+    }
+  }
+
+  test("srpBandCount: pinned law values at the scales the engine runs " +
+      "(drift in constants or the formula breaks oracle parity)") {
+    val expected = Seq(200L -> (5, 5), 500L -> (6, 6), 2000L -> (8, 7),
+      20000L -> (12, 12), 400000L -> (16, 21), 1000000000L -> (27, 94))
+    expected.foreach { case (n, (p, b)) =>
+      assert(VectorOps.autoPlaneCount(n) == p, s"planes at n=$n")
+      assert(VectorOps.srpBandCount(n) == b, s"bands at n=$n")
+    }
+  }
+
+  // ---- the contract, measured ----
+
+  test("srpBandedNearDupPairsAuto: planted twins ABOVE the design " +
+      "cosine are recalled at >= the declared target") {
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // 0.75/0.25 blend with the dimension-reversed self: centered cosine
+    // ~ 0.75/sqrt(0.75^2+0.25^2) ~ 0.949 > DefaultDesignCos = 0.92, so
+    // the contract's floor applies to every planted pair
+    val planted = base.select((col("vec_id") + 1000000L).as("vec_id"),
+      zip_with(col("embedding"), reverse(col("embedding")),
+        (a, b) => a * lit(0.75f) + b * lit(0.25f)).as("embedding"))
+    val corpus = base.unionByName(planted).cache()
+    val truePairs = base.join(
+        planted.select((col("vec_id") - 1000000L).as("vec_id"),
+          col("embedding").as("__e2")), "vec_id")
+      .filter(VectorOps.cosine(col("embedding"), col("__e2")) >= 0.5)
+      .count()
+    assert(truePairs > 0)
+    def found(df: org.apache.spark.sql.DataFrame): Long =
+      df.filter(col("vec_b") - col("vec_a") === 1000000L).count()
+    val banded = found(VectorOps.srpBandedNearDupPairsAuto(corpus, 0.5))
+    val single = found(VectorOps.srpNearDupPairsAuto(corpus, 0.5))
+    val recall = banded.toDouble / truePairs
+    assert(recall >= VectorOps.DefaultRecallTarget,
+      s"banded recall $recall ($banded/$truePairs) below contract")
+    assert(banded >= single,
+      s"banded $banded must not lose pairs vs single-table $single")
+    corpus.unpersist()
+  }
+
+  test("srpBandedNearDupPairsAuto: band 0 is the auto single table, so " +
+      "auto-banded pairs are a superset of auto-single pairs") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val single = VectorOps.srpNearDupPairsAuto(vecs, 0.2)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = VectorOps.srpBandedNearDupPairsAuto(vecs, 0.2)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(single.subsetOf(banded),
+      s"missing: ${single.diff(banded).take(5)}")
+  }
+}
