@@ -150,45 +150,76 @@ object TextOracles {
     * engine's per-occurrence fold, since the fold is a pure function of
     * the word. */
   def bpeEncodeSql(numMerges: Int): String = {
-    def chars(e: String) = s"list_filter(string_split($e, ''), c -> c <> '')"
-    // one merge round applied to a syms column, merge pair read from the
-    // correlated 1-row t{k} CTE (DuckDB lambdas capture outer columns)
-    def applyMerge(k: Int) =
-      s"""CASE WHEN len(syms) <= 1 THEN syms
-         |      ELSE list_reduce(
-         |        list_prepend([syms[1]],
-         |          list_transform(syms[2:], c -> [c])),
-         |        (acc, x) -> CASE
-         |          WHEN acc[-1] = l$k AND x[1] = r$k
-         |          THEN list_append(acc[:len(acc) - 1], acc[-1] || x[1])
-         |          ELSE list_append(acc, x[1]) END) END""".stripMargin
-    def round(k: Int) =
-      s"""p$k AS (SELECT syms[i] AS l, syms[i + 1] AS r, SUM(n) AS c
-         |  FROM (SELECT syms, n, unnest(range(1, len(syms))) AS i
-         |        FROM v${k - 1})
-         |  GROUP BY 1, 2),
-         |t$k AS (SELECT l AS l$k, r AS r$k FROM p$k
-         |        ORDER BY c DESC, l ASC, r ASC LIMIT 1),
-         |v$k AS (SELECT ${applyMerge(k)} AS syms, n
-         |        FROM v${k - 1} CROSS JOIN t$k)""".stripMargin
-    def enc(k: Int) =
-      s"""e$k AS (SELECT w, ${applyMerge(k)} AS syms
-         |        FROM e${k - 1} CROSS JOIN t$k)""".stripMargin
-    val rounds = (1 to numMerges).map(round).mkString(",\n")
-    val encs = (1 to numMerges).map(enc).mkString(",\n")
-    s"""WITH tok0 AS (SELECT doc_id, $Tk AS tk FROM documents),
-       |wd AS (SELECT doc_id, unnest(tk) AS w FROM tok0),
-       |wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM wd GROUP BY w),
-       |v0 AS (SELECT ${chars("w")} AS syms, n FROM wf),
-       |$rounds,
+    val encs = (1 to numMerges).map(bpeEncRound).mkString(",\n")
+    s"""WITH ${bpeTrainCtes(numMerges)},
        |uw AS (SELECT DISTINCT w FROM wd),
-       |e0 AS (SELECT w, ${chars("w")} AS syms FROM uw),
+       |e0 AS (SELECT w, ${bpeChars("w")} AS syms FROM uw),
        |$encs
        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
        |  CAST(SUM(len(syms)) AS BIGINT) AS n_subwords,
        |  ROUND(CAST(SUM(len(syms)) AS DOUBLE) / COUNT(*), 6) AS fertility
        |FROM wd JOIN e$numMerges USING (w)
        |GROUP BY doc_id""".stripMargin
+  }
+
+  /** q134 oracle: the merge TABLE from the same unrolled-CTE trainer as
+    * [[bpeEncodeSql]] — round k's 1-row argmax t{k} (pair + its count at
+    * merge time) read back as rank-k of the learned vocabulary. Same
+    * tie-break (count desc, left asc, right asc — binary string order on
+    * both engines), same non-overlapping left-to-right merge fold
+    * between rounds, so the selected pairs are value-identical to the
+    * engine trainer's ([[graft.ops.Bpe.train]], its q134 readout
+    * [[graft.ops.Bpe.learnedMerges]]). */
+  def bpeMergesSql(numMerges: Int): String = {
+    val rows = (1 to numMerges).map { k =>
+      s"""SELECT $k AS rank, l$k AS "left", r$k AS "right",
+         |  c$k AS pair_count FROM t$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${bpeTrainCtes(numMerges)}
+       |$rows""".stripMargin
+  }
+
+  private def bpeChars(e: String) =
+    s"list_filter(string_split($e, ''), c -> c <> '')"
+
+  /** One merge round applied to a syms column, merge pair read from the
+    * correlated 1-row t{k} CTE (DuckDB lambdas capture outer columns). */
+  private def bpeApplyMerge(k: Int) =
+    s"""CASE WHEN len(syms) <= 1 THEN syms
+       |      ELSE list_reduce(
+       |        list_prepend([syms[1]],
+       |          list_transform(syms[2:], c -> [c])),
+       |        (acc, x) -> CASE
+       |          WHEN acc[-1] = l$k AND x[1] = r$k
+       |          THEN list_append(acc[:len(acc) - 1], acc[-1] || x[1])
+       |          ELSE list_append(acc, x[1]) END) END""".stripMargin
+
+  private def bpeRound(k: Int) =
+    s"""p$k AS (SELECT syms[i] AS l, syms[i + 1] AS r, SUM(n) AS c
+       |  FROM (SELECT syms, n, unnest(range(1, len(syms))) AS i
+       |        FROM v${k - 1})
+       |  GROUP BY 1, 2),
+       |t$k AS (SELECT l AS l$k, r AS r$k, CAST(c AS BIGINT) AS c$k
+       |        FROM p$k
+       |        ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+       |v$k AS (SELECT ${bpeApplyMerge(k)} AS syms, n
+       |        FROM v${k - 1} CROSS JOIN t$k)""".stripMargin
+
+  private def bpeEncRound(k: Int) =
+    s"""e$k AS (SELECT w, ${bpeApplyMerge(k)} AS syms
+       |        FROM e${k - 1} CROSS JOIN t$k)""".stripMargin
+
+  /** The shared training chain: corpus-once word frequencies (wd/wf),
+    * char-seed vocabulary v0, then `numMerges` unrolled rounds — each a
+    * pair-count aggregate p{k}, the argmax t{k}, and the merged
+    * vocabulary v{k}. */
+  private def bpeTrainCtes(numMerges: Int): String = {
+    val rounds = (1 to numMerges).map(bpeRound).mkString(",\n")
+    s"""tok0 AS (SELECT doc_id, $Tk AS tk FROM documents),
+       |wd AS (SELECT doc_id, unnest(tk) AS w FROM tok0),
+       |wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM wd GROUP BY w),
+       |v0 AS (SELECT ${bpeChars("w")} AS syms, n FROM wf),
+       |$rounds""".stripMargin
   }
 
   /** q264 oracle: the whole paragraph-dedup pipeline — paragraphize into
@@ -237,6 +268,7 @@ object TextOracles {
     "q264_paragraph_dedup" ->
       paragraphDedupSql(graft.queries.TextQueries.ParagraphTokens),
     "q137_bpe_encode" -> bpeEncodeSql(graft.queries.TextQueries.BpeMerges),
+    "q134_bpe_merges" -> bpeMergesSql(graft.queries.TextQueries.BpeMerges),
     "q69_heavy_hitters" ->
       s"""WITH tok0 AS (SELECT doc_id, $Tk AS tk FROM documents),
          |toks AS (SELECT unnest(tk) AS token FROM tok0),
