@@ -307,6 +307,7 @@ object SparkEntry {
     "q262_bounded_funnel"    -> Relational.q262ConstrainedFunnel _,
     "q263_banded_srp_neardup" -> VectorQueries.qBandedSrpNearDup _,
     "q264_paragraph_dedup"   -> TextQueries.qParagraphDedup _,
+    "q265_paragraph_dedup_hashed" -> TextQueries.qParagraphDedupHashed _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */

@@ -267,6 +267,10 @@ object TextOracles {
   val oracles: Map[String, String] = Map(
     "q264_paragraph_dedup" ->
       paragraphDedupSql(graft.queries.TextQueries.ParagraphTokens),
+    // q265 runs the HASHED engine path against the same exact-string
+    // SQL: the oracle never hashes, so the gate proves output parity
+    "q265_paragraph_dedup_hashed" ->
+      paragraphDedupSql(graft.queries.TextQueries.ParagraphTokens),
     "q137_bpe_encode" -> bpeEncodeSql(graft.queries.TextQueries.BpeMerges),
     "q134_bpe_merges" -> bpeMergesSql(graft.queries.TextQueries.BpeMerges),
     "q69_heavy_hitters" ->

@@ -907,16 +907,27 @@ object TextQueries {
     * dedup action, deterministic); each distinct paragraph survives only
     * at its corpus-minimal (doc, position) and docs reassemble in
     * original order. */
-  def qParagraphDedup(s: SparkSession, dir: String): DataFrame = {
+  def qParagraphDedup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.paragraphDedup(paragraphized(s, dir), "doc_id", "text")
+
+  /** q265: the HASH-KEYED paragraph dedup ([[Dedup.paragraphDedupHashed]],
+    * dedup shuffles carry two xxhash64 values instead of the paragraph
+    * string — the 100 TB spelling) gated against the SAME exact-string
+    * oracle as q264: the oracle never hashes, so a pass proves the hashed
+    * plan is output-identical to exact semantics on this corpus. */
+  def qParagraphDedupHashed(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.paragraphDedupHashed(paragraphized(s, dir), "doc_id",
+      "text")
+
+  private def paragraphized(s: SparkSession, dir: String): DataFrame = {
     val P = ParagraphTokens
     val tk = graft.ops.TextOps.tokens(col("text"))
-    val withPars = Tables.documents(s, dir).select(col("doc_id"),
+    Tables.documents(s, dir).select(col("doc_id"),
       when(size(tk) === 0, lit("")).otherwise(
         array_join(transform(
           sequence(lit(0), floor((size(tk) - 1) / lit(P)).cast("int")),
           i => array_join(slice(tk, i * P + 1, lit(P)), " ")), "\n\n"))
         .as("text"))
-    graft.ops.Dedup.paragraphDedup(withPars, "doc_id", "text")
   }
 
   /** Per-source CDF normalization of a quality signal (stopword ratio):

@@ -70,6 +70,31 @@ class Round10Spec extends SparkSpecBase {
     corpus.unpersist()
   }
 
+  // ---- hash-keyed paragraph dedup (the 100 TB shuffle-key variant) ----
+
+  test("paragraphDedupHashed: row-for-row identical to the exact-string " +
+      "path, including cross-doc duplicates and empty docs") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        // re-paragraphize the flat text so cross-doc duplicate
+        // paragraphs actually exist: 3-token chunks joined by blank
+        // lines (the q264 fixture shape)
+        concat_ws("\n\n", transform(
+          sequence(lit(0),
+            greatest(floor((size(split(col("text"), "\\s+")) - 1) / 3)
+              .cast("int"), lit(0))),
+          i => concat_ws(" ", slice(split(col("text"), "\\s+"),
+            i * 3 + 1, lit(3))))).as("text"))
+      .unionByName(Seq((900001L, ""), (900002L, "   ")).toDF("doc_id", "text"))
+    val exact = graft.ops.Dedup.paragraphDedup(docs, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val hashed = graft.ops.Dedup.paragraphDedupHashed(docs, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(exact == hashed,
+      s"diff: ${exact.diff(hashed).take(2)} / ${hashed.diff(exact).take(2)}")
+  }
+
   test("srpBandedNearDupPairsAuto: band 0 is the auto single table, so " +
       "auto-banded pairs are a superset of auto-single pairs") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
