@@ -460,6 +460,11 @@ object Sketches {
   val HllNumerator: Double =
     HllAlpha * HllM.toDouble * HllM.toDouble * HllScale.toDouble
 
+  /** Reserved rollup-row label shared by [[hllRollup]] and
+    * [[hllRelational]]; both guard against a data group carrying this
+    * exact value (ADVICE r7 — silent union-row aliasing). */
+  val AllLabel = "__all__"
+
   /** Linear-counting ln lookup: ln(m/z) for z = 1..m, 9-rounded ONCE on
     * the driver and rendered as decimal strings both engines parse (a
     * 9-decimal literal parses to the identical double under correctly-
@@ -470,11 +475,6 @@ object Sketches {
     * cross-engine float hazard in the estimator (ADVICE r7). The domain
     * is finite (n_zero ∈ [1, m]), so a literal table removes the libm
     * dependency entirely. */
-  /** Reserved rollup-row label shared by [[hllRollup]] and
-    * [[hllRelational]]; both guard against a data group carrying this
-    * exact value (ADVICE r7 — silent union-row aliasing). */
-  val AllLabel = "__all__"
-
   val HllLnLiterals: IndexedSeq[String] = (1 to HllM).map { z =>
     java.math.BigDecimal.valueOf(math.log(HllM.toDouble / z))
       .setScale(9, java.math.RoundingMode.HALF_UP).toPlainString

@@ -228,7 +228,17 @@ object VectorOps {
     * child project (select it as a column, then compute signatures from
     * the attribute) — zip_with is a non-codegen higher-order function,
     * and inlining it into every plane projection re-evaluates it per
-    * dot (measured 2.4× on the banded operator at sf1). */
+    * dot (measured 2.4× on the banded operator at sf1).
+    *
+    * FIXED-DIMENSION CONTRACT (ADVICE r9): every vector must have
+    * μ.length elements — the corpus dimensionality is pinned by the
+    * aggregated mean. On a ragged corpus zip_with would null-pad the
+    * short vector, the null propagates through the projection sum, and
+    * the sign bit silently lands 0 while the DuckDB oracle (folding
+    * len(embedding) terms) computes a real sign — a silent signature
+    * divergence. Ragged vectors are out of contract for the whole ANN
+    * tier (srpSignatureAuto pins dim from the head row); callers with
+    * untrusted input should length-filter before bucketing. */
   private def centeredColumn(df: DataFrame, vecCol: String)
       : (Column, Int) = {
     val mu = dimensionMeans(df, vecCol)
