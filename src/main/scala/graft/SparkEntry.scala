@@ -308,6 +308,8 @@ object SparkEntry {
     "q263_banded_srp_neardup" -> VectorQueries.qBandedSrpNearDup _,
     "q264_paragraph_dedup"   -> TextQueries.qParagraphDedup _,
     "q265_paragraph_dedup_hashed" -> TextQueries.qParagraphDedupHashed _,
+    "q266_quality_trainer"   -> TextQueries.qQualityTrainer _,
+    "q267_quality_scores"    -> TextQueries.qQualityScores _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */

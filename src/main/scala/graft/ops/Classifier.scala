@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Linear quality-classifier training — the "train the filter" step of a
+  * corpus pipeline (CCNet/GPT-3-style quality filtering trains a small
+  * linear classifier over cheap per-doc features, then scores the whole
+  * corpus with it). Full-batch gradient descent on logistic loss, with
+  * two deliberate exactness choices that make the trainer REPLAYABLE on
+  * any engine:
+  *
+  *  - the link is the RATIONAL sigmoid σ̂(z) = 0.5 + z / (2·(1 + |z|))
+  *    ("fast sigmoid") — pure +,·,/,abs arithmetic, so both engines
+  *    compute bit-identical activations; exp-based logistic would hang
+  *    the compare on last-ulp libm differences (the q226/HLL lesson).
+  *    σ̂ is monotone, bounded to (0,1), σ̂(0) = 1/2 — a standard drop-in
+  *    link for separation-style training.
+  *  - gradient components sum as DECIMAL(28,10) (the dsum pattern):
+  *    partition order cannot perturb the update, so training is
+  *    byte-reproducible under any parallelism, and the DuckDB oracle
+  *    unrolls the SAME rounds as static CTEs (the BPE-trainer pattern).
+  *
+  * Scale shape: each round is ONE corpus pass — a map-side-combinable
+  * aggregation to d+1 decimal sums (d = feature count, single-digit);
+  * the 1-row collect is driver-sized by contract and the updated weights
+  * re-enter the next round's expressions as LITERALS (no join, no
+  * broadcast table). K rounds = K corpus passes, exactly how production
+  * full-batch/L-BFGS trainers spend their I/O at 100 TB.
+  */
+object Classifier {
+
+  /** Trained model: bias + one weight per feature column, in input order. */
+  case class LinearModel(bias: Double, weights: Seq[Double])
+
+  /** σ̂(z) = 0.5 + z / (2·(1+|z|)) as a Column (pure arithmetic). */
+  def fastSigmoid(z: Column): Column =
+    lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+
+  private def score(m: LinearModel, feats: Seq[Column]): Column =
+    m.weights.zip(feats).foldLeft(lit(m.bias): Column) {
+      case (acc, (w, x)) => acc + lit(w) * x
+    }
+
+  /** `rounds` full-batch GD steps on logistic loss with the rational
+    * link: w ← w + lr · (Σ x·(y − σ̂(z)) / n), starting from all-zero
+    * weights. `labelCol` must be 0.0/1.0. Update arithmetic is pinned
+    * (decimal sum → double, divide by n, multiply by lr, add) so the
+    * oracle's unrolled CTE chain lands on identical doubles. */
+  def logisticTrain(df: DataFrame, featCols: Seq[Column],
+                    labelCol: Column, rounds: Int,
+                    lr: Double): LinearModel = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val d = featCols.size
+    require(d >= 1, "at least one feature column")
+    val n = df.count().toDouble
+    require(n > 0, "empty training frame")
+    var model = LinearModel(0.0, Seq.fill(d)(0.0))
+    for (_ <- 1 to rounds) {
+      val err = labelCol.cast("double") - fastSigmoid(score(model, featCols))
+      val sums = df.agg(
+        sum(err.cast("decimal(28,10)")).as("g_b"),
+        featCols.zipWithIndex.map { case (x, k) =>
+          sum((x * err).cast("decimal(28,10)")).as(s"g_$k")
+        }: _*).head()
+      // 1-row collect: d+1 decimals — driver-sized by contract
+      def g(i: Int): Double =
+        Option(sums.getDecimal(i)).map(_.doubleValue()).getOrElse(0.0)
+      model = LinearModel(
+        model.bias + lr * (g(0) / n),
+        (0 until d).map(k => model.weights(k) + lr * (g(k + 1) / n)))
+    }
+    model
+  }
+
+  /** Per-row classifier score σ̂(b + w·x) for a trained model — the
+    * corpus-scoring step (scan-side, zero shuffle). */
+  def logisticScore(m: LinearModel, featCols: Seq[Column]): Column =
+    fastSigmoid(score(m, featCols))
+}

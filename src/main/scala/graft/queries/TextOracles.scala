@@ -264,7 +264,81 @@ object TextOracles {
        |LEFT JOIN reb USING (doc_id)""".stripMargin
   }
 
+  /** q266/q267 oracle: the quality-classifier trainer replayed in DuckDB
+    * — [[graft.queries.TextQueries.TrainRounds]] full-batch GD rounds
+    * unrolled as static CTEs (the BPE-trainer pattern). Round k reads
+    * round k−1's weights through scalar subqueries, computes z =
+    * ((b + w1·x1) + w2·x2) + w3·x3 in the engine's exact left-assoc
+    * order, the rational sigmoid 0.5 + z/(2·(1+|z|)) (pure arithmetic —
+    * both engines' doubles identical), and updates w += lr · (decimal
+    * gradient sum → DOUBLE / n) with the parenthesization pinned to the
+    * engine's (`lr * (g / n)`, never `(lr*g)/n`). */
+  private def trainCtes(rounds: Int, lr: Double): String = {
+    def wref(k: Int, c: String) = s"(SELECT $c FROM r$k)"
+    // AS MATERIALIZED is load-bearing: DuckDB inlines CTEs by default,
+    // so round k's scalar subqueries would re-expand the whole k−1
+    // chain at every reference — exponential plan growth that hangs at
+    // 4 rounds. Materializing pins each round to run once.
+    def round(k: Int) = {
+      val p = k - 1
+      s"""z$k AS MATERIALIZED (SELECT y, x1, x2, x3,
+         |  ${wref(p, "b")} + ${wref(p, "w1")}*x1 + ${wref(p, "w2")}*x2
+         |    + ${wref(p, "w3")}*x3 AS z FROM f),
+         |e$k AS MATERIALIZED (SELECT y - (0.5 + z/(2*(1+abs(z)))) AS e,
+         |        x1, x2, x3 FROM z$k),
+         |r$k AS MATERIALIZED (SELECT
+         |  ${wref(p, "b")} + $lr * (CAST(SUM(CAST(e AS DECIMAL(28,10)))
+         |    AS DOUBLE) / (SELECT n FROM nn)) AS b,
+         |  ${wref(p, "w1")} + $lr * (CAST(SUM(CAST(x1*e AS DECIMAL(28,10)))
+         |    AS DOUBLE) / (SELECT n FROM nn)) AS w1,
+         |  ${wref(p, "w2")} + $lr * (CAST(SUM(CAST(x2*e AS DECIMAL(28,10)))
+         |    AS DOUBLE) / (SELECT n FROM nn)) AS w2,
+         |  ${wref(p, "w3")} + $lr * (CAST(SUM(CAST(x3*e AS DECIMAL(28,10)))
+         |    AS DOUBLE) / (SELECT n FROM nn)) AS w3
+         |  FROM e$k)""".stripMargin
+    }
+    val thr = graft.queries.TextQueries.TrainLabelTokens
+    s"""f AS MATERIALIZED (SELECT doc_id,
+       |    CASE WHEN len(tk) >= $thr THEN 1.0 ELSE 0.0 END AS y,
+       |    CASE WHEN len(tk) = 0 THEN 0.0
+       |      ELSE CAST(len(list_filter(tk, t -> t IN ($stopwords)))
+       |        AS DOUBLE) / len(tk) END AS x1,
+       |    (CASE WHEN len(tk) = 0 THEN 0.0
+       |      ELSE CAST(length(text) AS DOUBLE) / len(tk) END) / 10 AS x2,
+       |    CAST(len(tk) AS DOUBLE) / 100 AS x3
+       |  FROM (SELECT doc_id, text, $Tk AS tk FROM documents) t),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM f),
+       |r0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+       |${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q266_quality_trainer" -> {
+      val R = graft.queries.TextQueries.TrainRounds
+      s"""WITH ${trainCtes(R, graft.queries.TextQueries.TrainLr)}
+         |SELECT 'bias' AS feature, ROUND(b, 6) AS weight FROM r$R
+         |UNION ALL
+         |SELECT 'stopword_ratio', ROUND(w1, 6) FROM r$R
+         |UNION ALL
+         |SELECT 'chars_per_token_10', ROUND(w2, 6) FROM r$R
+         |UNION ALL
+         |SELECT 'tokens_100', ROUND(w3, 6) FROM r$R""".stripMargin
+    },
+
+    "q267_quality_scores" -> {
+      val R = graft.queries.TextQueries.TrainRounds
+      s"""WITH ${trainCtes(R, graft.queries.TextQueries.TrainLr)},
+         |sc AS (SELECT doc_id, y,
+         |    (SELECT b FROM r$R) + (SELECT w1 FROM r$R)*x1
+         |      + (SELECT w2 FROM r$R)*x2 + (SELECT w3 FROM r$R)*x3 AS z
+         |  FROM f)
+         |SELECT doc_id,
+         |  ROUND(0.5 + z/(2*(1+abs(z))), 6) AS quality_score,
+         |  (0.5 + z/(2*(1+abs(z)))) >= 0.5 AS keep,
+         |  y = 1.0 AS is_long
+         |FROM sc""".stripMargin
+    },
+
     "q264_paragraph_dedup" ->
       paragraphDedupSql(graft.queries.TextQueries.ParagraphTokens),
     // q265 runs the HASHED engine path against the same exact-string

@@ -55,6 +55,14 @@ object TextQueries {
 
   // q132 prefix-dedup width (tokens)
   val PrefixTokens = 8
+  // q266/q267 quality-classifier trainer: full-batch GD rounds, rate,
+  // and the demo label's token threshold (the synthetic corpus' lang
+  // column is INDEPENDENT of its text, so a lang label would be
+  // unlearnable; doc length is a signal the features genuinely carry —
+  // trained accuracy 0.818 vs 0.516 majority at sf0.01)
+  val TrainRounds = 4
+  val TrainLr = 4.0
+  val TrainLabelTokens = 54
   // q134 BPE merge rounds
   val BpeMerges = 8
   // q143 phrase tokens (adjacent)
@@ -928,6 +936,55 @@ object TextQueries {
           sequence(lit(0), floor((size(tk) - 1) / lit(P)).cast("int")),
           i => array_join(slice(tk, i * P + 1, lit(P)), " ")), "\n\n"))
         .as("text"))
+  }
+
+  /** The q266/q267 training frame: label = "is this doc long"
+    * (≥ [[TrainLabelTokens]] tokens — the one signal this synthetic
+    * corpus' text genuinely carries; its lang column is independent of
+    * the text, so a language label would be unlearnable), features =
+    * stopword ratio (≈ noise here — the trainer measurably down-weights
+    * it), chars-per-token scaled to O(1), and tokens/100 (the carrier).
+    */
+  private def trainFrame(s: SparkSession, dir: String): DataFrame = {
+    val q = TextOps.qualityFeatures(col("text"))
+    Tables.documents(s, dir).select(col("doc_id"),
+      when(q.getField("n_tokens") >= TrainLabelTokens, lit(1.0))
+        .otherwise(lit(0.0)).as("y"),
+      q.getField("stopword_ratio").as("x1"),
+      (q.getField("chars_per_token") / 10).as("x2"),
+      (q.getField("n_tokens") / lit(100.0)).as("x3"))
+  }
+
+  private def trainedModel(s: SparkSession, dir: String) =
+    graft.ops.Classifier.logisticTrain(trainFrame(s, dir),
+      Seq(col("x1"), col("x2"), col("x3")), col("y"), TrainRounds, TrainLr)
+
+  /** q266: quality-classifier TRAINING ([[graft.ops.Classifier]]) — the
+    * CCNet/GPT-3-style "train the filter" step as [[TrainRounds]]
+    * full-batch GD rounds on logistic loss with the rational sigmoid
+    * (pure arithmetic — no libm) and decimal-exact gradient sums. The
+    * oracle re-derives the SAME weights from the corpus by unrolling the
+    * rounds as static CTEs (the BPE-trainer pattern), so the gate proves
+    * the whole training chain cross-engine, not just the readout. */
+  def qQualityTrainer(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = trainedModel(s, dir)
+    Seq(("bias", m.bias), ("stopword_ratio", m.weights(0)),
+      ("chars_per_token_10", m.weights(1)), ("tokens_100", m.weights(2)))
+      .toDF("feature", "weight")
+      .select(col("feature"), round(col("weight"), 6).as("weight"))
+  }
+
+  /** q267: corpus scoring under the q266-trained model — the scan-side
+    * apply step (zero shuffle beyond the scan): per-doc σ̂(b + w·x) and
+    * the keep decision at the 0.5 boundary. */
+  def qQualityScores(s: SparkSession, dir: String): DataFrame = {
+    val m = trainedModel(s, dir)
+    val f = trainFrame(s, dir)
+    val sc = graft.ops.Classifier.logisticScore(m,
+      Seq(col("x1"), col("x2"), col("x3")))
+    f.select(col("doc_id"), round(sc, 6).as("quality_score"),
+      (sc >= 0.5).as("keep"), (col("y") === 1.0).as("is_long"))
   }
 
   /** Per-source CDF normalization of a quality signal (stopword ratio):

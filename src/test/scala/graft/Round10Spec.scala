@@ -70,6 +70,38 @@ class Round10Spec extends SparkSpecBase {
     corpus.unpersist()
   }
 
+  // ---- quality-classifier trainer (q266/q267) ----
+
+  test("logisticTrain: separates a planted linearly separable set, and " +
+      "the decimal gradient sums make training partition-invariant") {
+    import spark.implicits._
+    val df = (0 until 1000)
+      .map(i => (i / 1000.0, if (i >= 500) 1.0 else 0.0))
+      .toDF("x", "y")
+    def train(parts: Int) = graft.ops.Classifier.logisticTrain(
+      df.repartition(parts), Seq(col("x")), col("y"), rounds = 8, lr = 8.0)
+    val m1 = train(1)
+    val m13 = train(13)
+    assert(m1 == m13, s"$m1 vs $m13 — partition order leaked into training")
+    val acc = df.select(
+        (graft.ops.Classifier.logisticScore(m1, Seq(col("x"))) >= 0.5)
+          .cast("int") === col("y").cast("int")).as[Boolean]
+      .collect().count(identity) / 1000.0
+    assert(acc >= 0.9, s"trained accuracy $acc")
+  }
+
+  test("q267: the trained filter beats the majority class on the " +
+      "planted length label") {
+    val scored = graft.queries.TextQueries.qQualityScores(spark, sf)
+      .select(col("keep"), col("is_long")).collect()
+    val n = scored.length.toDouble
+    val acc = scored.count(r => r.getBoolean(0) == r.getBoolean(1)) / n
+    val posFrac = scored.count(_.getBoolean(1)) / n
+    val majority = math.max(posFrac, 1 - posFrac)
+    assert(acc > majority && acc >= 0.7,
+      s"accuracy $acc vs majority $majority")
+  }
+
   // ---- hash-keyed paragraph dedup (the 100 TB shuffle-key variant) ----
 
   test("paragraphDedupHashed: row-for-row identical to the exact-string " +
