@@ -53,19 +53,26 @@ object Classifier {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val d = featCols.size
     require(d >= 1, "at least one feature column")
-    val n = df.count().toDouble
-    require(n > 0, "empty training frame")
+    // n rides round 1's aggregation (count does not depend on weights):
+    // K rounds = K corpus passes, not K + 1 — at 100 TB the saved pass
+    // is the same I/O as a whole training round
+    var n = 0.0
     var model = LinearModel(0.0, Seq.fill(d)(0.0))
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val err = labelCol.cast("double") - fastSigmoid(score(model, featCols))
       val sums = df.agg(
-        sum(err.cast("decimal(28,10)")).as("g_b"),
-        featCols.zipWithIndex.map { case (x, k) =>
-          sum((x * err).cast("decimal(28,10)")).as(s"g_$k")
-        }: _*).head()
-      // 1-row collect: d+1 decimals — driver-sized by contract
+        count(lit(1)).as("n"),
+        sum(err.cast("decimal(28,10)")).as("g_b") +:
+          featCols.zipWithIndex.map { case (x, k) =>
+            sum((x * err).cast("decimal(28,10)")).as(s"g_$k")
+          }: _*).head()
+      if (r == 1) {
+        n = sums.getLong(0).toDouble
+        require(n > 0, "empty training frame")
+      }
+      // 1-row collect: a count + d+1 decimals — driver-sized by contract
       def g(i: Int): Double =
-        Option(sums.getDecimal(i)).map(_.doubleValue()).getOrElse(0.0)
+        Option(sums.getDecimal(i + 1)).map(_.doubleValue()).getOrElse(0.0)
       model = LinearModel(
         model.bias + lr * (g(0) / n),
         (0 until d).map(k => model.weights(k) + lr * (g(k + 1) / n)))
