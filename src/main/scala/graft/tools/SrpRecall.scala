@@ -15,14 +15,31 @@ import graft.ops.VectorOps
   * the recall it buys.
   *
   *   runMain graft.tools.SrpRecall dir1 [dir2 ...]
+  *
+  * An argument of the form `synth:N` measures over N deterministic
+  * synthetic base vectors (dim 64, hash-derived near-uniform entries —
+  * isotropic like the testdata) instead of a parquet dir: the parquet
+  * corpora stop at 200k rows, and the contract's whole point is the
+  * n → 10⁹ regime, so the law gets checked beyond what the driver ships.
   */
 object SrpRecall {
+  private def synthBase(spark: org.apache.spark.sql.SparkSession,
+                        n: Long): org.apache.spark.sql.DataFrame = {
+    val dim = 64
+    spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        j => ((pmod(xxhash64(col("id"), j), lit(2001L)) - 1000L)
+          .cast("double") / 1000.0).cast("float")).as("embedding"))
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = graft.core.Sessions.local()
     spark.sparkContext.setLogLevel("WARN")
     val minCos = 0.5
     args.foreach { dir =>
-      val base = graft.core.Tables.embeddings(spark, dir)
+      val base = (if (dir.startsWith("synth:"))
+          synthBase(spark, dir.stripPrefix("synth:").toLong)
+        else graft.core.Tables.embeddings(spark, dir))
         .select(col("vec_id"), col("embedding"))
       val offset = 1000000000000L
       val planted = base.select((col("vec_id") + offset).as("vec_id"),
