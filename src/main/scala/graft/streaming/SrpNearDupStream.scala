@@ -53,6 +53,22 @@ object SrpNearDupStream {
         planeOffset = b * planesPerBand)): _*)
   }
 
+  /** [[candidates]] with (planes, bands) derived from the EXPECTED
+    * corpus size by the batch tier's recall contract
+    * ([[VectorOps.autoPlaneCount]] / [[VectorOps.srpBandCount]]) — a
+    * stream cannot count itself, so the caller declares the scale the
+    * ingest is sized for (same posture as `mu`: both come from the
+    * batch profile of the reference corpus). */
+  def candidatesAuto(vecs: DataFrame, mu: Seq[Double], expectedN: Long,
+                     watermarkDelay: String = "1 hour",
+                     minEstCos: Double = 0.5,
+                     maxBucketDocs: Int = 64): Dataset[Candidate] = {
+    require(expectedN > 0, s"expectedN must be > 0, got $expectedN")
+    candidates(vecs, mu, VectorOps.srpBandCount(expectedN),
+      VectorOps.autoPlaneCount(expectedN), watermarkDelay, minEstCos,
+      maxBucketDocs)
+  }
+
   /** @param vecs stream (or batch frame) with vec_id, ts, embedding
     * @param mu per-dimension mean of the reference corpus (drives
     *           centering; length pins the dimensionality)
