@@ -4,12 +4,22 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{AccentFold, CountIn, InterleaveBits, JaroWinkler, JumpHash, PolyHash, ShingleHashes, VecDot}
+import graft.functions.{AccentFold, CountIn, InterleaveBits, JaroWinkler, JumpHash, PolyHash, ShingleHashes, SrpBandedSig, VecDot}
 
 /** Engine extensions, injected via spark.sql.extensions (set by
   * [[graft.core.Sessions]]). Registers the native expressions so they are
   * callable from SQL and via functions.call_function. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def foldableInt(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      what: String): Int = e match {
+    case l: org.apache.spark.sql.catalyst.expressions.Literal
+        if l.foldable && l.value != null =>
+      l.value.toString.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("poly_hash"),
@@ -48,6 +58,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         JaroWinkler(children(0), children(1))))
     // optimizer tier: naive |a−b| <= c joins become banded equi-joins
     ext.injectOptimizerRule(_ => graft.plans.ProximityJoinRewrite)
+    ext.injectFunction((
+      FunctionIdentifier("srp_banded_sig"),
+      new ExpressionInfo(classOf[SrpBandedSig].getName, "srp_banded_sig"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SrpBandedSig(children(0),
+          foldableInt(children(1), "srp_banded_sig bands"),
+          foldableInt(children(2), "srp_banded_sig planesPerBand"))))
     ext.injectFunction((
       FunctionIdentifier("jump_hash"),
       new ExpressionInfo(classOf[JumpHash].getName, "jump_hash"),

@@ -735,18 +735,19 @@ object VectorOps {
     // per-band plane count is bounded by srpSignature's [1, 63]; the
     // band count only moves the family offset (the family is unbounded)
     require(bands >= 1, s"bands must be >= 1, got $bands")
-    val (centered, dim) = centeredColumn(vecs, vecCol)
-    // materialize the centered array ONCE per row in a child project:
-    // the bands·planes projections in the Generate node then read the
-    // attribute instead of re-evaluating the (non-codegen higher-order)
-    // zip_with once per plane dot (see centeredColumn)
+    val (centered, _) = centeredColumn(vecs, vecCol)
+    // materialize the centered array ONCE per row in a child project
+    // (zip_with is non-codegen — see centeredColumn), then compute ALL
+    // band signatures in ONE native kernel call
+    // (functions.SrpBandedSig): the unrolled bands·planes vec_dot form
+    // breaks whole-stage codegen past ~300 planes ("Code grows beyond
+    // 64 KB", measured at the contract's own sizing for n = 4M) and
+    // silently falls back to interpreted evaluation exactly where the
+    // operator is meant to scale. posexplode's position IS the band id.
     val sigs = vecs.select(col(idCol), centered.as("__c"))
-      .select(col(idCol), explode(array(
-        (0 until bands).map(b => struct(
-          lit(b).as("band"),
-          srpSignature(col("__c"), planesPerBand, dim,
-            planeOffset = b * planesPerBand).as("sig"))): _*)).as("bs"))
-      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .select(col(idCol), call_function("srp_banded_sig", col("__c"),
+        lit(bands), lit(planesPerBand)).as("__sigs"))
+      .select(col(idCol), posexplode(col("__sigs")).as(Seq("band", "sig")))
     val cand = sigs.select(col(idCol).as("vec_a"), col("band"), col("sig"))
       .join(sigs.select(col(idCol).as("vec_b"), col("band"), col("sig")),
         Seq("band", "sig"))

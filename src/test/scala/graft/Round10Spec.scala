@@ -70,6 +70,27 @@ class Round10Spec extends SparkSpecBase {
     corpus.unpersist()
   }
 
+  // ---- native all-bands SRP kernel ----
+
+  test("srp_banded_sig: bit-identical to the unrolled per-band " +
+      "srpSignature on real vectors (same fold order, same plane family)") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val bands = 5
+    val p = 9
+    val dim = vecs.select(size(col("v"))).head().getInt(0)
+    val unrolled = vecs.select(col("vec_id"), array(
+      (0 until bands).map(b =>
+        VectorOps.srpSignature(col("v"), p, dim,
+          planeOffset = b * p)): _*).as("sigs"))
+    val native = vecs.select(col("vec_id"),
+      call_function("srp_banded_sig", col("v"), lit(bands), lit(p))
+        .as("sigs"))
+    assert(native.exceptAll(unrolled).count() == 0)
+    assert(unrolled.exceptAll(native).count() == 0)
+  }
+
   // ---- quality-classifier trainer (q266/q267) ----
 
   test("logisticTrain: separates a planted linearly separable set, and " +
