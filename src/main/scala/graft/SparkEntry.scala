@@ -310,6 +310,7 @@ object SparkEntry {
     "q265_paragraph_dedup_hashed" -> TextQueries.qParagraphDedupHashed _,
     "q266_quality_trainer"   -> TextQueries.qQualityTrainer _,
     "q267_quality_scores"    -> TextQueries.qQualityScores _,
+    "q268_margin_mining"     -> VectorQueries.qMarginMining _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */

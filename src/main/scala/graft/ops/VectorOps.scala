@@ -906,6 +906,80 @@ object VectorOps {
       .filter(col("__n") === 2).drop("__n")
   }
 
+  /** MARGIN-criterion bitext/pair mining (Artetxe & Schwenk, ACL'19 —
+    * the LASER/CCMatrix scorer): a cross-label pair qualifies not by its
+    * absolute cosine but by how much it stands out from each side's
+    * NEIGHBORHOOD — margin(a,b) = cos(a,b) / ((avgₖ(a) + avgₖ(b)) / 2),
+    * avgₖ(x) = mean cosine of x to its k best cross-label candidates.
+    * Hubness is the failure this fixes: a "hub" vector is everyone's
+    * near-neighbor, so absolute-cosine mining floods it with false
+    * pairs; dividing by the neighborhood average deflates hubs and
+    * promotes pairs that are MUTUALLY exceptional.
+    *
+    * Scale shape: candidates come from the same shared-bucket join as
+    * [[mutualNeighbors]] (cost ∝ Σ bucket², never corpus²); the per-side
+    * average is a rank-≤ k window (WindowGroupLimit-prunable) over the
+    * candidate sliver, summed as DECIMAL(18,6) of the 6-rounded cosines
+    * (order-invariant — the cosines are exact decimals after rounding);
+    * the margin join re-attaches two id-keyed averages, never vectors.
+    * Denominator ≤ 0 (pathological all-negative neighborhoods) is
+    * filtered rather than emitted as ±Inf. */
+  def marginMiningPairs(vecs: DataFrame, numPlanes: Int, k: Int,
+                        minMargin: Double,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        labelCol: String = "label"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val (centered, dim) = centeredColumn(vecs, vecCol)
+    val sig = vecs
+      .select(col(idCol), col(vecCol), col(labelCol), centered.as("__c"))
+      .select(col(idCol), col(vecCol), col(labelCol),
+        srpSignature(col("__c"), numPlanes, dim).as("sig"))
+    val l = sig.select(col(idCol).as("__src"), col(vecCol).as("__sv"),
+      col(labelCol).as("__sl"), col("sig"))
+    val r = sig.select(col(idCol).as("__dst"), col(vecCol).as("__dv"),
+      col(labelCol).as("__dl"), col("sig"))
+    val cand = l.join(r, "sig")
+      .filter(col("__sl") =!= col("__dl"))
+      .select(col("__src"), col("__dst"),
+        round(cosine(col("__sv"), col("__dv")), 6).as("__cos"))
+      // a pair sharing several buckets is ONE candidate (and one
+      // neighborhood member), not a vote per bucket
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__src"))
+      .orderBy(col("__cos").desc, col("__dst").asc)
+    val avg = cand.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(col("__src"))
+      .agg((sum(col("__cos").cast("decimal(18,6)")).cast("double") /
+        count(lit(1))).as("__avg"))
+    cand.filter(col("__src") < col("__dst"))
+      .join(avg.select(col("__src"), col("__avg").as("__da")), "__src")
+      .join(avg.select(col("__src").as("__dst"), col("__avg").as("__db")),
+        "__dst")
+      .withColumn("__den", (col("__da") + col("__db")) / 2)
+      .filter(col("__den") > 0)
+      .withColumn("margin", round(col("__cos") / col("__den"), 6))
+      .filter(col("margin") >= minMargin)
+      .select(col("__src").as("vec_a"), col("__dst").as("vec_b"),
+        col("__cos").as("cos_sim"), col("margin"))
+  }
+
+  /** [[marginMiningPairs]] with the plane count from [[autoPlaneCount]]
+    * — candidate volume stays linear in n. */
+  def marginMiningPairsAuto(vecs: DataFrame, k: Int, minMargin: Double,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            labelCol: String = "label",
+                            targetBucket: Int = DefaultTargetBucket,
+                            knownN: Option[Long] = None): DataFrame = {
+    knownN.foreach(validateKnownN(_, "marginMiningPairsAuto"))
+    marginMiningPairs(vecs,
+      autoPlaneCount(knownN.getOrElse(vecs.count()), targetBucket),
+      k, minMargin, idCol, vecCol, labelCol)
+  }
+
   /** [[mutualNeighbors]] with the plane count sized to the corpus by
     * [[autoPlaneCount]] — the production spelling (a pinned plane count
     * makes candidate volume grow n²/2^planes; this keeps it linear).

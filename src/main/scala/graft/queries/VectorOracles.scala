@@ -384,6 +384,39 @@ object VectorOracles {
          |SELECT vec_a, vec_b, MAX(cs) AS cos_sim
          |FROM b1 GROUP BY vec_a, vec_b HAVING COUNT(*) = 2""".stripMargin,
 
+    // margin mining: same bucket candidates as q246 (deduped — a pair
+    // sharing several buckets is one candidate), per-src rank-<=k
+    // neighborhood average as DECIMAL(18,6) sum of the 6-rounded
+    // cosines (order-invariant), margin = cs / ((da + db)/2) in the
+    // engine's exact arithmetic order, positive-denominator guard
+    "q268_margin_mining" -> {
+      val k = graft.queries.VectorQueries.MarginK
+      val mm = graft.queries.VectorQueries.MinMargin
+      s"""WITH ${planesCte("embeddings")},
+         |${muCte("embeddings")},
+         |s AS (SELECT vec_id, embedding, label,
+         |        ${srpSigDynCentered("embedding")} AS sig
+         |      FROM embeddings CROSS JOIN pl CROSS JOIN mu),
+         |cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+         |    ROUND(${cos("a.embedding", "b.embedding")}, 6) AS cs
+         |  FROM s a JOIN s b ON a.sig = b.sig AND a.label <> b.label),
+         |rk AS (SELECT src, cs,
+         |    row_number() OVER (PARTITION BY src
+         |      ORDER BY cs DESC, dst ASC) AS rn
+         |  FROM cand),
+         |av AS (SELECT src,
+         |    CAST(SUM(CAST(cs AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+         |      AS avgc
+         |  FROM rk WHERE rn <= $k GROUP BY src)
+         |SELECT c.src AS vec_a, c.dst AS vec_b, c.cs AS cos_sim,
+         |  ROUND(c.cs / ((da.avgc + db.avgc) / 2), 6) AS margin
+         |FROM cand c
+         |JOIN av da ON da.src = c.src
+         |JOIN av db ON db.src = c.dst
+         |WHERE c.src < c.dst AND (da.avgc + db.avgc) / 2 > 0
+         |  AND ROUND(c.cs / ((da.avgc + db.avgc) / 2), 6) >= $mm""".stripMargin
+    },
+
     // one Lloyd round from deterministic seeds: same Knuth-remixed seed
     // order (Sampling.sampleHash twin), same cosine assignment with
     // centroid_id tiebreak, same exact-decimal means; seeds with no

@@ -436,4 +436,19 @@ object VectorQueries {
     * same integer rule from COUNT(*). */
   def qMutualNeighbors(s: SparkSession, dir: String): DataFrame =
     VectorOps.mutualNeighborsAuto(Tables.embeddings(s, dir))
+
+  // q268 margin mining: neighborhood size + margin threshold
+  val MarginK = 3
+  val MinMargin = 1.05
+
+  /** q268: margin-criterion pair mining ([[VectorOps.marginMiningPairsAuto]],
+    * Artetxe & Schwenk margin = cos / mean-of-side-neighborhood-avgs) —
+    * the hubness-robust upgrade of q246's absolute-cosine mutual miner:
+    * a pair qualifies by standing out from BOTH sides' candidate
+    * neighborhoods, not by raw similarity. Same SRP-bucket candidate
+    * plan; the oracle replays the rank-≤ k neighborhood average and the
+    * margin arithmetic value-exactly. */
+  def qMarginMining(s: SparkSession, dir: String): DataFrame =
+    VectorOps.marginMiningPairsAuto(Tables.embeddings(s, dir), MarginK,
+      MinMargin)
 }

@@ -91,6 +91,34 @@ class Round10Spec extends SparkSpecBase {
     assert(unrolled.exceptAll(native).count() == 0)
   }
 
+  // ---- margin-criterion pair mining (q268) ----
+
+  test("marginMiningPairs: a planted exceptional cross-label twin is " +
+      "mined with margin above its neighborhood; output is canonical " +
+      "and threshold-clean") {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    // plant: an off-label near-copy of vector 0 — exceptional vs the
+    // random cross-label neighborhood, so the margin criterion must
+    // keep it
+    val twin = base.filter(col("vec_id") === 0)
+      .select(lit(9000000L).as("vec_id"),
+        zip_with(col("embedding"), reverse(col("embedding")),
+          (a, b) => a * lit(0.95f) + b * lit(0.05f)).as("embedding"),
+        lit(-999).cast(base.schema("label").dataType).as("label"))
+    val corpus = base.unionByName(twin)
+    val out = graft.ops.VectorOps.marginMiningPairsAuto(corpus, k = 3,
+      minMargin = 1.05).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs must be canonical a<b")
+      assert(r.getDouble(3) >= 1.05, s"margin below threshold: $r")
+    }
+    assert(out.exists(r => r.getLong(0) == 0L && r.getLong(1) == 9000000L),
+      "planted exceptional pair not mined")
+  }
+
   // ---- quality-classifier trainer (q266/q267) ----
 
   test("logisticTrain: separates a planted linearly separable set, and " +
