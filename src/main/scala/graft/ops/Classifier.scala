@@ -53,31 +53,43 @@ object Classifier {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val d = featCols.size
     require(d >= 1, "at least one feature column")
-    // n rides round 1's aggregation (count does not depend on weights):
-    // K rounds = K corpus passes, not K + 1 — at 100 TB the saved pass
-    // is the same I/O as a whole training round
-    var n = 0.0
-    var model = LinearModel(0.0, Seq.fill(d)(0.0))
-    for (r <- 1 to rounds) {
-      val err = labelCol.cast("double") - fastSigmoid(score(model, featCols))
-      val sums = df.agg(
-        count(lit(1)).as("n"),
-        sum(err.cast("decimal(28,10)")).as("g_b") +:
-          featCols.zipWithIndex.map { case (x, k) =>
-            sum((x * err).cast("decimal(28,10)")).as(s"g_$k")
-          }: _*).head()
-      if (r == 1) {
-        n = sums.getLong(0).toDouble
-        require(n > 0, "empty training frame")
+    // Feature expressions evaluate ONCE: the projected (y, x…) frame —
+    // d+1 doubles per row, a sliver of any corpus whose features come
+    // from text — is persisted and every round scans it instead of
+    // re-running tokenization/feature extraction per round (measured
+    // 4 rounds × full tokenize = most of q266's sf10 wall before this).
+    // The oracle's materialized feature CTE is the same shape.
+    val proj = df.select(labelCol.cast("double").as("__y") +:
+        featCols.zipWithIndex.map { case (x, k) =>
+          x.cast("double").as(s"__x$k") }: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // n rides round 1's aggregation (count does not depend on the
+      // weights): K rounds = K passes, not K + 1
+      var n = 0.0
+      var model = LinearModel(0.0, Seq.fill(d)(0.0))
+      val xs = (0 until d).map(k => col(s"__x$k"))
+      for (r <- 1 to rounds) {
+        val err = col("__y") - fastSigmoid(score(model, xs))
+        val sums = proj.agg(
+          count(lit(1)).as("n"),
+          sum(err.cast("decimal(28,10)")).as("g_b") +:
+            xs.zipWithIndex.map { case (x, k) =>
+              sum((x * err).cast("decimal(28,10)")).as(s"g_$k")
+            }: _*).head()
+        if (r == 1) {
+          n = sums.getLong(0).toDouble
+          require(n > 0, "empty training frame")
+        }
+        // 1-row collect: a count + d+1 decimals — driver-sized by contract
+        def g(i: Int): Double =
+          Option(sums.getDecimal(i + 1)).map(_.doubleValue()).getOrElse(0.0)
+        model = LinearModel(
+          model.bias + lr * (g(0) / n),
+          (0 until d).map(k => model.weights(k) + lr * (g(k + 1) / n)))
       }
-      // 1-row collect: a count + d+1 decimals — driver-sized by contract
-      def g(i: Int): Double =
-        Option(sums.getDecimal(i + 1)).map(_.doubleValue()).getOrElse(0.0)
-      model = LinearModel(
-        model.bias + lr * (g(0) / n),
-        (0 until d).map(k => model.weights(k) + lr * (g(k + 1) / n)))
-    }
-    model
+      model
+    } finally proj.unpersist()
   }
 
   /** Per-row classifier score σ̂(b + w·x) for a trained model — the
