@@ -91,6 +91,18 @@ class Round10Spec extends SparkSpecBase {
     assert(unrolled.exceptAll(native).count() == 0)
   }
 
+  test("srp_banded_sig: a null element nulls the whole signature array " +
+      "(the unrolled form's vec_dot null propagation, pinned)") {
+    import spark.implicits._
+    val df = Seq((1L, Seq[java.lang.Double](1.0, -2.0, 3.0)),
+        (2L, Seq[java.lang.Double](1.0, null, 3.0)))
+      .toDF("vec_id", "v")
+    val out = df.select(col("vec_id"),
+        call_function("srp_banded_sig", col("v"), lit(2), lit(4)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(out(1L) == false && out(2L) == true, s"$out")
+  }
+
   // ---- margin-criterion pair mining (q268) ----
 
   test("marginMiningPairs: a planted exceptional cross-label twin is " +
