@@ -10,15 +10,34 @@ import graft.functions.{AccentFold, CountIn, InterleaveBits, JaroWinkler, JumpHa
   * [[graft.core.Sessions]]). Registers the native expressions so they are
   * callable from SQL and via functions.call_function. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def analysisError(msg: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "INTERNAL_ERROR",
+      messageParameters = Map("message" -> msg))
+
   private def foldableInt(
       e: org.apache.spark.sql.catalyst.expressions.Expression,
       what: String): Int = e match {
     case l: org.apache.spark.sql.catalyst.expressions.Literal
         if l.foldable && l.value != null =>
-      l.value.toString.toInt
-    case other => throw new IllegalArgumentException(
+      l.value match {
+        case i: Int   => i
+        case s: Short => s.toInt
+        case b: Byte  => b.toInt
+        case l2: Long if l2 == l2.toInt => l2.toInt
+        case other => analysisError(
+          s"$what must be an integral literal, got $other (${l.dataType.sql})")
+      }
+    case other => analysisError(
       s"$what must be an integer literal, got $other")
   }
+
+  private def requireArity(
+      fn: String,
+      children: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      n: Int): Unit =
+    if (children.size != n)
+      analysisError(s"$fn requires exactly $n arguments, got ${children.size}")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -61,10 +80,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("srp_banded_sig"),
       new ExpressionInfo(classOf[SrpBandedSig].getName, "srp_banded_sig"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        requireArity("srp_banded_sig", children, 3)
         SrpBandedSig(children(0),
           foldableInt(children(1), "srp_banded_sig bands"),
-          foldableInt(children(2), "srp_banded_sig planesPerBand"))))
+          foldableInt(children(2), "srp_banded_sig planesPerBand"))
+      }))
     ext.injectFunction((
       FunctionIdentifier("jump_hash"),
       new ExpressionInfo(classOf[JumpHash].getName, "jump_hash"),

@@ -30,8 +30,14 @@ object SrpBandedSigFn {
 
   def eval(v: ArrayData, bands: Int, planesPerBand: Int): ArrayData = {
     val n = v.numElements()
-    // null element → null signature array (the unrolled form's vec_dot
-    // nulls propagate the same way); checked once, not per plane
+    // null element → null signature array. DELIBERATELY PINNED KERNEL
+    // CONTRACT, stricter than the unrolled form: unrolled srpSignature
+    // maps a null vec_dot to a 0 bit (when(...).otherwise(0L) → sig 0,
+    // row still bucketed), while this kernel nulls the whole array so
+    // the row drops at posexplode. End-to-end near-dup output is
+    // unaffected (exact-cosine verify filters null cosines either way),
+    // but candidate sets differ on out-of-contract null-element vectors
+    // — the Round10Spec null test pins THIS behavior as the contract.
     var c = 0
     while (c < n) {
       if (v.isNullAt(c)) return null

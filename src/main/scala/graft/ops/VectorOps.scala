@@ -837,9 +837,12 @@ object VectorOps {
       s"designCos out of (0,1): $designCos")
     require(recallTarget > 0.0 && recallTarget < 1.0,
       s"recallTarget out of (0,1): $recallTarget")
-    val q = 1.0 - math.acos(designCos) / math.Pi
-    val b = math.ceil(math.log(1.0 / (1.0 - recallTarget)) /
-      math.pow(q, planes))
+    // StrictMath: java.lang.Math acos/log/pow are platform-variant (up
+    // to ~2 ulp); a near-integer ceil boundary could yield a different
+    // band count on another JVM, breaking the spec-pinned law values.
+    val q = 1.0 - StrictMath.acos(designCos) / math.Pi
+    val b = math.ceil(StrictMath.log(1.0 / (1.0 - recallTarget)) /
+      StrictMath.pow(q, planes))
     require(b <= Int.MaxValue, s"band count overflow at planes=$planes")
     math.max(1L, b.toLong).toInt
   }
@@ -858,16 +861,74 @@ object VectorOps {
       s"$caller: knownN must be the positive exact corpus count, got $n" +
         " — pass None to let the engine count")
 
+  /** DIRECTED cross-label candidate edges from the BANDED SRP tier —
+    * the shared candidate generator of the pair miners
+    * ([[mutualNeighbors]] / [[marginMiningPairs]]): two vectors with
+    * different `labelCol` values are a candidate when any of the
+    * `bands` band signatures collide. Returns (__src, __dst, __cos)
+    * with BOTH directions of every unordered pair (the miners' rank
+    * windows are per-source), cosine 6-rounded, pairs deduped across
+    * bands BEFORE the verify.
+    *
+    * WHY BANDED (r10 verdict #1): the miners used to ride the
+    * single-table [[autoPlaneCount]] candidates, whose recall on true
+    * pairs DECAYS with corpus size (measured 0.294 → 0.074 across
+    * n = 4k → 4M while the banded contract held 0.99) — a bitext miner
+    * silently losing >90% of true pairs at target scale, and biasing
+    * q268's neighborhood averages over the same vanishing set. bands =
+    * 1 reproduces the old single-table candidate set exactly (band 0
+    * IS the first `planesPerBand` family planes).
+    *
+    * Scale shape: one (band, sig) self-join (cost ∝ b · Σ bucket²,
+    * the declared n^(1+ρ) multiplier), labels ride the ×b explode (a
+    * small value, never the vector), distinct on the unordered id pair,
+    * vectors re-attach via two hash joins, cosine computed ONCE per
+    * pair then mirrored. */
+  private def bandedCrossLabelCandidates(
+      vecs: DataFrame, bands: Int, planesPerBand: Int,
+      idCol: String, vecCol: String, labelCol: String): DataFrame = {
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    val (centered, _) = centeredColumn(vecs, vecCol)
+    val sigs = vecs.select(col(idCol), col(labelCol), centered.as("__c"))
+      .select(col(idCol), col(labelCol),
+        call_function("srp_banded_sig", col("__c"),
+          lit(bands), lit(planesPerBand)).as("__sigs"))
+      .select(col(idCol), col(labelCol),
+        posexplode(col("__sigs")).as(Seq("band", "sig")))
+    val cand = sigs.select(col(idCol).as("__a"), col(labelCol).as("__al"),
+        col("band"), col("sig"))
+      .join(sigs.select(col(idCol).as("__b"), col(labelCol).as("__bl"),
+        col("band"), col("sig")), Seq("band", "sig"))
+      // cross-label only; collisions are symmetric so __a < __b keeps
+      // exactly one copy of each unordered pair
+      .filter(col("__al") =!= col("__bl"))
+      .filter(col("__a") < col("__b"))
+      .select(col("__a"), col("__b")).distinct()
+    val scored = cand
+      .join(vecs.select(col(idCol).as("__a"), col(vecCol).as("__va")), "__a")
+      .join(vecs.select(col(idCol).as("__b"), col(vecCol).as("__vb")), "__b")
+      .select(col("__a"), col("__b"),
+        round(cosine(col("__va"), col("__vb")), 6).as("__cos"))
+    // cos(a,b) = cos(b,a) bit-for-bit (same element fold), so the
+    // mirror carries the identical rounded value
+    scored.select(col("__a").as("__src"), col("__b").as("__dst"),
+        col("__cos"))
+      .union(scored.select(col("__b").as("__src"), col("__a").as("__dst"),
+        col("__cos")))
+  }
+
   /** Mutual-nearest-neighbor pairs ACROSS groups — the bitext/alignment
     * miner: for each vector, its best cross-`labelCol` partner among
-    * SRP-bucket candidates; keep only pairs where the choice is MUTUAL
-    * (a's best is b AND b's best is a) — the asymmetric-best filter
-    * that makes margin-based parallel-corpus mining precise where a
-    * one-directional top-1 pairs every source with some target.
+    * banded-SRP candidates ([[bandedCrossLabelCandidates]]); keep only
+    * pairs where the choice is MUTUAL (a's best is b AND b's best is a)
+    * — the asymmetric-best filter that makes margin-based
+    * parallel-corpus mining precise where a one-directional top-1 pairs
+    * every source with some target.
     *
-    * Scale shape: candidates come from the shared-signature bucket join
-    * (cost ∝ Σ bucket², never corpus²; same defense as [[srpNearDupPairs]]),
-    * the per-vector argmax is a WindowGroupLimit-prunable rank-1 window
+    * Scale shape: candidates come from the banded bucket join (cost ∝
+    * b · Σ bucket², never corpus²; recall flat by the [[srpBandCount]]
+    * contract instead of decaying with n — r10 verdict #1), the
+    * per-vector argmax is a WindowGroupLimit-prunable rank-1 window
     * over candidate slivers, and mutuality is ONE canonical-pair count
     * aggregate over the vector-domain best-edge frame — (a,b) is mutual
     * iff the unordered pair appears twice — so the candidate cascade
@@ -875,23 +936,12 @@ object VectorOps {
     * Argmax ranks on cosine ROUNDED to 6 with an id tiebreak (the
     * [[assignToCentroids]] discipline), so the pick is engine- and
     * partitioning-invariant. */
-  def mutualNeighbors(vecs: DataFrame, numPlanes: Int,
+  def mutualNeighbors(vecs: DataFrame, bands: Int, planesPerBand: Int,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding",
                       labelCol: String = "label"): DataFrame = {
-    val (centered, dim) = centeredColumn(vecs, vecCol)
-    val sig = vecs
-      .select(col(idCol), col(vecCol), col(labelCol), centered.as("__c"))
-      .select(col(idCol), col(vecCol), col(labelCol),
-        srpSignature(col("__c"), numPlanes, dim).as("sig"))
-    val l = sig.select(col(idCol).as("__src"), col(vecCol).as("__sv"),
-      col(labelCol).as("__sl"), col("sig"))
-    val r = sig.select(col(idCol).as("__dst"), col(vecCol).as("__dv"),
-      col(labelCol).as("__dl"), col("sig"))
-    val cand = l.join(r, "sig")
-      .filter(col("__sl") =!= col("__dl"))
-      .select(col("__src"), col("__dst"),
-        round(cosine(col("__sv"), col("__dv")), 6).as("__cos"))
+    val cand = bandedCrossLabelCandidates(vecs, bands, planesPerBand,
+      idCol, vecCol, labelCol)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__src"))
       .orderBy(col("__cos").desc, col("__dst").asc)
@@ -916,36 +966,27 @@ object VectorOps {
     * pairs; dividing by the neighborhood average deflates hubs and
     * promotes pairs that are MUTUALLY exceptional.
     *
-    * Scale shape: candidates come from the same shared-bucket join as
-    * [[mutualNeighbors]] (cost ∝ Σ bucket², never corpus²); the per-side
-    * average is a rank-≤ k window (WindowGroupLimit-prunable) over the
-    * candidate sliver, summed as DECIMAL(18,6) of the 6-rounded cosines
+    * Scale shape: candidates come from the same banded bucket join as
+    * [[mutualNeighbors]] (cost ∝ b · Σ bucket², never corpus²; recall
+    * flat by contract, so the k-neighborhood averages — the margin's
+    * own denominator — are computed over a candidate set that does NOT
+    * vanish as n grows, r10 verdict #1); the per-side average is a
+    * rank-≤ k window (WindowGroupLimit-prunable) over the candidate
+    * sliver, summed as DECIMAL(18,6) of the 6-rounded cosines
     * (order-invariant — the cosines are exact decimals after rounding);
     * the margin join re-attaches two id-keyed averages, never vectors.
     * Denominator ≤ 0 (pathological all-negative neighborhoods) is
     * filtered rather than emitted as ±Inf. */
-  def marginMiningPairs(vecs: DataFrame, numPlanes: Int, k: Int,
-                        minMargin: Double,
+  def marginMiningPairs(vecs: DataFrame, bands: Int, planesPerBand: Int,
+                        k: Int, minMargin: Double,
                         idCol: String = "vec_id",
                         vecCol: String = "embedding",
                         labelCol: String = "label"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val (centered, dim) = centeredColumn(vecs, vecCol)
-    val sig = vecs
-      .select(col(idCol), col(vecCol), col(labelCol), centered.as("__c"))
-      .select(col(idCol), col(vecCol), col(labelCol),
-        srpSignature(col("__c"), numPlanes, dim).as("sig"))
-    val l = sig.select(col(idCol).as("__src"), col(vecCol).as("__sv"),
-      col(labelCol).as("__sl"), col("sig"))
-    val r = sig.select(col(idCol).as("__dst"), col(vecCol).as("__dv"),
-      col(labelCol).as("__dl"), col("sig"))
-    val cand = l.join(r, "sig")
-      .filter(col("__sl") =!= col("__dl"))
-      .select(col("__src"), col("__dst"),
-        round(cosine(col("__sv"), col("__dv")), 6).as("__cos"))
-      // a pair sharing several buckets is ONE candidate (and one
-      // neighborhood member), not a vote per bucket
-      .distinct()
+    // already deduped across bands: a pair sharing several buckets is
+    // ONE candidate (and one neighborhood member), not a vote per bucket
+    val cand = bandedCrossLabelCandidates(vecs, bands, planesPerBand,
+      idCol, vecCol, labelCol)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__src"))
       .orderBy(col("__cos").desc, col("__dst").asc)
@@ -966,36 +1007,47 @@ object VectorOps {
         col("__cos").as("cos_sim"), col("margin"))
   }
 
-  /** [[marginMiningPairs]] with the plane count from [[autoPlaneCount]]
-    * — candidate volume stays linear in n. */
+  /** [[marginMiningPairs]] with BOTH knobs sized to the corpus — the
+    * production spelling with the banded tier's recall contract:
+    * planes-per-band from [[autoPlaneCount]] (linear per-band volume),
+    * band count from [[srpBandCountForPlanes]] (candidate recall ≥
+    * `recallTarget` on ≥ `designCos` pairs at ANY corpus size — the
+    * pre-port single-table candidates decayed 0.294 → 0.074 across
+    * n = 4k → 4M, r10 verdict #1). */
   def marginMiningPairsAuto(vecs: DataFrame, k: Int, minMargin: Double,
                             idCol: String = "vec_id",
                             vecCol: String = "embedding",
                             labelCol: String = "label",
+                            designCos: Double = DefaultDesignCos,
+                            recallTarget: Double = DefaultRecallTarget,
                             targetBucket: Int = DefaultTargetBucket,
                             knownN: Option[Long] = None): DataFrame = {
     knownN.foreach(validateKnownN(_, "marginMiningPairsAuto"))
-    marginMiningPairs(vecs,
-      autoPlaneCount(knownN.getOrElse(vecs.count()), targetBucket),
-      k, minMargin, idCol, vecCol, labelCol)
+    val p = autoPlaneCount(knownN.getOrElse(vecs.count()), targetBucket)
+    marginMiningPairs(vecs, srpBandCountForPlanes(p, designCos,
+      recallTarget), p, k, minMargin, idCol, vecCol, labelCol)
   }
 
-  /** [[mutualNeighbors]] with the plane count sized to the corpus by
-    * [[autoPlaneCount]] — the production spelling (a pinned plane count
-    * makes candidate volume grow n²/2^planes; this keeps it linear).
-    * `knownN` skips the sizing count() when the caller already has the
-    * corpus size (otherwise one metadata-cheap parquet count job). */
+  /** [[mutualNeighbors]] with BOTH knobs sized to the corpus — the
+    * production spelling with the banded recall contract (see
+    * [[marginMiningPairsAuto]]; a pinned plane count makes candidate
+    * volume grow n²/2^planes, and single-table auto-sizing makes miner
+    * recall decay with n). `knownN` skips the sizing count() when the
+    * caller already has the corpus size (otherwise one metadata-cheap
+    * parquet count job). */
   def mutualNeighborsAuto(vecs: DataFrame,
                           idCol: String = "vec_id",
                           vecCol: String = "embedding",
                           labelCol: String = "label",
+                          designCos: Double = DefaultDesignCos,
+                          recallTarget: Double = DefaultRecallTarget,
                           targetBucket: Int = DefaultTargetBucket,
                           knownN: Option[Long] = None)
       : DataFrame = {
     knownN.foreach(validateKnownN(_, "mutualNeighborsAuto"))
-    mutualNeighbors(vecs,
-      autoPlaneCount(knownN.getOrElse(vecs.count()), targetBucket),
-      idCol, vecCol, labelCol)
+    val p = autoPlaneCount(knownN.getOrElse(vecs.count()), targetBucket)
+    mutualNeighbors(vecs, srpBandCountForPlanes(p, designCos,
+      recallTarget), p, idCol, vecCol, labelCol)
   }
 
   /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein,

@@ -360,20 +360,30 @@ object VectorOracles {
          |WHERE ${cos("ea.embedding", "eb.embedding")} >= 0.2""".stripMargin,
 
     // mutual-nearest-neighbor mining: per-vector best cross-label
-    // partner among shared-bucket candidates (argmax on ROUNDED cosine
-    // with id tiebreak — a total order), mutual pairs only; plane
-    // count auto-sized from COUNT(*) exactly as the engine does, and
-    // buckets over the MEAN-CENTERED signature (the engine's
-    // srpSignatureCentered)
+    // partner among BANDED candidates (any-band collision, deduped
+    // across bands — the engine's bandedCrossLabelCandidates twin;
+    // single-table candidates decayed with n, r10 verdict #1); argmax
+    // on ROUNDED cosine with id tiebreak — a total order; plane count
+    // from COUNT(*) via planesCte, band count from bandsCte (the
+    // recall-contract law as literals), signatures over the
+    // MEAN-CENTERED vectors
     "q246_mutual_neighbors" ->
       s"""WITH ${planesCte("embeddings")},
          |${muCte("embeddings")},
-         |s AS (SELECT vec_id, embedding, label,
-         |        ${srpSigDynCentered("embedding")} AS sig
-         |      FROM embeddings CROSS JOIN pl CROSS JOIN mu),
-         |cand AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-         |    ROUND(${cos("a.embedding", "b.embedding")}, 6) AS cs
-         |  FROM s a JOIN s b ON a.sig = b.sig AND a.label <> b.label),
+         |${bandsCte()},
+         |bd AS (SELECT unnest(range(0, bands)) AS band FROM bc),
+         |s AS (SELECT vec_id, label, band,
+         |        ${srpSigDynCenteredBanded("embedding")} AS sig
+         |      FROM embeddings CROSS JOIN pl CROSS JOIN mu CROSS JOIN bd),
+         |cd AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+         |  FROM s a JOIN s b ON a.band = b.band AND a.sig = b.sig
+         |    AND a.label <> b.label AND a.vec_id < b.vec_id),
+         |sc AS (SELECT ia, ib,
+         |    ROUND(${cos("ea.embedding", "eb.embedding")}, 6) AS cs
+         |  FROM cd JOIN embeddings ea ON ea.vec_id = cd.ia
+         |          JOIN embeddings eb ON eb.vec_id = cd.ib),
+         |cand AS (SELECT ia AS src, ib AS dst, cs FROM sc
+         |  UNION ALL SELECT ib AS src, ia AS dst, cs FROM sc),
          |best AS (SELECT src, dst, cs,
          |    row_number() OVER (PARTITION BY src
          |      ORDER BY cs DESC, dst ASC) AS rn
@@ -384,22 +394,31 @@ object VectorOracles {
          |SELECT vec_a, vec_b, MAX(cs) AS cos_sim
          |FROM b1 GROUP BY vec_a, vec_b HAVING COUNT(*) = 2""".stripMargin,
 
-    // margin mining: same bucket candidates as q246 (deduped — a pair
-    // sharing several buckets is one candidate), per-src rank-<=k
-    // neighborhood average as DECIMAL(18,6) sum of the 6-rounded
-    // cosines (order-invariant), margin = cs / ((da + db)/2) in the
-    // engine's exact arithmetic order, positive-denominator guard
+    // margin mining: same banded candidates as q246 (deduped across
+    // bands — one candidate and one neighborhood member per pair),
+    // per-src rank-<=k neighborhood average as DECIMAL(18,6) sum of
+    // the 6-rounded cosines (order-invariant), margin = cs /
+    // ((da + db)/2) in the engine's exact arithmetic order,
+    // positive-denominator guard
     "q268_margin_mining" -> {
       val k = graft.queries.VectorQueries.MarginK
       val mm = graft.queries.VectorQueries.MinMargin
       s"""WITH ${planesCte("embeddings")},
          |${muCte("embeddings")},
-         |s AS (SELECT vec_id, embedding, label,
-         |        ${srpSigDynCentered("embedding")} AS sig
-         |      FROM embeddings CROSS JOIN pl CROSS JOIN mu),
-         |cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
-         |    ROUND(${cos("a.embedding", "b.embedding")}, 6) AS cs
-         |  FROM s a JOIN s b ON a.sig = b.sig AND a.label <> b.label),
+         |${bandsCte()},
+         |bd AS (SELECT unnest(range(0, bands)) AS band FROM bc),
+         |s AS (SELECT vec_id, label, band,
+         |        ${srpSigDynCenteredBanded("embedding")} AS sig
+         |      FROM embeddings CROSS JOIN pl CROSS JOIN mu CROSS JOIN bd),
+         |cd AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+         |  FROM s a JOIN s b ON a.band = b.band AND a.sig = b.sig
+         |    AND a.label <> b.label AND a.vec_id < b.vec_id),
+         |sc AS (SELECT ia, ib,
+         |    ROUND(${cos("ea.embedding", "eb.embedding")}, 6) AS cs
+         |  FROM cd JOIN embeddings ea ON ea.vec_id = cd.ia
+         |          JOIN embeddings eb ON eb.vec_id = cd.ib),
+         |cand AS (SELECT ia AS src, ib AS dst, cs FROM sc
+         |  UNION ALL SELECT ib AS src, ia AS dst, cs FROM sc),
          |rk AS (SELECT src, cs,
          |    row_number() OVER (PARTITION BY src
          |      ORDER BY cs DESC, dst ASC) AS rn

@@ -428,12 +428,14 @@ object VectorQueries {
 
   /** q246: mutual-nearest-neighbor pairs across labels
     * ([[VectorOps.mutualNeighborsAuto]]) — the bitext/alignment miner:
-    * SRP-bucket candidates, per-vector best cross-label partner,
-    * mutual-only filter. Plane count auto-sized to the corpus
-    * ([[VectorOps.autoPlaneCount]]): with pinned planes this query's
-    * candidate volume grew ∝ n²/2^planes (18.6× at 10× data); the
-    * target-bucket rule keeps it linear, and the oracle replays the
-    * same integer rule from COUNT(*). */
+    * BANDED-SRP candidates, per-vector best cross-label partner,
+    * mutual-only filter. Both knobs auto-sized to the corpus: planes
+    * per band from [[VectorOps.autoPlaneCount]] (linear per-band
+    * volume; pinned planes grew candidates ∝ n²/2^planes, 18.6× at
+    * 10× data), band count from [[VectorOps.srpBandCountForPlanes]]
+    * (flat candidate recall — single-table miner candidates decayed
+    * 0.294 → 0.074 across 4k → 4M, r10 verdict #1). The oracle replays
+    * both integer rules from COUNT(*). */
   def qMutualNeighbors(s: SparkSession, dir: String): DataFrame =
     VectorOps.mutualNeighborsAuto(Tables.embeddings(s, dir))
 
@@ -445,9 +447,11 @@ object VectorQueries {
     * Artetxe & Schwenk margin = cos / mean-of-side-neighborhood-avgs) —
     * the hubness-robust upgrade of q246's absolute-cosine mutual miner:
     * a pair qualifies by standing out from BOTH sides' candidate
-    * neighborhoods, not by raw similarity. Same SRP-bucket candidate
-    * plan; the oracle replays the rank-≤ k neighborhood average and the
-    * margin arithmetic value-exactly. */
+    * neighborhoods, not by raw similarity. Same banded-SRP candidate
+    * plan as q246 (flat-recall contract — the margin's neighborhood
+    * averages must not be computed over a candidate set that vanishes
+    * with n); the oracle replays the rank-≤ k neighborhood average and
+    * the margin arithmetic value-exactly. */
   def qMarginMining(s: SparkSession, dir: String): DataFrame =
     VectorOps.marginMiningPairsAuto(Tables.embeddings(s, dir), MarginK,
       MinMargin)

@@ -42,9 +42,10 @@ object ParDedupBench {
         sum(xxhash64(col("doc_id"), col("n_pars"), col("n_kept"),
           col("text_deduped")).cast("decimal(38,0)")).as("digest")).head()
       val secs = (System.nanoTime() - t0) / 1e9
-      // listener events arrive asynchronously; stages of this job are
-      // complete once the action returns, but give the bus a beat
-      Thread.sleep(500)
+      // listener events arrive asynchronously; drain the bus for real
+      // (a fixed sleep is a race on a slow bus — ADVICE r10)
+      org.apache.spark.graftspark.ListenerBusAccess
+        .waitUntilEmpty(spark.sparkContext, 30000L)
       var bytes = 0L
       written.forEach(b => bytes += b)
       Run(bytes, r.getLong(0), BigDecimal(r.getDecimal(1)), secs)

@@ -47,14 +47,14 @@ class DecompAttributionSpec extends SparkSpecBase {
 
   test("mutualNeighbors: pairs are mutual, cross-label, and symmetric") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
-    val pairs = VectorOps.mutualNeighbors(emb, 12).collect()
+    val pairs = VectorOps.mutualNeighbors(emb, 2, 12).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.nonEmpty, "planted structure must yield mutual pairs")
     assert(pairs.forall { case (a, b) => a < b }, "canonical orientation")
     // mutuality is an intersection: flipping src/dst roles (relabel the
     // sides by negating labels) must give the SAME pair set
     val flipped = VectorOps.mutualNeighbors(
-      emb.withColumn("label", -col("label")), 12).collect()
+      emb.withColumn("label", -col("label")), 2, 12).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == flipped)
     // every pair really crosses labels
