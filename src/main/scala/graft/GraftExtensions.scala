@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{AccentFold, CountIn, InterleaveBits, JaroWinkler, JumpHash, PolyHash, ShingleHashes, SrpBandedSig, VecDot}
+import graft.functions.{AccentFold, BpeSegment, CountIn, InterleaveBits, JaroWinkler, JumpHash, PolyHash, ShingleHashes, SrpBandedSig, VecDot}
 
 /** Engine extensions, injected via spark.sql.extensions (set by
   * [[graft.core.Sessions]]). Registers the native expressions so they are
@@ -30,6 +30,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
     case other => analysisError(
       s"$what must be an integer literal, got $other")
+  }
+
+  /** The merge table of bpe_segment arrives as a foldable
+    * array<struct<l string, r string>> literal and is consumed HERE, at
+    * function-build time — the table becomes constructor data of
+    * [[graft.functions.BpeSegment]] (codegen reference object), so the
+    * generated code size is constant in the merge count. */
+  private def foldableMergePairs(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[(String, String)] = {
+    val ok = e.foldable && (e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        s: org.apache.spark.sql.types.StructType, _) =>
+        s.fields.length == 2 &&
+          s.fields.forall(_.dataType ==
+            org.apache.spark.sql.types.StringType)
+      case _ => false
+    })
+    if (!ok) analysisError(
+      s"bpe_segment merges must be a foldable array<struct<l string, " +
+        s"r string>> literal, got $e (${e.dataType.sql})")
+    val data = e.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    (0 until data.numElements()).map { i =>
+      val row = data.getStruct(i, 2)
+      (row.getUTF8String(0).toString, row.getUTF8String(1).toString)
+    }
   }
 
   private def requireArity(
@@ -85,6 +112,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SrpBandedSig(children(0),
           foldableInt(children(1), "srp_banded_sig bands"),
           foldableInt(children(2), "srp_banded_sig planesPerBand"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_segment"),
+      new ExpressionInfo(classOf[BpeSegment].getName, "bpe_segment"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        requireArity("bpe_segment", children, 2)
+        BpeSegment(children(0), foldableMergePairs(children(1)))
       }))
     ext.injectFunction((
       FunctionIdentifier("jump_hash"),

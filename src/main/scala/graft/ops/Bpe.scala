@@ -72,7 +72,7 @@ object Bpe {
     * freshly-merged symbol never re-matches `l`, so "aaa" under (a,a)
     * becomes [aa, a], as BPE defines it). Pure Column expression — the
     * merge pair is a literal, so the fold stays inside codegen. */
-  private def applyMerge(syms: Column, l: String, r: String): Column =
+  private[graft] def applyMerge(syms: Column, l: String, r: String): Column =
     aggregate(syms,
       array().cast("array<string>"),
       (acc, x) => when(
@@ -80,23 +80,41 @@ object Bpe {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
         .otherwise(concat(acc, array(x))))
 
+  /** The merge list applied to one word column via the native
+    * `bpe_segment` kernel ([[graft.functions.BpeSegment]]): the table
+    * rides as a foldable literal consumed at function-build time, so
+    * generated code size is CONSTANT in the merge count. The old nested
+    * literal folds (one expression layer per merge) were the exact
+    * 64 KB-codegen-wall disease r10 diagnosed in the SRP tier — at a
+    * production tokenizer's 32k merges both Catalyst analysis cost and
+    * generated method size explode (r10 verdict #2); the kernel is
+    * spec-pinned bit-identical to the fold form (Round11Spec). */
+  def segment(word: Column, merges: Seq[Merge]): Column =
+    call_function("bpe_segment", word,
+      typedLit(merges.sortBy(_.rank).map(m => (m.left, m.right))))
+
   /** Apply a learned merge list (the tokenizer ENCODE step): per-doc
-    * subword counts under the trained vocabulary. Words explode once,
-    * each word's char sequence runs the merges in rank order as nested
-    * literal folds (no per-row interpreter state), and the doc-keyed sum
-    * is map-side combinable — one shuffle total. The fertility ratio
-    * n_subwords / n_words is the standard tokenizer-quality readout. */
+    * subword counts under the trained vocabulary. Words explode once
+    * and pre-aggregate to per-(doc, word) counts (map-side combinable);
+    * the merge cascade itself runs over the DISTINCT word table — at
+    * production sizing the corpus has ~10⁹ word occurrences but a
+    * Heaps-law-sublinear distinct vocabulary, and kernel cost is
+    * O(merges · |word|) per DISTINCT word, not per occurrence. The
+    * doc-keyed rollup then weights each word's subword count by its
+    * occurrence count. The fertility ratio n_subwords / n_words is the
+    * standard tokenizer-quality readout. */
   def encode(docs: DataFrame, idCol: String, textCol: String,
              merges: Seq[Merge]): DataFrame = {
     val word = docs.select(col(idCol),
       explode(TextOps.tokens(col(textCol))).as("w"))
-    val seg = merges.sortBy(_.rank).foldLeft(split(col("w"), "")) {
-      case (acc, m) => applyMerge(acc, m.left, m.right)
-    }
-    word.select(col(idCol), size(seg).as("ns"))
+    val wf = word.groupBy(col(idCol), col("w"))
+      .agg(count(lit(1)).as("__c"))
+    val dw = word.select(col("w")).distinct()
+      .select(col("w"), size(segment(col("w"), merges)).as("__ns"))
+    wf.join(dw, "w")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_words"),
-        sum(col("ns")).as("n_subwords"))
+      .agg(sum(col("__c")).as("n_words"),
+        sum(col("__c") * col("__ns")).as("n_subwords"))
   }
 
   /** [[train]] as a DataFrame of (rank, left, right, pair_count). */
