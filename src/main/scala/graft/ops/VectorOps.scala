@@ -783,7 +783,21 @@ object VectorOps {
     * (n = 10⁹, r = 10 → 5·10¹⁴ candidates per band). Growing r with
     * log n is the only linear-cost choice; growing b alongside it is
     * what keeps recall flat (measured flat ±0.02 across n = 4k/40k/400k,
-    * SURVEY §8.20, vs 0.924→0.763 decay for the old fixed-b default). */
+    * SURVEY §8.20, vs 0.924→0.763 decay for the old fixed-b default).
+    *
+    * WHAT THE CONTRACT COVERS — and what it does not: the recall floor
+    * applies ONLY to pairs at centered cosine ≥ `designCos`. Below it,
+    * each pair is still emitted with probability 1 − (1 − q(c)^p)^b,
+    * q(c) = 1 − acos(c)/π — a probability that FALLS with c and, because
+    * p grows with n, falls with corpus size too (measured, SCALE.md r11:
+    * the 0.50-cosine bin emits 0.67/0.41/0.28 of its pairs at n =
+    * 4k/40k/400k while the ≥ 0.90 bins hold 0.99+). Verifying at a
+    * `minCos` well below `designCos` therefore returns a biased SAMPLE
+    * of the low-cosine pairs, not all of them. To CONTRACT a lower
+    * cosine, lower `designCos` — the law reprices b automatically
+    * (tools/SrpCurve prints the b(designCos) table; 0.90 → 0.80 roughly
+    * doubles b at any n; covering 0.50 at n = 4M costs b ≈ 5105 — the
+    * honest n^(1+ρ) price with ρ(0.5) ≈ 0.58). */
   def srpBandedNearDupPairsAuto(vecs: DataFrame, minCos: Double,
                                 idCol: String = "vec_id",
                                 vecCol: String = "embedding",
