@@ -8,10 +8,17 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     // optional extra args: only dump queries whose name starts with one
     // of them (local iteration; the driver always passes exactly two)
+    // GRAFT_VERIFY_EXCLUDE: comma-separated exact names to skip — for the
+    // above-driver-scale (sf1) board, where the two output-cardinality-
+    // bound queries (q150 dup² id-pairs, q201 proximity ∝ density²) are
+    // excluded by documented contract (SCALE.md). Unset for driver runs.
+    val excluded = sys.env.get("GRAFT_VERIFY_EXCLUDE")
+      .map(_.split(',').map(_.trim).toSet).getOrElse(Set.empty[String])
     val selected =
-      if (args.length <= 2) SparkEntry.queries
-      else SparkEntry.queries.filter { case (n, _) =>
-        args.drop(2).exists(n.startsWith) }
+      (if (args.length <= 2) SparkEntry.queries
+       else SparkEntry.queries.filter { case (n, _) =>
+         args.drop(2).exists(n.startsWith) })
+        .filter { case (n, _) => !excluded.contains(n) }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.core.Sessions.builder(s"local[$cpus]", cpus.toInt)
       .getOrCreate()

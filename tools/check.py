@@ -1,11 +1,12 @@
 #!/usr/bin/env python3
 """Local approximation of the driver's correctness gate.
 
-Usage: python3 tools/check.py [sfDir] [outDir]
+Usage: python3 tools/check.py [sfDir] [outDir] [jsonOut]
 Reads outDir/<name>/ parquet (written by graft.Verify) and oracle_sql.json,
 runs each oracle in DuckDB over views named after the parquet tables in
 sfDir, and compares: schema (column names), row count, and a hash of all
-values after sorting columns by name and sorting rows.
+values after sorting columns by name and sorting rows. With a third arg,
+also writes a per-query record in the driver's CORRECTNESS_r{N}.json shape.
 """
 import sys, json, glob, os
 import duckdb
@@ -13,38 +14,56 @@ import pandas as pd
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+json_out = sys.argv[3] if len(sys.argv) > 3 else None
+records = {}
+
+def record(name, rows_match, schema_match, hash_match, srows, orows, err):
+    records[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                     "hash_match": hash_match, "spark_rows": srows,
+                     "oracle_rows": orows, "err": err}
 
 con = duckdb.connect()
 for p in glob.glob(f"{sf}/*.parquet"):
     name = os.path.basename(p).replace(".parquet", "")
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    # driver testdata = single files; ScaleUp-generated sf dirs = Spark
+    # parquet directories — glob inside those
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
-    # normalize for compare: timestamps → iso strings, floats → repr
+    # normalize for compare: timestamps → iso strings, floats → repr;
+    # +0.0 kills negative zero (DuckDB ROUND keeps the sign of a tiny
+    # negative, Spark's doesn't — numerically equal, repr-distinct)
     for c in df.columns:
-        df[c] = df[c].map(lambda v: repr(v))
+        df[c] = df[c].map(
+            lambda v: repr(v + 0.0) if isinstance(v, float) else repr(v))
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 fails = 0
 for name, sql in sorted(oracle.items()):
     spark_dir = f"{out}/{name}"
     if not os.path.isdir(spark_dir):
-        print(f"FAIL {name}: no spark output"); fails += 1; continue
+        print(f"FAIL {name}: no spark output"); fails += 1
+        record(name, False, False, False, 0, 0, "no spark output"); continue
     try:
         expected = con.execute(sql).df()
     except Exception as e:
-        print(f"FAIL {name}: oracle error {e}"); fails += 1; continue
+        print(f"FAIL {name}: oracle error {e}"); fails += 1
+        record(name, False, False, False, 0, 0, f"oracle error: {e}"); continue
     got = con.execute(
         f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").df()
     if sorted(got.columns) != sorted(expected.columns):
         print(f"FAIL {name}: cols spark={sorted(got.columns)} oracle={sorted(expected.columns)}")
-        fails += 1; continue
+        fails += 1
+        record(name, len(got) == len(expected), False, False,
+               len(got), len(expected), None); continue
     if len(got) != len(expected):
         print(f"FAIL {name}: rows spark={len(got)} oracle={len(expected)}")
-        fails += 1; continue
+        fails += 1
+        record(name, False, True, False, len(got), len(expected), None); continue
     a, b = canon(got), canon(expected)
     if not a.equals(b):
         diff = (a != b).any(axis=1)
@@ -52,8 +71,13 @@ for name, sql in sorted(oracle.items()):
         mism = a[diff].head(3).to_string(), b[diff].head(3).to_string()
         print("  spark :", mism[0].replace("\n", "\n          "))
         print("  oracle:", mism[1].replace("\n", "\n          "))
-        fails += 1; continue
+        fails += 1
+        record(name, True, True, False, len(got), len(expected), None); continue
     print(f"PASS {name} ({len(got)} rows)")
+    record(name, True, True, True, len(got), len(expected), None)
 
+if json_out:
+    with open(json_out, "w") as f:
+        json.dump(records, f, indent=1)
 print(f"\n{len(oracle) - fails}/{len(oracle)} passed")
 sys.exit(1 if fails else 0)
