@@ -311,6 +311,7 @@ object SparkEntry {
     "q266_quality_trainer"   -> TextQueries.qQualityTrainer _,
     "q267_quality_scores"    -> TextQueries.qQualityScores _,
     "q268_margin_mining"     -> VectorQueries.qMarginMining _,
+    "q269_excise_spans"      -> TextQueries.qExciseSpans _,
   )
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */

@@ -470,6 +470,81 @@ object NearDup {
       .drop("__grp")
   }
 
+  /** Occurrence key: (doc, pos) packed into one long for an exact total
+    * order with no struct-compare semantics to keep in sync with the
+    * oracle — pos < 2^30 (the [[WinnowP]] cap), ids to ~2^33 stay exact. */
+  private val OccP = 1L << 30
+
+  /** The EXCISED corpus — [[repeatedSpans]] detection carried through to
+    * the rewrite Lee et al. 2022 (arXiv:2107.06499, ExactSubstr) actually
+    * apply to training data: duplicated text is CUT, one canonical
+    * occurrence is kept. A window occurrence (doc, pos) is a cut
+    * candidate iff its n-token hash occurs at >1 site AND (doc, pos) is
+    * not the hash's canonical site (global minimum packed (doc, pos) —
+    * deterministic, partitioning-invariant). A token is removed iff some
+    * cut-candidate window covers it; maximal runs of candidate windows
+    * merge first (the [[repeatedSpans]] islands), so cuts are whole
+    * spans, not word-holes. Canonicality is PER-WINDOW: the kept copy of
+    * phrase A can still lose tokens to an overlapping duplicated phrase
+    * B whose canonical site is elsewhere — the price of avoiding a
+    * sequential cut-ordering pass, stated rather than hidden.
+    *
+    * Docs shorter than n tokens pass through untouched (no n-window).
+    * Output (id, clean_text, n_removed, n_spans); clean_text is the
+    * space-joined surviving tokens (whitespace-normalized, like every
+    * token-level consumer here), '' when fully excised.
+    *
+    * Scale shape: tokenization persists once (window stream + final
+    * reassembly both read it — re-tokenizing the full corpus twice is
+    * the expensive side, unlike the hash-only re-derive in
+    * [[repeatedSpans]]); the count/canonical aggregate and the
+    * dup-window join shuffle HASHES only, never text; the island merge
+    * and span collect group the dup-position sliver per doc; the final
+    * join brings the per-doc span array (a sliver — spans, not windows)
+    * to the token arrays, where one codegen'd filter-with-index drops
+    * covered tokens. Hot boilerplate hashes skew the h-join exactly as
+    * in [[repeatedSpans]] — same heavy-hitter mitigation applies. */
+  def exciseSpans(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int): DataFrame = {
+    require(n >= 2, s"span window width must be >= 2, got $n")
+    val toks = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__tk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wins = toks
+      .filter(size(col("__tk")) >= n)
+      .select(col(idCol),
+        posexplode(call_function("shingle_hashes", col("__tk"), lit(n)))
+          .as(Seq("pos", "h")))
+    val okey = col(idCol) * lit(OccP) + col("pos")
+    val cut = wins.join(
+        wins.groupBy(col("h"))
+          .agg(count(lit(1)).as("__c"), min(okey).as("__ck"))
+          .filter(col("__c") > 1)
+          .select(col("h"), col("__ck")),
+        Seq("h"), "inner")
+      .filter(okey =!= col("__ck"))
+      .select(col(idCol), col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val spans = cut
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(n - 1)).as("e"))
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("s"), col("e"))).as("__spans"))
+    val kept = filter(col("__tk"), (t, i) =>
+      !exists(col("__spans"), p =>
+        i >= p.getField("s") && i <= p.getField("e")))
+    toks.join(spans, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__spans").isNull, concat_ws(" ", col("__tk")))
+          .otherwise(concat_ws(" ", kept)).as("clean_text"),
+        when(col("__spans").isNull, lit(0L))
+          .otherwise((size(col("__tk")) - size(kept)).cast("long"))
+          .as("n_removed"),
+        coalesce(size(col("__spans")), lit(0)).cast("long").as("n_spans"))
+  }
+
   /** Positions are packed beside hashes in one long so a single
     * `array_min` is the winnow rule: key = h·2^30 + (2^30−1−pos).
     * Safe because the poly-hash range (< 1e9+7) fits 30 bits and

@@ -1326,6 +1326,54 @@ object TextOracles {
          |FROM isl GROUP BY doc_id, grp""".stripMargin
     },
 
+    // excised corpus: q105's dup windows minus each hash's canonical
+    // (min packed (doc,pos)) site, merged to spans, cut from the token
+    // stream; clean_text = surviving tokens space-joined
+    "q269_excise_spans" -> {
+      val n = TextQueries.SpanN
+      val leads = (1 until n).map(i =>
+        s"lead(th, $i) OVER (PARTITION BY doc_id ORDER BY pos) AS th$i")
+        .mkString(", ")
+      val fold = (1 until n).foldLeft("th")((acc, i) =>
+        s"($acc * 31 + th$i) % 1000000007")
+      s"""WITH tok0 AS (SELECT doc_id, $Tk AS tk FROM documents),
+         |lng AS (SELECT doc_id, tk FROM tok0 WHERE len(tk) >= $n),
+         |tokx AS (SELECT doc_id, unnest(tk) AS tok,
+         |           unnest(range(0, len(tk))) AS pos FROM lng),
+         |th AS (SELECT doc_id, pos, ${H("tok")} AS th FROM tokx),
+         |shl AS (SELECT doc_id, pos, th, $leads FROM th),
+         |win AS (SELECT doc_id, pos, $fold AS h
+         |        FROM shl WHERE th${n - 1} IS NOT NULL),
+         |st AS (SELECT h, COUNT(*) AS c,
+         |         MIN(doc_id * 1073741824 + pos) AS ck
+         |       FROM win GROUP BY h),
+         |dw AS (SELECT w.doc_id, w.pos
+         |       FROM win w JOIN st ON w.h = st.h AND st.c > 1
+         |       WHERE w.doc_id * 1073741824 + w.pos <> st.ck),
+         |isl AS (SELECT doc_id, pos,
+         |          pos - row_number() OVER (PARTITION BY doc_id
+         |            ORDER BY pos) AS grp
+         |        FROM dw),
+         |sp AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + ${n - 1} AS e
+         |       FROM isl GROUP BY doc_id, grp),
+         |spn AS (SELECT doc_id, COUNT(*) AS ns FROM sp GROUP BY doc_id),
+         |allx AS (SELECT doc_id, unnest(tk) AS tok,
+         |           unnest(range(0, len(tk))) AS pos FROM tok0),
+         |keep AS (SELECT a.doc_id, a.pos, a.tok FROM allx a
+         |         WHERE NOT EXISTS (SELECT 1 FROM sp
+         |           WHERE sp.doc_id = a.doc_id
+         |             AND a.pos BETWEEN sp.s AND sp.e)),
+         |ka AS (SELECT doc_id,
+         |         array_to_string(list(tok ORDER BY pos), ' ') AS ct,
+         |         COUNT(*) AS nk
+         |       FROM keep GROUP BY doc_id)
+         |SELECT t.doc_id, COALESCE(ka.ct, '') AS clean_text,
+         |  CAST(len(t.tk) - COALESCE(ka.nk, 0) AS BIGINT) AS n_removed,
+         |  CAST(COALESCE(spn.ns, 0) AS BIGINT) AS n_spans
+         |FROM tok0 t LEFT JOIN ka USING (doc_id)
+         |  LEFT JOIN spn USING (doc_id)""".stripMargin
+    },
+
     "q68_boilerplate" ->
       s"""WITH t AS (SELECT doc_id, $Tk AS tk FROM documents),
          |st AS (SELECT doc_id, tk,

@@ -202,6 +202,12 @@ object TextQueries {
   def qRepeatedSpans(s: SparkSession, dir: String): DataFrame =
     NearDup.repeatedSpans(Tables.documents(s, dir), "doc_id", "text", SpanN)
 
+  /** The excised corpus ([[NearDup.exciseSpans]]): q105's detected spans
+    * carried through to the Lee et al. rewrite — duplicated text cut
+    * everywhere but its canonical (min (doc, pos)) occurrence. */
+  def qExciseSpans(s: SparkSession, dir: String): DataFrame =
+    NearDup.exciseSpans(Tables.documents(s, dir), "doc_id", "text", SpanN)
+
   /** Winnowing fingerprint sets ([[NearDup.winnowFingerprints]]), folded
     * to one row per doc (count / min / sum of selected hashes) for a
     * compact verifiable result; the raw (doc, pos, h) rows are the

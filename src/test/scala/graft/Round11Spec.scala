@@ -161,4 +161,42 @@ class Round11Spec extends SparkSpecBase {
     assert(banded > 0, "banded miner must find planted twins")
     corpus.unpersist()
   }
+
+  // ---- exciseSpans (q269): canonical-occurrence retention ----
+
+  test("exciseSpans: duplicated span cut everywhere but its canonical " +
+      "(min doc) site; short and unique docs untouched") {
+    import spark.implicits._
+    val shared = (1 to 8).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta epsilon zeta eta theta"),
+      (2L, s"one two three $shared four five six seven eight"),
+      (3L, "totally unique text with no repeats at all here ok fine"),
+      (4L, "tiny doc")).toDF("doc_id", "text")
+    val out = graft.ops.NearDup
+      .exciseSpans(docs, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1 is the canonical site (min (doc, pos)) → kept intact
+    assert(out(1L)._2 == 0L, s"canonical doc lost tokens: ${out(1L)}")
+    assert(out(1L)._1.contains(shared))
+    // doc 2 loses exactly the 8 shared tokens, in one span
+    assert(out(2L) == (s"one two three four five six seven eight", 8L, 1L),
+      s"got ${out(2L)}")
+    // unique and sub-window docs pass through whitespace-normalized
+    assert(out(3L)._2 == 0L && out(3L)._3 == 0L)
+    assert(out(4L) == (("tiny doc", 0L, 0L)))
+  }
+
+  test("exciseSpans: a fully duplicated doc excises to the empty string") {
+    import spark.implicits._
+    val body = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq((10L, body), (20L, body)).toDF("doc_id", "text")
+    val out = graft.ops.NearDup
+      .exciseSpans(docs, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2))).toMap
+    assert(out(10L) == ((body, 0L)), "canonical copy must survive")
+    assert(out(20L) == (("", 12L)), s"duplicate must fully excise: ${out(20L)}")
+  }
 }
