@@ -96,6 +96,16 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("exciseSpans: doc-keyed joins only, no single-partition window, " +
+      "no cartesian") {
+    val p = plan(graft.queries.TextQueries.qExciseSpans(spark, sf))
+    // windows hash at the scan; the dup restriction and the span
+    // join-back are keyed joins; the islands window partitions by doc
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("minhash aggregation is partial (map-side combine) before shuffle") {
     val sh = graft.ops.NearDup.shingleRows(
       graft.core.Tables.documents(spark, sf), "doc_id", "text", 3)
