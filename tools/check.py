@@ -21,8 +21,16 @@ def record(name, rows_match, schema_match, hash_match, srows, orows, err):
     records[name] = {"rows_match": rows_match, "schema_match": schema_match,
                      "hash_match": hash_match, "spark_rows": srows,
                      "oracle_rows": orows, "err": err}
+    if json_out:  # incremental: a crash mid-board keeps what's done
+        with open(json_out, "w") as f:
+            json.dump(records, f, indent=1)
 
 con = duckdb.connect()
+# bound the engine and give it a spill path: the default (80% of RAM, no
+# temp dir relative to cwd) lets a windowed 10M-row oracle hit the OOM
+# killer before it ever spills
+con.execute(f"SET memory_limit='{os.environ.get('GRAFT_CHECK_MEM', '40GB')}'")
+con.execute("SET temp_directory='/tmp/duckdb_spill'")
 for p in glob.glob(f"{sf}/*.parquet"):
     name = os.path.basename(p).replace(".parquet", "")
     # driver testdata = single files; ScaleUp-generated sf dirs = Spark
@@ -42,24 +50,61 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             lambda v: repr(v + 0.0) if isinstance(v, float) else repr(v))
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
+# Results past this size skip pandas and compare inside DuckDB: the repr
+# canon materializes every cell as a Python string — a 10M-row frame OOMs
+# a 128 GiB box — while the DuckDB path streams a canonical per-row
+# varchar through hash() and compares (count, unordered hash sum).
+BIG = 1_000_000
+
+def hash_expr(rel):
+    # pandas-equivalent canonicalization per column, in-engine: floats
+    # and decimals → DOUBLE (+0.0 kills negative zero, matching canon),
+    # everything else → VARCHAR; both sides pass through the same casts
+    # so engine-specific varchar formatting cancels out.
+    parts = []
+    for cname, ctype in sorted(zip(rel.columns, rel.types),
+                               key=lambda t: t[0]):
+        c, t = f'"{cname}"', str(ctype).upper()
+        if t in ("FLOAT", "DOUBLE") or t.startswith("DECIMAL"):
+            c = f"(CAST({c} AS DOUBLE) + 0.0)"
+        parts.append(f"COALESCE(CAST({c} AS VARCHAR), chr(1))")
+    row = " || chr(2) || ".join(parts)
+    return (f"COUNT(*), COALESCE(SUM(CAST(hash({row}) AS HUGEINT)), 0)")
+
 fails = 0
 for name, sql in sorted(oracle.items()):
     spark_dir = f"{out}/{name}"
     if not os.path.isdir(spark_dir):
         print(f"FAIL {name}: no spark output"); fails += 1
         record(name, False, False, False, 0, 0, "no spark output"); continue
+    spark_sql = f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')"
     try:
-        expected = con.execute(sql).df()
+        orel, srel = con.sql(sql), con.sql(spark_sql)
+        ocols, scols = sorted(orel.columns), sorted(srel.columns)
+        if scols != ocols:
+            print(f"FAIL {name}: cols spark={scols} oracle={ocols}")
+            fails += 1
+            record(name, False, False, False, 0, 0, None); continue
+        sn = con.execute(f"SELECT COUNT(*) FROM ({spark_sql})").fetchone()[0]
+        if sn > BIG:
+            scnt, shash = con.execute(
+                f"SELECT {hash_expr(srel)} FROM ({spark_sql})").fetchone()
+            ocnt, ohash = con.execute(
+                f"SELECT {hash_expr(orel)} FROM ({sql})").fetchone()
+            if scnt != ocnt:
+                print(f"FAIL {name}: rows spark={scnt} oracle={ocnt}")
+                fails += 1
+                record(name, False, True, False, scnt, ocnt, None); continue
+            if shash != ohash:
+                print(f"FAIL {name}: hash mismatch over {scnt} rows")
+                fails += 1
+                record(name, True, True, False, scnt, ocnt, None); continue
+            print(f"PASS {name} ({scnt} rows, in-engine hash)")
+            record(name, True, True, True, scnt, ocnt, None); continue
+        expected, got = orel.df(), srel.df()
     except Exception as e:
         print(f"FAIL {name}: oracle error {e}"); fails += 1
         record(name, False, False, False, 0, 0, f"oracle error: {e}"); continue
-    got = con.execute(
-        f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").df()
-    if sorted(got.columns) != sorted(expected.columns):
-        print(f"FAIL {name}: cols spark={sorted(got.columns)} oracle={sorted(expected.columns)}")
-        fails += 1
-        record(name, len(got) == len(expected), False, False,
-               len(got), len(expected), None); continue
     if len(got) != len(expected):
         print(f"FAIL {name}: rows spark={len(got)} oracle={len(expected)}")
         fails += 1
