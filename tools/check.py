@@ -67,6 +67,11 @@ def hash_expr(rel):
         c, t = f'"{cname}"', str(ctype).upper()
         if t in ("FLOAT", "DOUBLE") or t.startswith("DECIMAL"):
             c = f"(CAST({c} AS DOUBLE) + 0.0)"
+        elif t == "DATE" or t.startswith("TIMESTAMP"):
+            # pandas coerces DATE and TIMESTAMP alike to datetime64 —
+            # mirror that: DuckDB DATE + INTERVAL yields TIMESTAMP where
+            # Spark yields DATE, equal values, varchar-distinct
+            c = f"CAST({c} AS TIMESTAMP)"
         parts.append(f"COALESCE(CAST({c} AS VARCHAR), chr(1))")
     row = " || chr(2) || ".join(parts)
     return (f"COUNT(*), COALESCE(SUM(CAST(hash({row}) AS HUGEINT)), 0)")
