@@ -199,4 +199,75 @@ class Round11Spec extends SparkSpecBase {
     assert(out(10L) == ((body, 0L)), "canonical copy must survive")
     assert(out(20L) == (("", 12L)), s"duplicate must fully excise: ${out(20L)}")
   }
+
+  /** Straight-line reference implementation of the excision contract —
+    * same PolyHashFn arithmetic, same packed-(doc,pos) canonicality,
+    * same island merge — for differential fuzzing against the
+    * distributed plan. */
+  private def bruteExcise(docs: Seq[(Long, String)],
+                          n: Int): Map[Long, (String, Long, Long)] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val M = 1000000007L
+    def toks(t: String): Vector[String] =
+      if (t.trim.isEmpty) Vector.empty else t.trim.split("\\s+").toVector
+    def h1(s: String): Long =
+      graft.functions.PolyHashFn.hash(UTF8String.fromString(s))
+    case class Occ(id: Long, pos: Int, h: Long) {
+      def key: Long = id * (1L << 30) + pos
+    }
+    val occs = docs.flatMap { case (id, t) =>
+      val tk = toks(t)
+      if (tk.size < n) Nil
+      else {
+        val th = tk.map(h1)
+        (0 to tk.size - n).map { i =>
+          var h = th(i)
+          (1 until n).foreach(j => h = (h * 31 + th(i + j)) % M)
+          Occ(id, i, h)
+        }
+      }
+    }
+    val byH = occs.groupBy(_.h)
+    val cut = occs.filter { o =>
+      val g = byH(o.h)
+      g.size > 1 && o.key != g.map(_.key).min
+    }
+    val cutByDoc = cut.groupBy(_.id)
+    docs.map { case (id, t) =>
+      val tk = toks(t)
+      val poss = cutByDoc.getOrElse(id, Nil).map(_.pos).distinct.sorted
+      val removed = poss.flatMap(p => p until p + n).toSet
+      val kept = tk.zipWithIndex.collect {
+        case (w, i) if !removed(i) => w }
+      val nSpans = poss.zipWithIndex
+        .count { case (p, i) => i == 0 || poss(i - 1) != p - 1 }
+      id -> ((kept.mkString(" "), (tk.size - kept.size).toLong,
+        nSpans.toLong))
+    }.toMap
+  }
+
+  test("exciseSpans: differential fuzz vs the straight-line reference " +
+      "on random small-vocab corpora") {
+    import spark.implicits._
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    (1 to 4).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val docs = (0L until 40L).map { id =>
+        val len = rnd.nextInt(25)
+        id -> Vector.fill(len)(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+      }
+      val expected = bruteExcise(docs, 3)
+      val got = graft.ops.NearDup
+        .exciseSpans(docs.toDF("doc_id", "text"), "doc_id", "text", 3)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got.keySet == expected.keySet, s"seed $seed: doc sets differ")
+      expected.foreach { case (id, e) =>
+        assert(got(id) == e,
+          s"seed $seed doc $id: engine ${got(id)} vs reference $e " +
+            s"(text '${docs.find(_._1 == id).get._2}')")
+      }
+    }
+  }
 }
