@@ -478,16 +478,23 @@ object NearDup {
   /** The EXCISED corpus — [[repeatedSpans]] detection carried through to
     * the rewrite Lee et al. 2022 (arXiv:2107.06499, ExactSubstr) actually
     * apply to training data: duplicated text is CUT, one canonical
-    * occurrence is kept. A window occurrence (doc, pos) is a cut
-    * candidate iff its n-token hash occurs at >1 site AND (doc, pos) is
-    * not the hash's canonical site (global minimum packed (doc, pos) —
-    * deterministic, partitioning-invariant). A token is removed iff some
-    * cut-candidate window covers it; maximal runs of candidate windows
+    * occurrence is kept. A window occurrence (doc, pos) is cut iff its
+    * n-token TEXT occurs at >1 site AND (doc, pos) is not that text's
+    * canonical site (global minimum packed (doc, pos) — deterministic,
+    * partitioning-invariant). The window hash is a PREFILTER, not the
+    * identity: candidates surviving the hash-frequency gate are
+    * re-verified on exact window text before any cut, so a poly-hash
+    * collision can never excise unique text — at 4M docs the 180M-window
+    * stream makes millions of birthday collisions over the 1e9+7 hash
+    * space, and the unverified form measurably cut canonical passages
+    * (ExciseBench caught it). A colliding-but-different text group keeps
+    * ALL its members (false negative, never false cut). A token is
+    * removed iff some cut window covers it; maximal runs of cut windows
     * merge first (the [[repeatedSpans]] islands), so cuts are whole
-    * spans, not word-holes. Canonicality is PER-WINDOW: the kept copy of
-    * phrase A can still lose tokens to an overlapping duplicated phrase
-    * B whose canonical site is elsewhere — the price of avoiding a
-    * sequential cut-ordering pass, stated rather than hidden.
+    * spans, not word-holes. Canonicality is PER-WINDOW-TEXT: the kept
+    * copy of phrase A can still lose tokens to an overlapping duplicated
+    * phrase B whose canonical site is elsewhere — the price of avoiding
+    * a sequential cut-ordering pass, stated rather than hidden.
     *
     * Docs shorter than n tokens pass through untouched (no n-window).
     * Output (id, clean_text, n_removed, n_spans); clean_text is the
@@ -497,13 +504,16 @@ object NearDup {
     * Scale shape: tokenization persists once (window stream + final
     * reassembly both read it — re-tokenizing the full corpus twice is
     * the expensive side, unlike the hash-only re-derive in
-    * [[repeatedSpans]]); the count/canonical aggregate and the
-    * dup-window join shuffle HASHES only, never text; the island merge
-    * and span collect group the dup-position sliver per doc; the final
-    * join brings the per-doc span array (a sliver — spans, not windows)
-    * to the token arrays, where one codegen'd filter-with-index drops
-    * covered tokens. Hot boilerplate hashes skew the h-join exactly as
-    * in [[repeatedSpans]] — same heavy-hitter mitigation applies. */
+    * [[repeatedSpans]]); the hash-frequency gate shuffles HASHES only;
+    * window TEXT is materialized solely for the repeated sliver (one
+    * doc-keyed join of that sliver against the token arrays, then a
+    * per-(hash, text) aggregate — text rides a shuffle only after the
+    * stream has been cut to actual repeats); the island merge and span
+    * collect group the cut-position sliver per doc; the final join
+    * brings the per-doc span array to the token arrays, where one
+    * codegen'd filter-with-index drops covered tokens. Hot boilerplate
+    * windows skew the repeated-sliver joins exactly as in
+    * [[repeatedSpans]] — same heavy-hitter mitigation applies. */
   def exciseSpans(docs: DataFrame, idCol: String, textCol: String,
                   n: Int): DataFrame = {
     require(n >= 2, s"span window width must be >= 2, got $n")
@@ -516,12 +526,24 @@ object NearDup {
         posexplode(call_function("shingle_hashes", col("__tk"), lit(n)))
           .as(Seq("pos", "h")))
     val okey = col(idCol) * lit(OccP) + col("pos")
-    val cut = wins.join(
-        wins.groupBy(col("h"))
+    // hash-frequency prefilter (hash-only shuffle), then attach exact
+    // window text to the repeated sliver and decide per (hash, text)
+    val repeated = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+      .select(col("h"))
+    val repWins = wins.join(repeated, Seq("h"), "left_semi")
+      .join(toks, Seq(idCol))
+      .select(col(idCol), col("pos"), col("h"),
+        concat_ws(" ", slice(col("__tk"), col("pos") + lit(1), lit(n)))
+          .as("__wt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cut = repWins.join(
+        repWins.groupBy(col("h"), col("__wt"))
           .agg(count(lit(1)).as("__c"), min(okey).as("__ck"))
           .filter(col("__c") > 1)
-          .select(col("h"), col("__ck")),
-        Seq("h"), "inner")
+          .select(col("h"), col("__wt"), col("__ck")),
+        Seq("h", "__wt"), "inner")
       .filter(okey =!= col("__ck"))
       .select(col(idCol), col("pos"))
     val w = org.apache.spark.sql.expressions.Window

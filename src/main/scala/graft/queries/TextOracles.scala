@@ -1344,12 +1344,19 @@ object TextOracles {
          |shl AS (SELECT doc_id, pos, th, $leads FROM th),
          |win AS (SELECT doc_id, pos, $fold AS h
          |        FROM shl WHERE th${n - 1} IS NOT NULL),
-         |st AS (SELECT h, COUNT(*) AS c,
+         |rep AS (SELECT h FROM win GROUP BY h HAVING COUNT(*) > 1),
+         |rw AS (SELECT w.doc_id, w.pos, w.h,
+         |         array_to_string(t.tk[w.pos + 1 : w.pos + $n], ' ')
+         |           AS wt
+         |       FROM win w JOIN rep USING (h)
+         |         JOIN lng t ON t.doc_id = w.doc_id),
+         |st AS (SELECT h, wt, COUNT(*) AS c,
          |         MIN(doc_id * 1073741824 + pos) AS ck
-         |       FROM win GROUP BY h),
+         |       FROM rw GROUP BY h, wt),
          |dw AS (SELECT w.doc_id, w.pos
-         |       FROM win w JOIN st ON w.h = st.h AND st.c > 1
-         |       WHERE w.doc_id * 1073741824 + w.pos <> st.ck),
+         |       FROM rw w JOIN st ON w.h = st.h AND w.wt = st.wt
+         |       WHERE st.c > 1
+         |         AND w.doc_id * 1073741824 + w.pos <> st.ck),
          |isl AS (SELECT doc_id, pos,
          |          pos - row_number() OVER (PARTITION BY doc_id
          |            ORDER BY pos) AS grp

@@ -212,7 +212,7 @@ class Round11Spec extends SparkSpecBase {
       if (t.trim.isEmpty) Vector.empty else t.trim.split("\\s+").toVector
     def h1(s: String): Long =
       graft.functions.PolyHashFn.hash(UTF8String.fromString(s))
-    case class Occ(id: Long, pos: Int, h: Long) {
+    case class Occ(id: Long, pos: Int, h: Long, wt: String) {
       def key: Long = id * (1L << 30) + pos
     }
     val occs = docs.flatMap { case (id, t) =>
@@ -223,14 +223,19 @@ class Round11Spec extends SparkSpecBase {
         (0 to tk.size - n).map { i =>
           var h = th(i)
           (1 until n).foreach(j => h = (h * 31 + th(i + j)) % M)
-          Occ(id, i, h)
+          Occ(id, i, h, tk.slice(i, i + n).mkString(" "))
         }
       }
     }
+    // hash prefilter, then canonicality per exact window TEXT — as the
+    // operator does
     val byH = occs.groupBy(_.h)
+    val byText = occs.filter(o => byH(o.h).size > 1)
+      .groupBy(o => (o.h, o.wt))
     val cut = occs.filter { o =>
-      val g = byH(o.h)
-      g.size > 1 && o.key != g.map(_.key).min
+      byText.get((o.h, o.wt)).exists { g =>
+        g.size > 1 && o.key != g.map(_.key).min
+      }
     }
     val cutByDoc = cut.groupBy(_.id)
     docs.map { case (id, t) =>
