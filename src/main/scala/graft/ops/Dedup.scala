@@ -237,27 +237,36 @@ object Dedup {
     * prefix are one group — the crawl-pipeline middle ground between
     * exact dedup (whole-content hash; misses appended-boilerplate copies)
     * and MinHash near-dup (pays the shingle cascade). Template pages,
-    * truncated re-crawls, and pagination copies share long prefixes;
-    * hashing just the prefix catches them in a single hash-groupBy whose
-    * shuffle carries (prefix hash, id) — at 100 TB this is the cheap
-    * first dedup tier run before the LSH cascade ever sees the corpus.
+    * truncated re-crawls, and pagination copies share long prefixes —
+    * at 100 TB this is the cheap first dedup tier run before the LSH
+    * cascade ever sees the corpus.
+    *
+    * Group identity is the EXACT prefix string, not its hash: a dedup
+    * decision on a 30-bit poly-hash alone falsely merges ~n²/2·10⁹
+    * birthday-colliding prefixes (hundreds of wrongly-dropped docs per
+    * billion — the same defect class ExciseBench caught in the span
+    * exciser). The prefix is bounded at `prefixTokens` tokens, so the
+    * shuffle carries ~100 B/doc instead of 8 — the price of never
+    * deleting a non-duplicate; `prefix_hash` remains in the output as
+    * the group's compact display/bucketing key.
     *
     * Output: one row per doc — (id, prefix_hash, group_n, rep, is_kept)
     * where rep = the group's smallest id and is_kept marks it. Docs
-    * shorter than the prefix hash their whole token stream. */
+    * shorter than the prefix group on their whole token stream. */
   def prefixDedup(docs: DataFrame, idCol: String, textCol: String,
                   prefixTokens: Int): DataFrame = {
     require(prefixTokens >= 1,
       s"prefix width must be >= 1, got $prefixTokens")
     val prefix = concat_ws(" ",
       slice(TextOps.tokens(col(textCol)), 1, prefixTokens))
-    val withHash = docs.select(col(idCol),
+    val withPre = docs.select(col(idCol), prefix.as("__pre"),
       TextOps.polyHash(prefix).as("prefix_hash"))
-    val w = Window.partitionBy(col("prefix_hash"))
-    withHash
+    val w = Window.partitionBy(col("__pre"))
+    withPre
       .withColumn("group_n", count(lit(1)).over(w))
       .withColumn("rep", min(col(idCol)).over(w))
       .withColumn("is_kept", col(idCol) === col("rep"))
+      .drop("__pre")
   }
 
   /** Golden-record survivorship: after entity resolution has grouped

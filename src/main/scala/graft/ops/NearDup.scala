@@ -378,24 +378,69 @@ object NearDup {
       array_min(transform(sh, h => TextOps.affineHash(h, i))))
   }
 
+  /** (id, h, shingle text) rows: [[shingleRows]] plus the exact n-token
+    * window text each hash stands for (whole-doc fallback text for docs
+    * under n tokens, mirroring the hash's own fallback). Scan-side like
+    * shingleRows — the Generate and the slice/concat projection fuse
+    * into one codegen stage, no shuffle. Used where a HASH MATCH must be
+    * re-verified on text before it justifies an action. */
+  def shingleTextRows(docs: DataFrame, idCol: String,
+                      textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), col("__tk"),
+        posexplode(call_function("shingle_hashes", col("__tk"), lit(n)))
+          .as(Seq("__pos", "h")))
+      .select(col(idCol), col("h"),
+        when(size(col("__tk")) < n, concat_ws(" ", col("__tk")))
+          .otherwise(concat_ws(" ",
+            slice(col("__tk"), col("__pos") + lit(1), lit(n))))
+          .as("__st"))
+
   /** Benchmark decontamination report — the eval-leakage check of a
     * training-corpus pipeline (distinct from near-dup: asymmetric exact
     * n-gram CONTAINMENT, not symmetric similarity; one shared shingle is
     * already contamination). Per corpus doc sharing at least one n-token
     * shingle with any benchmark doc: the distinct shared-shingle count.
     *
+    * Matches are TEXT-verified: the poly-hash range is ~2³⁰, so against
+    * a benchmark set of B distinct shingles every corpus window has a
+    * ~B/10⁹ chance of a pure birthday collision — with minOverlap = 1
+    * semantics ("one shared n-gram disqualifies"), an unverified hash
+    * match would FALSELY DELETE roughly that fraction of the whole
+    * corpus (the same defect class ExciseBench caught in the span
+    * exciser, with a far higher base rate). The hash set still does the
+    * map-side prefilter; window text is built only for the sliver that
+    * survives it, then checked against the benchmark's (hash, text)
+    * pairs.
+    *
     * Scale shape: the benchmark's distinct shingle set is eval-sized
-    * (thousands of docs), so it broadcasts; the corpus shingle stream is
-    * filtered MAP-SIDE by the broadcast semi join — the corpus is never
-    * shuffled, and the dedup + per-doc count shuffle only the
-    * contaminated sliver that survives the filter. */
+    * (thousands of docs), so both the hash set and the (hash, text)
+    * pairs broadcast; the corpus shingle stream is filtered MAP-SIDE by
+    * the broadcast hash semi join — the corpus is never shuffled, and
+    * the text build, verify join, dedup and per-doc count touch only
+    * the contaminated sliver. */
   def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
                           idCol: String, textCol: String,
                           n: Int = 8): DataFrame = {
-    val benchSh = shingleRows(benchmark, idCol, textCol, n)
-      .select(col("h")).distinct()
-    shingleRows(corpus, idCol, textCol, n)
-      .join(broadcast(benchSh), Seq("h"), "left_semi")
+    val benchSh = shingleTextRows(benchmark, idCol, textCol, n)
+      .select(col("h"), col("__st")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val benchH = benchSh.select(col("h")).distinct()
+    // hash semi BEFORE the text projection, so the per-window string
+    // build pays only on the prefiltered sliver (join placement pinned
+    // by construction — the optimizer won't hoist a projection above a
+    // join that was never below it)
+    corpus.select(col(idCol), TextOps.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), col("__tk"),
+        posexplode(call_function("shingle_hashes", col("__tk"), lit(n)))
+          .as(Seq("__pos", "h")))
+      .join(broadcast(benchH), Seq("h"), "left_semi")
+      .select(col(idCol), col("h"),
+        when(size(col("__tk")) < n, concat_ws(" ", col("__tk")))
+          .otherwise(concat_ws(" ",
+            slice(col("__tk"), col("__pos") + lit(1), lit(n))))
+          .as("__st"))
+      .join(broadcast(benchSh), Seq("h", "__st"), "left_semi")
       .dropDuplicates(idCol, "h")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared_shingles"))
@@ -443,9 +488,10 @@ object NearDup {
     * mitigation is pre-extracting the top-k hashes with
     * [[Sketches.heavyHitters]] and handling them broadcast-side, the
     * same skew split as [[Skew.saltedJoin]]. Hash collisions (mod 1e9+7)
-    * can mark a window repeated when only its hash is; production
-    * removal would re-verify span TEXT on the span sliver (the same
-    * size-gated verify tier as [[verifiedNearDups]]). */
+    * can mark a window repeated when only its hash is — acceptable in
+    * this DETECTION report; the removal tier, [[exciseSpans]], verifies
+    * exact window text before any cut (it measurably mattered: see
+    * ExciseBench). */
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
                     n: Int): DataFrame = {
     require(n >= 2, s"span window width must be >= 2, got $n")

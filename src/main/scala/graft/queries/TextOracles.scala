@@ -45,6 +45,34 @@ object TextOracles {
 
   def shingleCtes(n: Int): String = "WITH " + shingleCtesBody(n, "documents")
 
+  /** Like [[shingleCtesBody]] but position-aware, ending in `stx`
+    * (doc_id, h, st): each window hash paired with its exact n-token
+    * text (whole-doc fallback text for docs under n tokens) — the SQL
+    * twin of NearDup.shingleTextRows, for oracles that must verify a
+    * hash match on text. */
+  def shingleTextCtesBody(n: Int, src: String): String = {
+    val leads = (1 until n).map(i =>
+      s"lead(th, $i) OVER (PARTITION BY doc_id ORDER BY pos) AS th$i")
+      .mkString(", ")
+    val fold = (1 until n).foldLeft("th")((acc, i) =>
+      s"($acc * 31 + th$i) % 1000000007")
+    s"""tok0 AS (SELECT doc_id, $Tk AS tk FROM $src),
+       |tokx AS (SELECT doc_id, unnest(tk) AS tok,
+       |           unnest(range(0, len(tk))) AS pos FROM tok0
+       |         WHERE len(tk) >= $n),
+       |th AS (SELECT doc_id, pos, ${H("tok")} AS th FROM tokx),
+       |shl AS (SELECT doc_id, pos, th, $leads FROM th),
+       |win AS (SELECT doc_id, pos, $fold AS h
+       |        FROM shl WHERE th${n - 1} IS NOT NULL),
+       |stx AS (SELECT w.doc_id, w.h,
+       |          array_to_string(t.tk[w.pos + 1 : w.pos + $n], ' ') AS st
+       |        FROM win w JOIN tok0 t USING (doc_id)
+       |        UNION ALL
+       |        SELECT doc_id, ${H("array_to_string(tk, ' ')")} AS h,
+       |          array_to_string(tk, ' ') AS st
+       |        FROM tok0 WHERE len(tk) < $n)""".stripMargin
+  }
+
   val ShingleCtes: String = shingleCtes(3)
 
   /** + 16 minhashes per doc (mirrors NearDup.minhashRows). */
@@ -636,12 +664,13 @@ object TextOracles {
       val p = TextQueries.PrefixTokens
       s"""WITH t AS (SELECT doc_id, $Tk AS tk FROM documents),
          |pr AS (SELECT doc_id,
+         |         array_to_string(tk[1:$p], ' ') AS pre,
          |         ${H(s"array_to_string(tk[1:$p], ' ')")} AS prefix_hash
          |       FROM t)
          |SELECT doc_id, prefix_hash,
-         |  COUNT(*) OVER (PARTITION BY prefix_hash) AS group_n,
-         |  MIN(doc_id) OVER (PARTITION BY prefix_hash) AS rep,
-         |  doc_id = MIN(doc_id) OVER (PARTITION BY prefix_hash) AS is_kept
+         |  COUNT(*) OVER (PARTITION BY pre) AS group_n,
+         |  MIN(doc_id) OVER (PARTITION BY pre) AS rep,
+         |  doc_id = MIN(doc_id) OVER (PARTITION BY pre) AS is_kept
          |FROM pr""".stripMargin
     },
 
@@ -653,11 +682,11 @@ object TextOracles {
       s"""WITH t AS (SELECT doc_id, lang, source, n_chars, $Tk AS tk
          |       FROM documents),
          |pr AS (SELECT doc_id, lang, source, n_chars,
-         |         ${H(s"array_to_string(tk[1:$p], ' ')")} AS ph
+         |         array_to_string(tk[1:$p], ' ') AS pre
          |       FROM t),
          |g AS (SELECT *,
-         |        COUNT(*) OVER (PARTITION BY ph) AS group_n,
-         |        MIN(doc_id) OVER (PARTITION BY ph) AS rep
+         |        COUNT(*) OVER (PARTITION BY pre) AS group_n,
+         |        MIN(doc_id) OVER (PARTITION BY pre) AS rep
          |      FROM pr),
          |c AS (SELECT rep AS cluster, lang, source, n_chars
          |      FROM g WHERE group_n > 1),
@@ -836,22 +865,25 @@ object TextOracles {
     // fractional contamination: corpus-side distinct spans vs the
     // benchmark-slice span set (q96's split, score instead of gate)
     "q144_contamination_frac" -> {
-      val corpusCtes = shingleCtesBody(TextQueries.ShingleN,
+      val corpusCtes = shingleTextCtesBody(TextQueries.ShingleN,
         "(SELECT * FROM documents WHERE doc_id % 20 <> 0)")
       // prefix the CTE names (word-bounded: plain .replace of "th"
       // would also mangle "length")
-      val benchCtes = Seq("tok0", "tokx", "th", "shl", "shu", "shx")
-        .foldLeft(shingleCtesBody(TextQueries.ShingleN,
+      val benchCtes = Seq("tok0", "tokx", "th", "shl", "win", "stx")
+        .foldLeft(shingleTextCtesBody(TextQueries.ShingleN,
           "(SELECT * FROM documents WHERE doc_id % 20 = 0)")) {
           (sql, name) => sql.replaceAll(s"\\b$name\\b", "b" + name)
         }
+      // numerator text-verified (mirrors qContaminationFrac);
+      // denominator = the doc's own distinct-hash span count
       s"""WITH $corpusCtes,
          |$benchCtes,
-         |bh AS (SELECT DISTINCT h FROM bshx),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n_spans
-         |          FROM shx GROUP BY doc_id),
-         |matched AS (SELECT s.doc_id, COUNT(*) AS n_matched
-         |            FROM shx s JOIN bh ON bh.h = s.h
+         |bh AS (SELECT DISTINCT h, st FROM bstx),
+         |cx AS (SELECT DISTINCT doc_id, h, st FROM stx),
+         |sizes AS (SELECT doc_id, COUNT(DISTINCT h) AS n_spans
+         |          FROM cx GROUP BY doc_id),
+         |matched AS (SELECT s.doc_id, COUNT(DISTINCT s.h) AS n_matched
+         |            FROM cx s JOIN bh ON bh.h = s.h AND bh.st = s.st
          |            GROUP BY s.doc_id)
          |SELECT z.doc_id, z.n_spans,
          |  COALESCE(m.n_matched, 0) AS n_matched,
@@ -1602,11 +1634,14 @@ object TextOracles {
          |WHERE (${H("CAST(d.doc_id AS VARCHAR) || '#7'")}
          |       * 2654435761 % 1000000007) % 1000000 < th.thr""".stripMargin,
 
+    // hash match re-verified on exact shingle text (mirrors the
+    // operator's collision-proof form): positions pair each window hash
+    // with its own token slice
     "q96_decontaminate" ->
-      s"""$ShingleCtes,
-         |bench AS (SELECT DISTINCT h FROM shx WHERE doc_id % 20 = 0),
+      s"""WITH ${shingleTextCtesBody(3, "documents")},
+         |bench AS (SELECT DISTINCT h, st FROM stx WHERE doc_id % 20 = 0),
          |hits AS (SELECT DISTINCT s.doc_id, s.h
-         |         FROM shx s JOIN bench USING (h)
+         |         FROM stx s JOIN bench USING (h, st)
          |         WHERE s.doc_id % 20 <> 0)
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
          |FROM hits GROUP BY doc_id""".stripMargin,

@@ -1101,18 +1101,24 @@ object TextQueries {
     * q96's binary gate refined into the ranked readout ("how
     * contaminated", for threshold sweeps). Benchmark shingle set is the
     * tiny side; the per-doc denominator rides the same distinct shingle
-    * stream the semi-join probes. */
+    * stream the semi-join probes. Matches are text-verified like
+    * [[NearDup.contaminationReport]]'s (the numerator feeds removal
+    * decisions; a poly-hash birthday collision must not inflate it);
+    * the denominator stays the doc's own distinct-hash span count —
+    * within one doc's ~dozens of spans a collision is ~10⁻⁷. */
   def qContaminationFrac(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val shC = NearDup.shingleRows(docs.filter(col("doc_id") % 20 =!= 0),
-        "doc_id", "text", ShingleN)
+    val shC = NearDup.shingleTextRows(
+        docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text", ShingleN)
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val shB = NearDup.shingleRows(docs.filter(col("doc_id") % 20 === 0),
-        "doc_id", "text", ShingleN)
-      .select(col("h")).distinct()
-    val sizes = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
-    val matched = shC.join(shB, Seq("h"), "left_semi")
+    val shB = NearDup.shingleTextRows(
+        docs.filter(col("doc_id") % 20 === 0), "doc_id", "text", ShingleN)
+      .select(col("h"), col("__st")).distinct()
+    val sizes = shC.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+    val matched = shC.join(shB, Seq("h", "__st"), "left_semi")
+      .select(col("doc_id"), col("h")).distinct()
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched"))
     sizes.join(matched, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_matched"))
