@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{AccentFold, BpeSegment, CountIn, InterleaveBits, JaroWinkler, JumpHash, PolyHash, ShingleHashes, SrpBandedSig, VecDot}
+import graft.functions.{AccentFold, BpeSegment, CountIn, InterleaveBits, JaroWinkler, JumpHash, PolyHash, PolyHashWide, ShingleHashes, ShingleHashesWide, SrpBandedSig, VecDot}
 
 /** Engine extensions, injected via spark.sql.extensions (set by
   * [[graft.core.Sessions]]). Registers the native expressions so they are
@@ -82,6 +82,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ShingleHashes(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("poly_hash_wide"),
+      new ExpressionInfo(classOf[PolyHashWide].getName, "poly_hash_wide"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PolyHashWide(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes_wide"),
+      new ExpressionInfo(classOf[ShingleHashesWide].getName,
+        "shingle_hashes_wide"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ShingleHashesWide(children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("accent_fold"),
       new ExpressionInfo(classOf[AccentFold].getName, "accent_fold"),

@@ -1658,11 +1658,21 @@ object SparkEntry {
         |FROM t""".stripMargin,
 
     "q201_auto_range_join" ->
-      """SELECT a.event_type AS type_a, b.event_type AS type_b,
+      """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS t,
+        |    epoch_us(ts) // 300000000 AS band FROM events),
+        |x AS (SELECT event_id, event_type, t,
+        |    unnest([band - 1, band, band + 1]) AS band FROM e)
+        |-- floor-div band twin of the engine's ProximityJoinRewrite: a
+        |-- |ta−tb| <= W pair always lands within one band of width W, so
+        |-- the 3-band equi-join enumerates exactly the candidate sliver
+        |-- the engine does (each qualifying pair exactly once — the two
+        |-- bands are fixed per pair and the exploded values are
+        |-- distinct), instead of the naive theta join whose quadratic
+        |-- intermediate blew DuckDB's 54 GB RAM at sf1
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
         |  COUNT(*) AS n_pairs
-        |FROM events a JOIN events b
-        |  ON abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
-        | AND a.event_id < b.event_id
+        |FROM e a JOIN x b USING (band)
+        |WHERE abs(a.t - b.t) <= 300000000 AND a.event_id < b.event_id
         |GROUP BY 1, 2""".stripMargin,
 
     "q203_weighted_median" ->

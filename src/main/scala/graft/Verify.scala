@@ -14,6 +14,20 @@ object Verify {
     // excluded by documented contract (SCALE.md). Unset for driver runs.
     val excluded = sys.env.get("GRAFT_VERIFY_EXCLUDE")
       .map(_.split(',').map(_.trim).toSet).getOrElse(Set.empty[String])
+    // audit trail for exclusion runs: print what is ACTUALLY excluded and
+    // call out names matching no query — a typo would otherwise exclude
+    // nothing, silently, and the sf1 board would quietly run the query it
+    // meant to skip (or skip nothing and look green for the wrong reason)
+    if (excluded.nonEmpty) {
+      val (known, unknown) = excluded.partition(SparkEntry.queries.contains)
+      System.err.println(
+        s"[verify] GRAFT_VERIFY_EXCLUDE active: skipping " +
+          s"${known.toSeq.sorted.mkString(", ")}")
+      if (unknown.nonEmpty)
+        System.err.println(
+          s"[verify] WARNING: excluded names matching NO query (typo?): " +
+            s"${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val selected =
       (if (args.length <= 2) SparkEntry.queries
        else SparkEntry.queries.filter { case (n, _) =>

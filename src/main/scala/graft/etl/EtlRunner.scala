@@ -54,14 +54,37 @@ object EtlRunner {
     }
 
     // bronze → typed (repair pass only where malformed rows can occur:
-    // free-text description columns)
-    val tPat = Typing.patients(Ingest.readAllString(spark, in("patients")))
-    val tEnc = Typing.encounters(Ingest.readRepaired(spark, in("encounters")))
-    val tCon = Typing.conditions(Ingest.readRepaired(spark, in("conditions")))
-    val tMed = Typing.medications(Ingest.readRepaired(spark, in("medications")))
-    val tPro = Typing.procedures(Ingest.readRepaired(spark, in("procedures")))
-    val tObs = Typing.observations(
-      Ingest.readRepaired(spark, in("observations")))
+    // free-text description columns). Typed tables materialize ONCE as
+    // parquet at this boundary: downstream consumers share each frame —
+    // patients feeds the person map + person + death, encounters the
+    // visit map + visit + visit cost, medications/procedures their
+    // domain AND cost rows, observations both split halves — and a lazy
+    // typing lineage re-reads (and re-repairs) the same CSV text for
+    // every consumer: 126.7 GB of input for ~27 GB of CSV at the
+    // 101.66M-row scale run. After the cut each re-read is a
+    // column-pruned parquet scan of the typed sliver it needs. `_typed`
+    // is infrastructure, not a gold table (underscore-prefixed, skipped
+    // by inventory sweeps) — the same staged-boundary role the
+    // reference's staging schema plays (sql/staging).
+    def typed(df: DataFrame, n: String): DataFrame = save(df, s"_typed/$n")
+    val tPat = typed(
+      Typing.patients(Ingest.readAllString(spark, in("patients"))),
+      "patients")
+    val tEnc = typed(
+      Typing.encounters(Ingest.readRepaired(spark, in("encounters"))),
+      "encounters")
+    val tCon = typed(
+      Typing.conditions(Ingest.readRepaired(spark, in("conditions"))),
+      "conditions")
+    val tMed = typed(
+      Typing.medications(Ingest.readRepaired(spark, in("medications"))),
+      "medications")
+    val tPro = typed(
+      Typing.procedures(Ingest.readRepaired(spark, in("procedures"))),
+      "procedures")
+    val tObs = typed(
+      Typing.observations(Ingest.readRepaired(spark, in("observations"))),
+      "observations")
 
     // id maps (the only global coordination)
     val personMap = save(Domains.buildIdMap(spark, None,

@@ -383,12 +383,15 @@ object NearDup {
     * under n tokens, mirroring the hash's own fallback). Scan-side like
     * shingleRows — the Generate and the slice/concat projection fuse
     * into one codegen stage, no shuffle. Used where a HASH MATCH must be
-    * re-verified on text before it justifies an action. */
+    * re-verified on text before it justifies an action; the hash is the
+    * WIDE two-plane key ([[graft.functions.ShingleHashesWideFn]],
+    * ≈2^60 space) so the prefilter itself stays sliver-selective at
+    * corpus scale — the text compare remains the correctness backstop. */
   def shingleTextRows(docs: DataFrame, idCol: String,
                       textCol: String, n: Int): DataFrame =
     docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__tk"))
       .select(col(idCol), col("__tk"),
-        posexplode(call_function("shingle_hashes", col("__tk"), lit(n)))
+        posexplode(call_function("shingle_hashes_wide", col("__tk"), lit(n)))
           .as(Seq("__pos", "h")))
       .select(col(idCol), col("h"),
         when(size(col("__tk")) < n, concat_ws(" ", col("__tk")))
@@ -402,23 +405,30 @@ object NearDup {
     * already contamination). Per corpus doc sharing at least one n-token
     * shingle with any benchmark doc: the distinct shared-shingle count.
     *
-    * Matches are TEXT-verified: the poly-hash range is ~2³⁰, so against
-    * a benchmark set of B distinct shingles every corpus window has a
-    * ~B/10⁹ chance of a pure birthday collision — with minOverlap = 1
-    * semantics ("one shared n-gram disqualifies"), an unverified hash
-    * match would FALSELY DELETE roughly that fraction of the whole
-    * corpus (the same defect class ExciseBench caught in the span
-    * exciser, with a far higher base rate). The hash set still does the
-    * map-side prefilter; window text is built only for the sliver that
-    * survives it, then checked against the benchmark's (hash, text)
-    * pairs.
+    * Matches are TEXT-verified: even in the wide ≈2^60 hash space a
+    * collision against the benchmark set is possible, and with
+    * minOverlap = 1 semantics ("one shared n-gram disqualifies") an
+    * unverified hash match would FALSELY DELETE real docs (the defect
+    * class the sf1 board caught at 30 bits: 153 false contaminations at
+    * only 50k docs). The hash set still does the map-side prefilter;
+    * window text is built only for the sliver that survives it, then
+    * checked against the benchmark's (hash, text) pairs. The wide key
+    * also keeps the prefilter itself selective at corpus scale: the
+    * pass-through fraction is ~B/2^60 per window instead of ~B/2^30.
     *
     * Scale shape: the benchmark's distinct shingle set is eval-sized
     * (thousands of docs), so both the hash set and the (hash, text)
     * pairs broadcast; the corpus shingle stream is filtered MAP-SIDE by
     * the broadcast hash semi join — the corpus is never shuffled, and
     * the text build, verify join, dedup and per-doc count touch only
-    * the contaminated sliver. */
+    * the contaminated sliver.
+    *
+    * Caching: the benchmark (hash, text) sliver persists for the two
+    * broadcast builds and stays in the session cache afterwards (the
+    * returned frame is lazy, so there is no in-operator point to
+    * unpersist it without recomputing). Library callers embedding this
+    * in a long-lived session should `spark.catalog.clearCache()`
+    * between unrelated invocations — Verify/Bench do. */
   def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
                           idCol: String, textCol: String,
                           n: Int = 8): DataFrame = {
@@ -432,7 +442,7 @@ object NearDup {
     // join that was never below it)
     corpus.select(col(idCol), TextOps.tokens(col(textCol)).as("__tk"))
       .select(col(idCol), col("__tk"),
-        posexplode(call_function("shingle_hashes", col("__tk"), lit(n)))
+        posexplode(call_function("shingle_hashes_wide", col("__tk"), lit(n)))
           .as(Seq("__pos", "h")))
       .join(broadcast(benchH), Seq("h"), "left_semi")
       .select(col(idCol), col("h"),
@@ -487,11 +497,16 @@ object NearDup {
     * universal boilerplate n-gram is a hot key in that join — the
     * mitigation is pre-extracting the top-k hashes with
     * [[Sketches.heavyHitters]] and handling them broadcast-side, the
-    * same skew split as [[Skew.saltedJoin]]. Hash collisions (mod 1e9+7)
-    * can mark a window repeated when only its hash is — acceptable in
-    * this DETECTION report; the removal tier, [[exciseSpans]], verifies
-    * exact window text before any cut (it measurably mattered: see
-    * ExciseBench). */
+    * same skew split as [[Skew.saltedJoin]]. The window key is the WIDE
+    * two-plane hash ([[graft.functions.ShingleHashesWideFn]], ≈2^60
+    * space): a 30-bit key saturates the `count > 1` gate at corpus
+    * scale (~10^13 windows ⇒ every value repeats ~10^4 times and the
+    * "repeated sliver" becomes the whole corpus); at ≈2^60 the expected
+    * colliding-pair count stays ~n²/2^60.8 — sliver-sized even at
+    * 100 TB. Residual wide-hash collisions can still mark a window
+    * repeated when only its hash is — acceptable in this DETECTION
+    * report (resolution is the hash, by contract); the removal tier,
+    * [[exciseSpans]], verifies exact window text before any cut. */
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
                     n: Int): DataFrame = {
     require(n >= 2, s"span window width must be >= 2, got $n")
@@ -499,7 +514,7 @@ object NearDup {
       .select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
       .filter(size(col("__t")) >= n)
       .select(col(idCol),
-        posexplode(call_function("shingle_hashes", col("__t"), lit(n)))
+        posexplode(call_function("shingle_hashes_wide", col("__t"), lit(n)))
           .as(Seq("pos", "h")))
     val repeated = wins.groupBy(col("h"))
       .agg(count(lit(1)).as("__c"))
@@ -518,8 +533,27 @@ object NearDup {
 
   /** Occurrence key: (doc, pos) packed into one long for an exact total
     * order with no struct-compare semantics to keep in sync with the
-    * oracle — pos < 2^30 (the [[WinnowP]] cap), ids to ~2^33 stay exact. */
+    * oracle — pos < 2^30 (the [[WinnowP]] cap), ids to ~2^33 stay exact.
+    * The id domain is enforced FAIL-FAST in [[exciseSpans]] (see
+    * [[occKeyGuarded]]): an id ≥ 2^33 would silently wrap the packed
+    * key in Spark (while the DuckDB oracle errors on BIGINT overflow)
+    * and corrupt canonical-site selection. */
   private val OccP = 1L << 30
+
+  /** Largest doc id the packed occurrence key represents exactly:
+    * id·2^30 + pos < 2^63 needs id < 2^33 (and non-negative — a negative
+    * id would misorder against the "global minimum = canonical" rule). */
+  private val OccIdMax = 1L << 33
+
+  /** The packed occurrence key with the id-domain guard compiled into
+    * the expression: out-of-range ids raise a task error instead of
+    * silently wrapping. One codegen'd branch per row — free next to the
+    * joins it feeds. */
+  private def occKeyGuarded(id: Column, pos: Column): Column =
+    when(id >= 0 && id < OccIdMax, id * lit(OccP) + pos)
+      .otherwise(raise_error(concat(
+        lit(s"exciseSpans: doc id out of packed-key domain [0, $OccIdMax): "),
+        id.cast("string"))))
 
   /** The EXCISED corpus — [[repeatedSpans]] detection carried through to
     * the rewrite Lee et al. 2022 (arXiv:2107.06499, ExactSubstr) actually
@@ -529,11 +563,16 @@ object NearDup {
     * canonical site (global minimum packed (doc, pos) — deterministic,
     * partitioning-invariant). The window hash is a PREFILTER, not the
     * identity: candidates surviving the hash-frequency gate are
-    * re-verified on exact window text before any cut, so a poly-hash
+    * re-verified on exact window text before any cut, so a hash
     * collision can never excise unique text — at 4M docs the 180M-window
-    * stream makes millions of birthday collisions over the 1e9+7 hash
+    * stream made millions of birthday collisions over the old 1e9+7
     * space, and the unverified form measurably cut canonical passages
-    * (ExciseBench caught it). A colliding-but-different text group keeps
+    * (ExciseBench caught it). The prefilter key is now the WIDE
+    * two-plane hash ([[graft.functions.ShingleHashesWideFn]], ≈2^60
+    * space): at 30 bits the `count > 1` gate itself saturates at corpus
+    * scale and the "repeated sliver" the text-attach join must carry
+    * becomes the whole corpus; at ≈2^60 the gate stays sliver-selective
+    * to ~10^13 windows. A colliding-but-different text group keeps
     * ALL its members (false negative, never false cut). A token is
     * removed iff some cut window covers it; maximal runs of cut windows
     * merge first (the [[repeatedSpans]] islands), so cuts are whole
@@ -559,7 +598,15 @@ object NearDup {
     * brings the per-doc span array to the token arrays, where one
     * codegen'd filter-with-index drops covered tokens. Hot boilerplate
     * windows skew the repeated-sliver joins exactly as in
-    * [[repeatedSpans]] — same heavy-hitter mitigation applies. */
+    * [[repeatedSpans]] — same heavy-hitter mitigation applies.
+    *
+    * Caching: the token arrays and the repeated-window sliver persist
+    * for the multi-reference plan above and stay in the session cache
+    * afterwards (the returned frame is lazy — unpersisting inside the
+    * operator would force recomputation at the caller's first action).
+    * Library callers embedding this in a long-lived session should
+    * `spark.catalog.clearCache()` between unrelated invocations, as
+    * Verify/Bench and [[CorpusPipeline]] do. */
   def exciseSpans(docs: DataFrame, idCol: String, textCol: String,
                   n: Int): DataFrame = {
     require(n >= 2, s"span window width must be >= 2, got $n")
@@ -569,9 +616,9 @@ object NearDup {
     val wins = toks
       .filter(size(col("__tk")) >= n)
       .select(col(idCol),
-        posexplode(call_function("shingle_hashes", col("__tk"), lit(n)))
+        posexplode(call_function("shingle_hashes_wide", col("__tk"), lit(n)))
           .as(Seq("pos", "h")))
-    val okey = col(idCol) * lit(OccP) + col("pos")
+    val okey = occKeyGuarded(col(idCol), col("pos"))
     // hash-frequency prefilter (hash-only shuffle), then attach exact
     // window text to the repeated sliver and decide per (hash, text)
     val repeated = wins.groupBy(col("h"))
@@ -613,10 +660,15 @@ object NearDup {
         coalesce(size(col("__spans")), lit(0)).cast("long").as("n_spans"))
   }
 
-  /** Positions are packed beside hashes in one long so a single
-    * `array_min` is the winnow rule: key = h·2^30 + (2^30−1−pos).
-    * Safe because the poly-hash range (< 1e9+7) fits 30 bits and
-    * 60-bit keys fit a long; caps docs at 2^30 windows. */
+  /** Winnow position encoding: np = 2^30−1−pos, so the natural ASC
+    * order on (h, np) is "smallest hash, rightmost position" — the
+    * robust-winnowing tie rule — under one `array_min`. Caps docs at
+    * 2^30 windows (a >4 GiB single document; stated contract). The key
+    * is a STRUCT(h, np), not a packed long: the wide ≈2^60-space hash
+    * ([[graft.functions.ShingleHashesWideFn]]) no longer leaves room
+    * beside the position in 63 bits, and struct min is order-identical
+    * on both engines (Spark array_min and DuckDB list_min both compare
+    * structs field-lexicographically). */
   private val WinnowP = 1L << 30
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
@@ -632,7 +684,10 @@ object NearDup {
     * doc; winnowing still fingerprints it).
     *
     * Computed entirely AT THE SCAN — zero shuffle: the k-gram hash
-    * array comes from the native `shingle_hashes` expression and the
+    * array comes from the native `shingle_hashes_wide` expression
+    * (≈2^60 key space — at 30 bits two DIFFERENT k-grams sharing a
+    * fingerprint hash becomes routine at corpus scale and
+    * [[winnowOverlap]]'s shared-hash evidence goes noise) and the
     * sliding-window min is a `transform`+`slice`+`array_min`
     * higher-order chain over that per-row array (O(m·w) work per doc,
     * the classic time/shuffle trade — at w=4 the constant is tiny and
@@ -648,8 +703,9 @@ object NearDup {
     require(k >= 1, s"fingerprint k-gram width must be >= 1, got $k")
     require(w >= 2, s"winnow window must be >= 2, got $w")
     val keys = transform(
-      call_function("shingle_hashes", TextOps.tokens(col(textCol)), lit(k)),
-      (h, i) => h * lit(WinnowP) + (lit(WinnowP - 1) - i))
+      call_function("shingle_hashes_wide",
+        TextOps.tokens(col(textCol)), lit(k)),
+      (h, i) => struct(h.as("h"), (lit(WinnowP - 1) - i).as("np")))
     val m = size(col("__keys"))
     val sel = when(m >= w,
         array_distinct(transform(sequence(lit(1), m - lit(w) + lit(1)),
@@ -658,9 +714,8 @@ object NearDup {
     docs.select(col(idCol), keys.as("__keys"))
       .select(col(idCol), explode(sel).as("__key"))
       .select(col(idCol),
-        (lit(WinnowP - 1) - (col("__key") bitwiseAND lit(WinnowP - 1)))
-          .cast("int").as("pos"),
-        shiftright(col("__key"), 30).as("h"))
+        (lit(WinnowP - 1) - col("__key.np")).cast("int").as("pos"),
+        col("__key.h").as("h"))
   }
 
   /** Cross-doc overlap from winnowed fingerprints: doc pairs sharing

@@ -75,6 +75,15 @@ object TextOps {
     * [[graft.GraftExtensions]] (Sessions does). */
   def polyHash(c: Column): Column = call_function("poly_hash", c)
 
+  /** Wide two-plane string hash: polyHash(s)·2^31 + a second independent
+    * fold (mult 131, mod 998244353) — ≈2^60 key space, every intermediate
+    * BIGINT-exact on both engines ([[graft.functions.PolyHashWideFn]]).
+    * The prefilter-grade hash for dedup gates that must stay selective
+    * at corpus scale (chunk identity, substring windows); [[polyHash]]
+    * remains the 30-bit tier for arithmetic that needs small values
+    * (minhash affine family, mod-bucket features). */
+  def polyHashWide(c: Column): Column = call_function("poly_hash_wide", c)
+
   /** Lambda reference form of the same fold — the spec cross-checks the
     * native expression against it. */
   def polyHashLambda(c: Column): Column =
@@ -636,8 +645,12 @@ object TextOps {
     * chunkSize ⇒ overlap). Pure per-row expansion: tokens → sequence of
     * starts → explode → slice; no shuffle, scales with the scan, and each
     * chunk carries a content hash so chunk identity is oracle-checkable.
-    * Docs shorter than one chunk yield exactly one (possibly short)
-    * chunk; empty docs one empty chunk. */
+    * The hash is the WIDE two-plane key ([[polyHashWide]], ≈2^60 space):
+    * chunk-hash equality stands in for chunk identity in the
+    * boilerplate-passage gate (q68) and dedup manifests, and a 30-bit
+    * space saturates that gate at corpus scale (birthday collisions
+    * make unrelated chunks "repeat"). Docs shorter than one chunk yield
+    * exactly one (possibly short) chunk; empty docs one empty chunk. */
   def chunkRows(docs: DataFrame, idCol: String, textCol: String,
                 chunkSize: Int, stride: Int): DataFrame = {
     require(chunkSize >= 1 && stride >= 1,
@@ -649,7 +662,7 @@ object TextOps {
       .select(col(idCol),
         (col("start") / stride).cast("int").as("chunk_idx"),
         size(col("chunk")).cast("long").as("n_tokens"),
-        polyHash(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+        polyHashWide(concat_ws(" ", col("chunk"))).as("chunk_hash"))
   }
 
   /** Inverted-index posting stats per token: document frequency, total

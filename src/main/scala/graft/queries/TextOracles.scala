@@ -13,6 +13,39 @@ object TextOracles {
       s"list_transform(list_filter(string_split($e, ''), c -> c <> ''), " +
       s"c -> CAST(ascii(c) AS BIGINT))), (h, c) -> (h * 31 + c) % 1000000007)"
 
+  /** Second hash plane (mult 131, mod 998244353) — DuckDB twin of
+    * [[graft.functions.PolyHash2Fn]]. */
+  def H2(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(list_filter(string_split($e, ''), c -> c <> ''), " +
+      s"c -> CAST(ascii(c) AS BIGINT))), (h, c) -> (h * 131 + c) % 998244353)"
+
+  /** Wide two-plane string hash H(e)·2^31 + H2(e) — DuckDB twin of
+    * [[graft.functions.PolyHashWideFn]]. Every intermediate < 2^61:
+    * plain BIGINT arithmetic, no hugeint. */
+  def HW(e: String): String = s"(${H(e)} * 2147483648 + ${H2(e)})"
+
+  /** lead() columns for BOTH hash planes of an n-token window fold
+    * (expects per-token columns `th` (plane 1) and `t2` (plane 2)). */
+  def wideLeads(n: Int): String =
+    ((1 until n).map(i =>
+      s"lead(th, $i) OVER (PARTITION BY doc_id ORDER BY pos) AS th$i") ++
+     (1 until n).map(i =>
+      s"lead(t2, $i) OVER (PARTITION BY doc_id ORDER BY pos) AS t2$i"))
+      .mkString(", ")
+
+  /** The wide n-token window hash from lead-fold columns: plane-1 fold
+    * (·31 mod 1e9+7) shifted by 2^31 plus plane-2 fold (·131 mod
+    * 998244353) — DuckDB twin of
+    * [[graft.functions.ShingleHashesWideFn]]. */
+  def wideFold(n: Int): String = {
+    val f1 = (1 until n).foldLeft("th")((acc, i) =>
+      s"($acc * 31 + th$i) % 1000000007")
+    val f2 = (1 until n).foldLeft("t2")((acc, i) =>
+      s"($acc * 131 + t2$i) % 998244353")
+    s"(($f1) * 2147483648 + ($f2))"
+  }
+
   /** Whitespace tokens of `text` with empty-doc guard. */
   val Tk: String =
     "CASE WHEN length(trim(text)) = 0 THEN [] " +
@@ -51,24 +84,20 @@ object TextOracles {
     * twin of NearDup.shingleTextRows, for oracles that must verify a
     * hash match on text. */
   def shingleTextCtesBody(n: Int, src: String): String = {
-    val leads = (1 until n).map(i =>
-      s"lead(th, $i) OVER (PARTITION BY doc_id ORDER BY pos) AS th$i")
-      .mkString(", ")
-    val fold = (1 until n).foldLeft("th")((acc, i) =>
-      s"($acc * 31 + th$i) % 1000000007")
     s"""tok0 AS (SELECT doc_id, $Tk AS tk FROM $src),
        |tokx AS (SELECT doc_id, unnest(tk) AS tok,
        |           unnest(range(0, len(tk))) AS pos FROM tok0
        |         WHERE len(tk) >= $n),
-       |th AS (SELECT doc_id, pos, ${H("tok")} AS th FROM tokx),
-       |shl AS (SELECT doc_id, pos, th, $leads FROM th),
-       |win AS (SELECT doc_id, pos, $fold AS h
+       |th AS (SELECT doc_id, pos, ${H("tok")} AS th, ${H2("tok")} AS t2
+       |       FROM tokx),
+       |shl AS (SELECT doc_id, pos, th, t2, ${wideLeads(n)} FROM th),
+       |win AS (SELECT doc_id, pos, ${wideFold(n)} AS h
        |        FROM shl WHERE th${n - 1} IS NOT NULL),
        |stx AS (SELECT w.doc_id, w.h,
        |          array_to_string(t.tk[w.pos + 1 : w.pos + $n], ' ') AS st
        |        FROM win w JOIN tok0 t USING (doc_id)
        |        UNION ALL
-       |        SELECT doc_id, ${H("array_to_string(tk, ' ')")} AS h,
+       |        SELECT doc_id, ${HW("array_to_string(tk, ' ')")} AS h,
        |          array_to_string(tk, ' ') AS st
        |        FROM tok0 WHERE len(tk) < $n)""".stripMargin
   }
@@ -125,43 +154,46 @@ object TextOracles {
   }
 
   /** Winnowing CTE chain (q123/q124), DuckDB twin of
-    * [[graft.ops.NearDup.winnowFingerprints]]: stride-1 k-gram hash
-    * stream with 0-based window-start pos, hash+pos packed into one
-    * BIGINT key (h·2^30 + (2^30−1−pos)) so list_min per sliding window
-    * is "smallest hash, rightmost position", short docs (< w windows,
-    * incl. the |tokens|<k whole-doc fallback) contribute their single
-    * overall min. Ends in `fph(doc_id, h, pos)`. */
+    * [[graft.ops.NearDup.winnowFingerprints]]: stride-1 wide k-gram hash
+    * stream with 0-based window-start pos, keys as STRUCT(h, np) with
+    * np = 2^30−1−pos so list_min per sliding window is "smallest hash,
+    * rightmost position" (struct comparison is field-lexicographic on
+    * both engines — the wide ≈2^60 hash no longer packs beside the
+    * position in one BIGINT); short docs (< w windows, incl. the
+    * |tokens|<k whole-doc fallback) contribute their single overall
+    * min. Per-doc distinctness lands as row-level DISTINCT in `fph`
+    * (DuckDB's list_distinct lacks struct support), identical to the
+    * engine's array_distinct-then-explode. Ends in
+    * `fph(doc_id, h, pos)`. */
   val WinnowCtes: String = {
     val k = TextQueries.WinnowK
     val w = TextQueries.WinnowW
     val P = "1073741824"
-    val leads = (1 until k).map(i =>
-      s"lead(th, $i) OVER (PARTITION BY doc_id ORDER BY pos) AS th$i")
-      .mkString(", ")
-    val fold = (1 until k).foldLeft("th")((acc, i) =>
-      s"($acc * 31 + th$i) % 1000000007")
     s"""WITH tok0 AS (SELECT doc_id, $Tk AS tk FROM documents),
        |lng AS (SELECT doc_id, tk FROM tok0 WHERE len(tk) >= $k),
        |tokx AS (SELECT doc_id, unnest(tk) AS tok,
        |           unnest(range(0, len(tk))) AS pos FROM lng),
-       |th AS (SELECT doc_id, pos, ${H("tok")} AS th FROM tokx),
-       |shl AS (SELECT doc_id, pos, th, $leads FROM th),
-       |win AS (SELECT doc_id, pos, $fold AS h
+       |th AS (SELECT doc_id, pos, ${H("tok")} AS th, ${H2("tok")} AS t2
+       |       FROM tokx),
+       |shl AS (SELECT doc_id, pos, th, t2, ${wideLeads(k)} FROM th),
+       |win AS (SELECT doc_id, pos, ${wideFold(k)} AS h
        |        FROM shl WHERE th${k - 1} IS NOT NULL),
        |keyl AS (SELECT doc_id,
-       |           list($P * h + ($P - 1 - pos) ORDER BY pos) AS keys
+       |           list(struct_pack(h := h, np := $P - 1 - pos)
+       |                ORDER BY pos) AS keys
        |         FROM win GROUP BY doc_id
        |         UNION ALL
        |         SELECT doc_id,
-       |           [$P * ${H("array_to_string(tk, ' ')")} + ($P - 1)] AS keys
+       |           [struct_pack(h := ${HW("array_to_string(tk, ' ')")},
+       |                        np := $P - 1)] AS keys
        |         FROM tok0 WHERE len(tk) < $k),
        |sel AS (SELECT doc_id, CASE WHEN len(keys) >= $w THEN
-       |          list_distinct(list_transform(range(1, len(keys) - $w + 2),
-       |            j -> list_min(list_slice(keys, j, j + $w - 1))))
+       |          list_transform(range(1, len(keys) - $w + 2),
+       |            j -> list_min(list_slice(keys, j, j + $w - 1)))
        |        ELSE [list_min(keys)] END AS fps FROM keyl),
        |fp AS (SELECT doc_id, unnest(fps) AS key FROM sel),
-       |fph AS (SELECT doc_id, key // $P AS h,
-       |          $P - 1 - (key % $P) AS pos FROM fp)""".stripMargin
+       |fph AS (SELECT DISTINCT doc_id, (key).h AS h,
+       |          $P - 1 - (key).np AS pos FROM fp)""".stripMargin
   }
 
   /** q137 oracle: the WHOLE BPE pipeline — training included — replayed
@@ -1311,7 +1343,7 @@ object TextOracles {
     "q123_winnow_fp" ->
       s"""$WinnowCtes
          |SELECT doc_id, COUNT(*) AS n_fp, MIN(h) AS fp_min,
-         |  CAST(SUM(h) AS BIGINT) AS fp_sum
+         |  CAST(SUM(h) AS DECIMAL(38,0)) AS fp_sum
          |FROM fph GROUP BY doc_id""".stripMargin,
 
     // winnow overlap: distinct (doc, fingerprint-hash) pairs, hashes in
@@ -1332,18 +1364,14 @@ object TextOracles {
     // repeated windows merged per doc via the pos - row_number() islands
     "q105_repeated_spans" -> {
       val n = TextQueries.SpanN
-      val leads = (1 until n).map(i =>
-        s"lead(th, $i) OVER (PARTITION BY doc_id ORDER BY pos) AS th$i")
-        .mkString(", ")
-      val fold = (1 until n).foldLeft("th")((acc, i) =>
-        s"($acc * 31 + th$i) % 1000000007")
       s"""WITH tok0 AS (SELECT doc_id, $Tk AS tk FROM documents),
          |lng AS (SELECT doc_id, tk FROM tok0 WHERE len(tk) >= $n),
          |tokx AS (SELECT doc_id, unnest(tk) AS tok,
          |           unnest(range(0, len(tk))) AS pos FROM lng),
-         |th AS (SELECT doc_id, pos, ${H("tok")} AS th FROM tokx),
-         |shl AS (SELECT doc_id, pos, th, $leads FROM th),
-         |win AS (SELECT doc_id, pos, $fold AS h
+         |th AS (SELECT doc_id, pos, ${H("tok")} AS th, ${H2("tok")} AS t2
+         |       FROM tokx),
+         |shl AS (SELECT doc_id, pos, th, t2, ${wideLeads(n)} FROM th),
+         |win AS (SELECT doc_id, pos, ${wideFold(n)} AS h
          |        FROM shl WHERE th${n - 1} IS NOT NULL),
          |rep AS (SELECT h FROM win GROUP BY h HAVING COUNT(*) > 1),
          |rw AS (SELECT doc_id, pos FROM win
@@ -1363,18 +1391,14 @@ object TextOracles {
     // stream; clean_text = surviving tokens space-joined
     "q269_excise_spans" -> {
       val n = TextQueries.SpanN
-      val leads = (1 until n).map(i =>
-        s"lead(th, $i) OVER (PARTITION BY doc_id ORDER BY pos) AS th$i")
-        .mkString(", ")
-      val fold = (1 until n).foldLeft("th")((acc, i) =>
-        s"($acc * 31 + th$i) % 1000000007")
       s"""WITH tok0 AS (SELECT doc_id, $Tk AS tk FROM documents),
          |lng AS (SELECT doc_id, tk FROM tok0 WHERE len(tk) >= $n),
          |tokx AS (SELECT doc_id, unnest(tk) AS tok,
          |           unnest(range(0, len(tk))) AS pos FROM lng),
-         |th AS (SELECT doc_id, pos, ${H("tok")} AS th FROM tokx),
-         |shl AS (SELECT doc_id, pos, th, $leads FROM th),
-         |win AS (SELECT doc_id, pos, $fold AS h
+         |th AS (SELECT doc_id, pos, ${H("tok")} AS th, ${H2("tok")} AS t2
+         |       FROM tokx),
+         |shl AS (SELECT doc_id, pos, th, t2, ${wideLeads(n)} FROM th),
+         |win AS (SELECT doc_id, pos, ${wideFold(n)} AS h
          |        FROM shl WHERE th${n - 1} IS NOT NULL),
          |rep AS (SELECT h FROM win GROUP BY h HAVING COUNT(*) > 1),
          |rw AS (SELECT w.doc_id, w.pos, w.h,
@@ -1422,7 +1446,7 @@ object TextOracles {
          |ch AS (SELECT doc_id, tk[start + 1 : start + 32] AS chunk
          |       FROM st),
          |h AS (SELECT doc_id,
-         |        ${H("array_to_string(chunk, ' ')")} AS chunk_hash
+         |        ${HW("array_to_string(chunk, ' ')")} AS chunk_hash
          |      FROM ch WHERE len(chunk) = 32)
          |SELECT chunk_hash,
          |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
@@ -1441,7 +1465,7 @@ object TextOracles {
          |       FROM st)
          |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
          |  CAST(len(chunk) AS BIGINT) AS n_tokens,
-         |  ${H("array_to_string(chunk, ' ')")} AS chunk_hash
+         |  ${HW("array_to_string(chunk, ' ')")} AS chunk_hash
          |FROM ch""".stripMargin,
 
     "q58_tfidf_terms" ->
@@ -2227,10 +2251,27 @@ object TextOracles {
          |deg AS (SELECT node, COUNT(*) AS degree
          |        FROM (SELECT doc_a AS node FROM v
          |              UNION ALL SELECT doc_b FROM v) GROUP BY 1),
-         |tri AS (SELECT ab.doc_a AS v1, ab.doc_b AS v2, bc.doc_b AS v3
-         |        FROM v ab
-         |        JOIN v bc ON bc.doc_a = ab.doc_b
-         |        JOIN v ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b),
+         |-- degree-ordered (oriented) triangle enumeration, mirroring the
+         |-- engine's bounded-wedge shape: orient every edge toward the
+         |-- higher (degree, id) rank, enumerate wedges from each node's
+         |-- OUT-edges only (out-degree is degeneracy-bounded, so the
+         |-- wedge intermediate never explodes the way the naive
+         |-- three-way edge join does at sf1 — 60 GB temp before), close
+         |-- each wedge against the oriented edge set; each triangle
+         |-- appears exactly once
+         |rk AS (SELECT node, row_number() OVER (ORDER BY degree, node)
+         |         AS r FROM deg),
+         |oe AS (SELECT CASE WHEN ra.r < rb.r THEN v.doc_a
+         |                   ELSE v.doc_b END AS s,
+         |              CASE WHEN ra.r < rb.r THEN v.doc_b
+         |                   ELSE v.doc_a END AS d,
+         |              CASE WHEN ra.r < rb.r THEN rb.r ELSE ra.r END AS rd
+         |       FROM v JOIN rk ra ON ra.node = v.doc_a
+         |              JOIN rk rb ON rb.node = v.doc_b),
+         |tri AS (SELECT e1.s AS v1, e1.d AS v2, e2.d AS v3
+         |        FROM oe e1
+         |        JOIN oe e2 ON e2.s = e1.s AND e1.rd < e2.rd
+         |        JOIN oe e3 ON e3.s = e1.d AND e3.d = e2.d),
          |tpn AS (SELECT node, COUNT(*) AS n_tri
          |        FROM (SELECT v1 AS node FROM tri
          |              UNION ALL SELECT v2 FROM tri

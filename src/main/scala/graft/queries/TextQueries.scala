@@ -217,7 +217,9 @@ object TextQueries {
       WinnowK, WinnowW)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_fp"), min(col("h")).as("fp_min"),
-        sum(col("h")).as("fp_sum"))
+        // decimal sum: wide ≈2^61 hashes overflow a BIGINT sum at just
+        // four fingerprints — Spark would wrap silently, DuckDB errors
+        sum(col("h").cast("decimal(38,0)")).as("fp_sum"))
 
   /** MOSS-style overlap report ([[NearDup.winnowOverlap]]): doc pairs
     * sharing ≥ 2 non-boilerplate winnowed fingerprints — detects shared

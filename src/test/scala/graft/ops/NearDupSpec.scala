@@ -203,18 +203,25 @@ class NearDupSpec extends SparkSpecBase {
 
   // --- winnowing fingerprints -------------------------------------------
 
-  /** Reference winnow: shingle-hash fold (same arithmetic as the native
-    * expression), then per-window min with smallest-hash/rightmost-pos
-    * selection, distinct. */
+  /** Reference winnow: WIDE two-plane shingle-hash fold (same arithmetic
+    * as the native shingle_hashes_wide expression), then per-window min
+    * with smallest-hash/rightmost-pos selection, distinct. */
   private def refWinnow(text: String, k: Int, w: Int): Set[(Int, Long)] = {
     def ph(s: String): Long =
       s.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % TextOps.HashMod)
+    def ph2(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 131 + c.toInt) % 998244353L)
+    def wideOf(s: String): Long = (ph(s) << 31) + ph2(s)
     val tk = text.trim.split("\\s+").toSeq.filter(_.nonEmpty)
     val hs: Seq[Long] =
-      if (tk.length < k) Seq(ph(tk.mkString(" ")))
-      else tk.sliding(k).map(g =>
-        g.tail.foldLeft(ph(g.head))((a, t) => (a * 31 + ph(t)) % TextOps.HashMod))
-        .toSeq
+      if (tk.length < k) Seq(wideOf(tk.mkString(" ")))
+      else tk.sliding(k).map { g =>
+        val w1 = g.tail.foldLeft(ph(g.head))((a, t) =>
+          (a * 31 + ph(t)) % TextOps.HashMod)
+        val w2 = g.tail.foldLeft(ph2(g.head))((a, t) =>
+          (a * 131 + ph2(t)) % 998244353L)
+        (w1 << 31) + w2
+      }.toSeq
     if (hs.length < w) {
       val h = hs.min
       Set((hs.lastIndexOf(h), h))

@@ -91,7 +91,14 @@ for name, sql in sorted(oracle.items()):
             fails += 1
             record(name, False, False, False, 0, 0, None); continue
         sn = con.execute(f"SELECT COUNT(*) FROM ({spark_sql})").fetchone()[0]
-        if sn > BIG:
+        # probe the ORACLE count too before choosing the compare path: a
+        # Spark regression to a small result with a >1M-row oracle would
+        # otherwise route the oracle through the pandas repr-canon — the
+        # exact OOM the in-engine path exists to avoid
+        # (skipped when the Spark side alone already forces the big path)
+        on = sn if sn > BIG else \
+            con.execute(f"SELECT COUNT(*) FROM ({sql})").fetchone()[0]
+        if max(sn, on) > BIG:
             scnt, shash = con.execute(
                 f"SELECT {hash_expr(srel)} FROM ({spark_sql})").fetchone()
             ocnt, ohash = con.execute(
