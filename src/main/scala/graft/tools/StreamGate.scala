@@ -69,19 +69,33 @@ object StreamGate {
       dst.setLastModified(1700000000000L + i * 1000L) // discovery order
       rm(new java.io.File(tmp))
     }
-    // sentinel: one event 5h past the real max — its window contains no
-    // real event, and +5h clears the 2h watermark past every real window
-    val sentinel = events.limit(1)
-      .withColumn("ts", (col("ts").cast("long") + 5 * 3600).cast("timestamp"))
-      .withColumn("event_id", lit(-1L))
-    val tmp = s"$workDir/tmp_sentinel"
-    sentinel.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val spart = new java.io.File(tmp).listFiles()
-      .find(_.getName.endsWith(".parquet")).get
-    val sdst = new java.io.File(srcDir, f"chunk_${nChunks + 1}%04d.parquet")
-    java.nio.file.Files.move(spart.toPath, sdst.toPath)
-    sdst.setLastModified(1700000000000L + (nChunks + 1) * 1000L)
-    rm(new java.io.File(tmp))
+    // sentinels: events 5h past the real max — their window contains no
+    // real event, and +5h clears the 2h watermark past every real
+    // window. TWO sentinel FILES, because append emission is one batch
+    // behind the watermark: the watermark computed from sentinel #1
+    // advances at the END of its batch, and only the NEXT batch
+    // (sentinel #2's) flushes the final real windows — with a single
+    // sentinel, AvailableNow stops before that flush and the tail hour
+    // stays in state (measured: 3585/3600 rows emitted).
+    for (k <- 1 to 2) {
+      // anchor on the CORPUS max, not on limit(1)'s arbitrary (early)
+      // row: a sentinel derived from an early row lands below the
+      // watermark and is silently dropped as late data — the watermark
+      // never advances and the tail windows never flush (measured:
+      // exactly the last 2h of windows missing)
+      val sentinelSec = maxTs.getTime / 1000 + 5 * 3600 + k
+      val sentinel = events.limit(1)
+        .withColumn("ts", timestamp_seconds(lit(sentinelSec)))
+        .withColumn("event_id", lit(-k.toLong))
+      val tmp = s"$workDir/tmp_sentinel"
+      sentinel.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val spart = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val sdst = new java.io.File(srcDir, f"chunk_${nChunks + k}%04d.parquet")
+      java.nio.file.Files.move(spart.toPath, sdst.toPath)
+      sdst.setLastModified(1700000000000L + (nChunks + k) * 1000L)
+      rm(new java.io.File(tmp))
+    }
 
     // the stream: one micro-batch per file, append mode, parquet sink
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)

@@ -30,7 +30,11 @@ con = duckdb.connect()
 # temp dir relative to cwd) lets a windowed 10M-row oracle hit the OOM
 # killer before it ever spills
 con.execute(f"SET memory_limit='{os.environ.get('GRAFT_CHECK_MEM', '40GB')}'")
-con.execute("SET temp_directory='/tmp/duckdb_spill'")
+# per-process spill dir: two concurrent checkers sharing one directory
+# corrupt each other's duckdb_temp_storage-N.tmp files (observed: a
+# parallel run's spill read failed mid-compare and marked a correct
+# query failed)
+con.execute(f"SET temp_directory='/tmp/duckdb_spill_{os.getpid()}'")
 for p in glob.glob(f"{sf}/*.parquet"):
     name = os.path.basename(p).replace(".parquet", "")
     # driver testdata = single files; ScaleUp-generated sf dirs = Spark
