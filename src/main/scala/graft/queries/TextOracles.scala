@@ -2242,7 +2242,13 @@ object TextOracles {
          |          JOIN shx sa ON sa.doc_id = p.doc_a
          |          JOIN shx sb ON sb.doc_id = p.doc_b AND sa.h = sb.h
          |          GROUP BY p.doc_a, p.doc_b),
-         |v AS (SELECT i.doc_a, i.doc_b
+         |-- MATERIALIZED: the tail references v several times (deg, both
+         |-- sides of oe, the wedge closure) and DuckDB otherwise
+         |-- re-inlines the WHOLE minhash cascade per reference — at sf1
+         |-- that re-planning spilled >60 GB of temp before ever reaching
+         |-- the (tiny, 3.5k-edge) triangle stage; materialized, the full
+         |-- query runs in ~7 s
+         |v AS MATERIALIZED (SELECT i.doc_a, i.doc_b
          |      FROM inter i
          |      JOIN sizes za ON za.doc_id = i.doc_a
          |      JOIN sizes zb ON zb.doc_id = i.doc_b
