@@ -28,9 +28,24 @@ object Verify {
           s"[verify] WARNING: excluded names matching NO query (typo?): " +
             s"${unknown.toSeq.sorted.mkString(", ")}")
     }
+    // GRAFT_SCALE_OVERRIDES=1 (sf1-board runs only): swap in the
+    // resource-bounded twins — folded query projections AND their
+    // matching oracle forms (SparkEntry.queriesScaleOverrides /
+    // oracleSqlScaleOverrides). Driver runs leave it unset and get the
+    // independent full-shape forms.
+    val scaleOverrides =
+      sys.env.get("GRAFT_SCALE_OVERRIDES").contains("1")
+    if (scaleOverrides)
+      System.err.println("[verify] scale-override twins active: " +
+        (SparkEntry.queriesScaleOverrides.keySet ++
+          SparkEntry.oracleSqlScaleOverrides.keySet).toSeq.sorted
+          .mkString(", "))
+    val baseQueries =
+      if (scaleOverrides) SparkEntry.queries ++ SparkEntry.queriesScaleOverrides
+      else SparkEntry.queries
     val selected =
-      (if (args.length <= 2) SparkEntry.queries
-       else SparkEntry.queries.filter { case (n, _) =>
+      (if (args.length <= 2) baseQueries
+       else baseQueries.filter { case (n, _) =>
          args.drop(2).exists(n.startsWith) })
         .filter { case (n, _) => !excluded.contains(n) }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -88,7 +103,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val oracles =
+      if (scaleOverrides) SparkEntry.oracleSql ++
+        SparkEntry.oracleSqlScaleOverrides
+      else SparkEntry.oracleSql
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -1338,12 +1338,16 @@ object TextOracles {
          |FROM cells c JOIN lt ON lt.lang = c.lang""".stripMargin,
 
     // winnowing fingerprint summary: same CTE chain as the Spark side —
-    // packed key = h·2^30 + (2^30−1−pos), per-window list_min = smallest
-    // hash / rightmost-pos tiebreak, distinct selections per doc
+    // STRUCT(h, np) keys, per-window list_min = smallest hash /
+    // rightmost-pos tiebreak, distinct selections per doc. Checksum is
+    // split hi/lo so every column stays int64-exact (wide ≈2^61 hashes
+    // overflow a plain BIGINT sum at four fingerprints, and >int64
+    // decimals are mangled by int64/float64 canonicalizers).
     "q123_winnow_fp" ->
       s"""$WinnowCtes
          |SELECT doc_id, COUNT(*) AS n_fp, MIN(h) AS fp_min,
-         |  CAST(SUM(h) AS DECIMAL(38,0)) AS fp_sum
+         |  CAST(SUM(h >> 31) AS BIGINT) AS fp_sum_hi,
+         |  CAST(SUM(h & 2147483647) AS BIGINT) AS fp_sum_lo
          |FROM fph GROUP BY doc_id""".stripMargin,
 
     // winnow overlap: distinct (doc, fingerprint-hash) pairs, hashes in

@@ -209,17 +209,24 @@ object TextQueries {
     NearDup.exciseSpans(Tables.documents(s, dir), "doc_id", "text", SpanN)
 
   /** Winnowing fingerprint sets ([[NearDup.winnowFingerprints]]), folded
-    * to one row per doc (count / min / sum of selected hashes) for a
-    * compact verifiable result; the raw (doc, pos, h) rows are the
-    * operator surface. */
+    * to one row per doc (count / min / split-sum of selected hashes) for
+    * a compact verifiable result; the raw (doc, pos, h) rows are the
+    * operator surface.
+    *
+    * The hash checksum is split into hi/lo halves so every projected
+    * column stays int64-exact: the wide hashes are ≈2^61, so a plain
+    * per-doc SUM(h) exceeds int64 at just four fingerprints, and while
+    * both engines can carry it as DECIMAL(38,0), external checkers that
+    * canonicalize through int64/float64 mangle the low bits. sum(h>>31)
+    * ≤ 2^30·n and sum(h & (2^31−1)) ≤ 2^31·n — exact at any realistic
+    * per-doc fingerprint count. */
   def qWinnowFp(s: SparkSession, dir: String): DataFrame =
     NearDup.winnowFingerprints(Tables.documents(s, dir), "doc_id", "text",
       WinnowK, WinnowW)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_fp"), min(col("h")).as("fp_min"),
-        // decimal sum: wide ≈2^61 hashes overflow a BIGINT sum at just
-        // four fingerprints — Spark would wrap silently, DuckDB errors
-        sum(col("h").cast("decimal(38,0)")).as("fp_sum"))
+        sum(shiftright(col("h"), 31)).as("fp_sum_hi"),
+        sum(col("h").bitwiseAND(lit((1L << 31) - 1))).as("fp_sum_lo"))
 
   /** MOSS-style overlap report ([[NearDup.winnowOverlap]]): doc pairs
     * sharing ≥ 2 non-boilerplate winnowed fingerprints — detects shared

@@ -30,6 +30,24 @@ class QueriesSmokeSpec extends SparkSpecBase {
   test("no orphan oracle SQL (oracle key without a registered query)") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle entries with no query: $orphans")
+    // scale overrides must shadow an existing entry, never invent one:
+    // an override without a default would make the sf1 board gate a
+    // query the driver board never checks
+    val freeOverrides =
+      SparkEntry.oracleSqlScaleOverrides.keySet -- SparkEntry.oracleSql.keySet
+    assert(freeOverrides.isEmpty,
+      s"scale overrides with no default oracle: $freeOverrides")
+    val freeQueryOverrides =
+      SparkEntry.queriesScaleOverrides.keySet -- SparkEntry.queries.keySet
+    assert(freeQueryOverrides.isEmpty,
+      s"query scale overrides with no default query: $freeQueryOverrides")
+    // a folded QUERY twin needs its folded ORACLE twin, or the sf1
+    // board would compare the folded Spark shape to the full oracle
+    val unmatched =
+      SparkEntry.queriesScaleOverrides.keySet --
+        SparkEntry.oracleSqlScaleOverrides.keySet
+    assert(unmatched.isEmpty,
+      s"query scale overrides with no oracle twin: $unmatched")
   }
 
   test("q111 source matrix accounts for every q28 verified pair") {
