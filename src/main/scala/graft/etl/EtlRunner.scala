@@ -55,8 +55,23 @@ object EtlRunner {
     // partition UnsafeRow copies size the transient heap floor. 32 MB
     // restores the CSV-era rows-per-task density now that the typed
     // layer re-reads parquet; more, smaller tasks is the right trade
-    // everywhere in this pipeline.
-    spark.conf.set("spark.sql.files.maxPartitionBytes", "33554432")
+    // everywhere in this pipeline. The conf is session-global, so the
+    // prior value is restored on every exit path — a caller sharing the
+    // session (specs, library embedding) must not silently inherit 4x
+    // more scan partitions for all subsequent reads.
+    val mpbKey = "spark.sql.files.maxPartitionBytes"
+    val mpbPrior = spark.conf.getOption(mpbKey)
+    spark.conf.set(mpbKey, "33554432")
+    try runInner(spark, inDir, outDir, vocabDir)
+    finally mpbPrior match {
+      case Some(v) => spark.conf.set(mpbKey, v)
+      case None => spark.conf.unset(mpbKey)
+    }
+  }
+
+  private def runInner(spark: SparkSession, inDir: String, outDir: String,
+                       vocabDir: Option[String]): DataFrame = {
+    def in(n: String) = s"$inDir/$n.csv"
     def save(df: DataFrame, n: String): DataFrame = {
       df.write.mode("overwrite").parquet(s"$outDir/$n")
       spark.read.parquet(s"$outDir/$n")

@@ -154,6 +154,7 @@ object NearDup {
         val p = bands.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         p.count() // eager: both join sides must read, never compute
+        graft.core.OpCache.renew("NearDup.candidatePairs", p)
         p
       }
     val l = mat.select(col(idCol).as("doc_a"), col("band"), col("band_sig"))
@@ -192,6 +193,7 @@ object NearDup {
     // window tier degrades to spill, never OOM.
     val shingles = restricted.distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.OpCache.renew("NearDup.jaccard", shingles)
     val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     // second join keys on BOTH (doc, hash): the intersection is computed
     // IN the join instead of filtering a per-pair cross of shingle sets —
@@ -232,6 +234,7 @@ object NearDup {
     // persisted for the same four-reference reason as jaccard's
     val shingles = restricted.distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.OpCache.renew("NearDup.containment", shingles)
     val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = pairs
       .join(shingles.select(col(idCol).as("doc_a"), col("h")), "doc_a")
@@ -346,6 +349,7 @@ object NearDup {
         val p = explodedLazy.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         p.count()
+        graft.core.OpCache.renew("NearDup.simhashPairs", p)
         p
       }
     val l = exploded.select(col(idCol).as("doc_a"),
@@ -424,17 +428,18 @@ object NearDup {
     * the contaminated sliver.
     *
     * Caching: the benchmark (hash, text) sliver persists for the two
-    * broadcast builds and stays in the session cache afterwards (the
-    * returned frame is lazy, so there is no in-operator point to
-    * unpersist it without recomputing). Library callers embedding this
-    * in a long-lived session should `spark.catalog.clearCache()`
-    * between unrelated invocations — Verify/Bench do. */
+    * broadcast builds and outlives the call (the returned frame is
+    * lazy, so there is no in-operator point to unpersist it without
+    * recomputing) — registered in [[graft.core.OpCache]], so the NEXT
+    * invocation drops it and repeated library calls hold at most one
+    * generation of scratch. */
   def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
                           idCol: String, textCol: String,
                           n: Int = 8): DataFrame = {
     val benchSh = shingleTextRows(benchmark, idCol, textCol, n)
       .select(col("h"), col("__st")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.OpCache.renew("NearDup.contaminationReport", benchSh)
     val benchH = benchSh.select(col("h")).distinct()
     // hash semi BEFORE the text projection, so the per-window string
     // build pays only on the prefiltered sliver (join placement pinned
@@ -601,12 +606,12 @@ object NearDup {
     * [[repeatedSpans]] — same heavy-hitter mitigation applies.
     *
     * Caching: the token arrays and the repeated-window sliver persist
-    * for the multi-reference plan above and stay in the session cache
-    * afterwards (the returned frame is lazy — unpersisting inside the
-    * operator would force recomputation at the caller's first action).
-    * Library callers embedding this in a long-lived session should
-    * `spark.catalog.clearCache()` between unrelated invocations, as
-    * Verify/Bench and [[CorpusPipeline]] do. */
+    * for the multi-reference plan above and outlive the call (the
+    * returned frame is lazy — unpersisting inside the operator would
+    * force recomputation at the caller's first action). Both are
+    * registered in [[graft.core.OpCache]]: the next invocation drops
+    * them, so repeated library calls hold at most one generation of
+    * scratch instead of accumulating dead CacheManager entries. */
   def exciseSpans(docs: DataFrame, idCol: String, textCol: String,
                   n: Int): DataFrame = {
     require(n >= 2, s"span window width must be >= 2, got $n")
@@ -631,6 +636,7 @@ object NearDup {
         concat_ws(" ", slice(col("__tk"), col("pos") + lit(1), lit(n)))
           .as("__wt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.OpCache.renew("NearDup.exciseSpans", toks, repWins)
     val cut = repWins.join(
         repWins.groupBy(col("h"), col("__wt"))
           .agg(count(lit(1)).as("__c"), min(okey).as("__ck"))
@@ -742,6 +748,7 @@ object NearDup {
     val fp = fps.select(col(idCol), col("h")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     fp.count() // eager: both self-join sides must read, never compute
+    graft.core.OpCache.renew("NearDup.winnowOverlap", fp)
     val rare = fp.groupBy(col("h"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= 2 && col("__df") <= maxDocFreq)
@@ -784,6 +791,7 @@ object NearDup {
     val sh = shingleRows(docs, idCol, textCol, n).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sh.count() // eager stage boundary: three consumers below
+    graft.core.OpCache.renew("NearDup.setSimJoin", sh)
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("df").asc, col("h").asc)

@@ -898,17 +898,26 @@ object VectorOps {
     * small value, never the vector), distinct on the unordered id pair,
     * vectors re-attach via two hash joins, cosine computed ONCE per
     * pair then mirrored. */
-  private def bandedCrossLabelCandidates(
-      vecs: DataFrame, bands: Int, planesPerBand: Int,
-      idCol: String, vecCol: String, labelCol: String): DataFrame = {
+  /** Banded SRP signature rows (id, label, band, sig) — centered over
+    * the FULL corpus, exactly as the candidate tier computes them. */
+  private def bandedSigRows(vecs: DataFrame, bands: Int,
+                            planesPerBand: Int, idCol: String,
+                            vecCol: String, labelCol: String): DataFrame = {
     require(bands >= 1, s"bands must be >= 1, got $bands")
     val (centered, _) = centeredColumn(vecs, vecCol)
-    val sigs = vecs.select(col(idCol), col(labelCol), centered.as("__c"))
+    vecs.select(col(idCol), col(labelCol), centered.as("__c"))
       .select(col(idCol), col(labelCol),
         call_function("srp_banded_sig", col("__c"),
           lit(bands), lit(planesPerBand)).as("__sigs"))
       .select(col(idCol), col(labelCol),
         posexplode(col("__sigs")).as(Seq("band", "sig")))
+  }
+
+  private def bandedCrossLabelCandidates(
+      vecs: DataFrame, bands: Int, planesPerBand: Int,
+      idCol: String, vecCol: String, labelCol: String): DataFrame = {
+    val sigs = bandedSigRows(vecs, bands, planesPerBand, idCol, vecCol,
+      labelCol)
     val cand = sigs.select(col(idCol).as("__a"), col(labelCol).as("__al"),
         col("band"), col("sig"))
       .join(sigs.select(col(idCol).as("__b"), col(labelCol).as("__bl"),
@@ -929,6 +938,54 @@ object VectorOps {
         col("__cos"))
       .union(scored.select(col("__b").as("__src"), col("__a").as("__dst"),
         col("__cos")))
+  }
+
+  /** Best cross-label partner for a RESTRICTED set of source ids —
+    * per-source identical to what [[mutualNeighbors]] computes, at
+    * |srcIds|·bands·bucket cost instead of the full n·bands·bucket
+    * candidate mass. The measurement surface for SAMPLED miner-recall
+    * (tools/MinerRecall past the box's temp-disk ceiling): the banded
+    * tier's recall contract is per-pair, so recall over a hash-sample
+    * of planted pairs estimates the full-run recall unbiasedly — and a
+    * pair (v, t) is mined iff best(v) = t AND best(t) = v, which needs
+    * only v's and t's OWN candidate slivers.
+    *
+    * Faithfulness: signatures are centered over the FULL corpus and a
+    * source's candidate set is every cross-label vector sharing any
+    * (band, sig) bucket with it — exactly the full tier's per-source
+    * candidates; the argmax uses the same rounded-cosine/id-tiebreak
+    * rank. Returns (src, best_dst, cos_sim). */
+  def bestCrossLabelPartners(vecs: DataFrame, srcIds: DataFrame,
+                             bands: Int, planesPerBand: Int,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding",
+                             labelCol: String = "label"): DataFrame = {
+    val sigs = bandedSigRows(vecs, bands, planesPerBand, idCol, vecCol,
+      labelCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.OpCache.renew("VectorOps.bestCrossLabelPartners", sigs)
+    val srcSigs = sigs.join(srcIds.select(col(idCol)), Seq(idCol),
+      "left_semi")
+    val cand = srcSigs.select(col(idCol).as("__src"),
+        col(labelCol).as("__sl"), col("band"), col("sig"))
+      .join(sigs.select(col(idCol).as("__dst"), col(labelCol).as("__dl"),
+        col("band"), col("sig")), Seq("band", "sig"))
+      .filter(col("__sl") =!= col("__dl"))
+      .select(col("__src"), col("__dst")).distinct()
+    val scored = cand
+      .join(vecs.select(col(idCol).as("__src"), col(vecCol).as("__vs")),
+        "__src")
+      .join(vecs.select(col(idCol).as("__dst"), col(vecCol).as("__vd")),
+        "__dst")
+      .select(col("__src"), col("__dst"),
+        round(cosine(col("__vs"), col("__vd")), 6).as("__cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__src"))
+      .orderBy(col("__cos").desc, col("__dst").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__src").as("src"), col("__dst").as("best_dst"),
+        col("__cos").as("cos_sim"))
   }
 
   /** Mutual-nearest-neighbor pairs ACROSS groups — the bitext/alignment

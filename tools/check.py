@@ -8,7 +8,7 @@ sfDir, and compares: schema (column names), row count, and a hash of all
 values after sorting columns by name and sorting rows. With a third arg,
 also writes a per-query record in the driver's CORRECTNESS_r{N}.json shape.
 """
-import sys, json, glob, os
+import sys, json, glob, os, atexit, shutil
 import duckdb
 import pandas as pd
 
@@ -34,7 +34,13 @@ con.execute(f"SET memory_limit='{os.environ.get('GRAFT_CHECK_MEM', '40GB')}'")
 # corrupt each other's duckdb_temp_storage-N.tmp files (observed: a
 # parallel run's spill read failed mid-compare and marked a correct
 # query failed)
-con.execute(f"SET temp_directory='/tmp/duckdb_spill_{os.getpid()}'")
+spill_dir = f"/tmp/duckdb_spill_{os.getpid()}"
+con.execute(f"SET temp_directory='{spill_dir}'")
+# the pid-specific dir fixes concurrent-checker corruption, but orphaned
+# spill from an aborted big-oracle run can reach tens of GB — always
+# remove it when this process exits (DuckDB has already released its
+# temp files by interpreter teardown)
+atexit.register(lambda: shutil.rmtree(spill_dir, ignore_errors=True))
 for p in glob.glob(f"{sf}/*.parquet"):
     name = os.path.basename(p).replace(".parquet", "")
     # driver testdata = single files; ScaleUp-generated sf dirs = Spark
@@ -88,25 +94,28 @@ for name, sql in sorted(oracle.items()):
         record(name, False, False, False, 0, 0, "no spark output"); continue
     spark_sql = f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')"
     try:
-        orel, srel = con.sql(sql), con.sql(spark_sql)
+        # materialize the oracle ONCE (temp table, spills under the
+        # memory limit): count, hash, and pandas compare all read the
+        # materialization — running the full oracle twice (count probe +
+        # compare) doubled oracle wall time on expensive cascades
+        con.execute(f"CREATE OR REPLACE TEMP TABLE oracle_result AS {sql}")
+        orel = con.sql("SELECT * FROM oracle_result")
+        srel = con.sql(spark_sql)
         ocols, scols = sorted(orel.columns), sorted(srel.columns)
         if scols != ocols:
             print(f"FAIL {name}: cols spark={scols} oracle={ocols}")
             fails += 1
             record(name, False, False, False, 0, 0, None); continue
         sn = con.execute(f"SELECT COUNT(*) FROM ({spark_sql})").fetchone()[0]
-        # probe the ORACLE count too before choosing the compare path: a
-        # Spark regression to a small result with a >1M-row oracle would
-        # otherwise route the oracle through the pandas repr-canon — the
-        # exact OOM the in-engine path exists to avoid
-        # (skipped when the Spark side alone already forces the big path)
-        on = sn if sn > BIG else \
-            con.execute(f"SELECT COUNT(*) FROM ({sql})").fetchone()[0]
+        on = con.execute("SELECT COUNT(*) FROM oracle_result").fetchone()[0]
+        # past BIG rows the pandas repr-canon would OOM — compare
+        # in-engine instead (count + unordered hash sum over the
+        # materialized oracle and the parquet scan)
         if max(sn, on) > BIG:
             scnt, shash = con.execute(
                 f"SELECT {hash_expr(srel)} FROM ({spark_sql})").fetchone()
             ocnt, ohash = con.execute(
-                f"SELECT {hash_expr(orel)} FROM ({sql})").fetchone()
+                f"SELECT {hash_expr(orel)} FROM oracle_result").fetchone()
             if scnt != ocnt:
                 print(f"FAIL {name}: rows spark={scnt} oracle={ocnt}")
                 fails += 1
