@@ -49,10 +49,19 @@ object Bench {
     // cache warmup and JIT of query-specific codegen; min is the honest
     // steady-state number on a shared machine. BOTH reps are recorded in
     // BENCH_LOCAL.json so min-vs-rerun asymmetry is visible, not guessed.
-    // optional args: only bench queries whose name starts with one of them
+    // optional args: only bench queries whose name starts with one of them.
+    // SPARK_GRAFT_BENCH_EXCLUDE (comma-separated exact names) drops queries
+    // from a full run — for scale-up sweeps where an output-cardinality-
+    // bound query (q150's dup² pairs, q201's density² band join) would
+    // dominate the record without measuring anything new; every exclusion
+    // is echoed in the emitted JSON so the record is self-describing.
+    val excluded = sys.env.get("SPARK_GRAFT_BENCH_EXCLUDE")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val selected =
-      if (args.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.filter { case (n, _) => args.exists(n.startsWith) }
+      (if (args.isEmpty) SparkEntry.queries
+       else SparkEntry.queries.filter { case (n, _) => args.exists(n.startsWith) })
+        .filter { case (n, _) => !excluded.contains(n) }
     val results = selected.map { case (name, fn) =>
       // a failed attempt records -1, NOT its elapsed time: a query that
       // regresses to throwing at plan time would otherwise read as a
@@ -97,8 +106,10 @@ object Bench {
     val cold = results.values.map(_._2.head).filter(_ >= 0).sum
     val warmedJson = warmed.filter(selected.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val excludedJson = excluded.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${d3(total)},"unit":"sec","cold_total":${d3(cold)},"warmed":$warmedJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","cold_total":${d3(cold)},"warmed":$warmedJson,"excluded":$excludedJson,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // The round driver retains only a ~2000-char TAIL of this process's
     // output and parses a metric line out of it. The full 98-query line
@@ -129,7 +140,8 @@ object Bench {
     // (this happened: a background sf1 bench overwrote BENCH_LOCAL.json
     // between two commits). Scale-up runs are extracted from their logs
     // into their own artifact (BENCH_SF1.json) instead.
-    if (args.isEmpty && sfDir.startsWith("/root/testdata")) {
+    if (args.isEmpty && excluded.isEmpty &&
+        sfDir.startsWith("/root/testdata")) {
       val reps = results.map { case (k, (_, ts)) =>
         s""""$k":[${ts.map(d3).mkString(",")}]""" }.mkString("{", ",", "}")
       // provenance: newest input-parquet mtime. The r4 record's 5×

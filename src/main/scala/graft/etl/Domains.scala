@@ -33,6 +33,20 @@ object Domains {
       srcCol, idCol)
   }
 
+  /** Closed-form dense-id bucket for the ETL's person-leading orderings:
+    * person_id is [[buildIdMap]]'s dense 1..n output, so
+    * floor((person_id−1)·P/n) is monotone along every (person_id, …)
+    * ordering and balanced across persons — [[DenseId]] then skips its
+    * bounds-sampling pass entirely (one narrow counts pass + the single
+    * full-width pass). */
+  private def personBucket(personCount: Option[Long],
+                           in: DataFrame): Option[Column] =
+    personCount.map { n =>
+      val parts = math.min(1024,
+        in.sparkSession.sessionState.conf.numShufflePartitions)
+      DenseId.denseLeadingIdBucket(col("person_id"), n, parts)
+    }
+
   /** omop.person (enhanced_synthea_to_omop.py:786-859): demographic
     * lookups joined case-insensitively (broadcast), unmapped → 0, dense
     * person_id via map, idempotent. */
@@ -139,14 +153,16 @@ object Domains {
 
   /** omop.condition_occurrence (:1102-1150). */
   def conditionOccurrence(typedConditions: DataFrame, personMap: DataFrame,
-                          visitMap: DataFrame): DataFrame =
+                          visitMap: DataFrame,
+                          personCount: Option[Long] = None): DataFrame =
     DenseId.withDenseIdScalable(
       eventDomain(typedConditions, personMap, visitMap,
         Seq("person_id", "encounter", "code"),
         Seq(col("start_date").asc_nulls_last,
           col("stop_date").asc_nulls_last)),
       Seq(col("person_id"), col("encounter"), col("code")),
-      "condition_occurrence_id")
+      "condition_occurrence_id",
+      bucketBy = personBucket(personCount, typedConditions))
       .select(
         col("condition_occurrence_id"),
         col("person_id"),
@@ -161,13 +177,16 @@ object Domains {
   /** omop.drug_exposure (:1230-1290): default 30-day end date (P7,
     * enhanced_synthea_to_omop.py:1236-1238). */
   def drugExposure(typedMedications: DataFrame, personMap: DataFrame,
-                   visitMap: DataFrame): DataFrame =
-    drugExposureAndCost(typedMedications, personMap, visitMap)._1
+                   visitMap: DataFrame,
+                   personCount: Option[Long] = None): DataFrame =
+    drugExposureAndCost(typedMedications, personMap, visitMap,
+      personCount)._1
 
   /** drug_exposure + its omop.cost Drug rows (transform_cost.sql:64-121)
-    * from ONE dedup + dense-id pass: both projections share the
-    * checkpointed bucketed frame inside [[DenseId.withDenseIdScalable]],
-    * so adding costs costs no second shuffle over medications.
+    * off one shared dense-id'd frame: the two projections are lazy
+    * slivers of the same lineage (each consumer's action re-derives it —
+    * cheap narrow scans now that the id assignment is pass-based rather
+    * than checkpoint-materialized).
     *
     * The reference attaches costs by re-joining medications_raw to
     * drug_exposure on (person_id, visit_occurrence_id) only — a fan-out
@@ -177,13 +196,16 @@ object Domains {
     * carry no cost_id here — [[cost]] assigns one dense sequence across
     * all three domains, mirroring the reference's shared staging.cost_seq. */
   def drugExposureAndCost(typedMedications: DataFrame, personMap: DataFrame,
-                          visitMap: DataFrame): (DataFrame, DataFrame) = {
+                          visitMap: DataFrame,
+                          personCount: Option[Long] = None)
+      : (DataFrame, DataFrame) = {
     val based = DenseId.withDenseIdScalable(
       eventDomain(typedMedications, personMap, visitMap,
         Seq("person_id", "encounter", "code", "start_ts"),
         Seq(col("stop_ts").asc_nulls_last)),
       Seq(col("person_id"), col("encounter"), col("code"), col("start_ts")),
-      "drug_exposure_id")
+      "drug_exposure_id",
+      bucketBy = personBucket(personCount, typedMedications))
     val exposure = based
       .select(
         col("drug_exposure_id"),
@@ -223,14 +245,16 @@ object Domains {
     * procedures carry no payer split). Same one-pass sharing as
     * [[drugExposureAndCost]]. */
   def procedureOccurrenceAndCost(typedProcedures: DataFrame,
-                                 personMap: DataFrame, visitMap: DataFrame)
+                                 personMap: DataFrame, visitMap: DataFrame,
+                                 personCount: Option[Long] = None)
       : (DataFrame, DataFrame) = {
     val based = DenseId.withDenseIdScalable(
       eventDomain(typedProcedures, personMap, visitMap,
         Seq("person_id", "encounter", "code", "start_ts"),
         Seq(col("stop_ts").asc_nulls_last)),
       Seq(col("person_id"), col("encounter"), col("code"), col("start_ts")),
-      "procedure_occurrence_id")
+      "procedure_occurrence_id",
+      bucketBy = personBucket(personCount, typedProcedures))
     val occurrence = based
       .select(
         col("procedure_occurrence_id"),
@@ -263,7 +287,8 @@ object Domains {
     * 4263759, else 0 until staged vocabulary mapping fills it). Dedup
     * mirrors the NOT EXISTS key (person, start datetime, code). */
   def deviceExposure(typedDevices: DataFrame, personMap: DataFrame,
-                     visitMap: DataFrame): DataFrame =
+                     visitMap: DataFrame,
+                     personCount: Option[Long] = None): DataFrame =
     DenseId.withDenseIdScalable(
       // deterministic survivor on the reference's NOT EXISTS key: rows
       // agreeing on (person, start, code) but differing in encounter or
@@ -279,7 +304,8 @@ object Domains {
         Seq(col("encounter").asc_nulls_last,
           col("stop_time").asc_nulls_last)),
       Seq(col("person_id"), col("start_time"), col("code")),
-      "device_exposure_id")
+      "device_exposure_id",
+      bucketBy = personBucket(personCount, typedDevices))
       .select(
         col("device_exposure_id"),
         col("person_id"),
@@ -300,16 +326,18 @@ object Domains {
     * filtered projections off one parent — no mutation, no second scan
     * after cache. */
   def measurementObservationSplit(typedObservations: DataFrame,
-                                  personMap: DataFrame, visitMap: DataFrame)
+                                  personMap: DataFrame, visitMap: DataFrame,
+                                  personCount: Option[Long] = None)
       : (DataFrame, DataFrame) = {
     val base = eventDomain(typedObservations, personMap, visitMap,
       Seq("person_id", "encounter", "code", "obs_ts", "value"),
       Seq(col("units").asc_nulls_last))
+    val pb = personBucket(personCount, typedObservations)
     val isNum = SafeCast.isNumericString(col("value"))
     val meas = DenseId.withDenseIdScalable(
       base.filter(col("value").isNotNull && isNum),
       Seq(col("person_id"), col("encounter"), col("code"), col("obs_ts")),
-      "measurement_id")
+      "measurement_id", bucketBy = pb)
       .select(
         col("measurement_id"),
         col("person_id"),
@@ -325,7 +353,7 @@ object Domains {
     val obs = DenseId.withDenseIdScalable(
       base.filter(col("value").isNull || !isNum),
       Seq(col("person_id"), col("encounter"), col("code"), col("obs_ts")),
-      "observation_id")
+      "observation_id", bucketBy = pb)
       .select(
         col("observation_id"),
         col("person_id"),
@@ -349,7 +377,8 @@ object Domains {
     *
     * gap_days = datediff(era span) − Σ datediff of the maximal
     * continuously-covered sub-islands (un-exposed days inside the era). */
-  def drugEra(drugExposure: DataFrame): DataFrame = {
+  def drugEra(drugExposure: DataFrame,
+              personCount: Option[Long] = None): DataFrame = {
     val keys = Seq(col("person_id"), col("drug_concept_id"))
     val persist30 = expr("INTERVAL 30 DAYS")
     val tagged = graft.ops.Intervals.assignIslands(
@@ -376,7 +405,8 @@ object Domains {
       .drop("__era", "covered_days")
     DenseId.withDenseIdScalable(eras,
       Seq(col("person_id"), col("drug_concept_id"),
-        col("drug_era_start_date")), "drug_era_id")
+        col("drug_era_start_date")), "drug_era_id",
+      bucketBy = personBucket(personCount, drugExposure))
       .select(col("drug_era_id"), col("person_id"),
         col("drug_concept_id"), col("drug_era_start_date"),
         col("drug_era_end_date"), col("drug_exposure_count"),
@@ -385,7 +415,8 @@ object Domains {
 
   /** omop.condition_era (OMOPCDM_postgresql_5.4_ddl.sql:365-371): same
     * 30-day persistence merge keyed on (person, condition concept). */
-  def conditionEra(conditionOccurrence: DataFrame): DataFrame = {
+  def conditionEra(conditionOccurrence: DataFrame,
+                   personCount: Option[Long] = None): DataFrame = {
     val eras = graft.ops.Intervals.mergeIntervals(
       conditionOccurrence.select(col("person_id"),
         col("condition_concept_id"),
@@ -399,7 +430,8 @@ object Domains {
         col("n_merged").cast("int").as("condition_occurrence_count"))
     DenseId.withDenseIdScalable(eras,
       Seq(col("person_id"), col("condition_concept_id"),
-        col("condition_era_start_date")), "condition_era_id")
+        col("condition_era_start_date")), "condition_era_id",
+      bucketBy = personBucket(personCount, conditionOccurrence))
       .select(col("condition_era_id"), col("person_id"),
         col("condition_concept_id"), col("condition_era_start_date"),
         col("condition_era_end_date"), col("condition_occurrence_count"))
@@ -407,7 +439,8 @@ object Domains {
 
   /** omop.observation_period (U1+A2; create_observation_period_v2.sql:
     * 10-55): min/max event date per person over the unioned domains. */
-  def observationPeriod(sweepInputs: Seq[DataFrame]): DataFrame = {
+  def observationPeriod(sweepInputs: Seq[DataFrame],
+                        personCount: Option[Long] = None): DataFrame = {
     val spans = sweepInputs.map(_.select(
       col("person_id"),
       col("start_date").cast("date").as("start_date"),
@@ -415,7 +448,8 @@ object Domains {
     DenseId.withDenseIdScalable(
       Sweep.spanPerKey(Sweep.unionSweep(spans), "person_id",
         "start_date", "end_date"),
-      Seq(col("person_id")), "observation_period_id")
+      Seq(col("person_id")), "observation_period_id",
+      bucketBy = personBucket(personCount, sweepInputs.head))
       .select(
         col("observation_period_id"),
         col("person_id"),
@@ -428,7 +462,8 @@ object Domains {
     * same-day exposure, type 38000177, dedup on (person, datetime, code). */
   def immunizationDrugExposure(typedImmunizations: DataFrame,
                                personMap: DataFrame,
-                               visitMap: DataFrame): DataFrame =
+                               visitMap: DataFrame,
+                               personCount: Option[Long] = None): DataFrame =
     DenseId.withDenseIdScalable(
       typedImmunizations
         .join(broadcast(personMap),
@@ -437,7 +472,8 @@ object Domains {
           col("encounter") === col("source_visit_id"), "left")
         .dropDuplicates("person_id", "date_time", "code"),
       Seq(col("person_id"), col("date_time"), col("code")),
-      "drug_exposure_id")
+      "drug_exposure_id",
+      bucketBy = personBucket(personCount, typedImmunizations))
       .select(
         col("drug_exposure_id"),
         col("person_id"),
@@ -502,10 +538,12 @@ object Domains {
 
   /** omop.payer_plan_period (synthea-omop-ETL.sql:540-560): one row per
     * person-year, end = start + 1 year − 1 day (P7). */
-  def payerPlanPeriod(personYears: DataFrame): DataFrame =
+  def payerPlanPeriod(personYears: DataFrame,
+                      personCount: Option[Long] = None): DataFrame =
     DenseId.withDenseIdScalable(
       personYears,
-      Seq(col("person_id"), col("year_date")), "payer_plan_period_id")
+      Seq(col("person_id"), col("year_date")), "payer_plan_period_id",
+      bucketBy = personBucket(personCount, personYears))
       .select(
         col("payer_plan_period_id"),
         col("person_id"),

@@ -50,15 +50,14 @@ object EtlRunner {
         missing.map(_ + ".csv").mkString(", "))
     // ETL reads split at 32 MB, not the 128 MB default: snappy parquet
     // packs ~4-6x the ROWS of the same bytes of CSV text into one scan
-    // partition, and the dense-id tier's eager localCheckpoint copies a
-    // whole partition onto the heap per task — 32 concurrent whole-
-    // partition UnsafeRow copies size the transient heap floor. 32 MB
-    // restores the CSV-era rows-per-task density now that the typed
-    // layer re-reads parquet; more, smaller tasks is the right trade
-    // everywhere in this pipeline. The conf is session-global, so the
-    // prior value is restored on every exit path — a caller sharing the
-    // session (specs, library embedding) must not silently inherit 4x
-    // more scan partitions for all subsequent reads.
+    // partition, and the window-heavy dense-id/dedup tier holds whole
+    // sorted partitions on the heap per task — 32 MB restores the
+    // CSV-era rows-per-task density now that the typed layer re-reads
+    // parquet; more, smaller tasks is the right trade everywhere in
+    // this pipeline. The conf is session-global, so the prior value is
+    // restored on every exit path — a caller sharing the session
+    // (specs, library embedding) must not silently inherit 4x more scan
+    // partitions for all subsequent reads.
     val mpbKey = "spark.sql.files.maxPartitionBytes"
     val mpbPrior = spark.conf.getOption(mpbKey)
     spark.conf.set(mpbKey, "33554432")
@@ -72,8 +71,16 @@ object EtlRunner {
   private def runInner(spark: SparkSession, inDir: String, outDir: String,
                        vocabDir: Option[String]): DataFrame = {
     def in(n: String) = s"$inDir/$n.csv"
+    // Per-step wall clock on stderr: each write is the single action of
+    // its step, so the elapsed time IS that step's lazy lineage + write —
+    // the per-table breakdown an operator needs to see where a scale run
+    // spends its wall without re-instrumenting.
+    val runStart = System.nanoTime()
     def save(df: DataFrame, n: String): DataFrame = {
+      val t0 = System.nanoTime()
       df.write.mode("overwrite").parquet(s"$outDir/$n")
+      val t1 = System.nanoTime()
+      Console.err.println(f"[etl-step] $n%-34s ${(t1 - t0) / 1e9}%8.1f s  (at ${(t1 - runStart) / 1e9}%7.1f s)")
       spark.read.parquet(s"$outDir/$n")
     }
 
@@ -118,7 +125,12 @@ object EtlRunner {
       "visit_occurrence_id")
       .withColumnRenamed("id", "source_visit_id"), "visit_map")
 
-    // gold domains
+    // gold domains. nPersons feeds the closed-form person-leading dense-id
+    // bucket (Domains.personBucket): person ids are dense 1..n, so every
+    // person-ordered id assignment skips DenseId's bounds-sampling pass —
+    // the count on the freshly written map parquet is a sub-second
+    // metadata-shaped job, paid once for the whole run.
+    val nPersons = Some(personMap.count())
     val person = save(Domains.person(spark, tPat, personMap), "person")
     val visit = save(
       Domains.visitOccurrence(tEnc, personMap, visitMap), "visit_occurrence")
@@ -153,28 +165,28 @@ object EtlRunner {
     // drug_concept_id at 0, collapsing all of a person's drugs into ONE
     // merged drug_era and stratifying Achilles under concept 0
     val cond = save(mapConcepts(
-      Domains.conditionOccurrence(tCon, personMap, visitMap),
+      Domains.conditionOccurrence(tCon, personMap, visitMap, nPersons),
       "condition_source_value", "condition_source_concept_id",
       "condition_concept_id", "SNOMED", "Condition"),
       "condition_occurrence")
     val (drugRaw, drugCostRows) =
-      Domains.drugExposureAndCost(tMed, personMap, visitMap)
+      Domains.drugExposureAndCost(tMed, personMap, visitMap, nPersons)
     val drug = save(mapConcepts(drugRaw,
       "drug_source_value", "drug_source_concept_id",
       "drug_concept_id", "RxNorm", "Drug"),
       "drug_exposure")
     val (procRaw, procCostRows) =
-      Domains.procedureOccurrenceAndCost(tPro, personMap, visitMap)
+      Domains.procedureOccurrenceAndCost(tPro, personMap, visitMap, nPersons)
     val proc = save(mapConcepts(procRaw,
       "procedure_source_value", "procedure_source_concept_id",
       "procedure_concept_id", "SNOMED", "Procedure"),
       "procedure_occurrence")
     // OHDSI-standard era derivations (30-day persistence window) —
     // AFTER mapping, so eras merge per standard concept, not per source 0
-    val drugEra = save(Domains.drugEra(drug), "drug_era")
-    val condEra = save(Domains.conditionEra(cond), "condition_era")
+    val drugEra = save(Domains.drugEra(drug, nPersons), "drug_era")
+    val condEra = save(Domains.conditionEra(cond, nPersons), "condition_era")
     val (meas, obs) =
-      Domains.measurementObservationSplit(tObs, personMap, visitMap)
+      Domains.measurementObservationSplit(tObs, personMap, visitMap, nPersons)
     val measT = save(mapConcepts(meas,
       "measurement_source_value", "measurement_source_concept_id",
       "measurement_concept_id", "LOINC", "Measurement"), "measurement")
@@ -191,7 +203,8 @@ object EtlRunner {
       if (pathExists(spark, in("immunizations"))) {
         val tImm = TypedTables.typedTable(
           Ingest.readRepaired(spark, in("immunizations")), "immunizations")
-        Some(save(Domains.immunizationDrugExposure(tImm, personMap, visitMap),
+        Some(save(Domains.immunizationDrugExposure(tImm, personMap, visitMap,
+          nPersons),
           "drug_exposure_immunizations"))
       } else None
     // optional source: patient_expenses → payer_plan_period
@@ -212,13 +225,13 @@ object EtlRunner {
         // carries two payers (mid-year switch) — reruns stay byte-stable
         Seq(col("person_id"), col("year_date")),
         Seq(col("payer_id").asc_nulls_last))
-      save(Domains.payerPlanPeriod(personYears), "payer_plan_period")
+      save(Domains.payerPlanPeriod(personYears, nPersons), "payer_plan_period")
     }
     // optional source: devices → device_exposure (synthea-omop-ETL.sql:242)
     if (pathExists(spark, in("devices"))) {
       val tDev = TypedTables.typedTable(
         Ingest.readRepaired(spark, in("devices")), "devices")
-      save(Domains.deviceExposure(tDev, personMap, visitMap),
+      save(Domains.deviceExposure(tDev, personMap, visitMap, nPersons),
         "device_exposure")
     }
     // optional source: allergies feed the observation-period sweep
@@ -239,7 +252,8 @@ object EtlRunner {
       Some(drugEra), Some(condEra), procedure = Some(proc),
       drugExposure = Some(drug), observation = Some(obsT),
       measurement = Some(measT)), "achilles_results")
-    val obsPeriod = Domains.observationPeriod(Seq(
+    val obsPeriod = Domains.observationPeriod(personCount = nPersons,
+      sweepInputs = Seq(
       visit.select(col("person_id"), col("visit_start_date").as("start_date"),
         col("visit_end_date").as("end_date")),
       cond.select(col("person_id"),
@@ -268,7 +282,14 @@ object EtlRunner {
 
     val report = Validation.report(spark, person, visit, cond, measT, obsT,
       Some(drugEra), Some(condEra))
+    val tv = System.nanoTime()
     report.coalesce(1).write.mode("overwrite").json(s"$outDir/validation")
-    report
+    Console.err.println(f"[etl-step] ${"validation"}%-34s ${(System.nanoTime() - tv) / 1e9}%8.1f s  (at ${(System.nanoTime() - runStart) / 1e9}%7.1f s)")
+    // return the WRITTEN report, not the lazy plan: the validation union
+    // scans every gold table, and a caller that collects the returned
+    // frame would silently re-execute the whole suite a second time
+    // (measured: ~2x the entire validation cost at the 101.66M-row run)
+    spark.read.schema("check_name STRING, failed_count LONG")
+      .json(s"$outDir/validation")
   }
 }

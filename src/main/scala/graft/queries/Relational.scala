@@ -97,12 +97,21 @@ object Relational {
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
 
   /** W2 deterministic dense-id assignment (Postgres sequences,
-    * enhanced_synthea_to_omop.py:770-777) via the scalable per-partition
-    * offset path — no single-partition global window. */
-  def q06DenseIdCustomers(s: SparkSession, dir: String): DataFrame =
+    * enhanced_synthea_to_omop.py:770-777) via the scalable per-bucket
+    * offset path — no single-partition global window at ANY scale:
+    * c_custkey is already dense 1..n, so the closed-form monotone bucket
+    * ([[DenseId.denseLeadingIdBucket]], the same fast path the ETL's
+    * person-leading id assignments ride) replaces even the
+    * bounds-sampling pass, and the plan keeps its partitioned window
+    * regardless of how small the scale factor is. */
+  def q06DenseIdCustomers(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+    val parts = math.min(1024, s.sessionState.conf.numShufflePartitions)
     DenseId.withDenseIdScalable(
-      Tables.customer(s, dir).select(col("c_custkey"), col("c_name")),
-      Seq(col("c_custkey")), "person_id")
+      cust, Seq(col("c_custkey")), "person_id",
+      bucketBy = Some(DenseId.denseLeadingIdBucket(col("c_custkey"),
+        cust.count(), parts)))
+  }
 
   /** U1+A2 union sweep → span per key (observation_period,
     * create_observation_period_v2.sql:10-45): min/max event time per user

@@ -49,6 +49,34 @@ class DenseIdSpec extends SparkSpecBase {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("deterministic-bounds multi-bucket path matches the global window") {
+    import spark.implicits._
+    // sampleMod = 2 forces a real sample at this size, so the bound
+    // literals + when-tree + per-bucket offsets are all exercised (the
+    // default 1/4096 gate leaves small inputs in the single-bucket path)
+    val df = (1L to 5000L).map(i => (i * 2654435761L % 100003, i))
+      .toDF("k", "v").repartition(13)
+    val got = DenseId.withDenseIdScalable(df, Seq(col("k"), col("v")), "id",
+      offset = 7, numPartitions = 8, sampleMod = 2)
+      .select("k", "v", "id")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.map(_._3).toSeq == (8L to 5007L))
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
+  test("sort-order keys: .asc unwraps, desc is rejected") {
+    import spark.implicits._
+    val df = Seq(("b", 2L), ("a", 1L)).toDF("k", "v")
+    val got = DenseId.withDenseIdScalable(
+      df, Seq(col("k").asc, col("v").asc), "id")
+      .select("k", "id").as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 1L, "b" -> 2L))
+    intercept[IllegalArgumentException] {
+      DenseId.withDenseIdScalable(df, Seq(col("k").desc), "id",
+        sampleMod = 1)
+    }
+  }
+
   test("extendIdMap is idempotent and first-writer-wins") {
     import spark.implicits._
     val existing = Seq(("u1", 1L), ("u2", 2L)).toDF("src", "id")
