@@ -16,7 +16,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * state per user, O(active users), which is the shape that scales to a
   * 1000-executor streaming job.
   */
-object EventStreams {
+// Serializable: stateful-update closures call the µs conversion helpers
+// below, which pulls the enclosing object into the task closure
+object EventStreams extends Serializable {
 
   /** Tumbling-window rollup: works identically on batch and stream inputs
     * (for streams, call after withWatermark). */
@@ -129,6 +131,19 @@ object EventStreams {
 
   case class Event(ts: java.sql.Timestamp, user_id: Long)
   case class SessionState(start: Long, last: Long, n: Long)
+
+  /** Timestamp → epoch µs, full precision. `getTime` is NOT this: it
+    * returns millis, silently truncating the microsecond component the
+    * parquet source carries — the StreamGate file-sink oracle caught
+    * sessionizeStream emitting `.172` where the source event (and the
+    * batch twin) said `.172425`. */
+  private def toUs(t: java.sql.Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+  private def fromUs(us: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
                      session_end: java.sql.Timestamp, n_events: Long)
 
@@ -145,18 +160,16 @@ object EventStreams {
       if (state.hasTimedOut) {
         val s = state.get
         state.remove()
-        Iterator(Session(userId, new java.sql.Timestamp(s.start / 1000),
-          new java.sql.Timestamp(s.last / 1000), s.n))
+        Iterator(Session(userId, fromUs(s.start), fromUs(s.last), s.n))
       } else {
         var closed = List.empty[Session]
-        val sorted = rows.toSeq.sortBy(_.ts.getTime)
+        val sorted = rows.toSeq.sortBy(e => toUs(e.ts))
         var cur = state.getOption
         for (e <- sorted) {
-          val tUs = e.ts.getTime * 1000L
+          val tUs = toUs(e.ts)
           cur match {
             case Some(s) if tUs - s.last > gapUs =>
-              closed ::= Session(userId, new java.sql.Timestamp(s.start / 1000),
-                new java.sql.Timestamp(s.last / 1000), s.n)
+              closed ::= Session(userId, fromUs(s.start), fromUs(s.last), s.n)
               cur = Some(SessionState(tUs, tUs, 1))
             case Some(s) if tUs < s.start - gapUs =>
               // LATE event (within watermark) predating the open session
@@ -218,7 +231,7 @@ object EventStreams {
                state: GroupState[QuotaState]): Iterator[Keyed] = {
       val sofar = state.getOption.map(_.n).getOrElse(0L)
       val room = (cap - sofar).max(0L).toInt
-      val take = it.toSeq.sortBy(k => (k.ts.getTime, k.id)).take(room)
+      val take = it.toSeq.sortBy(k => (toUs(k.ts), k.id)).take(room)
       if (take.nonEmpty) state.update(QuotaState(sofar + take.size))
       take.iterator
     }

@@ -1,13 +1,36 @@
 package graft.tools
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-/** End-to-end STREAMING oracle gate (r11 verdict #7): drive the hourly
-  * rollup through real Structured Streaming micro-batches over the
-  * actual sf parquet and dump the file-sink output in Verify layout, so
-  * `tools/check.py` hash-compares it against the SAME DuckDB oracle the
-  * batch query (q40) gates on.
+/** End-to-end STREAMING oracle gates (r11 verdict #7, widened in r13):
+  * drive the streaming tier's three semantically distinct paths through
+  * real Structured Streaming micro-batches over the actual sf parquet
+  * and dump each file-sink output in Verify layout, so `tools/check.py`
+  * hash-compares every one against a DuckDB oracle over the same raw
+  * events table:
+  *
+  *   - q40_hourly_rollup      — tumbling-window aggregation (the
+  *     watermark-gated append path), same oracle as batch q40;
+  *   - q75_sliding_window     — sliding-window aggregation (each event
+  *     feeds 4 overlapping windows; state holds ~8x the window count of
+  *     the tumbling path), same oracle as batch q75;
+  *   - q41_sessionize_stream  — arbitrary stateful processing via
+  *     flatMapGroupsWithState with event-time timeout (gap-close
+  *     emission AND watermark-driven timeout emission both exercised).
+  *     Oracle = batch q41's session SQL with the session ordinal
+  *     projected away: the stream emits sessions as they close, in no
+  *     deterministic order and without a per-user index, so the gate
+  *     compares the ordinal-free projection (still unique per
+  *     (user_id, session_start)) — every other value is bit-identical.
+  *   - stream_dedup           — streaming exact-dedup
+  *     (dropDuplicatesWithinWatermark) over a COPY of the traffic with
+  *     planted re-deliveries: every tenth event duplicated in its own
+  *     micro-batch, and each chunk's last 30 minutes re-delivered in
+  *     the next chunk — inside the 1h watermark, so only the dedup
+  *     STATE STORE (not the late-data filter) can drop them. Oracle =
+  *     SELECT * FROM events: one extra surviving copy fails the gate.
   *
   *   runMain graft.tools.StreamGate <sfDir> <workDir> [nChunks=16]
   *   python3 tools/check.py <sfDir> <workDir>/out
@@ -16,18 +39,35 @@ import org.apache.spark.sql.streaming.Trigger
   * files (a replayed "day of traffic"); `readStream` consumes them at
   * maxFilesPerTrigger=1 under Trigger.AvailableNow — one real
   * micro-batch per file, state carried across batches, watermark
-  * advancing with event time. Append mode only emits a window once the
+  * advancing with event time. Each gate runs as TWO separate streaming
+  * queries on one checkpoint: the first consumes half the traffic and
+  * terminates mid-stream with windows/sessions open; the second starts
+  * fresh against the same checkpoint and must recover that state
+  * exactly — lost state, re-emitted rows, or a reset watermark all
+  * land in the sink and fail the oracle compare. Append mode only emits a window once the
   * watermark passes it, so a final SENTINEL file (one event 5 hours past
   * the real maximum, outside every real window) flushes the tail
   * windows; the sentinel's own window stays in state by design and its
-  * event never reaches any real window's aggregate. The dumped result
-  * filters nothing else — every emitted row is sink output, and the
-  * batch oracle must match it row-for-row, value-for-value.
+  * event never reaches any real window's aggregate. TWO sentinel FILES,
+  * because append emission is one batch behind the watermark: the
+  * watermark computed from sentinel #1 advances at the END of its
+  * batch, and only the NEXT batch (sentinel #2's) flushes the final
+  * real windows — with a single sentinel, AvailableNow stops before
+  * that flush and the tail hour stays in state (measured: 3585/3600
+  * rows emitted). The same pair drives the sessionize gate's event-time
+  * TIMEOUTS: sentinel #1 lifts the watermark past every real session's
+  * (last + gap) timeout timestamp, sentinel #2's batch fires them. The
+  * sentinel rows themselves corrupt nothing: their windows/sessions
+  * open at +5h and nothing ever advances the watermark past THEM, so
+  * they die in state — except the sentinel USER's last real session,
+  * which the sentinel event closes by gap (exactly the session the
+  * batch oracle computes for those events).
   *
   * What this pins beyond EventStreamsSpec's MemoryStream parity: the
   * file-source discovery order, checkpointed state across restarts of
-  * the micro-batch loop, watermark-gated append emission, and the exact
-  * parquet the FILE SINK writes — the full production data path. */
+  * the micro-batch loop, watermark-gated append emission, event-time
+  * timeout firing, and the exact parquet the FILE SINK writes — the
+  * full production data path for all three streaming operator shapes. */
 object StreamGate {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
@@ -35,7 +75,6 @@ object StreamGate {
     val nChunks = args.lift(2).map(_.toInt).getOrElse(16)
     val spark = graft.core.Sessions.local()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
 
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
@@ -58,46 +97,63 @@ object StreamGate {
           col("ts"), col("event_id"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     chunked.count()
-    for (i <- 1 to nChunks) {
+
+    def placeChunk(dir: String, df: DataFrame, i: Int): Unit = {
       val tmp = s"$workDir/tmp_chunk"
-      chunked.filter(col("__chunk") === i).drop("__chunk")
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(_.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(srcDir, f"chunk_$i%04d.parquet")
+      val dst = new java.io.File(dir, f"chunk_$i%04d.parquet")
       java.nio.file.Files.move(part.toPath, dst.toPath)
       dst.setLastModified(1700000000000L + i * 1000L) // discovery order
       rm(new java.io.File(tmp))
     }
-    // sentinels: events 5h past the real max — their window contains no
-    // real event, and +5h clears the 2h watermark past every real
-    // window. TWO sentinel FILES, because append emission is one batch
-    // behind the watermark: the watermark computed from sentinel #1
-    // advances at the END of its batch, and only the NEXT batch
-    // (sentinel #2's) flushes the final real windows — with a single
-    // sentinel, AvailableNow stops before that flush and the tail hour
-    // stays in state (measured: 3585/3600 rows emitted).
-    for (k <- 1 to 2) {
+    def chunk(i: Int): DataFrame =
+      chunked.filter(col("__chunk") === i).drop("__chunk")
+    def writeSentinels(): Unit = for (k <- 1 to 2) {
       // anchor on the CORPUS max, not on limit(1)'s arbitrary (early)
       // row: a sentinel derived from an early row lands below the
       // watermark and is silently dropped as late data — the watermark
       // never advances and the tail windows never flush (measured:
       // exactly the last 2h of windows missing)
       val sentinelSec = maxTs.getTime / 1000 + 5 * 3600 + k
-      val sentinel = events.limit(1)
+      placeChunk(srcDir, events.limit(1)
         .withColumn("ts", timestamp_seconds(lit(sentinelSec)))
-        .withColumn("event_id", lit(-k.toLong))
-      val tmp = s"$workDir/tmp_sentinel"
-      sentinel.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val spart = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val sdst = new java.io.File(srcDir, f"chunk_${nChunks + k}%04d.parquet")
-      java.nio.file.Files.move(spart.toPath, sdst.toPath)
-      sdst.setLastModified(1700000000000L + (nChunks + k) * 1000L)
-      rm(new java.io.File(tmp))
+        .withColumn("event_id", lit(-k.toLong)), nChunks + k)
     }
 
-    // the stream: one micro-batch per file, append mode, parquet sink
+    // the dedup gate's source: the SAME traffic with planted
+    // re-deliveries — (a) every event_id % 10 == 0 row duplicated
+    // within its own chunk file (in-batch duplicate), and (b) each
+    // chunk's last 30 minutes of events re-delivered in the NEXT chunk
+    // file. The (b) copies arrive one micro-batch later but their event
+    // time is inside the 1h watermark delay, so ONLY the dedup state
+    // store — not the late-data filter — can drop them; the copies that
+    // straddle the mid-stream restart prove that state survives
+    // checkpoint recovery. No sentinels: dedup emission is immediate,
+    // nothing needs flushing.
+    val srcDupDir = s"$workDir/src_dup"
+    new java.io.File(srcDupDir).mkdirs()
+    val chunkMaxTs: Map[Int, java.sql.Timestamp] =
+      chunked.groupBy(col("__chunk")).agg(max(col("ts")).as("mx"))
+        .collect().map(r => r.getInt(0) -> r.getTimestamp(1)).toMap
+    def writeChunks(from: Int, to: Int): Unit = for (i <- from to to) {
+      placeChunk(srcDir, chunk(i), i)
+      val cur = chunk(i)
+      val inBatchDups = cur.filter(col("event_id") % 10 === 0)
+      val redelivered = if (i == 1) cur.limit(0) else
+        chunk(i - 1).filter(col("ts") >=
+          timestamp_seconds(lit(chunkMaxTs(i - 1).getTime / 1000 - 1800)))
+      placeChunk(srcDupDir,
+        cur.unionAll(inBatchDups).unionAll(redelivered), i)
+    }
+
+    // the oracle runs over the RAW sf events (no sentinels): every
+    // sentinel-touched window/session either never emits (nothing
+    // advances the watermark past it) or — the sentinel user's last
+    // real session — closes with values drawn from real events only,
+    // so each sink must equal its oracle row-for-row (per-gate notes
+    // above)
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.streams.addListener(
       new org.apache.spark.sql.streaming.StreamingQueryListener {
@@ -112,44 +168,114 @@ object StreamGate {
           e: org.apache.spark.sql.streaming.StreamingQueryListener
             .QueryTerminatedEvent): Unit = ()
       })
-    val t0 = System.nanoTime()
-    val stream = spark.readStream.schema(events.schema)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir)
-    val q = graft.streaming.EventStreams.hourlyRollupStream(stream)
-      .writeStream.format("parquet")
-      .option("path", s"$workDir/sink")
-      .option("checkpointLocation", s"$workDir/ckpt")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val secs = (System.nanoTime() - t0) / 1e9
 
-    // Verify-layout dump: the sink parquet IS the spark side; q40's
-    // oracle SQL is the compare target. No filtering — the sentinel's
-    // own window never emits (nothing advances the watermark past it).
     val outDir = s"$workDir/out"
     new java.io.File(outDir).mkdirs()
-    val sink = spark.read.parquet(s"$workDir/sink")
-    sink.coalesce(1).write.mode("overwrite")
-      .parquet(s"$outDir/q40_hourly_rollup")
-    val oracleJson = graft.SparkEntry.oracleSql("q40_hourly_rollup")
+
+    // ordinal-free projection of q41's session oracle: the stream emits
+    // sessions without a per-user index; (user_id, session_start) is
+    // still a unique key so the compare loses nothing but the ordinal
+    val sessionizeOracle =
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev IS NULL
+        |           OR epoch_us(ts) - epoch_us(prev) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM (SELECT user_id, ts,
+        |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |        FROM events) t),
+        |s AS (SELECT user_id, ts,
+        |        CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |      FROM g)
+        |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, session_idx""".stripMargin
+
+    case class Gate(name: String, mk: DataFrame => DataFrame,
+                    oracle: String, batchTwin: DataFrame,
+                    src: String = srcDir)
+    val gates = Seq(
+      Gate("q40_hourly_rollup",
+        graft.streaming.EventStreams.hourlyRollupStream _,
+        graft.SparkEntry.oracleSql("q40_hourly_rollup"),
+        graft.streaming.EventStreams.hourlyRollup(events)),
+      Gate("q75_sliding_window",
+        graft.streaming.EventStreams.slidingRollupStream _,
+        graft.SparkEntry.oracleSql("q75_sliding_window"),
+        graft.streaming.EventStreams.slidingRollup(events)),
+      Gate("q41_sessionize_stream",
+        (df: DataFrame) => graft.streaming.EventStreams
+          .sessionizeStream(df).toDF(),
+        sessionizeOracle,
+        graft.streaming.EventStreams.sessionizeBatch(events)
+          .drop("session_idx")),
+      Gate("stream_dedup",
+        (df: DataFrame) => graft.streaming.EventStreams
+          .dedupStream(df, Seq("event_id")),
+        "SELECT * FROM events",
+        events,
+        src = srcDupDir))
+
+    // two REAL process phases per gate: phase A consumes the first half
+    // of the traffic and the query TERMINATES (AvailableNow); phase B
+    // writes the rest (plus sentinels) and starts a NEW query on the
+    // SAME checkpoint + sink. The restart must recover every open
+    // window / session / watermark from the checkpoint — a recovery bug
+    // (lost state, re-emitted rows, reset watermark) lands in the sink
+    // and fails the oracle compare. This turns "replay-safe" from a
+    // claim into a gated measurement.
+    val half = nChunks / 2
+    writeChunks(1, half)
+    def runGate(g: Gate): (Long, Double) = {
+      val before = batches.get()
+      val t0 = System.nanoTime()
+      val stream = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(g.src)
+      val q = g.mk(stream)
+        .writeStream.format("parquet")
+        .option("path", s"$workDir/sink_${g.name}")
+        .option("checkpointLocation", s"$workDir/ckpt_${g.name}")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ((batches.get() - before), (System.nanoTime() - t0) / 1e9)
+    }
+    val phaseA = gates.map(g => g.name -> runGate(g)).toMap
+    writeChunks(half + 1, nChunks)
+    writeSentinels()
+    val results = gates.map { g =>
+      val (nbA, secsA) = phaseA(g.name)
+      val (nbB, secsB) = runGate(g)
+      val nb = nbA + nbB
+      val secs = secsA + secsB
+      val sink = spark.read.parquet(s"$workDir/sink_${g.name}")
+      sink.coalesce(1).write.mode("overwrite").parquet(s"$outDir/${g.name}")
+      val sinkRows = sink.count()
+      val batchRows = g.batchTwin.count()
+      require(nbA >= half && nb >= nChunks,
+        s"${g.name}: expected >= $half + >= ${nChunks - half + 2} " +
+          s"micro-batches across the restart, saw $nbA + $nbB")
+      (g, nb, secs, sinkRows, batchRows)
+    }
+
     def esc(s: String) = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
-      s"""{"q40_hourly_rollup": "${esc(oracleJson)}"}""")
+      results.map { case (g, _, _, _, _) =>
+        s""""${g.name}": "${esc(g.oracle)}""""
+      }.mkString("{", ", ", "}"))
 
-    val sinkRows = sink.count()
-    val batchRows = graft.streaming.EventStreams.hourlyRollup(events).count()
+    val detail = results.map { case (g, nb, secs, sr, br) =>
+      s""""${g.name}":{"micro_batches":$nb,"secs":${f"$secs%.1f"},""" +
+        s""""sink_rows":$sr,"batch_rows":$br}"""
+    }.mkString(",")
     println(s"""{"stream_gate":{"sf":"$sfDir","chunks":$nChunks,""" +
-      s""""micro_batches":${batches.get()},"secs":${f"$secs%.1f"},""" +
-      s""""sink_rows":$sinkRows,"batch_rows":$batchRows,""" +
-      s""""max_ts":"$maxTs"}}""")
-    require(batches.get() >= nChunks,
-      s"expected >= $nChunks micro-batches, saw ${batches.get()}")
+      s""""max_ts":"$maxTs",$detail}}""")
     spark.stop()
   }
 }
