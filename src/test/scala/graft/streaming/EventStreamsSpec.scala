@@ -266,6 +266,48 @@ class EventStreamsSpec extends SparkSpecBase {
     assert(finalRows.select("user_id").distinct().count() == 3)
   }
 
+  test("sessionizeStream keeps microsecond precision (getTime truncation regression)") {
+    // the StreamGate file-sink gate caught sessionizeStream rebuilding
+    // session bounds through Timestamp.getTime (millis): the parquet
+    // source carries microseconds, so 95,465/95,465 rows matched but the
+    // hash differed (.172 vs .172425). Pin the µs round-trip forever.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val us = Seq(
+      (1L, ts("2024-01-01 00:00:11.172425"), "c", 0.0),
+      (1L, ts("2024-01-01 00:10:00.000007"), "c", 0.0),
+      (1L, ts("2024-01-01 02:00:00.999999"), "c", 0.0), // new session
+      (2L, ts("2024-01-01 00:00:00.000001"), "c", 0.0))
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val sdf = mem.toDF.toDF("user_id", "ts", "event_type", "value")
+    val q = EventStreams.sessionizeStream(sdf)
+      .writeStream.format("memory").queryName("us_session_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(us: _*)
+      q.processAllAvailable()
+      mem.addData((9L, ts("2024-01-03 00:00:00"), "c", 0.0))
+      q.processAllAvailable()
+      mem.addData((9L, ts("2024-01-04 00:00:00"), "c", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("us_session_sink")
+        .select("user_id", "session_start", "session_end", "n_events")
+        .filter(col("user_id").isin(1L, 2L))
+        .orderBy("user_id", "session_start")
+        .collect().map(_.toSeq).toSeq
+      val batch = EventStreams.sessionizeBatch(toDf(us))
+        .select("user_id", "session_start", "session_end", "n_events")
+        .filter(col("user_id").isin(1L, 2L))
+        .orderBy("user_id", "session_start")
+        .collect().map(_.toSeq).toSeq
+      assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+      // the µs components survive verbatim — not rounded to millis
+      val starts = streamed.map(_(1).toString)
+      assert(starts.contains("2024-01-01 00:00:11.172425"), starts)
+      assert(starts.contains("2024-01-01 00:00:00.000001"), starts)
+    } finally q.stop()
+  }
+
   test("sessionizeStream closes sessions like sessionizeBatch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
