@@ -69,6 +69,28 @@ import org.apache.spark.sql.streaming.Trigger
   * timeout firing, and the exact parquet the FILE SINK writes — the
   * full production data path for all three streaming operator shapes. */
 object StreamGate {
+
+  /** Ordinal-free projection of q41's session oracle: the stream emits
+    * sessions without a per-user index; (user_id, session_start) is
+    * still a unique key so the compare loses nothing but the ordinal.
+    * Shared with [[StreamCrashGate]]. */
+  def sessionizeOracleSql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN prev IS NULL
+      |           OR epoch_us(ts) - epoch_us(prev) > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM (SELECT user_id, ts,
+      |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      |        FROM events) t),
+      |s AS (SELECT user_id, ts,
+      |        CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      |      FROM g)
+      |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, session_idx""".stripMargin
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val workDir = args(1)
@@ -172,25 +194,7 @@ object StreamGate {
     val outDir = s"$workDir/out"
     new java.io.File(outDir).mkdirs()
 
-    // ordinal-free projection of q41's session oracle: the stream emits
-    // sessions without a per-user index; (user_id, session_start) is
-    // still a unique key so the compare loses nothing but the ordinal
-    val sessionizeOracle =
-      """WITH g AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN prev IS NULL
-        |           OR epoch_us(ts) - epoch_us(prev) > 1800000000
-        |         THEN 1 ELSE 0 END AS is_new
-        |  FROM (SELECT user_id, ts,
-        |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
-        |        FROM events) t),
-        |s AS (SELECT user_id, ts,
-        |        CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
-        |      FROM g)
-        |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
-        |  COUNT(*) AS n_events
-        |FROM s GROUP BY user_id, session_idx""".stripMargin
+    val sessionizeOracle = sessionizeOracleSql
 
     case class Gate(name: String, mk: DataFrame => DataFrame,
                     oracle: String, batchTwin: DataFrame,
