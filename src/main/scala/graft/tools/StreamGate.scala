@@ -91,6 +91,57 @@ object StreamGate {
       |  COUNT(*) AS n_events
       |FROM s GROUP BY user_id, session_idx""".stripMargin
 
+  /** Which replay a gate consumes: the plain chunked traffic (+ the two
+    * watermark-flush sentinels) or the re-delivery copy. */
+  sealed trait SrcKind
+  case object MainSrc extends SrcKind
+  case object DupSrc extends SrcKind
+
+  /** One gate = a streamed operator, its independent DuckDB oracle, and
+    * which replay it consumes. Single definition shared by the restart
+    * board ([[StreamGate.main]]) and the crash gate ([[StreamCrashGate]])
+    * so the two can never drift onto different pipelines. */
+  case class GateDef(name: String, mk: DataFrame => DataFrame,
+                     oracle: String, srcKind: SrcKind)
+
+  def gateDefs: Seq[GateDef] = Seq(
+    GateDef("q40_hourly_rollup",
+      graft.streaming.EventStreams.hourlyRollupStream _,
+      graft.SparkEntry.oracleSql("q40_hourly_rollup"), MainSrc),
+    GateDef("q75_sliding_window",
+      graft.streaming.EventStreams.slidingRollupStream _,
+      graft.SparkEntry.oracleSql("q75_sliding_window"), MainSrc),
+    GateDef("q41_sessionize_stream",
+      (df: DataFrame) => graft.streaming.EventStreams
+        .sessionizeStream(df).toDF(),
+      sessionizeOracleSql, MainSrc),
+    GateDef("stream_dedup",
+      (df: DataFrame) => graft.streaming.EventStreams
+        .dedupStream(df, Seq("event_id")),
+      "SELECT * FROM events", DupSrc))
+
+  def srcDirOf(workDir: String, kind: SrcKind): String = kind match {
+    case MainSrc => s"$workDir/src"
+    case DupSrc  => s"$workDir/src_dup"
+  }
+
+  def escJson(s: String): String = s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+  }
+
+  /** Locale-proof fixed-point seconds (the f-interpolator uses the JVM
+    * default locale — a comma decimal separator breaks the JSON line). */
+  def secs1(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+
+  /** Micro-batches that actually consumed rows, read from the query's
+    * own progress ring — NOT from an async StreamingQueryListener, whose
+    * bus is not flushed by awaitTermination (a late-delivered event
+    * undercounts one gate and inflates the next). */
+  def inputBatches(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.count(_.numInputRows > 0).toLong
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val workDir = args(1)
@@ -176,50 +227,18 @@ object StreamGate {
     // real session — closes with values drawn from real events only,
     // so each sink must equal its oracle row-for-row (per-gate notes
     // above)
-    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
-    spark.streams.addListener(
-      new org.apache.spark.sql.streaming.StreamingQueryListener {
-        override def onQueryStarted(
-          e: org.apache.spark.sql.streaming.StreamingQueryListener
-            .QueryStartedEvent): Unit = ()
-        override def onQueryProgress(
-          e: org.apache.spark.sql.streaming.StreamingQueryListener
-            .QueryProgressEvent): Unit =
-          if (e.progress.numInputRows > 0) batches.incrementAndGet()
-        override def onQueryTerminated(
-          e: org.apache.spark.sql.streaming.StreamingQueryListener
-            .QueryTerminatedEvent): Unit = ()
-      })
-
     val outDir = s"$workDir/out"
     new java.io.File(outDir).mkdirs()
 
-    val sessionizeOracle = sessionizeOracleSql
-
-    case class Gate(name: String, mk: DataFrame => DataFrame,
-                    oracle: String, batchTwin: DataFrame,
-                    src: String = srcDir)
-    val gates = Seq(
-      Gate("q40_hourly_rollup",
-        graft.streaming.EventStreams.hourlyRollupStream _,
-        graft.SparkEntry.oracleSql("q40_hourly_rollup"),
-        graft.streaming.EventStreams.hourlyRollup(events)),
-      Gate("q75_sliding_window",
-        graft.streaming.EventStreams.slidingRollupStream _,
-        graft.SparkEntry.oracleSql("q75_sliding_window"),
-        graft.streaming.EventStreams.slidingRollup(events)),
-      Gate("q41_sessionize_stream",
-        (df: DataFrame) => graft.streaming.EventStreams
-          .sessionizeStream(df).toDF(),
-        sessionizeOracle,
+    val batchTwins: Map[String, DataFrame] = Map(
+      "q40_hourly_rollup" ->
+        graft.streaming.EventStreams.hourlyRollup(events),
+      "q75_sliding_window" ->
+        graft.streaming.EventStreams.slidingRollup(events),
+      "q41_sessionize_stream" ->
         graft.streaming.EventStreams.sessionizeBatch(events)
-          .drop("session_idx")),
-      Gate("stream_dedup",
-        (df: DataFrame) => graft.streaming.EventStreams
-          .dedupStream(df, Seq("event_id")),
-        "SELECT * FROM events",
-        events,
-        src = srcDupDir))
+          .drop("session_idx"),
+      "stream_dedup" -> events)
 
     // two REAL process phases per gate: phase A consumes the first half
     // of the traffic and the query TERMINATES (AvailableNow); phase B
@@ -231,11 +250,11 @@ object StreamGate {
     // claim into a gated measurement.
     val half = nChunks / 2
     writeChunks(1, half)
-    def runGate(g: Gate): (Long, Double) = {
-      val before = batches.get()
+    def runGate(g: GateDef): (Long, Double) = {
       val t0 = System.nanoTime()
       val stream = spark.readStream.schema(events.schema)
-        .option("maxFilesPerTrigger", "1").parquet(g.src)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDirOf(workDir, g.srcKind))
       val q = g.mk(stream)
         .writeStream.format("parquet")
         .option("path", s"$workDir/sink_${g.name}")
@@ -244,12 +263,12 @@ object StreamGate {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      ((batches.get() - before), (System.nanoTime() - t0) / 1e9)
+      (inputBatches(q), (System.nanoTime() - t0) / 1e9)
     }
-    val phaseA = gates.map(g => g.name -> runGate(g)).toMap
+    val phaseA = gateDefs.map(g => g.name -> runGate(g)).toMap
     writeChunks(half + 1, nChunks)
     writeSentinels()
-    val results = gates.map { g =>
+    val results = gateDefs.map { g =>
       val (nbA, secsA) = phaseA(g.name)
       val (nbB, secsB) = runGate(g)
       val nb = nbA + nbB
@@ -257,25 +276,30 @@ object StreamGate {
       val sink = spark.read.parquet(s"$workDir/sink_${g.name}")
       sink.coalesce(1).write.mode("overwrite").parquet(s"$outDir/${g.name}")
       val sinkRows = sink.count()
-      val batchRows = g.batchTwin.count()
-      require(nbA >= half && nb >= nChunks,
-        s"${g.name}: expected >= $half + >= ${nChunks - half + 2} " +
+      val batchRows = batchTwins(g.name).count()
+      // MainSrc phase B = remaining chunks + BOTH sentinel files (each
+      // carries one row and must have produced a consuming batch — a
+      // missed sentinel surfaces here as the precise count, not as a
+      // baffling oracle mismatch on the tail windows); DupSrc has no
+      // sentinels by design
+      val wantB = g.srcKind match {
+        case MainSrc => nChunks - half + 2
+        case DupSrc  => nChunks - half
+      }
+      require(nbA >= half && nbB >= wantB,
+        s"${g.name}: expected >= $half phase-A + >= $wantB phase-B " +
           s"micro-batches across the restart, saw $nbA + $nbB")
       (g, nb, secs, sinkRows, batchRows)
     }
 
-    def esc(s: String) = s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
       results.map { case (g, _, _, _, _) =>
-        s""""${g.name}": "${esc(g.oracle)}""""
+        s""""${g.name}": "${escJson(g.oracle)}""""
       }.mkString("{", ", ", "}"))
 
     val detail = results.map { case (g, nb, secs, sr, br) =>
-      s""""${g.name}":{"micro_batches":$nb,"secs":${f"$secs%.1f"},""" +
+      s""""${g.name}":{"micro_batches":$nb,"secs":${secs1(secs)},""" +
         s""""sink_rows":$sr,"batch_rows":$br}"""
     }.mkString(",")
     println(s"""{"stream_gate":{"sf":"$sfDir","chunks":$nChunks,""" +

@@ -12,8 +12,17 @@ crashes=("$@"); [ ${#crashes[@]} -eq 0 ] && crashes=(5 11)
 rm -rf "$wd/crash_$gate"
 for t in "${crashes[@]}"; do
   echo "[crash-gate] run with halt after ${t}s"
-  tools/run_main.sh -Xmx24g graft.tools.StreamCrashGate "$sf" "$wd" "$gate" "$t" \
-    || echo "[crash-gate] JVM halted (expected, rc=$?)"
+  # only rc=137 (the deliberate Runtime.halt) is expected; anything else
+  # — OOM, missing source, a streaming exception, or rc=3 (replay
+  # finished before the crash offset: nothing was crashed) — is a real
+  # failure and must stop the gate
+  rc=0; tools/run_main.sh -Xmx24g graft.tools.StreamCrashGate "$sf" "$wd" "$gate" "$t" || rc=$?
+  if [ "$rc" -eq 137 ]; then
+    echo "[crash-gate] JVM halted mid-stream (expected, rc=137)"
+  else
+    echo "[crash-gate] run exited rc=$rc without a mid-stream halt" >&2
+    exit "${rc:-1}"
+  fi
 done
 echo "[crash-gate] final run to completion"
 tools/run_main.sh -Xmx24g graft.tools.StreamCrashGate "$sf" "$wd" "$gate" 0
