@@ -163,11 +163,20 @@ object StreamGate {
 
     // time-ordered chunks: a replayed stream arrives roughly in event
     // order, which is also what keeps the watermark advancing and state
-    // bounded (windows retire steadily instead of all at the end)
+    // bounded (windows retire steadily instead of all at the end).
+    // Chunk = equal TIME slice (narrow arithmetic on ts, no global sort:
+    // an ntile over an unpartitioned window drags the whole corpus
+    // through one partition — fine at sf0.1, the anti-pattern this
+    // library exists to avoid at sf10+). Slices are disjoint ts
+    // intervals, so chunk files are strictly time-ordered; sizes track
+    // the (near-uniform) event rate.
+    val b = events.agg(min(unix_micros(col("ts"))),
+      max(unix_micros(col("ts")))).head()
+    val (tsMin, tsSpan) = (b.getLong(0), b.getLong(1) - b.getLong(0) + 1)
     val chunked = events
-      .withColumn("__chunk", ntile(nChunks).over(
-        org.apache.spark.sql.expressions.Window.orderBy(
-          col("ts"), col("event_id"))))
+      .withColumn("__chunk",
+        (((unix_micros(col("ts")) - tsMin) * nChunks / tsSpan) + 1)
+          .cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     chunked.count()
 
