@@ -336,6 +336,19 @@ object SparkEntry {
           sum(col("id_b")).as("sum_b"),
           max(col("id_b")).as("max_b"),
           sum(col("dist").cast("long")).as("sum_dist"))),
+    // q56: SimHash pair emission is output-bound at fixed radius — true
+    // near-pair mass grows ~quadratically with corpus density (r13
+    // verdict #4). The 100× policy: the full pair stream still flows
+    // through the pigeonhole-blocked operator, folded per lesser id
+    // into count + int64-safe checksums before any materialization
+    // (partial aggregation keeps the fold map-side-combinable).
+    "q56_simhash_pairs" -> ((s: SparkSession, dir: String) =>
+      TextQueries.qSimhashPairs(s, dir)
+        .groupBy(col("doc_a"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("doc_b")).as("sum_b"),
+          max(col("doc_b")).as("max_b"),
+          sum(col("hamming").cast("long")).as("sum_hamming"))),
   )
 
   /** Resource-bounded oracle twins for the above-driver-scale (sf1)
@@ -409,7 +422,7 @@ object SparkEntry {
         |FROM e a JOIN x b USING (band)
         |WHERE abs(a.t - b.t) <= 300000000 AND a.event_id < b.event_id
         |GROUP BY 1, 2""".stripMargin,
-  )
+  ) ++ TextOracles.scaleOracles
 
   /** DuckDB-dialect oracle for each query (same column names/aliases). */
   def oracleSql: Map[String, String] =

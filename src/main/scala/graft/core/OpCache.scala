@@ -49,7 +49,9 @@ object OpCache {
         val shared = dfs.exists(df =>
           old.queryExecution.analyzed.sameResult(df.queryExecution.analyzed))
         if (!shared) old.unpersist(blocking = false)
-      } catch { case _: Throwable => () } // a stopped session is not an error
+        // a stopped session is not an error; fatal errors (OOM,
+        // interrupt) must still propagate
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 
@@ -62,7 +64,7 @@ object OpCache {
       val prev = reg.remove(k)
       if (prev != null) prev.foreach(df =>
         try df.unpersist(blocking = false)
-        catch { case _: Throwable => () })
+        catch { case scala.util.control.NonFatal(_) => () })
     }
   }
 

@@ -59,9 +59,11 @@ object Validation {
           nullif(col("total"), lit(0)), 2).as("unmapped_pct"))
 
   /** Era-derivation invariants: an era must be well-ordered, belong to a
-    * known person, and contain at least one contributing row. The three
-    * per-era predicates fold into ONE scan of the era table (conditional
-    * aggregation) plus the orphan anti join — not three separate scans. */
+    * known person, and contain at least one contributing row. The two
+    * per-era predicates come from ONE aggregate row over the era table,
+    * exploded into the two report rows — the plan itself guarantees a
+    * single scan (no reliance on exchange reuse firing) — plus the
+    * orphan anti join. */
   def eraChecks(prefix: String, era: DataFrame, person: DataFrame,
                 startCol: String, endCol: String,
                 countCol: String): Seq[DataFrame] = {
@@ -69,13 +71,17 @@ object Validation {
     val scanOnce = era.agg(
       cnt(col(endCol) < col(startCol)).as("end_before_start"),
       cnt(col(countCol) < 1).as("empty"))
+    val bothFromOneScan = scanOnce.select(explode(array(
+      struct(lit(s"${prefix}_end_before_start").as("check_name"),
+        col("end_before_start").cast("long").as("failed_count")),
+      struct(lit(s"${prefix}_empty").as("check_name"),
+        col("empty").cast("long").as("failed_count")))).as("c"))
+      .select(col("c.check_name").as("check_name"),
+        col("c.failed_count").as("failed_count"))
     Seq(
-      asCheck(s"${prefix}_end_before_start",
-        scanOnce.select(col("end_before_start").as("failed_count"))),
+      bothFromOneScan,
       asCheck(s"${prefix}_orphan_person",
-        orphans(era, "person_id", person, "person_id")),
-      asCheck(s"${prefix}_empty",
-        scanOnce.select(col("empty").as("failed_count"))))
+        orphans(era, "person_id", person, "person_id")))
   }
 
   /** Full report over a built OMOP set — a single lazy plan; the caller's

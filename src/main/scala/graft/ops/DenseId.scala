@@ -63,7 +63,9 @@ object DenseId {
     * sequence assignment and the DuckDB oracle twin already require.
     * Buckets are capped at 1024: one bucket = one task at ~n/P rows;
     * past ~10^10 rows per call raise `sampleMod` to keep the collected
-    * sample driver-sized. */
+    * sample driver-sized. A caller-supplied `bucketBy` expression must
+    * be non-null over the whole input (checked with a clear failure in
+    * the counts pass). */
   def withDenseIdScalable(df: DataFrame, orderBy: Seq[Column],
                           idCol: String, offset: Long = 0L,
                           numPartitions: Int = 0,
@@ -121,7 +123,14 @@ object DenseId {
     // narrow counts pass: exact per-bucket populations → cumulative
     // starts, ascending bucket value = ascending key range (monotone)
     val counts = withBucket.groupBy(col("__did_bucket")).count()
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          "withDenseIdScalable: bucketBy produced NULL for " +
+            s"${r.getLong(1)} row(s) — the bucket expression must be " +
+            "non-null over the whole input (e.g. a null leading key " +
+            "from a caller not using the ETL's inner-joined maps)")
+        (r.getInt(0), r.getLong(1))
+      }.sortBy(_._1)
     val starts = counts.foldLeft((offset, List.empty[(Int, Long)])) {
       case ((acc, out), (b, c)) => (acc + c, (b, acc) :: out)
     }._2

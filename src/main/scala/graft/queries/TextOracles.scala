@@ -2315,4 +2315,50 @@ object TextOracles {
          |FROM dp JOIN ib ON dp.b = ib.b
          |LEFT JOIN np ON dp.b = np.b""".stripMargin,
   )
+
+  /** Scale-override oracle twins (merged by
+    * [[graft.SparkEntry.oracleSqlScaleOverrides]]) — see the
+    * independence caveats there.
+    *
+    * q56: the default oracle's honest all-pairs theta join is O(n²)
+    * comparisons — DuckDB's IEJoin carried it to 400k docs (sf1) but
+    * not to 4M (sf10). This twin finds Hamming ≤ 1 pairs by XOR-probe
+    * EQUI-joins instead: distance-0 pairs join on equal signatures;
+    * distance-1 pairs join each signature's 32 one-bit flips against
+    * the signature table (an unordered pair differing in exactly bit j
+    * matches exactly once, via the lesser id's flip at j). Still an
+    * independent algorithm from the engine's pigeonhole block join —
+    * different decomposition, no shared code — but linear in n + true
+    * pair mass. Output is folded per lesser id (count + int64-safe
+    * checksums), mirroring the engine-side fold. */
+  val scaleOracles: Map[String, String] = Map(
+    "q56_simhash_pairs" -> {
+      val bitSums = (0 until 32).map(j =>
+        s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+        .mkString(",\n  ")
+      val sig = (0 until 32).map(j =>
+        s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, unnest($Tk) AS t FROM documents),
+         |th AS (SELECT doc_id, ${H("t")} AS h FROM tok),
+         |bits AS (SELECT doc_id,
+         |  $bitSums
+         |  FROM th GROUP BY doc_id),
+         |sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS s FROM bits),
+         |d0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 0 AS hamming
+         |       FROM sig a JOIN sig b ON a.s = b.s
+         |       WHERE a.doc_id < b.doc_id),
+         |fl AS (SELECT doc_id, s,
+         |         xor(s, (CAST(1 AS BIGINT) << CAST(j AS INTEGER))) AS sp
+         |       FROM sig, generate_series(0, 31) t(j)),
+         |d1 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 1 AS hamming
+         |       FROM fl a JOIN sig b ON a.sp = b.s
+         |       WHERE a.doc_id < b.doc_id),
+         |pairs AS (SELECT * FROM d0 UNION ALL SELECT * FROM d1)
+         |SELECT doc_a,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(doc_b) AS BIGINT) AS sum_b,
+         |  MAX(doc_b) AS max_b,
+         |  CAST(SUM(hamming) AS BIGINT) AS sum_hamming
+         |FROM pairs GROUP BY doc_a""".stripMargin
+    })
 }

@@ -148,6 +148,13 @@ object StreamGate {
     val nChunks = args.lift(2).map(_.toInt).getOrElse(16)
     val spark = graft.core.Sessions.local()
     spark.sparkContext.setLogLevel("WARN")
+    // the per-phase micro-batch floor counts q.recentProgress entries,
+    // and that ring is capped by numRecentProgressUpdates (default
+    // 100): a run with more chunks than the cap would undercount and
+    // spuriously fail the floor require on a healthy stream — size the
+    // ring to the chunk count (+ sentinels + slack)
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      math.max(100, 2 * nChunks + 16).toString)
 
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
@@ -223,9 +230,17 @@ object StreamGate {
       placeChunk(srcDir, chunk(i), i)
       val cur = chunk(i)
       val inBatchDups = cur.filter(col("event_id") % 10 === 0)
-      val redelivered = if (i == 1) cur.limit(0) else
-        chunk(i - 1).filter(col("ts") >=
-          timestamp_seconds(lit(chunkMaxTs(i - 1).getTime / 1000 - 1800)))
+      // redeliver from the latest NON-EMPTY earlier slice: the
+      // time-slice chunker (unlike the old ntile) can leave a slice
+      // empty on a skewed event-time distribution, and that slice has
+      // no chunkMaxTs entry — a bare Map.apply would crash the gate
+      // before any oracle compare
+      val prevNonEmpty = (i - 1 to 1 by -1).find(chunkMaxTs.contains)
+      val redelivered = prevNonEmpty match {
+        case None => cur.limit(0)
+        case Some(j) => chunk(j).filter(col("ts") >=
+          timestamp_seconds(lit(chunkMaxTs(j).getTime / 1000 - 1800)))
+      }
       placeChunk(srcDupDir,
         cur.unionAll(inBatchDups).unionAll(redelivered), i)
     }

@@ -82,7 +82,15 @@ class EtlRunnerSpec extends SparkSpecBase {
 
   test("full run produces every OMOP output and a clean validation report") {
     val (in, out, vocab) = dirs
+    // run() tunes spark.sql.files.maxPartitionBytes for its own scans;
+    // the session-global conf must be restored on exit — a library
+    // caller must not inherit 4x more scan partitions for all
+    // subsequent reads
+    val mpbKey = "spark.sql.files.maxPartitionBytes"
+    val mpbBefore = spark.conf.getOption(mpbKey)
     val report = EtlRunner.run(spark, in, out, Some(vocab))
+    assert(spark.conf.getOption(mpbKey) == mpbBefore,
+      s"$mpbKey not restored after EtlRunner.run")
     assert(report.filter(col("failed_count") > 0).count() == 0)
     val expected = Seq("person_map", "visit_map", "person",
       "visit_occurrence", "condition_occurrence", "drug_exposure",
