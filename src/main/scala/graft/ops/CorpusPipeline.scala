@@ -129,7 +129,12 @@ object CorpusPipeline {
         NearDup.lshBands(mh, "doc_id", cfg.rowsPerBand), "doc_id")
       .select(col("doc_a"), col("doc_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val verified = NearDup.jaccard(pairs, sh, "doc_id")
+    // verify over per-doc distinct sets (NearDup.shingleSets): restricted
+    // to pair docs on the persisted survivor frame, so the old stream
+    // semi-join + corpus-wide distinct exchange both disappear (r14 §2.4)
+    val verified = NearDup.jaccardSets(pairs,
+        NearDup.shingleSets(exact, "doc_id", "text", cfg.shingleN),
+        "doc_id")
       .filter(col("jaccard") >= cfg.jaccardMin)
     val dupIds =
       if (cfg.transitiveClusters)
@@ -247,7 +252,7 @@ object CorpusPipeline {
       .join(incBands.select(col("band"), col("band_sig")),
         Seq("band", "band_sig"), "left_semi")
       .select(col("doc_id")).distinct()
-    val candShingles = NearDup.shingleRows(
+    val candSets = NearDup.shingleSets(
       exact.join(vsCorpus, Seq("doc_id"), "left_semi")
         .unionByName(existing.join(candDocsEx, Seq("doc_id"), "left_semi")
           .select(exact.columns.map(col): _*)),
@@ -258,14 +263,14 @@ object CorpusPipeline {
       .join(incBands.select(col("doc_id").as("doc_b"), col("band"),
         col("band_sig")), Seq("band", "band_sig"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    val dupVsCorpus = NearDup.jaccard(pairsVsCorpus, candShingles, "doc_id")
+    val dupVsCorpus = NearDup.jaccardSets(pairsVsCorpus, candSets, "doc_id")
       .filter(col("jaccard") >= cfg.jaccardMin)
       .select(col("doc_b").as("doc_id")).distinct()
     // within increment: the standard candidate cascade on the increment
     val pairsWithin = NearDup.candidatePairs(incBands, "doc_id")
       .select(col("doc_a"), col("doc_b"))
-    val dupWithin = NearDup.jaccard(pairsWithin,
-        NearDup.shingleRows(exact, "doc_id", "text", cfg.shingleN), "doc_id")
+    val dupWithin = NearDup.jaccardSets(pairsWithin,
+        NearDup.shingleSets(exact, "doc_id", "text", cfg.shingleN), "doc_id")
       .filter(col("jaccard") >= cfg.jaccardMin)
       .select(col("doc_b").as("doc_id")).distinct()
     val deduped = exact

@@ -195,9 +195,90 @@ object NearDup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.core.OpCache.renew("NearDup.jaccard", shingles)
     val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    // second join keys on BOTH (doc, hash): the intersection is computed
-    // IN the join instead of filtering a per-pair cross of shingle sets —
-    // intermediate size |A∩B| per pair, not |A|·|B|
+    simJoinCore(pairs, shingles, sizes, idCol)
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+  }
+
+  /** Per-doc DISTINCT shingle-hash set as ONE array row (id, hs) — the
+    * set-semantics twin of [[shingleRows]], computed entirely in-row:
+    * `array_distinct` over the shingle kernel's output replaces the
+    * corpus-wide `distinct()` EXCHANGE the verify tier used to pay
+    * before its sizes/intersection passes (dedup within a doc needs no
+    * cross-row state, so shuffling for it was pure overhead — guide
+    * §2.4, remove shuffles outright). Set sizes become a map-side
+    * `size(hs)` projection instead of a grouped aggregate. The array is
+    * the same per-doc shingle array the kernel already materializes, so
+    * row width is unchanged at any corpus scale. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int): DataFrame = {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    docs.select(col(idCol),
+      array_distinct(call_function("shingle_hashes",
+        TextOps.tokens(col(textCol)), lit(n))).as("hs"))
+  }
+
+  /** [[jaccard]] over per-doc distinct shingle SETS ([[shingleSets]])
+    * instead of a raw (doc, h) stream: identical output (the stream
+    * form's `distinct()` equals per-doc `array_distinct`; the grouped
+    * size count equals `size(hs)`), minus the corpus-wide distinct
+    * exchange and the sizes aggregation — both derived map-side from
+    * the compact array frame. */
+  def jaccardSets(pairs: DataFrame, sets: DataFrame, idCol: String,
+                  restrictToPairDocs: Boolean = true): DataFrame = {
+    val (shingles, sizes) =
+      setsShinglesAndSizes(pairs, sets, idCol, restrictToPairDocs,
+        "NearDup.jaccardSets")
+    simJoinCore(pairs, shingles, sizes, idCol)
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+  }
+
+  /** [[containment]] over per-doc distinct shingle sets — same
+    * output-identical exchange removal as [[jaccardSets]]. */
+  def containmentSets(pairs: DataFrame, sets: DataFrame, idCol: String,
+                      restrictToPairDocs: Boolean = true): DataFrame = {
+    val (shingles, sizes) =
+      setsShinglesAndSizes(pairs, sets, idCol, restrictToPairDocs,
+        "NearDup.containmentSets")
+    simJoinCore(pairs, shingles, sizes, idCol)
+      .withColumn("cont_a",
+        col("inter").cast("double") / col("sz_a").cast("double"))
+      .withColumn("cont_b",
+        col("inter").cast("double") / col("sz_b").cast("double"))
+  }
+
+  /** Shared tail of the sets-based verify tier: restrict the set frame
+    * to pair docs (candidates ≪ corpus), persist the COMPACT array frame
+    * (three consumers: sizes + both intersection sides), and derive the
+    * (id, h) stream and (id, sz) sizes map-side. */
+  private def setsShinglesAndSizes(pairs: DataFrame, sets: DataFrame,
+                                   idCol: String,
+                                   restrictToPairDocs: Boolean,
+                                   owner: String)
+      : (DataFrame, DataFrame) = {
+    val restricted =
+      if (!restrictToPairDocs) sets
+      else {
+        val pairDocs = pairs.select(col("doc_a").as(idCol))
+          .unionByName(pairs.select(col("doc_b").as(idCol))).distinct()
+        sets.join(pairDocs, Seq(idCol), "left_semi")
+      }
+    val compact = restricted
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.OpCache.renew(owner, compact)
+    (compact.select(col(idCol), explode(col("hs")).as("h")),
+      compact.select(col(idCol), size(col("hs")).cast("long").as("sz")))
+  }
+
+  /** The verify tier's join core, shared by the stream and sets forms:
+    * intersection computed IN the (doc, hash) join (second join keys on
+    * BOTH columns, so the intermediate is |A∩B| per pair, never
+    * |A|·|B|), then pairs left-join inter and pick up both sizes. */
+  private def simJoinCore(pairs: DataFrame, shingles: DataFrame,
+                          sizes: DataFrame, idCol: String): DataFrame = {
     val inter = pairs
       .join(shingles.select(col(idCol).as("doc_a"), col("h")), "doc_a")
       .join(shingles.select(col(idCol).as("doc_b"), col("h")),
@@ -209,9 +290,6 @@ object NearDup {
       .na.fill(0L, Seq("inter"))
       .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("sz_a")), "doc_a")
       .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("sz_b")), "doc_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
   }
 
   /** Containment similarity |A∩B|/|A| (and /|B|) for candidate pairs —
@@ -236,17 +314,7 @@ object NearDup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.core.OpCache.renew("NearDup.containment", shingles)
     val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val inter = pairs
-      .join(shingles.select(col(idCol).as("doc_a"), col("h")), "doc_a")
-      .join(shingles.select(col(idCol).as("doc_b"), col("h")),
-        Seq("doc_b", "h"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(inter, Seq("doc_a", "doc_b"), "left")
-      .na.fill(0L, Seq("inter"))
-      .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("sz_a")), "doc_a")
-      .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("sz_b")), "doc_b")
+    simJoinCore(pairs, shingles, sizes, idCol)
       .withColumn("cont_a",
         col("inter").cast("double") / col("sz_a").cast("double"))
       .withColumn("cont_b",
@@ -788,19 +856,23 @@ object NearDup {
                  n: Int, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0,1], got $threshold")
-    val sh = shingleRows(docs, idCol, textCol, n).distinct()
+    // per-doc distinct sets computed IN-ROW ([[shingleSets]]): the old
+    // stream.distinct() paid a corpus-wide exchange for a dedup that
+    // needs no cross-row state, and the per-doc set size needed a second
+    // window function over the ranked stream — both are now map-side
+    // projections of the compact array frame (guide §2.4)
+    val sets = shingleSets(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sh.count() // eager stage boundary: three consumers below
-    graft.core.OpCache.renew("NearDup.setSimJoin", sh)
+    sets.count() // eager stage boundary: three consumers below
+    graft.core.OpCache.renew("NearDup.setSimJoin", sets)
+    val sh = sets.select(col(idCol), size(col("hs")).cast("long").as("sz"),
+      explode(col("hs")).as("h"))
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("df").asc, col("h").asc)
     val ranked = sh.join(dfreq, "h")
       .select(col(idCol), col("h"),
-        row_number().over(w).as("pos"),
-        count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col(idCol)))
-          .as("sz"))
+        row_number().over(w).as("pos"), col("sz"))
     // prefix length |X| − ⌈t·|X|⌉ + 1
     val prefix = ranked
       .filter(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
@@ -814,7 +886,7 @@ object NearDup {
       .filter(greatest(col("sz_a"), col("sz_b")) * threshold <=
         least(col("sz_a"), col("sz_b")))
       .select(col("doc_a"), col("doc_b")).distinct()
-    jaccard(cand, sh, idCol, restrictToPairDocs = true)
+    jaccardSets(cand, sets, idCol, restrictToPairDocs = true)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
   }

@@ -287,10 +287,14 @@ object TextQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairDocs = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    val shCand = NearDup.shingleRows(
+    // per-doc distinct sets in-row (NearDup.shingleSets): the verify
+    // tier's old stream distinct() exchange and sizes aggregate are both
+    // map-side projections now — r14 guide-§2.4 shuffle removal
+    val candSets = NearDup.shingleSets(
       docs.join(pairDocs, Seq("doc_id"), "left_semi"),
       "doc_id", "text", ShingleN)
-    NearDup.jaccard(pairs, shCand, "doc_id", restrictToPairDocs = false)
+    NearDup.jaccardSets(pairs, candSets, "doc_id",
+        restrictToPairDocs = false)
       .filter(col("jaccard") >= 0.3)
   }
 
@@ -841,10 +845,13 @@ object TextQueries {
     // with an empty intersection never materialize, which matches the
     // jaccard > 0 output contract. (The LSH-verify tier q28 keeps
     // pair-restricted NearDup.jaccard — there candidates ≪ corpus.)
-    val shx = NearDup.shingleRows(docs, "doc_id", "text", ShingleN)
-      .distinct() // set semantics for |A∩B| / |A∪B|
+    // set semantics established IN-ROW (array_distinct inside
+    // NearDup.shingleSets): removes the corpus-wide distinct() exchange
+    // and turns per-doc sizes into a map-side projection (r14, §2.4)
+    val sets = NearDup.shingleSets(docs, "doc_id", "text", ShingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = shx.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val shx = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val sizes = sets.select(col("doc_id"), size(col("hs")).cast("long").as("sz"))
     val inter = shx.select(col("doc_id").as("doc_b"), col("h"))
       .withColumn("doc_a",
         explode(array((1 to 3).map(d => col("doc_b") - d): _*)))
@@ -900,10 +907,10 @@ object TextQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairDocs = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    val shCand = NearDup.shingleRows(
+    val candSets = NearDup.shingleSets(
       docs.join(pairDocs, Seq("doc_id"), "left_semi"),
       "doc_id", "text", ShingleN)
-    NearDup.containment(pairs, shCand, "doc_id",
+    NearDup.containmentSets(pairs, candSets, "doc_id",
         restrictToPairDocs = false)
       .filter(greatest(col("cont_a"), col("cont_b")) >= ContainmentMin)
       .select(col("doc_a"), col("doc_b"), col("inter"),

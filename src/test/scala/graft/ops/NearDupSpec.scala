@@ -372,4 +372,45 @@ class NearDupSpec extends SparkSpecBase {
       .collect()
     assert(out.forall(_.getAs[Double]("jaccard") >= 0.6))
   }
+
+  test("shingleSets equals shingleRows.distinct per doc; sets-based " +
+       "jaccard/containment are value-identical to the stream forms") {
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").limit(300)
+    for (n <- Seq(1, 3)) {
+      // set membership identical (in-row array_distinct == stream distinct)
+      val fromSets = NearDup.shingleSets(corpus, "doc_id", "text", n)
+        .select(col("doc_id"), explode(col("hs")).as("h"))
+      val fromStream = NearDup
+        .shingleRows(corpus, "doc_id", "text", n).distinct()
+      assert(fromSets.except(fromStream).count() == 0, s"n=$n extra")
+      assert(fromStream.except(fromSets).count() == 0, s"n=$n missing")
+      // in-row sets are already distinct — no duplicate hash inside hs
+      assert(fromSets.groupBy(col("doc_id"), col("h"))
+        .count().filter(col("count") > 1).count() == 0, s"n=$n dup-in-row")
+    }
+    // verify tier: identical numbers on both API shapes, both restrict modes
+    val pairs = corpus.select(col("doc_id").as("doc_a"))
+      .crossJoin(corpus.select(col("doc_id").as("doc_b")))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(pmod(col("doc_a") + col("doc_b"), lit(17)) === 0) // sliver
+    val sh = NearDup.shingleRows(corpus, "doc_id", "text", 3)
+    val sets = NearDup.shingleSets(corpus, "doc_id", "text", 3)
+    for (restrict <- Seq(true, false)) {
+      val cols = Seq("doc_a", "doc_b", "inter", "sz_a", "sz_b", "jaccard")
+        .map(col)
+      val a = NearDup.jaccard(pairs, sh, "doc_id", restrict).select(cols: _*)
+      val b = NearDup.jaccardSets(pairs, sets, "doc_id", restrict)
+        .select(cols: _*)
+      assert(a.except(b).count() == 0 && b.except(a).count() == 0,
+        s"jaccard restrict=$restrict")
+      val ccols = Seq("doc_a", "doc_b", "inter", "sz_a", "sz_b",
+        "cont_a", "cont_b").map(col)
+      val ca = NearDup.containment(pairs, sh, "doc_id", restrict)
+        .select(ccols: _*)
+      val cb = NearDup.containmentSets(pairs, sets, "doc_id", restrict)
+        .select(ccols: _*)
+      assert(ca.except(cb).count() == 0 && cb.except(ca).count() == 0,
+        s"containment restrict=$restrict")
+    }
+  }
 }
