@@ -27,13 +27,37 @@ object Bpe {
   case class Merge(rank: Int, left: String, right: String, pairCount: Long)
 
   /** Train `numMerges` merges over the whitespace words of `textCol`.
-    * Stops early if no adjacent pair remains. */
-  def train(docs: DataFrame, textCol: String, numMerges: Int): Seq[Merge] = {
+    * Stops early if no adjacent pair remains.
+    *
+    * Size gate (the [[Components]]/[[Graph]] discipline): the corpus is
+    * folded into its word-frequency table by ONE distributed
+    * aggregation; when that vocabulary fits under `localThreshold` rows
+    * the merge rounds run on the driver over the collected table — the
+    * identical recurrence (same pair counts, same count-desc /
+    * left-asc / right-asc tie-break in UTF8 binary order, same
+    * non-overlapping left-to-right merge), so the output is bit-equal
+    * (spec-pinned) while rounds × (aggregate job + checkpoint job) of
+    * per-round latency collapse into one in-memory loop. Vocabularies
+    * are Heaps-law sublinear in corpus size but NOT schema-sized, so
+    * the distributed fixpoint stays the over-threshold path; the gate
+    * itself is a bounded `limit(threshold+1)` take, never an unbounded
+    * collect. Set `localThreshold = 0` to force the distributed path. */
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+            localThreshold: Long = 1L << 20): Seq[Merge] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     // one corpus pass: word frequencies, then chars as the seed symbols
-    var vocab = docs
+    val wordFreq = docs
       .select(explode(TextOps.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    if (localThreshold > 0 && localThreshold < Int.MaxValue) {
+      val probe = wordFreq.limit(localThreshold.toInt + 1).collect()
+      if (probe.length <= localThreshold)
+        return trainLocal(probe.map(r => (r.getString(0), r.getLong(1))),
+          numMerges)
+      // over threshold: fall through and recompute distributed (the
+      // probe read at most threshold+1 rows; the aggregation re-runs)
+    }
+    var vocab = wordFreq
       .select(split(col("w"), "").as("syms"), col("n"))
       .localCheckpoint(true)
     val merges = ArrayBuffer.empty[Merge]
@@ -64,6 +88,63 @@ object Bpe {
       }
     }
     vocab.unpersist()
+    merges.toSeq
+  }
+
+  /** Driver-side twin of the distributed merge loop — IDENTICAL
+    * recurrence so the size gate is invisible to callers:
+    * seed symbols via the same regex split the Column form uses
+    * (`UTF8String.split`, pattern ""), pair counts summed as longs,
+    * argmax tie-break (count desc, left asc, right asc) in UTF8String
+    * BINARY order (Spark's string ordering — `String.compareTo` is
+    * UTF-16 code-unit order and diverges on supplementary characters),
+    * and the same non-overlapping left-to-right merge fold. */
+  private def trainLocal(wordFreq: Array[(String, Long)],
+                         numMerges: Int): Seq[Merge] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val empty = UTF8String.fromString("")
+    var vocab: Array[(Array[String], Long)] = wordFreq.map { case (w, n) =>
+      (UTF8String.fromString(w).split(empty, -1).map(_.toString), n)
+    }
+    def bin(a: String, b: String): Int =
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+    val merges = ArrayBuffer.empty[Merge]
+    var exhausted = false
+    for (r <- 1 to numMerges if !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + n
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, rt), c) = counts.minBy(identity)(Ordering.fromLessThan {
+          case (((l1, r1), c1), ((l2, r2), c2)) =>
+            if (c1 != c2) c1 > c2 // count desc
+            else {
+              val lc = bin(l1, l2)
+              if (lc != 0) lc < 0 else bin(r1, r2) < 0
+            }
+        })
+        merges += Merge(r, l, rt, c)
+        vocab = vocab.map { case (syms, n) =>
+          if (syms.length < 2) (syms, n)
+          else {
+            val out = ArrayBuffer.empty[String]
+            syms.foreach { x =>
+              if (out.nonEmpty && out.last == l && x == rt) {
+                out(out.length - 1) = l + rt // freshly-merged never re-matches
+              } else out += x
+            }
+            (out.toArray, n)
+          }
+        }
+      }
+    }
     merges.toSeq
   }
 
