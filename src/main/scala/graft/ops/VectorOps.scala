@@ -1140,7 +1140,8 @@ object VectorOps {
   def mmrRerank(queries: DataFrame, corpus: DataFrame, shortlistK: Int,
                 selectK: Int, lambda: Double = 0.5,
                 idCol: String = "vec_id",
-                vecCol: String = "embedding"): DataFrame = {
+                vecCol: String = "embedding",
+                localThreshold: Long = 1L << 16): DataFrame = {
     require(selectK >= 1 && selectK <= shortlistK,
       s"selectK $selectK out of [1, $shortlistK]")
     val sl = bruteForceTopK(queries, corpus, shortlistK, idCol, vecCol)
@@ -1149,13 +1150,31 @@ object VectorOps {
     val vecs = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__cv"))
     val slv = sl.join(vecs, "neighbor_id")
-    val ps = slv.select(col("query_id"), col("neighbor_id").as("ca"),
+    val psPlan = slv.select(col("query_id"), col("neighbor_id").as("ca"),
         col("__cv").as("__va"))
       .join(slv.select(col("query_id"), col("neighbor_id").as("cb"),
         col("__cv").as("__vb")), Seq("query_id"))
       .filter(col("ca") =!= col("cb"))
       .select(col("query_id"), col("ca"), col("cb"),
         round(cosine(col("__va"), col("__vb")), 6).as("sim"))
+    // size gate (the Components/Graph/Bpe discipline): the shortlist is
+    // |queries|·shortlistK rows and the precomputed sims at most that ×
+    // (shortlistK−1) — when the shortlist fits under the threshold the
+    // k-step greedy runs on the driver over the collected sliver with
+    // the IDENTICAL recurrence (same 6-rounded distributed sims, same
+    // 9-rounded λ·rel − (1−λ)·maxSim score, same score-desc / id-asc
+    // argmax), so output is bit-equal (spec-pinned) while the selectK
+    // rounds of anti-join + aggregate + window + localCheckpoint
+    // collapse into one in-memory loop. The corpus-scale scoring
+    // (bruteForceTopK) and the pairwise sims stay distributed either
+    // way; the gate is a bounded limit probe, never an unbounded
+    // collect. Set localThreshold = 0 to force the distributed rounds.
+    if (localThreshold > 0 && localThreshold < Int.MaxValue) {
+      val probe = sl.limit(localThreshold.toInt + 1).collect()
+      if (probe.length <= localThreshold)
+        return mmrLocal(sl, probe, psPlan.collect(), selectK, lambda)
+    }
+    val ps = psPlan
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
@@ -1187,6 +1206,88 @@ object VectorOps {
       all = all.unionByName(pick).localCheckpoint(true)
     }
     all
+  }
+
+  /** Driver-side twin of [[mmrRerank]]'s greedy rounds — identical
+    * recurrence over the collected shortlist + pairwise-sim slivers
+    * (both computed DISTRIBUTED with the exact expressions the
+    * distributed rounds consume), so the size gate is invisible to
+    * callers. Argmax tie-breaks replicate Spark's orderings: score
+    * desc then id asc, ids compared numerically or in UTF8 BINARY
+    * order for strings; the greedy score replays Spark's
+    * round(DoubleType, 9) via the same BigDecimal(double) HALF_UP
+    * path. */
+  private def mmrLocal(sl: DataFrame,
+                       slRows: Array[org.apache.spark.sql.Row],
+                       psRows: Array[org.apache.spark.sql.Row],
+                       selectK: Int, lambda: Double): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, ShortType,
+      StringType, StructField, StructType}
+    val idType = sl.schema("neighbor_id").dataType
+    val idLess: (Any, Any) => Boolean = idType match {
+      case LongType => (a, b) =>
+        a.asInstanceOf[Long] < b.asInstanceOf[Long]
+      case IntegerType => (a, b) =>
+        a.asInstanceOf[Int] < b.asInstanceOf[Int]
+      case ShortType => (a, b) =>
+        a.asInstanceOf[Short] < b.asInstanceOf[Short]
+      case StringType => (a, b) =>
+        org.apache.spark.unsafe.types.UTF8String
+          .fromString(a.asInstanceOf[String])
+          .compareTo(org.apache.spark.unsafe.types.UTF8String
+            .fromString(b.asInstanceOf[String])) < 0
+      case other => throw new IllegalArgumentException(
+        s"mmrRerank local path needs integral or string ids, got $other")
+    }
+    // Spark's round(DoubleType, 9): BigDecimal(double) — valueOf/
+    // toString canonicalization — setScale HALF_UP, back to double
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    final case class C(id: Any, rel: Double)
+    val byQuery = slRows.groupBy(_.get(0)).map { case (q, rows) =>
+      q -> rows.map(r => C(r.get(1), r.getDouble(2)))
+    }
+    val sims = scala.collection.mutable.HashMap
+      .empty[(Any, Any, Any), Double]
+    psRows.foreach(r => sims((r.get(0), r.get(1), r.get(2))) = r.getDouble(3))
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    byQuery.foreach { case (q, cands) =>
+      // step 1: rel desc, id asc
+      val picked = scala.collection.mutable.ArrayBuffer.empty[C]
+      def better(a: (Double, Any), b: (Double, Any)): Boolean =
+        a._1 > b._1 || (a._1 == b._1 && idLess(a._2, b._2))
+      val first = cands.reduceLeft((a, b) =>
+        if (better((a.rel, a.id), (b.rel, b.id))) a else b)
+      picked += first
+      out += org.apache.spark.sql.Row(q, first.id, first.rel, 1)
+      for (i <- 2 to selectK) {
+        val remaining = cands.filterNot(c => picked.exists(_.id == c.id))
+        // inner-join semantics: a candidate scores only if some sim row
+        // exists against a picked doc (always true when the shortlist
+        // has ≥ 2 members, mirroring the distributed plan)
+        val scored = remaining.flatMap { c =>
+          val ms = picked.flatMap(p => sims.get((q, c.id, p.id)))
+          if (ms.isEmpty) None
+          else Some((r9(lambda * c.rel - (1.0 - lambda) * ms.max), c))
+        }
+        if (scored.nonEmpty) {
+          val (s, c) = scored.reduceLeft((a, b) =>
+            if (better((a._1, a._2.id), (b._1, b._2.id))) a else b)
+          val _ = s
+          picked += c
+          out += org.apache.spark.sql.Row(q, c.id, c.rel, i)
+        }
+      }
+    }
+    val schema = StructType(Seq(
+      sl.schema("query_id"), sl.schema("neighbor_id"),
+      StructField("rel", org.apache.spark.sql.types.DoubleType),
+      StructField("step", IntegerType, nullable = false)))
+    sl.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(out.toSeq).asJava),
+      schema)
   }
 
   /** Matryoshka retrieval: rank neighbors by the cosine of the FIRST
