@@ -558,17 +558,22 @@ object TextOps {
           .as("h"))
       .select(col(idCol), col(labelCol),
         pmod(col("h"), lit(nBuckets.toLong)).as("b"))
-    // feats is NOT persisted: it is the per-token stream (corpus-sized —
-    // caching it is exactly what the materialization policy forbids);
-    // like q106, the corpus is scanned twice (model fit + scoring), the
-    // floor for self-trained scoring. The frames that ARE shared — model,
-    // totals, priors — are label/nBuckets-sized and broadcast.
-    // persisted: the (label, bucket) model is labels×nBuckets-sized and
-    // feeds totals, the label list, and the scoring join — unpersisted,
-    // each reference would re-run the corpus-wide fit aggregation
-    val model = feats.groupBy(col(labelCol).as("__l"), col("b"))
-      .agg(count(lit(1)).as("c"))
+    // ONE corpus tokenize pass, not two (r14, guide §1.2 "remove
+    // unnecessary passes"): the (doc, bucket) occurrence counts — the
+    // scoring pass's only corpus-sized aggregate, map-side combinable —
+    // are computed FIRST and persisted as the stage boundary, and the
+    // (label, bucket) model folds out of them (Σ over docs of per-doc
+    // counts ≡ the direct per-token count, exact long arithmetic). The
+    // per-token stream itself is still never materialized: docFeats is
+    // strictly smaller (≤ distinct buckets per doc, capped by nBuckets)
+    // and MEMORY_AND_DISK degrades to spill at corpus scale — the same
+    // stage-boundary license as the verify tier's candidate sets.
+    val docFeats = feats.groupBy(col(idCol), col(labelCol), col("b"))
+      .agg(count(lit(1)).as("__cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.OpCache.renew("TextOps.nbClassify", docFeats)
+    val model = docFeats.groupBy(col(labelCol).as("__l"), col("b"))
+      .agg(sum(col("__cnt")).as("c"))
     // label list + per-label feature totals to the driver: label
     // cardinality is corpus-schema-sized (languages/sources — a
     // handful), the same licensed driver-sized collect as strata counts
@@ -576,23 +581,24 @@ object TextOps {
       .collect()
     val labels = totalRows.map(_.getString(0)).sorted
     val totByL = totalRows.map(r => r.getString(0) -> r.getLong(1)).toMap
-    // priors from labeled DOC counts (not feature counts)
-    val priors = docs.groupBy(col(labelCol).as("__l"))
+    // priors from labeled DOC counts (not feature counts) — collected to
+    // the driver like the totals (label-sized), so the prior enters the
+    // argmax as a literal per label instead of a broadcast-joined frame
+    val priorRows = docs.groupBy(col(labelCol).as("__l"))
       .agg(count(lit(1)).as("nd"))
       .crossJoin(broadcast(docs.agg(count(lit(1)).as("ndAll"))))
       .select(col("__l"),
         round(log(col("nd").cast("double") / col("ndAll").cast("double")),
           9).cast("decimal(18,9)").as("lprior"))
+      .collect()
+    val priorByL = priorRows
+      .map(r => r.getString(0) -> r.getDecimal(1)).toMap
     // bucket-pivoted model: one row per bucket, one count column per
     // label (nBuckets × labels — broadcast-sized by construction);
     // labels are addressed by index so column names stay identifier-safe
     val cAggs = labels.indices.map(i =>
       sum(when(col("__l") === lit(labels(i)), col("c"))).as(s"__c_$i"))
     val modelWide = model.groupBy(col("b")).agg(cAggs.head, cAggs.tail: _*)
-    // (doc, bucket) occurrence counts: the ONLY corpus-sized aggregate
-    // of the scoring pass, map-side combinable
-    val docFeats = feats.groupBy(col(idCol), col(labelCol), col("b"))
-      .agg(count(lit(1)).as("__cnt"))
     // per-label score column: Σ_buckets cnt · lp(b, l) — value-identical
     // to the per-token decimal sum because cnt · decimal is exact
     def lpCol(i: Int) = round(
@@ -608,35 +614,33 @@ object TextOps {
       .join(broadcast(modelWide), Seq("b"), "left")
       .groupBy(col(idCol), col(labelCol))
       .agg(sAggs.head, sAggs.tail: _*)
-    // unpivot the doc-sized frame to (doc, label, score) for the argmax
-    // — labels × docs rows, but docs-sized, never token-stream-sized
+    // argmax fused IN-ROW (r14): every label's score is already a column
+    // of the doc-sized frame, so the winner is greatest() over
+    // (score, −labelIndex) structs — score desc, then label asc via the
+    // negated index of the asc-sorted label list; identical ordering to
+    // the old row_number window without the explode to labels × docs
+    // rows, the priors broadcast join, or the window exchange+sort.
     // sums come out decimal(38,9); cast to (28,9) (magnitude-safe: |s| ≤
     // tokens·|lp| ≪ 10^19) so `+ lprior` types at (29,9) — at (38,9) the
     // addition would need precision 39 and trim the scale to 8
     val kv = labels.indices.map(i =>
-      struct(lit(labels(i)).as("__l"),
-        col(s"__s_$i").cast("decimal(28,9)").as("__s")))
-    val scored = perDoc
-      .select(col(idCol), col(labelCol), explode(array(kv: _*)).as("__kv"))
+      struct(
+        (col(s"__s_$i").cast("decimal(28,9)") +
+          lit(priorByL(labels(i))).cast("decimal(18,9)")).as("__s"),
+        lit(-i).as("__ni")))
+    val win = greatest(kv: _*)
+    val labelArr = array(labels.map(lit): _*)
+    perDoc
+      .withColumn("__w", win)
       .select(col(idCol), col(labelCol),
-        col("__kv.__l").as("__l"), col("__kv.__s").as("__s"))
-      .join(broadcast(priors), Seq("__l"))
-      .select(col(idCol), col(labelCol), col("__l"),
-        (col("__s") + col("lprior")).as("__s"))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__s").desc, col("__l").asc)
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col(labelCol),
-        col("__l").as("pred"),
+        element_at(labelArr, -col("__w.__ni") + 1).as("pred"),
         // round the EXACT decimal, THEN cast: rounding the double
         // instead diverges from the oracle when a score lands exactly
         // on a 0.5e-6 boundary (Spark rounds the binary expansion,
         // DuckDB rounds x*1e6 — they disagree on ties; one doc in 5000
         // hit it at sf0.1). Decimal rounding is half-up on both
         // engines, so the tie is decided identically.
-        round(col("__s"), 6).cast("double").as("score"))
+        round(col("__w.__s"), 6).cast("double").as("score"))
   }
 
   /** Overlapping fixed-width chunking — the context-window prep step of
