@@ -792,6 +792,45 @@ object NearDup {
         col("__key.h").as("h"))
   }
 
+  /** Per-doc DISTINCT winnowed fingerprint-hash set as one array row
+    * (id, hs) — [[winnowFingerprints]] without positions, for consumers
+    * that only need set membership ([[winnowOverlap]]): the same hash
+    * can be selected at several positions in one doc, and dropping the
+    * duplicates in-row (array_distinct over the selection's h field)
+    * replaces the corpus-wide distinct() exchange the overlap join used
+    * to pay (guide §2.4 — the [[shingleSets]] move applied to the
+    * winnow tier). */
+  def winnowFingerprintSets(docs: DataFrame, idCol: String,
+                            textCol: String, k: Int, w: Int): DataFrame = {
+    require(k >= 1, s"fingerprint k-gram width must be >= 1, got $k")
+    require(w >= 2, s"winnow window must be >= 2, got $w")
+    val keys = transform(
+      call_function("shingle_hashes_wide",
+        TextOps.tokens(col(textCol)), lit(k)),
+      (h, i) => struct(h.as("h"), (lit(WinnowP - 1) - i).as("np")))
+    val m = size(col("__keys"))
+    val sel = when(m >= w,
+        array_distinct(transform(sequence(lit(1), m - lit(w) + lit(1)),
+          j => array_min(slice(col("__keys"), j, lit(w))))))
+      .otherwise(array(array_min(col("__keys"))))
+    docs.select(col(idCol), keys.as("__keys"))
+      .select(col(idCol),
+        array_distinct(transform(sel, key => key.getField("h"))).as("hs"))
+  }
+
+  /** [[winnowOverlap]] over per-doc distinct fingerprint sets
+    * ([[winnowFingerprintSets]]) — identical output, minus the
+    * corpus-wide distinct exchange. */
+  def winnowOverlapSets(sets: DataFrame, idCol: String,
+                        maxDocFreq: Int, minShared: Int): DataFrame = {
+    val compact = sets
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    compact.count() // eager: both self-join sides must read, never compute
+    graft.core.OpCache.renew("NearDup.winnowOverlapSets", compact)
+    val fp = compact.select(col(idCol), explode(col("hs")).as("h"))
+    winnowOverlapCore(fp, idCol, maxDocFreq, minShared)
+  }
+
   /** Cross-doc overlap from winnowed fingerprints: doc pairs sharing
     * ≥ `minShared` distinct fingerprint hashes. The MOSS-style
     * plagiarism/overlap report, and the cheap standing alternative to
@@ -817,6 +856,14 @@ object NearDup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     fp.count() // eager: both self-join sides must read, never compute
     graft.core.OpCache.renew("NearDup.winnowOverlap", fp)
+    winnowOverlapCore(fp, idCol, maxDocFreq, minShared)
+  }
+
+  /** Shared overlap-join tail: doc-frequency cap then bucket self-join
+    * on the distinct (id, h) fingerprint stream. */
+  private def winnowOverlapCore(fp: DataFrame, idCol: String,
+                                maxDocFreq: Int,
+                                minShared: Int): DataFrame = {
     val rare = fp.groupBy(col("h"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= 2 && col("__df") <= maxDocFreq)

@@ -233,9 +233,9 @@ object TextQueries {
     * PASSAGES (the partial-overlap case minhash jaccard dilutes), at
     * ~2/(w+1) of the shingle-stream cost. */
   def qWinnowOverlap(s: SparkSession, dir: String): DataFrame =
-    NearDup.winnowOverlap(
-      NearDup.winnowFingerprints(Tables.documents(s, dir), "doc_id", "text",
-        WinnowK, WinnowW),
+    NearDup.winnowOverlapSets(
+      NearDup.winnowFingerprintSets(Tables.documents(s, dir), "doc_id",
+        "text", WinnowK, WinnowW),
       "doc_id", FpMaxDf, FpMinShared)
 
   /** MinHash signatures (relational form), folded to one row per doc for a

@@ -373,6 +373,23 @@ class NearDupSpec extends SparkSpecBase {
     assert(out.forall(_.getAs[Double]("jaccard") >= 0.6))
   }
 
+  test("winnowFingerprintSets == distinct winnowFingerprints hashes; " +
+       "winnowOverlapSets == winnowOverlap") {
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").limit(300)
+    val stream = NearDup
+      .winnowFingerprints(corpus, "doc_id", "text", 5, 4)
+      .select(col("doc_id"), col("h")).distinct()
+    val sets = NearDup.winnowFingerprintSets(corpus, "doc_id", "text", 5, 4)
+    val fromSets = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    assert(fromSets.except(stream).count() == 0 &&
+      stream.except(fromSets).count() == 0)
+    val a = NearDup.winnowOverlap(
+      NearDup.winnowFingerprints(corpus, "doc_id", "text", 5, 4),
+      "doc_id", 8, 2)
+    val b = NearDup.winnowOverlapSets(sets, "doc_id", 8, 2)
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+
   test("shingleSets equals shingleRows.distinct per doc; sets-based " +
        "jaccard/containment are value-identical to the stream forms") {
     val corpus = spark.read.parquet(s"$sf/documents.parquet").limit(300)
