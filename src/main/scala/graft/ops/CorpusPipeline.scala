@@ -134,7 +134,7 @@ object CorpusPipeline {
     // semi-join + corpus-wide distinct exchange both disappear (r14 §2.4)
     val verified = NearDup.jaccardSets(pairs,
         NearDup.shingleSets(exact, "doc_id", "text", cfg.shingleN),
-        "doc_id")
+        "doc_id", dropZero = cfg.jaccardMin > 0)
       .filter(col("jaccard") >= cfg.jaccardMin)
     val dupIds =
       if (cfg.transitiveClusters)
@@ -263,14 +263,16 @@ object CorpusPipeline {
       .join(incBands.select(col("doc_id").as("doc_b"), col("band"),
         col("band_sig")), Seq("band", "band_sig"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    val dupVsCorpus = NearDup.jaccardSets(pairsVsCorpus, candSets, "doc_id")
+    val dupVsCorpus = NearDup.jaccardSets(pairsVsCorpus, candSets, "doc_id",
+        dropZero = cfg.jaccardMin > 0)
       .filter(col("jaccard") >= cfg.jaccardMin)
       .select(col("doc_b").as("doc_id")).distinct()
     // within increment: the standard candidate cascade on the increment
     val pairsWithin = NearDup.candidatePairs(incBands, "doc_id")
       .select(col("doc_a"), col("doc_b"))
     val dupWithin = NearDup.jaccardSets(pairsWithin,
-        NearDup.shingleSets(exact, "doc_id", "text", cfg.shingleN), "doc_id")
+        NearDup.shingleSets(exact, "doc_id", "text", cfg.shingleN),
+        "doc_id", dropZero = cfg.jaccardMin > 0)
       .filter(col("jaccard") >= cfg.jaccardMin)
       .select(col("doc_b").as("doc_id")).distinct()
     val deduped = exact

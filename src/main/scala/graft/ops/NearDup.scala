@@ -225,40 +225,81 @@ object NearDup {
     * size count equals `size(hs)`), minus the corpus-wide distinct
     * exchange and the sizes aggregation — both derived map-side from
     * the compact array frame. */
+  /** @param dropZero when true, pairs with an EMPTY intersection are
+    *        omitted from the output instead of carried with jaccard 0 —
+    *        value-identical for every caller that filters
+    *        `jaccard >= t` with `t > 0`, and it lets the sizes ride the
+    *        intersection join itself (min over the pair's rows — exact:
+    *        the size is constant per doc), which removes the pairs
+    *        left-join, the na.fill, and both size-attach joins from the
+    *        plan (three sliver joins, but each one is an AQE stage job
+    *        at any scale). */
   def jaccardSets(pairs: DataFrame, sets: DataFrame, idCol: String,
-                  restrictToPairDocs: Boolean = true): DataFrame = {
-    val (shingles, sizes) =
-      setsShinglesAndSizes(pairs, sets, idCol, restrictToPairDocs,
+                  restrictToPairDocs: Boolean = true,
+                  dropZero: Boolean = false): DataFrame = {
+    val compact =
+      restrictedSets(pairs, sets, idCol, restrictToPairDocs,
         "NearDup.jaccardSets")
-    simJoinCore(pairs, shingles, sizes, idCol)
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+    val base =
+      if (dropZero) interFused(pairs, compact, idCol)
+      else simJoinCore(pairs,
+        compact.select(col(idCol), explode(col("hs")).as("h")),
+        compact.select(col(idCol), size(col("hs")).cast("long").as("sz")),
+        idCol)
+    base.withColumn("jaccard",
+      col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
   }
 
   /** [[containment]] over per-doc distinct shingle sets — same
-    * output-identical exchange removal as [[jaccardSets]]. */
+    * output-identical exchange removal as [[jaccardSets]] (and the same
+    * `dropZero` contract: empty-intersection pairs have cont 0). */
   def containmentSets(pairs: DataFrame, sets: DataFrame, idCol: String,
-                      restrictToPairDocs: Boolean = true): DataFrame = {
-    val (shingles, sizes) =
-      setsShinglesAndSizes(pairs, sets, idCol, restrictToPairDocs,
+                      restrictToPairDocs: Boolean = true,
+                      dropZero: Boolean = false): DataFrame = {
+    val compact =
+      restrictedSets(pairs, sets, idCol, restrictToPairDocs,
         "NearDup.containmentSets")
-    simJoinCore(pairs, shingles, sizes, idCol)
-      .withColumn("cont_a",
+    val base =
+      if (dropZero) interFused(pairs, compact, idCol)
+      else simJoinCore(pairs,
+        compact.select(col(idCol), explode(col("hs")).as("h")),
+        compact.select(col(idCol), size(col("hs")).cast("long").as("sz")),
+        idCol)
+    base.withColumn("cont_a",
         col("inter").cast("double") / col("sz_a").cast("double"))
       .withColumn("cont_b",
         col("inter").cast("double") / col("sz_b").cast("double"))
   }
 
-  /** Shared tail of the sets-based verify tier: restrict the set frame
-    * to pair docs (candidates ≪ corpus), persist the COMPACT array frame
-    * (three consumers: sizes + both intersection sides), and derive the
-    * (id, h) stream and (id, sz) sizes map-side. */
-  private def setsShinglesAndSizes(pairs: DataFrame, sets: DataFrame,
-                                   idCol: String,
-                                   restrictToPairDocs: Boolean,
-                                   owner: String)
-      : (DataFrame, DataFrame) = {
+  /** Intersection join with the sizes RIDING the shingle rows: one
+    * grouped aggregate emits (pair, inter, sz_a, sz_b) directly — the
+    * size is constant within a pair's joined rows, so min() recovers it
+    * exactly. Only valid under the dropZero contract (a pair sharing no
+    * hash never reaches the aggregate). */
+  private def interFused(pairs: DataFrame, compact: DataFrame,
+                         idCol: String): DataFrame = {
+    val withSz = compact.select(col(idCol),
+      size(col("hs")).cast("long").as("sz"), explode(col("hs")).as("h"))
+    pairs
+      .join(withSz.select(col(idCol).as("doc_a"), col("h"),
+        col("sz").as("sz_a")), "doc_a")
+      .join(withSz.select(col(idCol).as("doc_b"), col("h"),
+        col("sz").as("sz_b")), Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"),
+        min(col("sz_a")).as("sz_a"), min(col("sz_b")).as("sz_b"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("sz_a"), col("sz_b"))
+  }
+
+  /** Shared head of the sets-based verify tier: restrict the set frame
+    * to pair docs (candidates ≪ corpus) and persist the COMPACT array
+    * frame (consumed by the (id, h) stream and the map-side sizes). */
+  private def restrictedSets(pairs: DataFrame, sets: DataFrame,
+                             idCol: String,
+                             restrictToPairDocs: Boolean,
+                             owner: String): DataFrame = {
     val restricted =
       if (!restrictToPairDocs) sets
       else {
@@ -269,8 +310,7 @@ object NearDup {
     val compact = restricted
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.core.OpCache.renew(owner, compact)
-    (compact.select(col(idCol), explode(col("hs")).as("h")),
-      compact.select(col(idCol), size(col("hs")).cast("long").as("sz")))
+    compact
   }
 
   /** The verify tier's join core, shared by the stream and sets forms:
@@ -933,7 +973,8 @@ object NearDup {
       .filter(greatest(col("sz_a"), col("sz_b")) * threshold <=
         least(col("sz_a"), col("sz_b")))
       .select(col("doc_a"), col("doc_b")).distinct()
-    jaccardSets(cand, sets, idCol, restrictToPairDocs = true)
+    jaccardSets(cand, sets, idCol, restrictToPairDocs = true,
+        dropZero = true) // threshold > 0 by require: zero-inter pairs drop
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
   }

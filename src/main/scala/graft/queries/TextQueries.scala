@@ -294,7 +294,7 @@ object TextQueries {
       docs.join(pairDocs, Seq("doc_id"), "left_semi"),
       "doc_id", "text", ShingleN)
     NearDup.jaccardSets(pairs, candSets, "doc_id",
-        restrictToPairDocs = false)
+        restrictToPairDocs = false, dropZero = true)
       .filter(col("jaccard") >= 0.3)
   }
 
@@ -911,7 +911,7 @@ object TextQueries {
       docs.join(pairDocs, Seq("doc_id"), "left_semi"),
       "doc_id", "text", ShingleN)
     NearDup.containmentSets(pairs, candSets, "doc_id",
-        restrictToPairDocs = false)
+        restrictToPairDocs = false, dropZero = true)
       .filter(greatest(col("cont_a"), col("cont_b")) >= ContainmentMin)
       .select(col("doc_a"), col("doc_b"), col("inter"),
         col("sz_a"), col("sz_b"),

@@ -428,6 +428,17 @@ class NearDupSpec extends SparkSpecBase {
         .select(ccols: _*)
       assert(ca.except(cb).count() == 0 && cb.except(ca).count() == 0,
         s"containment restrict=$restrict")
+      // dropZero: identical to the outer form minus empty intersections
+      val aNz = a.filter(col("inter") > 0)
+      val bNz = NearDup.jaccardSets(pairs, sets, "doc_id", restrict,
+        dropZero = true).select(cols: _*)
+      assert(aNz.except(bNz).count() == 0 && bNz.except(aNz).count() == 0,
+        s"jaccard dropZero restrict=$restrict")
+      val cNz = NearDup.containmentSets(pairs, sets, "doc_id", restrict,
+        dropZero = true).select(ccols: _*)
+      assert(ca.filter(col("inter") > 0).except(cNz).count() == 0 &&
+        cNz.except(ca.filter(col("inter") > 0)).count() == 0,
+        s"containment dropZero restrict=$restrict")
     }
   }
 }
