@@ -388,11 +388,13 @@ object TextQueries {
       .select(col("doc_a"), col("doc_b"))
     val cc = graft.ops.Components
       .connectedComponents(verified, "doc_a", "doc_b")
-    val sizes = cc.groupBy(col("component"))
-      .agg(count(lit(1)).as("cluster_size"))
-    cc.join(sizes, "component")
-      .select(col("id").as("doc_id"), col("component").as("cluster_id"),
-        col("cluster_size"))
+    // cluster size as a count-over-partition window: one exchange on
+    // component, instead of a grouped aggregate plus a join back (two
+    // extra stage jobs for the same value — r14, guide §2.4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+    cc.select(col("id").as("doc_id"), col("component").as("cluster_id"),
+      count(lit(1)).over(w).as("cluster_size"))
   }
 
   /** Representative selection per duplicate cluster: keep the BEST doc
@@ -409,11 +411,15 @@ object TextQueries {
     val j = cc.join(
       Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
       cc("id") === col("doc_id"))
-    val sized = j.groupBy(col("component"))
-      .agg(count(lit(1)).as("cluster_size"))
-    Dedup.firstRowPerGroupN(j, Seq(col("component")),
+    // cluster size rides the SAME window exchange the argmax already
+    // pays (count over the partition), replacing the grouped aggregate
+    // + join back (r14, guide §2.4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+    Dedup.firstRowPerGroupN(
+        j.withColumn("cluster_size", count(lit(1)).over(w)),
+        Seq(col("component")),
         Seq(col("n_chars").desc, col("doc_id").asc), 1)
-      .join(sized, "component")
       .select(col("component").as("cluster_id"),
         col("doc_id").as("rep_doc_id"), col("cluster_size"),
         col("n_chars").as("rep_n_chars"))
