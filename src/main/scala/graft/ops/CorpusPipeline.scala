@@ -122,11 +122,12 @@ object CorpusPipeline {
     contaminatedIds.foreach(_.unpersist())
 
     // 3. near-dup: LSH candidates → exact-Jaccard verify (restricted to
-    // candidate docs) → drop the larger id of each verified pair
-    val sh = NearDup.shingleRows(exact, "doc_id", "text", cfg.shingleN)
-    val mh = NearDup.minhashRows(sh, "doc_id", cfg.numHashes)
+    // candidate docs) → drop the larger id of each verified pair.
+    // Bands come from the in-row signature (lshBandsFromDocs) — the
+    // shingle-stream groupBy exchange is gone (r14, guide §2.4)
     val pairs = NearDup.candidatePairs(
-        NearDup.lshBands(mh, "doc_id", cfg.rowsPerBand), "doc_id")
+        NearDup.lshBandsFromDocs(exact, "doc_id", "text", cfg.shingleN,
+          cfg.numHashes, cfg.rowsPerBand), "doc_id")
       .select(col("doc_a"), col("doc_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // verify over per-doc distinct sets (NearDup.shingleSets): restricted
@@ -230,11 +231,8 @@ object CorpusPipeline {
     // a candidate against the corpus always drops the incoming doc, a
     // candidate within the increment drops the larger id
     def bandsOf(df: DataFrame): DataFrame =
-      NearDup.lshBands(
-        NearDup.minhashRows(
-          NearDup.shingleRows(df, "doc_id", "text", cfg.shingleN),
-          "doc_id", cfg.numHashes),
-        "doc_id", cfg.rowsPerBand)
+      NearDup.lshBandsFromDocs(df, "doc_id", "text", cfg.shingleN,
+        cfg.numHashes, cfg.rowsPerBand)
     val incBands = bandsOf(exact).persist(MEMORY_AND_DISK)
     // persisted: referenced three times (both semi-joins + the pair
     // build), and each reference would otherwise re-run the corpus-side

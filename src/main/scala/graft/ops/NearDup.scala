@@ -117,6 +117,40 @@ object NearDup {
           col(s"m$s").cast("string")): _*).as("band_sig"))
   }
 
+  /** LSH band rows computed entirely IN-ROW from the per-doc signature
+    * ([[signatureColumn]], spec-pinned bit-identical to the batch
+    * minhash aggregation): the minhash is a min over the doc's OWN
+    * shingles, so the shingle-stream explode → groupBy(doc) exchange —
+    * the widest shuffle of the whole cascade — buys nothing the row
+    * cannot compute itself (guide §2.4). Output is row-identical to
+    * `lshBands(minhashRows(shingleRows(docs)))` (same band numbering,
+    * same "-"-joined signature strings; NearDupSpec pins it), including
+    * the absent-row behavior for null-text docs. */
+  def lshBandsFromDocs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, numHashes: Int,
+                       rowsPerBand: Int): DataFrame = {
+    require(numHashes >= 1 && rowsPerBand >= 1,
+      s"bad banding: numHashes=$numHashes rowsPerBand=$rowsPerBand")
+    val nBands = (numHashes + rowsPerBand - 1) / rowsPerBand
+    val bandStructs = (0 until nBands).map { b =>
+      val els = (0 until rowsPerBand).map(s => b * rowsPerBand + s)
+        .filter(_ < numHashes)
+        .map(i => element_at(col("__sig"), i + 1).cast("string"))
+      struct(lit(b).as("band"), concat_ws("-", els: _*).as("band_sig"))
+    }
+    docs
+      .select(col(idCol),
+        signatureColumn(col(textCol), n, numHashes).as("__sig"))
+      // null text has no shingle rows in the batch cascade; its
+      // signature here is an array OF nulls (the outer transform runs
+      // over the literal index sequence), so test an element, not the
+      // array itself
+      .filter(element_at(col("__sig"), 1).isNotNull)
+      .select(col(idCol), explode(array(bandStructs: _*)).as("__b"))
+      .select(col(idCol), col("__b.band").as("band"),
+        col("__b.band_sig").as("band_sig"))
+  }
+
   /** Candidate pairs from shared LSH buckets: (a, b, n_shared_bands),
     * a < b. The join key is (band, band_sig) — bucket-local, so the
     * shuffle is tiny and skew is bounded by bucket size.

@@ -249,13 +249,11 @@ object TextQueries {
   }
 
   /** LSH candidate pairs (shared (band, signature) buckets). */
-  def qLshCandidates(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val sh = NearDup.shingleRows(docs, "doc_id", "text", ShingleN)
-    val mh = NearDup.minhashRows(sh, "doc_id", NumHashes)
-    val bands = NearDup.lshBands(mh, "doc_id", RowsPerBand)
-    NearDup.candidatePairs(bands, "doc_id")
-  }
+  def qLshCandidates(s: SparkSession, dir: String): DataFrame =
+    NearDup.candidatePairs(
+      NearDup.lshBandsFromDocs(Tables.documents(s, dir), "doc_id", "text",
+        ShingleN, NumHashes, RowsPerBand),
+      "doc_id")
 
   /** LSH candidates verified with exact shingle Jaccard ≥ 0.3.
     *
@@ -276,13 +274,13 @@ object TextQueries {
     * Shared by q28 (pair output) and q57 (cluster output). */
   private def verifiedNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val sh = NearDup.shingleRows(docs, "doc_id", "text", ShingleN)
-    val mh = NearDup.minhashRows(sh, "doc_id", NumHashes)
     // persisted because jaccard references the pair set three times
     // (intersection build + two final joins) and the LSH cascade above
-    // it must run once, not three times
+    // it must run once, not three times. Bands come from the IN-ROW
+    // signature (lshBandsFromDocs) — no shingle-stream groupBy exchange
     val pairs = NearDup.candidatePairs(
-      NearDup.lshBands(mh, "doc_id", RowsPerBand), "doc_id")
+      NearDup.lshBandsFromDocs(docs, "doc_id", "text", ShingleN,
+        NumHashes, RowsPerBand), "doc_id")
       .select(col("doc_a"), col("doc_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairDocs = pairs.select(col("doc_a").as("doc_id"))
@@ -905,10 +903,9 @@ object TextQueries {
     * persisted, shingles re-derived only for candidate docs. */
   def qContainment(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val sh = NearDup.shingleRows(docs, "doc_id", "text", ShingleN)
-    val mh = NearDup.minhashRows(sh, "doc_id", NumHashes)
     val pairs = NearDup.candidatePairs(
-      NearDup.lshBands(mh, "doc_id", RowsPerBand), "doc_id")
+      NearDup.lshBandsFromDocs(docs, "doc_id", "text", ShingleN,
+        NumHashes, RowsPerBand), "doc_id")
       .select(col("doc_a"), col("doc_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairDocs = pairs.select(col("doc_a").as("doc_id"))

@@ -373,6 +373,24 @@ class NearDupSpec extends SparkSpecBase {
     assert(out.forall(_.getAs[Double]("jaccard") >= 0.6))
   }
 
+  test("lshBandsFromDocs is row-identical to the aggregate cascade") {
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").limit(300)
+      // null-text row must be ABSENT from both forms
+      .unionByName(spark.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(999999L, null, "en", "web", 0L)),
+        spark.read.parquet(s"$sf/documents.parquet").schema))
+    for ((k, r) <- Seq((16, 4), (16, 3))) { // divisible + ragged last band
+      val agg = NearDup.lshBands(
+        NearDup.minhashRows(
+          NearDup.shingleRows(corpus, "doc_id", "text", 3), "doc_id", k),
+        "doc_id", r)
+      val inRow = NearDup.lshBandsFromDocs(corpus, "doc_id", "text", 3, k, r)
+      assert(inRow.except(agg).count() == 0 &&
+        agg.except(inRow).count() == 0, s"k=$k r=$r")
+    }
+  }
+
   test("winnowFingerprintSets == distinct winnowFingerprints hashes; " +
        "winnowOverlapSets == winnowOverlap") {
     val corpus = spark.read.parquet(s"$sf/documents.parquet").limit(300)
