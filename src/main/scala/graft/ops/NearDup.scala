@@ -519,9 +519,22 @@ object NearDup {
     // same TextOps.affineHash family as minhashRows — sharing the one
     // definition is what KEEPS the streaming signature bit-identical to
     // the batch tier if the family ever changes again (it already did
-    // once: the correlated pre-affine family collapsed LSH recall)
-    transform(sequence(lit(0), lit(numHashes - 1)), i =>
-      array_min(transform(sh, h => TextOps.affineHash(h, i))))
+    // once: the correlated pre-affine family collapsed LSH recall).
+    // The shingle array is the FOLD'S DIRECT CHILD, not a lambda-body
+    // subexpression: the previous per-slot form
+    // transform(0..k−1, i => array_min(transform(sh, …))) re-evaluated
+    // the tokenize+shingle kernel once per signature slot — k× the
+    // kernel work per row (measured 4× wall on the q26 fold). Folding
+    // shingles once and min-ing all k slots per element is value-
+    // identical: min is commutative over the same affine family. A null
+    // text now signs as a NULL array (fold of a null child) rather than
+    // an array of nulls — both row-absent under the element-null filters
+    // the band/signature consumers use.
+    aggregate(sh,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, h) => zip_with(acc,
+        sequence(lit(0), lit(numHashes - 1)),
+        (a, i) => least(a, TextOps.affineHash(h, i))))
   }
 
   /** (id, h, shingle text) rows: [[shingleRows]] plus the exact n-token

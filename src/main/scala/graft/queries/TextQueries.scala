@@ -238,15 +238,22 @@ object TextQueries {
         "text", WinnowK, WinnowW),
       "doc_id", FpMaxDf, FpMinShared)
 
-  /** MinHash signatures (relational form), folded to one row per doc for a
-    * compact verifiable result: sum and min of the 16 minhashes. */
-  def qMinhashSig(s: SparkSession, dir: String): DataFrame = {
-    val sh = NearDup.shingleRows(Tables.documents(s, dir), "doc_id", "text",
-      ShingleN)
-    NearDup.minhashRows(sh, "doc_id", NumHashes)
-      .groupBy(col("doc_id"))
-      .agg(sum(col("mh")).as("sig_sum"), min(col("mh")).as("sig_min"))
-  }
+  /** MinHash signatures (relational form), folded to one row per doc for
+    * a compact verifiable result: sum and min of the 16 minhashes. The
+    * per-doc signature is row-local state ([[NearDup.signatureColumn]],
+    * spec-pinned bit-identical to the minhashRows aggregation), so the
+    * fold happens IN-ROW — zero shuffle (r14, guide §2.4). Null-text
+    * docs have no signature (element test, like lshBandsFromDocs). */
+  def qMinhashSig(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        NearDup.signatureColumn(col("text"), ShingleN, NumHashes)
+          .as("__sig"))
+      .filter(element_at(col("__sig"), 1).isNotNull)
+      .select(col("doc_id"),
+        aggregate(col("__sig"), lit(0L), (acc, x) => acc + x)
+          .as("sig_sum"),
+        array_min(col("__sig")).as("sig_min"))
 
   /** LSH candidate pairs (shared (band, signature) buckets). */
   def qLshCandidates(s: SparkSession, dir: String): DataFrame =
