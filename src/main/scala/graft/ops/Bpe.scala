@@ -43,7 +43,7 @@ object Bpe {
     * itself is a bounded `limit(threshold+1)` take, never an unbounded
     * collect. Set `localThreshold = 0` to force the distributed path. */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-            localThreshold: Long = 1L << 20): Seq[Merge] = {
+            localThreshold: Long = 1L << 17): Seq[Merge] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     // one corpus pass: word frequencies, then chars as the seed symbols
     val wordFreq = docs

@@ -282,6 +282,13 @@ object CorpusPipeline {
       if (cfg.sampleFractions.isEmpty && cfg.sampleDefault >= 1.0) deduped
       else Sampling.stratifiedHashSample(deduped, col("doc_id"),
         col("lang"), cfg.sampleFractions, cfg.sampleDefault, cfg.seed)
+    // bound the scratch persists across invocations (OpCache contract):
+    // [[appendDocs]] callers never release them, so a long-lived session
+    // — or a memory-constrained bench JVM re-invoking the append —
+    // would otherwise stack one generation of four MEMORY_AND_DISK
+    // frames per call until eviction starts taxing later queries
+    graft.core.OpCache.renew("CorpusPipeline.appendFrames",
+      exact, incBands, exBands, deduped)
     AppendFrames(quality, exact, deduped, sampled, incBands, exBands)
   }
 }

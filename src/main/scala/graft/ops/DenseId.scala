@@ -71,6 +71,25 @@ object DenseId {
                           numPartitions: Int = 0,
                           sampleMod: Long = 4096L,
                           bucketBy: Option[Column] = None): DataFrame = {
+    val bk = bucketedWithStarts(df, orderBy, offset, numPartitions,
+      sampleMod, bucketBy)
+    withDenseIdFromBucketed(bk, orderBy, idCol)
+  }
+
+  /** The bucket-assignment + cumulative-starts passes of
+    * [[withDenseIdScalable]], exposed so a caller that ALSO needs the
+    * total row count (q155's equi-depth tiling) reads it from the
+    * counts pass this already runs instead of paying a separate
+    * count() job over the input (r15, guide §1.2). */
+  private[ops] final case class Bucketed(withBucket: DataFrame,
+                                         startsMap: Column, total: Long)
+
+  private[ops] def bucketedWithStarts(df: DataFrame, orderBy: Seq[Column],
+                                      offset: Long = 0L,
+                                      numPartitions: Int = 0,
+                                      sampleMod: Long = 4096L,
+                                      bucketBy: Option[Column] = None)
+      : Bucketed = {
     val spark = df.sparkSession
     val parts = math.min(1024,
       if (numPartitions > 0) numPartitions
@@ -138,12 +157,18 @@ object DenseId {
       if (starts.isEmpty) map(lit(0), lit(offset))
       else map(starts.flatMap { case (b, st) =>
         Seq(lit(b), lit(st)) }: _*)
+    Bucketed(withBucket, startsMap, offset + counts.map(_._2).sum)
+  }
 
-    // full-width pass (the only one): within-bucket rank + start
+  /** Full-width pass of [[withDenseIdScalable]] (the only one): within-
+    * bucket rank + the bucket's cumulative start. */
+  private[ops] def withDenseIdFromBucketed(bk: Bucketed,
+                                           orderBy: Seq[Column],
+                                           idCol: String): DataFrame = {
     val w = Window.partitionBy(col("__did_bucket")).orderBy(orderBy: _*)
-    withBucket
+    bk.withBucket
       .withColumn(idCol, row_number().over(w).cast(LongType) +
-        element_at(startsMap, col("__did_bucket")))
+        element_at(bk.startsMap, col("__did_bucket")))
       .drop("__did_bucket")
   }
 

@@ -251,6 +251,12 @@ object NearDup {
     docs.select(col(idCol),
       array_distinct(call_function("shingle_hashes",
         TextOps.tokens(col(textCol)), lit(n))).as("hs"))
+      // null-text docs emit NO row (the stream form had no (id, h) rows
+      // for them) — without this, the non-dropZero sizes join surfaces
+      // pairs referencing a null-text doc that NearDup.jaccard omitted
+      // (r14 ADVICE; value-identical for non-null texts: the kernel's
+      // whole-doc fallback guarantees >= 1 element)
+      .filter(col("hs").isNotNull)
   }
 
   /** [[jaccard]] over per-doc distinct shingle SETS ([[shingleSets]])
@@ -424,9 +430,15 @@ object NearDup {
     * poly_hash per token, same ±1 vote per bit, same strict `> 0`
     * threshold. Docs with no tokens sign as 0 (all votes empty — the
     * batch tier has no row at all; callers on streams filter empties). */
-  def simhashColumn(textCol: Column, bits: Int = 16): Column = {
+  def simhashColumn(textCol: Column, bits: Int = 16): Column =
+    simhashColumnFromTokens(TextOps.tokens(textCol), bits)
+
+  /** [[simhashColumn]] over an ALREADY-TOKENIZED array column — lets a
+    * caller that must also inspect the token array (e.g. to filter
+    * token-less docs for batch-tier row parity) tokenize once per row. */
+  def simhashColumnFromTokens(tokensCol: Column, bits: Int = 16): Column = {
     val votes = aggregate(
-      transform(TextOps.tokens(textCol), t => TextOps.polyHash(t)),
+      transform(tokensCol, t => TextOps.polyHash(t)),
       array_repeat(lit(0L), bits),
       (acc, h) => zip_with(acc, sequence(lit(0), lit(bits - 1)), (a, j) =>
         a + when(call_function("shiftright", h, j.cast("int"))
@@ -437,6 +449,21 @@ object NearDup {
           .otherwise(lit(0L))),
       lit(0L), (acc, x) => acc + x)
   }
+
+  /** Per-doc simhash frame computed IN-ROW ([[simhashColumn]]) — row-
+    * and value-identical to the batch [[simhash]] aggregation (the
+    * signature kernel is spec-pinned bit-identical; docs with no tokens
+    * are filtered here exactly as the batch explode drops them, and a
+    * null text tokenizes to null — also absent) with ZERO shuffle where
+    * the batch form pays the token-explode groupBy exchange (r15, guide
+    * §2.4). The signature consumer tiers (q56's pigeonhole block join)
+    * ride this frame unchanged. */
+  def simhashDocs(docs: DataFrame, idCol: String, textCol: String,
+                  bits: Int = 16): DataFrame =
+    docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= 1)
+      .select(col(idCol),
+        simhashColumnFromTokens(col("__tk"), bits).as("simhash"))
 
   /** Hamming-near pairs on simhash signatures ≤ maxDist apart — the exact
     * all-pairs tier (O(n²): fine for re-ranking small candidate sets,
@@ -859,24 +886,59 @@ object NearDup {
     *
     * Output: (idCol, pos, h) — one row per selected fingerprint,
     * distinct per doc. */
-  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
-                         k: Int, w: Int): DataFrame = {
+  /** The per-row winnow selection (array of (h, np) structs, distinct
+    * per doc) over a pre-projected `__keys` column — the ONE definition
+    * [[winnowFingerprints]], [[winnowFingerprintSets]] and the in-row
+    * stats consumers (q123) share, so the selection rule can never
+    * drift between the stream, set and folded forms. */
+  private def winnowSelection(w: Int): Column = {
+    val m = size(col("__keys"))
+    when(m >= w,
+        array_distinct(transform(sequence(lit(1), m - lit(w) + lit(1)),
+          j => array_min(slice(col("__keys"), j, lit(w))))))
+      .otherwise(array(array_min(col("__keys"))))
+  }
+
+  /** (id, __keys) projection feeding [[winnowSelection]]. */
+  private def winnowKeyed(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int, w: Int): DataFrame = {
     require(k >= 1, s"fingerprint k-gram width must be >= 1, got $k")
     require(w >= 2, s"winnow window must be >= 2, got $w")
     val keys = transform(
       call_function("shingle_hashes_wide",
         TextOps.tokens(col(textCol)), lit(k)),
       (h, i) => struct(h.as("h"), (lit(WinnowP - 1) - i).as("np")))
-    val m = size(col("__keys"))
-    val sel = when(m >= w,
-        array_distinct(transform(sequence(lit(1), m - lit(w) + lit(1)),
-          j => array_min(slice(col("__keys"), j, lit(w))))))
-      .otherwise(array(array_min(col("__keys"))))
     docs.select(col(idCol), keys.as("__keys"))
-      .select(col(idCol), explode(sel).as("__key"))
+  }
+
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int, w: Int): DataFrame =
+    winnowKeyed(docs, idCol, textCol, k, w)
+      .select(col(idCol), explode(winnowSelection(w)).as("__key"))
       .select(col(idCol),
         (lit(WinnowP - 1) - col("__key.np")).cast("int").as("pos"),
         col("__key.h").as("h"))
+
+  /** Per-doc fingerprint summary folded IN-ROW (r15, guide §2.4): count,
+    * min and hi/lo checksum halves of the selected hashes — exactly the
+    * aggregate q123 ran over the exploded [[winnowFingerprints]] stream
+    * (count ≡ size of the selection, min/sums over the same multiset:
+    * the selection is distinct in (h, np), so the h multiset matches the
+    * stream rows), with ZERO shuffle where the stream form paid the
+    * per-doc groupBy exchange. */
+  def winnowFingerprintStats(docs: DataFrame, idCol: String,
+                             textCol: String, k: Int, w: Int): DataFrame = {
+    val hs = transform(winnowSelection(w), key => key.getField("h"))
+    winnowKeyed(docs, idCol, textCol, k, w)
+      .select(col(idCol), hs.as("__hs"))
+      .select(col(idCol),
+        size(col("__hs")).cast("long").as("n_fp"),
+        array_min(col("__hs")).as("fp_min"),
+        aggregate(col("__hs"), lit(0L),
+          (a, h) => a + shiftright(h, 31)).as("fp_sum_hi"),
+        aggregate(col("__hs"), lit(0L),
+          (a, h) => a + h.bitwiseAND(lit((1L << 31) - 1)))
+          .as("fp_sum_lo"))
   }
 
   /** Per-doc DISTINCT winnowed fingerprint-hash set as one array row
@@ -888,22 +950,11 @@ object NearDup {
     * to pay (guide §2.4 — the [[shingleSets]] move applied to the
     * winnow tier). */
   def winnowFingerprintSets(docs: DataFrame, idCol: String,
-                            textCol: String, k: Int, w: Int): DataFrame = {
-    require(k >= 1, s"fingerprint k-gram width must be >= 1, got $k")
-    require(w >= 2, s"winnow window must be >= 2, got $w")
-    val keys = transform(
-      call_function("shingle_hashes_wide",
-        TextOps.tokens(col(textCol)), lit(k)),
-      (h, i) => struct(h.as("h"), (lit(WinnowP - 1) - i).as("np")))
-    val m = size(col("__keys"))
-    val sel = when(m >= w,
-        array_distinct(transform(sequence(lit(1), m - lit(w) + lit(1)),
-          j => array_min(slice(col("__keys"), j, lit(w))))))
-      .otherwise(array(array_min(col("__keys"))))
-    docs.select(col(idCol), keys.as("__keys"))
+                            textCol: String, k: Int, w: Int): DataFrame =
+    winnowKeyed(docs, idCol, textCol, k, w)
       .select(col(idCol),
-        array_distinct(transform(sel, key => key.getField("h"))).as("hs"))
-  }
+        array_distinct(transform(winnowSelection(w),
+          key => key.getField("h"))).as("hs"))
 
   /** [[winnowOverlap]] over per-doc distinct fingerprint sets
     * ([[winnowFingerprintSets]]) — identical output, minus the

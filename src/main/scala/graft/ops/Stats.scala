@@ -188,13 +188,18 @@ object Stats {
   def equiDepthHistogram(df: DataFrame, valueCol: String,
                          tieCols: Seq[String], k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val n = df.count()
+    val ordered = (valueCol +: tieCols).map(col(_).asc)
+    // the total row count rides DenseId's own per-bucket counts pass
+    // (offset 0 ⇒ total = n) — the old leading df.count() was a third
+    // sequential full-input job for a number that pass already summed
+    // (r15, guide §1.2)
+    val bk = DenseId.bucketedWithStarts(
+      df.select(valueCol, tieCols: _*), ordered)
+    val n = bk.total
     val base = n / k
     val rem = n % k
     val cut = (base + 1) * rem
-    val ordered = (valueCol +: tieCols).map(col(_).asc)
-    val ranked = DenseId.withDenseIdScalable(
-      df.select(valueCol, tieCols: _*), ordered, "__rank")
+    val ranked = DenseId.withDenseIdFromBucketed(bk, ordered, "__rank")
     // integer DIV throughout (SQL `/` would be fractional); max(base, 1):
     // when n < k the else branch is unreachable (cut = n) but a
     // constant-0 divisor would still fail eagerly under ANSI

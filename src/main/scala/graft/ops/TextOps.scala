@@ -574,25 +574,42 @@ object TextOps {
     graft.core.OpCache.renew("TextOps.nbClassify", docFeats)
     val model = docFeats.groupBy(col(labelCol).as("__l"), col("b"))
       .agg(sum(col("__cnt")).as("c"))
-    // label list + per-label feature totals to the driver: label
-    // cardinality is corpus-schema-sized (languages/sources — a
-    // handful), the same licensed driver-sized collect as strata counts
-    val totalRows = model.groupBy(col("__l")).agg(sum(col("c")).as("tot"))
-      .collect()
-    val labels = totalRows.map(_.getString(0)).sorted
-    val totByL = totalRows.map(r => r.getString(0) -> r.getLong(1)).toMap
-    // priors from labeled DOC counts (not feature counts) — collected to
-    // the driver like the totals (label-sized), so the prior enters the
-    // argmax as a literal per label instead of a broadcast-joined frame
-    val priorRows = docs.groupBy(col(labelCol).as("__l"))
+    // label list + per-label feature totals + per-label doc-count priors
+    // to the driver: label cardinality is corpus-schema-sized
+    // (languages/sources — a handful), the same licensed driver-sized
+    // collect as strata counts. ONE collect for both (r15, guide §1.2):
+    // the totals and priors aggregates are independent subtrees, so a
+    // union collects them in a single job — the docFeats
+    // materialization and the docs prior scan run as concurrent stages
+    // instead of two sequential driver round-trips. ndAll enters as a
+    // window sum over the label-domain aggregate (Σ nd ≡ the old
+    // crossJoin'd corpus count — the doc-count aggregate partitions the
+    // corpus by label), which also drops the second docs scan the
+    // crossJoin side paid.
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val totalsPart = model.groupBy(col("__l")).agg(sum(col("c")).as("tot"))
+      .select(lit(0).as("__src"), col("__l"), col("tot"),
+        lit(null).cast("decimal(18,9)").as("__lp"))
+    val priorsPart = docs.groupBy(col(labelCol).as("__l"))
       .agg(count(lit(1)).as("nd"))
-      .crossJoin(broadcast(docs.agg(count(lit(1)).as("ndAll"))))
-      .select(col("__l"),
-        round(log(col("nd").cast("double") / col("ndAll").cast("double")),
-          9).cast("decimal(18,9)").as("lprior"))
-      .collect()
-    val priorByL = priorRows
-      .map(r => r.getString(0) -> r.getDecimal(1)).toMap
+      .select(lit(1).as("__src"), col("__l"), col("nd").as("tot"),
+        round(log(col("nd").cast("double") /
+          sum(col("nd")).over(wAll).cast("double")), 9)
+          .cast("decimal(18,9)").as("__lp"))
+    val statRows = totalsPart.unionByName(priorsPart).collect()
+    val totalRows = statRows.filter(_.getInt(0) == 0)
+    // UTF8 BINARY label order, not String natural (UTF-16 code-unit)
+    // order: the argmax tie-break below addresses labels by index of
+    // this list, and the old row_number window (and the oracle) ordered
+    // ties in UTF8 binary — supplementary-plane labels diverge under
+    // String.compareTo (the Bpe.trainLocal divergence, r14 ADVICE)
+    val labels = totalRows.map(_.getString(1)).sortWith((a, b) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(
+          org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0)
+    val totByL = totalRows.map(r => r.getString(1) -> r.getLong(2)).toMap
+    val priorByL = statRows.filter(_.getInt(0) == 1)
+      .map(r => r.getString(1) -> r.getDecimal(3)).toMap
     // bucket-pivoted model: one row per bucket, one count column per
     // label (nBuckets × labels — broadcast-sized by construction);
     // labels are addressed by index so column names stay identifier-safe
@@ -628,7 +645,9 @@ object TextOps {
         (col(s"__s_$i").cast("decimal(28,9)") +
           lit(priorByL(labels(i))).cast("decimal(18,9)")).as("__s"),
         lit(-i).as("__ni")))
-    val win = greatest(kv: _*)
+    // greatest() requires >= 2 args — a single-label corpus (legal:
+    // every doc carries the same lang) is just that label's struct
+    val win = if (kv.size == 1) kv.head else greatest(kv: _*)
     val labelArr = array(labels.map(lit): _*)
     perDoc
       .withColumn("__w", win)

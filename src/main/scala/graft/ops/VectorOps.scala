@@ -1013,11 +1013,30 @@ object VectorOps {
                       labelCol: String = "label"): DataFrame = {
     val cand = bandedCrossLabelCandidates(vecs, bands, planesPerBand,
       idCol, vecCol, labelCol)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__src"))
-      .orderBy(col("__cos").desc, col("__dst").asc)
-    val best = cand.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    // per-source argmax as max(struct(cos, −dst)) — identical pick to
+    // the old rank-1 window (struct comparison is the same total order
+    // the sort used: cos desc incl. NaN-largest/−0.0<0.0, then −dst max
+    // ≡ dst asc), but a map-side-combinable hash aggregate instead of a
+    // sort exchange: the shuffle carries one partial best per (src,
+    // partition), not every candidate row (r15, guide §2.3/§2.4).
+    // Integral ids only (the negation trick); other id types keep the
+    // window.
+    val best = cand.schema("__dst").dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType =>
+        cand.groupBy(col("__src"))
+          .agg(max(struct(col("__cos").as("__c"),
+            (-col("__dst")).as("__nd"))).as("__m"))
+          .select(col("__src"), (-col("__m.__nd")).as("__dst"),
+            col("__m.__c").as("__cos"))
+      case _ =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__src"))
+          .orderBy(col("__cos").desc, col("__dst").asc)
+        cand.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+    }
     best.select(least(col("__src"), col("__dst")).as("vec_a"),
         greatest(col("__src"), col("__dst")).as("vec_b"), col("__cos"))
       .groupBy(col("vec_a"), col("vec_b"))
@@ -1240,9 +1259,14 @@ object VectorOps {
         s"mmrRerank local path needs integral or string ids, got $other")
     }
     // Spark's round(DoubleType, 9): BigDecimal(double) — valueOf/
-    // toString canonicalization — setScale HALF_UP, back to double
+    // toString canonicalization — setScale HALF_UP, back to double.
+    // Non-finite passes through unchanged (Spark's Round guards NaN/Inf;
+    // BigDecimal(NaN) would throw — a zero-norm embedding's cosine is
+    // NaN and must not crash the local path, r14 ADVICE)
     def r9(x: Double): Double =
-      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (x.isNaN || x.isInfinite) x
+      else BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
     final case class C(id: Any, rel: Double)
     val byQuery = slRows.groupBy(_.get(0)).map { case (q, rows) =>
       q -> rows.map(r => C(r.get(1), r.getDouble(2)))
@@ -1255,8 +1279,13 @@ object VectorOps {
     byQuery.foreach { case (q, cands) =>
       // step 1: rel desc, id asc
       val picked = scala.collection.mutable.ArrayBuffer.empty[C]
-      def better(a: (Double, Any), b: (Double, Any)): Boolean =
-        a._1 > b._1 || (a._1 == b._1 && idLess(a._2, b._2))
+      // java.lang.Double.compare mirrors Spark's total order for the
+      // distributed rounds' desc sort: NaN largest, -0.0 < 0.0 (plain
+      // >/== would tie NaN with everything and ±0.0 with each other)
+      def better(a: (Double, Any), b: (Double, Any)): Boolean = {
+        val c = java.lang.Double.compare(a._1, b._1)
+        c > 0 || (c == 0 && idLess(a._2, b._2))
+      }
       val first = cands.reduceLeft((a, b) =>
         if (better((a.rel, a.id), (b.rel, b.id))) a else b)
       picked += first

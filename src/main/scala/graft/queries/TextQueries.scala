@@ -221,12 +221,11 @@ object TextQueries {
     * ≤ 2^30·n and sum(h & (2^31−1)) ≤ 2^31·n — exact at any realistic
     * per-doc fingerprint count. */
   def qWinnowFp(s: SparkSession, dir: String): DataFrame =
-    NearDup.winnowFingerprints(Tables.documents(s, dir), "doc_id", "text",
-      WinnowK, WinnowW)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_fp"), min(col("h")).as("fp_min"),
-        sum(shiftright(col("h"), 31)).as("fp_sum_hi"),
-        sum(col("h").bitwiseAND(lit((1L << 31) - 1))).as("fp_sum_lo"))
+    // per-doc stats folded IN-ROW over the selection array
+    // (NearDup.winnowFingerprintStats, r15): same count/min/checksum
+    // values as the old explode + groupBy, zero shuffle
+    NearDup.winnowFingerprintStats(Tables.documents(s, dir), "doc_id",
+      "text", WinnowK, WinnowW)
 
   /** MOSS-style overlap report ([[NearDup.winnowOverlap]]): doc pairs
     * sharing ≥ 2 non-boilerplate winnowed fingerprints — detects shared
@@ -290,6 +289,7 @@ object TextQueries {
         NumHashes, RowsPerBand), "doc_id")
       .select(col("doc_a"), col("doc_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.OpCache.renew("TextQueries.verifiedNearDupPairs", pairs)
     val pairDocs = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
     // per-doc distinct sets in-row (NearDup.shingleSets): the verify
@@ -543,7 +543,7 @@ object TextQueries {
 
   /** SimHash signature per doc (16-bit) + population count. */
   def qSimhash(s: SparkSession, dir: String): DataFrame =
-    NearDup.simhash(Tables.documents(s, dir), "doc_id", "text")
+    NearDup.simhashDocs(Tables.documents(s, dir), "doc_id", "text")
       .select(col("doc_id"), col("simhash"),
         bit_count(col("simhash")).cast("int").as("popcount"))
 
@@ -555,7 +555,10 @@ object TextQueries {
     * saturate and "near" stops meaning anything. */
   def qSimhashPairs(s: SparkSession, dir: String): DataFrame =
     NearDup.simhashPairsBlocked(
-        NearDup.simhash(Tables.documents(s, dir), "doc_id", "text",
+        // signatures IN-ROW (NearDup.simhashDocs, r15): row/value-
+        // identical to the batch aggregation, minus its token-explode
+        // groupBy exchange — the block join is the only shuffle left
+        NearDup.simhashDocs(Tables.documents(s, dir), "doc_id", "text",
           bits = 32),
         "doc_id", maxDist = 1, bits = 32)
       .select(col("doc_a"), col("doc_b"),
@@ -837,10 +840,18 @@ object TextQueries {
       "text", "lang", DsirBuckets)
     val cells = pred.groupBy(col("lang"), col("pred"))
       .agg(count(lit(1)).as("n"))
-    val tot = cells.groupBy(col("lang")).agg(sum(col("n")).as("tot"))
-    cells.join(broadcast(tot), "lang")
+    // per-lang totals as a window over the CELLS frame (|langs|² rows,
+    // schema-sized), not a groupBy + broadcast join: the join spelling
+    // planned the whole nbClassify scoring cascade as TWO subtrees
+    // (cells + tot), and sum-over-partition on the tiny matrix is one
+    // exchange with no second cascade (r15, guide §2.4/§1.2).
+    // tot = Σ n over the lang partition — value-identical to the join.
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+    cells
       .select(col("lang"), col("pred"), col("n"),
-        round(col("n").cast("double") / col("tot"), 6).as("frac"))
+        round(col("n").cast("double") / sum(col("n")).over(wl), 6)
+          .as("frac"))
   }
 
   /** Exact n-gram Jaccard over a bounded id-window of pairs (adjacent ids,
@@ -861,6 +872,7 @@ object TextQueries {
     // and turns per-doc sizes into a map-side projection (r14, §2.4)
     val sets = NearDup.shingleSets(docs, "doc_id", "text", ShingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.OpCache.renew("TextQueries.qNgramJaccardWindow", sets)
     val shx = sets.select(col("doc_id"), explode(col("hs")).as("h"))
     val sizes = sets.select(col("doc_id"), size(col("hs")).cast("long").as("sz"))
     val inter = shx.select(col("doc_id").as("doc_b"), col("h"))
@@ -915,6 +927,7 @@ object TextQueries {
         NumHashes, RowsPerBand), "doc_id")
       .select(col("doc_a"), col("doc_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.OpCache.renew("TextQueries.qContainment", pairs)
     val pairDocs = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val candSets = NearDup.shingleSets(
