@@ -243,24 +243,51 @@ object TextOps {
     * pattern), so ranks are partitioning-invariant. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryTerms: Seq[String], k: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKFromProjection(
+      bm25Projection(docs, idCol, textCol, queryTerms), idCol, k, k1, b)
+
+  /** The ONE tokenize pass of [[bm25TopK]] (r15, guide §1.2): per doc,
+    * (idCol, dl = token count, __hits = the query-term token
+    * occurrences). Persisted — the corpus stats (N, Σdl) and the hit
+    * stream both derive from it, where the old shape re-tokenized the
+    * whole corpus for each; the frame is row-per-doc but SLIM (a long +
+    * a query-sliver array — the tokens themselves never persist) and
+    * MEMORY_AND_DISK spills at corpus scale, which beats re-paying
+    * corpus tokenize, the dominant cost at any scale. Exposed so
+    * rank-quality consumers (q167's relevance labels, q169's naive
+    * ranking) read their term-hit features from the SAME pass:
+    * size(__hits) ≡ count_in(tokens, terms) and
+    * size(array_distinct(__hits)) ≡ size(array_intersect(
+    * array_distinct(tokens), terms)) — spec-pinned. */
+  def bm25Projection(docs: DataFrame, idCol: String, textCol: String,
+                     queryTerms: Seq[String]): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
-    require(k >= 1, s"k must be >= 1, got $k")
     val tk = tokens(col(textCol))
-    val stats = docs.select(size(tk).cast("long").as("dl"))
-      .agg(count(lit(1)).as("nd"), sum(col("dl")).as("ntok"))
-    val hits = docs
+    val proj = docs
       .select(col(idCol), tk.as("__tk"))
       .select(col(idCol), size(col("__tk")).cast("long").as("dl"),
-        explode(filter(col("__tk"),
-          t => t.isInCollection(queryTerms))).as("term"))
-    // persisted: tf feeds both the df derivation and the scoring join
-    // (the tfidfTopTerms situation — exchange reuse across branches is
-    // not guaranteed, and the alternative is a second corpus scan +
-    // explode). Query-term hits only — a sliver at any corpus scale.
+        filter(col("__tk"), t => t.isInCollection(queryTerms))
+          .as("__hits"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.OpCache.renew("TextOps.bm25Projection", proj)
+    proj
+  }
+
+  /** [[bm25TopK]] over a pre-built [[bm25Projection]] frame. */
+  def bm25TopKFromProjection(proj: DataFrame, idCol: String, k: Int,
+                             k1: Double = 1.2,
+                             b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val stats = proj.select(col("dl"))
+      .agg(count(lit(1)).as("nd"), sum(col("dl")).as("ntok"))
+    val hits = proj.select(col(idCol), col("dl"),
+      explode(col("__hits")).as("term"))
+    // tf feeds both the df derivation and the scoring join; both
+    // references sit above the same tf exchange (ReuseExchange dedups),
+    // and a recompute now reads the persisted projection, not the corpus
     val tf = hits.groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfFrame = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // one double expression per (doc, term), mirrored token-for-token
     // by the oracle SQL (same literals, same association order)

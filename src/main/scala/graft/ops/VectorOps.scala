@@ -916,8 +916,22 @@ object VectorOps {
   private def bandedCrossLabelCandidates(
       vecs: DataFrame, bands: Int, planesPerBand: Int,
       idCol: String, vecCol: String, labelCol: String): DataFrame = {
-    val sigs = bandedSigRows(vecs, bands, planesPerBand, idCol, vecCol,
+    // materialized before the bucket self-join for the same reason as
+    // NearDup.candidatePairs' band persist: the two join sides project
+    // different names, so ReuseExchange never fires and a lazy plan
+    // runs the centering + SRP signature cascade (the corpus-scan-sized
+    // work) TWICE. The sig frame is bands rows/vec of (id, label, band,
+    // sig) — the narrowest point to cut. (r14's negative persist A/B
+    // was the SCORED candidate output above this join, whose repeated
+    // subtrees exchange reuse already dedups; the two sig cascades
+    // below the differently-projected exchanges are what reuse cannot
+    // touch.)
+    val sigs0 = bandedSigRows(vecs, bands, planesPerBand, idCol, vecCol,
       labelCol)
+    val sigs = sigs0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count() // eager: both join sides must read, never compute
+    graft.core.OpCache.renew("VectorOps.bandedCrossLabelCandidates", sigs)
     val cand = sigs.select(col(idCol).as("__a"), col(labelCol).as("__al"),
         col("band"), col("sig"))
       .join(sigs.select(col(idCol).as("__b"), col(labelCol).as("__bl"),

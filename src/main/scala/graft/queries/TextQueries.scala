@@ -1340,10 +1340,13 @@ object TextQueries {
     * can actually fill 10 slots. */
   def qNdcg(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val rel = docs.select(col("doc_id"),
-      size(array_intersect(array_distinct(TextOps.tokens(col("text"))),
-        array(Bm25Terms.map(lit): _*))).as("rel"))
-    val ranked = TextOps.bm25TopK(docs, "doc_id", "text", Bm25Terms, Bm25K)
+    // relevance labels ride the ONE persisted bm25 projection (r15):
+    // size(array_distinct(__hits)) ≡ the old array_intersect over a
+    // second corpus tokenize pass — same distinct matched-term set
+    val proj = TextOps.bm25Projection(docs, "doc_id", "text", Bm25Terms)
+    val rel = proj.select(col("doc_id"),
+      size(array_distinct(col("__hits"))).as("rel"))
+    val ranked = TextOps.bm25TopKFromProjection(proj, "doc_id", Bm25K)
       .join(rel, "doc_id")
     graft.ops.Eval.ndcgAtK(ranked, "rank", "rel", rel.select(col("rel")),
       Bm25K)
@@ -1399,14 +1402,16 @@ object TextQueries {
     * per-depth recount. */
   def qRbo(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val bm25 = TextOps.bm25TopK(docs, "doc_id", "text", Bm25Terms, Bm25K)
+    // both rankings read the ONE persisted bm25 projection (r15): the
+    // naive side's count_in(tokens, terms) ≡ size(__hits) — the old
+    // spelling re-tokenized the corpus a second time
+    val proj = TextOps.bm25Projection(docs, "doc_id", "text", Bm25Terms)
+    val bm25 = TextOps.bm25TopKFromProjection(proj, "doc_id", Bm25K)
       .select(col("doc_id"), col("rank"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("n").desc, col("doc_id").asc)
-    val naive = docs
-      .select(col("doc_id"),
-        call_function("count_in", TextOps.tokens(col("text")),
-          array(Bm25Terms.map(lit): _*)).as("n"))
+    val naive = proj
+      .select(col("doc_id"), size(col("__hits")).as("n"))
       .orderBy(col("n").desc, col("doc_id").asc).limit(Bm25K)
       .withColumn("rank", row_number().over(w))
       .select(col("doc_id"), col("rank"))

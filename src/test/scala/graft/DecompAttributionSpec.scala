@@ -61,6 +61,14 @@ class DecompAttributionSpec extends SparkSpecBase {
     val lbl = emb.select("vec_id", "label").as[(Long, Int)]
       .collect().toMap
     assert(pairs.forall { case (a, b) => lbl(a) != lbl(b) })
+    // the integral-id argmax (max(struct(cos, −dst)) aggregate, r15)
+    // picks identically to the rank-1 window the non-integral path
+    // keeps: rerun with ids cast to zero-padded strings (same order)
+    val asStr = VectorOps.mutualNeighbors(
+      emb.withColumn("vec_id", lpad(col("vec_id").cast("string"), 10, "0")),
+      2, 12).collect()
+      .map(r => (r.getString(0).toLong, r.getString(1).toLong)).toSet
+    assert(asStr == pairs, "aggregate argmax != window argmax")
   }
 
   test("attribution: credits land on the right touches, models total alike") {

@@ -459,4 +459,39 @@ class NearDupSpec extends SparkSpecBase {
         s"containment dropZero restrict=$restrict")
     }
   }
+
+  test("simhashDocs is row-identical to the batch simhash aggregate, " +
+       "including empty and null texts") {
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((91001L, ""), (91002L, "   "),
+        (91003L, "one token")).toDF("doc_id", "text"))
+      .unionByName(Seq(91004L).toDF("doc_id")
+        .select(col("doc_id"), lit(null).cast("string").as("text")))
+    for (bits <- Seq(16, 32)) {
+      val inRow = NearDup.simhashDocs(corpus, "doc_id", "text", bits)
+      val batch = NearDup.simhash(corpus, "doc_id", "text", bits)
+      assert(inRow.except(batch).count() == 0, s"bits=$bits extra")
+      assert(batch.except(inRow).count() == 0, s"bits=$bits missing")
+    }
+  }
+
+  test("winnowFingerprintStats equals the explode+groupBy aggregate " +
+       "over winnowFingerprints") {
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").limit(300)
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((91001L, ""), (91002L, "one token"))
+        .toDF("doc_id", "text"))
+    for ((k, w) <- Seq((5, 4), (3, 2))) {
+      val agg = NearDup.winnowFingerprints(corpus, "doc_id", "text", k, w)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fp"), min(col("h")).as("fp_min"),
+          sum(shiftright(col("h"), 31)).as("fp_sum_hi"),
+          sum(col("h").bitwiseAND(lit((1L << 31) - 1))).as("fp_sum_lo"))
+      val inRow = NearDup.winnowFingerprintStats(corpus, "doc_id", "text",
+        k, w)
+      assert(inRow.except(agg).count() == 0, s"k=$k w=$w extra")
+      assert(agg.except(inRow).count() == 0, s"k=$k w=$w missing")
+    }
+  }
 }

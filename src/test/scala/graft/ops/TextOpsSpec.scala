@@ -332,6 +332,32 @@ class TextOpsSpec extends SparkSpecBase {
       Seq("hash"), 2).count() == 2)
   }
 
+  test("bm25Projection hit features match the token-level spellings " +
+       "(count_in; array_intersect of distinct tokens)") {
+    val terms = Seq("hash", "join", "vector")
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").limit(300)
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((91001L, ""), (91002L, "hash hash join"))
+        .toDF("doc_id", "text"))
+      .unionByName(Seq(91003L).toDF("doc_id")
+        .select(col("doc_id"), lit(null).cast("string").as("text")))
+    val proj = TextOps.bm25Projection(corpus, "doc_id", "text", terms)
+    // q169's naive ranking feature: size(__hits) ≡ count_in
+    val a = proj.select(col("doc_id"), size(col("__hits")).as("n"))
+    val b = corpus.select(col("doc_id"),
+      call_function("count_in", TextOps.tokens(col("text")),
+        array(terms.map(lit): _*)).as("n"))
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+    // q167's relevance label: size(array_distinct(__hits)) ≡
+    // size(array_intersect(array_distinct(tokens), terms))
+    val c = proj.select(col("doc_id"),
+      size(array_distinct(col("__hits"))).as("rel"))
+    val d = corpus.select(col("doc_id"),
+      size(array_intersect(array_distinct(TextOps.tokens(col("text"))),
+        array(terms.map(lit): _*))).as("rel"))
+    assert(c.except(d).count() == 0 && d.except(c).count() == 0)
+  }
+
   test("nbClassify learns separable vocabularies; ties break by label") {
     val docs = Seq(
       (1L, "aa", "foo bar foo bar baz"),
