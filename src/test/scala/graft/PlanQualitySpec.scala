@@ -287,13 +287,16 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("Sort "), p)
   }
 
-  test("winnowing is scan-side: no shuffle before the per-doc aggregate") {
+  test("winnowing is scan-side: zero shuffle, per-doc stats fold in-row") {
     val p = plan(graft.queries.TextQueries.qWinnowFp(spark, sf))
-    // the sliding-window min runs inside the projection (higher-order
-    // array funcs over the shingle_hashes array) — the ONLY exchange in
-    // the whole query is the doc-keyed aggregate after the explode; the
-    // positional form would shuffle+sort the corpus-wide token stream
-    assert("Exchange".r.findAllIn(p).size == 1, p)
+    // the sliding-window min AND the per-doc count/min/checksum stats
+    // all run inside the projection (higher-order array funcs over the
+    // shingle_hashes array, r15 winnowFingerprintStats) — the plan has
+    // NO exchange at all; the r14 form still paid one doc-keyed
+    // aggregate exchange after an explode, the positional form a
+    // shuffle+sort of the corpus-wide token stream
+    assert("Exchange".r.findAllIn(p).isEmpty, p)
+    assert(!p.contains("HashAggregate"), p)
     assert(!p.contains("Window"), p)
     assert(!p.contains("Sort "), p)
   }
