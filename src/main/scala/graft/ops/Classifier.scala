@@ -49,7 +49,8 @@ object Classifier {
     * oracle's unrolled CTE chain lands on identical doubles. */
   def logisticTrain(df: DataFrame, featCols: Seq[Column],
                     labelCol: Column, rounds: Int,
-                    lr: Double): LinearModel = {
+                    lr: Double,
+                    localThreshold: Long = 1L << 20): LinearModel = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val d = featCols.size
     require(d >= 1, "at least one feature column")
@@ -63,6 +64,26 @@ object Classifier {
         featCols.zipWithIndex.map { case (x, k) =>
           x.cast("double").as(s"__x$k") }: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Size gate (the Components/Bpe/MMR discipline): the projected frame
+    // is d+1 doubles per row — when it fits under `localThreshold` rows
+    // (bounded limit probe, never an unbounded collect) the K rounds run
+    // on the driver with the IDENTICAL recurrence: same left-fold score
+    // association, same rational sigmoid in plain double arithmetic,
+    // same double→DECIMAL(28,10) HALF_UP cast per term, exact decimal
+    // sums (order-invariant), same doubleValue readout and update
+    // expression — bit-equal weights (spec-pinned), while K sequential
+    // aggregate jobs + their planning gaps collapse into one in-memory
+    // loop. Rows where the label or ANY feature is null contribute to n
+    // but to no gradient term, exactly the Column null semantics (a
+    // null feature nulls the whole score, so err and every term null
+    // out together). `localThreshold = 0` forces the distributed path.
+    if (localThreshold > 0 && localThreshold < Int.MaxValue) {
+      val probe = proj.limit(localThreshold.toInt + 1).collect()
+      if (probe.length <= localThreshold) {
+        proj.unpersist(blocking = false)
+        return trainLocal(probe, d, rounds, lr)
+      }
+    }
     try {
       // n rides round 1's aggregation (count does not depend on the
       // weights): K rounds = K passes, not K + 1
@@ -90,6 +111,55 @@ object Classifier {
       }
       model
     } finally proj.unpersist()
+  }
+
+  /** Driver twin of the distributed rounds — see the gate note in
+    * [[logisticTrain]]. Every arithmetic step replays the Column
+    * expressions: z = ((bias + w₀·x₀) + w₁·x₁) + … (the score fold's
+    * association order), σ̂ in plain doubles, per-term
+    * BigDecimal(double).setScale(10, HALF_UP) (Spark's double→decimal
+    * cast canonicalization — the mmrLocal/round() pattern), exact
+    * decimal accumulation, doubleValue readout. */
+  private def trainLocal(rows: Array[org.apache.spark.sql.Row], d: Int,
+                         rounds: Int, lr: Double): LinearModel = {
+    val n = rows.length.toDouble
+    require(n > 0, "empty training frame")
+    var model = LinearModel(0.0, Seq.fill(d)(0.0))
+    for (_ <- 1 to rounds) {
+      var gb = java.math.BigDecimal.ZERO
+      val gx = Array.fill(d)(java.math.BigDecimal.ZERO)
+      var i = 0
+      while (i < rows.length) {
+        val r = rows(i)
+        val anyNull = r.isNullAt(0) || (0 until d).exists(k =>
+          r.isNullAt(k + 1))
+        if (!anyNull) {
+          val y = r.getDouble(0)
+          var z = model.bias
+          var k = 0
+          while (k < d) { z = z + model.weights(k) * r.getDouble(k + 1); k += 1 }
+          val sig = 0.5 + z / (2.0 * (1.0 + math.abs(z)))
+          val err = y - sig
+          // Spark's double→decimal cast nulls out non-finite values (the
+          // term is then skipped by sum) — mirror that PER TERM
+          def add(acc: java.math.BigDecimal, x: Double) =
+            if (x.isNaN || x.isInfinite) acc
+            else acc.add(BigDecimal(x)
+              .setScale(10, BigDecimal.RoundingMode.HALF_UP).underlying())
+          gb = add(gb, err)
+          k = 0
+          while (k < d) {
+            gx(k) = add(gx(k), r.getDouble(k + 1) * err); k += 1
+          }
+        }
+        i += 1
+      }
+      model = LinearModel(
+        model.bias + lr * (gb.doubleValue() / n),
+        (0 until d).map(k =>
+          model.weights(k) + lr * (gx(k).doubleValue() / n)))
+    }
+    model
   }
 
   /** Per-row classifier score σ̂(b + w·x) for a trained model — the
